@@ -1,0 +1,338 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible entry in SparkEntry.queries.
+  *
+  * Each statement is a semantic mirror of the Spark implementation with the
+  * same determinism discipline (decimal-exact sums, md5-hash randomness,
+  * total window orders), so the driver's hash compare matches exactly.
+  */
+object OracleSql {
+
+  private val revenue =
+    "CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))"
+
+  private val toksCte =
+    """WITH t AS (
+      |  SELECT *, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =
+    toksCte + """,
+      |sh AS (
+      |  SELECT *, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh3
+      |  FROM t)""".stripMargin
+
+  val all: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST(ROUND(SUM($revenue), 2) AS DOUBLE) AS sum_disc_price,
+         |  CAST(ROUND(SUM($revenue * CAST(1 + l_tax AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_column_stats" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS feature, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN $c <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+           |  MIN($c) AS vmin, MAX($c) AS vmax,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) AS vsum,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS vmean,
+           |  CAST(SUM(CAST(ABS($c) AS DECIMAL(18,4))) AS DOUBLE) AS l1
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
+
+    "q03_brand_revenue" ->
+      s"""SELECT p_brand,
+         |  CAST(ROUND(SUM($revenue), 2) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+
+    "q04_offset_plus_scores" ->
+      s"""WITH scores AS (
+         |  SELECT l_orderkey AS o_orderkey,
+         |    CAST(ROUND(SUM($revenue), 2) AS DOUBLE) AS score
+         |  FROM lineitem GROUP BY 1),
+         |o AS (
+         |  SELECT o_orderstatus,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE)
+         |      + COALESCE(score, 0.0) AS off
+         |  FROM orders LEFT JOIN scores USING (o_orderkey))
+         |SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(CAST(off AS DECIMAL(18,4))) AS DOUBLE) AS sum_offset
+         |FROM o GROUP BY o_orderstatus""".stripMargin,
+
+    "q05_score_add" ->
+      """WITH s1 AS (SELECT c_custkey AS custkey, c_acctbal AS score FROM customer),
+        |s2 AS (SELECT o_custkey AS custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS score
+        |  FROM orders GROUP BY 1)
+        |SELECT COALESCE(s1.custkey, s2.custkey) AS custkey,
+        |  COALESCE(s1.score, 0.0) + COALESCE(s2.score, 0.0) AS score
+        |FROM s1 FULL JOIN s2 ON s1.custkey = s2.custkey""".stripMargin,
+
+    "q06_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q07_brands_with_sales" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
+
+    "q08_topk_per_order" ->
+      """WITH x AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice FROM x WHERE rn <= 2""".stripMargin,
+
+    "q09_grouped_mean" ->
+      """WITH per AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COUNT(*) AS n_customers,
+        |  CAST(SUM(total) AS DOUBLE) / COUNT(*) AS mean_customer_total,
+        |  CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS mean_orders_per_customer
+        |FROM per""".stripMargin,
+
+    "q10_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q11_union_parties" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+        |  'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal,
+        |  'supplier' AS kind FROM supplier""".stripMargin,
+
+    "q12_except_custkeys" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+
+    "q13_region_revenue" ->
+      s"""SELECT r_name,
+         |  CAST(ROUND(SUM($revenue), 2) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey AND year(o_orderdate) = 1996
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin,
+
+    "q14_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM lineitem WHERE l_suppkey <= 2""".stripMargin,
+
+    "q15_validators" ->
+      """SELECT 'nonpositive_price' AS rule, CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem
+        |UNION ALL
+        |SELECT 'null_quantity', CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'discount_out_of_range', CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'negative_tax', CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'bad_flag', CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem""".stripMargin,
+
+    "q16_daily_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q17_tumbling_window" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS h6,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q18_reservoir" ->
+      """WITH x AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
+        |      md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR))) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN n > 2 THEN CAST(n AS DOUBLE) / 2 ELSE 1.0 END AS weight_scale
+        |FROM x WHERE rn <= 2""".stripMargin,
+
+    "q19_binary_downsample" ->
+      """WITH kept AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 1.0 * 4.0 END AS w
+        |  FROM events
+        |  WHERE event_type = 'purchase' OR md5(CAST(event_id AS VARCHAR)) < '40')
+        |SELECT event_type, COUNT(*) AS n_kept,
+        |  CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sum_weight
+        |FROM kept GROUP BY event_type""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q21_token_count" -> (toksCte + """
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured
+        |FROM t""".stripMargin),
+
+    "q22_text_quality" -> (toksCte + """
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    CAST(len(list_filter(toks, tk -> list_contains(
+        |      ['the','a','of','to','and','in','is'], lower(tk)))) AS DOUBLE)
+        |      / len(toks) END AS stopword_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(toks) END AS mean_token_len
+        |FROM t""".stripMargin),
+
+    "q23_lang_id" -> (toksCte + """,
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, tk -> list_contains(['the','and','of','to','in','is','a'], lower(tk)))) AS en,
+        |    len(list_filter(toks, tk -> list_contains(['le','la','et','les','des','un','une'], lower(tk)))) AS fr,
+        |    len(list_filter(toks, tk -> list_contains(['der','die','und','das','nicht','ist','ein'], lower(tk)))) AS de,
+        |    len(list_filter(toks, tk -> list_contains(['el','los','y','que','en','una','por'], lower(tk)))) AS es
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN en = greatest(en, fr, de, es) AND en > 0 THEN 'en'
+        |  WHEN fr = greatest(en, fr, de, es) AND fr > 0 THEN 'fr'
+        |  WHEN de = greatest(en, fr, de, es) AND de > 0 THEN 'de'
+        |  WHEN es = greatest(en, fr, de, es) AND es > 0 THEN 'es'
+        |  ELSE 'und' END AS lang_guess
+        |FROM hits""".stripMargin),
+
+    "q24_fingerprint" ->
+      "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
+
+    "q25_shingle_stats" -> (shinglesCte + """
+        |SELECT doc_id, CAST(len(sh3) AS BIGINT) AS n_shingles,
+        |  CAST(len(list_distinct(sh3)) AS BIGINT) AS n_distinct_shingles
+        |FROM sh""".stripMargin),
+
+    "q26_jaccard_pairs" -> (shinglesCte + """,
+        |ds AS (SELECT doc_id, source, list_distinct(sh3) AS sh FROM sh),
+        |p AS (
+        |  SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+        |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT block, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01""".stripMargin),
+
+    "q27_minhash" -> (shinglesCte + """,
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(sh3, s -> md5('0' || s))) AS mh0,
+        |    list_min(list_transform(sh3, s -> md5('1' || s))) AS mh1,
+        |    list_min(list_transform(sh3, s -> md5('2' || s))) AS mh2,
+        |    list_min(list_transform(sh3, s -> md5('3' || s))) AS mh3
+        |  FROM sh)
+        |SELECT doc_id, mh0, mh1, mh2, mh3,
+        |  md5(mh0 || '|' || mh1) AS band0
+        |FROM sigs""".stripMargin),
+
+    "q28_lsh_buckets" -> (shinglesCte + """,
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(sh3, s -> md5('0' || s))) AS mh0,
+        |    list_min(list_transform(sh3, s -> md5('1' || s))) AS mh1
+        |  FROM sh)
+        |SELECT md5(mh0 || '|' || mh1) AS band0, COUNT(*) AS n_docs
+        |FROM sigs GROUP BY 1""".stripMargin),
+
+    "q29_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT qid, id,
+        |    list_reduce(list_transform(range(1, len(v) + 1), i -> qv[i] * v[i]), (a, b) -> a + b)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (a, b) -> a + b)
+        |      * list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b)
+        |    ) AS cosine
+        |  FROM c CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS "rank"
+        |  FROM scored)
+        |SELECT qid, "rank", id, cosine FROM ranked WHERE "rank" <= 3""".stripMargin,
+
+    "q30_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |    OR ts > prev_ts + INTERVAL '30 minutes' THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin,
+
+    "q31_precision_at_k" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / 3.0 AS p_at_3
+        |FROM x WHERE rn <= 3 GROUP BY user_id""".stripMargin,
+
+    "q32_auc" ->
+      """WITH scored AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS score, label >= 5 AS pos, vec_id
+        |  FROM embeddings),
+        |ranked AS (
+        |  SELECT pos, ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rn FROM scored),
+        |agg AS (
+        |  SELECT SUM(CASE WHEN pos THEN rn ELSE 0 END) AS sum_rn_pos,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n
+        |  FROM ranked)
+        |SELECT CAST(2 * sum_rn_pos - p * (p + 1) AS DOUBLE)
+        |  / CAST(2 * p * n AS DOUBLE) AS auc
+        |FROM agg""".stripMargin,
+
+    "q33_rmse" ->
+      """WITH e AS (
+        |  SELECT (CAST(embedding[1] AS DOUBLE) * 10.0 - CAST(label AS DOUBLE))
+        |    * (CAST(embedding[1] AS DOUBLE) * 10.0 - CAST(label AS DOUBLE)) AS sq
+        |  FROM embeddings)
+        |SELECT sqrt(CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) AS rmse
+        |FROM e""".stripMargin,
+
+    "q34_embedding_stats" ->
+      """SELECT label AS lbl, COUNT(*) AS n,
+        |  MIN(CAST(embedding[1] AS DOUBLE)) AS vmin,
+        |  MAX(CAST(embedding[1] AS DOUBLE)) AS vmax,
+        |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) AS vmean
+        |FROM embeddings GROUP BY label""".stripMargin)
+}

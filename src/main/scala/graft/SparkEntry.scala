@@ -1,13 +1,412 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextFunctions => TF, VectorOps => V}
+import graft.operators._
+import graft.util.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB oracle for everything SQL-expressible.
+  *
+  * Cross-engine determinism strategy (why results hash-match bit for bit):
+  *   - every floating-point SUM/AVG goes through fixed-point decimals
+  *     (see [[graft.util.Exact]]) so aggregation order doesn't matter;
+  *   - every "random" choice (sampling, reservoirs, LSH) is an md5 hash of
+  *     the row's unique id — identical in any engine;
+  *   - every window ordering includes a unique tie-breaker column.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val T = Tables
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q13_region_revenue(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  /** lineitem revenue term, decimal-exact: price * (1 - discount). */
+  private def revenueDec: Column =
+    dec(col("l_extendedprice"), 12, 4) * dec(lit(1) - col("l_discount"), 12, 4)
+
+  // ------------------------------------------------------- relational (§2.3/2.4)
+
+  /** A1/A4-family: grouped aggregation with exact decimal sums. */
+  def q01_pricing_summary(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumExact(col("l_quantity"), 18, 2).as("sum_qty"),
+        sumExact(col("l_extendedprice"), 18, 4).as("sum_base_price"),
+        round(sum(revenueDec), 2).cast("double").as("sum_disc_price"),
+        round(sum(revenueDec * dec(lit(1) + col("l_tax"), 12, 4)), 2)
+          .cast("double").as("sum_charge"),
+        avgExact(col("l_quantity"), 18, 2).as("avg_qty"),
+        avgExact(col("l_extendedprice"), 18, 4).as("avg_price"),
+        avgExact(col("l_discount"), 18, 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** A4: per-column feature summarization (count/nnz/min/max/sum/mean/L1) —
+    * the reference's FeatureDataStatistics over scalar columns. */
+  def q02_column_stats(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+    def statsOf(c: String): DataFrame = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col(c) =!= 0.0, 1L).otherwise(0L)).as("n_nonzero"),
+      min(col(c)).as("vmin"), max(col(c)).as("vmax"),
+      sumExact(col(c), 18, 6).as("vsum"),
+      avgExact(col(c), 18, 6).as("vmean"),
+      sumExact(abs(col(c)), 18, 6).as("l1"))
+      .select(lit(c).as("feature"), col("n"), col("n_nonzero"),
+        col("vmin"), col("vmax"), col("vsum"), col("vmean"), col("l1"))
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(statsOf).reduce(_.unionAll(_))
+  }
+
+  /** J1: broadcast hash join (small dim side) + grouped revenue. */
+  def q03_brand_revenue(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(revenueDec), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** J5/P6: left-outer score attach with missing→0 (addScoresToOffsets). */
+  def q04_offset_plus_scores(s: SparkSession, d: String): DataFrame = {
+    val scores = T.lineitem(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(round(sum(revenueDec), 2).cast("double").as("score"))
+    val withOffsets = ScoreAlgebra.addToOffsets(
+      T.orders(s, d).withColumn("offset",
+        dec(col("o_totalprice"), 18, 4).cast("double")),
+      scores, "o_orderkey")
+    withOffsets.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("offset"), 18, 4).as("sum_offset"))
+  }
+
+  /** J4: full-outer score addition (CoordinateDataScores `+`). */
+  def q05_score_add(s: SparkSession, d: String): DataFrame = {
+    val s1 = T.customer(s, d).select(col("c_custkey").as("custkey"),
+      col("c_acctbal").as("score"))
+    val s2 = T.orders(s, d).groupBy(col("o_custkey").as("custkey"))
+      .agg(sumExact(col("o_totalprice"), 18, 4).as("score"))
+    ScoreAlgebra.add(s1, s2, "custkey")
+  }
+
+  /** J6: anti join — customers with no orders (generatePassiveData). */
+  def q06_customers_no_orders(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** J7: semi join — parts that appear in lineitem, counted per brand. */
+  def q07_brands_with_sales(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .join(T.lineitem(s, d), col("p_partkey") === col("l_partkey"),
+        "left_semi")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+
+  /** O2/O3: top-K per group by explicit order with tie-break. */
+  def q08_topk_per_order(s: SparkSession, d: String): DataFrame =
+    GroupedSampling.topKPerGroup(T.lineitem(s, d), Seq("l_orderkey"),
+      Seq(col("l_extendedprice").desc, col("l_linenumber")), 2)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  /** A7/E9: per-group metric then mean across groups. */
+  def q09_grouped_mean(s: SparkSession, d: String): DataFrame = {
+    val per = T.orders(s, d).groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"), 18, 4)).as("total"),
+        count(lit(1)).as("n_orders"))
+    per.agg(count(lit(1)).as("n_customers"),
+      (sum(col("total")).cast("double") / count(lit(1)))
+        .as("mean_customer_total"),
+      (sum(col("n_orders")).cast("double") / count(lit(1)))
+        .as("mean_orders_per_customer"))
+  }
+
+  /** U4/A9: distinct. */
+  def q10_distinct_flags(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+
+  /** U3: union of two sources into one keyed table. */
+  def q11_union_parties(s: SparkSession, d: String): DataFrame = {
+    val c = T.customer(s, d).select(col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      lit("customer").as("kind"))
+    val sp = T.supplier(s, d).select(col("s_suppkey").as("id"),
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+      lit("supplier").as("kind"))
+    c.unionAll(sp)
+  }
+
+  /** U2: set difference (subtractByKey). */
+  def q12_except_custkeys(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d).select(col("c_custkey").as("custkey"))
+      .except(T.orders(s, d).select(col("o_custkey").as("custkey")))
+
+  /** Lifecycle query: 5-table join with date filter; nation/region
+    * broadcast; filter pushed to the orders scan. */
+  def q13_region_revenue(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .join(T.orders(s, d).filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum(revenueDec), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** O1: deterministic running sum (window, total order). */
+  def q14_running_sum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.lineitem(s, d).filter(col("l_suppkey") <= 2)
+      .withColumn("running",
+        sum(dec(col("l_quantity"), 18, 2)).over(w).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running")
+  }
+
+  /** P3: one-pass data validation (violation counts per rule). */
+  def q15_validators(s: SparkSession, d: String): DataFrame =
+    Validators.check(T.lineitem(s, d), Seq(
+      Validators.Rule("nonpositive_price", col("l_extendedprice") <= 0),
+      Validators.Rule("null_quantity", col("l_quantity").isNull),
+      Validators.Rule("discount_out_of_range",
+        col("l_discount") < 0 || col("l_discount") > 1),
+      Validators.Rule("negative_tax", col("l_tax") < 0),
+      Validators.Rule("bad_flag",
+        !col("l_returnflag").isInCollection(Seq("A", "N", "R")))))
+
+  /** S6/F14: date-range scan + daily rollup (partition-pruning shape). */
+  def q16_daily_events(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+        col("ts") < lit("2024-01-20 00:00:00"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 18, 6).as("sum_value"))
+
+  /** Streaming-shaped tumbling window over event time (batch equivalent of
+    * the Structured Streaming windowed agg in graft.streaming). */
+  def q17_tumbling_window(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        floor(hour(col("ts")) / 6).cast("int").as("h6"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 18, 6).as("sum_value"))
+
+  /** A6/O3/X10: deterministic bounded per-group reservoir with weight
+    * rescale (photon's RandomEffectDataset sampling semantics). */
+  def q18_reservoir(s: SparkSession, d: String): DataFrame =
+    GroupedSampling.boundedSample(T.lineitem(s, d), Seq("l_orderkey"),
+      Seq("l_orderkey", "l_linenumber"), cap = 2)
+      .select("l_orderkey", "l_linenumber", "weight_scale")
+
+  /** L14: class-aware down-sampling with weight compensation. */
+  def q19_binary_downsample(s: SparkSession, d: String): DataFrame =
+    DownSampling.binaryClass(
+      T.events(s, d).withColumn("weight", lit(1.0)),
+      Seq("event_id"), col("event_type") === "purchase", rate = 0.25)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), sumExact(col("weight"), 18, 6)
+        .as("sum_weight"))
+
+  // ------------------------------------------------ text / dedup (training-data ops)
+
+  /** Exact dedup by content hash. */
+  def q20_dedup_exact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(T.documents(s, d), "doc_id", "text")
+
+  /** Token counting. */
+  def q21_token_count(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).as("n_chars_measured"))
+
+  /** Quality scoring: stopword ratio + mean token length. */
+  def q22_text_quality(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    T.documents(s, d).select(col("doc_id"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      TF.stopwordRatio(col("text"), stop).as("stopword_ratio"),
+      TF.meanTokenLen(col("text")).as("mean_token_len"))
+  }
+
+  /** Language ID heuristic (stopword hits, deterministic tie-break). */
+  def q23_lang_id(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"),
+      TF.langId(col("text")).as("lang_guess"))
+
+  /** Document fingerprinting. */
+  def q24_fingerprint(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"),
+      TF.fingerprint(col("text")).as("fp"))
+
+  /** Shingling stats (n-gram generation + distinct). */
+  def q25_shingle_stats(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"),
+      size(TF.shingles(col("text"), 3)).as("n_shingles"),
+      size(TF.distinctShingles(col("text"), 3)).as("n_distinct_shingles"))
+
+  /** n-gram Jaccard near-dup pairs within a blocking key. */
+  def q26_jaccard_pairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(T.documents(s, d), "doc_id", "text", "source",
+      n = 3, threshold = 0.01)
+
+  /** MinHash signatures (4 hashes) + first LSH band bucket. */
+  def q27_minhash(s: SparkSession, d: String): DataFrame = {
+    val sig = TF.minhashSignature(col("text"), 3, 4)
+    T.documents(s, d).select(col("doc_id"),
+      element_at(sig, 1).as("mh0"), element_at(sig, 2).as("mh1"),
+      element_at(sig, 3).as("mh2"), element_at(sig, 4).as("mh3"),
+      TF.lshBand(sig, 0, 2).as("band0"))
+  }
+
+  /** LSH bucket occupancy (candidate generation stage of MinHash dedup). */
+  def q28_lsh_buckets(s: SparkSession, d: String): DataFrame = {
+    val sig = TF.minhashSignature(col("text"), 3, 4)
+    T.documents(s, d).select(TF.lshBand(sig, 0, 2).as("band0"))
+      .groupBy("band0").agg(count(lit(1)).as("n_docs"))
+  }
+
+  // ------------------------------------------------------ similarity search
+
+  /** Brute-force exact cosine top-k (ANN baseline). */
+  def q29_knn_brute(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    Similarity.bruteForce(queries, corpus, 3)
+      .select(col("qid"), col("rank"), col("id"), col("cosine"))
+  }
+
+  /** Sessionization (stateful streaming analog, batch windows). */
+  def q30_sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL '30' MINUTE"), 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** E8: precision@k per group (top-k by score, hit = purchase). */
+  def q31_precision_at_k(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    T.events(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .cast("double") / lit(3.0)).as("p_at_3"))
+  }
+
+  /** E1: AUC via rank statistic (deterministic total order). */
+  def q32_auc(s: SparkSession, d: String): DataFrame = {
+    val scored = T.embeddings(s, d).select(
+      element_at(col("embedding"), 1).cast("double").as("score"),
+      (col("label") >= 5).as("pos"), col("vec_id"))
+    val w = Window.orderBy(col("score"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .agg(
+        sum(when(col("pos"), col("rn")).otherwise(0L)).as("sum_rn_pos"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n"))
+      .select(((lit(2) * col("sum_rn_pos") - col("p") * (col("p") + 1))
+        .cast("double") /
+        (lit(2) * col("p") * col("n")).cast("double")).as("auc"))
+  }
+
+  /** E3: RMSE of a linear score against labels. */
+  def q33_rmse(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d).select(
+      (element_at(col("embedding"), 1).cast("double") * 10.0).as("pred"),
+      col("label").cast("double").as("label"))
+    e.select(((col("pred") - col("label")) * (col("pred") - col("label")))
+      .as("sq"))
+      .agg(sqrt(sum(dec(col("sq"), 28, 12)).cast("double") /
+        count(lit(1))).as("rmse"))
+  }
+
+  /** A4 on embeddings: per-label stats of the first component. */
+  def q34_embedding_stats(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("label"),
+        element_at(col("embedding"), 1).cast("double").as("e0"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min(col("e0")).as("vmin"), max(col("e0")).as("vmax"),
+        (sum(dec(col("e0"), 18, 9)).cast("double") / count(lit(1)))
+          .as("vmean"))
+      .withColumnRenamed("label", "lbl")
+
+  // --------------------------------------- non-SQL-expressible (rows-only)
+
+  /** SimHash near-dup pairs (bit-level ops — no SQL oracle). */
+  def q40_simhash_pairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(T.documents(s, d), "doc_id", "text", maxHamming = 16)
+
+  /** LSH-bucketed ANN (deterministic pseudo-random hyperplanes). */
+  def q41_knn_lsh(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    Similarity.lsh(queries, corpus, 3, nBits = 6, nProbe = 2)
+  }
+
+  // --------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01_pricing_summary _),
+    "q02_column_stats" -> (q02_column_stats _),
+    "q03_brand_revenue" -> (q03_brand_revenue _),
+    "q04_offset_plus_scores" -> (q04_offset_plus_scores _),
+    "q05_score_add" -> (q05_score_add _),
+    "q06_customers_no_orders" -> (q06_customers_no_orders _),
+    "q07_brands_with_sales" -> (q07_brands_with_sales _),
+    "q08_topk_per_order" -> (q08_topk_per_order _),
+    "q09_grouped_mean" -> (q09_grouped_mean _),
+    "q10_distinct_flags" -> (q10_distinct_flags _),
+    "q11_union_parties" -> (q11_union_parties _),
+    "q12_except_custkeys" -> (q12_except_custkeys _),
+    "q13_region_revenue" -> (q13_region_revenue _),
+    "q14_running_sum" -> (q14_running_sum _),
+    "q15_validators" -> (q15_validators _),
+    "q16_daily_events" -> (q16_daily_events _),
+    "q17_tumbling_window" -> (q17_tumbling_window _),
+    "q18_reservoir" -> (q18_reservoir _),
+    "q19_binary_downsample" -> (q19_binary_downsample _),
+    "q20_dedup_exact" -> (q20_dedup_exact _),
+    "q21_token_count" -> (q21_token_count _),
+    "q22_text_quality" -> (q22_text_quality _),
+    "q23_lang_id" -> (q23_lang_id _),
+    "q24_fingerprint" -> (q24_fingerprint _),
+    "q25_shingle_stats" -> (q25_shingle_stats _),
+    "q26_jaccard_pairs" -> (q26_jaccard_pairs _),
+    "q27_minhash" -> (q27_minhash _),
+    "q28_lsh_buckets" -> (q28_lsh_buckets _),
+    "q29_knn_brute" -> (q29_knn_brute _),
+    "q30_sessionize" -> (q30_sessionize _),
+    "q31_precision_at_k" -> (q31_precision_at_k _),
+    "q32_auc" -> (q32_auc _),
+    "q33_rmse" -> (q33_rmse _),
+    "q34_embedding_stats" -> (q34_embedding_stats _),
+    "q40_simhash_pairs" -> (q40_simhash_pairs _),
+    "q41_knn_lsh" -> (q41_knn_lsh _))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, VectorOps => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication at training-data scale.
+  *
+  * Five strategies, cheapest first. All candidate generation is
+  * bucket-based (groupBy / equi-join on a hash), never an unbucketed
+  * cross-join — the difference between O(n) + shuffle and O(n²) at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: one hash-aggregate over md5(text). Keeps the minimum id
+    * per content hash and reports the multiplicity. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH near-dup candidate pairs: signature → bands → equi-join
+    * within band buckets → verify with true shingle Jaccard. Only pairs
+    * sharing ≥1 band are ever materialized. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, sigK: Int = 8, bands: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    val rows = bands
+    val bandSize = sigK / bands
+    val withSig = docs.select(col(idCol).as("id"),
+      TF.distinctShingles(col(textCol), shingleN).as("sh"),
+      TF.minhashSignature(col(textCol), shingleN, sigK).as("sig"))
+    val banded = withSig.select(col("id"), col("sh"),
+      explode(array((0 until rows).map(b =>
+        struct(lit(b).as("band"),
+          TF.lshBand(col("sig"), b * bandSize, bandSize).as("bucket"))): _*))
+        .as("lb"))
+      .select(col("id"), col("sh"), col("lb.band"), col("lb.bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, bucket by 16-bit prefix
+    * bands (docs within `maxHamming` share ≥1 of 4 bands by pigeonhole),
+    * verify with full Hamming distance. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      TF.simhash64(col(textCol)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
+          .as("bucket"))): _*)).as("lb"))
+      .select(col("id"), col("sig"), col("lb.band"), col("lb.bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TF.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard near-dup pairs within an explicit blocking key (e.g.
+    * source) — for corpora where a natural partition bounds the pair count. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, n: Int = 3,
+                   threshold: Double = 0.1): DataFrame = {
+    val d = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+      TF.distinctShingles(col(textCol), n).as("sh"))
+    val l = d.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = d.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("block")).filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs: sign-LSH bucket join, then exact
+    * cosine verification within buckets. */
+  def embeddingCosine(emb: DataFrame, idCol: String, vecCol: String,
+                      nBits: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val d = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      V.lshBucket(col(vecCol), nBits).as("bucket"))
+    val l = d.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = d.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        V.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

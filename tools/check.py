@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle SQL and compare values exactly.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    # sort columns by name, then rows; stringify values canonically
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(repr(v))  # full precision
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    out.sort()
+    return out, [cols[i] for i in order]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_path):
+            print(f"MISSING  {name} (no spark output)")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+            grows, gcols = got.fetchall(), [d[0] for d in got.description]
+            want = con.execute(sql)
+            wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+        except Exception as e:
+            print(f"ERROR    {name}: {e}")
+            n_fail += 1
+            continue
+        gc, gorder = canon(grows, gcols)
+        wc, worder = canon(wrows, wcols)
+        if gorder != worder:
+            print(f"SCHEMA   {name}: spark={gorder} oracle={worder}")
+            n_fail += 1
+        elif gc == wc:
+            print(f"OK       {name} ({len(gc)} rows)")
+            n_pass += 1
+        else:
+            print(f"MISMATCH {name}: {len(gc)} vs {len(wc)} rows")
+            diff = [(a, b) for a, b in zip(gc, wc) if a != b][:3]
+            for a, b in diff:
+                print(f"  spark:  {a}\n  oracle: {b}")
+            if len(gc) != len(wc):
+                sg, sw = set(gc), set(wc)
+                only_g = list(sg - sw)[:2]
+                only_w = list(sw - sg)[:2]
+                print(f"  only-spark: {only_g}\n  only-oracle: {only_w}")
+            n_fail += 1
+    # rows-only queries (no oracle)
+    for name in sorted(os.listdir(out_dir)):
+        p = f"{out_dir}/{name}"
+        if os.path.isdir(p) and name not in oracle:
+            try:
+                n = con.execute(
+                    f"SELECT COUNT(*) FROM read_parquet('{p}/*.parquet')"
+                ).fetchone()[0]
+                print(f"ROWSONLY {name} ({n} rows)")
+            except Exception as e:
+                print(f"ERROR    {name}: {e}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
