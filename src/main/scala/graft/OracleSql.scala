@@ -328,6 +328,28 @@ object OracleSql {
         |SELECT sqrt(CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) AS rmse
         |FROM e""".stripMargin,
 
+    "q35_grouped_auc" ->
+      """WITH s AS (
+        |  SELECT user_id, value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, pos,
+        |    RANK() OVER (PARTITION BY user_id ORDER BY score)
+        |      + (COUNT(*) OVER (PARTITION BY user_id, score) - 1) / 2.0
+        |      AS avg_rank
+        |  FROM s),
+        |a AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN pos = 1 THEN avg_rank END) AS sumr,
+        |    SUM(pos) AS p, COUNT(*) AS n
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id,
+        |  CASE WHEN p > 0 AND n > p
+        |    THEN (sumr - p * (p + 1) / 2.0) / (p * (n - p))
+        |    ELSE NULL END AS auc
+        |FROM a""".stripMargin,
+
     "q34_embedding_stats" ->
       """SELECT label AS lbl, COUNT(*) AS n,
         |  MIN(CAST(embedding[1] AS DOUBLE)) AS vmin,

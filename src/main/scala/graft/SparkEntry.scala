@@ -352,7 +352,83 @@ object SparkEntry {
           .as("vmean"))
       .withColumnRenamed("label", "lbl")
 
+  /** E9/J8: grouped tie-aware AUC per user over events, SQL-mirrored. */
+  def q35_grouped_auc(s: SparkSession, d: String): DataFrame =
+    graft.ml.Evaluators.groupedAuc(
+      T.events(s, d).select(col("user_id"),
+        col("value").as("score"),
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0)
+          .as("label")),
+      "user_id", "score", "label")
+
   // --------------------------------------- non-SQL-expressible (rows-only)
+
+  /** L1-L8: distributed logistic regression (LBFGS + L2) on embeddings;
+    * output = coefficient table (idx -1 is the intercept). */
+  def q50_glm_logistic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val ds = T.embeddings(s, d).select(
+      when(col("label") >= 5, 1.0).otherwise(0.0).as("label"),
+      array_to_vector(col("embedding")).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val m = graft.ml.Glm.train(ds, 64,
+      graft.ml.GlmConfig(graft.ml.LogisticLoss, l2 = 1.0, maxIter = 50,
+        tol = 1e-7))
+    ((-1, m.intercept) +: m.coef.toSeq.zipWithIndex.map(_.swap))
+      .toDF("feature_idx", "weight")
+  }
+
+  /** TRON (trust-region Newton with distributed Hessian·v) linear fit. */
+  def q51_glm_tron(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val ds = T.embeddings(s, d).select(
+      col("label").cast("double").as("label"),
+      array_to_vector(col("embedding")).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val m = graft.ml.Glm.train(ds, 64,
+      graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 0.1, maxIter = 30,
+        tol = 1e-7), solver = "tron")
+    ((-1, m.intercept) +: m.coef.toSeq.zipWithIndex.map(_.swap))
+      .toDF("feature_idx", "weight")
+  }
+
+  /** L11-L13: GAME — fixed effect (event-type one-hot) + per-user random
+    * intercept trained by coordinate descent on events. */
+  def q52_game_events(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.ml.CoordinateDescent
+    import graft.ml.CoordinateDescent._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val oneHot = array_to_vector(array(
+      types.map(t => when(col("event_type") === t, 1.0).otherwise(0.0)): _*))
+    val data = T.events(s, d).select(
+      col("event_id").as("uid"), col("value").as("label"),
+      lit(1.0).as("weight"), lit(0.0).as("offset"),
+      oneHot.as("typeFeatures"),
+      array_to_vector(array().cast("array<double>")).as("emptyFeatures"),
+      col("user_id").cast("string").as("userId"))
+    val model = CoordinateDescent.train(data, Seq(
+      FixedSpec("eventType", "typeFeatures", types.size,
+        graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 1e-6, maxIter = 30,
+          tol = 1e-9, fitIntercept = false)),
+      RandomSpec("perUser", "userId", "emptyFeatures", 0,
+        graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 1e-3, maxIter = 20,
+          tol = 1e-9))), nIterations = 2)
+    val fixed = model.coordinates("eventType").asInstanceOf[TrainedFixed]
+      .model
+    val fixedRows = types.indices.map(i =>
+      ("eventType", types(i), fixed.coef(i))).toDF(
+      "coordinate", "entity", "weight")
+    val userRows = model.coordinates("perUser").asInstanceOf[TrainedRandom]
+      .models.select(lit("perUser").as("coordinate"),
+        col("reId").as("entity"), col("intercept").as("weight"))
+    fixedRows.unionAll(userRows)
+  }
 
   /** SimHash near-dup pairs (bit-level ops — no SQL oracle). */
   def q40_simhash_pairs(s: SparkSession, d: String): DataFrame =
@@ -405,8 +481,12 @@ object SparkEntry {
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),
     "q34_embedding_stats" -> (q34_embedding_stats _),
+    "q35_grouped_auc" -> (q35_grouped_auc _),
     "q40_simhash_pairs" -> (q40_simhash_pairs _),
-    "q41_knn_lsh" -> (q41_knn_lsh _))
+    "q41_knn_lsh" -> (q41_knn_lsh _),
+    "q50_glm_logistic" -> (q50_glm_logistic _),
+    "q51_glm_tron" -> (q51_glm_tron _),
+    "q52_game_events" -> (q52_game_events _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

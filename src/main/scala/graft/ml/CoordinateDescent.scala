@@ -1,0 +1,122 @@
+package graft.ml
+
+import graft.operators.ScoreAlgebra
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** GAME training: block coordinate descent over a fixed-effect coordinate
+  * plus any number of per-entity random-effect coordinates
+  * (photon-lib/.../algorithm/CoordinateDescent.scala:132-166,373-472).
+  *
+  * Dataflow per coordinate pass:
+  *   residual_c = summedScores − score_c        (incremental, X15)
+  *   retrain coordinate c on (label, features_c, offset + residual_c)
+  *   rescore c; summedScores = residual_c + newScore_c
+  * All score algebra is uid-keyed outer joins with missing→0
+  * ([[graft.operators.ScoreAlgebra]]), each persisted and unpersisted per
+  * round (X13) so the plan doesn't grow across iterations.
+  */
+object CoordinateDescent {
+
+  /** One additive term of the GAME model. `featuresCol` must be VectorUDT;
+    * random coordinates group by `reIdCol` (string). */
+  sealed trait CoordinateSpec {
+    def id: String
+    def featuresCol: String
+    def featureDim: Int
+    def cfg: GlmConfig
+  }
+  case class FixedSpec(id: String, featuresCol: String, featureDim: Int,
+                       cfg: GlmConfig, solver: String = "auto")
+    extends CoordinateSpec
+  case class RandomSpec(id: String, reIdCol: String, featuresCol: String,
+                        featureDim: Int, cfg: GlmConfig)
+    extends CoordinateSpec
+
+  sealed trait TrainedCoordinate {
+    def score(data: DataFrame): DataFrame // (uid, score)
+  }
+  case class TrainedFixed(spec: FixedSpec, model: GlmModel)
+    extends TrainedCoordinate {
+    def score(data: DataFrame): DataFrame =
+      Glm.score(data, model, spec.featuresCol).select(col("uid"),
+        col("score"))
+  }
+  case class TrainedRandom(spec: RandomSpec,
+                           models: DataFrame /* reId, coef, intercept */)
+    extends TrainedCoordinate {
+    def score(data: DataFrame): DataFrame = {
+      val spark = data.sparkSession
+      import spark.implicits._
+      val ds = models.as[RandomEffect.ReModel]
+      RandomEffect.score(data, ds, spec.reIdCol, spec.featuresCol)
+        .select(col("uid"), col("score"))
+    }
+  }
+
+  case class GameModel(coordinates: Map[String, TrainedCoordinate]) {
+    /** Total score = Σ coordinate scores (full-outer, missing=0). */
+    def score(data: DataFrame): DataFrame =
+      coordinates.values.map(_.score(data))
+        .reduce(ScoreAlgebra.add(_, _, "uid"))
+  }
+
+  /** `data` columns: uid (long), label, weight, offset, one VectorUDT
+    * column per feature shard, one string column per random-effect id. */
+  def train(data: DataFrame, coords: Seq[CoordinateSpec],
+            nIterations: Int = 2): GameModel = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def zeroScores: DataFrame =
+      cached.select(col("uid"), lit(0.0).as("score"))
+
+    var scores: Map[String, DataFrame] =
+      coords.map(c => c.id -> zeroScores).toMap
+    var summed: DataFrame = zeroScores.persist(StorageLevel.MEMORY_AND_DISK)
+    var trained = Map.empty[String, TrainedCoordinate]
+
+    for (iter <- 0 until nIterations; spec <- coords) {
+      // residual scores of all OTHER coordinates (X15: subtract own)
+      val residual = ScoreAlgebra.subtract(summed, scores(spec.id), "uid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val withResidual = ScoreAlgebra
+        .addToOffsets(cached, residual, "uid")
+
+      val coordinate: TrainedCoordinate = spec match {
+        case f: FixedSpec =>
+          val ds = withResidual.select(col("label"),
+            col(f.featuresCol).as("features"), col("offset"),
+            col("weight")).as[LabeledPoint]
+          TrainedFixed(f, Glm.train(ds, f.featureDim, f.cfg, f.solver))
+        case r: RandomSpec =>
+          val ds = withResidual.select(
+            col(r.reIdCol).cast("string").as("reId"), col("label"),
+            col(r.featuresCol).as("features"), col("offset"), col("weight"))
+            .as[RandomEffect.ReSample]
+          val priors = trained.get(r.id).map(_
+            .asInstanceOf[TrainedRandom].models.as[RandomEffect.ReModel])
+          TrainedRandom(r,
+            RandomEffect.train(ds, r.featureDim, r.cfg, priors).toDF())
+      }
+      trained += spec.id -> coordinate
+
+      val newScore = coordinate.score(cached)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSummed = ScoreAlgebra.add(residual, newScore, "uid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // checkpoint-by-materialize, then release the previous round
+      newSummed.count()
+      summed.unpersist(false)
+      scores(spec.id).unpersist(false)
+      residual.unpersist(false)
+      summed = newSummed
+      scores += spec.id -> newScore
+    }
+    cached.unpersist(false)
+    GameModel(trained)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A trained GLM: coefficients in ORIGINAL feature space (normalization
+  * already folded back in), so scoring is a plain sparse dot product.
+  * Mirrors photon's GeneralizedLinearModel + Coefficients
+  * (photon-lib/.../model/Coefficients.scala:31). */
+case class GlmModel(coef: Array[Double], intercept: Double,
+                    lossName: String,
+                    variances: Option[Array[Double]] = None) {
+  @transient lazy val loss: PointwiseLoss = PointwiseLoss.fromName(lossName)
+
+  def margin(x: Vector, offset: Double): Double =
+    GlmMath.dot(coef, x) + intercept + offset
+
+  def mean(x: Vector, offset: Double): Double = loss.mean(margin(x, offset))
+}
+
+object Glm {
+
+  /** Convert a normalized-space solution to original space:
+    * w_orig = w .* factor; b_orig = b - w_orig·shift.
+    * (photon's NormalizationContext.modelToOriginalSpace). */
+  def toOriginalSpace(w: Array[Double], featureDim: Int,
+                      cfg: GlmConfig): GlmModel = {
+    val ew = GlmMath.effectiveCoef(w, cfg.norm, cfg.fitIntercept)
+    val b0 = if (cfg.fitIntercept) w(featureDim) else 0.0
+    val b = b0 + GlmMath.marginShift(ew, cfg.norm)
+    GlmModel(java.util.Arrays.copyOf(ew, featureDim), b, lossName(cfg.loss))
+  }
+
+  def lossName(l: PointwiseLoss): String = l match {
+    case LogisticLoss => "logistic"
+    case SquaredLoss => "squared"
+    case PoissonLoss => "poisson"
+    case SmoothedHingeLoss => "smoothed_hinge"
+  }
+
+  /** Train a single GLM on a distributed dataset (the fixed-effect /
+    * legacy-Driver path: L1/L2/L6/L8 of the survey). Solver selection
+    * follows the reference: OWLQN iff L1 > 0, else LBFGS; "tron" opts into
+    * trust-region Newton. */
+  def train(data: Dataset[LabeledPoint], featureDim: Int, cfg: GlmConfig,
+            solver: String = "auto"): GlmModel = {
+    val obj = new DistributedGlmObjective(data, featureDim, cfg)
+    val dim = cfg.coefDim(featureDim)
+    val w = solver match {
+      case "tron" =>
+        Optimizers.tron(obj.valueAndGradient, obj.hessianVector, dim,
+          featureDim, cfg)
+      case "owlqn" =>
+        Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg)
+      case "lbfgs" =>
+        Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg)
+      case _ =>
+        if (cfg.l1 > 0)
+          Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg)
+        else Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg)
+    }
+    obj.unpersist()
+    toOriginalSpace(w, featureDim, cfg)
+  }
+
+  /** Local in-memory training — the per-entity path used inside
+    * flatMapGroups by RandomEffect (SingleNodeOptimizationProblem).
+    * `warmStart` is an original-space (coef :+ intercept) seed; only used
+    * under identity normalization (random-effect problems train raw). */
+  def trainLocal(data: Array[LabeledPoint], featureDim: Int,
+                 cfg: GlmConfig,
+                 warmStart: Option[Array[Double]] = None): GlmModel = {
+    val obj = new LocalGlmObjective(data, featureDim, cfg)
+    val dim = cfg.coefDim(featureDim)
+    val init = if (cfg.norm.isIdentity) warmStart else None
+    val w =
+      if (cfg.l1 > 0) Optimizers.owlqn(obj.valueAndGradient, dim,
+        featureDim, cfg, init)
+      else Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg, init)
+    toOriginalSpace(w, featureDim, cfg)
+  }
+
+  /** Warm-started regularization path (ModelTraining.scala:100-228):
+    * lambdas trained in DESCENDING order, each solution seeding the next.
+    * Returns lambda → model. */
+  def regularizationPath(data: Dataset[LabeledPoint], featureDim: Int,
+                         base: GlmConfig, lambdas: Seq[Double])
+  : Map[Double, GlmModel] = {
+    val dim = base.coefDim(featureDim)
+    val obj = new DistributedGlmObjective(data, featureDim, base)
+    var warm = new Array[Double](dim)
+    val out = lambdas.sorted(Ordering[Double].reverse).map { lambda =>
+      val cfg = base.copy(l2 = lambda)
+      // re-run LBFGS from the previous solution (breeze supports init)
+      val fn = new breeze.optimize.DiffFunction[breeze.linalg.DenseVector[Double]] {
+        def calculate(bw: breeze.linalg.DenseVector[Double]) = {
+          val (l, g, _) = obj.valueAndGradient(bw.data)
+          var reg = 0.0
+          var i = 0
+          while (i < featureDim) {
+            reg += bw(i) * bw(i); g(i) += lambda * bw(i); i += 1
+          }
+          (l + 0.5 * lambda * reg, breeze.linalg.DenseVector(g))
+        }
+      }
+      val opt = new breeze.optimize.LBFGS[breeze.linalg.DenseVector[Double]](
+        maxIter = base.maxIter, m = 10, tolerance = base.tol)
+      warm = opt.minimize(fn, breeze.linalg.DenseVector(warm.clone())).data
+      lambda -> toOriginalSpace(warm, featureDim, base.copy(l2 = lambda))
+    }.toMap
+    obj.unpersist()
+    out
+  }
+
+  /** Score a DataFrame with a broadcast model (J1: the fixed-effect
+    * broadcast join — the model rides the closure, Catalyst keeps the scan
+    * pipelined; no shuffle). Adds `scoreCol` = raw margin (no offset). */
+  def score(df: DataFrame, model: GlmModel, featuresCol: String,
+            scoreCol: String = "score"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val scoreUdf = udf { (v: Vector) =>
+      GlmMath.dot(bc.value.coef, v) + bc.value.intercept
+    }
+    df.withColumn(scoreCol, scoreUdf(col(featuresCol)))
+  }
+
+  /** Apply the inverse link to a margin+offset to get E[y]. */
+  def meanResponse(df: DataFrame, lossName: String, marginCol: String,
+                   outCol: String = "prediction"): DataFrame = {
+    val l = PointwiseLoss.fromName(lossName)
+    val meanUdf = udf { (z: Double) => l.mean(z) }
+    df.withColumn(outCol, meanUdf(col(marginCol)))
+  }
+}

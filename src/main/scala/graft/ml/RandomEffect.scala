@@ -1,0 +1,76 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Per-entity ("random effect") model training and scoring.
+  *
+  * The reference builds an elaborate manual pipeline for this
+  * (RandomEffectDataset: custom bin-packing partitioner, groupByKey,
+  * reservoir cap, active/passive split, per-partition solver maps —
+  * photon-api/.../data/RandomEffectDataset.scala:54-63,437-527). The
+  * Spark-first translation is one `groupByKey(reId).mapGroups` — a single
+  * shuffle keyed by entity, per-entity solves running inside executors,
+  * with AQE handling skew. Entity sample caps (the 2 GB/partition
+  * constraint, RandomEffectDataset.scala:38-45) are applied upstream via
+  * [[graft.operators.GroupedSampling.boundedSample]].
+  */
+object RandomEffect {
+
+  case class ReSample(reId: String, label: Double, features: Vector,
+                      offset: Double, weight: Double)
+  case class ReModel(reId: String, coef: Array[Double], intercept: Double)
+
+  /** Train one GLM per entity. `priors` (reId → model) gives warm-start /
+    * fall-through semantics: entities with a prior but no data keep the
+    * prior (the reference's full-outer join, RandomEffectCoordinate.scala:
+    * 248-271). */
+  def train(data: Dataset[ReSample], featureDim: Int, cfg: GlmConfig,
+            priors: Option[Dataset[ReModel]] = None): Dataset[ReModel] = {
+    implicit val enc = Encoders.product[ReModel]
+    val grouped = data.groupByKey(_.reId)(Encoders.STRING)
+    priors match {
+      case None =>
+        grouped.mapGroups { (id, it) =>
+          val samples = it.map(r =>
+            LabeledPoint(r.label, r.features, r.offset, r.weight)).toArray
+          val m = Glm.trainLocal(samples, featureDim, cfg)
+          ReModel(id, m.coef, m.intercept)
+        }
+      case Some(pm) =>
+        val groupedPriors = pm.groupByKey(_.reId)(Encoders.STRING)
+        grouped.cogroup(groupedPriors) { (id, dataIt, priorIt) =>
+          val prior = priorIt.toSeq.headOption
+          val samples = dataIt.map(r =>
+            LabeledPoint(r.label, r.features, r.offset, r.weight)).toArray
+          if (samples.isEmpty) prior.iterator
+          else {
+            val m = Glm.trainLocal(samples, featureDim, cfg,
+              warmStart = prior.map(p => p.coef :+ p.intercept))
+            Iterator(ReModel(id, m.coef, m.intercept))
+          }
+        }
+    }
+  }
+
+  /** Score data against per-entity models: an equi-join on reId (the
+    * reference's hand-rolled replicated partitioned hash join,
+    * RandomEffectModel.scala:259-298 — in Spark this is literally
+    * `join(models, "reId")`, and Catalyst picks broadcast vs shuffled
+    * hash vs sort-merge). Rows whose entity has no model score 0
+    * (reference behavior: unseen entity → zero model). */
+  def score(df: DataFrame, models: Dataset[ReModel], reIdCol: String,
+            featuresCol: String, scoreCol: String = "score"): DataFrame = {
+    val m = models.toDF("__reId", "__coef", "__intercept")
+    val marginUdf = udf { (v: Vector, coef: Seq[Double], b: Double) =>
+      if (coef == null) 0.0 else GlmMath.dot(coef.toArray, v) + b
+    }
+    df.join(m, df(reIdCol) === m("__reId"), "left_outer")
+      .withColumn(scoreCol,
+        when(col("__coef").isNull, lit(0.0))
+          .otherwise(marginUdf(col(featuresCol), col("__coef"),
+            col("__intercept"))))
+      .drop("__reId", "__coef", "__intercept")
+  }
+}

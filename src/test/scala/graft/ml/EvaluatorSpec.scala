@@ -1,0 +1,78 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class EvaluatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AUC matches hand computation including ties") {
+    // scores: pos {0.9, 0.8, 0.5}, neg {0.5, 0.3}
+    // pairs: 3*2=6; wins: (0.9,0.8 beat both)=4, 0.5 vs 0.3 win=1,
+    // 0.5 vs 0.5 tie=0.5 → AUC=(4+1+0.5)/6=0.91666...
+    val df = Seq((0.9, 1.0), (0.8, 1.0), (0.5, 1.0), (0.5, 0.0), (0.3, 0.0))
+      .toDF("score", "label")
+    assert(math.abs(Evaluators.auc(df, "score", "label") - 5.5 / 6) < 1e-12)
+  }
+
+  test("AUC agrees with MLlib BinaryClassificationMetrics on tie-free data") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map { _ =>
+      val s = rnd.nextGaussian()
+      (s, if (rnd.nextDouble() < PointwiseLoss.sigmoid(2 * s)) 1.0 else 0.0)
+    }
+    val df = rows.toDF("score", "label")
+    val ours = Evaluators.auc(df, "score", "label")
+    val mllib = new org.apache.spark.mllib.evaluation
+    .BinaryClassificationMetrics(
+      df.rdd.map(r => (r.getDouble(0), r.getDouble(1)))).areaUnderROC()
+    assert(math.abs(ours - mllib) < 1e-9, s"ours=$ours mllib=$mllib")
+  }
+
+  test("rmse / mae / losses compute expected values") {
+    val df = Seq((1.0, 2.0, 1.0), (3.0, 3.0, 2.0)).toDF("score", "label", "w")
+    assert(math.abs(Evaluators.rmse(df, "score", "label", Some("w")) -
+      math.sqrt((1.0 * 1 + 0.0) / 3)) < 1e-12)
+    assert(math.abs(Evaluators.mae(df, "score", "label", Some("w")) - 1.0 / 3)
+      < 1e-12)
+    assert(math.abs(Evaluators.squaredLoss(df, "score", "label", Some("w"))
+      - 0.5) < 1e-12)
+  }
+
+  test("logistic loss evaluator matches pointwise loss") {
+    val df = Seq((1.3, 1.0), (-0.7, 0.0), (0.0, 1.0)).toDF("score", "label")
+    val want = Seq((1.3, 1.0), (-0.7, 0.0), (0.0, 1.0))
+      .map { case (z, y) => LogisticLoss.lossAndDz(z, y)._1 }.sum
+    assert(math.abs(Evaluators.logisticLoss(df, "score", "label") - want)
+      < 1e-12)
+  }
+
+  test("grouped AUC averages per-group values and skips one-class groups") {
+    val df = Seq(
+      ("a", 0.9, 1.0), ("a", 0.1, 0.0),            // AUC 1.0
+      ("b", 0.2, 1.0), ("b", 0.8, 0.0),            // AUC 0.0
+      ("c", 0.5, 1.0), ("c", 0.6, 1.0))            // one class → skipped
+      .toDF("g", "score", "label")
+    val per = Evaluators.groupedAuc(df, "g", "score", "label")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(per("a").contains(1.0) && per("b").contains(0.0) &&
+      per("c").isEmpty)
+    val mean = Evaluators.groupedAuc(df, "g", "score", "label")
+      .agg(org.apache.spark.sql.functions.avg("auc")).first().getDouble(0)
+    assert(math.abs(mean - 0.5) < 1e-12)
+  }
+
+  test("precision at k") {
+    val df = Seq(
+      ("u1", 3.0, 1.0, 1L), ("u1", 2.0, 0.0, 2L), ("u1", 1.0, 1.0, 3L),
+      ("u2", 5.0, 0.0, 4L), ("u2", 4.0, 0.0, 5L), ("u2", 3.0, 1.0, 6L))
+      .toDF("g", "score", "label", "id")
+    // top-2: u1 → (1,0) = 0.5; u2 → (0,0) = 0.0; mean 0.25
+    val got = Evaluators.meanPrecisionAtK(df, "g", "score", "label", 2, "id")
+    assert(math.abs(got - 0.25) < 1e-12)
+  }
+
+  test("betterThan follows metric direction") {
+    assert(Evaluators.betterThan("auc", 0.9, 0.8))
+    assert(Evaluators.betterThan("rmse", 0.8, 0.9))
+  }
+}
