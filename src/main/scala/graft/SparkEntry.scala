@@ -363,6 +363,19 @@ object SparkEntry {
 
   // --------------------------------------- non-SQL-expressible (rows-only)
 
+  /** Multimodal pipeline: binary payload → decode → resize → embedding
+    * (stub codec, real batched mapPartitions plumbing — see
+    * graft.multimodal). Payloads derived from document text bytes. */
+  def q42_multimodal(s: SparkSession, d: String): DataFrame = {
+    val media = T.documents(s, d).select(
+      col("doc_id").as("media_id"), lit("image").as("kind"),
+      col("text").cast("binary").as("payload"),
+      map(lit("source"), col("source")).as("meta"))
+    graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.resize(
+        graft.multimodal.Multimodal.decode(media), 8, 8), 16)
+  }
+
   /** L1-L8: distributed logistic regression (LBFGS + L2) on embeddings;
     * output = coefficient table (idx -1 is the intercept). */
   def q50_glm_logistic(s: SparkSession, d: String): DataFrame = {
@@ -484,6 +497,7 @@ object SparkEntry {
     "q35_grouped_auc" -> (q35_grouped_auc _),
     "q40_simhash_pairs" -> (q40_simhash_pairs _),
     "q41_knn_lsh" -> (q41_knn_lsh _),
+    "q42_multimodal" -> (q42_multimodal _),
     "q50_glm_logistic" -> (q50_glm_logistic _),
     "q51_glm_tron" -> (q51_glm_tron _),
     "q52_game_events" -> (q52_game_events _))

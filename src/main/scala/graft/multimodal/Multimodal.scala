@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Media travel as opaque `binary` payload columns with typed metadata,
+  * and every transform is a `mapPartitions` over batches — the Scala
+  * equivalent of `mapInPandas`: per-partition, batched, zero driver
+  * involvement, arbitrarily wide scale-out. The Spark-side plumbing
+  * (schemas, batching, partition sizing) is real; the codec itself is a
+  * STUB — this container has no image/audio libraries, so `decodeStub`
+  * derives deterministic fake pixels/samples from the payload bytes.
+  * Swapping in a real codec changes only the function body marked below.
+  */
+object Multimodal {
+
+  /** Canonical media schema: id + kind + payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  /** === STUB codec ===
+    * Deterministic fake decode: dimensions from payload length, pixel
+    * bytes from a rolling transform of the payload. A real implementation
+    * would replace ONLY this function with e.g. a JNI image decoder. */
+  private[multimodal] def decodeStub(payload: Array[Byte])
+  : (Int, Int, Int, Array[Byte]) = {
+    val w = 8 + (math.abs(java.util.Arrays.hashCode(payload)) % 24)
+    val h = 8 + (payload.length % 24)
+    val c = 3
+    val px = new Array[Byte](w * h * c)
+    var i = 0
+    while (i < px.length) {
+      px(i) = (if (payload.isEmpty) 0
+      else payload(i % payload.length) + i).toByte
+      i += 1
+    }
+    (w, h, c, px)
+  }
+
+  /** Decode payloads in batches of `batchSize` (the mapInPandas batch
+    * shape: a real codec amortizes setup per batch, not per row). */
+  def decode(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec setup would go here
+          batch.iterator.map { r =>
+            val (w, h, c, px) = decodeStub(r.getAs[Array[Byte]](1))
+            Row(r.getLong(0), w, h, c, px)
+          }
+        }
+      }
+    spark.createDataFrame(rows, decodedSchema)
+  }
+
+  /** Resize decoded images (nearest-neighbor over the stub pixel buffer —
+    * the buffer layout handling is real, the resample kernel trivial). */
+  def resize(decoded: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = decoded.sparkSession
+    val rows = decoded.select("media_id", "width", "height", "channels",
+      "pixels").rdd.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, c) = (r.getInt(1), r.getInt(2), r.getInt(3))
+        val src = r.getAs[Array[Byte]](4)
+        val dst = new Array[Byte](outW * outH * c)
+        var y = 0
+        while (y < outH) {
+          val sy = y * h / outH
+          var x = 0
+          while (x < outW) {
+            val sx = x * w / outW
+            var ch = 0
+            while (ch < c) {
+              dst((y * outW + x) * c + ch) = src((sy * w + sx) * c + ch)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(0), outW, outH, c, dst)
+      }
+    }
+    spark.createDataFrame(rows, decodedSchema)
+  }
+
+  /** Feature extraction: pixels → float embedding (STUB: channel-wise
+    * moment features; a real extractor would run a vision model here).
+    * Output shape matches the embeddings table (`array<float>`). */
+  def extractFeatures(decoded: DataFrame, dim: Int = 16): DataFrame = {
+    val featUdf = udf { (pixels: Array[Byte], w: Int, h: Int, c: Int) =>
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < pixels.length) {
+        out(i % dim) += (pixels(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      val n = math.max(1, pixels.length / dim)
+      out.map(_ / n)
+    }
+    decoded.withColumn("embedding",
+      featUdf(col("pixels"), col("width"), col("height"), col("channels")))
+      .select("media_id", "embedding")
+  }
+
+  /** Video frame sampling: one payload → every-Nth synthetic frame rows
+    * (explode-shaped, so downstream image ops apply per frame). */
+  def frameSample(media: DataFrame, everyN: Int = 10,
+                  frameBytes: Int = 256): DataFrame = {
+    val frames = udf { (payload: Array[Byte]) =>
+      val n = math.max(1, payload.length / frameBytes)
+      (0 until n by everyN).map { f =>
+        val start = f * frameBytes
+        java.util.Arrays.copyOfRange(payload, start,
+          math.min(start + frameBytes, payload.length))
+      }
+    }
+    media.select(col("media_id"), posexplode(frames(col("payload")))
+      .as(Seq("frame_idx", "payload")))
+  }
+}

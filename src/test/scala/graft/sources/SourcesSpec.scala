@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Avro read + feature vectorization + model IO round-trips, on synthetic
+  * TrainingExampleAvro-shaped files (FIXTURES.md §1). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trainingSchema: Schema = {
+    val feature = SchemaBuilder.record("FeatureAvro").fields()
+      .requiredString("name").requiredString("term").requiredDouble("value")
+      .endRecord()
+    SchemaBuilder.record("TrainingExampleAvro").fields()
+      .optionalString("uid")
+      .requiredDouble("label")
+      .name("features").`type`().array().items(feature).noDefault()
+      .name("weight").`type`().unionOf().nullType().and().doubleType()
+      .endUnion().nullDefault()
+      .name("metadataMap").`type`().optional().map().values().stringType()
+      .endRecord()
+  }
+
+  private def writeAvro(n: Int): String = {
+    val dir = Files.createTempDirectory("avro").toFile
+    val schema = trainingSchema
+    val fSchema = schema.getField("features").schema().getElementType
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    val file = new java.io.File(dir, "part-0.avro")
+    writer.create(schema, file)
+    (0 until n).foreach { i =>
+      val rec = new GenericData.Record(schema)
+      rec.put("uid", s"u$i")
+      rec.put("label", if (i % 2 == 0) 1.0 else 0.0)
+      val f1 = new GenericData.Record(fSchema)
+      f1.put("name", "age"); f1.put("term", ""); f1.put("value", i * 1.0)
+      val f2 = new GenericData.Record(fSchema)
+      f2.put("name", "geo"); f2.put("term", s"g${i % 3}")
+      f2.put("value", 1.0)
+      rec.put("features", java.util.Arrays.asList(f1, f2))
+      rec.put("weight", if (i % 5 == 0) null else 2.0)
+      val md = new java.util.HashMap[String, String]()
+      md.put("src", "test")
+      rec.put("metadataMap", md)
+      writer.append(rec)
+    }
+    writer.close()
+    file.getPath
+  }
+
+  test("avro read infers the photon schema mapping and reads values") {
+    val path = writeAvro(20)
+    val df = AvroIO.read(spark, Seq(path))
+    val types = df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(types("uid") == "STRING")
+    assert(types("label") == "DOUBLE")
+    assert(types("weight") == "DOUBLE") // [null,double] union unwrapped
+    assert(types("metadataMap") == "MAP<STRING, STRING>")
+    assert(types("features").startsWith("ARRAY<STRUCT<"))
+    assert(df.count() == 20)
+    val r = df.filter(col("uid") === "u0").select("label", "weight").first()
+    assert(r.getDouble(0) == 1.0 && r.isNullAt(1))
+    val feats = df.filter(col("uid") === "u3")
+      .select(explode(col("features"))).collect()
+    assert(feats.length == 2)
+  }
+
+  test("index map is deterministic and vectorization merges bags") {
+    val path = writeAvro(30)
+    val df = AvroIO.read(spark, Seq(path))
+    val (merged, maps) = FeatureVectorizer.readMerged(df,
+      Map("shard1" -> Seq("features")))
+    val idx = maps("shard1").collect().map(r => r.getString(0) -> r.getInt(1))
+    // sorted by key → deterministic dense indices
+    assert(idx.map(_._1).toSeq == idx.map(_._1).toSeq.sorted)
+    assert(idx.map(_._2).toSeq == idx.indices.toSeq)
+    // 1 "age" key + 3 geo terms
+    assert(idx.length == 4)
+    val v = merged.filter(col("uid") === "u4").select("shard1")
+      .first().getAs[Vector](0)
+    assert(v.size == 4)
+    // age=4.0 and geo g1=1.0 present
+    assert(v.toArray.count(_ != 0.0) == 2)
+    assert(v.toArray.sum == 5.0)
+    assert(merged.columns.contains("shard1") &&
+      !merged.columns.contains("features"))
+  }
+
+  test("devectorize inverts vectorize") {
+    val path = writeAvro(10)
+    val df = AvroIO.read(spark, Seq(path))
+    val (merged, maps) = FeatureVectorizer.readMerged(df,
+      Map("shard1" -> Seq("features")))
+    val back = FeatureVectorizer.devectorize(merged, "shard1",
+      maps("shard1"), "bag")
+    val bag = back.filter(col("uid") === "u4")
+      .select(explode(col("bag")).as("f"))
+      .select("f.name", "f.term", "f.value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(bag == Set(("age", "", 4.0), ("geo", "g1", 1.0)))
+  }
+
+  test("game model save/load round trip preserves scores") {
+    import graft.ml._
+    import graft.ml.CoordinateDescent._
+    val fixed = TrainedFixed(
+      FixedSpec("f", "feat", 2, GlmConfig(SquaredLoss)),
+      GlmModel(Array(1.5, -0.5), 0.25, "squared"))
+    val res = spark.createDataset(Seq(
+      RandomEffect.ReModel("a", Array(2.0), 0.1),
+      RandomEffect.ReModel("b", Array(-1.0), 0.0)))
+    val game = GameModel(Map("f" -> fixed,
+      "r" -> TrainedRandom(RandomSpec("r", "rid", "feat", 1,
+        GlmConfig(SquaredLoss)), res.toDF())))
+    val dir = Files.createTempDirectory("model").toString
+    ModelIO.saveGame(spark, game, dir)
+    val loaded = ModelIO.loadGame(spark, dir)
+
+    val lf = loaded.coordinates("f").asInstanceOf[TrainedFixed].model
+    assert(lf.coef.toSeq == Seq(1.5, -0.5) && lf.intercept == 0.25)
+    val lr = loaded.coordinates("r").asInstanceOf[TrainedRandom].models
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getDouble(2))).toMap
+    assert(lr("a")._1 == Seq(2.0) && lr("a")._2 == 0.1)
+    assert(lr("b")._1 == Seq(-1.0))
+  }
+
+  test("libsvm source reads via the built-in format (S4)") {
+    val dir = Files.createTempDirectory("libsvm").toFile
+    val f = new java.io.File(dir, "data.txt")
+    Files.writeString(f.toPath,
+      "1 1:0.5 3:1.5\n0 2:2.0\n1 1:1.0 2:1.0 3:1.0\n")
+    val df = spark.read.format("libsvm").option("numFeatures", "3")
+      .load(f.getPath)
+    assert(df.count() == 3)
+    assert(df.schema.fieldNames.toSet == Set("label", "features"))
+  }
+}

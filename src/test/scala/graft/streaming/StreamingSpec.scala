@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.tumblingCounts(events, "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling").start()
+    input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+      (ts(11), "view", 3.0), (ts(12), "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n"), col("sum_value")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 10:10:00", "view", 1L, 3.0),
+      ("2024-01-01 10:10:00", "click", 1L, 4.0)))
+  }
+
+  test("stateful sessionization emits closed sessions and keeps open state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    // user 1: events at 10:01,10:05 then a 40-min gap then 10:45 →
+    // first session closes once the 10:45 event arrives
+    input.addData(
+      EventStreams.Event(1, ts(1), 1, "click", 1.0),
+      EventStreams.Event(2, ts(5), 1, "view", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // still open
+    input.addData(EventStreams.Event(3, ts(45), 1, "click", 5.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[EventStreams.SessionSummary]
+      .collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.total == 3.0)
+  }
+
+  test("streaming GLM scoring broadcasts the model over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.ml.GlmModel(Array(2.0, 1.0), 0.5, "squared")
+    val input = MemoryStream[(Long, Array[Double])]
+    val stream = input.toDF().toDF("id", "arr")
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(col("arr")))
+    val scored = EventStreams.scoreStream(stream, model, "features")
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("scored").start()
+    input.addData((1L, Array(1.0, 2.0)), (2L, Array(0.0, 0.0)))
+    q.processAllAvailable()
+    val out = spark.table("scored").select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    assert(out(1L) == 4.5 && out(2L) == 0.5)
+  }
+}
