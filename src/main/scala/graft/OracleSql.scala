@@ -238,19 +238,19 @@ object OracleSql {
         |ds AS (SELECT doc_id, source, list_distinct(sh3) AS sh FROM sh),
         |p AS (
         |  SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-        |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |      AS jaccard
         |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT block, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01""".stripMargin),
 
     "q27_minhash" -> (shinglesCte + """,
         |sigs AS (
         |  SELECT doc_id,
-        |    list_min(list_transform(sh3, s -> md5('0' || s))) AS mh0,
-        |    list_min(list_transform(sh3, s -> md5('1' || s))) AS mh1,
-        |    list_min(list_transform(sh3, s -> md5('2' || s))) AS mh2,
-        |    list_min(list_transform(sh3, s -> md5('3' || s))) AS mh3
+        |    COALESCE(list_min(list_transform(sh3, s -> substr(md5(s), 1, 8))), 'zzzzzzzz') AS mh0,
+        |    COALESCE(list_min(list_transform(sh3, s -> substr(md5(s), 9, 8))), 'zzzzzzzz') AS mh1,
+        |    COALESCE(list_min(list_transform(sh3, s -> substr(md5(s), 17, 8))), 'zzzzzzzz') AS mh2,
+        |    COALESCE(list_min(list_transform(sh3, s -> substr(md5(s), 25, 8))), 'zzzzzzzz') AS mh3
         |  FROM sh)
         |SELECT doc_id, mh0, mh1, mh2, mh3,
         |  md5(mh0 || '|' || mh1) AS band0
@@ -259,8 +259,8 @@ object OracleSql {
     "q28_lsh_buckets" -> (shinglesCte + """,
         |sigs AS (
         |  SELECT doc_id,
-        |    list_min(list_transform(sh3, s -> md5('0' || s))) AS mh0,
-        |    list_min(list_transform(sh3, s -> md5('1' || s))) AS mh1
+        |    COALESCE(list_min(list_transform(sh3, s -> substr(md5(s), 1, 8))), 'zzzzzzzz') AS mh0,
+        |    COALESCE(list_min(list_transform(sh3, s -> substr(md5(s), 9, 8))), 'zzzzzzzz') AS mh1
         |  FROM sh)
         |SELECT md5(mh0 || '|' || mh1) AS band0, COUNT(*) AS n_docs
         |FROM sigs GROUP BY 1""".stripMargin),

@@ -90,10 +90,31 @@ object TextFunctions {
   def minhash(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, s => md5(concat(lit(seed.toString), s))))
 
-  /** k-wide MinHash signature as an array of hex strings. */
+  /** Sentinel above any hex string — the "min" of an empty shingle set. */
+  val MinhashEmpty = "zzzzzzzz"
+
+  /** k-wide MinHash signature as an array of 8-hex-char strings.
+    *
+    * Cost-shape matters at corpus scale: ONE md5 per shingle per group of
+    * 4 signature slots — each 32-hex md5 is sliced into four 8-char words
+    * that act as independent 32-bit hashes, and the per-slot minima are
+    * taken in a single `aggregate` fold where the lambda binds the hash
+    * once (no Catalyst re-evaluation per slot). A naive per-seed
+    * formulation recomputes tokenize+shingle+md5 k times and was ~10×
+    * slower in the benchmark. */
   def minhashSignature(text: Column, n: Int, k: Int): Column = {
     val sh = distinctShingles(text, n)
-    array((0 until k).map(seed => minhash(sh, seed)): _*)
+    val groups = (0 until (k + 3) / 4).map { g =>
+      val width = math.min(4, k - 4 * g)
+      val hashes =
+        if (g == 0) transform(sh, s => md5(s))
+        else transform(sh, s => md5(concat(lit(g.toString), s)))
+      aggregate(hashes,
+        array(Seq.fill(width)(lit(MinhashEmpty)): _*),
+        (acc, h) => array((0 until width).map(i =>
+          least(element_at(acc, i + 1), substring(h, 1 + 8 * i, 8))): _*))
+    }
+    if (groups.size == 1) groups.head else concat(groups: _*)
   }
 
   /** LSH band id: hash of a contiguous slice of the signature. Docs sharing
@@ -109,26 +130,39 @@ object TextFunctions {
       size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
   /** 64-bit SimHash from tokens: per-token md5-derived 64-bit value; each
-    * bit votes +1/-1 weighted by term frequency; sign → bit. Built from
-    * builtins: conv(md5 hex slice) gives 2×32-bit halves. */
+    * of the 64 bits gets a majority vote across tokens; sign → bit.
+    *
+    * Implemented as a single-pass UDF: the per-bit voting needs a 64-slot
+    * counter per document, which as a Catalyst expression tree becomes 64
+    * separate array-aggregates (measured ~10× the cost of the rest of the
+    * pipeline combined). The UDF does one MD5 per token and one tight
+    * vote loop — linear, partition-local, no shuffle. */
   def simhash64(text: Column): Column = {
-    val t = tokens(text)
-    // per token: two 32-bit words from md5
-    val words = transform(t, tok => struct(
-      conv(substring(md5(tok), 1, 8), 16, 10).cast("long").as("hi"),
-      conv(substring(md5(tok), 9, 8), 16, 10).cast("long").as("lo")))
-    // majority vote over tokens for each of 64 bits: a bit is set in the
-    // simhash iff more than half the tokens have it set
-    val nTok = size(t)
-    def packBits(field: String): Column =
-      (0 until 32).map { bit =>
-        val ones = aggregate(words, lit(0L), (vacc, w) =>
-          vacc + shiftright(w.getField(field), bit).bitwiseAND(lit(1L)))
-        when(ones * 2 > nTok.cast("long"), shiftleft(lit(1L), bit))
-          .otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-    when(nTok === 0, lit(0L)).otherwise(
-      shiftleft(packBits("hi"), 32).bitwiseOR(packBits("lo")))
+    val sim = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) 0L
+      else {
+        val votes = new Array[Int](64)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        toks.foreach { tok =>
+          md.reset()
+          val h = md.digest(tok.getBytes("UTF-8"))
+          var bit = 0
+          while (bit < 64) {
+            if ((h(bit >> 3) >> (bit & 7) & 1) == 1) votes(bit) += 1
+            bit += 1
+          }
+        }
+        val n = toks.length
+        var out = 0L
+        var bit = 0
+        while (bit < 64) {
+          if (votes(bit) * 2 > n) out |= 1L << bit
+          bit += 1
+        }
+        out
+      }
+    }
+    sim(tokens(text))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
