@@ -313,20 +313,20 @@ object SparkEntry {
         .cast("double") / lit(3.0)).as("p_at_3"))
   }
 
-  /** E1: AUC via rank statistic (deterministic total order). */
+  /** E1: AUC via rank statistic (deterministic total order). The global
+    * rank is computed by a range-partitioned sort + per-partition prefix
+    * offsets ([[graft.ml.Evaluators.rankSumStats]]) — NOT a global
+    * single-partition window, so it holds at any row count. */
   def q32_auc(s: SparkSession, d: String): DataFrame = {
-    val scored = T.embeddings(s, d).select(
+    import s.implicits._
+    val rows = T.embeddings(s, d).select(
       element_at(col("embedding"), 1).cast("double").as("score"),
-      (col("label") >= 5).as("pos"), col("vec_id"))
-    val w = Window.orderBy(col("score"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .agg(
-        sum(when(col("pos"), col("rn")).otherwise(0L)).as("sum_rn_pos"),
-        sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
-        sum(when(!col("pos"), 1L).otherwise(0L)).as("n"))
-      .select(((lit(2) * col("sum_rn_pos") - col("p") * (col("p") + 1))
-        .cast("double") /
-        (lit(2) * col("p") * col("n")).cast("double")).as("auc"))
+      col("vec_id").cast("long").as("vid"),
+      (col("label") >= 5).as("pos")).rdd
+      .map(r => (r.getDouble(0), r.getLong(1), r.getBoolean(2)))
+    val (sumRnPos, p, n) = graft.ml.Evaluators.rankSumStats(rows)
+    Seq((2.0 * sumRnPos - p.toDouble * (p + 1)) / (2.0 * p.toDouble * n))
+      .toDF("auc")
   }
 
   /** E3: RMSE of a linear score against labels. */

@@ -1,5 +1,6 @@
 package graft.ml
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,10 +66,120 @@ object Evaluators {
     df.agg(sum(w(weightCol) * l)).first().getDouble(0)
   }
 
-  /** Tie-aware AUROC via average ranks (unweighted rows). */
-  def auc(df: DataFrame, score: String, label: String): Double =
-    groupedAuc(df.withColumn("__g", lit(1)), "__g", score, label)
-      .first().getDouble(1)
+  // ------------------------------------------------ distributed rank math
+  //
+  // Global rank statistics (AUC/AUPR/peak-F1 over the WHOLE dataset) must
+  // not funnel every row through one window task. The scalable shape is
+  // the one MLlib's BinaryClassificationMetrics uses: aggregate to
+  // per-distinct-score confusion counts, range-sort those (tiny vs rows),
+  // and turn per-partition totals into prefix offsets — no global
+  // single-partition exchange anywhere.
+
+  /** Cumulative confusion curve over distinct scores, DESCENDING: one
+    * entry per distinct score s with (s, tpPrev, fpPrev, tp, fp), where
+    * tp/fp count rows with score ≥ s and `*Prev` is the previous
+    * (higher-score) cut — i.e. consecutive curve points, pre-paired so
+    * trapezoid integration is a map. Distributed: reduceByKey on score,
+    * range sort, prefix offsets from per-partition totals (the collect is
+    * #partitions rows, not data rows). */
+  def confusionCurve(df: DataFrame, score: String, label: String)
+  : RDD[(Double, Long, Long, Long, Long)] = {
+    val counts = df.select(col(score).cast("double"),
+      when(col(label) > 0.5, true).otherwise(false)).rdd
+      .map(r => (r.getDouble(0), (if (r.getBoolean(1)) 1L else 0L,
+        if (r.getBoolean(1)) 0L else 1L)))
+      .reduceByKey { case ((p1, n1), (p2, n2)) => (p1 + p2, n1 + n2) }
+    val sorted = counts.sortBy(_._1, ascending = false)
+    val partTotals = sorted.mapPartitions { it =>
+      var p = 0L; var n = 0L
+      it.foreach { case (_, (dp, dn)) => p += dp; n += dn }
+      Iterator.single((p, n))
+    }.collect()
+    val offsets = partTotals.scanLeft((0L, 0L)) {
+      case ((p, n), (dp, dn)) => (p + dp, n + dn)
+    }
+    sorted.mapPartitionsWithIndex { (i, it) =>
+      var (tp, fp) = offsets(i)
+      it.map { case (s, (dp, dn)) =>
+        val (tpPrev, fpPrev) = (tp, fp)
+        tp += dp; fp += dn
+        (s, tpPrev, fpPrev, tp, fp)
+      }
+    }
+  }
+
+  /** Tie-aware AUROC (average-rank Mann–Whitney ≡ ROC trapezoid with tied
+    * scores grouped), computed from the distributed confusion curve —
+    * scales to any row count with no single-task stage. */
+  def auc(df: DataFrame, score: String, label: String): Double = {
+    val curve = confusionCurve(df, score, label).persist()
+    val (p, n) = curve.map(c => (c._4 - c._2, c._5 - c._3))
+      .fold((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    val area = curve.map { case (_, tpPrev, fpPrev, tp, fp) =>
+      (fp - fpPrev).toDouble * (tp + tpPrev) / 2.0
+    }.sum()
+    curve.unpersist(false)
+    if (p == 0 || n == 0) Double.NaN else area / (p.toDouble * n.toDouble)
+  }
+
+  /** AUPR with MLlib BinaryClassificationMetrics semantics: trapezoid over
+    * (recall, precision) at distinct-score cuts, first point (0, p₁). */
+  def aupr(df: DataFrame, score: String, label: String): Double = {
+    val curve = confusionCurve(df, score, label).persist()
+    val (p, _) = curve.map(c => (c._4 - c._2, c._5 - c._3))
+      .fold((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    if (p == 0) { curve.unpersist(false); return Double.NaN }
+    val area = curve.map { case (_, tpPrev, fpPrev, tp, fp) =>
+      val prec = tp.toDouble / (tp + fp)
+      val precPrev =
+        if (tpPrev + fpPrev == 0) prec // MLlib's (0, p₁) first point
+        else tpPrev.toDouble / (tpPrev + fpPrev)
+      (tp - tpPrev).toDouble / p * (prec + precPrev) / 2.0
+    }.sum()
+    curve.unpersist(false)
+    area
+  }
+
+  /** Peak F1 over distinct-score cuts (reference Evaluation.scala peak-F1;
+    * F1 at cut = 2·tp/(tp+fp+P)). */
+  def peakF1(df: DataFrame, score: String, label: String): Double = {
+    val curve = confusionCurve(df, score, label).persist()
+    val (p, _) = curve.map(c => (c._4 - c._2, c._5 - c._3))
+      .fold((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    if (p == 0) { curve.unpersist(false); return Double.NaN }
+    val best = curve.map { case (_, _, _, tp, fp) =>
+      2.0 * tp / (tp + fp + p)
+    }.fold(0.0)(math.max)
+    curve.unpersist(false)
+    best
+  }
+
+  /** Bernoulli log-likelihood of probability predictions (E10 legacy
+    * metrics): Σ y·ln(p) + (1−y)·ln(1−p), clamped away from 0/1. */
+  def logLikelihood(df: DataFrame, prob: String, label: String): Double = {
+    val eps = 1e-15
+    val pc = least(greatest(col(prob), lit(eps)), lit(1 - eps))
+    df.agg(sum(when(col(label) > 0.5, log(pc)).otherwise(log(lit(1.0) - pc))))
+      .first().getDouble(0)
+  }
+
+  /** Akaike information criterion: 2k − 2·LL. */
+  def aic(df: DataFrame, prob: String, label: String, nParams: Int): Double =
+    2.0 * nParams - 2.0 * logLikelihood(df, prob, label)
+
+  /** Σ ranks of positives under the TOTAL order (score, tieId) — the
+    * deterministic row_number variant (no tie averaging; tieId breaks
+    * ties). Distributed rank: range-sorted sort + zipWithIndex (which is
+    * per-partition counts + prefix offsets under the hood). */
+  def rankSumStats(rows: RDD[(Double, Long, Boolean)]): (Long, Long, Long) =
+    rows.sortBy(r => (r._1, r._2))
+      .zipWithIndex()
+      .map { case ((_, _, pos), idx) =>
+        if (pos) (idx + 1, 1L, 0L) else (0L, 0L, 1L)
+      }
+      .fold((0L, 0L, 0L)) { case ((a, b, c), (x, y, z)) =>
+        (a + x, b + y, c + z)
+      }
 
   /** Per-group tie-aware AUROC: (groupCol, auc) — the MultiEvaluator
     * building block. Groups with one class → null auc (filtered by mean).

@@ -71,12 +71,21 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs within an explicit blocking key (e.g.
-    * source) — for corpora where a natural partition bounds the pair count.
+    * source), computed by prefix-filtered set-similarity join — never the
+    * all-pairs |block|² product.
     *
-    * Pair scoring is the hot loop (|block|² pairs), so shingles are
-    * xxhash64-hashed and sorted ONCE per document; the per-pair Jaccard is
-    * then a linear merge over two sorted long arrays instead of a string
-    * hash-set intersection — measured ~8× cheaper at sf0.1. Hash
+    * Candidate generation (the standard ppjoin/AllPairs prefix filter,
+    * Bayardo et al. WWW'07): shingles are xxhash64-hashed, deduped and
+    * sorted ONCE per document; any pair with J ≥ t must share ≥
+    * ⌈t·max(|a|,|b|)⌉ hashes, therefore must share at least one hash in
+    * each side's first |x| − ⌈t·|x|⌉ + 1 sorted hashes. Candidates are an
+    * equi-join on (block, prefix-hash) — a shuffle keyed by hash whose
+    * cost is Σ posting-list², not Σ block². At t→0 the prefix degrades to
+    * a full inverted index: still only pairs sharing ≥1 actual shingle
+    * (which J ≥ t > 0 requires), so correctness is unconditional.
+    *
+    * Verification is a linear merge over the two sorted long arrays
+    * (~8× cheaper than a string hash-set intersection at sf0.1). Hash
     * collisions within a compared pair are ~2⁻⁶⁴·|sh|² — negligible. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int = 3,
@@ -84,6 +93,17 @@ object Dedup {
     val d = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
       sort_array(array_distinct(transform(TF.shingles(col(textCol), n),
         s => xxhash64(s)))).as("sh"))
+    // prefix length |sh| − ⌈t·|sh|⌉ + 1 (≥1 shared prefix hash required)
+    val prefixLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    val ex = d.select(col("block"), col("id"),
+      explode(slice(col("sh"), 1, prefixLen)).as("h"))
+    val cands = ex.select(col("block"), col("h"), col("id").as("id_a"))
+      .join(ex.select(col("block"), col("h"), col("id").as("id_b")),
+        Seq("block", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("block", "id_a", "id_b")
+      .distinct()
     val inter = udf { (a: Seq[Long], b: Seq[Long]) =>
       var i = 0; var j = 0; var c = 0
       while (i < a.length && j < b.length) {
@@ -93,9 +113,11 @@ object Dedup {
       }
       c
     }
-    val l = d.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = d.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("block")).filter(col("id_a") < col("id_b"))
+    cands
+      .join(d.select(col("block"), col("id").as("id_a"),
+        col("sh").as("sh_a")), Seq("block", "id_a"))
+      .join(d.select(col("block"), col("id").as("id_b"),
+        col("sh").as("sh_b")), Seq("block", "id_b"))
       .withColumn("_i", inter(col("sh_a"), col("sh_b")))
       .select(col("block"), col("id_a"), col("id_b"),
         (col("_i").cast("double") /
