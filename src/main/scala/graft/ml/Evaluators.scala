@@ -88,7 +88,7 @@ object Evaluators {
       when(col(label) > 0.5, true).otherwise(false)).rdd
       .map(r => (r.getDouble(0), (if (r.getBoolean(1)) 1L else 0L,
         if (r.getBoolean(1)) 0L else 1L)))
-      .reduceByKey { case ((p1, n1), (p2, n2)) => (p1 + p2, n1 + n2) }
+      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
     val sorted = counts.sortBy(_._1, ascending = false)
     val partTotals = sorted.mapPartitions { it =>
       var p = 0L; var n = 0L

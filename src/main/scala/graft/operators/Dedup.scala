@@ -97,7 +97,7 @@ object Dedup {
     val prefixLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
     val ex = d.select(col("block"), col("id"),
-      explode(slice(col("sh"), 1, prefixLen)).as("h"))
+      explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
     val cands = ex.select(col("block"), col("h"), col("id").as("id_a"))
       .join(ex.select(col("block"), col("h"), col("id").as("id_b")),
         Seq("block", "h"))
