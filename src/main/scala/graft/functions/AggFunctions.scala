@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggShims
+import org.apache.spark.sql.classic.GraftColumnShims
+
+/** Aggregate helpers built on Catalyst aggregates that have no public
+  * `functions._` wrapper.
+  */
+object AggFunctions {
+
+  /** Bounded top-k collect of `e`'s values per group — the k smallest
+    * (`smallest = true`) or k largest values, as an array.
+    *
+    * This is Spark's `CollectTopK` aggregate: every partial (map-side)
+    * buffer is a bounded priority queue of at most k elements, so a hot
+    * group costs O(k) memory per task and the shuffle carries at most
+    * k·#tasks values per group — never the group's full row set. That is
+    * exactly the fixed-capacity-heap shape of the reference's
+    * deterministic reservoir (MinHeapWithFixedCapacity.scala:29-115),
+    * expressed as a Catalyst aggregate instead of a combineByKey.
+    */
+  def collectTopK(e: Column, k: Int, smallest: Boolean): Column =
+    GraftColumnShims.column(
+      GraftAggShims.collectTopK(GraftColumnShims.expression(e), k, smallest))
+}

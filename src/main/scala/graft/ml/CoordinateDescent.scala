@@ -31,8 +31,19 @@ object CoordinateDescent {
   case class FixedSpec(id: String, featuresCol: String, featureDim: Int,
                        cfg: GlmConfig, solver: String = "auto")
     extends CoordinateSpec
+  /** Random-effect coordinate. `activeCap` > 0 bounds each entity's
+    * training sample count with the deterministic reservoir
+    * ([[graft.operators.GroupedSampling.boundedSample]], the reference's
+    * numActiveDataPointsUpperBound, RandomEffectDataSetConfiguration) —
+    * survivors' weights are rescaled by n/cap so aggregates stay
+    * unbiased. `activeLowerBound` > 1 drops entities with fewer samples
+    * from training entirely (numActiveDataPointsLowerBound); their rows
+    * still receive scores (0 or the prior model) — the reference's
+    * active/passive split, where passive rows are scored but never
+    * trained on (RandomEffectDataset.scala:35-53). */
   case class RandomSpec(id: String, reIdCol: String, featuresCol: String,
-                        featureDim: Int, cfg: GlmConfig)
+                        featureDim: Int, cfg: GlmConfig,
+                        activeCap: Int = 0, activeLowerBound: Int = 0)
     extends CoordinateSpec
 
   sealed trait TrainedCoordinate {
@@ -93,7 +104,28 @@ object CoordinateDescent {
             col("weight")).as[LabeledPoint]
           TrainedFixed(f, Glm.train(ds, f.featureDim, f.cfg, f.solver))
         case r: RandomSpec =>
-          val ds = withResidual.select(
+          // active/passive split: cap per-entity training rows (weight-
+          // rescaled reservoir) and drop under-populated entities. Rows
+          // excluded here are "passive": they are still scored below —
+          // coordinate.score runs over the full `cached` data.
+          val capped =
+            if (r.activeCap > 0)
+              graft.operators.GroupedSampling
+                .boundedSample(withResidual, Seq(r.reIdCol), Seq("uid"),
+                  r.activeCap)
+                .withColumn("weight", col("weight") * col("weight_scale"))
+                .drop("weight_scale")
+            else withResidual
+          val active =
+            if (r.activeLowerBound > 1)
+              capped.join(
+                withResidual.groupBy(col(r.reIdCol))
+                  .agg(count(lit(1)).as("_gn"))
+                  .filter(col("_gn") >= r.activeLowerBound)
+                  .select(col(r.reIdCol)),
+                Seq(r.reIdCol), "left_semi")
+            else capped
+          val ds = active.select(
             col(r.reIdCol).cast("string").as("reId"), col("label"),
             col(r.featuresCol).as("features"), col("offset"), col("weight"))
             .as[RandomEffect.ReSample]

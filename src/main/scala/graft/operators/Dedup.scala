@@ -18,23 +18,41 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Hot-bucket guard for LSH bucket self-joins: drop buckets with more
+    * than `cap` members before pair generation. One degenerate bucket
+    * (empty / boilerplate docs all hashing together) otherwise goes
+    * |bucket|² — the classic LSH-dedup scale failure. The guard is a
+    * map-side-combinable count (one row per bucket) and a broadcast
+    * anti-join against only the over-cap bucket keys, so it costs one
+    * cheap pass. Members of an over-cap bucket are near-identical
+    * boilerplate by construction — run [[exact]] dedup first to collapse
+    * them; pairs inside dropped buckets are reported by no strategy. */
+  private def dropHotBuckets(banded: DataFrame, keys: Seq[String],
+                             cap: Int): DataFrame =
+    banded.join(
+      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > cap).select(keys.map(col): _*),
+      keys, "left_anti")
+
   /** MinHash-LSH near-dup candidate pairs: signature → bands → equi-join
     * within band buckets → verify with true shingle Jaccard. Only pairs
     * sharing ≥1 band are ever materialized. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, sigK: Int = 8, bands: Int = 4,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 maxBucketSize: Int = 10000): DataFrame = {
     val rows = bands
     val bandSize = sigK / bands
     val withSig = docs.select(col(idCol).as("id"),
       TF.distinctShingles(col(textCol), shingleN).as("sh"),
       TF.minhashSignature(col(textCol), shingleN, sigK).as("sig"))
-    val banded = withSig.select(col("id"), col("sh"),
+    val banded0 = withSig.select(col("id"), col("sh"),
       explode(array((0 until rows).map(b =>
         struct(lit(b).as("band"),
           TF.lshBand(col("sig"), b * bandSize, bandSize).as("bucket"))): _*))
         .as("lb"))
       .select(col("id"), col("sh"), col("lb.band"), col("lb.bucket"))
+    val banded = dropHotBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -51,14 +69,15 @@ object Dedup {
     * bands (docs within `maxHamming` share ≥1 of 4 bands by pigeonhole),
     * verify with full Hamming distance. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              maxHamming: Int = 3): DataFrame = {
+              maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sig = docs.select(col(idCol).as("id"),
       TF.simhash64(col(textCol)).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+    val banded0 = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
           .as("bucket"))): _*)).as("lb"))
       .select(col("id"), col("sig"), col("lb.band"), col("lb.bucket"))
+    val banded = dropHotBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -129,9 +148,12 @@ object Dedup {
   /** Embedding-cosine near-dup pairs: sign-LSH bucket join, then exact
     * cosine verification within buckets. */
   def embeddingCosine(emb: DataFrame, idCol: String, vecCol: String,
-                      nBits: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val d = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      V.lshBucket(col(vecCol), nBits).as("bucket"))
+                      nBits: Int = 8, threshold: Double = 0.95,
+                      maxBucketSize: Int = 10000): DataFrame = {
+    val d = dropHotBuckets(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        V.lshBucket(col(vecCol), nBits).as("bucket")),
+      Seq("bucket"), maxBucketSize)
     val l = d.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = d.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.AggFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,11 +12,6 @@ import org.apache.spark.sql.functions._
   * photon-api/.../data/RandomEffectDataset.scala:468-527: combineByKey into a
   * fixed-capacity min-heap keyed by a deterministic hash; survivors'
   * weights rescaled by count/capacity so aggregates stay unbiased).
-  *
-  * Spark-first translation: a window `row_number` over a deterministic hash
-  * order. One shuffle on the group key; no driver involvement; AQE splits
-  * skewed groups' sort work. For very hot keys the heap-based Aggregator
-  * would do a partial (map-side) cap — see `boundedSampleAgg` note.
   */
 object GroupedSampling {
 
@@ -28,19 +24,44 @@ object GroupedSampling {
 
   /** Keep at most `cap` rows per group, chosen by deterministic hash
     * priority; add `weight_scale` = n/cap for survivors of capped groups so
-    * weighted aggregates remain unbiased (photon's weight rescaling). */
+    * weighted aggregates remain unbiased (photon's weight rescaling).
+    *
+    * Scale shape: two passes, neither of which sorts or gathers a group's
+    * rows into one task.
+    *   1. Per-group threshold: bounded-heap aggregate of the `cap` smallest
+    *      priorities ([[AggFunctions.collectTopK]] — map-side partial
+    *      buffers are ≤cap heaps, the reference's fixed-capacity-heap
+    *      reservoir) plus the group count. Output is one tiny row per
+    *      group.
+    *   2. Equi-join thresholds back (Catalyst broadcasts when the group
+    *      table is small; AQE handles skew otherwise) and keep rows whose
+    *      priority ≤ the cap-th smallest. A hot group's rows never
+    *      funnel through a single-task window sort — the earlier
+    *      row_number implementation did exactly that and died at 100×.
+    *   3. Exact-cap trim: duplicate uids tie at the threshold and would
+    *      admit >cap rows, so a row_number over the *pruned* set takes
+    *      exactly cap. This window sorts at most cap+ties rows per group
+    *      (the threshold filter already discarded the rest), so it is
+    *      bounded work, unlike a window over the raw group. */
   def boundedSample(df: DataFrame, groupCols: Seq[String],
                     uidCols: Seq[String], cap: Int): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(priority(uidCols.map(col)))
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(wAll))
+    val p = priority(uidCols.map(col))
+    val thresholds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        array_max(AggFunctions.collectTopK(p, cap, smallest = true))
+          .as("_pmax"))
+    val trimW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_p"))
+    df.withColumn("_p", p)
+      .join(thresholds, groupCols)
+      .filter(col("_p") <= col("_pmax"))
+      .withColumn("_rn", row_number().over(trimW))
       .filter(col("_rn") <= cap)
       .withColumn("weight_scale",
         when(col("_n") > cap, col("_n").cast("double") / cap)
           .otherwise(lit(1.0)))
-      .drop("_rn", "_n")
+      .drop("_p", "_pmax", "_n", "_rn")
   }
 
   /** Top-K rows per group by an explicit ordering (deterministic iff the

@@ -1,33 +1,45 @@
 package graft.operators
 
-import graft.functions.{VectorOps => V}
+import graft.functions.{AggFunctions, VectorOps => V}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * `bruteForce` is the exact baseline: broadcast the (small) query set and
-  * scan the corpus once — a single map-side pass at any corpus size, with a
-  * per-query top-k window on the (tiny) candidate score set.
+  * scan the corpus once — a single map-side pass at any corpus size.
   *
   * `lsh` is the scale path: both sides bucketed by deterministic
   * sign-hyperplane LSH; only same-bucket pairs are scored. Probing
   * `nProbe` neighboring buckets (bit flips) trades recall for cost.
+  *
+  * Both end in [[topK]] — a bounded-heap aggregate, not a per-query
+  * window sort: each map task keeps at most k candidates per query, so
+  * the shuffle carries ≤ k·#tasks rows per query regardless of corpus
+  * size (a window row_number would gather every scored candidate of a
+  * query into one task before discarding all but k).
   */
 object Similarity {
 
+  /** Per-query top-k by (cosine desc, id asc): bounded-heap aggregate on
+    * the struct (-cosine, id), whose ascending order IS that ranking.
+    * CollectTopK's eval returns the retained k in ascending order, so
+    * array position is the rank. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(AggFunctions.collectTopK(
+        struct((-col("cosine")).as("nc"), col("id")), k, smallest = true)
+        .as("_top"))
+      .select(col("qid"), posexplode(col("_top")))
+      .select(col("qid"), col("col.id").as("id"),
+        (-col("col.nc")).as("cosine"), (col("pos") + 1).as("rank"))
+
   /** Exact top-k cosine neighbors of each query vector.
     * queries: (qid, qv), corpus: (id, v). Queries must be broadcastable. */
-  def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.join(broadcast(queries))
+  def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topK(corpus.join(broadcast(queries))
       .select(col("qid"), col("id"),
-        V.cosine(col("qv"), col("v")).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+        V.cosine(col("qv"), col("v")).as("cosine")), k)
 
   /** LSH-bucketed ANN: score only same-bucket (plus probed-bucket) pairs.
     * At 100 TB the corpus side is one scan + one shuffle on bucket id. */
@@ -41,12 +53,8 @@ object Similarity {
       .select(col("qid"), col("qv"), explode(array(
         (lit(0) +: (0 until nProbe).map(b => lit(1 << b))).map(f =>
           col("qb").bitwiseXOR(f)): _*)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    topK(c.join(broadcast(q), Seq("bucket"))
       .select(col("qid"), col("id"),
-        V.cosine(col("qv"), col("v")).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+        V.cosine(col("qv"), col("v")).as("cosine")), k)
   }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.AggFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The bounded-heap (map-side) sampling/top-k paths must select exactly
+  * the rows the window-sort formulations they replaced selected.
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("collectTopK smallest returns the k smallest values ascending") {
+    import spark.implicits._
+    val df = Seq(5, 3, 9, 1, 7, 2, 8).toDF("x").repartition(3)
+    val out = df.agg(AggFunctions.collectTopK(col("x"), 3, smallest = true))
+      .first().getSeq[Int](0)
+    assert(out == Seq(1, 2, 3))
+    val top = df.agg(AggFunctions.collectTopK(col("x"), 2, smallest = false))
+      .first().getSeq[Int](0)
+    assert(top.toSet == Set(8, 9))
+  }
+
+  test("boundedSample matches the window row_number formulation") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"g${i % 7}", i.toLong, i * 0.5))
+      .toDF("g", "uid", "weight").repartition(8)
+    val cap = 20
+
+    val got = GroupedSampling.boundedSample(df, Seq("g"), Seq("uid"), cap)
+
+    val w = Window.partitionBy(col("g"))
+      .orderBy(GroupedSampling.priority(Seq(col("uid"))))
+    val wAll = Window.partitionBy(col("g"))
+    val want = df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .filter(col("_rn") <= cap)
+      .withColumn("weight_scale",
+        when(col("_n") > cap, col("_n").cast("double") / cap)
+          .otherwise(lit(1.0)))
+      .drop("_rn", "_n")
+
+    val g = got.select("g", "uid", "weight_scale").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = want.select("g", "uid", "weight_scale").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(g == e)
+    assert(got.count() == 7L * cap)
+  }
+
+  test("boundedSample keeps whole groups under the cap, scale 1.0") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("only", i.toLong)).toDF("g", "uid")
+    val out = GroupedSampling.boundedSample(df, Seq("g"), Seq("uid"), 50)
+    assert(out.count() == 10)
+    assert(out.select("weight_scale").distinct().first().getDouble(0) == 1.0)
+  }
+
+  test("Similarity topK ranking matches a window row_number") {
+    import spark.implicits._
+    val corpus = (1 to 60)
+      .map(i => (i.toLong, Array.tabulate(4)(j => math.sin(i * (j + 1)))))
+      .toDF("id", "v")
+    val queries = (1 to 3)
+      .map(i => (i.toLong, Array.tabulate(4)(j => math.cos(i + j))))
+      .toDF("qid", "qv")
+    val got = Similarity.bruteForce(queries, corpus, 5)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val scored = corpus.join(broadcast(queries))
+      .select(col("qid"), col("id"),
+        graft.functions.VectorOps.cosine(col("qv"), col("v")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    val want = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("dedup hot-bucket guard drops degenerate buckets") {
+    import spark.implicits._
+    // 30 identical docs all land in one simhash bucket; cap 10 drops them
+    val docs = ((1 to 30).map(i => (i.toLong, "the same boilerplate text")) ++
+      Seq((100L, "a unique document about whales"),
+        (101L, "a unique document about whales!"))).toDF("id", "text")
+    val uncapped = Dedup.simhash(docs, "id", "text", maxHamming = 3)
+    assert(uncapped.count() >= 30L * 29 / 2)
+    val capped = Dedup.simhash(docs, "id", "text", maxHamming = 3,
+      maxBucketSize = 10)
+    val ids = capped.select("id_a").as[Long].collect().toSet ++
+      capped.select("id_b").as[Long].collect().toSet
+    assert(!ids.exists(_ <= 30))
+  }
+}
