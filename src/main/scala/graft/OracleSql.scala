@@ -350,6 +350,46 @@ object OracleSql {
         |    ELSE NULL END AS auc
         |FROM a""".stripMargin,
 
+    "q36_aupr_peakf1" ->
+      """WITH pts AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |agg AS (
+        |  SELECT score, CAST(SUM(pos) AS BIGINT) AS dp,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS dn
+        |  FROM pts GROUP BY score),
+        |cum AS (
+        |  SELECT
+        |    SUM(dp) OVER w AS tp, SUM(dn) OVER w AS fp,
+        |    SUM(dp) OVER w - dp AS tp_prev, SUM(dn) OVER w - dn AS fp_prev
+        |  FROM agg
+        |  WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+        |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM pts)
+        |SELECT
+        |  ROUND(SUM((tp - tp_prev) * 1.0 / p *
+        |    (CAST(tp AS DOUBLE) / (tp + fp) +
+        |     CASE WHEN tp_prev + fp_prev = 0
+        |       THEN CAST(tp AS DOUBLE) / (tp + fp)
+        |       ELSE CAST(tp_prev AS DOUBLE) / (tp_prev + fp_prev) END)
+        |    / 2), 9) AS aupr,
+        |  ROUND(MAX(2.0 * tp / (tp + fp + p)), 9) AS peak_f1
+        |FROM cum, tot""".stripMargin,
+
+    "q37_loglik_aic" ->
+      """WITH pts AS (
+        |  SELECT LEAST(GREATEST(
+        |      1.0 / (1.0 + EXP(-CAST(embedding[1] AS DOUBLE))),
+        |      1e-15), 1 - 1e-15) AS prob,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |ll AS (
+        |  SELECT SUM(CASE WHEN pos = 1 THEN LN(prob)
+        |    ELSE LN(1.0 - prob) END) AS v
+        |  FROM pts)
+        |SELECT ROUND(v, 6) AS log_lik, ROUND(2.0 * 4 - 2.0 * v, 6) AS aic
+        |FROM ll""".stripMargin,
+
     "q34_embedding_stats" ->
       """SELECT label AS lbl, COUNT(*) AS n,
         |  MIN(CAST(embedding[1] AS DOUBLE)) AS vmin,

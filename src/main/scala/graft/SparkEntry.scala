@@ -322,7 +322,8 @@ object SparkEntry {
     val rows = T.embeddings(s, d).select(
       element_at(col("embedding"), 1).cast("double").as("score"),
       col("vec_id").cast("long").as("vid"),
-      (col("label") >= 5).as("pos")).rdd
+      (col("label") >= 5).as("pos"))
+      .filter(col("score").isNotNull && col("vid").isNotNull).rdd
       .map(r => (r.getDouble(0), r.getLong(1), r.getBoolean(2)))
     val (sumRnPos, p, n) = graft.ml.Evaluators.rankSumStats(rows)
     Seq((2.0 * sumRnPos - p.toDouble * (p + 1)) / (2.0 * p.toDouble * n))
@@ -360,6 +361,37 @@ object SparkEntry {
         when(col("event_type") === "purchase", 1.0).otherwise(0.0)
           .as("label")),
       "user_id", "score", "label")
+
+  /** E2/E10: AUPR + peak F1 from the distributed confusion curve
+    * ([[graft.ml.Evaluators.confusionCurve]] — reduceByKey on distinct
+    * scores + range sort + prefix offsets; no single-task stage). Values
+    * rounded to 9 dp so cross-engine double-summation order can't flip
+    * the hash compare. */
+  def q36_aupr_peakf1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = T.embeddings(s, d).select(
+      element_at(col("embedding"), 1).cast("double").as("score"),
+      when(col("label") >= 5, 1.0).otherwise(0.0).as("label"))
+    val aupr = graft.ml.Evaluators.aupr(df, "score", "label")
+    val pf1 = graft.ml.Evaluators.peakF1(df, "score", "label")
+    Seq((math.rint(aupr * 1e9) / 1e9, math.rint(pf1 * 1e9) / 1e9))
+      .toDF("aupr", "peak_f1")
+  }
+
+  /** E10 legacy metrics: Bernoulli log-likelihood of sigmoid scores and
+    * AIC with k=4 parameters; rounded to 6 dp (ln/exp differ in ulps
+    * across engines). */
+  def q37_loglik_aic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = T.embeddings(s, d).select(
+      (lit(1.0) / (lit(1.0) +
+        exp(-element_at(col("embedding"), 1).cast("double")))).as("prob"),
+      when(col("label") >= 5, 1.0).otherwise(0.0).as("label"))
+    val ll = graft.ml.Evaluators.logLikelihood(df, "prob", "label")
+    val aic = graft.ml.Evaluators.aic(df, "prob", "label", nParams = 4)
+    Seq((math.rint(ll * 1e6) / 1e6, math.rint(aic * 1e6) / 1e6))
+      .toDF("log_lik", "aic")
+  }
 
   // --------------------------------------- non-SQL-expressible (rows-only)
 
@@ -495,6 +527,8 @@ object SparkEntry {
     "q33_rmse" -> (q33_rmse _),
     "q34_embedding_stats" -> (q34_embedding_stats _),
     "q35_grouped_auc" -> (q35_grouped_auc _),
+    "q36_aupr_peakf1" -> (q36_aupr_peakf1 _),
+    "q37_loglik_aic" -> (q37_loglik_aic _),
     "q40_simhash_pairs" -> (q40_simhash_pairs _),
     "q41_knn_lsh" -> (q41_knn_lsh _),
     "q42_multimodal" -> (q42_multimodal _),

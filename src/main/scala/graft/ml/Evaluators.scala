@@ -83,7 +83,7 @@ object Evaluators {
     * range sort, prefix offsets from per-partition totals (the collect is
     * #partitions rows, not data rows). */
   def confusionCurve(df: DataFrame, score: String, label: String)
-  : RDD[(Double, Long, Long, Long, Long)] = {
+  : (RDD[(Double, Long, Long, Long, Long)], Long, Long) = {
     val counts = df.select(col(score).cast("double"),
       when(col(label) > 0.5, true).otherwise(false)).rdd
       .map(r => (r.getDouble(0), (if (r.getBoolean(1)) 1L else 0L,
@@ -98,7 +98,7 @@ object Evaluators {
     val offsets = partTotals.scanLeft((0L, 0L)) {
       case ((p, n), (dp, dn)) => (p + dp, n + dn)
     }
-    sorted.mapPartitionsWithIndex { (i, it) =>
+    val curve = sorted.mapPartitionsWithIndex { (i, it) =>
       var (tp, fp) = offsets(i)
       it.map { case (s, (dp, dn)) =>
         val (tpPrev, fpPrev) = (tp, fp)
@@ -106,29 +106,27 @@ object Evaluators {
         (s, tpPrev, fpPrev, tp, fp)
       }
     }
+    // grand totals are the last prefix offset — free, no extra action
+    (curve, offsets.last._1, offsets.last._2)
   }
 
   /** Tie-aware AUROC (average-rank Mann–Whitney ≡ ROC trapezoid with tied
     * scores grouped), computed from the distributed confusion curve —
     * scales to any row count with no single-task stage. */
   def auc(df: DataFrame, score: String, label: String): Double = {
-    val curve = confusionCurve(df, score, label).persist()
-    val (p, n) = curve.map(c => (c._4 - c._2, c._5 - c._3))
-      .fold((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    val (curve, p, n) = confusionCurve(df, score, label)
+    if (p == 0 || n == 0) return Double.NaN
     val area = curve.map { case (_, tpPrev, fpPrev, tp, fp) =>
       (fp - fpPrev).toDouble * (tp + tpPrev) / 2.0
     }.sum()
-    curve.unpersist(false)
-    if (p == 0 || n == 0) Double.NaN else area / (p.toDouble * n.toDouble)
+    area / (p.toDouble * n.toDouble)
   }
 
   /** AUPR with MLlib BinaryClassificationMetrics semantics: trapezoid over
     * (recall, precision) at distinct-score cuts, first point (0, p₁). */
   def aupr(df: DataFrame, score: String, label: String): Double = {
-    val curve = confusionCurve(df, score, label).persist()
-    val (p, _) = curve.map(c => (c._4 - c._2, c._5 - c._3))
-      .fold((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
-    if (p == 0) { curve.unpersist(false); return Double.NaN }
+    val (curve, p, _) = confusionCurve(df, score, label)
+    if (p == 0) return Double.NaN
     val area = curve.map { case (_, tpPrev, fpPrev, tp, fp) =>
       val prec = tp.toDouble / (tp + fp)
       val precPrev =
@@ -136,22 +134,17 @@ object Evaluators {
         else tpPrev.toDouble / (tpPrev + fpPrev)
       (tp - tpPrev).toDouble / p * (prec + precPrev) / 2.0
     }.sum()
-    curve.unpersist(false)
     area
   }
 
   /** Peak F1 over distinct-score cuts (reference Evaluation.scala peak-F1;
     * F1 at cut = 2·tp/(tp+fp+P)). */
   def peakF1(df: DataFrame, score: String, label: String): Double = {
-    val curve = confusionCurve(df, score, label).persist()
-    val (p, _) = curve.map(c => (c._4 - c._2, c._5 - c._3))
-      .fold((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
-    if (p == 0) { curve.unpersist(false); return Double.NaN }
-    val best = curve.map { case (_, _, _, tp, fp) =>
+    val (curve, p, _) = confusionCurve(df, score, label)
+    if (p == 0) return Double.NaN
+    curve.map { case (_, _, _, tp, fp) =>
       2.0 * tp / (tp + fp + p)
     }.fold(0.0)(math.max)
-    curve.unpersist(false)
-    best
   }
 
   /** Bernoulli log-likelihood of probability predictions (E10 legacy

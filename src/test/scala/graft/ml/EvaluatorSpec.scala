@@ -71,6 +71,51 @@ class EvaluatorSpec extends SparkSpec {
     assert(math.abs(got - 0.25) < 1e-12)
   }
 
+  test("AUPR agrees with MLlib BinaryClassificationMetrics") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { _ =>
+      val s = rnd.nextGaussian()
+      (s, if (rnd.nextDouble() < PointwiseLoss.sigmoid(2 * s)) 1.0 else 0.0)
+    }
+    val df = rows.toDF("score", "label")
+    val ours = Evaluators.aupr(df, "score", "label")
+    val mllib = new org.apache.spark.mllib.evaluation
+    .BinaryClassificationMetrics(
+      df.rdd.map(r => (r.getDouble(0), r.getDouble(1)))).areaUnderPR()
+    assert(math.abs(ours - mllib) < 1e-9, s"ours=$ours mllib=$mllib")
+  }
+
+  test("peak F1 matches hand computation") {
+    // scores desc: 0.9(+), 0.8(-), 0.7(+), 0.6(+), 0.5(-); P=3
+    // cuts: tp/fp = 1/0, 1/1, 2/1, 3/1, 3/2
+    // F1 = 2tp/(tp+fp+P): 2/4, 2/5, 4/6, 6/7, 6/8 → peak 6/7
+    val df = Seq((0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.6, 1.0), (0.5, 0.0))
+      .toDF("score", "label")
+    assert(math.abs(Evaluators.peakF1(df, "score", "label") - 6.0 / 7) < 1e-12)
+  }
+
+  test("log-likelihood and AIC match hand computation") {
+    val df = Seq((0.9, 1.0), (0.2, 0.0), (0.6, 1.0)).toDF("prob", "label")
+    val want = math.log(0.9) + math.log(0.8) + math.log(0.6)
+    assert(math.abs(Evaluators.logLikelihood(df, "prob", "label") - want)
+      < 1e-12)
+    assert(math.abs(Evaluators.aic(df, "prob", "label", 3) -
+      (6.0 - 2 * want)) < 1e-12)
+  }
+
+  test("confusion curve returns totals and consecutive points") {
+    val df = Seq((0.9, 1.0), (0.8, 0.0), (0.8, 1.0), (0.5, 0.0))
+      .toDF("score", "label")
+    val (curve, p, n) = Evaluators.confusionCurve(df, "score", "label")
+    assert(p == 2 && n == 2)
+    val pts = curve.collect().sortBy(-_._1)
+    assert(pts.map(c => (c._1, c._4, c._5)).toSeq ==
+      Seq((0.9, 1L, 0L), (0.8, 2L, 1L), (0.5, 2L, 2L)))
+    // each point's prev equals the previous point's cumulative
+    assert(pts.sliding(2).forall { case Array(a, b) =>
+      b._2 == a._4 && b._3 == a._5 })
+  }
+
   test("betterThan follows metric direction") {
     assert(Evaluators.betterThan("auc", 0.9, 0.8))
     assert(Evaluators.betterThan("rmse", 0.8, 0.9))
