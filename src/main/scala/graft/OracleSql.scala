@@ -25,7 +25,157 @@ object OracleSql {
       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh3
       |  FROM t)""".stripMargin
 
+  /** One Newton step for 1-feature logistic + intercept with L2=1 on the
+    * slope: 2×2 closed-form H⁻¹g update. Unrolled (DuckDB forbids
+    * aggregates in recursive CTE terms); quadratic convergence makes 12
+    * steps ≫ machine precision. */
+  private def newtonStep(prev: String, cur: String): String = {
+    val p = "1/(1+EXP(-(q.a*x+q.b)))"
+    s"""$cur AS (
+       |  SELECT a - (hbb*ga - hab*gb) / (haa*hbb - hab*hab) AS a,
+       |         b - (haa*gb - hab*ga) / (haa*hbb - hab*hab) AS b
+       |  FROM (
+       |    SELECT q.a AS a, q.b AS b,
+       |      SUM(($p - y) * x) + q.a AS ga,
+       |      SUM($p - y) AS gb,
+       |      SUM($p * (1 - $p) * x * x) + 1.0 AS haa,
+       |      SUM($p * (1 - $p) * x) AS hab,
+       |      SUM($p * (1 - $p)) AS hbb
+       |    FROM pts, $prev q GROUP BY q.a, q.b))""".stripMargin
+  }
+
+  /** 64-bit simhash halves (lo = bits 0..31, hi = 32..63) per document,
+    * rebuilt from md5 hex nibbles exactly as the engine's UDF does:
+    * bit k of digest byte j sits in hex char 2j+1 (high nibble, k≥4) or
+    * 2j+2 (low nibble, k<4), at in-nibble position k mod 4. */
+  private val simhashCte =
+    toksCte + """,
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(tok), 2*(b//8) + CASE WHEN b%8 < 4 THEN 2 ELSE 1 END, 1))
+      |     - 1 >> (b%4)) & 1 AS bit
+      |  FROM tok, range(64) r(b)),
+      |votes AS (
+      |  SELECT doc_id, b, SUM(bit) AS ones, COUNT(*) AS n
+      |  FROM bits GROUP BY 1, 2),
+      |sigp AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN 2*ones > n AND b < 32
+      |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
+      |    SUM(CASE WHEN 2*ones > n AND b >= 32
+      |      THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi
+      |  FROM votes GROUP BY 1),
+      |sig AS (
+      |  SELECT d.doc_id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi
+      |  FROM documents d LEFT JOIN sigp s USING (doc_id))""".stripMargin
+
+  /** 8-hex-digit prefix of md5("seed_i") as an integer — DuckDB-side
+    * equivalent of Spark's conv(substring(md5(..),1,8),16,10). */
+  private def hex8(arg: String): String =
+    (1 to 8).map { k =>
+      val pow = math.pow(16, 8 - k).toLong
+      s"(strpos('0123456789abcdef', substr(md5($arg), $k, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** Deterministic sign-LSH bucket per vector, mirroring
+    * VectorOps.hyperplaneBit/lshBucket: proj_b = Σᵢ vᵢ·h(b,i) with
+    * h(b,i) = hex8(md5("b_i"))/2³¹ − 1, folded left-to-right so the
+    * doubles are bit-identical to Spark's sequential aggregate. */
+  private def lshBucketCte(nBits: Int): String = {
+    val h = "CAST(" + hex8("CAST(b AS VARCHAR) || '_' || CAST(i AS VARCHAR)") +
+      " AS DOUBLE) / 2147483648.0 - 1.0"
+    s"""projs AS (
+       |  SELECT vec_id, b,
+       |    list_reduce(list_transform(range(0, len(v)),
+       |      i -> v[i+1] * ($h)), (a, c) -> a + c) AS proj
+       |  FROM e, range($nBits) rb(b)),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN proj >= 0 THEN (1 << b) ELSE 0 END) AS INTEGER)
+       |      AS bucket
+       |  FROM projs GROUP BY vec_id)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+
+    "q41_knn_lsh" -> (
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |""".stripMargin + lshBucketCte(6) + """,
+        |q AS (
+        |  SELECT e.vec_id AS qid, v AS qv, pb.bucket
+        |  FROM e JOIN buckets b USING (vec_id),
+        |    LATERAL (SELECT unnest([b.bucket, xor(b.bucket, 1),
+        |      xor(b.bucket, 2)]) AS bucket) pb
+        |  WHERE e.vec_id < 5),
+        |c AS (
+        |  SELECT e.vec_id AS id, v, bucket
+        |  FROM e JOIN buckets USING (vec_id) WHERE e.vec_id >= 5),
+        |scored AS (
+        |  SELECT qid, id,
+        |    list_reduce(list_transform(range(1, len(v) + 1), i -> qv[i] * v[i]), (a, b) -> a + b)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (a, b) -> a + b)
+        |      * list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b)
+        |    ) AS cosine
+        |  FROM c JOIN q USING (bucket)),
+        |ranked AS (
+        |  SELECT qid, id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS "rank"
+        |  FROM scored)
+        |SELECT qid, "rank", id, cosine FROM ranked WHERE "rank" <= 3""".stripMargin),
+
+    "q40_simhash_pairs" -> (simhashCte + """
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      |      AS BIGINT) AS hamming,
+      |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+      |  FROM sig a, sig b WHERE a.doc_id < b.doc_id)
+      |WHERE hamming <= 16 AND (
+      |  (alo & 65535) = (blo & 65535)
+      |  OR ((alo >> 16) & 65535) = ((blo >> 16) & 65535)
+      |  OR (ahi & 65535) = (bhi & 65535)
+      |  OR ((ahi >> 16) & 65535) = ((bhi >> 16) & 65535))""".stripMargin),
+
+    "q53_logistic_newton" -> (
+      """WITH pts AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS x,
+        |    CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM embeddings),
+        |s0 AS (SELECT 0.0 AS a, 0.0 AS b),
+        |""".stripMargin +
+        (1 to 12).map(i => newtonStep(s"s${i - 1}", s"s$i"))
+          .mkString(",\n") + "\n" +
+        """SELECT ROUND(a, 6) AS slope, ROUND(b, 6) AS intercept
+          |FROM s12""".stripMargin),
+
+    "q54_ridge_closed" ->
+      """WITH pts AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+        |    CAST(embedding[2] AS DOUBLE) AS x2,
+        |    CAST(label AS DOUBLE) AS y
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+        |    SUM(x1*x1) + 0.1 AS s11, SUM(x1*x2) AS s12,
+        |    SUM(x2*x2) + 0.1 AS s22, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+        |  FROM pts),
+        |d AS (
+        |  SELECT *,
+        |    s11*(s22*n - sx2*sx2) - s12*(s12*n - sx2*sx1)
+        |      + sx1*(s12*sx2 - s22*sx1) AS det
+        |  FROM m)
+        |SELECT
+        |  ROUND((s1y*(s22*n - sx2*sx2) - s12*(s2y*n - sx2*sy)
+        |    + sx1*(s2y*sx2 - s22*sy)) / det, 6) AS w1,
+        |  ROUND((s11*(s2y*n - sx2*sy) - s1y*(s12*n - sx2*sx1)
+        |    + sx1*(s12*sy - s2y*sx1)) / det, 6) AS w2,
+        |  ROUND((s11*(s22*sy - s2y*sx2) - s12*(s12*sy - s2y*sx1)
+        |    + s1y*(s12*sx2 - s22*sx1)) / det, 6) AS intercept
+        |FROM d""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

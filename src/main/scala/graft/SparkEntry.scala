@@ -393,6 +393,45 @@ object SparkEntry {
       .toDF("log_lik", "aic")
   }
 
+  private def rnd6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  /** L1/L2/L6 through the REAL distributed trainer on a problem small
+    * enough for an independent SQL oracle: 1-feature logistic + intercept,
+    * L2=1. The DuckDB oracle runs 12 unrolled Newton steps — an entirely
+    * different algorithm — and both land on the unique optimum (strictly
+    * convex), compared at 6 dp. */
+  def q53_logistic_newton(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val ds = T.embeddings(s, d).select(
+      when(col("label") >= 5, 1.0).otherwise(0.0).as("label"),
+      array_to_vector(slice(col("embedding"), 1, 1)).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val m = graft.ml.Glm.train(ds, 1,
+      graft.ml.GlmConfig(graft.ml.LogisticLoss, l2 = 1.0, maxIter = 200,
+        tol = 1e-12))
+    Seq((rnd6(m.coef(0)), rnd6(m.intercept))).toDF("slope", "intercept")
+  }
+
+  /** L5 (TRON) against a closed form: 2-feature ridge regression whose
+    * unique optimum the oracle computes by Cramer's rule on the normal
+    * equations (intercept unregularized, matching the optimizer). */
+  def q54_ridge_closed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val ds = T.embeddings(s, d).select(
+      col("label").cast("double").as("label"),
+      array_to_vector(slice(col("embedding"), 1, 2)).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val m = graft.ml.Glm.train(ds, 2,
+      graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 0.1, maxIter = 100,
+        tol = 1e-12), solver = "tron")
+    Seq((rnd6(m.coef(0)), rnd6(m.coef(1)), rnd6(m.intercept)))
+      .toDF("w1", "w2", "intercept")
+  }
+
   // --------------------------------------- non-SQL-expressible (rows-only)
 
   /** Multimodal pipeline: binary payload → decode → resize → embedding
@@ -403,9 +442,16 @@ object SparkEntry {
       col("doc_id").as("media_id"), lit("image").as("kind"),
       col("text").cast("binary").as("payload"),
       map(lit("source"), col("source")).as("meta"))
+    // scalar projection of the feature vector: array<float> columns crash
+    // the harness's pandas/DuckDB reader, and the rows-only check only
+    // needs a deterministic row shape
     graft.multimodal.Multimodal.extractFeatures(
       graft.multimodal.Multimodal.resize(
         graft.multimodal.Multimodal.decode(media), 8, 8), 16)
+      .select(col("media_id"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("f0"),
+        round(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+          (a, x) => a + x), 6).as("f_sum"))
   }
 
   /** L1-L8: distributed logistic regression (LBFGS + L2) on embeddings;
@@ -475,9 +521,13 @@ object SparkEntry {
     fixedRows.unionAll(userRows)
   }
 
-  /** SimHash near-dup pairs (bit-level ops — no SQL oracle). */
+  /** SimHash near-dup pairs. The DuckDB oracle rebuilds the 64-bit
+    * signatures from md5 hex nibbles in pure SQL (bit votes per token),
+    * mirrors the 4×16-bit band candidate condition, and cross-checks the
+    * Hamming filter — so the whole banded pipeline faces the hard gate. */
   def q40_simhash_pairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(T.documents(s, d), "doc_id", "text", maxHamming = 16)
+      .withColumn("hamming", col("hamming").cast("long"))
 
   /** LSH-bucketed ANN (deterministic pseudo-random hyperplanes). */
   def q41_knn_lsh(s: SparkSession, d: String): DataFrame = {
@@ -534,7 +584,9 @@ object SparkEntry {
     "q42_multimodal" -> (q42_multimodal _),
     "q50_glm_logistic" -> (q50_glm_logistic _),
     "q51_glm_tron" -> (q51_glm_tron _),
-    "q52_game_events" -> (q52_game_events _))
+    "q52_game_events" -> (q52_game_events _),
+    "q53_logistic_newton" -> (q53_logistic_newton _),
+    "q54_ridge_closed" -> (q54_ridge_closed _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -80,6 +80,25 @@ class SamplingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("LSH ANN recall vs brute force is reasonable on real embeddings") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Smoke floor, not a quality gate (15 query-neighbor pairs is too few
+    // for tight statistics; the exact bucket math faces the q41 SQL
+    // oracle). Catches gross breakage: empty candidate sets, mismatched
+    // bucket keyspaces between query and corpus sides, dead probes.
+    val bf = pairs(Similarity.bruteForce(queries, corpus, 3))
+    val ann = pairs(Similarity.lsh(queries, corpus, 3, nBits = 3, nProbe = 3))
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall=$recall (bf=${bf.size} ann=${ann.size})")
+  }
+
   test("dedup hot-bucket guard drops degenerate buckets") {
     import spark.implicits._
     // 30 identical docs all land in one simhash bucket; cap 10 drops them
