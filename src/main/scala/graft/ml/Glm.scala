@@ -42,26 +42,118 @@ object Glm {
   /** Train a single GLM on a distributed dataset (the fixed-effect /
     * legacy-Driver path: L1/L2/L6/L8 of the survey). Solver selection
     * follows the reference: OWLQN iff L1 > 0, else LBFGS; "tron" opts into
-    * trust-region Newton. */
+    * trust-region Newton. When `cfg.varianceComputation` asks for them,
+    * coefficient variances are computed at the optimum and attached. */
   def train(data: Dataset[LabeledPoint], featureDim: Int, cfg: GlmConfig,
-            solver: String = "auto"): GlmModel = {
+            solver: String = "auto",
+            warmStart: Option[Array[Double]] = None): GlmModel = {
     val obj = new DistributedGlmObjective(data, featureDim, cfg)
     val dim = cfg.coefDim(featureDim)
+    val init = warmStart.filter(_ => cfg.norm.isIdentity)
     val w = solver match {
       case "tron" =>
         Optimizers.tron(obj.valueAndGradient, obj.hessianVector, dim,
           featureDim, cfg)
       case "owlqn" =>
-        Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg)
+        Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg, init)
       case "lbfgs" =>
-        Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg)
+        Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg, init)
       case _ =>
         if (cfg.l1 > 0)
-          Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg)
-        else Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg)
+          Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg, init)
+        else Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg,
+          init)
     }
+    val variances = computeVariances(obj, w, featureDim, cfg)
     obj.unpersist()
-    toOriginalSpace(w, featureDim, cfg)
+    toOriginalSpace(w, featureDim, cfg).copy(variances = variances)
+  }
+
+  /** Coefficient variances at the optimum, in ORIGINAL space
+    * (DistributedOptimizationProblem.computeVariances:86-110):
+    * "simple" → 1/diag(H), "full" → diag(H⁻¹) by Cholesky, both with the
+    * regularizer's constant diagonal included. Variance transforms back
+    * by factor² (w_orig = w_norm·f ⇒ Var_orig = f²·Var_norm). */
+  private[ml] def computeVariances(obj: DistributedGlmObjective,
+                                   w: Array[Double], featureDim: Int,
+                                   cfg: GlmConfig)
+  : Option[Array[Double]] = {
+    val dim = cfg.coefDim(featureDim)
+    val regDiag = Optimizers.QuadReg.from(cfg, dim, featureDim).diagonal
+    def toOriginal(v: Array[Double]): Array[Double] = {
+      cfg.norm.factors.foreach { f =>
+        var i = 0
+        while (i < f.length) { v(i) *= f(i) * f(i); i += 1 }
+      }
+      v
+    }
+    cfg.varianceComputation.toLowerCase match {
+      case "simple" =>
+        // hessianDiagonal is already factor²-scaled (normalized space)
+        val hd = obj.hessianDiagonal(w)
+        val v = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          val h = hd(i) + regDiag(i)
+          v(i) = if (h > 1e-12) 1.0 / h else 1e12
+          i += 1
+        }
+        Some(toOriginal(v))
+      case "full" =>
+        import breeze.linalg.{cholesky, DenseMatrix}
+        val flat = obj.hessianMatrix(w)
+        val h = new DenseMatrix[Double](dim, dim, flat) // symmetric: t irrelevant
+        // raw-feature Hessian → normalized space: scale rows+cols by f
+        cfg.norm.factors.foreach { f =>
+          var i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) {
+              val fi = if (i < f.length) f(i) else 1.0
+              val fj = if (j < f.length) f(j) else 1.0
+              h(i, j) *= fi * fj
+              j += 1
+            }
+            i += 1
+          }
+        }
+        var i = 0
+        while (i < dim) { h(i, i) += regDiag(i) + 1e-12; i += 1 }
+        val l = cholesky(h)
+        // diag(H⁻¹) columnwise: solve H·eᵢ via the factor
+        val v = new Array[Double](dim)
+        i = 0
+        while (i < dim) {
+          val e = new Array[Double](dim); e(i) = 1.0
+          val z = graft.ml.tuning.GpMath.cholSolve(l,
+            breeze.linalg.DenseVector(e))
+          v(i) = z(i)
+          i += 1
+        }
+        Some(toOriginal(v))
+      case _ => None
+    }
+  }
+
+  /** Incremental training (L17, GameEstimator.scala:777-798): the prior
+    * model's coefficients and variances become a Gaussian prior, and the
+    * optimizer warm-starts from them. Models trained with variances
+    * ("simple"/"full") chain naturally across retrains. */
+  def trainIncremental(data: Dataset[LabeledPoint], featureDim: Int,
+                       cfg: GlmConfig, priorModel: GlmModel,
+                       incrementalWeight: Double = 1.0,
+                       solver: String = "auto"): GlmModel = {
+    val dim = cfg.coefDim(featureDim)
+    val means = new Array[Double](dim)
+    System.arraycopy(priorModel.coef, 0, means, 0,
+      math.min(featureDim, priorModel.coef.length))
+    if (cfg.fitIntercept) means(featureDim) = priorModel.intercept
+    val variances = priorModel.variances
+      .map(v => java.util.Arrays.copyOf(v, dim))
+      .getOrElse(Array.fill(dim)(1.0))
+    val priorCfg = cfg.copy(prior =
+      Some(GaussianPrior(means, variances, incrementalWeight)))
+    train(data, featureDim, priorCfg, solver, warmStart = Some(means))
   }
 
   /** Local in-memory training — the per-entity path used inside

@@ -10,13 +10,29 @@ import org.apache.spark.storage.StorageLevel
 case class LabeledPoint(label: Double, features: Vector,
                         offset: Double = 0.0, weight: Double = 1.0)
 
-/** GLM objective configuration shared by distributed and local solvers. */
+/** Gaussian prior over coefficients for incremental training (reference
+  * photon-lib/.../function/PriorDistribution.scala:30-233): the previous
+  * model's means and variances become a per-coefficient quadratic penalty
+  * incrementalWeight·Σ (βⱼ−μⱼ)²/(2σⱼ²). Coefficients with no prior
+  * variance (σ² ≤ 0) fall back to the config's plain l2 weight, exactly
+  * the reference's invertVectorWithZeroHandler(l2RegWeight).
+  *
+  * Arrays are in ORIGINAL feature space, length featureDim, plus the
+  * intercept slot last when the model has one. */
+case class GaussianPrior(means: Array[Double], variances: Array[Double],
+                         incrementalWeight: Double = 1.0)
+
+/** GLM objective configuration shared by distributed and local solvers.
+  * `varianceComputation`: "none" | "simple" (1/diag H) | "full"
+  * (diag H⁻¹), matching the reference's VarianceComputationType. */
 case class GlmConfig(loss: PointwiseLoss = LogisticLoss,
                      l1: Double = 0.0, l2: Double = 0.0,
                      fitIntercept: Boolean = true,
                      norm: Normalization = Normalization.identity,
                      maxIter: Int = 100, tol: Double = 1e-6,
-                     treeAggregateDepth: Int = 2) {
+                     treeAggregateDepth: Int = 2,
+                     prior: Option[GaussianPrior] = None,
+                     varianceComputation: String = "none") {
   def coefDim(featureDim: Int): Int =
     featureDim + (if (fitIntercept) 1 else 0)
 }
@@ -135,6 +151,47 @@ class DistributedGlmObjective(data: Dataset[LabeledPoint], featureDim: Int,
       while (i < f.length) { hd(i) *= f(i) * f(i); i += 1 }
     }
     hd
+  }
+
+  /** Full Hessian matrix Σ wᵢ·d2zᵢ·xᵢxᵢᵀ (+ intercept row/col), flattened
+    * row-major d×d (HessianMatrixAggregator.scala:33-129). O(d²) buffer
+    * per task — only for FULL variance computation on models narrow
+    * enough that d² doubles fit comfortably (the reference carries the
+    * same restriction; use "simple" variances for wide models). Computed
+    * over raw features; normalization scaling is applied by the caller. */
+  def hessianMatrix(w: Array[Double]): Array[Double] = {
+    require(dim.toLong * dim <= 64L * 1024 * 1024,
+      s"full Hessian needs ${dim}x$dim doubles; use simple variances")
+    val loss = cfg.loss
+    val fitI = cfg.fitIntercept
+    val norm = cfg.norm
+    val d = dim
+    val fDim = featureDim
+    val ew = GlmMath.effectiveCoef(w, norm, fitI)
+    val shift = GlmMath.marginShift(ew, norm)
+    rdd.treeAggregate(new Array[Double](d * d))(
+      seqOp = { (acc, p) =>
+        val z = GlmMath.margin(ew, shift, fitI, fDim, p.features, p.offset)
+        val c = p.weight * loss.d2z(z, p.label)
+        p.features.foreachActive { (i, xi) =>
+          val ci = c * xi
+          p.features.foreachActive { (j, xj) =>
+            acc(i * d + j) += ci * xj
+          }
+          if (fitI) {
+            acc(i * d + fDim) += ci
+            acc(fDim * d + i) += ci
+          }
+        }
+        if (fitI) acc(fDim * d + fDim) += c
+        acc
+      },
+      combOp = { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      },
+      depth = cfg.treeAggregateDepth)
   }
 
   def unpersist(): Unit = rdd.unpersist(false)

@@ -20,35 +20,87 @@ object Optimizers {
 
   type Oracle = Array[Double] => (Double, Array[Double], Double)
 
-  /** Wrap an oracle as a breeze DiffFunction with L2 added. */
-  private def diffFn(oracle: Oracle, l2: Double, featureDim: Int)
+  /** Quadratic (smooth) regularization in NORMALIZED coefficient space:
+    * value 0.5·Σ a(i)·(w(i)−c(i))², covering plain L2 (c = 0, a = l2 on
+    * features only) and the Gaussian incremental-training prior
+    * (c = prior means, a = incrementalWeight/σ², zero-variance slots
+    * falling back to l2 — PriorDistribution.scala:75-88). */
+  private[ml] final case class QuadReg(center: Array[Double],
+                                       weight: Array[Double]) {
+    def value(w: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < weight.length) {
+        val d = w(i) - center(i); s += weight(i) * d * d; i += 1
+      }
+      0.5 * s
+    }
+    def addGrad(w: Array[Double], g: Array[Double]): Unit = {
+      var i = 0
+      while (i < weight.length) {
+        g(i) += weight(i) * (w(i) - center(i)); i += 1
+      }
+    }
+    def addHv(v: Array[Double], r: Array[Double]): Unit = {
+      var i = 0
+      while (i < weight.length) { r(i) += weight(i) * v(i); i += 1 }
+    }
+    def diagonal: Array[Double] = weight
+  }
+
+  private[ml] object QuadReg {
+    /** Build the regularizer for a config in normalized space: prior
+      * means divide by the normalization factor, prior variances by its
+      * square (w_orig = w_norm·factor ⇒ μ_t = μ/f, σ²_t = σ²/f²). */
+    def from(cfg: GlmConfig, dim: Int, featureDim: Int): QuadReg =
+      cfg.prior match {
+        case None =>
+          val a = new Array[Double](dim)
+          java.util.Arrays.fill(a, 0, featureDim, cfg.l2)
+          QuadReg(new Array[Double](dim), a)
+        case Some(p) =>
+          require(p.means.length == dim && p.variances.length == dim,
+            s"prior arrays must have length $dim")
+          val c = new Array[Double](dim)
+          val a = new Array[Double](dim)
+          val f = cfg.norm.factors
+          var i = 0
+          while (i < dim) {
+            val fi = f.filter(_ => i < featureDim).map(_(i)).getOrElse(1.0)
+            c(i) = p.means(i) / fi
+            a(i) =
+              if (p.variances(i) > 0)
+                p.incrementalWeight * fi * fi / p.variances(i)
+              else cfg.l2
+            i += 1
+          }
+          QuadReg(c, a)
+      }
+  }
+
+  /** Wrap an oracle as a breeze DiffFunction with the quadratic
+    * regularizer added. */
+  private def diffFn(oracle: Oracle, reg: QuadReg)
   : DiffFunction[BDV[Double]] = new DiffFunction[BDV[Double]] {
     def calculate(w: BDV[Double]): (Double, BDV[Double]) = {
       val (l, g, _) = oracle(w.data)
-      if (l2 > 0) {
-        var reg = 0.0
-        var i = 0
-        while (i < featureDim) {
-          reg += w(i) * w(i)
-          g(i) += l2 * w(i)
-          i += 1
-        }
-        (l + 0.5 * l2 * reg, BDV(g))
-      } else (l, BDV(g))
+      reg.addGrad(w.data, g)
+      (l + reg.value(w.data), BDV(g))
     }
   }
 
-  /** LBFGS (optionally + L2), warm-startable. */
+  /** LBFGS (optionally + L2/prior), warm-startable. */
   def lbfgs(oracle: Oracle, dim: Int, featureDim: Int, cfg: GlmConfig,
             init: Option[Array[Double]] = None): Array[Double] = {
     val opt = new BreezeLBFGS[BDV[Double]](maxIter = cfg.maxIter, m = 10,
       tolerance = cfg.tol)
     val w0 = init.filter(_.length == dim).map(a => BDV(a.clone()))
       .getOrElse(BDV.zeros[Double](dim))
-    opt.minimize(diffFn(oracle, cfg.l2, featureDim), w0).data
+    opt.minimize(diffFn(oracle, QuadReg.from(cfg, dim, featureDim)), w0).data
   }
 
-  /** OWLQN for L1 (+ optional L2); L1 never applies to the intercept. */
+  /** OWLQN for L1 (+ optional L2/prior); L1 never applies to the
+    * intercept. */
   def owlqn(oracle: Oracle, dim: Int, featureDim: Int, cfg: GlmConfig,
             init: Option[Array[Double]] = None): Array[Double] = {
     val l1Fn = (i: Int) => if (i < featureDim) cfg.l1 else 0.0
@@ -56,16 +108,17 @@ object Optimizers {
       cfg.tol)
     val w0 = init.filter(_.length == dim).map(a => BDV(a.clone()))
       .getOrElse(BDV.zeros[Double](dim))
-    opt.minimize(diffFn(oracle, cfg.l2, featureDim), w0).data
+    opt.minimize(diffFn(oracle, QuadReg.from(cfg, dim, featureDim)), w0).data
   }
 
   /** LBFGSB box-constrained (the reference's constrained training path). */
   def lbfgsb(oracle: Oracle, lower: Array[Double], upper: Array[Double],
              featureDim: Int, cfg: GlmConfig): Array[Double] = {
+    val dim = lower.length
     val opt = new BreezeLBFGSB(BDV(lower), BDV(upper),
       maxIter = cfg.maxIter, tolerance = cfg.tol)
-    opt.minimize(diffFn(oracle, cfg.l2, featureDim),
-      BDV.zeros[Double](lower.length)).data
+    opt.minimize(diffFn(oracle, QuadReg.from(cfg, dim, featureDim)),
+      BDV.zeros[Double](dim)).data
   }
 
   /** Trust-region Newton (TRON, reference TRON.scala:78-330): outer trust
@@ -77,24 +130,16 @@ object Optimizers {
            maxCgIter: Int = 20): Array[Double] = {
     val (eta0, eta1, eta2) = (1e-4, 0.25, 0.75)
     val (sigma1, sigma2, sigma3) = (0.25, 0.5, 4.0)
+    val reg = QuadReg.from(cfg, dim, featureDim)
 
     def withL2Value(w: Array[Double]): (Double, Array[Double]) = {
       val (l, g, _) = oracle(w)
-      if (cfg.l2 > 0) {
-        var reg = 0.0
-        var i = 0
-        while (i < featureDim) {
-          reg += w(i) * w(i); g(i) += cfg.l2 * w(i); i += 1
-        }
-        (l + 0.5 * cfg.l2 * reg, g)
-      } else (l, g)
+      reg.addGrad(w, g)
+      (l + reg.value(w), g)
     }
     def withL2Hv(w: Array[Double], v: Array[Double]): Array[Double] = {
       val r = hv(w, v)
-      if (cfg.l2 > 0) {
-        var i = 0
-        while (i < featureDim) { r(i) += cfg.l2 * v(i); i += 1 }
-      }
+      reg.addHv(v, r)
       r
     }
     def norm2(a: Array[Double]): Double = {

@@ -82,7 +82,7 @@ case class Matern52(amplitude: Double = 1.0, noise: Double = 1e-4,
   def withParams(a: Double, n: Double, l: Double): Kernel = Matern52(a, n, l)
 }
 
-private[tuning] object GpMath {
+private[ml] object GpMath {
   /** Solve K·z = y given L = chol(K) (lower): forward then back subst. */
   def cholSolve(l: DenseMatrix[Double],
                 y: DenseVector[Double]): DenseVector[Double] = {

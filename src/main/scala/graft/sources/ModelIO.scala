@@ -43,10 +43,20 @@ object ModelIO {
     val metas = model.coordinates.map { case (id, coord) =>
       coord match {
         case TrainedFixed(spec, m) =>
+          // variances (when computed) ride along per coefficient; the
+          // intercept's variance is the feature_idx = -1 row — incremental
+          // retraining needs them back (GaussianPrior)
           val kept = m.coef.zipWithIndex.filter {
             case (wgt, _) => math.abs(wgt) >= sparsityThreshold
-          }.map { case (wgt, i) => (i, wgt) }
-          kept.toSeq.toDF("feature_idx", "weight")
+          }.map { case (wgt, i) =>
+            (i, wgt, m.variances.map(v => v(i)).getOrElse(0.0))
+          }
+          val rows = m.variances match {
+            case Some(v) if v.length > spec.featureDim =>
+              kept :+ ((-1, m.intercept, v(spec.featureDim)))
+            case _ => kept
+          }
+          rows.toSeq.toDF("feature_idx", "weight", "variance")
             .write.mode("overwrite").parquet(s"$dir/fixed-effect/$id")
           Seq("fixed-effect", id, spec.featuresCol, spec.featureDim.toString,
             m.lossName, m.intercept.toString, "")
@@ -83,12 +93,24 @@ object ModelIO {
           m.group(6).toDouble, m.group(7))
       val coord: TrainedCoordinate = kind match {
         case "fixed-effect" =>
-          val rows = spark.read.parquet(s"$dir/fixed-effect/$id").collect()
+          val df = spark.read.parquet(s"$dir/fixed-effect/$id")
+          val hasVar = df.columns.contains("variance")
+          val rows = df.collect()
           val coef = new Array[Double](dim)
-          rows.foreach(r => coef(r.getInt(0)) = r.getDouble(1))
+          rows.filter(_.getInt(0) >= 0)
+            .foreach(r => coef(r.getInt(0)) = r.getDouble(1))
+          val variances =
+            if (hasVar && rows.exists(_.getInt(0) == -1)) {
+              val v = new Array[Double](dim + 1)
+              rows.foreach { r =>
+                val i = r.getInt(0)
+                if (i >= 0) v(i) = r.getDouble(2) else v(dim) = r.getDouble(2)
+              }
+              Some(v)
+            } else None
           TrainedFixed(FixedSpec(id, featuresCol, dim,
             GlmConfig(PointwiseLoss.fromName(loss))),
-            GlmModel(coef, intercept, loss))
+            GlmModel(coef, intercept, loss, variances))
         case "random-effect" =>
           TrainedRandom(RandomSpec(id, reIdCol, featuresCol, dim,
             GlmConfig(PointwiseLoss.fromName(loss))),
