@@ -75,9 +75,16 @@ object CoordinateDescent {
   }
 
   /** `data` columns: uid (long), label, weight, offset, one VectorUDT
-    * column per feature shard, one string column per random-effect id. */
+    * column per feature shard, one string column per random-effect id.
+    *
+    * `initial` seeds the trained-coordinate map (incremental/partial
+    * retraining, GameEstimator.scala:777-798): random-effect coordinates
+    * warm-start per entity from the seeded models (entities absent from
+    * the new data keep them), and fixed coordinates are re-trained from
+    * the residual as usual. */
   def train(data: DataFrame, coords: Seq[CoordinateSpec],
-            nIterations: Int = 2): GameModel = {
+            nIterations: Int = 2,
+            initial: Option[GameModel] = None): GameModel = {
     val spark = data.sparkSession
     import spark.implicits._
     val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
@@ -88,7 +95,8 @@ object CoordinateDescent {
     var scores: Map[String, DataFrame] =
       coords.map(c => c.id -> zeroScores).toMap
     var summed: DataFrame = zeroScores.persist(StorageLevel.MEMORY_AND_DISK)
-    var trained = Map.empty[String, TrainedCoordinate]
+    var trained: Map[String, TrainedCoordinate] =
+      initial.map(_.coordinates).getOrElse(Map.empty)
 
     for (iter <- 0 until nIterations; spec <- coords) {
       // residual scores of all OTHER coordinates (X15: subtract own)
