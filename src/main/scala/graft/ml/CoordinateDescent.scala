@@ -43,7 +43,8 @@ object CoordinateDescent {
     * trained on (RandomEffectDataset.scala:35-53). */
   case class RandomSpec(id: String, reIdCol: String, featuresCol: String,
                         featureDim: Int, cfg: GlmConfig,
-                        activeCap: Int = 0, activeLowerBound: Int = 0)
+                        activeCap: Int = 0, activeLowerBound: Int = 0,
+                        pearsonK: Int = 0)
     extends CoordinateSpec
 
   sealed trait TrainedCoordinate {
@@ -84,9 +85,13 @@ object CoordinateDescent {
     * the residual as usual. */
   def train(data: DataFrame, coords: Seq[CoordinateSpec],
             nIterations: Int = 2,
-            initial: Option[GameModel] = None): GameModel = {
+            initial: Option[GameModel] = None,
+            lockedCoordinates: Set[String] = Set.empty): GameModel = {
     val spark = data.sparkSession
     import spark.implicits._
+    require(lockedCoordinates.forall(id =>
+      initial.exists(_.coordinates.contains(id))),
+      "locked coordinates must exist in the initial model")
     val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
 
     def zeroScores: DataFrame =
@@ -98,7 +103,22 @@ object CoordinateDescent {
     var trained: Map[String, TrainedCoordinate] =
       initial.map(_.coordinates).getOrElse(Map.empty)
 
-    for (iter <- 0 until nIterations; spec <- coords) {
+    // L16 partial retrain (reference CoordinateDescent.scala:280-300):
+    // locked coordinates keep their initial model; their scores are fixed
+    // residual contributions computed once, never re-trained.
+    lockedCoordinates.foreach { id =>
+      val lockedScore = trained(id).score(cached)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSummed = ScoreAlgebra.add(summed, lockedScore, "uid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      newSummed.count()
+      summed.unpersist(false)
+      summed = newSummed
+      scores += id -> lockedScore
+    }
+    val retrained = coords.filterNot(c => lockedCoordinates.contains(c.id))
+
+    for (iter <- 0 until nIterations; spec <- retrained) {
       // residual scores of all OTHER coordinates (X15: subtract own)
       val residual = ScoreAlgebra.subtract(summed, scores(spec.id), "uid")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -140,7 +160,8 @@ object CoordinateDescent {
           val priors = trained.get(r.id).map(_
             .asInstanceOf[TrainedRandom].models.as[RandomEffect.ReModel])
           TrainedRandom(r,
-            RandomEffect.train(ds, r.featureDim, r.cfg, priors).toDF())
+            RandomEffect.train(ds, r.featureDim, r.cfg, priors,
+              r.pearsonK).toDF())
       }
       trained += spec.id -> coordinate
 

@@ -25,17 +25,32 @@ object RandomEffect {
   /** Train one GLM per entity. `priors` (reId → model) gives warm-start /
     * fall-through semantics: entities with a prior but no data keep the
     * prior (the reference's full-outer join, RandomEffectCoordinate.scala:
-    * 248-271). */
+    * 248-271). `pearsonK` > 0 applies per-entity Pearson feature
+    * selection (P5) before the local solve — the solution scatters back
+    * to full dimension, so scoring is unchanged. */
   def train(data: Dataset[ReSample], featureDim: Int, cfg: GlmConfig,
-            priors: Option[Dataset[ReModel]] = None): Dataset[ReModel] = {
+            priors: Option[Dataset[ReModel]] = None,
+            pearsonK: Int = 0): Dataset[ReModel] = {
     implicit val enc = Encoders.product[ReModel]
     val grouped = data.groupByKey(_.reId)(Encoders.STRING)
+
+    def solve(samples: Array[LabeledPoint],
+              warmStart: Option[Array[Double]]): GlmModel =
+      if (pearsonK > 0 && pearsonK < featureDim) {
+        val idx = FeatureSelection.topPearsonIndices(samples, featureDim,
+          pearsonK)
+        val projected = samples.map(p => p.copy(features =
+          FeatureSelection.project(p.features, idx)))
+        val m = Glm.trainLocal(projected, idx.length, cfg)
+        m.copy(coef = FeatureSelection.scatter(m.coef, idx, featureDim))
+      } else Glm.trainLocal(samples, featureDim, cfg, warmStart)
+
     priors match {
       case None =>
         grouped.mapGroups { (id, it) =>
           val samples = it.map(r =>
             LabeledPoint(r.label, r.features, r.offset, r.weight)).toArray
-          val m = Glm.trainLocal(samples, featureDim, cfg)
+          val m = solve(samples, None)
           ReModel(id, m.coef, m.intercept)
         }
       case Some(pm) =>
@@ -46,8 +61,8 @@ object RandomEffect {
             LabeledPoint(r.label, r.features, r.offset, r.weight)).toArray
           if (samples.isEmpty) prior.iterator
           else {
-            val m = Glm.trainLocal(samples, featureDim, cfg,
-              warmStart = prior.map(p => p.coef :+ p.intercept))
+            val m = solve(samples,
+              prior.map(p => p.coef :+ p.intercept))
             Iterator(ReModel(id, m.coef, m.intercept))
           }
         }

@@ -16,8 +16,8 @@ class GameSpec extends SparkSpec {
     (0 until nUsers).map(u => s"u$u" -> (u - nUsers / 2) * 0.5).toMap
   private val wTrue = Array(2.0, -1.0)
 
-  private def gameData(n: Int) = {
-    val rnd = new scala.util.Random(7)
+  private def gameData(n: Int, seed: Int = 7) = {
+    val rnd = new scala.util.Random(seed)
     (0 until n).map { i =>
       val u = s"u${rnd.nextInt(nUsers)}"
       val x = Array(rnd.nextGaussian(), rnd.nextGaussian())
@@ -56,6 +56,63 @@ class GameSpec extends SparkSpec {
     val scored = model.score(data).join(data.select("uid", "label"), "uid")
     val rmse = Evaluators.rmse(scored, "score", "label")
     assert(rmse < 0.1, s"rmse=$rmse")
+  }
+
+  test("pearson selection keeps the label-correlated feature only") {
+    val rnd = new scala.util.Random(21)
+    val pts = (0 until 100).map { _ =>
+      val x1 = rnd.nextGaussian()            // true signal
+      val x2 = rnd.nextGaussian()            // noise
+      LabeledPoint(3.0 * x1 + rnd.nextGaussian() * 0.1,
+        org.apache.spark.ml.linalg.Vectors.dense(x1, x2))
+    }.toArray
+    val idx = FeatureSelection.topPearsonIndices(pts, 2, 1)
+    assert(idx.toSeq == Seq(0))
+    // constant feature never wins
+    val const = pts.map(p => p.copy(features =
+      org.apache.spark.ml.linalg.Vectors.dense(1.0, p.features(0))))
+    assert(FeatureSelection.topPearsonIndices(const, 2, 1).toSeq == Seq(1))
+    // scatter puts the projected solution back in place
+    assert(FeatureSelection.scatter(Array(7.0), Array(1), 3).toSeq ==
+      Seq(0.0, 7.0, 0.0))
+  }
+
+  test("per-entity training with pearsonK zeroes unselected coefficients") {
+    val rnd = new scala.util.Random(31)
+    val data = (0 until 300).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      RandomEffect.ReSample(s"e${i % 3}", 2.0 * x1 + rnd.nextGaussian() * 0.1,
+        org.apache.spark.ml.linalg.Vectors.dense(x1, x2), 0.0, 1.0)
+    }.toDS()
+    val models = RandomEffect.train(data, 2,
+      GlmConfig(SquaredLoss, l2 = 1e-6, maxIter = 50, tol = 1e-9),
+      pearsonK = 1).collect()
+    assert(models.length == 3)
+    models.foreach { m =>
+      assert(math.abs(m.coef(0) - 2.0) < 0.1, s"coef=${m.coef.toSeq}")
+      assert(m.coef(1) == 0.0)
+    }
+  }
+
+  test("partial retrain keeps locked coordinates byte-identical") {
+    val data = gameData(400, seed = 8)
+    val specs = Seq(
+      FixedSpec("global", "fixedFeatures", 2,
+        GlmConfig(SquaredLoss, l2 = 1e-6, maxIter = 50, tol = 1e-9)),
+      RandomSpec("perUser", "userId", "emptyFeatures", 0,
+        GlmConfig(SquaredLoss, l2 = 1e-2, maxIter = 20, tol = 1e-9)))
+    val first = CoordinateDescent.train(data, specs, nIterations = 2)
+    val relocked = CoordinateDescent.train(gameData(400, seed = 9), specs,
+      nIterations = 2, initial = Some(first),
+      lockedCoordinates = Set("global"))
+    val lockedFixed = relocked.coordinates("global")
+      .asInstanceOf[TrainedFixed].model
+    val origFixed = first.coordinates("global")
+      .asInstanceOf[TrainedFixed].model
+    assert(lockedFixed.coef.toSeq == origFixed.coef.toSeq &&
+      lockedFixed.intercept == origFixed.intercept)
+    // the unlocked coordinate did retrain
+    assert(relocked.coordinates("perUser") ne first.coordinates("perUser"))
   }
 
   test("random-effect priors survive for entities with no new data") {
