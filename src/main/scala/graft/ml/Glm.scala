@@ -50,13 +50,17 @@ object Glm {
     val obj = new DistributedGlmObjective(data, featureDim, cfg)
     val dim = cfg.coefDim(featureDim)
     val init = warmStart.filter(_ => cfg.norm.isIdentity)
-    val w = solver match {
-      case "tron" =>
+    val w = (solver, cfg.bounds) match {
+      case (_, Some((lower, upper))) =>
+        // box constraints (S5/L4): LBFGSB regardless of requested solver
+        Optimizers.lbfgsb(obj.valueAndGradient, lower, upper, featureDim,
+          cfg)
+      case ("tron", _) =>
         Optimizers.tron(obj.valueAndGradient, obj.hessianVector, dim,
           featureDim, cfg)
-      case "owlqn" =>
+      case ("owlqn", _) =>
         Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg, init)
-      case "lbfgs" =>
+      case ("lbfgs", _) =>
         Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg, init)
       case _ =>
         if (cfg.l1 > 0)

@@ -32,7 +32,8 @@ case class GlmConfig(loss: PointwiseLoss = LogisticLoss,
                      maxIter: Int = 100, tol: Double = 1e-6,
                      treeAggregateDepth: Int = 2,
                      prior: Option[GaussianPrior] = None,
-                     varianceComputation: String = "none") {
+                     varianceComputation: String = "none",
+                     bounds: Option[(Array[Double], Array[Double])] = None) {
   def coefDim(featureDim: Int): Int =
     featureDim + (if (fitIntercept) 1 else 0)
 }

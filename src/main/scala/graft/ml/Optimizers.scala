@@ -111,14 +111,18 @@ object Optimizers {
     opt.minimize(diffFn(oracle, QuadReg.from(cfg, dim, featureDim)), w0).data
   }
 
-  /** LBFGSB box-constrained (the reference's constrained training path). */
+  /** LBFGSB box-constrained (the reference's constrained training path).
+    * Starts from zeros clamped into the box (LBFGSB needs a feasible
+    * start). */
   def lbfgsb(oracle: Oracle, lower: Array[Double], upper: Array[Double],
              featureDim: Int, cfg: GlmConfig): Array[Double] = {
     val dim = lower.length
     val opt = new BreezeLBFGSB(BDV(lower), BDV(upper),
       maxIter = cfg.maxIter, tolerance = cfg.tol)
+    val start = Array.tabulate(dim)(i =>
+      math.min(math.max(0.0, lower(i)), upper(i)))
     opt.minimize(diffFn(oracle, QuadReg.from(cfg, dim, featureDim)),
-      BDV.zeros[Double](dim)).data
+      BDV(start)).data
   }
 
   /** Trust-region Newton (TRON, reference TRON.scala:78-330): outer trust

@@ -37,12 +37,23 @@ object FeatureVectorizer {
       (row_number().over(Window.orderBy("featureKey")) - 1).cast("int"))
   }
 
-  /** Merge `bagCols` into one SparseVector column named `outCol`, using a
-    * broadcast name→index map. Duplicate keys within a row accumulate
-    * (photon sums duplicate feature occurrences); unknown keys are
-    * dropped (scoring-time behavior for unseen features). */
+  /** Merge `bagCols` into one SparseVector column named `outCol`.
+    * Duplicate keys within a row accumulate (photon sums duplicate
+    * feature occurrences); unknown keys are dropped (scoring-time
+    * behavior for unseen features).
+    *
+    * Dispatch on vocabulary size: up to `broadcastVocabLimit` keys the
+    * index map is collected and broadcast into a codegen-friendly UDF
+    * (the common case — vocabularies ≪ data); above it the map is NEVER
+    * collected to the driver and vectorization becomes an explode +
+    * shuffle join + per-row regroup ([[vectorizeByJoin]]) — the path
+    * that survives photon's "hundreds of billions of coefficients". */
   def vectorize(df: DataFrame, bagCols: Seq[String], indexMap: DataFrame,
-                outCol: String): DataFrame = {
+                outCol: String,
+                broadcastVocabLimit: Long = 2000000L): DataFrame = {
+    val vocab = indexMap.count()
+    if (vocab > broadcastVocabLimit)
+      return vectorizeByJoin(df, bagCols, indexMap, outCol, vocab.toInt)
     val spark = df.sparkSession
     val entries = indexMap.collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
@@ -70,6 +81,38 @@ object FeatureVectorizer {
       Vectors.sparse(dim, m.toSeq.sortBy(_._1))
     }
     df.withColumn(outCol, mkVec(keyArr, valArr))
+  }
+
+  /** Join-based vectorization for vocabularies too large to broadcast:
+    * explode every row's feature keys, equi-join the index map (a shuffle
+    * keyed by featureKey — Catalyst/AQE pick the join strategy), regroup
+    * per row, and reattach. The index map stays distributed end to end. */
+  private[sources] def vectorizeByJoin(df: DataFrame, bagCols: Seq[String],
+                                       indexMap: DataFrame, outCol: String,
+                                       dim: Int): DataFrame = {
+    def safeBag(b: String): Column =
+      coalesce(col(b), array().cast(df.schema(b).dataType))
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val exploded = withId.select(col("__rid"),
+      explode(flatten(array(bagCols.map(b => transform(safeBag(b), f =>
+        struct(featureKey(f.getField("name"), f.getField("term"))
+          .as("featureKey"),
+          f.getField("value").cast("double").as("value")))): _*))).as("f"))
+      .select(col("__rid"), col("f.featureKey"), col("f.value"))
+    val grouped = exploded.join(indexMap, "featureKey")
+      .groupBy("__rid")
+      .agg(collect_list(struct(col("index"), col("value"))).as("__fs"))
+    val mkVec = udf { (fs: Seq[Row]) =>
+      val m = scala.collection.mutable.HashMap.empty[Int, Double]
+      if (fs != null) fs.foreach { r =>
+        val i = r.getInt(0)
+        m(i) = m.getOrElse(i, 0.0) + r.getDouble(1)
+      }
+      Vectors.sparse(dim, m.toSeq.sortBy(_._1))
+    }
+    withId.join(grouped, Seq("__rid"), "left_outer")
+      .withColumn(outCol, mkVec(col("__fs")))
+      .drop("__rid", "__fs")
   }
 
   /** Full readMerged equivalent: build (or reuse) index maps per shard and

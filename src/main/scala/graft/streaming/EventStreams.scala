@@ -33,23 +33,42 @@ object EventStreams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
-  /** Stateful sessionization via flatMapGroupsWithState: a session closes
-    * after `gapMs` of user inactivity (processing-time timeout variant for
-    * the demo; event-time timeout is a config switch in production). */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
-  : Dataset[SessionSummary] = {
+  /** Stateful sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME timeout: a session closes after `gapMs` of user
+    * inactivity, either because a later event arrives past the gap or
+    * because the watermark passes lastEvent + gap — so idle users' final
+    * sessions flush and their state is freed (a NoTimeout variant leaks
+    * state and never emits the last session; state here is bounded by
+    * the watermark horizon at any stream length). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "1 hour"): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark).as[Event]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Event], SessionSummary](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[List[Event]]) =>
-          // accumulate, emit sessions whose gap has closed inside the batch
-          val all = (state.getOption.getOrElse(Nil) ++ batch.toList)
-            .sortBy(_.ts.getTime)
-          val (closed, open) = splitSessions(all, gapMs)
-          state.update(open)
-          closed.iterator.map(summarize(user, _))
+          if (state.hasTimedOut) {
+            // watermark passed lastEvent + gap: flush everything
+            val leftover = state.getOption.getOrElse(Nil)
+            state.remove()
+            splitSessions(leftover, gapMs) match {
+              case (closed, open) =>
+                (closed ++ (if (open.nonEmpty) List(open) else Nil))
+                  .iterator.map(summarize(user, _))
+            }
+          } else {
+            // accumulate, emit sessions whose gap closed inside the batch
+            val all = (state.getOption.getOrElse(Nil) ++ batch.toList)
+              .sortBy(_.ts.getTime)
+            val (closed, open) = splitSessions(all, gapMs)
+            if (open.nonEmpty) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.last.ts.getTime + gapMs)
+            } else state.remove()
+            closed.iterator.map(summarize(user, _))
+          }
       }
   }
 

@@ -94,6 +94,44 @@ class SourcesSpec extends SparkSpec {
       !merged.columns.contains("features"))
   }
 
+  test("join-based vectorization equals the broadcast path") {
+    val path = writeAvro(30)
+    val df = AvroIO.read(spark, Seq(path))
+    val indexMap = FeatureVectorizer.buildIndexMap(df, Seq("features"))
+    val broadcastVec = FeatureVectorizer.vectorize(df, Seq("features"),
+      indexMap, "vec")
+    // vocab limit 0 forces the distributed explode+join path
+    val joinVec = FeatureVectorizer.vectorize(df, Seq("features"),
+      indexMap, "vec", broadcastVocabLimit = 0)
+    val a = broadcastVec.select("uid", "vec").collect()
+      .map(r => r.getString(0) -> r.getAs[Vector](1)).toMap
+    val b = joinVec.select("uid", "vec").collect()
+      .map(r => r.getString(0) -> r.getAs[Vector](1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(v == b(k), s"mismatch at $k") }
+  }
+
+  test("feature indexing and name-term bag drivers write vocab artifacts") {
+    import graft.drivers.{Args, FeatureIndexingDriver, NameAndTermFeatureBagsDriver}
+    val path = writeAvro(25)
+    val raw = AvroIO.read(spark, Seq(path))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-feat").toString
+    raw.write.mode("overwrite").parquet(s"$tmp/input")
+    val idx = FeatureIndexingDriver.run(spark, Args.parse(Array(
+      "--input-dir", s"$tmp/input", "--bag-cols", "features",
+      "--output-dir", s"$tmp/index", "--num-partitions", "1")))
+    assert(idx.columns.toSeq == Seq("featureKey", "index"))
+    val persisted = spark.read.parquet(s"$tmp/index")
+    assert(persisted.count() == idx.count())
+    val bags = NameAndTermFeatureBagsDriver.run(spark, Args.parse(Array(
+      "--input-dir", s"$tmp/input", "--bag-cols", "features",
+      "--output-dir", s"$tmp/bags")))
+    val names = spark.read.parquet(s"$tmp/bags/features")
+    assert(names.columns.toSeq == Seq("name", "term"))
+    assert(names.count() == 4) // age + 3 geo terms
+    assert(bags("features").count() == 4)
+  }
+
   test("devectorize inverts vectorize") {
     val path = writeAvro(10)
     val df = AvroIO.read(spark, Seq(path))

@@ -56,6 +56,33 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.n_events == 2 && closed.head.total == 3.0)
   }
 
+  test("event-time timeout flushes idle users' final sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    def tsh(h: Int, m: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(),
+      gapMs = 10 * 60 * 1000, watermark = "30 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("timeout_sessions").start()
+    input.addData(
+      EventStreams.Event(1, tsh(10, 1), 1, "click", 1.0),
+      EventStreams.Event(2, tsh(10, 5), 1, "view", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("timeout_sessions").count() == 0) // open, no timeout
+    // another user far in the future pushes the watermark past
+    // user 1's last event + gap; the next batch fires the timeout
+    input.addData(EventStreams.Event(3, tsh(14, 0), 2, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(4, tsh(14, 1), 2, "view", 1.0))
+    q.processAllAvailable()
+    val flushed = spark.table("timeout_sessions")
+      .as[EventStreams.SessionSummary].collect().filter(_.user_id == 1)
+    q.stop()
+    assert(flushed.length == 1, s"got ${flushed.toSeq}")
+    assert(flushed.head.n_events == 2 && flushed.head.total == 3.0)
+  }
+
   test("streaming GLM scoring broadcasts the model over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val model = graft.ml.GlmModel(Array(2.0, 1.0), 0.5, "squared")
