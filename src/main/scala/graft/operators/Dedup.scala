@@ -108,10 +108,23 @@ object Dedup {
     * collisions within a compared pair are ~2⁻⁶⁴·|sh|² — negligible. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int = 3,
-                   threshold: Double = 0.1): DataFrame = {
-    val d = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
-      sort_array(array_distinct(transform(TF.shingles(col(textCol), n),
-        s => xxhash64(s)))).as("sh"))
+                   threshold: Double = 0.1): DataFrame =
+    prefixFilterJaccard(
+      docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+        sort_array(array_distinct(transform(TF.shingles(col(textCol), n),
+          s => xxhash64(s)))).as("sh")),
+      threshold)
+
+  /** The standard ppjoin/AllPairs prefix filter (Bayardo et al. WWW'07):
+    * candidates share a hash in the first |sh| − ⌈t·|sh|⌉ + 1 sorted
+    * hashes, then exact verification by a linear merge of the sorted
+    * hash arrays. The shingled corpus is persisted (LRU-evictable) for
+    * the duration of the plan — it feeds three scans. */
+  private def prefixFilterJaccard(d0: DataFrame, threshold: Double)
+  : DataFrame = {
+    // shingle+hash arrays feed the prefix explode AND both verify joins —
+    // materialize once instead of re-tokenizing the corpus three times
+    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // prefix length |sh| − ⌈t·|sh|⌉ + 1 (≥1 shared prefix hash required)
     val prefixLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
