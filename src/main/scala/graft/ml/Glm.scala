@@ -46,7 +46,8 @@ object Glm {
     * coefficient variances are computed at the optimum and attached. */
   def train(data: Dataset[LabeledPoint], featureDim: Int, cfg: GlmConfig,
             solver: String = "auto",
-            warmStart: Option[Array[Double]] = None): GlmModel = {
+            warmStart: Option[Array[Double]] = None,
+            tracker: Option[StatesTracker] = None): GlmModel = {
     val obj = new DistributedGlmObjective(data, featureDim, cfg)
     val dim = cfg.coefDim(featureDim)
     val init = warmStart.filter(_ => cfg.norm.isIdentity)
@@ -57,20 +58,32 @@ object Glm {
           cfg)
       case ("tron", _) =>
         Optimizers.tron(obj.valueAndGradient, obj.hessianVector, dim,
-          featureDim, cfg)
+          featureDim, cfg, tracker = tracker)
       case ("owlqn", _) =>
-        Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg, init)
+        Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg, init,
+          tracker)
       case ("lbfgs", _) =>
-        Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg, init)
+        Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg, init,
+          tracker)
       case _ =>
         if (cfg.l1 > 0)
-          Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg, init)
+          Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg,
+            init, tracker)
         else Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg,
-          init)
+          init, tracker)
     }
     val variances = computeVariances(obj, w, featureDim, cfg)
     obj.unpersist()
     toOriginalSpace(w, featureDim, cfg).copy(variances = variances)
+  }
+
+  /** Training with per-iteration state tracking (L1): returns the model
+    * plus the recorded optimization states for logging/diagnostics. */
+  def trainTracked(data: Dataset[LabeledPoint], featureDim: Int,
+                   cfg: GlmConfig, solver: String = "auto")
+  : (GlmModel, StatesTracker) = {
+    val t = new StatesTracker
+    (train(data, featureDim, cfg, solver, tracker = Some(t)), t)
   }
 
   /** Coefficient variances at the optimum, in ORIGINAL space

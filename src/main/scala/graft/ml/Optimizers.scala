@@ -89,26 +89,49 @@ object Optimizers {
     }
   }
 
-  /** LBFGS (optionally + L2/prior), warm-startable. */
+  private def normOf(v: BDV[Double]): Double = breeze.linalg.norm(v)
+
+  /** LBFGS (optionally + L2/prior), warm-startable. `tracker` records
+    * one state per accepted iteration (L1 state tracking). */
   def lbfgs(oracle: Oracle, dim: Int, featureDim: Int, cfg: GlmConfig,
-            init: Option[Array[Double]] = None): Array[Double] = {
+            init: Option[Array[Double]] = None,
+            tracker: Option[StatesTracker] = None): Array[Double] = {
     val opt = new BreezeLBFGS[BDV[Double]](maxIter = cfg.maxIter, m = 10,
       tolerance = cfg.tol)
     val w0 = init.filter(_.length == dim).map(a => BDV(a.clone()))
       .getOrElse(BDV.zeros[Double](dim))
-    opt.minimize(diffFn(oracle, QuadReg.from(cfg, dim, featureDim)), w0).data
+    val fn = diffFn(oracle, QuadReg.from(cfg, dim, featureDim))
+    tracker match {
+      case None => opt.minimize(fn, w0).data
+      case Some(t) =>
+        var result = w0
+        opt.iterations(fn, w0).foreach { s =>
+          result = s.x; t.record(s.value, normOf(s.grad))
+        }
+        result.data
+    }
   }
 
   /** OWLQN for L1 (+ optional L2/prior); L1 never applies to the
     * intercept. */
   def owlqn(oracle: Oracle, dim: Int, featureDim: Int, cfg: GlmConfig,
-            init: Option[Array[Double]] = None): Array[Double] = {
+            init: Option[Array[Double]] = None,
+            tracker: Option[StatesTracker] = None): Array[Double] = {
     val l1Fn = (i: Int) => if (i < featureDim) cfg.l1 else 0.0
     val opt = new BreezeOWLQN[Int, BDV[Double]](cfg.maxIter, 10, l1Fn,
       cfg.tol)
     val w0 = init.filter(_.length == dim).map(a => BDV(a.clone()))
       .getOrElse(BDV.zeros[Double](dim))
-    opt.minimize(diffFn(oracle, QuadReg.from(cfg, dim, featureDim)), w0).data
+    val fn = diffFn(oracle, QuadReg.from(cfg, dim, featureDim))
+    tracker match {
+      case None => opt.minimize(fn, w0).data
+      case Some(t) =>
+        var result = w0
+        opt.iterations(fn, w0).foreach { s =>
+          result = s.x; t.record(s.value, normOf(s.grad))
+        }
+        result.data
+    }
   }
 
   /** LBFGSB box-constrained (the reference's constrained training path).
@@ -131,7 +154,8 @@ object Optimizers {
     * Moré; Hsia et al.) — standard eta/sigma constants. */
   def tron(oracle: Oracle, hv: (Array[Double], Array[Double]) => Array[Double],
            dim: Int, featureDim: Int, cfg: GlmConfig,
-           maxCgIter: Int = 20): Array[Double] = {
+           maxCgIter: Int = 20,
+           tracker: Option[StatesTracker] = None): Array[Double] = {
     val (eta0, eta1, eta2) = (1e-4, 0.25, 0.75)
     val (sigma1, sigma2, sigma3) = (0.25, 0.5, 4.0)
     val reg = QuadReg.from(cfg, dim, featureDim)
@@ -238,6 +262,7 @@ object Optimizers {
       else
         delta = math.max(delta, math.min(alpha * sNorm, sigma3 * delta))
       if (actual > eta0 * pred) { w = wNew; f = fNew; g = gNew }
+      tracker.foreach(_.record(f, norm2(g)))
       iter += 1
     }
     w
