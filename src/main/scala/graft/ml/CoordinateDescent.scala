@@ -94,14 +94,24 @@ object CoordinateDescent {
       "locked coordinates must exist in the initial model")
     val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
 
-    def zeroScores: DataFrame =
-      cached.select(col("uid"), lit(0.0).as("score"))
-
-    var scores: Map[String, DataFrame] =
-      coords.map(c => c.id -> zeroScores).toMap
-    var summed: DataFrame = zeroScores.persist(StorageLevel.MEMORY_AND_DISK)
+    // Score frames are tracked as Option[DataFrame] with None = all-zero.
+    // The first pass over each coordinate then skips the residual
+    // subtract / offset-attach / score-add joins entirely (they would be
+    // joins against a literal-zero column) — on a 2-coordinate GAME run
+    // this removes three full-data shuffles from the first iteration.
+    var scores: Map[String, Option[DataFrame]] =
+      coords.map(c => c.id -> (None: Option[DataFrame])).toMap
+    var summed: Option[DataFrame] = None
     var trained: Map[String, TrainedCoordinate] =
       initial.map(_.coordinates).getOrElse(Map.empty)
+
+    def materialize(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // checkpoint-by-materialize: plans must not grow per round
+      p
+    }
+    def release(df: DataFrame, keep: DataFrame*): Unit =
+      if (!keep.exists(_ eq df)) df.unpersist(false)
 
     // L16 partial retrain (reference CoordinateDescent.scala:280-300):
     // locked coordinates keep their initial model; their scores are fixed
@@ -109,21 +119,31 @@ object CoordinateDescent {
     lockedCoordinates.foreach { id =>
       val lockedScore = trained(id).score(cached)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSummed = ScoreAlgebra.add(summed, lockedScore, "uid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      newSummed.count()
-      summed.unpersist(false)
-      summed = newSummed
-      scores += id -> lockedScore
+      val newSummed = summed match {
+        case None => materialize(lockedScore)
+        case Some(s) =>
+          val ns = materialize(ScoreAlgebra.add(s, lockedScore, "uid"))
+          release(s, lockedScore); ns
+      }
+      summed = Some(newSummed)
+      scores += id -> Some(lockedScore)
     }
     val retrained = coords.filterNot(c => lockedCoordinates.contains(c.id))
 
     for (iter <- 0 until nIterations; spec <- retrained) {
       // residual scores of all OTHER coordinates (X15: subtract own)
-      val residual = ScoreAlgebra.subtract(summed, scores(spec.id), "uid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val withResidual = ScoreAlgebra
-        .addToOffsets(cached, residual, "uid")
+      val residual: Option[DataFrame] = (summed, scores(spec.id)) match {
+        case (None, _) => None // nothing scored yet
+        case (Some(s), None) => Some(s) // own score still zero
+        case (Some(s), Some(own)) if s eq own =>
+          None // single-coordinate case: summed IS the own score
+        case (Some(s), Some(own)) =>
+          Some(materialize(ScoreAlgebra.subtract(s, own, "uid")))
+      }
+      val withResidual = residual match {
+        case None => cached
+        case Some(r) => ScoreAlgebra.addToOffsets(cached, r, "uid")
+      }
 
       val coordinate: TrainedCoordinate = spec match {
         case f: FixedSpec =>
@@ -167,15 +187,18 @@ object CoordinateDescent {
 
       val newScore = coordinate.score(cached)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSummed = ScoreAlgebra.add(residual, newScore, "uid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // checkpoint-by-materialize, then release the previous round
-      newSummed.count()
-      summed.unpersist(false)
-      scores(spec.id).unpersist(false)
-      residual.unpersist(false)
-      summed = newSummed
-      scores += spec.id -> newScore
+      val newSummed = residual match {
+        case None => materialize(newScore)
+        case Some(r) =>
+          val ns = materialize(ScoreAlgebra.add(r, newScore, "uid"))
+          release(r, newScore); ns
+      }
+      // release the previous round's frames (guarding shared references:
+      // residual may BE the old summed, newSummed may BE newScore)
+      summed.foreach(s => release(s, newSummed, newScore))
+      scores(spec.id).foreach(o => release(o, newSummed, newScore))
+      summed = Some(newSummed)
+      scores += spec.id -> Some(newScore)
     }
     cached.unpersist(false)
     GameModel(trained)
