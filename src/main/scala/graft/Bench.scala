@@ -12,7 +12,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // materialize EVERY output column: a bare count() lets Catalyst
+      // prune projection-only plans down to a row count, so pure-map
+      // queries would measure nothing
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -250,8 +250,13 @@ object SparkEntry {
 
   /** Shingling stats (n-gram generation + distinct). */
   def q25_shingle_stats(s: SparkSession, d: String): DataFrame =
+    // n_shingles ≡ size(shingles) but needs only the token COUNT —
+    // building the shingle strings for it would double the string work
+    // (higher-order expressions are outside codegen subexpression
+    // elimination, so size(shingles) + size(distinctShingles) would
+    // materialize the array twice)
     T.documents(s, d).select(col("doc_id"),
-      size(TF.shingles(col("text"), 3)).as("n_shingles"),
+      greatest(lit(0), TF.tokenCount(col("text")) - 2).as("n_shingles"),
       size(TF.distinctShingles(col("text"), 3)).as("n_distinct_shingles"))
 
   /** n-gram Jaccard near-dup pairs within a blocking key. */
