@@ -534,6 +534,18 @@ object SparkEntry {
     Dedup.simhash(T.documents(s, d), "doc_id", "text", maxHamming = 16)
       .withColumn("hamming", col("hamming").cast("long"))
 
+  /** IVF-Flat ANN: k-means inverted lists + nProbe search (the
+    * data-adaptive scale path next to q41's LSH; k-means assignment is
+    * run-deterministic but not engine-mirrorable → rows-only check). */
+  def q43_knn_ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    Similarity.ivf(queries, corpus, 3, nList = 8, nProbe = 2)
+  }
+
   /** LSH-bucketed ANN (deterministic pseudo-random hyperplanes). */
   def q41_knn_lsh(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
@@ -587,6 +599,7 @@ object SparkEntry {
     "q40_simhash_pairs" -> (q40_simhash_pairs _),
     "q41_knn_lsh" -> (q41_knn_lsh _),
     "q42_multimodal" -> (q42_multimodal _),
+    "q43_knn_ivf" -> (q43_knn_ivf _),
     "q50_glm_logistic" -> (q50_glm_logistic _),
     "q51_glm_tron" -> (q51_glm_tron _),
     "q52_game_events" -> (q52_game_events _),

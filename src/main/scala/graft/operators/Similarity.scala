@@ -41,6 +41,44 @@ object Similarity {
       .select(col("qid"), col("id"),
         V.cosine(col("qv"), col("v")).as("cosine")), k)
 
+  /** IVF-Flat ANN: a k-means coarse quantizer (distributed MLlib fit)
+    * assigns every corpus vector to its nearest of `nList` centroids;
+    * queries probe the `nProbe` nearest inverted lists and score only
+    * those lists' members. The classic IVF trade-off: centroids adapt to
+    * the data distribution (vs. data-oblivious LSH hyperplanes), at the
+    * cost of a training pass. Corpus side = one k-means fit + one
+    * shuffle on list id; centroids (nList · dim doubles) broadcast. */
+  def ivf(queries: DataFrame, corpus: DataFrame, k: Int,
+          nList: Int = 16, nProbe: Int = 2, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    val av = corpus.select(col("id"), col("v"),
+      array_to_vector(col("v").cast("array<double>")).as("fv"))
+    val model = new KMeans().setK(nList).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list").fit(av)
+    val bucketed = model.transform(av).select(col("id"), col("v"),
+      col("list"))
+    val centers = corpus.sparkSession.sparkContext
+      .broadcast(model.clusterCenters)
+    val probeLists = udf { (qv: Seq[Double]) =>
+      centers.value.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        val ca = c.toArray
+        while (j < ca.length) {
+          val diff = ca(j) - qv(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val q = queries.select(col("qid"), col("qv"),
+      explode(probeLists(col("qv").cast("array<double>"))).as("list"))
+    topK(bucketed.join(broadcast(q), Seq("list"))
+      .select(col("qid"), col("id"),
+        V.cosine(col("qv"), col("v")).as("cosine")), k)
+  }
+
   /** LSH-bucketed ANN: score only same-bucket (plus probed-bucket) pairs.
     * At 100 TB the corpus side is one scan + one shuffle on bucket id. */
   def lsh(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -90,6 +90,17 @@ object EventStreams {
     SessionSummary(user, s.size.toLong, s.map(_.value).sum,
       s.head.ts.getTime, s.last.ts.getTime)
 
+  /** Streaming exact dedup: keep the first document per content hash,
+    * with state bounded by the watermark horizon
+    * (dropDuplicatesWithinWatermark — duplicates arriving within the
+    * watermark window are dropped, older state is evicted; the streaming
+    * twin of Dedup.exact). */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming GLM scoring: broadcast model over a stream — the
     * `model join readStream` extension called out in SURVEY §2.10. */
   def scoreStream(stream: DataFrame, model: GlmModel, featuresCol: String)

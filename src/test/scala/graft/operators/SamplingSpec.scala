@@ -99,6 +99,25 @@ class SamplingSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall (bf=${bf.size} ann=${ann.size})")
   }
 
+  test("IVF ANN returns k results per query with decent recall") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForce(queries, corpus, 3))
+    val ivf = Similarity.ivf(queries, corpus, 3, nList = 4, nProbe = 2)
+    val got = ivf.collect()
+    assert(got.length == 15) // 5 queries x k=3
+    assert(got.forall(_.getInt(3) <= 3)) // ranks within k
+    val recall = (bf intersect pairs(ivf)).size.toDouble / bf.size
+    // probing half the lists: recall must beat random half-coverage floor
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("dedup hot-bucket guard drops degenerate buckets") {
     import spark.implicits._
     // 30 identical docs all land in one simhash bucket; cap 10 drops them

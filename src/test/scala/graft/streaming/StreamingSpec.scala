@@ -83,6 +83,24 @@ class StreamingSpec extends SparkSpec {
     assert(flushed.head.n_events == 2 && flushed.head.total == 3.0)
   }
 
+  test("streaming dedup keeps first document per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = EventStreams.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+      watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    input.addData(
+      (1L, ts(1), "same text"), (2L, ts(2), "same text"),
+      (3L, ts(3), "other text"))
+    q.processAllAvailable()
+    val ids = spark.table("deduped").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids == Set(1L, 3L), s"got $ids")
+  }
+
   test("streaming GLM scoring broadcasts the model over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val model = graft.ml.GlmModel(Array(2.0, 1.0), 0.5, "squared")
