@@ -187,7 +187,22 @@ object Glm {
       if (cfg.l1 > 0) Optimizers.owlqn(obj.valueAndGradient, dim,
         featureDim, cfg, init)
       else Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg, init)
-    toOriginalSpace(w, featureDim, cfg)
+    val variances = cfg.varianceComputation.toLowerCase match {
+      case "simple" | "full" => // full ≡ simple for tiny local problems
+        val regDiag = Optimizers.QuadReg.from(cfg, dim, featureDim).diagonal
+        val hd = obj.hessianDiagonal(w)
+        val v = Array.tabulate(dim) { i =>
+          val h = hd(i) + regDiag(i)
+          if (h > 1e-12) 1.0 / h else 1e12
+        }
+        cfg.norm.factors.foreach { f =>
+          var i = 0
+          while (i < f.length) { v(i) *= f(i) * f(i); i += 1 }
+        }
+        Some(v)
+      case _ => None
+    }
+    toOriginalSpace(w, featureDim, cfg).copy(variances = variances)
   }
 
   /** Warm-started regularization path (ModelTraining.scala:100-228):

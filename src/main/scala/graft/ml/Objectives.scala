@@ -222,4 +222,27 @@ class LocalGlmObjective(data: Array[LabeledPoint], featureDim: Int,
     GlmMath.finishGradient(grad, cfg.norm, cfg.fitIntercept, featureDim)
     (l, grad, ws)
   }
+
+  /** Hessian diagonal at w (local twin of the distributed aggregator) —
+    * per-entity SIMPLE variances for incremental random effects. */
+  def hessianDiagonal(w: Array[Double]): Array[Double] = {
+    val ew = GlmMath.effectiveCoef(w, cfg.norm, cfg.fitIntercept)
+    val shift = GlmMath.marginShift(ew, cfg.norm)
+    val hd = new Array[Double](dim)
+    var i = 0
+    while (i < data.length) {
+      val p = data(i)
+      val z = GlmMath.margin(ew, shift, cfg.fitIntercept, featureDim,
+        p.features, p.offset)
+      val c = p.weight * cfg.loss.d2z(z, p.label)
+      p.features.foreachActive { (j, x) => hd(j) += c * x * x }
+      if (cfg.fitIntercept) hd(featureDim) += c
+      i += 1
+    }
+    cfg.norm.factors.foreach { f =>
+      var j = 0
+      while (j < f.length) { hd(j) *= f(j) * f(j); j += 1 }
+    }
+    hd
+  }
 }

@@ -20,7 +20,8 @@ object RandomEffect {
 
   case class ReSample(reId: String, label: Double, features: Vector,
                       offset: Double, weight: Double)
-  case class ReModel(reId: String, coef: Array[Double], intercept: Double)
+  case class ReModel(reId: String, coef: Array[Double], intercept: Double,
+                     variances: Option[Array[Double]] = None)
 
   /** Train one GLM per entity. `priors` (reId → model) gives warm-start /
     * fall-through semantics: entities with a prior but no data keep the
@@ -35,15 +36,27 @@ object RandomEffect {
     val grouped = data.groupByKey(_.reId)(Encoders.STRING)
 
     def solve(samples: Array[LabeledPoint],
-              warmStart: Option[Array[Double]]): GlmModel =
+              prior: Option[ReModel]): GlmModel =
       if (pearsonK > 0 && pearsonK < featureDim) {
+        // selection changes the coefficient space per entity, so priors
+        // (whose means live in full space) are not applied here
         val idx = FeatureSelection.topPearsonIndices(samples, featureDim,
           pearsonK)
         val projected = samples.map(p => p.copy(features =
           FeatureSelection.project(p.features, idx)))
         val m = Glm.trainLocal(projected, idx.length, cfg)
         m.copy(coef = FeatureSelection.scatter(m.coef, idx, featureDim))
-      } else Glm.trainLocal(samples, featureDim, cfg, warmStart)
+      } else {
+        val warm = prior.map(p => p.coef :+ p.intercept)
+        // a prior WITH variances regularizes toward the previous model
+        // (per-entity incremental training); without, it only warm-starts
+        val priorCfg = prior.flatMap(p => p.variances.map(v =>
+          cfg.copy(prior = Some(GaussianPrior(
+            if (cfg.fitIntercept) p.coef :+ p.intercept else p.coef,
+            java.util.Arrays.copyOf(v, cfg.coefDim(featureDim)))))))
+          .getOrElse(cfg)
+        Glm.trainLocal(samples, featureDim, priorCfg, warm)
+      }
 
     priors match {
       case None =>
@@ -51,7 +64,7 @@ object RandomEffect {
           val samples = it.map(r =>
             LabeledPoint(r.label, r.features, r.offset, r.weight)).toArray
           val m = solve(samples, None)
-          ReModel(id, m.coef, m.intercept)
+          ReModel(id, m.coef, m.intercept, m.variances)
         }
       case Some(pm) =>
         val groupedPriors = pm.groupByKey(_.reId)(Encoders.STRING)
@@ -61,9 +74,8 @@ object RandomEffect {
             LabeledPoint(r.label, r.features, r.offset, r.weight)).toArray
           if (samples.isEmpty) prior.iterator
           else {
-            val m = solve(samples,
-              prior.map(p => p.coef :+ p.intercept))
-            Iterator(ReModel(id, m.coef, m.intercept))
+            val m = solve(samples, prior)
+            Iterator(ReModel(id, m.coef, m.intercept, m.variances))
           }
         }
     }
@@ -77,7 +89,8 @@ object RandomEffect {
     * (reference behavior: unseen entity → zero model). */
   def score(df: DataFrame, models: Dataset[ReModel], reIdCol: String,
             featuresCol: String, scoreCol: String = "score"): DataFrame = {
-    val m = models.toDF("__reId", "__coef", "__intercept")
+    val m = models.select(col("reId").as("__reId"), col("coef").as("__coef"),
+      col("intercept").as("__intercept"))
     val marginUdf = udf { (v: Vector, coef: Seq[Double], b: Double) =>
       if (coef == null) 0.0 else GlmMath.dot(coef.toArray, v) + b
     }

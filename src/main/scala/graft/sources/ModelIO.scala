@@ -112,9 +112,13 @@ object ModelIO {
             GlmConfig(PointwiseLoss.fromName(loss))),
             GlmModel(coef, intercept, loss, variances))
         case "random-effect" =>
+          val df0 = spark.read.parquet(s"$dir/random-effect/$id")
+          // saves from before per-entity variances lack the column
+          val df = if (df0.columns.contains("variances")) df0
+          else df0.withColumn("variances",
+            lit(null).cast("array<double>"))
           TrainedRandom(RandomSpec(id, reIdCol, featuresCol, dim,
-            GlmConfig(PointwiseLoss.fromName(loss))),
-            spark.read.parquet(s"$dir/random-effect/$id"))
+            GlmConfig(PointwiseLoss.fromName(loss))), df)
       }
       id -> coord
     }.toMap

@@ -115,6 +115,29 @@ class GameSpec extends SparkSpec {
     assert(relocked.coordinates("perUser") ne first.coordinates("perUser"))
   }
 
+  test("per-entity variances persist and priors regularize, not just warm-start") {
+    val rnd = new scala.util.Random(41)
+    def batch(n: Int, effect: Double) = (0 until n).map { _ =>
+      RandomEffect.ReSample("e1", effect + rnd.nextGaussian() * 0.1,
+        Vectors.dense(Array.empty[Double]), 0.0, 1.0)
+    }.toDS()
+    val cfg = GlmConfig(SquaredLoss, l2 = 1e-6, maxIter = 50, tol = 1e-10,
+      varianceComputation = "simple")
+    // big first batch at effect 2.0 → tight intercept variance ~ 1/n
+    val first = RandomEffect.train(batch(1000, 2.0), 0, cfg)
+    val m1 = first.collect().head
+    assert(m1.variances.isDefined)
+    assert(math.abs(m1.variances.get(0) - 1e-3) < 1e-4)
+    // tiny second batch at a different effect: with the prior the
+    // estimate barely moves; a cold fit lands on the new batch's mean
+    val second = RandomEffect.train(batch(5, 0.0), 0, cfg,
+      priors = Some(first)).collect().head
+    val cold = RandomEffect.train(batch(5, 0.0), 0, cfg).collect().head
+    assert(math.abs(second.intercept - 2.0) < 0.2,
+      s"incremental=${second.intercept}")
+    assert(math.abs(cold.intercept) < 0.5, s"cold=${cold.intercept}")
+  }
+
   test("random-effect priors survive for entities with no new data") {
     val prior = spark.createDataset(Seq(
       RandomEffect.ReModel("ghost", Array(1.0), 0.5),
