@@ -151,6 +151,10 @@ object OracleSql {
         """SELECT ROUND(a, 6) AS slope, ROUND(b, 6) AS intercept
           |FROM s12""".stripMargin),
 
+    "q55_re_means" ->
+      """SELECT user_id, ROUND(AVG(value) + 1e-9, 6) AS mean_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q54_ridge_closed" ->
       """WITH pts AS (
         |  SELECT CAST(embedding[1] AS DOUBLE) AS x1,
@@ -475,7 +479,7 @@ object OracleSql {
         |  SELECT (CAST(embedding[1] AS DOUBLE) * 10.0 - CAST(label AS DOUBLE))
         |    * (CAST(embedding[1] AS DOUBLE) * 10.0 - CAST(label AS DOUBLE)) AS sq
         |  FROM embeddings)
-        |SELECT sqrt(CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) AS rmse
+        |SELECT ROUND(sqrt(CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)), 9) AS rmse
         |FROM e""".stripMargin,
 
     "q35_grouped_auc" ->

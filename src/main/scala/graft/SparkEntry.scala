@@ -340,10 +340,14 @@ object SparkEntry {
     val e = T.embeddings(s, d).select(
       (element_at(col("embedding"), 1).cast("double") * 10.0).as("pred"),
       col("label").cast("double").as("label"))
+    // decimal-exact sum for order independence; final 9-dp rounding
+    // absorbs the rare double->decimal half-rounding tie where Spark's
+    // shortest-repr cast and DuckDB's exact-expansion cast disagree in
+    // the 13th digit of one squared term
     e.select(((col("pred") - col("label")) * (col("pred") - col("label")))
       .as("sq"))
-      .agg(sqrt(sum(dec(col("sq"), 28, 12)).cast("double") /
-        count(lit(1))).as("rmse"))
+      .agg(round(sqrt(sum(dec(col("sq"), 28, 12)).cast("double") /
+        count(lit(1))), 9).as("rmse"))
   }
 
   /** A4 on embeddings: per-label stats of the first component. */
@@ -435,6 +439,30 @@ object SparkEntry {
         tol = 1e-12), solver = "tron")
     Seq((rnd6(m.coef(0)), rnd6(m.coef(1)), rnd6(m.intercept)))
       .toDF("w1", "w2", "intercept")
+  }
+
+  /** L10/J3 through the REAL per-entity trainer with a closed-form
+    * oracle: intercept-only squared-loss models per user — the optimizer
+    * must land on each user's mean value (the unique minimizer), which
+    * DuckDB computes as AVG. Gates the groupByKey + local-solver path
+    * end to end. */
+  def q55_re_means(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val ds = T.events(s, d).select(
+      col("user_id").cast("string").as("reId"),
+      col("value").as("label"),
+      array_to_vector(array().cast("array<double>")).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.RandomEffect.ReSample]
+    graft.ml.RandomEffect.train(ds, 0,
+      graft.ml.GlmConfig(graft.ml.SquaredLoss, maxIter = 100, tol = 1e-12))
+      .toDF()
+      // +1e-9 pushes values that sit exactly on a 6-dp rounding boundary
+      // (where solver error ~1e-10 vs DuckDB's exact AVG would flip the
+      // digit) onto the same side in both engines
+      .select(col("reId").cast("long").as("user_id"),
+        round(col("intercept") + 1e-9, 6).as("mean_value"))
   }
 
   // --------------------------------------- non-SQL-expressible (rows-only)
@@ -604,7 +632,8 @@ object SparkEntry {
     "q51_glm_tron" -> (q51_glm_tron _),
     "q52_game_events" -> (q52_game_events _),
     "q53_logistic_newton" -> (q53_logistic_newton _),
-    "q54_ridge_closed" -> (q54_ridge_closed _))
+    "q54_ridge_closed" -> (q54_ridge_closed _),
+    "q55_re_means" -> (q55_re_means _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
