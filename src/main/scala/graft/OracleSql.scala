@@ -383,6 +383,29 @@ object OracleSql {
     "q24_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
 
+    "q44_clean_corpus" -> (toksCte + """,
+        |hits AS (
+        |  SELECT doc_id, text, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    len(list_filter(toks, tk -> list_contains(['the','and','of','to','in','is','a'], lower(tk)))) AS en,
+        |    len(list_filter(toks, tk -> list_contains(['le','la','et','les','des','un','une'], lower(tk)))) AS fr,
+        |    len(list_filter(toks, tk -> list_contains(['der','die','und','das','nicht','ist','ein'], lower(tk)))) AS de,
+        |    len(list_filter(toks, tk -> list_contains(['el','los','y','que','en','una','por'], lower(tk)))) AS es
+        |  FROM t),
+        |lang AS (
+        |  SELECT doc_id, text, n_tokens, CASE
+        |    WHEN en = greatest(en, fr, de, es) AND en > 0 THEN 'en'
+        |    WHEN fr = greatest(en, fr, de, es) AND fr > 0 THEN 'fr'
+        |    WHEN de = greatest(en, fr, de, es) AND de > 0 THEN 'de'
+        |    WHEN es = greatest(en, fr, de, es) AND es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_guess
+        |  FROM hits),
+        |kept AS (
+        |  SELECT * FROM lang
+        |  WHERE n_tokens >= 5 AND lang_guess IN ('en', 'fr'))
+        |SELECT doc_id, n_tokens, lang_guess FROM kept
+        |WHERE doc_id IN (
+        |  SELECT MIN(doc_id) FROM kept GROUP BY md5(text))""".stripMargin),
+
     "q25_shingle_stats" -> (shinglesCte + """
         |SELECT doc_id, CAST(len(sh3) AS BIGINT) AS n_shingles,
         |  CAST(len(list_distinct(sh3)) AS BIGINT) AS n_distinct_shingles

@@ -243,6 +243,12 @@ object SparkEntry {
     T.documents(s, d).select(col("doc_id"),
       TF.langId(col("text")).as("lang_guess"))
 
+  /** Corpus-cleaning composition: token floor + language whitelist +
+    * exact dedup (keep lowest id) in one pipeline. */
+  def q44_clean_corpus(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusPipeline.clean(T.documents(s, d), "doc_id",
+      "text", minTokens = 5, langs = Seq("en", "fr"))
+
   /** Document fingerprinting. */
   def q24_fingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d).select(col("doc_id"),
@@ -628,6 +634,7 @@ object SparkEntry {
     "q41_knn_lsh" -> (q41_knn_lsh _),
     "q42_multimodal" -> (q42_multimodal _),
     "q43_knn_ivf" -> (q43_knn_ivf _),
+    "q44_clean_corpus" -> (q44_clean_corpus _),
     "q50_glm_logistic" -> (q50_glm_logistic _),
     "q51_glm_tron" -> (q51_glm_tron _),
     "q52_game_events" -> (q52_game_events _),
