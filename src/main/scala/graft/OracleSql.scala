@@ -126,6 +126,20 @@ object OracleSql {
         |  FROM scored)
         |SELECT qid, "rank", id, cosine FROM ranked WHERE "rank" <= 3""".stripMargin),
 
+    "q45_embedding_dedup" -> (
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |""".stripMargin + lshBucketCte(4) + """,
+        |d AS (SELECT e.vec_id AS id, v, bucket FROM e JOIN buckets USING (vec_id)),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]), (x, y) -> x + y)
+        |      * list_reduce(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]), (x, y) -> x + y)
+        |    ) AS cosine
+        |  FROM d a JOIN d b ON a.bucket = b.bucket AND a.id < b.id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.25""".stripMargin),
+
     "q40_simhash_pairs" -> (simhashCte + """
       |SELECT id_a, id_b, hamming FROM (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

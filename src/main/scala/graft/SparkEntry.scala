@@ -580,6 +580,12 @@ object SparkEntry {
     Similarity.ivf(queries, corpus, 3, nList = 8, nProbe = 2)
   }
 
+  /** Embedding-cosine near-dup pairs: sign-LSH bucket join + exact
+    * cosine verification (deterministic hyperplanes → SQL-mirrorable). */
+  def q45_embedding_dedup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingCosine(T.embeddings(s, d), "vec_id", "embedding",
+      nBits = 4, threshold = 0.25)
+
   /** LSH-bucketed ANN (deterministic pseudo-random hyperplanes). */
   def q41_knn_lsh(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
@@ -635,6 +641,7 @@ object SparkEntry {
     "q42_multimodal" -> (q42_multimodal _),
     "q43_knn_ivf" -> (q43_knn_ivf _),
     "q44_clean_corpus" -> (q44_clean_corpus _),
+    "q45_embedding_dedup" -> (q45_embedding_dedup _),
     "q50_glm_logistic" -> (q50_glm_logistic _),
     "q51_glm_tron" -> (q51_glm_tron _),
     "q52_game_events" -> (q52_game_events _),
