@@ -29,7 +29,10 @@ object FeatureIndexingDriver {
       a.list("input-dirs") match {
         case Nil => Seq(a.str("input-dir")); case ds => ds
       })
-    val indexMap = FeatureVectorizer.buildIndexMap(input, a.list("bag-cols"))
+    val selected = a.opt("selected-features-dir")
+      .map(d => spark.read.parquet(d))
+    val indexMap = FeatureVectorizer.buildIndexMap(input,
+      a.list("bag-cols"), selected)
     val partitions = a.int("num-partitions", 1)
     a.opt("output-dir").foreach { out =>
       indexMap.repartition(partitions).write.mode("overwrite").parquet(out)

@@ -26,14 +26,26 @@ object FeatureVectorizer {
   /** Distinct feature keys across the given bag columns → (featureKey,
     * index) with DETERMINISTIC dense indices (sorted by key — stable
     * across runs and cluster layouts, unlike zipWithIndex). One
-    * distinct-aggregate plus one global sort of the (small) vocabulary. */
-  def buildIndexMap(df: DataFrame, bagCols: Seq[String]): DataFrame = {
+    * distinct-aggregate plus one global sort of the (small) vocabulary.
+    *
+    * `selectedFeatures` is the legacy whitelist (GLMSuite selected-
+    * features file, GLMSuite.scala:140-147): a (name, term) DataFrame;
+    * when given, only whitelisted keys are indexed — indices stay dense
+    * over the surviving vocabulary. */
+  def buildIndexMap(df: DataFrame, bagCols: Seq[String],
+                    selectedFeatures: Option[DataFrame] = None): DataFrame = {
     val keys = bagCols.map(b =>
         df.select(explode(col(b)).as("f"))
           .select(featureKey(col("f.name"), col("f.term")).as("featureKey")))
       .reduce(_ unionAll _)
       .distinct()
-    keys.withColumn("index",
+    val kept = selectedFeatures match {
+      case None => keys
+      case Some(sel) =>
+        keys.join(sel.select(featureKey(col("name"), col("term"))
+          .as("featureKey")), Seq("featureKey"), "left_semi")
+    }
+    kept.withColumn("index",
       (row_number().over(Window.orderBy("featureKey")) - 1).cast("int"))
   }
 

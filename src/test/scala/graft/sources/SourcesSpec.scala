@@ -132,6 +132,22 @@ class SourcesSpec extends SparkSpec {
     assert(bags("features").count() == 4)
   }
 
+  test("selected-features whitelist filters the index map, indices dense") {
+    import spark.implicits._
+    val path = writeAvro(20)
+    val df = AvroIO.read(spark, Seq(path))
+    val whitelist = Seq(("age", ""), ("geo", "g1")).toDF("name", "term")
+    val idx = FeatureVectorizer.buildIndexMap(df, Seq("features"),
+      Some(whitelist)).collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(idx.length == 2)
+    assert(idx.map(_._2).sorted.toSeq == Seq(0, 1)) // still dense
+    // vectorizing with the filtered map drops non-whitelisted features
+    val vec = FeatureVectorizer.vectorize(df, Seq("features"),
+      FeatureVectorizer.buildIndexMap(df, Seq("features"), Some(whitelist)),
+      "v")
+    assert(vec.select("v").head().getAs[Vector](0).size == 2)
+  }
+
   test("devectorize inverts vectorize") {
     val path = writeAvro(10)
     val df = AvroIO.read(spark, Seq(path))
