@@ -115,6 +115,35 @@ class GameSpec extends SparkSpec {
     assert(relocked.coordinates("perUser") ne first.coordinates("perUser"))
   }
 
+  test("active cap and lower bound flow through coordinate descent") {
+    val data = gameData(2000)
+    val specs = Seq(
+      FixedSpec("global", "fixedFeatures", 2,
+        GlmConfig(SquaredLoss, l2 = 1e-6, maxIter = 50, tol = 1e-9)),
+      RandomSpec("perUser", "userId", "emptyFeatures", 0,
+        GlmConfig(SquaredLoss, l2 = 1e-2, maxIter = 20, tol = 1e-9),
+        activeCap = 20, activeLowerBound = 30))
+    val model = CoordinateDescent.train(data, specs, nIterations = 2)
+    val re = model.coordinates("perUser").asInstanceOf[TrainedRandom].models
+    // ~100 rows/user: every user clears the lower bound, cap rescales
+    // weights — per-user intercepts must still recover the true effects
+    val got = re.collect().map(r =>
+      r.getString(0) -> r.getDouble(2)).toMap
+    // the global intercept absorbs a constant, so compare DE-MEANED
+    // effects (the identifiable quantity)
+    val gotMean = got.values.sum / got.size
+    val trueMean = userEffect.values.sum / userEffect.size
+    val errs = userEffect.map { case (u, e) =>
+      math.abs((got.getOrElse(u, 0.0) - gotMean) - (e - trueMean)) }
+    assert(errs.max < 0.15, s"max err ${errs.max}")
+    // a prohibitive lower bound excludes every entity from training
+    val none = CoordinateDescent.train(data, Seq(specs.head,
+      specs(1).asInstanceOf[RandomSpec].copy(activeLowerBound = 10000)),
+      nIterations = 1)
+    assert(none.coordinates("perUser").asInstanceOf[TrainedRandom]
+      .models.count() == 0)
+  }
+
   test("per-entity variances persist and priors regularize, not just warm-start") {
     val rnd = new scala.util.Random(41)
     def batch(n: Int, effect: Double) = (0 until n).map { _ =>
