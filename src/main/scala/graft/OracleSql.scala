@@ -140,6 +140,11 @@ object OracleSql {
         |  FROM d a JOIN d b ON a.bucket = b.bucket AND a.id < b.id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.25""".stripMargin),
 
+    "q46_uniform_downsample" -> (
+      "SELECT event_id FROM events WHERE CAST(" +
+        hex8("CAST(event_id AS VARCHAR)") +
+        " AS DOUBLE) / 4294967296.0 < 0.1"),
+
     "q40_simhash_pairs" -> (simhashCte + """
       |SELECT id_a, id_b, hamming FROM (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -217,6 +217,11 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), sumExact(col("weight"), 18, 6)
         .as("sum_weight"))
 
+  /** L14 uniform variant: deterministic hash-fraction sampling. */
+  def q46_uniform_downsample(s: SparkSession, d: String): DataFrame =
+    DownSampling.uniform(T.events(s, d), Seq("event_id"), rate = 0.1)
+      .select("event_id")
+
   // ------------------------------------------------ text / dedup (training-data ops)
 
   /** Exact dedup by content hash. */
@@ -642,6 +647,7 @@ object SparkEntry {
     "q43_knn_ivf" -> (q43_knn_ivf _),
     "q44_clean_corpus" -> (q44_clean_corpus _),
     "q45_embedding_dedup" -> (q45_embedding_dedup _),
+    "q46_uniform_downsample" -> (q46_uniform_downsample _),
     "q50_glm_logistic" -> (q50_glm_logistic _),
     "q51_glm_tron" -> (q51_glm_tron _),
     "q52_game_events" -> (q52_game_events _),

@@ -21,6 +21,7 @@ object GameScoringDriver {
   }
 
   def run(spark: SparkSession, a: Args): DataFrame = {
+    import spark.implicits._
     val input = GameTrainingDriver.readInputs(spark, a,
       a.list("input-dirs") match {
         case Nil => Seq(a.str("input-dir")); case ds => ds
@@ -31,6 +32,20 @@ object GameScoringDriver {
     a.opt("output-dir").foreach { out =>
       ModelIO.saveScores(scores, out, a.str("model-id", "default"),
         a.int("output-files-limit", 0))
+      // when labels ride along, log the evaluation next to the scores
+      // (reference GameScoringDriver evaluates when validation data has
+      // a response column)
+      a.opt("evaluator").foreach { metric =>
+        val scored = prepared.select($"uid", $"label").join(scores, "uid")
+        val value = metric match {
+          case "auc" => graft.ml.Evaluators.auc(scored, "score", "label")
+          case "rmse" => graft.ml.Evaluators.rmse(scored, "score", "label")
+          case _ =>
+            graft.ml.Evaluators.logisticLoss(scored, "score", "label")
+        }
+        Seq((metric, value)).toDF("metric", "value")
+          .coalesce(1).write.mode("overwrite").json(s"$out-metrics")
+      }
     }
     scores
   }

@@ -95,7 +95,11 @@ class DriversSpec extends SparkSpec {
       "--model-id", "m1", "--output-files-limit", "1",
       "--uid-col", "id", "--label-col", "y",
       "--feature-cols", "x1,x2",
-      "--random-coordinates", "perUser:user")))
+      "--random-coordinates", "perUser:user",
+      "--evaluator", "rmse")))
+    val metric = spark.read.json(s"$tmp/scores-metrics").collect().head
+    assert(metric.getAs[String]("metric") == "rmse" &&
+      metric.getAs[Double]("value") < 1.0)
     assert(scores.count() == 500)
     val written = spark.read.parquet(s"$tmp/scores")
     assert(written.count() == 500)
