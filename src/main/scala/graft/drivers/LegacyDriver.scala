@@ -34,9 +34,19 @@ object LegacyDriver {
       .getAs[org.apache.spark.ml.linalg.Vector](0).size
     val ds = prepared.select(col("label"), col("features"), col("offset"),
       col("weight")).as[LabeledPoint]
+    // --constraints '[{"name":"x1","term":"","lowerBound":0}]' routes
+    // training to LBFGSB; assembled feature-cols map to keys name+SEP+""
+    val bounds = a.opt("constraints").map { json =>
+      val keyToIndex = a.list("feature-cols").zipWithIndex.map {
+        case (c, i) => (c + graft.sources.FeatureVectorizer.Sep) -> i
+      }.toMap
+      Constraints.boundsFor(Constraints.parse(json), keyToIndex,
+        featureDim, fitIntercept = true)
+    }
     val cfg = GlmConfig(loss, maxIter = a.int("max-iter", 100),
       tol = a.dbl("tol", 1e-7),
-      varianceComputation = a.str("variance", "none"))
+      varianceComputation = a.str("variance", "none"),
+      bounds = bounds)
     val lambdas = a.doubles("lambdas") match {
       case Nil => Seq(1.0); case ls => ls
     }
@@ -49,6 +59,11 @@ object LegacyDriver {
         Map(l -> Glm.trainIncremental(ds, featureDim, cfg.copy(l2 = l),
           prior, a.dbl("incremental-weight", 1.0),
           a.str("solver", "auto")))
+      case None if cfg.bounds.isDefined =>
+        // constrained path: per-lambda LBFGSB fits (the warm-started
+        // regularization path is unconstrained by construction)
+        lambdas.map(l =>
+          l -> Glm.train(ds, featureDim, cfg.copy(l2 = l))).toMap
       case None =>
         Glm.regularizationPath(ds, featureDim, cfg, lambdas)
     }

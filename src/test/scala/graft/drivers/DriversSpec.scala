@@ -135,6 +135,20 @@ class DriversSpec extends SparkSpec {
     assert(math.abs(m.coef(0) - prior.coef(0)) < 0.5)
   }
 
+  test("legacy driver honors a JSON constraint map via LBFGSB") {
+    dataReady
+    val (models, _) = LegacyDriver.run(spark, Args.parse(Array(
+      "--input-dir", s"$tmp/train",
+      "--uid-col", "id", "--label-col", "y",
+      "--feature-cols", "x1,x2",
+      "--loss", "squared", "--lambdas", "0.01",
+      "--constraints",
+      """[{"name":"x1","term":"","upperBound":1.0}]""")))
+    val m = models.values.head
+    // unconstrained x1 weight is ~2; the box clamps it at 1
+    assert(math.abs(m.coef(0) - 1.0) < 1e-4, s"coef=${m.coef.toSeq}")
+  }
+
   test("game training driver bayesian tuning mode returns trials") {
     dataReady
     val (_, results) = GameTrainingDriver.run(spark, Args.parse(Array(
