@@ -170,6 +170,32 @@ object OracleSql {
         """SELECT ROUND(a, 6) AS slope, ROUND(b, 6) AS intercept
           |FROM s12""".stripMargin),
 
+    // Coordinate descent unrolled as closed-form rounds (nIterations = 2,
+    // coordinate order fixed→random, mirroring CoordinateDescent.train):
+    //   f1: fixed on zero residual  → βₜ = Σₜ y / (nₜ + 1e-6)
+    //   r1: random on offset = f1   → αᵤ = meanᵤ(y − βₜ)   (unregularized)
+    //   f2: fixed on offset = r1    → βₜ = Σₜ(y − αᵤ) / (nₜ + 1e-6)
+    //   r2: random on offset = f2   → αᵤ = meanᵤ(y − βₜ)
+    "q52_game_events" ->
+      """WITH ev AS (SELECT user_id, event_type, value AS y FROM events),
+        |f1 AS (
+        |  SELECT event_type, SUM(y) / (COUNT(*) + 1e-6) AS beta
+        |  FROM ev GROUP BY event_type),
+        |r1 AS (
+        |  SELECT user_id, SUM(y - beta) / COUNT(*) AS alpha
+        |  FROM ev JOIN f1 USING (event_type) GROUP BY user_id),
+        |f2 AS (
+        |  SELECT event_type, SUM(y - alpha) / (COUNT(*) + 1e-6) AS beta
+        |  FROM ev JOIN r1 USING (user_id) GROUP BY event_type),
+        |r2 AS (
+        |  SELECT user_id, SUM(y - beta) / COUNT(*) AS alpha
+        |  FROM ev JOIN f2 USING (event_type) GROUP BY user_id)
+        |SELECT 'eventType' AS coordinate, event_type AS entity,
+        |  ROUND(beta + 1e-9, 6) AS weight FROM f2
+        |UNION ALL
+        |SELECT 'perUser' AS coordinate, CAST(user_id AS VARCHAR) AS entity,
+        |  ROUND(alpha + 1e-9, 6) AS weight FROM r2""".stripMargin,
+
     "q55_re_means" ->
       """SELECT user_id, ROUND(AVG(value) + 1e-9, 6) AS mean_value
         |FROM events GROUP BY user_id""".stripMargin,

@@ -392,8 +392,10 @@ object SparkEntry {
     val df = T.embeddings(s, d).select(
       element_at(col("embedding"), 1).cast("double").as("score"),
       when(col("label") >= 5, 1.0).otherwise(0.0).as("label"))
-    val aupr = graft.ml.Evaluators.aupr(df, "score", "label")
-    val pf1 = graft.ml.Evaluators.peakF1(df, "score", "label")
+    // one shared curve: aupr and peakF1 are two actions over the same
+    // persisted sorted-counts RDD, not two curve builds
+    val m = graft.ml.Evaluators.curveMetrics(df, "score", "label")
+    val (aupr, pf1) = try (m.aupr, m.peakF1) finally m.unpersist()
     Seq((math.rint(aupr * 1e9) / 1e9, math.rint(pf1 * 1e9) / 1e9))
       .toDF("aupr", "peak_f1")
   }
@@ -532,7 +534,15 @@ object SparkEntry {
   }
 
   /** L11-L13: GAME — fixed effect (event-type one-hot) + per-user random
-    * intercept trained by coordinate descent on events. */
+    * intercept trained by coordinate descent on events.
+    *
+    * Oracle-able because both coordinates are squared-loss, so every CD
+    * pass has a closed form the DuckDB oracle unrolls as CTE rounds:
+    * fixed pass = per-type mean of (label − user residual) with the
+    * ridge denominator (nₜ + l2), random pass = per-user plain mean of
+    * (label − fixed score) — the intercept is never regularized, so the
+    * random l2 is inert. Weights rounded to 6 dp (+1e-9 boundary nudge,
+    * the q55 trick) to absorb optimizer convergence error ~1e-10. */
   def q52_game_events(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.functions.array_to_vector
@@ -547,13 +557,15 @@ object SparkEntry {
       oneHot.as("typeFeatures"),
       array_to_vector(array().cast("array<double>")).as("emptyFeatures"),
       col("user_id").cast("string").as("userId"))
+    // tol = 1e-12: solver error must stay well inside the 1e-9 rounding
+    // nudge or a coefficient near a 6-dp boundary flips the hash compare
     val model = CoordinateDescent.train(data, Seq(
       FixedSpec("eventType", "typeFeatures", types.size,
-        graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 1e-6, maxIter = 30,
-          tol = 1e-9, fitIntercept = false)),
+        graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 1e-6, maxIter = 50,
+          tol = 1e-12, fitIntercept = false)),
       RandomSpec("perUser", "userId", "emptyFeatures", 0,
-        graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 1e-3, maxIter = 20,
-          tol = 1e-9))), nIterations = 2)
+        graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 1e-3, maxIter = 50,
+          tol = 1e-12))), nIterations = 2)
     val fixed = model.coordinates("eventType").asInstanceOf[TrainedFixed]
       .model
     val fixedRows = types.indices.map(i =>
@@ -563,6 +575,8 @@ object SparkEntry {
       .models.select(lit("perUser").as("coordinate"),
         col("reId").as("entity"), col("intercept").as("weight"))
     fixedRows.unionAll(userRows)
+      .select(col("coordinate"), col("entity"),
+        round(col("weight") + lit(1e-9), 6).as("weight"))
   }
 
   /** SimHash near-dup pairs. The DuckDB oracle rebuilds the 64-bit

@@ -81,13 +81,17 @@ object GameTrainingDriver {
     }
 
     def specsFor(lambda: Double): Seq[CoordinateSpec] = {
-      val fixed = FixedSpec("global", "features", featureDim, cfgFor(lambda))
+      // L8: down-sample the fixed fit when requested (scoring unaffected)
+      val fixed = FixedSpec("global", "features", featureDim, cfgFor(lambda),
+        downSamplingRate = a.dbl("down-sampling-rate", 1.0))
       val randoms = a.list("random-coordinates").map { spec =>
         val parts = spec.split(":")
         RandomSpec(parts(0), parts(1), "emptyFeatures", 0,
           GlmConfig(loss, l2 = a.dbl("re-lambda", 1.0),
             maxIter = a.int("max-iter", 100), tol = a.dbl("tol", 1e-7)),
-          activeCap = if (parts.length > 2) parts(2).toInt else 0,
+          // safety default: 10⁶ cap unless the spec string sets one
+          // (":0" opts out explicitly)
+          activeCap = if (parts.length > 2) parts(2).toInt else 1000000,
           activeLowerBound = if (parts.length > 3) parts(3).toInt else 0)
       }
       fixed +: randoms
@@ -136,6 +140,16 @@ object GameTrainingDriver {
     }
 
     val best = selectBest(results, metricName)
+    // L19 per-model validation: finite predictions + metric floors on the
+    // validation set (or training data when no validation dir is given);
+    // a failing model aborts before anything is saved
+    a.opt("model-validation").foreach { spec =>
+      val target = validationDf.getOrElse(prepared)
+      val scored = target.select(col("uid"), col("label"))
+        .join(best.model.score(target), "uid")
+      ModelValidators.enforce(scored, "score", "label",
+        ModelValidators.parseBounds(spec))
+    }
     a.opt("output-dir").foreach { out =>
       ModelIO.saveGame(spark, best.model, s"$out/best-model",
         a.dbl("sparsity-threshold", 0.0))

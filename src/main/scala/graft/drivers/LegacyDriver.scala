@@ -88,6 +88,15 @@ object LegacyDriver {
       else if (Evaluators.betterThan(metricName, x._2, y._2)) x else y
     }._1
 
+    // L19 per-model validation: the selected model must produce finite
+    // predictions and clear configured metric bounds before being saved
+    a.opt("model-validation").foreach { spec =>
+      val target = valDs.getOrElse(prepared)
+      ModelValidators.enforce(
+        Glm.score(target, models(bestLambda), "features"),
+        "score", "label", ModelValidators.parseBounds(spec))
+    }
+
     a.opt("output-dir").foreach { out =>
       models.foreach { case (l, m) => writeModel(spark, m, s"$out/lambda=$l") }
       evaluated.toSeq.map { case (l, v) => (l, v, l == bestLambda) }

@@ -28,8 +28,16 @@ object CoordinateDescent {
     def featureDim: Int
     def cfg: GlmConfig
   }
+  /** Fixed-effect coordinate. `downSamplingRate` ∈ (0,1) down-samples
+    * the training rows before the fit (L8, the reference's
+    * DistributedOptimizationProblem.runWithSampling:152-167): binary
+    * losses keep every positive and sample negatives at the rate with
+    * 1/rate weight compensation; other losses sample uniformly with the
+    * same compensation, so the sampled loss is unbiased in expectation.
+    * Scoring always sees all rows. */
   case class FixedSpec(id: String, featuresCol: String, featureDim: Int,
-                       cfg: GlmConfig, solver: String = "auto")
+                       cfg: GlmConfig, solver: String = "auto",
+                       downSamplingRate: Double = 1.0)
     extends CoordinateSpec
   /** Random-effect coordinate. `activeCap` > 0 bounds each entity's
     * training sample count with the deterministic reservoir
@@ -40,10 +48,17 @@ object CoordinateDescent {
     * from training entirely (numActiveDataPointsLowerBound); their rows
     * still receive scores (0 or the prior model) — the reference's
     * active/passive split, where passive rows are scored but never
-    * trained on (RandomEffectDataset.scala:35-53). */
+    * trained on (RandomEffectDataset.scala:35-53).
+    *
+    * The cap DEFAULTS on at 10⁶ (the reference defaults to unbounded,
+    * but an unbounded `it.toArray` on one hot entity is the classic
+    * skew OOM at 100 TB — a forgotten knob shouldn't be fatal). Set
+    * activeCap = 0 to opt out explicitly. Groups under the cap are
+    * untouched (weight_scale = 1), so results only change for entities
+    * that would have been the problem. */
   case class RandomSpec(id: String, reIdCol: String, featuresCol: String,
                         featureDim: Int, cfg: GlmConfig,
-                        activeCap: Int = 0, activeLowerBound: Int = 0,
+                        activeCap: Int = 1000000, activeLowerBound: Int = 0,
                         pearsonK: Int = 0)
     extends CoordinateSpec
 
@@ -147,7 +162,22 @@ object CoordinateDescent {
 
       val coordinate: TrainedCoordinate = spec match {
         case f: FixedSpec =>
-          val ds = withResidual.select(col("label"),
+          // L8 runWithSampling: down-sample the fit's rows only — the
+          // rescore below still runs over the full `cached` data
+          val trainRows =
+            if (f.downSamplingRate > 0 && f.downSamplingRate < 1)
+              f.cfg.loss match {
+                case LogisticLoss | SmoothedHingeLoss =>
+                  graft.operators.DownSampling.binaryClass(withResidual,
+                    Seq("uid"), col("label") > 0.5, f.downSamplingRate)
+                case _ =>
+                  graft.operators.DownSampling.uniform(withResidual,
+                    Seq("uid"), f.downSamplingRate)
+                    .withColumn("weight",
+                      col("weight") / f.downSamplingRate)
+              }
+            else withResidual
+          val ds = trainRows.select(col("label"),
             col(f.featuresCol).as("features"), col("offset"),
             col("weight")).as[LabeledPoint]
           TrainedFixed(f, Glm.train(ds, f.featureDim, f.cfg, f.solver))

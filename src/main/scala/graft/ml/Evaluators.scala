@@ -84,12 +84,70 @@ object Evaluators {
     * #partitions rows, not data rows). */
   def confusionCurve(df: DataFrame, score: String, label: String)
   : (RDD[(Double, Long, Long, Long, Long)], Long, Long) = {
+    val m = curveMetrics(df, score, label)
+    (m.curve, m.p, m.n)
+  }
+
+  /** The confusion curve plus every metric derived from it, sharing ONE
+    * persisted sorted-counts RDD: auc/aupr/peakF1 each cost a single
+    * action over the cached counts instead of re-reading the sort shuffle
+    * per metric call. Call [[CurveMetrics.unpersist]] when done. */
+  final class CurveMetrics private[Evaluators] (
+      val curve: RDD[(Double, Long, Long, Long, Long)],
+      val p: Long, val n: Long,
+      backing: RDD[(Double, (Long, Long))]) {
+
+    /** Tie-aware AUROC (average-rank Mann–Whitney ≡ ROC trapezoid with
+      * tied scores grouped). */
+    def auc: Double = {
+      if (p == 0 || n == 0) return Double.NaN
+      val area = curve.map { case (_, tpPrev, fpPrev, tp, fp) =>
+        (fp - fpPrev).toDouble * (tp + tpPrev) / 2.0
+      }.sum()
+      area / (p.toDouble * n.toDouble)
+    }
+
+    /** AUPR with MLlib BinaryClassificationMetrics semantics: trapezoid
+      * over (recall, precision) at distinct-score cuts, first point
+      * (0, p₁). */
+    def aupr: Double = {
+      if (p == 0) return Double.NaN
+      val pTot = p // local copy: a field reference would drag `this`
+      curve.map { case (_, tpPrev, fpPrev, tp, fp) => // (and its RDDs) into the closure
+        val prec = tp.toDouble / (tp + fp)
+        val precPrev =
+          if (tpPrev + fpPrev == 0) prec // MLlib's (0, p₁) first point
+          else tpPrev.toDouble / (tpPrev + fpPrev)
+        (tp - tpPrev).toDouble / pTot * (prec + precPrev) / 2.0
+      }.sum()
+    }
+
+    /** Peak F1 over distinct-score cuts (reference Evaluation.scala
+      * peak-F1; F1 at cut = 2·tp/(tp+fp+P)). */
+    def peakF1: Double = {
+      if (p == 0) return Double.NaN
+      val pTot = p
+      curve.map { case (_, _, _, tp, fp) =>
+        2.0 * tp / (tp + fp + pTot)
+      }.fold(0.0)(math.max)
+    }
+
+    def unpersist(): Unit = backing.unpersist(false)
+  }
+
+  /** Build the shared curve: reduceByKey on score, range sort (persisted),
+    * prefix offsets from per-partition totals. */
+  def curveMetrics(df: DataFrame, score: String, label: String)
+  : CurveMetrics = {
     val counts = df.select(col(score).cast("double"),
       when(col(label) > 0.5, true).otherwise(false)).rdd
       .map(r => (r.getDouble(0), (if (r.getBoolean(1)) 1L else 0L,
         if (r.getBoolean(1)) 0L else 1L)))
       .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
+    // persisted: the offsets collect materializes it, and every metric
+    // action re-reads it from cache instead of from the sort shuffle
     val sorted = counts.sortBy(_._1, ascending = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partTotals = sorted.mapPartitions { it =>
       var p = 0L; var n = 0L
       it.foreach { case (_, (dp, dn)) => p += dp; n += dn }
@@ -107,44 +165,25 @@ object Evaluators {
       }
     }
     // grand totals are the last prefix offset — free, no extra action
-    (curve, offsets.last._1, offsets.last._2)
+    new CurveMetrics(curve, offsets.last._1, offsets.last._2, sorted)
   }
 
-  /** Tie-aware AUROC (average-rank Mann–Whitney ≡ ROC trapezoid with tied
-    * scores grouped), computed from the distributed confusion curve —
-    * scales to any row count with no single-task stage. */
+  /** Tie-aware AUROC — one-shot convenience over [[curveMetrics]]. */
   def auc(df: DataFrame, score: String, label: String): Double = {
-    val (curve, p, n) = confusionCurve(df, score, label)
-    if (p == 0 || n == 0) return Double.NaN
-    val area = curve.map { case (_, tpPrev, fpPrev, tp, fp) =>
-      (fp - fpPrev).toDouble * (tp + tpPrev) / 2.0
-    }.sum()
-    area / (p.toDouble * n.toDouble)
+    val m = curveMetrics(df, score, label)
+    try m.auc finally m.unpersist()
   }
 
-  /** AUPR with MLlib BinaryClassificationMetrics semantics: trapezoid over
-    * (recall, precision) at distinct-score cuts, first point (0, p₁). */
+  /** AUPR — one-shot convenience over [[curveMetrics]]. */
   def aupr(df: DataFrame, score: String, label: String): Double = {
-    val (curve, p, _) = confusionCurve(df, score, label)
-    if (p == 0) return Double.NaN
-    val area = curve.map { case (_, tpPrev, fpPrev, tp, fp) =>
-      val prec = tp.toDouble / (tp + fp)
-      val precPrev =
-        if (tpPrev + fpPrev == 0) prec // MLlib's (0, p₁) first point
-        else tpPrev.toDouble / (tpPrev + fpPrev)
-      (tp - tpPrev).toDouble / p * (prec + precPrev) / 2.0
-    }.sum()
-    area
+    val m = curveMetrics(df, score, label)
+    try m.aupr finally m.unpersist()
   }
 
-  /** Peak F1 over distinct-score cuts (reference Evaluation.scala peak-F1;
-    * F1 at cut = 2·tp/(tp+fp+P)). */
+  /** Peak F1 — one-shot convenience over [[curveMetrics]]. */
   def peakF1(df: DataFrame, score: String, label: String): Double = {
-    val (curve, p, _) = confusionCurve(df, score, label)
-    if (p == 0) return Double.NaN
-    curve.map { case (_, _, _, tp, fp) =>
-      2.0 * tp / (tp + fp + p)
-    }.fold(0.0)(math.max)
+    val m = curveMetrics(df, score, label)
+    try m.peakF1 finally m.unpersist()
   }
 
   /** Bernoulli log-likelihood of probability predictions (E10 legacy

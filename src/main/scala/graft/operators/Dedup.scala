@@ -36,32 +36,46 @@ object Dedup {
 
   /** MinHash-LSH near-dup candidate pairs: signature → bands → equi-join
     * within band buckets → verify with true shingle Jaccard. Only pairs
-    * sharing ≥1 band are ever materialized. */
+    * sharing ≥1 band are ever materialized.
+    *
+    * The band join carries BARE ids — candidate (id_a, id_b) pairs are
+    * deduplicated across bands BEFORE the shingle arrays are joined back
+    * for one verification, so a pair sharing all `bands` bands is
+    * verified once, not `bands` times, and the heavy arrays never ride
+    * the banded shuffle (the [[prefixFilterJaccard]] shape). */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, sigK: Int = 8, bands: Int = 4,
                  threshold: Double = 0.5,
                  maxBucketSize: Int = 10000): DataFrame = {
     val rows = bands
     val bandSize = sigK / bands
+    // shingles feed the two verify joins; signatures feed the band
+    // explode — persist once (LRU-evictable) instead of re-shingling
     val withSig = docs.select(col(idCol).as("id"),
       TF.distinctShingles(col(textCol), shingleN).as("sh"),
       TF.minhashSignature(col(textCol), shingleN, sigK).as("sig"))
-    val banded0 = withSig.select(col("id"), col("sh"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded0 = withSig.select(col("id"),
       explode(array((0 until rows).map(b =>
         struct(lit(b).as("band"),
           TF.lshBand(col("sig"), b * bandSize, bandSize).as("bucket"))): _*))
         .as("lb"))
-      .select(col("id"), col("sh"), col("lb.band"), col("lb.bucket"))
+      .select(col("id"), col("lb.band"), col("lb.bucket"))
     val banded = dropHotBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
+    val cands = banded.select(col("band"), col("bucket"),
+        col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(withSig.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.ml.linalg.{Vectors, Vector}
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Feature-bag vectorization: arrays of (name, term, value) records merged
@@ -24,9 +23,11 @@ object FeatureVectorizer {
     concat_ws(Sep, coalesce(name, lit("")), coalesce(term, lit("")))
 
   /** Distinct feature keys across the given bag columns → (featureKey,
-    * index) with DETERMINISTIC dense indices (sorted by key — stable
-    * across runs and cluster layouts, unlike zipWithIndex). One
-    * distinct-aggregate plus one global sort of the (small) vocabulary.
+    * index) with DETERMINISTIC dense indices: a range-partitioned sort by
+    * key plus per-partition prefix offsets (`zipWithIndex`). Stable across
+    * runs and cluster layouts AND fully distributed — no single-task
+    * window stage, so the index build itself holds at the billion-key
+    * vocabularies [[vectorizeByJoin]] exists for.
     *
     * `selectedFeatures` is the legacy whitelist (GLMSuite selected-
     * features file, GLMSuite.scala:140-147): a (name, term) DataFrame;
@@ -45,8 +46,13 @@ object FeatureVectorizer {
         keys.join(sel.select(featureKey(col("name"), col("term"))
           .as("featureKey")), Seq("featureKey"), "left_semi")
     }
-    kept.withColumn("index",
-      (row_number().over(Window.orderBy("featureKey")) - 1).cast("int"))
+    val spark = df.sparkSession
+    // sort() range-partitions; zipWithIndex adds per-partition offsets in
+    // one extra count job — deterministic dense indices, all distributed
+    val indexed = kept.sort("featureKey").rdd.map(_.getString(0))
+      .zipWithIndex()
+      .map { case (k, i) => (k, i.toInt) }
+    spark.createDataFrame(indexed).toDF("featureKey", "index")
   }
 
   /** Merge `bagCols` into one SparseVector column named `outCol`.
