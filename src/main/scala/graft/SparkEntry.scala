@@ -557,15 +557,20 @@ object SparkEntry {
       oneHot.as("typeFeatures"),
       array_to_vector(array().cast("array<double>")).as("emptyFeatures"),
       col("user_id").cast("string").as("userId"))
-    // tol = 1e-12: solver error must stay well inside the 1e-9 rounding
-    // nudge or a coefficient near a 6-dp boundary flips the hash compare
+    // squared loss → both coordinates take the exact normal-equations
+    // solve (one aggregate per fixed pass, one local solve per entity),
+    // so solver error is machine-eps — far inside the 1e-9 rounding
+    // nudge. maxIter/tol only matter for the singular-system LBFGS
+    // fallback. activeCap = 0: the oracle trains on ALL rows, so the cap
+    // must stay off no matter the data scale (the 10⁶ default would
+    // silently flip the hash on a >1M-event entity).
     val model = CoordinateDescent.train(data, Seq(
       FixedSpec("eventType", "typeFeatures", types.size,
         graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 1e-6, maxIter = 50,
           tol = 1e-12, fitIntercept = false)),
       RandomSpec("perUser", "userId", "emptyFeatures", 0,
         graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 1e-3, maxIter = 50,
-          tol = 1e-12))), nIterations = 2)
+          tol = 1e-12), activeCap = 0)), nIterations = 2)
     val fixed = model.coordinates("eventType").asInstanceOf[TrainedFixed]
       .model
     val fixedRows = types.indices.map(i =>

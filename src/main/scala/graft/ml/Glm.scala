@@ -39,11 +39,26 @@ object Glm {
     case SmoothedHingeLoss => "smoothed_hinge"
   }
 
+  /** Can the problem be solved exactly in one pass? Squared loss with only
+    * quadratic regularization (l2 and/or Gaussian prior) has a closed-form
+    * optimum — the normal equations. Identity normalization keeps the
+    * moments in the same space as the regularizer; the dim bound keeps the
+    * d×d aggregation buffer sane (wide models stay iterative, where each
+    * pass is O(d) not O(d²)). */
+  private def closedFormEligible(cfg: GlmConfig, dim: Int): Boolean =
+    cfg.loss == SquaredLoss && cfg.l1 == 0 && cfg.bounds.isEmpty &&
+      cfg.norm.isIdentity && dim <= 1024
+
   /** Train a single GLM on a distributed dataset (the fixed-effect /
     * legacy-Driver path: L1/L2/L6/L8 of the survey). Solver selection
     * follows the reference: OWLQN iff L1 > 0, else LBFGS; "tron" opts into
-    * trust-region Newton. When `cfg.varianceComputation` asks for them,
-    * coefficient variances are computed at the optimum and attached. */
+    * trust-region Newton; "lbfgs"/"owlqn" force the iterative path.
+    * "auto" additionally takes the exact normal-equations solve when the
+    * loss is squared ([[closedFormEligible]]) — one aggregate job instead
+    * of one per iteration, which at 100 TB is the difference between 1 and
+    * ~maxIter full-data passes. When `cfg.varianceComputation` asks for
+    * them, coefficient variances are computed at the optimum and
+    * attached. */
   def train(data: Dataset[LabeledPoint], featureDim: Int, cfg: GlmConfig,
             solver: String = "auto",
             warmStart: Option[Array[Double]] = None,
@@ -51,6 +66,13 @@ object Glm {
     val obj = new DistributedGlmObjective(data, featureDim, cfg)
     val dim = cfg.coefDim(featureDim)
     val init = warmStart.filter(_ => cfg.norm.isIdentity)
+    def lbfgs() = Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim,
+      cfg, init, tracker)
+    def closedForm() = {
+      val (aM, bV) = obj.normalEquations()
+      Optimizers.normalSolve(aM, bV, dim,
+        Optimizers.QuadReg.from(cfg, dim, featureDim))
+    }
     val w = (solver, cfg.bounds) match {
       case (_, Some((lower, upper))) =>
         // box constraints (S5/L4): LBFGSB regardless of requested solver
@@ -62,15 +84,19 @@ object Glm {
       case ("owlqn", _) =>
         Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg, init,
           tracker)
-      case ("lbfgs", _) =>
-        Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg, init,
-          tracker)
+      case ("lbfgs", _) => lbfgs()
+      case ("normal", _) => closedForm()
       case _ =>
         if (cfg.l1 > 0)
           Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg,
             init, tracker)
-        else Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg,
-          init, tracker)
+        // tracker callers want per-iteration states → stay iterative
+        else if (closedFormEligible(cfg, dim) && tracker.isEmpty)
+          // singular system (collinear features, l2 = 0) → LBFGS, which
+          // still converges to a minimizer
+          try closedForm()
+          catch { case scala.util.control.NonFatal(_) => lbfgs() }
+        else lbfgs()
     }
     val variances = computeVariances(obj, w, featureDim, cfg)
     obj.unpersist()
@@ -183,10 +209,20 @@ object Glm {
     val obj = new LocalGlmObjective(data, featureDim, cfg)
     val dim = cfg.coefDim(featureDim)
     val init = if (cfg.norm.isIdentity) warmStart else None
+    def lbfgs() =
+      Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg, init)
     val w =
       if (cfg.l1 > 0) Optimizers.owlqn(obj.valueAndGradient, dim,
         featureDim, cfg, init)
-      else Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg, init)
+      else if (closedFormEligible(cfg, dim))
+        // per-entity squared loss (e.g. random-effect intercepts) solves
+        // exactly in one loop over the group; singular → LBFGS fallback
+        try {
+          val (aM, bV) = obj.normalEquations()
+          Optimizers.normalSolve(aM, bV, dim,
+            Optimizers.QuadReg.from(cfg, dim, featureDim))
+        } catch { case scala.util.control.NonFatal(_) => lbfgs() }
+      else lbfgs()
     val variances = cfg.varianceComputation.toLowerCase match {
       case "simple" | "full" => // full ≡ simple for tiny local problems
         val regDiag = Optimizers.QuadReg.from(cfg, dim, featureDim).diagonal

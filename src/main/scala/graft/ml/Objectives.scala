@@ -195,6 +195,41 @@ class DistributedGlmObjective(data: Dataset[LabeledPoint], featureDim: Int,
       depth = cfg.treeAggregateDepth)
   }
 
+  /** One-pass moments for the SQUARED-loss normal equations:
+    * A = Σ wᵢ·x̃ᵢx̃ᵢᵀ (row-major d×d, intercept slot last) and
+    * b = Σ wᵢ·(yᵢ−offsetᵢ)·x̃ᵢ. Minimizing Σ wᵢ·½(x̃ᵢ·β − (yᵢ−offsetᵢ))²
+    * + quadratic reg is then the single linear solve
+    * (A + diag(a))β = b + a∘c — the optimum LBFGS/TRON iterate toward,
+    * in ONE Spark job instead of one per iteration. Raw feature space
+    * (callers require identity normalization). */
+  def normalEquations(): (Array[Double], Array[Double]) = {
+    require(dim.toLong * dim <= 64L * 1024 * 1024,
+      s"normal equations need ${dim}x$dim doubles; use an iterative solver")
+    val fitI = cfg.fitIntercept
+    val d = dim
+    val fDim = featureDim
+    rdd.treeAggregate((new Array[Double](d * d), new Array[Double](d)))(
+      seqOp = { case (acc @ (a, b), p) =>
+        val t = p.label - p.offset
+        p.features.foreachActive { (i, xi) =>
+          val wxi = p.weight * xi
+          b(i) += wxi * t
+          p.features.foreachActive { (j, xj) => a(i * d + j) += wxi * xj }
+          if (fitI) { a(i * d + fDim) += wxi; a(fDim * d + i) += wxi }
+        }
+        if (fitI) { a(fDim * d + fDim) += p.weight; b(fDim) += p.weight * t }
+        acc
+      },
+      combOp = { case (x @ (a1, b1), (a2, b2)) =>
+        var i = 0
+        while (i < a1.length) { a1(i) += a2(i); i += 1 }
+        i = 0
+        while (i < b1.length) { b1(i) += b2(i); i += 1 }
+        x
+      },
+      depth = cfg.treeAggregateDepth)
+  }
+
   def unpersist(): Unit = rdd.unpersist(false)
 }
 
@@ -244,5 +279,30 @@ class LocalGlmObjective(data: Array[LabeledPoint], featureDim: Int,
       while (j < f.length) { hd(j) *= f(j) * f(j); j += 1 }
     }
     hd
+  }
+
+  /** Local twin of [[DistributedGlmObjective.normalEquations]] — the
+    * per-entity squared-loss closed form (one loop over the group's
+    * samples instead of ~maxIter LBFGS gradient loops). */
+  def normalEquations(): (Array[Double], Array[Double]) = {
+    val fitI = cfg.fitIntercept
+    val d = dim
+    val fDim = featureDim
+    val a = new Array[Double](d * d)
+    val b = new Array[Double](d)
+    var r = 0
+    while (r < data.length) {
+      val p = data(r)
+      val t = p.label - p.offset
+      p.features.foreachActive { (i, xi) =>
+        val wxi = p.weight * xi
+        b(i) += wxi * t
+        p.features.foreachActive { (j, xj) => a(i * d + j) += wxi * xj }
+        if (fitI) { a(i * d + fDim) += wxi; a(fDim * d + i) += wxi }
+      }
+      if (fitI) { a(fDim * d + fDim) += p.weight; b(fDim) += p.weight * t }
+      r += 1
+    }
+    (a, b)
   }
 }

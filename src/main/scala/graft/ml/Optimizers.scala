@@ -78,6 +78,28 @@ object Optimizers {
       }
   }
 
+  /** Exact weighted-ridge solve of the squared-loss normal equations:
+    * (A + diag(a))·w = b + a∘c by Cholesky, where A/b are the one-pass
+    * moments from `normalEquations()` and (c, a) is the quadratic
+    * regularizer. This is the unique optimum every iterative solver
+    * converges TOWARD when the loss is quadratic — one data pass instead
+    * of one per LBFGS/TRON iteration. Throws on a singular system
+    * (e.g. collinear features with l2 = 0); callers fall back to LBFGS. */
+  def normalSolve(a: Array[Double], b: Array[Double], dim: Int,
+                  reg: QuadReg): Array[Double] = {
+    import breeze.linalg.{cholesky, DenseMatrix, DenseVector}
+    val h = new DenseMatrix[Double](dim, dim, a.clone())
+    val rhs = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      h(i, i) += reg.weight(i)
+      rhs(i) = b(i) + reg.weight(i) * reg.center(i)
+      i += 1
+    }
+    val l = cholesky(h)
+    graft.ml.tuning.GpMath.cholSolve(l, DenseVector(rhs)).data
+  }
+
   /** Wrap an oracle as a breeze DiffFunction with the quadratic
     * regularizer added. */
   private def diffFn(oracle: Oracle, reg: QuadReg)
