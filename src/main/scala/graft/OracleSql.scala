@@ -98,6 +98,27 @@ object OracleSql {
        |  FROM projs GROUP BY vec_id)""".stripMargin
   }
 
+  /** Exact cosine top-3 for vec_id<5 queries over the vec_id≥5 corpus —
+    * the oracle for q29 (brute force) and q43o (IVF with nProbe = nList,
+    * which must degenerate to exhaustive search). */
+  private val exactKnnSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= 5),
+      |scored AS (
+      |  SELECT qid, id,
+      |    list_reduce(list_transform(range(1, len(v) + 1), i -> qv[i] * v[i]), (a, b) -> a + b)
+      |    / sqrt(
+      |      list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (a, b) -> a + b)
+      |      * list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b)
+      |    ) AS cosine
+      |  FROM c CROSS JOIN q),
+      |ranked AS (
+      |  SELECT qid, id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS "rank"
+      |  FROM scored)
+      |SELECT qid, "rank", id, cosine FROM ranked WHERE "rank" <= 3""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q41_knn_lsh" -> (
@@ -224,6 +245,67 @@ object OracleSql {
         |    + sx1*(s12*sy - s2y*sx1)) / det, 6) AS w2,
         |  ROUND((s11*(s22*sy - s2y*sx2) - s12*(s12*sy - s2y*sx1)
         |    + s1y*(s12*sx2 - s22*sx1)) / det, 6) AS intercept
+        |FROM d""".stripMargin,
+
+    // q50o: ridge on embedding[3..4] + intercept, λ=0.05 — Cramer's rule
+    // on the 3×3 normal equations (intercept unregularized), mirroring
+    // q54's algebra with different features/λ. Gates the LBFGS solver
+    // path, which q50 runs at 64 dims without an oracle.
+    "q50o_glm_lbfgs" ->
+      """WITH pts AS (
+        |  SELECT CAST(embedding[3] AS DOUBLE) AS x1,
+        |    CAST(embedding[4] AS DOUBLE) AS x2,
+        |    CAST(label AS DOUBLE) AS y
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+        |    SUM(x1*x1) + 0.05 AS s11, SUM(x1*x2) AS s12,
+        |    SUM(x2*x2) + 0.05 AS s22, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+        |  FROM pts),
+        |d AS (
+        |  SELECT *,
+        |    s11*(s22*n - sx2*sx2) - s12*(s12*n - sx2*sx1)
+        |      + sx1*(s12*sx2 - s22*sx1) AS det
+        |  FROM m)
+        |SELECT
+        |  ROUND((s1y*(s22*n - sx2*sx2) - s12*(s2y*n - sx2*sy)
+        |    + sx1*(s2y*sx2 - s22*sy)) / det, 6) AS w1,
+        |  ROUND((s11*(s2y*n - sx2*sy) - s1y*(s12*n - sx2*sx1)
+        |    + sx1*(s12*sy - s2y*sx1)) / det, 6) AS w2,
+        |  ROUND((s11*(s22*sy - s2y*sx2) - s12*(s12*sy - s2y*sx1)
+        |    + s1y*(s12*sx2 - s22*sx1)) / det, 6) AS intercept
+        |FROM d""".stripMargin,
+
+    // q51o: no-intercept ridge on embedding[2..4], λ=0.1 — pure 3×3
+    // (XᵀX + λI)w = Xᵀy by Cramer. Gates TRON on the fitIntercept=false
+    // shape; q51 stays the 64-dim smoke test.
+    "q51o_glm_tron" ->
+      """WITH pts AS (
+        |  SELECT CAST(embedding[2] AS DOUBLE) AS x1,
+        |    CAST(embedding[3] AS DOUBLE) AS x2,
+        |    CAST(embedding[4] AS DOUBLE) AS x3,
+        |    CAST(label AS DOUBLE) AS y
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT
+        |    SUM(x1*x1) + 0.1 AS s11, SUM(x1*x2) AS s12, SUM(x1*x3) AS s13,
+        |    SUM(x2*x2) + 0.1 AS s22, SUM(x2*x3) AS s23,
+        |    SUM(x3*x3) + 0.1 AS s33,
+        |    SUM(x1*y) AS b1, SUM(x2*y) AS b2, SUM(x3*y) AS b3
+        |  FROM pts),
+        |d AS (
+        |  SELECT *,
+        |    s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+        |      + s13*(s12*s23 - s22*s13) AS det
+        |  FROM m)
+        |SELECT
+        |  ROUND((b1*(s22*s33 - s23*s23) - s12*(b2*s33 - s23*b3)
+        |    + s13*(b2*s23 - s22*b3)) / det, 6) AS w1,
+        |  ROUND((s11*(b2*s33 - s23*b3) - b1*(s12*s33 - s23*s13)
+        |    + s13*(s12*b3 - b2*s13)) / det, 6) AS w2,
+        |  ROUND((s11*(s22*b3 - b2*s23) - s12*(s12*b3 - b2*s13)
+        |    + b1*(s12*s23 - s22*s13)) / det, 6) AS w3
         |FROM d""".stripMargin,
 
     "q01_pricing_summary" ->
@@ -487,23 +569,11 @@ object OracleSql {
         |SELECT md5(mh0 || '|' || mh1) AS band0, COUNT(*) AS n_docs
         |FROM sigs GROUP BY 1""".stripMargin),
 
-    "q29_knn_brute" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= 5),
-        |scored AS (
-        |  SELECT qid, id,
-        |    list_reduce(list_transform(range(1, len(v) + 1), i -> qv[i] * v[i]), (a, b) -> a + b)
-        |    / sqrt(
-        |      list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (a, b) -> a + b)
-        |      * list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b)
-        |    ) AS cosine
-        |  FROM c CROSS JOIN q),
-        |ranked AS (
-        |  SELECT qid, id, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS "rank"
-        |  FROM scored)
-        |SELECT qid, "rank", id, cosine FROM ranked WHERE "rank" <= 3""".stripMargin,
+    "q29_knn_brute" -> exactKnnSql,
+
+    // IVF probing ALL lists is exhaustive search: must equal the exact
+    // brute-force top-k whatever the k-means fit learned
+    "q43o_knn_ivf_full" -> exactKnnSql,
 
     "q30_sessionize" ->
       """WITH x AS (

@@ -517,6 +517,47 @@ object SparkEntry {
       .toDF("feature_idx", "weight")
   }
 
+  /** L2's LBFGS iterate facing a hash compare: the same `Glm.train` path
+    * q50 runs, forced onto the LBFGS solver (solver = "lbfgs" — "auto"
+    * would take the closed form) on a 2-feature ridge problem whose
+    * unique optimum the oracle computes by Cramer on the normal
+    * equations (the q54 pattern, different features and λ). q50 itself
+    * stays the 64-dim scale smoke test. */
+  def q50o_glm_lbfgs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val ds = T.embeddings(s, d).select(
+      col("label").cast("double").as("label"),
+      array_to_vector(slice(col("embedding"), 3, 2)).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val m = graft.ml.Glm.train(ds, 2,
+      graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 0.05, maxIter = 300,
+        tol = 1e-12), solver = "lbfgs")
+    Seq((rnd6(m.coef(0)), rnd6(m.coef(1)), rnd6(m.intercept)))
+      .toDF("w1", "w2", "intercept")
+  }
+
+  /** L5's TRON iterate with no intercept slot: 3-feature ridge,
+    * fitIntercept = false, so the oracle is a pure 3×3
+    * normal-equations Cramer solve — gates the trust-region path on a
+    * shape q54 (2 features + intercept) doesn't cover. q51 stays the
+    * 64-dim smoke test. */
+  def q51o_glm_tron(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val ds = T.embeddings(s, d).select(
+      col("label").cast("double").as("label"),
+      array_to_vector(slice(col("embedding"), 2, 3)).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val m = graft.ml.Glm.train(ds, 3,
+      graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 0.1, maxIter = 100,
+        tol = 1e-12, fitIntercept = false), solver = "tron")
+    Seq((rnd6(m.coef(0)), rnd6(m.coef(1)), rnd6(m.coef(2))))
+      .toDF("w1", "w2", "w3")
+  }
+
   /** TRON (trust-region Newton with distributed Hessian·v) linear fit. */
   def q51_glm_tron(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -604,6 +645,22 @@ object SparkEntry {
     Similarity.ivf(queries, corpus, 3, nList = 8, nProbe = 2)
   }
 
+  /** IVF-Flat semantic gate: probing ALL lists makes IVF exhaustive, so
+    * the result must equal exact brute-force top-k REGARDLESS of what
+    * k-means learned — the entire IVF machinery (fit, list assignment,
+    * probe ranking, bucket join, bounded-heap top-K) faces q29's SQL
+    * oracle. The approximation quality of the real nProbe < nList path
+    * (q43) is gated by SamplingSpec's recall floor. */
+  def q43o_knn_ivf_full(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    Similarity.ivf(queries, corpus, 3, nList = 8, nProbe = 8)
+      .select(col("qid"), col("rank"), col("id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucket join + exact
     * cosine verification (deterministic hyperplanes → SQL-mirrorable). */
   def q45_embedding_dedup(s: SparkSession, d: String): DataFrame =
@@ -664,11 +721,14 @@ object SparkEntry {
     "q41_knn_lsh" -> (q41_knn_lsh _),
     "q42_multimodal" -> (q42_multimodal _),
     "q43_knn_ivf" -> (q43_knn_ivf _),
+    "q43o_knn_ivf_full" -> (q43o_knn_ivf_full _),
     "q44_clean_corpus" -> (q44_clean_corpus _),
     "q45_embedding_dedup" -> (q45_embedding_dedup _),
     "q46_uniform_downsample" -> (q46_uniform_downsample _),
     "q50_glm_logistic" -> (q50_glm_logistic _),
+    "q50o_glm_lbfgs" -> (q50o_glm_lbfgs _),
     "q51_glm_tron" -> (q51_glm_tron _),
+    "q51o_glm_tron" -> (q51o_glm_tron _),
     "q52_game_events" -> (q52_game_events _),
     "q53_logistic_newton" -> (q53_logistic_newton _),
     "q54_ridge_closed" -> (q54_ridge_closed _),

@@ -218,10 +218,10 @@ object GameTrainingDriver {
     * (reference DataValidators.sanityCheckDataFrameForTraining). */
   private[drivers] def validate(df: DataFrame, a: Args): Unit = {
     val rules = Seq(
-      Validators.Rule("label_finite", Validators.finiteDouble(col("label"))),
+      Validators.Rule("label_finite", Validators.notFinite(col("label"))),
       Validators.Rule("weight_positive",
         col("weight").isNull || col("weight") <= 0),
-      Validators.Rule("offset_finite", Validators.finiteDouble(col("offset"))))
+      Validators.Rule("offset_finite", Validators.notFinite(col("offset"))))
     a.str("validate", "full") match {
       case "none" =>
       case "sample" =>

@@ -190,7 +190,7 @@ object CoordinateDescent {
             if (r.activeCap > 0)
               graft.operators.GroupedSampling
                 .boundedSample(withResidual, Seq(r.reIdCol), Seq("uid"),
-                  r.activeCap)
+                  r.activeCap, warnOnTrim = true)
                 .withColumn("weight", col("weight") * col("weight_scale"))
                 .drop("weight_scale")
             else withResidual

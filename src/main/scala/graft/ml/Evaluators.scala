@@ -85,6 +85,12 @@ object Evaluators {
   def confusionCurve(df: DataFrame, score: String, label: String)
   : (RDD[(Double, Long, Long, Long, Long)], Long, Long) = {
     val m = curveMetrics(df, score, label)
+    // this signature returns no unpersist handle, so release the backing
+    // cache now: the returned curve stays correct (it recomputes from the
+    // sort shuffle with the same range partitioner, so the prefix offsets
+    // baked into it remain valid) and nothing leaks until LRU eviction.
+    // Callers wanting the shared-cache multi-metric path use curveMetrics.
+    m.unpersist()
     (m.curve, m.p, m.n)
   }
 

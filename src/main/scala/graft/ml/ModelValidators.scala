@@ -27,7 +27,7 @@ object ModelValidators {
     * finite check plus one aggregate per bounded metric. */
   def check(scored: DataFrame, scoreCol: String, labelCol: String,
             bounds: Seq[MetricBound]): Seq[String] = {
-    val nBad = scored.filter(Validators.finiteDouble(col(scoreCol))).count()
+    val nBad = scored.filter(Validators.notFinite(col(scoreCol))).count()
     val finite =
       if (nBad > 0) Seq(s"non_finite_predictions=$nBad") else Nil
     finite ++ bounds.flatMap { b =>

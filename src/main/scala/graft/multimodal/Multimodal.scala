@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * Media travel as opaque `binary` payload columns with typed metadata,
   * and every transform is a `mapPartitions` over batches — the Scala
   * equivalent of `mapInPandas`: per-partition, batched, zero driver
-  * involvement, arbitrarily wide scale-out. The Spark-side plumbing
-  * (schemas, batching, partition sizing) is real; the codec itself is a
-  * STUB — this container has no image/audio libraries, so `decodeStub`
-  * derives deterministic fake pixels/samples from the payload bytes.
-  * Swapping in a real codec changes only the function body marked below.
+  * involvement, arbitrarily wide scale-out. Image decode is REAL for the
+  * formats the JDK ships codecs for (PNG/JPEG/BMP/GIF via javax.imageio);
+  * payloads ImageIO cannot parse (synthetic fixtures, audio/video, exotic
+  * formats — no external libraries in this container) fall back to
+  * `decodeStub`, which derives deterministic fake pixels from the payload
+  * bytes so pipelines stay testable end to end.
   */
 object Multimodal {
 
@@ -31,10 +32,42 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("pixels", BinaryType, nullable = false)))
 
-  /** === STUB codec ===
-    * Deterministic fake decode: dimensions from payload length, pixel
-    * bytes from a rolling transform of the payload. A real implementation
-    * would replace ONLY this function with e.g. a JNI image decoder. */
+  /** Real image decode through the JDK's ImageIO: returns row-major RGB
+    * bytes (3 channels). Undecodable payloads → [[decodeStub]] so the
+    * pipeline never throws on mixed/unknown media. */
+  private[multimodal] def decodeImage(payload: Array[Byte])
+  : (Int, Int, Int, Array[Byte]) = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) decodeStub(payload)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val c = 3
+      val px = new Array[Byte](w * h * c)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val o = (y * w + x) * c
+          px(o) = ((rgb >> 16) & 0xFF).toByte
+          px(o + 1) = ((rgb >> 8) & 0xFF).toByte
+          px(o + 2) = (rgb & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, c, px)
+    }
+  }
+
+  /** === STUB codec (fallback) ===
+    * Deterministic fake decode for payloads no JDK codec accepts:
+    * dimensions from payload length, pixel bytes from a rolling transform
+    * of the payload. */
   private[multimodal] def decodeStub(payload: Array[Byte])
   : (Int, Int, Int, Array[Byte]) = {
     val w = 8 + (math.abs(java.util.Arrays.hashCode(payload)) % 24)
@@ -59,7 +92,7 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch codec setup would go here
           batch.iterator.map { r =>
-            val (w, h, c, px) = decodeStub(r.getAs[Array[Byte]](1))
+            val (w, h, c, px) = decodeImage(r.getAs[Array[Byte]](1))
             Row(r.getLong(0), w, h, c, px)
           }
         }

@@ -84,22 +84,34 @@ object Dedup {
     * verify with full Hamming distance. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    // signatures feed the band explode AND the verify join-back — persist
+    // once (LRU-evictable) instead of re-hashing the corpus twice
     val sig = docs.select(col(idCol).as("id"),
       TF.simhash64(col(textCol)).as("sig"))
-    val banded0 = sig.select(col("id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded0 = sig.select(col("id"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
           .as("bucket"))): _*)).as("lb"))
-      .select(col("id"), col("sig"), col("lb.band"), col("lb.bucket"))
+      .select(col("id"), col("lb.band"), col("lb.bucket"))
     val banded = dropHotBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    // bare-id candidates, deduped across bands BEFORE the signatures are
+    // joined back (the minhashLsh shape): a pair sharing all 4 bands is
+    // verified once, not 4×, and only 8-byte ids ride the banded shuffle
+    val cands = banded.select(col("band"), col("bucket"),
+        col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TF.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -43,8 +43,13 @@ object GroupedSampling {
     *      exactly cap. This window sorts at most cap+ties rows per group
     *      (the threshold filter already discarded the rest), so it is
     *      bounded work, unlike a window over the raw group. */
+  /** Once-per-JVM marker so a trimming cap logs visibly without spamming
+    * (executor-side; reset only on JVM restart — a warning, not a metric). */
+  private val trimWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def boundedSample(df: DataFrame, groupCols: Seq[String],
-                    uidCols: Seq[String], cap: Int): DataFrame = {
+                    uidCols: Seq[String], cap: Int,
+                    warnOnTrim: Boolean = false): DataFrame = {
     val p = priority(uidCols.map(col))
     val thresholds = df
       .groupBy(groupCols.map(col): _*)
@@ -53,14 +58,28 @@ object GroupedSampling {
           .as("_pmax"))
     val trimW = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("_p"))
+    // warnOnTrim: callers applying a DEFAULT cap (not one the user asked
+    // for) pass true so silent truncation becomes a visible log line; the
+    // UDF computes the identical value as the plain `when` expression
+    val scale: Column =
+      if (!warnOnTrim)
+        when(col("_n") > cap, col("_n").cast("double") / cap)
+          .otherwise(lit(1.0))
+      else udf { (n: Long) =>
+        if (n > cap) {
+          if (trimWarned.compareAndSet(false, true))
+            org.slf4j.LoggerFactory.getLogger(GroupedSampling.getClass).warn(
+              s"boundedSample: a group exceeded cap=$cap; its training " +
+                "rows were reservoir-trimmed and weights rescaled")
+          n.toDouble / cap
+        } else 1.0
+      }.apply(col("_n"))
     df.withColumn("_p", p)
       .join(thresholds, groupCols)
       .filter(col("_p") <= col("_pmax"))
       .withColumn("_rn", row_number().over(trimW))
       .filter(col("_rn") <= cap)
-      .withColumn("weight_scale",
-        when(col("_n") > cap, col("_n").cast("double") / cap)
-          .otherwise(lit(1.0)))
+      .withColumn("weight_scale", scale)
       .drop("_p", "_pmax", "_n", "_rn")
   }
 

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
 object Validators {
   case class Rule(name: String, violated: Column)
 
-  def finiteDouble(c: Column): Column = c.isNull || isnan(c) ||
+  /** VIOLATION predicate: true when the value is null, NaN, or ±Inf —
+    * i.e. NOT a usable finite double. Named for the violation so rule
+    * polarity reads correctly at call sites. */
+  def notFinite(c: Column): Column = c.isNull || isnan(c) ||
     (c === Double.PositiveInfinity) || (c === Double.NegativeInfinity)
 
   /** One-pass violation counts: returns (rule, violations) rows. */

@@ -51,7 +51,13 @@ object FeatureVectorizer {
     // one extra count job — deterministic dense indices, all distributed
     val indexed = kept.sort("featureKey").rdd.map(_.getString(0))
       .zipWithIndex()
-      .map { case (k, i) => (k, i.toInt) }
+      .map { case (k, i) =>
+        // SparseVector indices are Int: past 2^31 keys the truncation
+        // would wrap negative — fail loudly instead
+        require(i <= Int.MaxValue,
+          s"feature index $i overflows Int; vocabulary too large")
+        (k, i.toInt)
+      }
     spark.createDataFrame(indexed).toDF("featureKey", "index")
   }
 

@@ -149,6 +149,51 @@ class DriversSpec extends SparkSpec {
     assert(math.abs(m.coef(0) - 1.0) < 1e-4, s"coef=${m.coef.toSeq}")
   }
 
+  test("model-validation flag passes a good model and aborts a bad one") {
+    dataReady
+    val base = Array(
+      "--input-dir", s"$tmp/train",
+      "--validation-dir", s"$tmp/validation",
+      "--uid-col", "id", "--label-col", "y",
+      "--feature-cols", "x1,x2",
+      "--random-coordinates", "perUser:user",
+      "--loss", "squared", "--lambdas", "0.01",
+      "--evaluator", "rmse", "--iterations", "2")
+    // achievable bound: validation rmse is ~0.1-0.5 on this data
+    val (_, ok) = GameTrainingDriver.run(spark,
+      Args.parse(base ++ Array("--model-validation", "rmse:1.0")))
+    assert(ok.nonEmpty)
+    // unattainable bound: the driver must abort instead of publishing
+    val e = intercept[IllegalStateException] {
+      GameTrainingDriver.run(spark,
+        Args.parse(base ++ Array("--model-validation", "rmse:0.0001")))
+    }
+    assert(e.getMessage.contains("rmse"))
+  }
+
+  test("down-sampling-rate flag trains close to the full-data fit") {
+    dataReady
+    def fit(extra: Array[String]) = {
+      val (model, _) = GameTrainingDriver.run(spark, Args.parse(Array(
+        "--input-dir", s"$tmp/train",
+        "--uid-col", "id", "--label-col", "y",
+        "--feature-cols", "x1,x2",
+        "--loss", "squared", "--lambdas", "0.01",
+        "--iterations", "1") ++ extra))
+      model.coordinates("global")
+        .asInstanceOf[graft.ml.CoordinateDescent.TrainedFixed].model
+    }
+    val full = fit(Array.empty)
+    val sampled = fit(Array("--down-sampling-rate", "0.5"))
+    // deterministic hash-sample at rate 0.5 with 1/rate weight
+    // compensation: unbiased in expectation, so the fit lands near the
+    // full-data solution (w ≈ (2, -1)) within sampling noise
+    full.coef.zip(sampled.coef).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.1, s"full=$a sampled=$b")
+    }
+    assert(math.abs(full.intercept - sampled.intercept) < 0.2)
+  }
+
   test("game training driver bayesian tuning mode returns trials") {
     dataReady
     val (_, results) = GameTrainingDriver.run(spark, Args.parse(Array(

@@ -116,6 +116,36 @@ class EvaluatorSpec extends SparkSpec {
       b._2 == a._4 && b._3 == a._5 })
   }
 
+  test("curveMetrics shares one persisted curve across aupr and peakF1") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 300).map { _ =>
+      val s = rnd.nextGaussian()
+      (s, if (rnd.nextDouble() < PointwiseLoss.sigmoid(s)) 1.0 else 0.0)
+    }.toDF("score", "label").repartition(4)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val m = Evaluators.curveMetrics(df, "score", "label")
+    // the sorted-counts RDD is cached while the handle is open...
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
+    // ...and each metric is one action over it, agreeing with one-shots
+    val (aupr, pf1, auc) = (m.aupr, m.peakF1, m.auc)
+    m.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+    assert(math.abs(aupr - Evaluators.aupr(df, "score", "label")) < 1e-12)
+    assert(math.abs(pf1 - Evaluators.peakF1(df, "score", "label")) < 1e-12)
+    assert(math.abs(auc - Evaluators.auc(df, "score", "label")) < 1e-12)
+  }
+
+  test("confusionCurve leaves no cached RDD behind and stays correct") {
+    val df = Seq((0.9, 1.0), (0.8, 0.0), (0.5, 1.0)).toDF("score", "label")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (curve, p, n) = Evaluators.confusionCurve(df, "score", "label")
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+    // the returned curve recomputes correctly after the unpersist
+    assert(p == 2 && n == 1)
+    assert(curve.collect().sortBy(-_._1).map(c => (c._4, c._5)).toSeq ==
+      Seq((1L, 0L), (1L, 1L), (2L, 1L)))
+  }
+
   test("betterThan follows metric direction") {
     assert(Evaluators.betterThan("auc", 0.9, 0.8))
     assert(Evaluators.betterThan("rmse", 0.8, 0.9))

@@ -58,6 +58,31 @@ class GameSpec extends SparkSpec {
     assert(rmse < 0.1, s"rmse=$rmse")
   }
 
+  test("fixed-coordinate down-sampling is unbiased for the binary branch") {
+    // logistic loss → binaryClass sampling: every positive kept, negatives
+    // hash-sampled at the rate with 1/rate weight compensation, so the
+    // sampled weighted loss equals the full loss in expectation and the
+    // fit lands near the full-data solution
+    val rnd = new scala.util.Random(17)
+    val data = (0 until 6000).map { i =>
+      val x = Array(rnd.nextGaussian(), rnd.nextGaussian())
+      val z = 1.5 * x(0) - 0.8 * x(1)
+      val y = if (rnd.nextDouble() < PointwiseLoss.sigmoid(z)) 1.0 else 0.0
+      (i.toLong, y, 1.0, 0.0, Vectors.dense(x))
+    }.toDF("uid", "label", "weight", "offset", "fixedFeatures")
+    def fit(rate: Double) = CoordinateDescent.train(data,
+      Seq(FixedSpec("global", "fixedFeatures", 2,
+        GlmConfig(LogisticLoss, l2 = 1.0, maxIter = 100, tol = 1e-9),
+        downSamplingRate = rate)), nIterations = 1)
+      .coordinates("global").asInstanceOf[TrainedFixed].model
+    val full = fit(1.0)
+    val sampled = fit(0.4)
+    full.coef.zip(sampled.coef).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.15, s"full=$a sampled=$b")
+    }
+    assert(math.abs(full.intercept - sampled.intercept) < 0.15)
+  }
+
   test("pearson selection keeps the label-correlated feature only") {
     val rnd = new scala.util.Random(21)
     val pts = (0 until 100).map { _ =>

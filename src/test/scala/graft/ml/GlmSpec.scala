@@ -115,6 +115,61 @@ class GlmSpec extends SparkSpec {
     assert(math.abs(a.intercept - b.intercept) < 1e-4)
   }
 
+  test("auto squared-loss closed form equals the forced LBFGS solution") {
+    val data = synthetic(2500, Array(1.2, -0.6, 0.9), -0.4, logistic = false)
+    val ds = spark.createDataset(data)
+    val cfg = GlmConfig(SquaredLoss, l2 = 0.3, maxIter = 300, tol = 1e-12)
+    val closed = Glm.train(ds, 3, cfg) // auto → normal equations
+    val forcedNormal = Glm.train(ds, 3, cfg, solver = "normal")
+    val iterative = Glm.train(ds, 3, cfg, solver = "lbfgs")
+    closed.coef.zip(iterative.coef).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-7, s"closed=$a lbfgs=$b")
+    }
+    assert(math.abs(closed.intercept - iterative.intercept) < 1e-7)
+    // explicit "normal" takes the same path (ulp-level differences only:
+    // treeAggregate's combine order is not deterministic run to run)
+    closed.coef.zip(forcedNormal.coef).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"auto=$a normal=$b")
+    }
+    assert(math.abs(closed.intercept - forcedNormal.intercept) < 1e-12)
+    // local (per-entity) path agrees with the distributed one
+    val local = Glm.trainLocal(data.toArray, 3, cfg)
+    closed.coef.zip(local.coef).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"dist=$a local=$b")
+    }
+  }
+
+  test("closed form honors the Gaussian prior as a quadratic penalty") {
+    val data = synthetic(500, Array(1.0), 0.0, logistic = false)
+    val ds = spark.createDataset(data)
+    // overwhelming prior pins the solution at the prior means
+    val prior = GaussianPrior(Array(5.0, 2.0), Array(1e-9, 1e-9))
+    val m = Glm.train(ds, 1, GlmConfig(SquaredLoss, prior = Some(prior),
+      maxIter = 100, tol = 1e-10))
+    assert(math.abs(m.coef(0) - 5.0) < 1e-3, s"coef=${m.coef(0)}")
+    assert(math.abs(m.intercept - 2.0) < 1e-3, s"b=${m.intercept}")
+    // vanishing prior weight recovers the unregularized fit
+    val weak = Glm.train(ds, 1, GlmConfig(SquaredLoss,
+      prior = Some(prior.copy(incrementalWeight = 1e-12)),
+      maxIter = 100, tol = 1e-10))
+    assert(math.abs(weak.coef(0) - 1.0) < 0.05)
+  }
+
+  test("closed form falls back to LBFGS on a singular system") {
+    // two perfectly collinear features with l2 = 0 → singular normal
+    // equations; the fallback must still return a finite minimizer
+    val pts = (1 to 300).map { i =>
+      val x = i / 100.0
+      LabeledPoint(3.0 * x, Vectors.dense(x, 2 * x))
+    }
+    val m = Glm.train(spark.createDataset(pts), 2,
+      GlmConfig(SquaredLoss, l2 = 0.0, maxIter = 200, tol = 1e-10))
+    assert(m.coef.forall(c => !c.isNaN && !c.isInfinite))
+    // any minimizer satisfies w1 + 2·w2 = 3 on this data
+    assert(math.abs(m.coef(0) + 2 * m.coef(1) - 3.0) < 1e-4,
+      s"coef=${m.coef.toSeq}")
+  }
+
   test("OWLQN drives small true-zero coefficients to exactly zero") {
     val data = synthetic(3000, Array(1.5, 0.0, 0.0, -1.0), 0.0,
       logistic = true)

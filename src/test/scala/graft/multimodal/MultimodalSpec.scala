@@ -16,6 +16,38 @@ class MultimodalSpec extends SparkSpec {
       spark.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
   }
 
+  test("real PNG payloads decode to exact golden pixels via ImageIO") {
+    // 2×2 PNG with one pure color per pixel, encoded in-test (lossless
+    // format → byte-exact round trip through the JDK codec)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000) // red
+    img.setRGB(1, 0, 0x00FF00) // green
+    img.setRGB(0, 1, 0x0000FF) // blue
+    img.setRGB(1, 1, 0x102030) // mixed
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq(Row(7L, "image", bos.toByteArray,
+      Map.empty[String, String]))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val d = Multimodal.decode(media).collect().head
+    assert(d.getInt(1) == 2 && d.getInt(2) == 2 && d.getInt(3) == 3)
+    val px = d.getAs[Array[Byte]](4).map(_ & 0xFF)
+    assert(px.toSeq == Seq(
+      255, 0, 0,   0, 255, 0,    // row 0: red, green
+      0, 0, 255,   0x10, 0x20, 0x30)) // row 1: blue, mixed
+  }
+
+  test("undecodable payloads fall back to the deterministic stub") {
+    val junk = Array.tabulate[Byte](50)(i => (i * 3).toByte)
+    val (w, h, c, px) = Multimodal.decodeImage(junk)
+    assert((w, h, c, px.toSeq) == {
+      val (sw, sh, sc, spx) = Multimodal.decodeStub(junk)
+      (sw, sh, sc, spx.toSeq)
+    })
+  }
+
   test("decode produces the typed schema and is deterministic") {
     val d1 = Multimodal.decode(media(10), batchSize = 4)
     val d2 = Multimodal.decode(media(10), batchSize = 3)

@@ -118,6 +118,54 @@ class SamplingSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("minhash emits each near-dup pair exactly once with true jaccard") {
+    import spark.implicits._
+    // exact duplicates share ALL bands — the classic multi-band double-
+    // verify/double-emit case the bare-id candidate dedup exists for
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near-dup
+      (4L, "completely different words nothing shared here at all"))
+      .toDF("id", "text")
+    val out = Dedup.minhashLsh(docs, "id", "text", shingleN = 3, sigK = 8,
+      bands = 4, threshold = 0.1).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once per pair, despite band multiplicity
+    assert(pairs.length == pairs.distinct.length, s"dup rows: ${pairs.toSeq}")
+    val j = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    // true shingle jaccard for (1,3): 6 shingles each, 5 shared → 5/7
+    j.get((1L, 3L)).foreach(v => assert(math.abs(v - 5.0 / 7) < 1e-12))
+    assert(!j.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash banded pairs equal all-pairs hamming at the pigeonhole bound") {
+    import spark.implicits._
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (0 until 12).map(k => s"w${(i * 7 + k * 3) % 25}")
+        .mkString(" "))
+    }.toDF("id", "text")
+    // engine signatures, compared pairwise in plain Scala: with
+    // maxHamming=3 < 4 bands, pigeonhole guarantees every qualifying
+    // pair shares a band, so the banded join must find ALL of them
+    val sigs = docs.select(col("id"),
+      graft.functions.TextFunctions.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhash(docs, "id", "text", maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    // and each pair only once (bare-id dedup across bands)
+    val all = Dedup.simhash(docs, "id", "text", maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length)
+  }
+
   test("dedup hot-bucket guard drops degenerate buckets") {
     import spark.implicits._
     // 30 identical docs all land in one simhash bucket; cap 10 drops them

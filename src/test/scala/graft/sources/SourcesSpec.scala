@@ -94,6 +94,41 @@ class SourcesSpec extends SparkSpec {
       !merged.columns.contains("features"))
   }
 
+  test("buildIndexMap is distributed, repeatable, and rank-ordered") {
+    // many distinct keys across several partitions: the index build must
+    // not funnel through a single task (the r3 global-window bug)
+    val df = (0 until 2000).map { i =>
+      (i.toLong, Seq((s"f${i % 700}", s"t${i % 13}", 1.0)))
+    }.toDF("uid", "bag")
+      .select(col("uid"), col("bag")
+        .cast("array<struct<name:string,term:string,value:double>>"))
+      .repartition(8)
+    // no single-task stage: with AQE's small-data coalescing disabled,
+    // the range-sorted index RDD keeps a multi-partition layout end to
+    // end (the r3 bug was a global window that forced 1 partition at ANY
+    // size; AQE coalescing tiny shuffles to 1 is correct and unrelated)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey, "true")
+    val m1 =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        val m = FeatureVectorizer.buildIndexMap(df, Seq("bag"))
+        assert(m.rdd.getNumPartitions > 1,
+          s"index build collapsed to ${m.rdd.getNumPartitions} partition(s)")
+        m
+      } finally spark.conf.set(coalesceKey, saved)
+    val got = m1.collect().map(r => r.getString(0) -> r.getInt(1))
+    // indices are exactly the rank in sorted-key order, 0..n-1 dense
+    val keys = got.map(_._1).toSeq
+    assert(keys == keys.sorted)
+    assert(got.map(_._2).toSeq == got.indices.toSeq)
+    // repeatable run to run (determinism is what makes saved models and
+    // index maps interchangeable across retrains)
+    val again = FeatureVectorizer.buildIndexMap(df, Seq("bag"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(got.toMap == again.toMap)
+  }
+
   test("join-based vectorization equals the broadcast path") {
     val path = writeAvro(30)
     val df = AvroIO.read(spark, Seq(path))
