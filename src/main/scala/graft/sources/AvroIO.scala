@@ -138,12 +138,112 @@ object AvroIO {
     spark.createDataFrame(rows, struct)
   }
 
-  /** Write a DataFrame of (name, term, value) feature-bag rows back to an
-    * Avro-shaped parquet training-example layout (S9 stand-in: without the
-    * avro connector we persist the identical logical schema as parquet). */
-  def writeTrainingExamples(df: DataFrame, path: String,
-                            maxFiles: Int = 0): Unit = {
-    val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
-    out.write.mode("overwrite").parquet(path)
+  // ------------------------------------------------------------ S9: write
+
+  /** StructType → Avro schema over the subset the reader produces
+    * (inverse of [[avroTypeToSql]]). Every top-level and struct field is
+    * written as a [null, T] union so nullable DataFrame columns
+    * round-trip; nested record names are derived from the field path
+    * (Avro requires unique record names). */
+  def sqlTypeToAvro(dt: DataType, path: String): Schema = dt match {
+    case IntegerType => Schema.create(INT)
+    case LongType => Schema.create(LONG)
+    case FloatType => Schema.create(FLOAT)
+    case DoubleType => Schema.create(DOUBLE)
+    case StringType => Schema.create(STRING)
+    case BooleanType => Schema.create(BOOLEAN)
+    case BinaryType => Schema.create(BYTES)
+    case MapType(StringType, vt, _) =>
+      Schema.createMap(sqlTypeToAvro(vt, path + "_v"))
+    case ArrayType(et, _) => Schema.createArray(sqlTypeToAvro(et, path + "_e"))
+    case st: StructType =>
+      val rec = Schema.createRecord(path, null, "graft", false)
+      rec.setFields(st.fields.toSeq.map { f =>
+        new Schema.Field(f.name,
+          Schema.createUnion(Schema.create(NULL),
+            sqlTypeToAvro(f.dataType, path + "_" + f.name)),
+          null, Schema.Field.NULL_DEFAULT_VALUE)
+      }.asJava)
+      rec
+    case other =>
+      throw new IllegalArgumentException(s"unsupported avro write type: $other")
   }
+
+  private def toAvro(v: Any, s: Schema): Any = {
+    val schema =
+      if (s.getType == UNION)
+        s.getTypes.asScala.find(_.getType != NULL).getOrElse(s)
+      else s
+    (v, schema.getType) match {
+      case (null, _) => null
+      case (x: Row, RECORD) =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        schema.getFields.asScala.foreach { f =>
+          rec.put(f.name(), toAvro(x.getAs[Any](f.name()), f.schema()))
+        }
+        rec
+      case (x: scala.collection.Seq[_], ARRAY) =>
+        x.map(toAvro(_, schema.getElementType)).asJava
+      case (x: scala.collection.Map[_, _], MAP) =>
+        x.map { case (k, mv) =>
+          k.toString -> toAvro(mv, schema.getValueType)
+        }.asJava
+      case (x: Array[Byte], BYTES) => java.nio.ByteBuffer.wrap(x)
+      case (x, _) => x
+    }
+  }
+
+  /** True distributed Avro write (S9, reference AvroDataWriter.scala:
+    * 32-98): each task streams its partition through a DataFileWriter
+    * into its own `part-NNNNN.avro` container file — the same layout
+    * [[read]] consumes and the reference's writers produce. No driver
+    * funnel: rows never leave their executor, so the write scales with
+    * the cluster. The avro Schema ships as its JSON string (Schema is
+    * not serializable) and the Hadoop conf as key-value pairs. */
+  def write(df: DataFrame, path: String, recordName: String = "Record",
+            maxFiles: Int = 0): Unit = {
+    val schema = sqlTypeToAvro(df.schema, recordName)
+    val schemaJson = schema.toString
+    val sc = df.sparkSession.sparkContext
+    val confEntries = sc.hadoopConfiguration.asScala
+      .map(e => e.getKey -> e.getValue).toSeq
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(sc.hadoopConfiguration)
+    if (fs.exists(out)) fs.delete(out, true)
+    fs.mkdirs(out)
+    val prepared = if (maxFiles > 0) df.coalesce(maxFiles) else df
+    val sparkSchema = prepared.schema
+    prepared.rdd.foreachPartition { rows =>
+      if (rows.nonEmpty) {
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val s = new Schema.Parser().parse(schemaJson)
+        val file = new org.apache.hadoop.fs.Path(path, f"part-$part%05d.avro")
+        val stream = file.getFileSystem(conf).create(file, true)
+        val writer = new org.apache.avro.file.DataFileWriter[GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](s))
+        writer.create(s, stream)
+        try {
+          val fields = sparkSchema.fields
+          rows.foreach { r =>
+            val rec = new org.apache.avro.generic.GenericData.Record(s)
+            var i = 0
+            while (i < fields.length) {
+              rec.put(fields(i).name,
+                toAvro(r.get(i), s.getField(fields(i).name).schema()))
+              i += 1
+            }
+            writer.append(rec)
+          }
+        } finally writer.close()
+      }
+    }
+  }
+
+  /** Write feature-bag training examples back to Avro container files —
+    * the reference's TrainingExampleAvro write-back path. */
+  def writeTrainingExamples(df: DataFrame, path: String,
+                            maxFiles: Int = 0): Unit =
+    write(df, path, "TrainingExampleAvro", maxFiles)
 }

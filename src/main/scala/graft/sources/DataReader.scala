@@ -51,4 +51,19 @@ class DataReader(spark: SparkSession, format: String = "avro") {
 
   def readMerged(path: String, shards: Map[String, Seq[String]])
   : (DataFrame, Map[String, DataFrame]) = readMerged(Seq(path), shards)
+
+  /** Dedicated LibSVM scan (S4, reference photon-api/.../data/avro/
+    * LibSVMInputDataFormat.scala:51-88): the built-in codegen'd libsvm
+    * source, lifted to the trainer's column contract — label, VectorUDT
+    * features, offset 0, weight 1 — so the result feeds `Glm.train`
+    * directly. `numFeatures` > 0 fixes the dimension (multi-file reads
+    * must agree on it, exactly the reference's featureDimension). */
+  def readLibsvm(path: String, numFeatures: Int = 0): DataFrame = {
+    val reader = spark.read.format("libsvm")
+    val df =
+      if (numFeatures > 0) reader.option("numFeatures", numFeatures).load(path)
+      else reader.load(path)
+    df.select(col("label").cast("double").as("label"), col("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+  }
 }

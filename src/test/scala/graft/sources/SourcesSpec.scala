@@ -197,6 +197,28 @@ class SourcesSpec extends SparkSpec {
     assert(bag == Set(("age", "", 4.0), ("geo", "g1", 1.0)))
   }
 
+  test("avro write round-trips through the avro reader (S9)") {
+    val path = writeAvro(25)
+    val df = AvroIO.read(spark, Seq(path)).repartition(3)
+    val dir = Files.createTempDirectory("avro-out").toString + "/examples"
+    AvroIO.writeTrainingExamples(df, dir)
+    // multiple container part files (one per non-empty partition)...
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(parts.length > 1, s"expected distributed write, got ${parts.length}")
+    // ...that the reader consumes back bit-for-bit
+    val back = AvroIO.read(spark, Seq(dir))
+    assert(back.count() == 25)
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("uid")
+    val a = df.collect().map(r => key(r) -> r.toString).toMap
+    val b = back.collect().map(r => key(r) -> r.toString).toMap
+    assert(a == b)
+    // maxFiles caps the output file count
+    AvroIO.write(df, dir + "-one", maxFiles = 1)
+    assert(new java.io.File(dir + "-one").listFiles()
+      .count(_.getName.endsWith(".avro")) == 1)
+  }
+
   test("game model save/load round trip preserves scores") {
     import graft.ml._
     import graft.ml.CoordinateDescent._
@@ -231,5 +253,16 @@ class SourcesSpec extends SparkSpec {
       .load(f.getPath)
     assert(df.count() == 3)
     assert(df.schema.fieldNames.toSet == Set("label", "features"))
+    // dedicated façade path lifts to the trainer's column contract
+    val lifted = new DataReader(spark).readLibsvm(f.getPath, numFeatures = 3)
+    assert(lifted.schema.fieldNames.toSeq ==
+      Seq("label", "features", "offset", "weight"))
+    val r = lifted.orderBy("label").collect()
+    assert(r.length == 3 && r.last.getDouble(0) == 1.0)
+    val m = graft.ml.Glm.train(
+      lifted.as[graft.ml.LabeledPoint](
+        org.apache.spark.sql.Encoders.product[graft.ml.LabeledPoint]), 3,
+      graft.ml.GlmConfig(graft.ml.LogisticLoss, l2 = 1.0, maxIter = 20))
+    assert(m.coef.length == 3)
   }
 }
