@@ -59,7 +59,7 @@ object CoordinateDescent {
   case class RandomSpec(id: String, reIdCol: String, featuresCol: String,
                         featureDim: Int, cfg: GlmConfig,
                         activeCap: Int = 1000000, activeLowerBound: Int = 0,
-                        pearsonK: Int = 0)
+                        pearsonK: Int = 0, subspace: Boolean = true)
     extends CoordinateSpec
 
   sealed trait TrainedCoordinate {
@@ -211,7 +211,7 @@ object CoordinateDescent {
             .asInstanceOf[TrainedRandom].models.as[RandomEffect.ReModel])
           TrainedRandom(r,
             RandomEffect.train(ds, r.featureDim, r.cfg, priors,
-              r.pearsonK).toDF())
+              r.pearsonK, r.subspace).toDF())
       }
       trained += spec.id -> coordinate
 

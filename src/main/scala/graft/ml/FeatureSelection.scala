@@ -46,6 +46,33 @@ object FeatureSelection {
       .take(k).map(_._2).sorted
   }
 
+  /** Sorted union of the group's active feature indices (A8/U5, the
+    * reference's projector index-set union — RandomEffectDataset
+    * .generateLinearSubspaceProjectors:423-426, computed there as a
+    * foldByKey set union; here the group is already local so it is one
+    * bitset pass). The subspace a per-entity solve actually lives in. */
+  def activeIndices(samples: Array[LabeledPoint],
+                    featureDim: Int): Array[Int] = {
+    val seen = new java.util.BitSet(featureDim)
+    samples.foreach(_.features.foreachActive { (j, x) =>
+      if (x != 0.0) seen.set(j)
+    })
+    val out = new Array[Int](seen.cardinality())
+    var j = seen.nextSetBit(0)
+    var i = 0
+    while (j >= 0) { out(i) = j; i += 1; j = seen.nextSetBit(j + 1) }
+    out
+  }
+
+  /** Restrict a full-dimension coefficient array to the selected indices
+    * (the forward map for warm starts entering a projected solve). */
+  def gather(full: Array[Double], indices: Array[Int]): Array[Double] = {
+    val out = new Array[Double](indices.length)
+    var i = 0
+    while (i < indices.length) { out(i) = full(indices(i)); i += 1 }
+    out
+  }
+
   /** Project a vector onto the selected indices (k-dim dense result). */
   def project(v: Vector, indices: Array[Int]): Vector = {
     val out = new Array[Double](indices.length)

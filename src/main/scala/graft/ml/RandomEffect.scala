@@ -28,10 +28,22 @@ object RandomEffect {
     * prior (the reference's full-outer join, RandomEffectCoordinate.scala:
     * 248-271). `pearsonK` > 0 applies per-entity Pearson feature
     * selection (P5) before the local solve — the solution scatters back
-    * to full dimension, so scoring is unchanged. */
+    * to full dimension, so scoring is unchanged.
+    *
+    * `subspace` (P4/A8, reference LinearSubspaceProjector.scala:36-87 +
+    * RandomEffectDataset.scala:390-426,538-550): each entity's solve runs
+    * in the span of ITS OWN active feature indices — a per-group index
+    * union (local, zero shuffle) plus forward/backward remap. Under pure
+    * l2 the restriction is exact (inactive coefficients have zero data
+    * gradient, so their optimum is 0, exactly what scatter writes back),
+    * while the local solver touches dim = |active| instead of the global
+    * featureDim — at a 10⁶-feature vocabulary with ~10²-feature entities
+    * that is the difference between a dense million-slot solve per entity
+    * and a hundred-slot one. Skipped when a prior regularizes toward
+    * nonzero means on inactive dims (the restriction would drop them). */
   def train(data: Dataset[ReSample], featureDim: Int, cfg: GlmConfig,
             priors: Option[Dataset[ReModel]] = None,
-            pearsonK: Int = 0): Dataset[ReModel] = {
+            pearsonK: Int = 0, subspace: Boolean = true): Dataset[ReModel] = {
     implicit val enc = Encoders.product[ReModel]
     val grouped = data.groupByKey(_.reId)(Encoders.STRING)
 
@@ -47,15 +59,42 @@ object RandomEffect {
         val m = Glm.trainLocal(projected, idx.length, cfg)
         m.copy(coef = FeatureSelection.scatter(m.coef, idx, featureDim))
       } else {
-        val warm = prior.map(p => p.coef :+ p.intercept)
-        // a prior WITH variances regularizes toward the previous model
-        // (per-entity incremental training); without, it only warm-starts
-        val priorCfg = prior.flatMap(p => p.variances.map(v =>
-          cfg.copy(prior = Some(GaussianPrior(
-            if (cfg.fitIntercept) p.coef :+ p.intercept else p.coef,
-            java.util.Arrays.copyOf(v, cfg.coefDim(featureDim)))))))
-          .getOrElse(cfg)
-        Glm.trainLocal(samples, featureDim, priorCfg, warm)
+        val hasPriorReg = prior.exists(_.variances.isDefined)
+        val sub =
+          if (subspace && featureDim > 1 && !hasPriorReg)
+            Some(FeatureSelection.activeIndices(samples, featureDim))
+              .filter(_.length < featureDim)
+          else None
+        sub match {
+          case Some(idx) =>
+            val projected = samples.map(p => p.copy(features =
+              FeatureSelection.project(p.features, idx)))
+            val warm = prior.map(p =>
+              FeatureSelection.gather(p.coef, idx) :+ p.intercept)
+            val m = Glm.trainLocal(projected, idx.length, cfg, warm)
+            val variances = m.variances.map { v =>
+              // inactive dims saw only the regularizer: H_jj = l2
+              val fill = if (cfg.l2 > 1e-12) 1.0 / cfg.l2 else 1e12
+              val out = Array.fill(cfg.coefDim(featureDim))(fill)
+              var i = 0
+              while (i < idx.length) { out(idx(i)) = v(i); i += 1 }
+              if (cfg.fitIntercept) out(featureDim) = v(idx.length)
+              out
+            }
+            m.copy(coef = FeatureSelection.scatter(m.coef, idx, featureDim),
+              variances = variances)
+          case None =>
+            val warm = prior.map(p => p.coef :+ p.intercept)
+            // a prior WITH variances regularizes toward the previous
+            // model (per-entity incremental training); without, it only
+            // warm-starts
+            val priorCfg = prior.flatMap(p => p.variances.map(v =>
+              cfg.copy(prior = Some(GaussianPrior(
+                if (cfg.fitIntercept) p.coef :+ p.intercept else p.coef,
+                java.util.Arrays.copyOf(v, cfg.coefDim(featureDim)))))))
+              .getOrElse(cfg)
+            Glm.trainLocal(samples, featureDim, priorCfg, warm)
+        }
       }
 
     priors match {

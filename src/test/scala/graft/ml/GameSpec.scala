@@ -102,6 +102,44 @@ class GameSpec extends SparkSpec {
       Seq(0.0, 7.0, 0.0))
   }
 
+  test("subspace projection solves in each entity's active span, exactly") {
+    // entity e0 only ever activates features {0,2}, e1 only {1,3}: the
+    // projected solve must equal the full-dimension solve (under pure l2
+    // the inactive optimum is 0) while never touching inactive slots
+    val rnd = new scala.util.Random(51)
+    def sparse(active: Seq[Int]) = {
+      val idx = active.toArray
+      org.apache.spark.ml.linalg.Vectors.sparse(4,
+        idx, idx.map(_ => rnd.nextGaussian()))
+    }
+    val rows = (0 until 400).map { i =>
+      val (e, active) = if (i % 2 == 0) ("e0", Seq(0, 2)) else ("e1", Seq(1, 3))
+      val v = sparse(active)
+      RandomEffect.ReSample(e, 1.5 * v(active.head) - 0.5 * v(active(1)) +
+        0.05 * rnd.nextGaussian(), v, 0.0, 1.0)
+    }
+    val data = spark.createDataset(rows)
+    val cfg = GlmConfig(SquaredLoss, l2 = 0.1, maxIter = 100, tol = 1e-12,
+      varianceComputation = "simple")
+    val proj = RandomEffect.train(data, 4, cfg).collect()
+      .map(m => m.reId -> m).toMap
+    val full = RandomEffect.train(data, 4, cfg, subspace = false).collect()
+      .map(m => m.reId -> m).toMap
+    Seq("e0", "e1").foreach { e =>
+      proj(e).coef.zip(full(e).coef).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-8, s"$e: proj=$a full=$b")
+      }
+      assert(math.abs(proj(e).intercept - full(e).intercept) < 1e-8)
+    }
+    // inactive coefficients are exactly zero (scatter, not solver noise)
+    assert(proj("e0").coef(1) == 0.0 && proj("e0").coef(3) == 0.0)
+    assert(proj("e1").coef(0) == 0.0 && proj("e1").coef(2) == 0.0)
+    // inactive-dim variances are the pure-regularizer value 1/l2
+    assert(math.abs(proj("e0").variances.get(1) - 10.0) < 1e-9)
+    assert(proj("e0").variances.get(0) > 0 &&
+      proj("e0").variances.get(0) < 10.0)
+  }
+
   test("per-entity training with pearsonK zeroes unselected coefficients") {
     val rnd = new scala.util.Random(31)
     val data = (0 until 300).map { i =>
