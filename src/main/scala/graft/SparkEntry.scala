@@ -665,7 +665,10 @@ object SparkEntry {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("v"))
-    Similarity.ivf(queries, corpus, 3, nList = 8, nProbe = 8)
+    // probe-all makes the result invariant to clustering quality, so a
+    // couple of k-means sweeps suffice — the gate is the machinery
+    Similarity.ivf(queries, corpus, 3, nList = 8, nProbe = 8,
+      kmeansMaxIter = 2)
       .select(col("qid"), col("rank"), col("id"), col("cosine"))
   }
 

@@ -49,13 +49,15 @@ object Similarity {
     * cost of a training pass. Corpus side = one k-means fit + one
     * shuffle on list id; centroids (nList · dim doubles) broadcast. */
   def ivf(queries: DataFrame, corpus: DataFrame, k: Int,
-          nList: Int = 16, nProbe: Int = 2, seed: Long = 7L): DataFrame = {
+          nList: Int = 16, nProbe: Int = 2, seed: Long = 7L,
+          kmeansMaxIter: Int = 20): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.{Vector => MlVector}
     val av = corpus.select(col("id"), col("v"),
       array_to_vector(col("v").cast("array<double>")).as("fv"))
     val model = new KMeans().setK(nList).setSeed(seed)
+      .setMaxIter(kmeansMaxIter)
       .setFeaturesCol("fv").setPredictionCol("list").fit(av)
     val bucketed = model.transform(av).select(col("id"), col("v"),
       col("list"))
