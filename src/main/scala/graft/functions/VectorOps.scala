@@ -40,23 +40,63 @@ object VectorOps {
   def scale(s: Column, a: Column): Column =
     transform(asDouble(a), x => x * s)
 
-  /** Sign-of-projection LSH bit for one deterministic pseudo-random
-    * hyperplane: the hyperplane's components are derived from md5(seed, i)
-    * so the "random" projection is reproducible everywhere with no
-    * broadcast state. */
+  /** Deterministic pseudo-random hyperplane `seed`, cached per executor:
+    * component i is md5("seed_i")'s leading 8 hex digits scaled to
+    * [-1, 1) — exactly the SQL-mirrorable formula
+    * `conv(substring(md5(concat_ws('_', seed, i)), 1, 8), 16, 10)
+    *  / 2^31 − 1`, so oracles can rebuild it, but computed ONCE per
+    * (seed, dim) per JVM instead of once per vector element per row
+    * (the previous expression formulation ran dim×nBits md5 calls for
+    * EVERY row — at 64 dims × 6 bits that was ~400 hashes per vector). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private def plane(seed: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, dim), { case (s, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(d) { i =>
+        md.reset()
+        val hex = md.digest(s"${s}_$i".getBytes("UTF-8")).take(4)
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+      }
+    })
+
+  /** Sign-of-projection LSH bit for one deterministic hyperplane. The
+    * projection folds left-to-right like the SQL `list_reduce`, so the
+    * double accumulation is bit-identical across engines. */
   def hyperplaneBit(v: Column, seed: Int): Column = {
-    val proj = aggregate(
-      zip_with(asDouble(v),
-        transform(sequence(lit(0), size(v) - 1), i =>
-          (conv(substring(md5(concat_ws("_", lit(seed), i)), 1, 8), 16, 10)
-            .cast("double") / lit(2147483648.0)) - lit(1.0)),
-        (x, h) => x * h),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj >= 0, lit(1)).otherwise(lit(0))
+    val bit = udf { (vec: Seq[Double]) =>
+      if (vec == null) 0
+      else {
+        val h = plane(seed, vec.length)
+        var acc = 0.0
+        var i = 0
+        while (i < vec.length) { acc += vec(i) * h(i); i += 1 }
+        if (acc >= 0) 1 else 0
+      }
+    }
+    bit(asDouble(v))
   }
 
-  /** nBits-wide sign-LSH bucket id for an embedding. */
-  def lshBucket(v: Column, nBits: Int): Column =
-    (0 until nBits).map(b => hyperplaneBit(v, b) * (1 << b))
-      .reduce(_ + _)
+  /** nBits-wide sign-LSH bucket id for an embedding: all bits in one
+    * pass over the vector (one UDF call, cached hyperplanes). */
+  def lshBucket(v: Column, nBits: Int): Column = {
+    val bucketUdf = udf { (vec: Seq[Double]) =>
+      if (vec == null) 0
+      else {
+        var bucket = 0
+        var b = 0
+        while (b < nBits) {
+          val h = plane(b, vec.length)
+          var acc = 0.0
+          var i = 0
+          while (i < vec.length) { acc += vec(i) * h(i); i += 1 }
+          if (acc >= 0) bucket |= 1 << b
+          b += 1
+        }
+        bucket
+      }
+    }
+    bucketUdf(asDouble(v))
+  }
 }
