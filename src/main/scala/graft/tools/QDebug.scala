@@ -1,6 +1,5 @@
 package graft.tools
 
-import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -20,36 +19,35 @@ object QDebug {
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs ($n rows)")
     }
 
-    val docs = graft.Tables.documents(spark, d)
-    val sh = docs.select(col("source").as("block"),
-      col("doc_id").as("id"),
-      sort_array(array_distinct(transform(TF.shingles(col("text"), 3),
-        s => xxhash64(s)))).as("sh"))
-      .persist()
+    val emb = graft.Tables.embeddings(spark, d)
+    time("emb count") { emb.count() }
 
-    time("shingle+hash build") { sh.count() }
-    time("shingle sizes") {
-      sh.agg(sum(size(col("sh")))).first().getLong(0)
+    import graft.functions.{VectorOps => V}
+    val d0 = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      V.lshBucket(col("embedding"), 4).as("bucket"))
+      .persist()
+    time("bucket build") { d0.count() }
+    time("bucket histogram") {
+      val h = d0.groupBy("bucket").count().collect()
+      h.sortBy(-_.getLong(1)).take(8).foreach(r =>
+        println(s"  bucket ${r.getInt(0)}: ${r.getLong(1)}"))
+      h.length.toLong
     }
-    val prefixLen = (size(col("sh")) -
-      ceil(lit(0.01) * size(col("sh"))) + 1).cast("int")
-    val ex = sh.select(col("block"), col("id"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
-    time("exploded prefix rows") { ex.count() }
-    time("posting sq (join size)") {
-      ex.groupBy("block", "h").agg(count(lit(1)).as("n"))
-        .agg(sum(col("n") * col("n"))).first().getLong(0)
+    val l = d0.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = d0.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    time("candidate pairs") { pairs.count() }
+    time("cosine verify") {
+      pairs.select(V.cosine(col("v_a"), col("v_b")).as("c"))
+        .filter(col("c") >= 0.25).count()
     }
-    val cands = ex.select(col("block"), col("h"), col("id").as("id_a"))
-      .join(ex.select(col("block"), col("h"), col("id").as("id_b")),
-        Seq("block", "h"))
-      .filter(col("id_a") < col("id_b"))
-      .select("block", "id_a", "id_b")
-    time("raw candidate rows") { cands.count() }
-    time("distinct candidates") { cands.distinct().count() }
-    time("full q26") {
-      graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", "source",
-        3, 0.01).count()
+    time("full q45") {
+      graft.operators.Dedup.embeddingCosine(emb, "vec_id", "embedding",
+        nBits = 4, threshold = 0.25).count()
+    }
+    time("full q45 again") {
+      graft.operators.Dedup.embeddingCosine(emb, "vec_id", "embedding",
+        nBits = 4, threshold = 0.25).count()
     }
     spark.stop()
   }
