@@ -134,12 +134,46 @@ object Dedup {
     * collisions within a compared pair are ~2⁻⁶⁴·|sh|² — negligible. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, n: Int = 3,
-                   threshold: Double = 0.1): DataFrame =
-    prefixFilterJaccard(
-      docs.select(col(blockCol).as("block"), col(idCol).as("id"),
-        sort_array(array_distinct(transform(TF.shingles(col(textCol), n),
-          s => xxhash64(s)))).as("sh")),
-      threshold)
+                   threshold: Double = 0.1): DataFrame = {
+    val d0 = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+      sort_array(array_distinct(transform(TF.shingles(col(textCol), n),
+        s => xxhash64(s)))).as("sh"))
+    // Strategy crossover: the prefix filter prunes candidates by a factor
+    // of ~t², so it wins when t is high; as t→0 the prefix degrades to
+    // the full inverted index and the count-based join (no distinct, no
+    // array-carrying verify joins, map-side-combinable aggregate) is
+    // strictly cheaper on the same candidate volume.
+    if (threshold >= 0.3) prefixFilterJaccard(d0, threshold)
+    else countJaccard(d0, threshold)
+  }
+
+  /** Exact Jaccard by co-occurrence counting: join the full inverted
+    * index with itself, so each candidate pair appears once per SHARED
+    * hash, and `groupBy(pair).count()` IS the exact intersection size —
+    * Spark's partial aggregation combines duplicates map-side before the
+    * shuffle, replacing ppjoin's `.distinct()` + two verify joins that
+    * ship the shingle arrays. Only the two scalar set sizes are joined
+    * back. Correct for any t > 0 (a qualifying pair shares ≥1 hash);
+    * preferable when t is too low for the prefix filter to prune. */
+  private def countJaccard(d0: DataFrame, threshold: Double): DataFrame = {
+    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = d.select(col("block"), col("id"), explode(col("sh")).as("h"))
+    val inter = ex.select(col("block"), col("h"), col("id").as("id_a"))
+      .join(ex.select(col("block"), col("h"), col("id").as("id_b")),
+        Seq("block", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("block", "id_a", "id_b").agg(count(lit(1)).as("_i"))
+    val sizes = d.select(col("block"), col("id"), size(col("sh")).as("n"))
+    inter
+      .join(sizes.select(col("block"), col("id").as("id_a"),
+        col("n").as("n_a")), Seq("block", "id_a"))
+      .join(sizes.select(col("block"), col("id").as("id_b"),
+        col("n").as("n_b")), Seq("block", "id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        (col("_i").cast("double") / (col("n_a") + col("n_b") - col("_i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   /** The standard ppjoin/AllPairs prefix filter (Bayardo et al. WWW'07):
     * candidates share a hash in the first |sh| − ⌈t·|sh|⌉ + 1 sorted

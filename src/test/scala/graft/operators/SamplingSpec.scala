@@ -140,6 +140,25 @@ class SamplingSpec extends SparkSpec {
     assert(!j.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngramJaccard count and prefix-filter strategies agree exactly") {
+    import spark.implicits._
+    // real corpus slice: both strategies must emit the SAME pairs with
+    // the SAME jaccard doubles (bit-exact — both divide the identical
+    // integer intersection count by the identical union size)
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def run(t: Double) = Dedup.ngramJaccard(docs, "doc_id", "text",
+      "source", n = 3, threshold = t)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // t=0.05 takes the count path, t=0.3 the prefix path; re-filtering
+    // the low-threshold result at 0.3 must equal the prefix-path result
+    val low = run(0.05)
+    val high = run(0.3)
+    assert(low.nonEmpty)
+    assert(low.filter(_._4 >= 0.3) == high)
+  }
+
   test("simhash banded pairs equal all-pairs hamming at the pigeonhole bound") {
     import spark.implicits._
     val docs = (1 to 40).map { i =>
