@@ -15,8 +15,9 @@ import org.apache.spark.storage.StorageLevel
   *   retrain coordinate c on (label, features_c, offset + residual_c)
   *   rescore c; summedScores = residual_c + newScore_c
   * All score algebra is uid-keyed outer joins with missing→0
-  * ([[graft.operators.ScoreAlgebra]]), each persisted and unpersisted per
-  * round (X13) so the plan doesn't grow across iterations.
+  * ([[graft.operators.ScoreAlgebra]]), each eagerly checkpointed and
+  * released per round (X13) so neither the cached data NOR the logical
+  * plan grows across iterations.
   */
 object CoordinateDescent {
 
@@ -119,29 +120,45 @@ object CoordinateDescent {
     var summed: Option[DataFrame] = None
     var trained: Map[String, TrainedCoordinate] =
       initial.map(_.coordinates).getOrElse(Map.empty)
-
-    def materialize(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // checkpoint-by-materialize: plans must not grow per round
-      p
+    // frames owned by the CALLER (released data would be unrecoverable —
+    // checkpointed frames cannot recompute): never freed here
+    val callerFrames: Seq[DataFrame] = trained.values.toSeq.collect {
+      case TrainedRandom(_, m) => m
     }
+
+    // Eager localCheckpoint, not persist+count: persist caches DATA but
+    // leaves the logical plan intact, so each round's plan nests every
+    // prior round's (models read priors read models…) — the explain
+    // string AQE renders per job grows exponentially with rounds and
+    // eventually OOMs the driver, and the optimizer re-walks the whole
+    // history each pass. Checkpointing cuts the lineage to a LogicalRDD:
+    // plans stay round-sized no matter how many iterations run.
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
     def release(df: DataFrame, keep: DataFrame*): Unit =
-      if (!keep.exists(_ eq df)) df.unpersist(false)
+      if (!keep.exists(_ eq df)) df.queryExecution.logical match {
+        // a checkpointed frame's blocks belong to its backing RDD, not
+        // the cache manager — unpersist the RDD to free them eagerly
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false)
+        case _ => df.unpersist(false)
+      }
 
     // L16 partial retrain (reference CoordinateDescent.scala:280-300):
     // locked coordinates keep their initial model; their scores are fixed
     // residual contributions computed once, never re-trained.
     lockedCoordinates.foreach { id =>
-      val lockedScore = trained(id).score(cached)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val lockedScore = materialize(trained(id).score(cached))
       val newSummed = summed match {
-        case None => materialize(lockedScore)
-        case Some(s) =>
-          val ns = materialize(ScoreAlgebra.add(s, lockedScore, "uid"))
-          release(s, lockedScore); ns
+        case None => lockedScore
+        case Some(s) => materialize(ScoreAlgebra.add(s, lockedScore, "uid"))
       }
+      val oldSummed = summed
       summed = Some(newSummed)
       scores += id -> Some(lockedScore)
+      // a released checkpoint is gone for good — free only what no live
+      // reference (current summed, any coordinate's score) still reads
+      val live = summed.toSeq ++ scores.values.flatten ++ callerFrames
+      oldSummed.foreach(s => release(s, live: _*))
     }
     val retrained = coords.filterNot(c => lockedCoordinates.contains(c.id))
 
@@ -209,28 +226,50 @@ object CoordinateDescent {
             .as[RandomEffect.ReSample]
           val priors = trained.get(r.id).map(_
             .asInstanceOf[TrainedRandom].models.as[RandomEffect.ReModel])
+          // checkpoint the per-entity models: they are read again as next
+          // round's priors, by every score join, and by the caller after
+          // training — without it each of those actions replays the
+          // ENTIRE training lineage (residual joins included) from frames
+          // this loop has already released, and the nested prior lineage
+          // is exactly the per-round plan growth materialize() exists to
+          // stop. Model-sized, stays live in the returned GameModel.
           TrainedRandom(r,
-            RandomEffect.train(ds, r.featureDim, r.cfg, priors,
-              r.pearsonK, r.subspace).toDF())
+            materialize(RandomEffect.train(ds, r.featureDim, r.cfg, priors,
+              r.pearsonK, r.subspace).toDF()))
       }
+      val replaced = trained.get(spec.id)
       trained += spec.id -> coordinate
 
-      val newScore = coordinate.score(cached)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newScore = materialize(coordinate.score(cached))
       val newSummed = residual match {
-        case None => materialize(newScore)
-        case Some(r) =>
-          val ns = materialize(ScoreAlgebra.add(r, newScore, "uid"))
-          release(r, newScore); ns
+        case None => newScore
+        case Some(r) => materialize(ScoreAlgebra.add(r, newScore, "uid"))
       }
-      // release the previous round's frames (guarding shared references:
-      // residual may BE the old summed, newSummed may BE newScore)
-      summed.foreach(s => release(s, newSummed, newScore))
-      scores(spec.id).foreach(o => release(o, newSummed, newScore))
+      val oldSummed = summed
+      val oldOwn = scores(spec.id)
       summed = Some(newSummed)
       scores += spec.id -> Some(newScore)
+      // a released checkpoint is gone for good (no lineage to recompute
+      // from), so free a frame only when nothing live still reads it —
+      // aliases abound: the first round's summed IS that coordinate's
+      // score, a fresh residual IS the old summed when the own score was
+      // zero, the replaced models may belong to the caller's `initial`
+      val live = summed.toSeq ++ scores.values.flatten ++ callerFrames ++
+        trained.values.collect { case TrainedRandom(_, m) => m }
+      residual.foreach(r => release(r, live: _*))
+      oldSummed.foreach(s => release(s, live: _*))
+      oldOwn.foreach(o => release(o, live: _*))
+      replaced.collect { case TrainedRandom(_, old) =>
+        release(old, live: _*) }
     }
     cached.unpersist(false)
+    // score frames are training intermediates — data-sized, so drop them
+    // before returning (scoring a GameModel recomputes from the
+    // model-sized coordinate frames, which stay live)
+    val keep = callerFrames ++
+      trained.values.collect { case TrainedRandom(_, m) => m }
+    summed.foreach(s => release(s, keep: _*))
+    scores.values.flatten.foreach(o => release(o, keep: _*))
     GameModel(trained)
   }
 }

@@ -45,6 +45,8 @@ object RandomEffect {
             priors: Option[Dataset[ReModel]] = None,
             pearsonK: Int = 0, subspace: Boolean = true): Dataset[ReModel] = {
     implicit val enc = Encoders.product[ReModel]
+    if (closedFormInterceptEligible(featureDim, cfg, pearsonK))
+      return trainInterceptClosedForm(data, cfg, priors)
     val grouped = data.groupByKey(_.reId)(Encoders.STRING)
 
     def solve(samples: Array[LabeledPoint],
@@ -117,6 +119,82 @@ object RandomEffect {
             Iterator(ReModel(id, m.coef, m.intercept, m.variances))
           }
         }
+    }
+  }
+
+  /** The intercept-only squared-loss family (per-entity means — GAME's
+    * most common random-effect shape) solves in closed form PER GROUP,
+    * which lets training collapse to a plain SQL aggregate instead of
+    * the groupByKey+mapGroups general path. The win is structural, not
+    * cosmetic: a hash aggregate partially combines map-side, so the
+    * shuffle carries one (Σw·(y−off), Σw) row per entity per task
+    * instead of every sample (with its vector payload) — at 100 TB the
+    * difference between shuffling bytes ∝ data and ∝ entities — and the
+    * whole plan stays inside whole-stage codegen (no typed encoders). */
+  private def closedFormInterceptEligible(featureDim: Int, cfg: GlmConfig,
+                                          pearsonK: Int): Boolean =
+    featureDim == 0 && cfg.fitIntercept && cfg.loss == SquaredLoss &&
+      cfg.l1 == 0 && cfg.bounds.isEmpty && cfg.norm.isIdentity &&
+      cfg.prior.isEmpty && pearsonK == 0
+
+  /** SQL twin of the general path for the intercept-only closed form.
+    * Mirrors `Glm.trainLocal`'s normal-equations solve slot by slot:
+    *   no prior / prior without variances → β = Σw(y−off) / Σw
+    *     (the exact solve ignores warm starts — they only seed iterative
+    *     solvers, and the l2 weight never touches the intercept slot);
+    *   prior WITH variances (incremental training) → Gaussian-prior
+    *     ridge β = (Σw(y−off) + μ/σ²) / (Σw + 1/σ²), σ²≤0 → l2 fallback
+    *     (QuadReg.from);
+    *   entity present only in the priors → prior model passes through
+    *     (the reference's full-outer semantics);
+    *   varianceComputation simple/full → 1/(Σw + regDiag), floored like
+    *     trainLocal (h ≤ 1e-12 → 1e12). */
+  private def trainInterceptClosedForm(data: Dataset[ReSample],
+                                       cfg: GlmConfig,
+                                       priors: Option[Dataset[ReModel]])
+  : Dataset[ReModel] = {
+    implicit val enc = Encoders.product[ReModel]
+    val agg = data.toDF().groupBy("reId").agg(
+      sum(col("weight") * (col("label") - col("offset"))).as("_b"),
+      sum(col("weight")).as("_a"))
+    val wantVar = cfg.varianceComputation.toLowerCase match {
+      case "simple" | "full" => true
+      case _ => false
+    }
+    val emptyCoef = array().cast("array<double>")
+    val noVar = lit(null).cast("array<double>")
+    priors match {
+      case None =>
+        val beta = when(col("_a") > 0, col("_b") / col("_a"))
+          .otherwise(lit(0.0))
+        val vOut =
+          if (wantVar) when(col("_a") > 1e-12,
+            array(lit(1.0) / col("_a"))).otherwise(array(lit(1e12)))
+          else noVar
+        agg.select(col("reId"), emptyCoef.as("coef"),
+          beta.as("intercept"), vOut.as("variances")).as[ReModel]
+      case Some(pm) =>
+        val p = pm.toDF().select(col("reId"), col("coef").as("_pc"),
+          col("intercept").as("_pi"), col("variances").as("_pv"))
+        val j = agg.join(p, Seq("reId"), "full_outer")
+        val hasData = col("_a").isNotNull
+        // prior precision on the intercept slot (1-slot arrays at dim 0)
+        val aP = when(col("_pi").isNotNull && col("_pv").isNotNull,
+          when(element_at(col("_pv"), 1) > 0,
+            lit(1.0) / element_at(col("_pv"), 1)).otherwise(lit(cfg.l2)))
+          .otherwise(lit(0.0))
+        val h = col("_a") + aP
+        val beta = when(h > 0,
+          (col("_b") + aP * coalesce(col("_pi"), lit(0.0))) / h)
+          .otherwise(coalesce(col("_pi"), lit(0.0)))
+        val vArr = when(h > 1e-12, array(lit(1.0) / h))
+          .otherwise(array(lit(1e12)))
+        j.select(col("reId"),
+          when(hasData, emptyCoef).otherwise(col("_pc")).as("coef"),
+          when(hasData, beta).otherwise(col("_pi")).as("intercept"),
+          (if (wantVar) when(hasData, vArr).otherwise(col("_pv"))
+           else when(hasData, noVar).otherwise(col("_pv")))
+            .as("variances")).as[ReModel]
     }
   }
 

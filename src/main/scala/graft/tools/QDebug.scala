@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Scratch harness for plan inspection and query timing experiments. */
 object QDebug {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -14,20 +14,40 @@ object QDebug {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
 
+    @volatile var jobs = List.empty[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val starts =
+        new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(js.jobId, js.time)
+      override def onJobEnd(
+          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = Option(starts.get(je.jobId)).getOrElse(je.time)
+        jobs = (je.jobId, je.time - t0) :: jobs
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
     def time(name: String)(f: => Long): Unit = {
+      jobs = Nil
       val t0 = System.nanoTime()
       val n = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1fs ($n rows)")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener drain
+      val js = jobs.sortBy(_._1)
+      println(f"$name: $wall%.1fs ($n rows), ${js.size} jobs, " +
+        f"job-time sum ${js.map(_._2).sum / 1e3}%.1fs")
+      js.foreach { case (id, ms) =>
+        if (ms > 300) println(f"  job $id: ${ms / 1e3}%.1fs")
+      }
     }
 
-    val docs = graft.Tables.documents(spark, d)
-    time("q26 countJaccard (t=0.01)") {
-      graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", "source",
-        3, 0.01).count()
+    time("q52 full") {
+      graft.SparkEntry.q52_game_events(spark, d).count()
     }
-    time("q26 again") {
-      graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", "source",
-        3, 0.01).count()
+    time("q52 again") {
+      graft.SparkEntry.q52_game_events(spark, d).count()
     }
     spark.stop()
   }

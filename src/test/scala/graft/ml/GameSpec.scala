@@ -230,6 +230,43 @@ class GameSpec extends SparkSpec {
     assert(math.abs(cold.intercept) < 0.5, s"cold=${cold.intercept}")
   }
 
+  test("intercept closed form equals the iterative path, weights and all") {
+    // featureDim=0 + squared loss takes the SQL closed form; adding wide
+    // box bounds fails eligibility and forces the general groupByKey path
+    // through the SAME config semantics (±1e9 bounds never bind), so the
+    // two paths must agree to solver precision — weighted, offset,
+    // variance and prior-with-variance cases included
+    val rnd = new scala.util.Random(61)
+    val data = (0 until 600).map { i =>
+      RandomEffect.ReSample(s"e${i % 7}", rnd.nextGaussian() * 2 + i % 3,
+        Vectors.dense(Array.empty[Double]), 0.3 * rnd.nextGaussian(),
+        0.5 + rnd.nextDouble())
+    }.toDS()
+    val cfg = GlmConfig(SquaredLoss, l2 = 1e-3, maxIter = 200, tol = 1e-12,
+      varianceComputation = "simple")
+    val forceGeneral = cfg.copy(bounds =
+      Some((Array(-1e9), Array(1e9))))
+    def toMap(ds: org.apache.spark.sql.Dataset[RandomEffect.ReModel]) =
+      ds.collect().map(m => m.reId -> m).toMap
+    val fast = toMap(RandomEffect.train(data, 0, cfg))
+    val slow = toMap(RandomEffect.train(data, 0, forceGeneral))
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (e, m) =>
+      assert(math.abs(m.intercept - slow(e).intercept) < 1e-6,
+        s"$e: closed=${m.intercept} iterative=${slow(e).intercept}")
+      assert(math.abs(m.variances.get(0) - slow(e).variances.get(0)) < 1e-6)
+    }
+    // incremental chain: prior WITH variances regularizes identically
+    val fast2 = toMap(RandomEffect.train(data, 0, cfg,
+      priors = Some(spark.createDataset(fast.values.toSeq))))
+    val slow2 = toMap(RandomEffect.train(data, 0, forceGeneral,
+      priors = Some(spark.createDataset(slow.values.toSeq))))
+    fast2.foreach { case (e, m) =>
+      assert(math.abs(m.intercept - slow2(e).intercept) < 1e-6,
+        s"$e prior: closed=${m.intercept} iterative=${slow2(e).intercept}")
+    }
+  }
+
   test("random-effect priors survive for entities with no new data") {
     val prior = spark.createDataset(Seq(
       RandomEffect.ReModel("ghost", Array(1.0), 0.5),
