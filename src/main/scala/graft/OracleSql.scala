@@ -512,6 +512,31 @@ object OracleSql {
     "q24_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
 
+    "q56_repetition" -> (toksCte + """,
+        |tc AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT doc_id,
+        |    1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_frac,
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+        |  FROM tc GROUP BY doc_id),
+        |bc AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS g FROM t)
+        |  GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bg
+        |  FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  round(coalesce(uni.dup_frac, 0.0) + 1e-9, 6) AS dup_token_frac,
+        |  round(coalesce(uni.top_frac, 0.0) + 1e-9, 6) AS top_token_frac,
+        |  round(coalesce(bi.top_bg, 0.0) + 1e-9, 6) AS top_bigram_frac
+        |FROM t LEFT JOIN uni ON t.doc_id = uni.doc_id
+        |       LEFT JOIN bi ON t.doc_id = bi.doc_id""".stripMargin),
+
     "q44_clean_corpus" -> (toksCte + """,
         |hits AS (
         |  SELECT doc_id, text, CAST(len(toks) AS INTEGER) AS n_tokens,

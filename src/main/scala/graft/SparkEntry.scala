@@ -254,6 +254,19 @@ object SparkEntry {
     graft.operators.CorpusPipeline.clean(T.documents(s, d), "doc_id",
       "text", minTokens = 5, langs = Seq("en", "fr"))
 
+  /** Repetition quality signals (Gopher-style): duplicate-token fraction
+    * plus the share of the most frequent unigram/bigram. One linear pass
+    * per doc, zero shuffle — the filters a corpus pipeline runs before
+    * anything expensive. */
+  def q56_repetition(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"),
+      round(TF.duplicateNgramFraction(col("text"), 1) + 1e-9, 6)
+        .as("dup_token_frac"),
+      round(TF.topNgramFraction(col("text"), 1) + 1e-9, 6)
+        .as("top_token_frac"),
+      round(TF.topNgramFraction(col("text"), 2) + 1e-9, 6)
+        .as("top_bigram_frac"))
+
   /** Document fingerprinting. */
   def q24_fingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d).select(col("doc_id"),
@@ -716,6 +729,7 @@ object SparkEntry {
     "q23_lang_id" -> (q23_lang_id _),
     "q24_fingerprint" -> (q24_fingerprint _),
     "q25_shingle_stats" -> (q25_shingle_stats _),
+    "q56_repetition" -> (q56_repetition _),
     "q26_jaccard_pairs" -> (q26_jaccard_pairs _),
     "q27_minhash" -> (q27_minhash _),
     "q28_lsh_buckets" -> (q28_lsh_buckets _),

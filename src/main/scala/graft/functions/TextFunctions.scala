@@ -95,6 +95,37 @@ object TextFunctions {
   def distinctShingles(text: Column, n: Int): Column =
     array_distinct(shingles(text, n))
 
+  /** Fraction of n-gram occurrences that repeat an earlier occurrence:
+    * 1 − distinct/total (0 for docs with fewer than n tokens). With the
+    * [[shingles]] single-pass build this stays linear and shuffle-free —
+    * the Gopher-style "duplicate n-gram" repetition signal. */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    val grams = if (n == 1) tokens(text) else shingles(text, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"))
+  }
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram (the other Gopher repetition signal: a doc whose top bigram
+    * covers 20% of the text is boilerplate). Single-pass UDF for the same
+    * reason as [[simhash64]]: a per-gram mode as an expression tree is a
+    * quadratic nest of array aggregates, while a hash-map count is linear
+    * and partition-local. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val top = udf { (grams: Seq[String]) =>
+      if (grams == null || grams.isEmpty) 0.0
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        grams.foreach(g => counts.merge(g, 1, (a, b) => a + b))
+        var mx = 0
+        counts.values.forEach(v => if (v > mx) mx = v)
+        mx.toDouble / grams.length.toDouble
+      }
+    }
+    top(if (n == 1) tokens(text) else shingles(text, n))
+  }
+
   /** One MinHash value: the minimum md5 (as hex string — lexicographic min
     * of fixed-width hex equals numeric min) of seeded shingles. Empty
     * shingle set → null. */

@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the repetition quality signals (the rest of
+  * TextFunctions is gated by the q21-q25 oracle hash compares). */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def signals(text: String): (Double, Double, Double) = {
+    val r = Seq(text).toDF("text").select(
+      TextFunctions.duplicateNgramFraction(col("text"), 1).as("dup"),
+      TextFunctions.topNgramFraction(col("text"), 1).as("top1"),
+      TextFunctions.topNgramFraction(col("text"), 2).as("top2"))
+      .collect().head
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+  }
+
+  test("repetition signals match hand computation") {
+    // "a b a c a": 5 tokens, 3 distinct -> dup 0.4; 'a' 3/5; bigrams
+    // (a b)(b a)(a c)(c a) all distinct -> 1/4
+    assert(signals("a b a c a") == (0.4, 0.6, 0.25))
+    // all-same doc: maximal repetition, bigram "x x" covers everything
+    assert(signals("x x x x") == (0.75, 1.0, 1.0))
+    // no repetition at all (3 distinct bigrams from 4 tokens)
+    assert(signals("p q r s") == (0.0, 0.25, 1.0 / 3.0))
+  }
+
+  test("repetition signals degrade to zero on empty and tiny docs") {
+    assert(signals("") == (0.0, 0.0, 0.0))
+    assert(signals("   ") == (0.0, 0.0, 0.0))
+    // one token: no bigrams, top unigram is the whole doc
+    assert(signals("solo") == (0.0, 1.0, 0.0))
+  }
+}
