@@ -575,6 +575,44 @@ object OracleSql {
         |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT block, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01""".stripMargin),
 
+    // q57: same pair graph as q26, resolved to components by transitive
+    // closure (small data lets the oracle afford O(n·|C|) reachability;
+    // the engine runs O(log n) large-star/small-star instead), then the
+    // same canonical policy: max token count, ties -> min doc_id.
+    "q57_dup_clusters" -> ("WITH RECURSIVE" +
+      shinglesCte.stripPrefix("WITH") + """,
+        |ds AS (SELECT doc_id, source, list_distinct(sh3) AS sh FROM sh),
+        |e AS (
+        |  SELECT a.doc_id AS ea, b.doc_id AS eb
+        |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |    >= 0.01),
+        |sym AS (SELECT ea AS u, eb AS v FROM e UNION SELECT eb, ea FROM e),
+        |reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |  WHERE s.v <> r.u),
+        |comp AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u),
+        |base AS (
+        |  SELECT t.doc_id, COALESCE(c.component, t.doc_id) AS component,
+        |    len(t.toks) AS ntok
+        |  FROM t LEFT JOIN comp c ON t.doc_id = c.doc_id),
+        |best AS (
+        |  SELECT component, COUNT(*) AS cluster_size, MAX(ntok) AS maxp
+        |  FROM base GROUP BY component),
+        |canon AS (
+        |  SELECT base.component, MIN(base.doc_id) AS canonical_id
+        |  FROM base JOIN best USING (component)
+        |  WHERE base.ntok = best.maxp GROUP BY base.component)
+        |SELECT base.doc_id, base.component, best.cluster_size,
+        |  canon.canonical_id
+        |FROM base JOIN best USING (component)
+        |JOIN canon USING (component)""".stripMargin),
+
     "q27_minhash" -> (shinglesCte + """,
         |sigs AS (
         |  SELECT doc_id,

@@ -267,6 +267,19 @@ object SparkEntry {
       round(TF.topNgramFraction(col("text"), 2) + 1e-9, 6)
         .as("top_bigram_frac"))
 
+  /** Near-dup cluster resolution: the q26 Jaccard pair graph resolved
+    * into disjoint duplicate clusters (large-star/small-star connected
+    * components), each with a size and a canonical keeper (longest doc,
+    * ties → smallest id). The step that turns pair output into the
+    * keep/drop decision a dedup pipeline actually applies. */
+  def q57_dup_clusters(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.01)
+    Dedup.resolveClusters(docs, pairs, "doc_id",
+      priorityCol = TF.tokenCount(col("text")))
+  }
+
   /** Document fingerprinting. */
   def q24_fingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d).select(col("doc_id"),
@@ -731,6 +744,7 @@ object SparkEntry {
     "q25_shingle_stats" -> (q25_shingle_stats _),
     "q56_repetition" -> (q56_repetition _),
     "q26_jaccard_pairs" -> (q26_jaccard_pairs _),
+    "q57_dup_clusters" -> (q57_dup_clusters _),
     "q27_minhash" -> (q27_minhash _),
     "q28_lsh_buckets" -> (q28_lsh_buckets _),
     "q29_knn_brute" -> (q29_knn_brute _),

@@ -234,4 +234,129 @@ object Dedup {
         V.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ------------------------------------------------- cluster resolution
+
+  /** Both directions of an undirected edge list. */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+
+  /** min(Γ(u) ∪ {u}) per node — a map-side-combinable aggregate, never a
+    * collected adjacency list, so a hot node costs its edge count. */
+  private def nbrMin(sym: DataFrame): DataFrame =
+    sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+
+  /** Large-star: attach every neighbor v > u to m = min(Γ(u) ∪ {u}). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
+    sym.join(nbrMin(sym), "u")
+      .filter(col("v") > col("u"))
+      // m ≤ u < v, so (m, v) is already in canonical (small, large) order
+      .select(col("m").as("a"), col("v").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Small-star: attach every neighbor v < u, and u itself, to
+    * m = min(Γ(u) ∪ {u}). (When v < u exists, the global neighborhood
+    * min is itself ≤ v, so one aggregate serves both stars.) */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
+    val mins = nbrMin(sym)
+    sym.filter(col("v") < col("u")).join(mins, "u")
+      .select(col("m").as("a"), col("v").as("b"))
+      .union(mins.select(col("m").as("a"), col("u").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair list, by alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14). Each round is two shuffles — a
+    * per-node neighborhood-min aggregate and an equi-join back onto the
+    * edge list — with no adjacency-list materialization and no driver-side
+    * graph state, and the alternation converges in O(log n) rounds, so the
+    * same loop that resolves 500 documents resolves a 100 TB corpus's dup
+    * graph. This is the step that turns near-dup PAIRS (minhashLsh /
+    * simhash / ngramJaccard / embeddingCosine output) into disjoint
+    * duplicate CLUSTERS a pipeline can act on.
+    *
+    * Returns one row per node appearing in `pairs`: (id, component), where
+    * `component` is the smallest node id in the node's component. Rounds
+    * are eagerly local-checkpointed so plan depth stays constant however
+    * many iterations run. */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b",
+                          maxIter: Int = 30): DataFrame = {
+    // order-insensitive content fingerprint of a distinct edge set
+    // (count, xor of row hashes) — one cheap aggregate per round
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def release(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => df.unpersist(false)
+    }
+
+    var edges = materialize(pairs
+      .filter(col(idACol).isNotNull && col(idBCol).isNotNull)
+      .select(least(col(idACol), col(idBCol)).as("a"),
+        greatest(col(idACol), col(idBCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var fp = fingerprint(edges)
+    var it = 0
+    var converged = fp._1 == 0L
+    while (!converged && it < maxIter) {
+      val next = materialize(smallStar(largeStar(edges)))
+      val nfp = fingerprint(next)
+      release(edges)
+      edges = next
+      converged = nfp == fp
+      fp = nfp
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(O(log n) expected; raise maxIter)")
+    // converged state is a forest of stars centered at each component min
+    edges.select(col("b").as("id"), col("a").as("component"))
+      .union(edges.select(col("a").as("id"), col("a").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Resolve near-dup pairs into actionable per-document decisions: every
+    * document gets its duplicate-cluster id (its own id when unpaired),
+    * the cluster size, and the cluster's canonical keeper — the member
+    * with the highest `priorityCol` (e.g. token count), ties broken by
+    * smallest id. A training pipeline keeps `doc_id == canonical_id` rows.
+    *
+    * Canonical selection is two hash aggregates plus equi-joins — max
+    * priority per component, then min id among the maxima — never a
+    * per-component window sort, so one degenerate mega-cluster cannot
+    * funnel into a single task. */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      priorityCol: Column,
+                      idACol: String = "id_a", idBCol: String = "id_b",
+                      maxIter: Int = 30): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol, maxIter)
+    val base = docs.select(col(idCol), priorityCol.as("_prio"))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val best = base.groupBy("component").agg(
+      count(lit(1)).as("cluster_size"), max(col("_prio")).as("_maxp"))
+    val canon = base.join(best, "component")
+      .filter(col("_prio") === col("_maxp"))
+      .groupBy("component").agg(min(col(idCol)).as("canonical_id"))
+    base.join(best.select("component", "cluster_size"), "component")
+      .join(canon, "component")
+      .select(col(idCol), col("component"), col("cluster_size"),
+        col("canonical_id"))
+  }
 }

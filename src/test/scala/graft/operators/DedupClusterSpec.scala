@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected-components + cluster-resolution (Dedup.connectedComponents /
+  * resolveClusters): verified against a brute-force union-find. */
+class DedupClusterSpec extends SparkSpec {
+  import scala.collection.mutable
+
+  private def pairsDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("id_a", "id_b")
+  }
+
+  /** Reference union-find over the same edges. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairsDf(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph collapses to its minimum id") {
+    val path = (1L until 8L).map(i => (i, i + 1))
+    assert(ccMap(path) == (1L to 8L).map(_ -> 1L).toMap)
+  }
+
+  test("hub with the largest id still labels by component minimum") {
+    val star = (1L to 9L).map(i => (99L, i))
+    assert(ccMap(star) == ((1L to 9L) :+ 99L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint components stay disjoint") {
+    val g = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+    assert(ccMap(g) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L))
+  }
+
+  test("random graph matches brute-force union-find") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(300)(
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccMap(pairs) == unionFind(pairs))
+  }
+
+  test("empty pair list yields an empty labeling") {
+    assert(ccMap(Seq.empty).isEmpty)
+  }
+
+  test("result is invariant to input partitioning and duplication") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (9L, 5L), (1L, 2L), (2L, 1L))
+    val base = ccMap(pairs)
+    val shuffled = Dedup.connectedComponents(
+      pairsDf(pairs ++ pairs).repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == shuffled)
+    assert(base == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("resolveClusters picks the longest doc, ties to the smallest id") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 and 3 tie on priority -> canonical 2
+    // cluster {7,8}: 8 longer -> canonical 8; 5 unpaired -> itself
+    val docs = Seq(
+      (1L, 10), (2L, 30), (3L, 30), (5L, 99), (7L, 4), (8L, 6))
+      .toDF("doc_id", "n")
+    val pairs = pairsDf(Seq((1L, 2L), (2L, 3L), (7L, 8L)))
+    val got = Dedup.resolveClusters(docs, pairs, "doc_id", col("n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, 2L)), 2L -> ((1L, 3L, 2L)), 3L -> ((1L, 3L, 2L)),
+      5L -> ((5L, 1L, 5L)), 7L -> ((7L, 2L, 8L)), 8L -> ((7L, 2L, 8L))))
+  }
+}
