@@ -651,6 +651,98 @@ object OracleSql {
         |  COUNT(*) AS n_events
         |FROM x GROUP BY user_id""".stripMargin,
 
+    // q58: candidate docs vs the src0 benchmark set, DISTINCT 3-shingle
+    // overlap per doc — the broadcast semi-join mirrored relationally
+    "q58_decontam" -> (shinglesCte + """,
+      |bench AS (SELECT DISTINCT unnest(sh3) AS g FROM sh
+      |  WHERE source = 'src0'),
+      |cand AS (SELECT DISTINCT doc_id, unnest(sh3) AS g FROM sh
+      |  WHERE source <> 'src0'),
+      |hits AS (SELECT doc_id, COUNT(*) AS n FROM cand
+      |  JOIN bench USING (g) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated,
+      |  COALESCE(h.n, 0) > 0 AS is_contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.source <> 'src0'""".stripMargin),
+
+    // q59: the as-of join as its declarative definition — latest view at
+    // or before each click, ties by largest event_id (the engine's
+    // union+window formulation must agree with the per-row subquery)
+    "q59_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  (SELECT v.value FROM events v
+        |    WHERE v.event_type = 'view' AND v.user_id = c.user_id
+        |      AND v.ts <= c.ts
+        |    ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_value
+        |FROM events c WHERE c.event_type = 'click'""".stripMargin,
+
+    "q60_split_assign" -> (
+      "SELECT doc_id, CASE WHEN f < 0.8 THEN 'train' " +
+        "WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, CAST(" +
+        hex8("'split_' || CAST(doc_id AS VARCHAR)") +
+        " AS DOUBLE) / 4294967296.0 AS f FROM documents)"),
+
+    // q61: ranking is integer-exact (tf desc, df asc, term asc); the
+    // floating tfidf column is display-only, rounded at 6dp
+    "q61_tfidf" -> (toksCte + """,
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |r AS (SELECT doc_id, term, tf, df,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tf DESC, df ASC, term ASC) AS rank
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, rank, term, tf, df,
+      |  ROUND(tf * LN(CAST(n AS DOUBLE) / df) + 1e-9, 6) AS tfidf
+      |FROM r, n WHERE rank <= 3""".stripMargin),
+
+    // q62: add-one-smoothed bigram LM; per-bigram -ln p rounded at 9dp
+    // and summed as DECIMAL(18,9) so the mean is order-independent
+    "q62_bigram_lm" -> (toksCte + """,
+      |bgl AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1]) END AS bgs FROM t),
+      |bgw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+      |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM bgl)),
+      |cbig AS (SELECT bg, COUNT(*) AS c2 FROM bgw GROUP BY 1),
+      |cpre AS (SELECT w1, COUNT(*) AS c1 FROM bgw GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS v
+      |  FROM (SELECT unnest(toks) AS tok FROM t)),
+      |nlp AS (SELECT doc_id,
+      |    CAST(ROUND(-LN((c2 + 1.0) / CAST(c1 + v AS DOUBLE)), 9)
+      |      AS DECIMAL(18,9)) AS nlp
+      |  FROM bgw JOIN cbig USING (bg) JOIN cpre USING (w1), v),
+      |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*) + 1e-9, 6) AS avg_nll
+      |  FROM nlp GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(avg_nll, 0.0) AS avg_nll
+      |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin),
+
+    "q63_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS k_avg
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // q64: the range join as its declarative definition (inequality
+    // join); the engine's bucketized equi-join must agree exactly
+    "q64_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT e.event_id, COUNT(c.ts) AS n,
+        |    SUM(CAST(c.value AS DECIMAL(18,2))) AS s
+        |  FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |    AND c.ts > e.ts - INTERVAL 3600 SECOND AND c.ts <= e.ts
+        |  GROUP BY 1)
+        |SELECT event_id AS error_id, n AS n_in_window,
+        |  CAST(COALESCE(s, 0) AS DOUBLE) AS value_sum FROM j""".stripMargin,
+
     "q31_precision_at_k" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

@@ -280,6 +280,30 @@ object SparkEntry {
       priorityCol = TF.tokenCount(col("text")))
   }
 
+  /** Benchmark decontamination: 3-gram overlap of every candidate doc
+    * against the src0 "benchmark" set (broadcast shingle semi-join). */
+  def q58_decontam(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    Decontamination.report(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", n = 3)
+  }
+
+  /** Deterministic hash-based train/val/test assignment (80/10/10). */
+  def q60_split_assign(s: SparkSession, d: String): DataFrame =
+    Splits.withSplit(T.documents(s, d).select("doc_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /** Top-3 TF-IDF terms per document (integer-exact ranking). */
+  def q61_tfidf(s: SparkSession, d: String): DataFrame =
+    TextRanking.topTfIdfTerms(T.documents(s, d), "doc_id", "text", k = 3)
+
+  /** Corpus-trained bigram-LM quality score per document (the perplexity
+    * filter shape: train counts once, score per row). */
+  def q62_bigram_lm(s: SparkSession, d: String): DataFrame =
+    TextRanking.bigramLmScore(T.documents(s, d), "doc_id", "text")
+
   /** Document fingerprinting. */
   def q24_fingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d).select(col("doc_id"),
@@ -342,6 +366,45 @@ object SparkEntry {
       .groupBy("user_id")
       .agg(sum(col("new_session")).as("n_sessions"),
         count(lit(1)).as("n_events"))
+  }
+
+  /** As-of (point-in-time) join: each click event gets the value of the
+    * most recent prior-or-simultaneous view by the same user — the
+    * feature-lookup join a training pipeline runs against a slowly
+    * updating signal. One shuffle (union + per-key sort), no per-row
+    * backward probe. */
+  def q59_asof_join(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "event_id", "value")
+    EventJoins.asOf(clicks, views, Seq("user_id"), "ts", "event_id")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("value").as("last_view_value"))
+  }
+
+  /** Bounded range join: per error event, count + exact sum of click
+    * values by the same user in the preceding hour. Bucketized by the
+    * window width so candidates are an equi-join, never a per-user cross
+    * product. */
+  def q64_range_join(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    EventJoins.rangeAgg(
+      ev.filter(col("event_type") === "error"),
+      ev.filter(col("event_type") === "click"),
+      Seq("user_id"), "event_id", "ts", 3600L, "value")
+      .withColumnRenamed("event_id", "error_id")
+  }
+
+  /** Semi-structured column handling: JSON property extraction (codegen
+    * path evaluation, no UDF) feeding a grouped aggregate. */
+  def q63_json_extract(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    T.events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(k).as("k_sum"),
+        round(sum(k).cast("double") / count(lit(1)) + lit(1e-9), 6)
+          .as("k_avg"))
   }
 
   /** E8: precision@k per group (top-k by score, hit = purchase). */
@@ -749,6 +812,13 @@ object SparkEntry {
     "q28_lsh_buckets" -> (q28_lsh_buckets _),
     "q29_knn_brute" -> (q29_knn_brute _),
     "q30_sessionize" -> (q30_sessionize _),
+    "q58_decontam" -> (q58_decontam _),
+    "q59_asof_join" -> (q59_asof_join _),
+    "q60_split_assign" -> (q60_split_assign _),
+    "q61_tfidf" -> (q61_tfidf _),
+    "q62_bigram_lm" -> (q62_bigram_lm _),
+    "q63_json_extract" -> (q63_json_extract _),
+    "q64_range_join" -> (q64_range_join _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics text scoring: TF-IDF keyword extraction and an
+  * n-gram language-model quality score (the CCNet-style "perplexity
+  * filter" shape, with the LM trained on the corpus itself).
+  *
+  * Both operators are two-phase: a corpus-wide statistics aggregate
+  * (keyed by term — map-side combinable, bounded by vocabulary size, not
+  * corpus size), then one join back onto per-document rows. No driver
+  * state: corpus scalars (N docs, vocabulary size) ride along as
+  * broadcast one-row crossJoins so the whole thing stays a single lazy
+  * plan.
+  */
+object TextRanking {
+
+  /** Top-`k` characteristic terms per document.
+    *
+    * Ranking is by (tf desc, df asc, term asc) — exact integer ordering,
+    * deterministic in any engine; the familiar `tf·ln(N/df)` score is
+    * attached for consumers but never used as a sort key, so floating-
+    * point ulps can't reorder results across engines. */
+  def topTfIdfTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("_n").cast("double") / col("df")) + 1e-9, 6)
+          .as("tfidf"))
+  }
+
+  /** Mean negative log-probability per document under a corpus-trained
+    * token-bigram LM with add-one smoothing:
+    * `p(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + |V|)`.
+    *
+    * High scores mark improbable (low-quality / out-of-distribution)
+    * text — the cheap stand-in for an external LM perplexity filter,
+    * with the same pipeline shape: train counts once, score per row.
+    * Per-bigram terms are rounded to 9 decimals and summed as exact
+    * decimals so the per-doc mean is independent of aggregation order.
+    * Documents with fewer than 2 tokens score 0 over 0 bigrams. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val bg = docs
+      .select(col(idCol), explode(TF.shingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBig = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val cPre = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .select(explode(TF.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("_v"))
+    val nlp = bg.join(cBig, Seq("bg")).join(cPre, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round(-log((col("c2") + lit(1.0)) /
+          (col("c1") + col("_v")).cast("double")), 9)
+          .cast("decimal(18,9)").as("nlp"))
+    val scored = nlp.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nlp")).cast("double") / count(lit(1)) + lit(1e-9), 6)
+          .as("avg_nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+  }
+}

@@ -43,12 +43,12 @@ object QDebug {
       }
     }
 
-    time("q52 full") {
-      graft.SparkEntry.q52_game_events(spark, d).count()
-    }
-    time("q52 again") {
-      graft.SparkEntry.q52_game_events(spark, d).count()
-    }
+    val name = args.headOption.getOrElse("q52_game_events")
+    val dir = if (args.length > 1) args(1) else d
+    val q = graft.SparkEntry.queries(name)
+    if (sys.env.contains("QDEBUG_EXPLAIN")) q(spark, dir).explain("formatted")
+    time(s"$name cold") { q(spark, dir).count() }
+    time(s"$name warm") { q(spark, dir).count() }
     spark.stop()
   }
 }

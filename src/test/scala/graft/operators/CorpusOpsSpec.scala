@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Split assignment, benchmark decontamination, and corpus-statistics
+  * text scoring (TF-IDF / bigram LM) against hand computations. */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("split assignment is deterministic, exhaustive, and near-fractional") {
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Splits.withSplit(df, "id", fr)
+    val b = Splits.withSplit(df.repartition(13), "id", fr)
+    // partitioning-independent: identical assignment per id
+    assert(a.join(b.withColumnRenamed("split", "split2"), "id")
+      .filter(col("split") =!= col("split2")).count() == 0)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 4000)
+    assert(math.abs(counts("train") - 3200.0) < 150)
+    assert(math.abs(counts("val") - 400.0) < 80)
+    // different salts decorrelate: some ids move between splits
+    val c = Splits.withSplit(df, "id", fr, salt = "other")
+    assert(a.join(c.withColumnRenamed("split", "split2"), "id")
+      .filter(col("split") =!= col("split2")).count() > 0)
+  }
+
+  test("decontamination flags exactly the docs sharing a 3-gram") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "a very quick brown fox indeed"), // shares "quick brown fox"
+      (2L, "completely unrelated words here galore"),
+      (3L, "brown the fox quick jumps")) // same words, no shared 3-gram
+      .toDF("doc_id", "text")
+    val rep = Decontamination.report(cands, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rep(1L) == (1L, true))
+    assert(rep(2L) == (0L, false))
+    assert(rep(3L) == (0L, false))
+    val kept = Decontamination.clean(cands, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("topTfIdfTerms ranks by (tf desc, df asc, term asc)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val out = TextRanking.topTfIdfTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "tf", "df")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // doc1: apple tf=2 (df=1); then banana/cherry tf=1 — banana df=2 < cherry df=3
+    assert(out.take(2).toSeq == Seq((1L, 1, "apple", 2L, 1L),
+      (1L, 2, "banana", 1L, 2L)))
+    // doc3: tie tf=1 — cherry df=3 > date df=1, so date first
+    assert(out.drop(4).toSeq == Seq((3L, 1, "date", 1L, 1L),
+      (3L, 2, "cherry", 1L, 3L)))
+  }
+
+  test("bigramLmScore matches the hand-computed smoothed LM") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // corpus bigrams: doc1: (a b),(b a),(a b); doc2: (a b),(b c)
+    // C(a b)=3, C(b a)=1, C(b c)=1; prefix counts: C(a ·)=3, C(b ·)=2
+    // vocab = {a,b,c,x} → V=4
+    val pAB = (3 + 1.0) / (3 + 4)
+    val pBA = (1 + 1.0) / (2 + 4)
+    val pBC = (1 + 1.0) / (2 + 4)
+    def nlp(p: Double) =
+      BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def score(xs: Seq[BigDecimal]): Double =
+      BigDecimal(xs.sum.toDouble / xs.size + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextRanking.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 -
+      score(Seq(nlp(pAB), nlp(pBA), nlp(pAB)))) < 1e-12)
+    assert(out(2L)._1 == 2L)
+    assert(math.abs(out(2L)._2 - score(Seq(nlp(pAB), nlp(pBC)))) < 1e-12)
+    // doc with <2 tokens: zero bigrams, score 0
+    assert(out(3L) == (0L, 0.0))
+  }
+}
