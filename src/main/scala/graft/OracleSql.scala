@@ -743,6 +743,38 @@ object OracleSql {
         |SELECT event_id AS error_id, n AS n_in_window,
         |  CAST(COALESCE(s, 0) AS DOUBLE) AS value_sum FROM j""".stripMargin,
 
+    // q65: percentile() in Spark and quantile_cont() in DuckDB share the
+    // p·(n−1) linear-interpolation definition
+    "q65_column_profile" ->
+      """SELECT col_name, ROUND(p25 + 1e-9, 6) AS p25,
+        |  ROUND(p50 + 1e-9, 6) AS p50, ROUND(p75 + 1e-9, 6) AS p75
+        |FROM (
+        |  SELECT 'l_quantity' AS col_name,
+        |    quantile_cont(l_quantity, 0.25) AS p25,
+        |    quantile_cont(l_quantity, 0.5) AS p50,
+        |    quantile_cont(l_quantity, 0.75) AS p75 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount',
+        |    quantile_cont(l_discount, 0.25), quantile_cont(l_discount, 0.5),
+        |    quantile_cont(l_discount, 0.75) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax',
+        |    quantile_cont(l_tax, 0.25), quantile_cont(l_tax, 0.5),
+        |    quantile_cont(l_tax, 0.75) FROM lineitem)""".stripMargin,
+
+    // q66/q67: the salt only re-routes rows — the oracle is the plain
+    // unsalted aggregation / join
+    "q66_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q67_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
     "q31_precision_at_k" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

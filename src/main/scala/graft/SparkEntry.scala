@@ -407,6 +407,45 @@ object SparkEntry {
           .as("k_avg"))
   }
 
+  /** Exact-percentile column profiling (sort-based, order-statistics
+    * interpolation) — the data-profiling pass a pipeline runs before
+    * choosing normalizations and clip thresholds. */
+  def q65_column_profile(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+    def prof(c: String): DataFrame = li.agg(
+      round(expr(s"percentile($c, 0.25)") + lit(1e-9), 6).as("p25"),
+      round(expr(s"percentile($c, 0.5)") + lit(1e-9), 6).as("p50"),
+      round(expr(s"percentile($c, 0.75)") + lit(1e-9), 6).as("p75"))
+      .select(lit(c).as("col_name"), col("p25"), col("p50"), col("p75"))
+    prof("l_quantity").union(prof("l_discount")).union(prof("l_tax"))
+  }
+
+  /** Skew-safe two-phase aggregation: per-type event counts and exact
+    * value sums through an 8-way salt — identical results to the direct
+    * groupBy, but no reduce task sees more than ~1/8 of a hot key. */
+  def q66_salted_agg(s: SparkSession, d: String): DataFrame =
+    Skew.saltedAgg(T.events(s, d), Seq("event_type"), col("event_id"), 8,
+      partial = Seq("_n" -> count(lit(1)),
+        "_s" -> sum(dec(col("value"), 18, 2))),
+      fin = Seq("n" -> sum(col("_n")),
+        "value_sum" -> sum(col("_s")).cast("double")))
+
+  /** Salted equi-join (hot-key mitigation): lineitem × part with the
+    * part side replicated across 4 salts, then a brand rollup. Must be
+    * row-for-row the plain join. */
+  def q67_salted_join(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+      .select(col("l_partkey").as("partkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+    val p = T.part(s, d).select(col("p_partkey").as("partkey"),
+      col("p_brand"))
+    Skew.saltedJoin(li, p, "partkey",
+      concat_ws("_", col("l_orderkey"), col("l_linenumber")), saltN = 4)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sumExact(col("l_quantity"), 18, 2).as("sum_qty"))
+  }
+
   /** E8: precision@k per group (top-k by score, hit = purchase). */
   def q31_precision_at_k(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -819,6 +858,9 @@ object SparkEntry {
     "q62_bigram_lm" -> (q62_bigram_lm _),
     "q63_json_extract" -> (q63_json_extract _),
     "q64_range_join" -> (q64_range_join _),
+    "q65_column_profile" -> (q65_column_profile _),
+    "q66_salted_agg" -> (q66_salted_agg _),
+    "q67_salted_join" -> (q67_salted_join _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),
