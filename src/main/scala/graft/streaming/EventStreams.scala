@@ -101,6 +101,25 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join: each probe event pairs with build
+    * events of the same key within `(probe.ts - windowSec, probe.ts]` —
+    * the streaming twin of EventJoins.rangeAgg. The time-range predicate
+    * plus watermarks on BOTH sides is what lets Spark bound the join
+    * state: build rows older than `watermark + windowSec` below the
+    * probe watermark are evicted, so state is proportional to the window
+    * horizon, not the stream length. Output columns are qualified via
+    * the `p`/`b` aliases; non-key columns should be disjoint. */
+  def intervalJoin(probe: DataFrame, build: DataFrame, key: String,
+                   timeCol: String, windowSec: Long,
+                   watermark: String = "1 hour"): DataFrame = {
+    val p = probe.withWatermark(timeCol, watermark).alias("p")
+    val b = build.withWatermark(timeCol, watermark).alias("b")
+    p.join(b, expr(
+      s"""p.$key = b.$key AND
+         |b.$timeCol > p.$timeCol - INTERVAL $windowSec SECONDS AND
+         |b.$timeCol <= p.$timeCol""".stripMargin))
+  }
+
   /** Streaming GLM scoring: broadcast model over a stream — the
     * `model join readStream` extension called out in SURVEY §2.10. */
   def scoreStream(stream: DataFrame, model: GlmModel, featuresCol: String)

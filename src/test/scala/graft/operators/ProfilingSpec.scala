@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The sketch profile must track the exact profile within its stated
+  * error bounds on real table data. */
+class ProfilingSpec extends SparkSpec {
+
+  test("approxProfile tracks exact distinct and quantiles on lineitem") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_orderkey")
+    val prof = Profiling.approxProfile(li, cols, rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    cols.foreach { c =>
+      val exact = li.agg(
+        countDistinct(col(c)).cast("double").as("d"),
+        expr(s"percentile($c, 0.5)").as("p50"),
+        min(col(c)).cast("double").as("mn"),
+        max(col(c)).cast("double").as("mx")).first()
+      val row = prof(c)
+      // HLL++ at rsd=0.05: allow 3 sigma
+      assert(math.abs(row.getLong(3) - exact.getDouble(0)) <=
+        math.max(3, 0.15 * exact.getDouble(0)),
+        s"$c distinct ${row.getLong(3)} vs ${exact.getDouble(0)}")
+      // quantile sketch at accuracy 10000 on ~6k rows is near-exact:
+      // compare against the exact median within 1% of the value range
+      val span = exact.getDouble(3) - exact.getDouble(2)
+      assert(math.abs(row.getDouble(5) - exact.getDouble(1)) <=
+        math.max(1e-9, 0.01 * span),
+        s"$c p50 ${row.getDouble(5)} vs ${exact.getDouble(1)}")
+      // min/max are exact aggregates
+      assert(row.getDouble(7) == exact.getDouble(2))
+      assert(row.getDouble(8) == exact.getDouble(3))
+    }
+    // profile is one row per column
+    assert(prof.size == cols.size)
+  }
+}

@@ -101,6 +101,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L), s"got $ids")
   }
 
+  test("stream-stream interval join pairs events within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Double)]
+    val c = clicks.toDF().toDF("user_id", "ts", "click_id")
+    val v = views.toDF().toDF("user_id", "vts", "view_value")
+      .withColumnRenamed("vts", "ts")
+    // 10-minute lookback: a click joins views in (click - 10m, click]
+    val joined = EventStreams.intervalJoin(c, v, "user_id", "ts", 600,
+        watermark = "5 minutes")
+      .select(col("p.click_id"), col("b.view_value"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("interval").start()
+    views.addData((1L, ts(0), 10.0), (1L, ts(8), 20.0), (2L, ts(1), 30.0))
+    clicks.addData((1L, ts(9), 100L), (1L, ts(20), 101L), (2L, ts(12), 102L))
+    q.processAllAvailable()
+    val out = spark.table("interval").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    // click 100 @10:09 sees views @10:00 and @10:08; click 101 @10:20
+    // sees none (views are >10m old); click 102 @10:12 window covers
+    // (10:02,10:12] so the @10:01 view for user 2 is outside
+    assert(out == Set((100L, 10.0), (100L, 20.0)))
+  }
+
   test("streaming GLM scoring broadcasts the model over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val model = graft.ml.GlmModel(Array(2.0, 1.0), 0.5, "squared")
