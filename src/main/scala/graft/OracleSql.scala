@@ -640,6 +640,11 @@ object OracleSql {
     // brute-force top-k whatever the k-means fit learned
     "q43o_knn_ivf_full" -> exactKnnSql,
 
+    // IVF-PQ probing ALL lists with refine over every candidate: the
+    // lossy codes only order candidates, the exact rescoring decides —
+    // must equal brute force regardless of what the quantizers learned
+    "q68o_knn_ivfpq_full" -> exactKnnSql,
+
     "q30_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts,

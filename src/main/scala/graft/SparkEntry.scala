@@ -806,6 +806,36 @@ object SparkEntry {
     Dedup.embeddingCosine(T.embeddings(s, d), "vec_id", "embedding",
       nBits = 4, threshold = 0.25)
 
+  /** IVF-PQ ANN: coarse-list pruning + product-quantized scoring +
+    * exact refine (production settings; recall-gated by SamplingSpec,
+    * rows-only here — codes depend on the k-means fit). */
+  def q68_knn_ivfpq(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    Similarity.ivfPq(queries, corpus, 3, nList = 8, nProbe = 3,
+      m = 16, nCodes = 16, refineK = 50)
+  }
+
+  /** IVF-PQ semantic gate (the q43o pattern): probe ALL lists and refine
+    * every candidate exactly — the result must equal brute force no
+    * matter what the quantizers learned, so encode/ADC/refine plumbing
+    * faces q29's SQL oracle. */
+  def q68o_knn_ivfpq_full(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    // refineK far above |corpus| at verify scale → refine rescans every
+    // candidate exactly (a bounded heap sized this way is still cheap)
+    Similarity.ivfPq(queries, corpus, 3, nList = 8, nProbe = 8,
+      m = 4, nCodes = 8, refineK = 10000, kmeansMaxIter = 2)
+      .select(col("qid"), col("rank"), col("id"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN (deterministic pseudo-random hyperplanes). */
   def q41_knn_lsh(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
@@ -873,6 +903,8 @@ object SparkEntry {
     "q42_multimodal" -> (q42_multimodal _),
     "q43_knn_ivf" -> (q43_knn_ivf _),
     "q43o_knn_ivf_full" -> (q43o_knn_ivf_full _),
+    "q68_knn_ivfpq" -> (q68_knn_ivfpq _),
+    "q68o_knn_ivfpq_full" -> (q68o_knn_ivfpq_full _),
     "q44_clean_corpus" -> (q44_clean_corpus _),
     "q45_embedding_dedup" -> (q45_embedding_dedup _),
     "q46_uniform_downsample" -> (q46_uniform_downsample _),

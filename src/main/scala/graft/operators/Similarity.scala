@@ -81,6 +81,124 @@ object Similarity {
         V.cosine(col("qv"), col("v")).as("cosine")), k)
   }
 
+  /** IVF-PQ ANN: IVF coarse pruning + product-quantized candidate
+    * scoring + exact refinement.
+    *
+    * Product quantization is the storage/IO story at 100 TB: the corpus
+    * vector (dim floats, ~3 KB at dim=768) is replaced by `m` codebook
+    * indices plus one norm (~m+4 bytes, a ~100× compression), so the
+    * candidate-scoring scan reads codes, not vectors. Codebooks are `m`
+    * independent k-means fits over subvector slices (trained on a
+    * deterministic sample — at full scale you never fit on the whole
+    * corpus), broadcast to executors. Scoring is asymmetric-distance:
+    * approx dot(q, x) = Σⱼ dot(qⱼ, codebook_j[code_j(x)]), divided by
+    * the stored ‖x‖ for cosine. The top `refineK` candidates per query
+    * are re-scored EXACTLY by joining the original vectors back by id —
+    * a join whose left side is ≤ |queries|·refineK rows, independent of
+    * corpus size. With nProbe = nList and refineK ≥ |corpus| the result
+    * is exactly brute force (the driver's oracle gate for the plumbing);
+    * production settings are gated by the recall spec. */
+  def ivfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+            nList: Int = 16, nProbe: Int = 2, m: Int = 4, nCodes: Int = 16,
+            refineK: Int = 50, trainFraction: Double = 1.0,
+            seed: Long = 7L, kmeansMaxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val av = corpus.select(col("id"), col("v"),
+      array_to_vector(col("v").cast("array<double>")).as("fv"))
+    // coarse quantizer: assigns every corpus vector to an inverted list
+    val coarse = new KMeans().setK(nList).setSeed(seed)
+      .setMaxIter(kmeansMaxIter)
+      .setFeaturesCol("fv").setPredictionCol("list").fit(av)
+    val dim = corpus.select(size(col("v")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subLen = dim / m
+    // m sub-codebooks, each fit on its slice (sampled when asked to)
+    val trainSet =
+      if (trainFraction >= 1.0) av
+      else av.sample(withReplacement = false, trainFraction, seed)
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      val sub = trainSet.select(array_to_vector(
+        slice(col("v"), j * subLen + 1, subLen).cast("array<double>"))
+        .as("fv"))
+      new KMeans().setK(nCodes).setSeed(seed + j + 1)
+        .setMaxIter(kmeansMaxIter)
+        .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val encode = udf { (v: Seq[Float]) =>
+      val cb = bcCb.value
+      val codes = new Array[Int](cb.length)
+      var nrm = 0.0
+      var i = 0
+      while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
+      var j = 0
+      while (j < cb.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(j).length) {
+          var d = 0.0; var t = 0
+          while (t < subLen) {
+            val diff = cb(j)(c)(t) - v(j * subLen + t); d += diff * diff
+            t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(j) = best; j += 1
+      }
+      (codes, math.sqrt(nrm))
+    }
+    // the compressed corpus: list id + codes + norm, no vectors
+    val encoded = coarse.transform(av)
+      .select(col("id"), col("list"), encode(col("v")).as("e"))
+      .select(col("id"), col("list"), col("e._1").as("codes"),
+        col("e._2").as("norm"))
+    val centers = spark.sparkContext.broadcast(coarse.clusterCenters)
+    val probeLists = udf { (qv: Seq[Double]) =>
+      centers.value.zipWithIndex.map { case (cn, i) =>
+        var d = 0.0; var t = 0
+        val ca = cn.toArray
+        while (t < ca.length) { val df = ca(t) - qv(t); d += df * df; t += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val adc = udf { (qv: Seq[Double], codes: Seq[Int], nrm: Double) =>
+      val cb = bcCb.value
+      var s = 0.0; var j = 0
+      while (j < cb.length) {
+        val cent = cb(j)(codes(j))
+        var t = 0
+        while (t < subLen) { s += cent(t) * qv(j * subLen + t); t += 1 }
+        j += 1
+      }
+      var qn = 0.0; var i = 0
+      while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
+      if (nrm == 0.0 || qn == 0.0) 0.0 else s / (math.sqrt(qn) * nrm)
+    }
+    val q = queries.select(col("qid"),
+      col("qv").cast("array<double>").as("qd"),
+      explode(probeLists(col("qv").cast("array<double>"))).as("list"))
+    // approx scores over probed lists only, bounded-heap per query
+    val approxTop = encoded.join(broadcast(q), Seq("list"))
+      .select(col("qid"), col("id"),
+        adc(col("qd"), col("codes"), col("norm")).as("approx"))
+      .groupBy("qid")
+      .agg(AggFunctions.collectTopK(
+        struct((-col("approx")).as("na"), col("id")), refineK,
+        smallest = true).as("_top"))
+      .select(col("qid"), explode(col("_top")).as("c"))
+      .select(col("qid"), col("c.id").as("id"))
+    // exact refinement: original vectors joined back for ≤ |q|·refineK ids
+    topK(approxTop
+      .join(corpus, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"),
+        V.cosine(col("qv"), col("v")).as("cosine")), k)
+  }
+
   /** LSH-bucketed ANN: score only same-bucket (plus probed-bucket) pairs.
     * At 100 TB the corpus side is one scan + one shuffle on bucket id. */
   def lsh(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -118,6 +118,32 @@ class SamplingSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("IVF-PQ ANN recall with exact refine beats the probe floor") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForce(queries, corpus, 3))
+    // random gaussian vectors are PQ's worst case (no cluster structure,
+    // near-neighbor cosines tightly packed) — the code budget has to be
+    // generous for approx ordering to beat the refine cutoff
+    val pq = Similarity.ivfPq(queries, corpus, 3, nList = 4, nProbe = 3,
+      m = 16, nCodes = 16, refineK = 50)
+    val got = pq.collect()
+    assert(got.length == 15) // 5 queries x k=3
+    val recall = (bf intersect pairs(pq)).size.toDouble / bf.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // probe-all + refine-all must BE brute force (the q68o gate, locally):
+    // the lossy codes only order candidates, exact rescoring decides
+    val full = pairs(Similarity.ivfPq(queries, corpus, 3, nList = 4,
+      nProbe = 4, m = 4, nCodes = 8, refineK = 1000, kmeansMaxIter = 2))
+    assert(full == bf, "probe-all IVF-PQ must equal brute force")
+  }
+
   test("minhash emits each near-dup pair exactly once with true jaccard") {
     import spark.implicits._
     // exact duplicates share ALL bands — the classic multi-band double-
