@@ -780,6 +780,36 @@ object OracleSql {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
 
+    "q69_rolling_features" ->
+      """SELECT event_id, user_id,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w5 AS DOUBLE)
+        |    / COUNT(*) OVER w5 + 1e-9, 6) AS trail5_avg,
+        |  COUNT(*) OVER w AS n_so_far
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q70_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q71_pivot" -> ("SELECT user_id, " +
+      Seq("click", "view", "purchase", "error", "signup").map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN " +
+          s"CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t")
+        .mkString(", ") +
+      " FROM events GROUP BY user_id"),
+
+    "q72_grouped_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5) + 1e-9, 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9) + 1e-9, 6) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q31_precision_at_k" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

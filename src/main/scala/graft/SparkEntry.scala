@@ -446,6 +446,43 @@ object SparkEntry {
         sumExact(col("l_quantity"), 18, 2).as("sum_qty"))
   }
 
+  /** Rolling-window feature engineering: per-user trailing 5-event mean
+    * value and running event count — the classic point-in-time feature
+    * a training pipeline derives per example. One shuffle on user_id;
+    * the frame is bounded so window state is O(5) per row. */
+  def q69_rolling_features(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val w5 = w.rowsBetween(-4, Window.currentRow)
+    T.events(s, d).select(col("event_id"), col("user_id"),
+      (sum(dec(col("value"), 18, 2)).over(w5).cast("double") /
+        count(lit(1)).over(w5)).as("trail5_avg"),
+      count(lit(1)).over(w).as("n_so_far"))
+      .withColumn("trail5_avg", round(col("trail5_avg") + lit(1e-9), 6))
+  }
+
+  /** OLAP rollup: subtotals + grand total in one pass (partial aggregates
+    * per grouping set, no re-scan per level). */
+  def q70_rollup(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sumExact(col("l_quantity"), 18, 2).as("sum_qty"))
+
+  /** Pivot (wide aggregation): per-user value sums by event type, one
+    * shuffle — the explicit value list keeps the schema static, which is
+    * what makes pivot plannable at scale (no driver-side distinct scan). */
+  def q71_pivot(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "view", "purchase", "error", "signup"))
+      .agg(sum(dec(col("value"), 18, 2)).cast("double"))
+
+  /** Grouped exact percentiles: per-event-type value quantiles. */
+  def q72_grouped_percentiles(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)") + lit(1e-9), 6).as("p50"),
+        round(expr("percentile(value, 0.9)") + lit(1e-9), 6).as("p90"))
+
   /** E8: precision@k per group (top-k by score, hit = purchase). */
   def q31_precision_at_k(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -891,6 +928,10 @@ object SparkEntry {
     "q65_column_profile" -> (q65_column_profile _),
     "q66_salted_agg" -> (q66_salted_agg _),
     "q67_salted_join" -> (q67_salted_join _),
+    "q69_rolling_features" -> (q69_rolling_features _),
+    "q70_rollup" -> (q70_rollup _),
+    "q71_pivot" -> (q71_pivot _),
+    "q72_grouped_percentiles" -> (q72_grouped_percentiles _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),
