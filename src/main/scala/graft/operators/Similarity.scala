@@ -114,18 +114,21 @@ object Similarity {
     val dim = corpus.select(size(col("v")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subLen = dim / m
-    // m sub-codebooks, each fit on its slice (sampled when asked to)
-    val trainSet =
-      if (trainFraction >= 1.0) av
-      else av.sample(withReplacement = false, trainFraction, seed)
+    // All m sub-codebooks train on ONE bounded driver-side sample (one
+    // collect job + local Lloyd per subspace) instead of m distributed
+    // k-means fits: codebook quality needs thousands of examples, not
+    // the corpus, so at any scale the training input is a capped sample
+    // — and m scheduler round-trips collapse into none.
+    val maxTrain = 65536
+    val sample: Array[Array[Double]] =
+      (if (trainFraction >= 1.0) av
+       else av.sample(withReplacement = false, trainFraction, seed))
+        .select(col("v").cast("array<double>")).limit(maxTrain)
+        .collect().map(_.getSeq[Double](0).toArray)
     val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
-      val sub = trainSet.select(array_to_vector(
-        slice(col("v"), j * subLen + 1, subLen).cast("array<double>"))
-        .as("fv"))
-      new KMeans().setK(nCodes).setSeed(seed + j + 1)
-        .setMaxIter(kmeansMaxIter)
-        .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
-        .clusterCenters.map(_.toArray)
+      localLloyd(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * subLen, (j + 1) * subLen)),
+        nCodes, kmeansMaxIter)
     }.toArray
     val bcCb = spark.sparkContext.broadcast(codebooks)
     val encode = udf { (v: Seq[Float]) =>
@@ -197,6 +200,57 @@ object Similarity {
       .join(broadcast(queries), Seq("qid"))
       .select(col("qid"), col("id"),
         V.cosine(col("qv"), col("v")).as("cosine")), k)
+  }
+
+  /** Plain Lloyd iterations on a local sample — PQ codebook training.
+    * Deterministic: initial centers are the first k distinct points in
+    * sample order; empty clusters keep their previous center. */
+  private def localLloyd(pts: Array[Array[Double]], k: Int,
+                         iters: Int): Array[Array[Double]] = {
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var i = 0
+    while (i < pts.length && init.length < k) {
+      if (seen.add(pts(i).toSeq)) init += pts(i).clone()
+      i += 1
+    }
+    // degenerate corpus (< k distinct points): pad with copies — extra
+    // centers are simply never nearest-unique, which is harmless
+    while (init.length < k) init += init(init.length % math.max(1, seen.size))
+      .clone()
+    val centers = init.toArray
+    val d = pts.headOption.map(_.length).getOrElse(0)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      var p = 0
+      while (p < pts.length) {
+        val v = pts(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var t = 0
+          while (t < d) { val df = centers(c)(t) - v(t); dist += df * df; t += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var t = 0
+        while (t < d) { sums(best)(t) += v(t); t += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var t = 0
+          while (t < d) { centers(c)(t) = sums(c)(t) / counts(c); t += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
   }
 
   /** LSH-bucketed ANN: score only same-bucket (plus probed-bucket) pairs.
