@@ -810,6 +810,38 @@ object OracleSql {
         |  ROUND(quantile_cont(value, 0.9) + 1e-9, 6) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // q73: Efraimidis-Spirakis weighted reservoir with hash randomness —
+    // keep the 5 largest u^(1/w) keys per type
+    "q73_weighted_sample" -> (
+      "WITH x AS (SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS h, " +
+        "POW(CAST(" + hex8("CAST(event_id AS VARCHAR)") +
+        " AS DOUBLE) / 4294967296.0, 1.0 / (value + 1.0)) AS k FROM events), " +
+        "r AS (SELECT event_type, event_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY event_type ORDER BY k DESC, h) AS rn FROM x) " +
+        "SELECT event_type, event_id FROM r WHERE rn <= 5"),
+
+    "q74_feature_binning" ->
+      """WITH th AS (SELECT quantile_cont(l_extendedprice, 0.25) AS t1,
+        |  quantile_cont(l_extendedprice, 0.5) AS t2,
+        |  quantile_cont(l_extendedprice, 0.75) AS t3 FROM lineitem)
+        |SELECT CASE WHEN l_extendedprice < t1 THEN 1
+        |  WHEN l_extendedprice < t2 THEN 2
+        |  WHEN l_extendedprice < t3 THEN 3 ELSE 4 END AS bin,
+        |COUNT(*) AS n, ROUND(MIN(l_extendedprice) + 1e-9, 6) AS bin_min,
+        |  ROUND(MAX(l_extendedprice) + 1e-9, 6) AS bin_max
+        |FROM lineitem, th GROUP BY 1""".stripMargin,
+
+    "q75_correlations" ->
+      """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS r
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount',
+        |  ROUND(corr(l_quantity, l_discount) + 1e-9, 6) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_tax',
+        |  ROUND(corr(l_extendedprice, l_tax) + 1e-9, 6) FROM lineitem""".stripMargin,
+
     "q31_precision_at_k" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

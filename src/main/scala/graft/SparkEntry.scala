@@ -483,6 +483,46 @@ object SparkEntry {
       .agg(round(expr("percentile(value, 0.5)") + lit(1e-9), 6).as("p50"),
         round(expr("percentile(value, 0.9)") + lit(1e-9), 6).as("p90"))
 
+  /** Weighted reservoir: 5 events per type, inclusion ∝ value — the
+    * importance-weighted subsample a curation pipeline draws (A-ES keys,
+    * hash randomness, bounded-heap thresholds). */
+  def q73_weighted_sample(s: SparkSession, d: String): DataFrame =
+    GroupedSampling.weightedSample(
+      T.events(s, d).withColumn("w", col("value") + lit(1.0)),
+      Seq("event_type"), Seq("event_id"), "w", cap = 5)
+      .select("event_type", "event_id")
+
+  /** Equal-frequency feature binning: quartile thresholds from one
+    * distributed percentile aggregate, broadcast back, bin assignment as
+    * a codegen'd CASE — no global sort, no ntile single-task window. */
+  def q74_feature_binning(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+    val th = li.agg(
+      expr("percentile(l_extendedprice, 0.25)").as("t1"),
+      expr("percentile(l_extendedprice, 0.5)").as("t2"),
+      expr("percentile(l_extendedprice, 0.75)").as("t3"))
+    li.crossJoin(broadcast(th))
+      .select(when(col("l_extendedprice") < col("t1"), 1)
+        .when(col("l_extendedprice") < col("t2"), 2)
+        .when(col("l_extendedprice") < col("t3"), 3)
+        .otherwise(4).as("bin"), col("l_extendedprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")) + lit(1e-9), 6).as("bin_min"),
+        round(max(col("l_extendedprice")) + lit(1e-9), 6).as("bin_max"))
+  }
+
+  /** Pairwise Pearson correlations (one-pass co-moment aggregates). */
+  def q75_correlations(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+    def c(a: String, b: String): DataFrame =
+      li.agg(round(corr(col(a), col(b)) + lit(1e-9), 6).as("r"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("r"))
+    c("l_quantity", "l_extendedprice")
+      .union(c("l_quantity", "l_discount"))
+      .union(c("l_extendedprice", "l_tax"))
+  }
+
   /** E8: precision@k per group (top-k by score, hit = purchase). */
   def q31_precision_at_k(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -932,6 +972,9 @@ object SparkEntry {
     "q70_rollup" -> (q70_rollup _),
     "q71_pivot" -> (q71_pivot _),
     "q72_grouped_percentiles" -> (q72_grouped_percentiles _),
+    "q73_weighted_sample" -> (q73_weighted_sample _),
+    "q74_feature_binning" -> (q74_feature_binning _),
+    "q75_correlations" -> (q75_correlations _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),

@@ -83,6 +83,33 @@ object GroupedSampling {
       .drop("_p", "_pmax", "_n", "_rn")
   }
 
+  /** Weighted reservoir sample: at most `cap` rows per group with
+    * inclusion probability proportional to `weightCol` (Efraimidis &
+    * Spirakis 2006: keep the `cap` LARGEST `u^(1/w)` keys, u uniform per
+    * row). Randomness is the row's hash — deterministic across runs,
+    * partitionings, and engines — and the selection uses the same
+    * bounded-heap threshold pattern as [[boundedSample]], so a hot
+    * group never funnels through one task. Weights must be > 0. */
+  def weightedSample(df: DataFrame, groupCols: Seq[String],
+                     uidCols: Seq[String], weightCol: String,
+                     cap: Int): DataFrame = {
+    val u = DownSampling.hashFraction(uidCols.map(col))
+    val key = pow(u, lit(1.0) / col(weightCol))
+    val thresholds = df
+      .withColumn("_k", key)
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_min(AggFunctions.collectTopK(col("_k"), cap,
+        smallest = false)).as("_kmin"))
+    val trimW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_k").desc, priority(uidCols.map(col)))
+    df.withColumn("_k", key)
+      .join(thresholds, groupCols)
+      .filter(col("_k") >= col("_kmin"))
+      .withColumn("_rn", row_number().over(trimW))
+      .filter(col("_rn") <= cap)
+      .drop("_k", "_kmin", "_rn")
+  }
+
   /** Top-K rows per group by an explicit ordering (deterministic iff the
     * ordering is total — callers must include a tie-breaker). */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],

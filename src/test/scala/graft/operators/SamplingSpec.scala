@@ -80,6 +80,34 @@ class SamplingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("weightedSample matches the window formulation and favors weight") {
+    import spark.implicits._
+    // two weight classes: heavy rows (w=50) vs light (w=1)
+    val df = (1 to 400).map(i =>
+      (s"g${i % 2}", i.toLong, if (i % 4 == 0) 50.0 else 1.0))
+      .toDF("g", "uid", "w").repartition(8)
+
+    val got = GroupedSampling.weightedSample(df, Seq("g"), Seq("uid"),
+      "w", cap = 10)
+
+    // independent formulation: full window sort on the same A-ES key
+    val u = DownSampling.hashFraction(Seq(col("uid")))
+    val key = pow(u, lit(1.0) / col("w"))
+    val w10 = Window.partitionBy("g")
+      .orderBy(key.desc, GroupedSampling.priority(Seq(col("uid"))))
+    val want = df.withColumn("_rn", row_number().over(w10))
+      .filter(col("_rn") <= 10).drop("_rn")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // with 25% heavy rows at 50x weight, the sample should be mostly heavy
+    val heavy = got.filter(col("w") === 50.0).count()
+    assert(heavy >= 10, s"only $heavy of 20 sampled rows were heavy")
+    // deterministic under repartitioning
+    val again = GroupedSampling.weightedSample(df.repartition(3),
+      Seq("g"), Seq("uid"), "w", cap = 10)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
   test("LSH ANN recall vs brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
