@@ -842,6 +842,36 @@ object OracleSql {
         |SELECT 'l_extendedprice', 'l_tax',
         |  ROUND(corr(l_extendedprice, l_tax) + 1e-9, 6) FROM lineitem""".stripMargin,
 
+    "q76_normalize" ->
+      """SELECT doc_id, md5(n) AS norm_hash, length(n) AS n_chars_norm
+        |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+        |FROM documents)""".stripMargin,
+
+    "q77_funnel" ->
+      """WITH fv AS (SELECT user_id, MIN(ts) AS vts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fc AS (SELECT e.user_id, MIN(e.ts) AS cts FROM events e
+        |  JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= fv.vts GROUP BY 1),
+        |fp AS (SELECT DISTINCT e.user_id FROM events e
+        |  JOIN fc USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fc.cts)
+        |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+        |  (SELECT COUNT(*) FROM fv) AS n_viewed,
+        |  (SELECT COUNT(*) FROM fc) AS n_click_after_view,
+        |  (SELECT COUNT(*) FROM fp) AS n_purchase_after_click""".stripMargin,
+
+    // q79: the bloom pre-filter is a superset prune — the exact join
+    // decides, so the oracle is the plain join
+    "q79_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "q31_precision_at_k" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

@@ -304,6 +304,16 @@ object SparkEntry {
   def q62_bigram_lm(s: SparkSession, d: String): DataFrame =
     TextRanking.bigramLmScore(T.documents(s, d), "doc_id", "text")
 
+  /** Text normalization pipeline: case-fold, strip non-alphanumerics,
+    * collapse whitespace — pure codegen'd string expressions, zero
+    * shuffle (fingerprinted so the oracle compares content exactly). */
+  def q76_normalize(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    T.documents(s, d).select(col("doc_id"),
+      md5(norm).as("norm_hash"), length(norm).as("n_chars_norm"))
+  }
+
   /** Document fingerprinting. */
   def q24_fingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d).select(col("doc_id"),
@@ -521,6 +531,43 @@ object SparkEntry {
     c("l_quantity", "l_extendedprice")
       .union(c("l_quantity", "l_discount"))
       .union(c("l_extendedprice", "l_tax"))
+  }
+
+  /** Sequential funnel: view → click-after-first-view →
+    * purchase-after-that-click, counted per stage. Each stage is one
+    * keyed aggregate plus one equi-join on user_id — order semantics
+    * without any per-user event-list materialization. */
+  def q77_funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("vts"))
+    val firstClickAfter = ev.filter(col("event_type") === "click")
+      .join(firstView, "user_id").filter(col("ts") >= col("vts"))
+      .groupBy("user_id").agg(min(col("ts")).as("cts"))
+    val purchasedAfter = ev.filter(col("event_type") === "purchase")
+      .join(firstClickAfter, "user_id").filter(col("ts") >= col("cts"))
+      .select("user_id").distinct()
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(firstView.agg(count(lit(1)).as("n_viewed")))
+      .crossJoin(firstClickAfter.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(purchasedAfter.agg(count(lit(1))
+        .as("n_purchase_after_click")))
+  }
+
+  /** Bloom-filter semi-join pruning: lineitem scan pre-filtered by a
+    * bloom of urgent orders' keys before the join shuffle (the runtime-
+    * filter pattern, made explicit). Result must equal the plain join. */
+  def q79_bloom_join(s: SparkSession, d: String): DataFrame = {
+    val urgent = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = T.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    BloomJoin.join(li, urgent, "o_orderkey",
+      estItems = 100000L, numBits = 1L << 20)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sumExact(col("l_extendedprice"), 18, 4).as("sum_price"))
   }
 
   /** E8: precision@k per group (top-k by score, hit = purchase). */
@@ -975,6 +1022,9 @@ object SparkEntry {
     "q73_weighted_sample" -> (q73_weighted_sample _),
     "q74_feature_binning" -> (q74_feature_binning _),
     "q75_correlations" -> (q75_correlations _),
+    "q76_normalize" -> (q76_normalize _),
+    "q77_funnel" -> (q77_funnel _),
+    "q79_bloom_join" -> (q79_bloom_join _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),

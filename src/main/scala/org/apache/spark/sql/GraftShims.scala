@@ -17,6 +17,33 @@ package org.apache.spark.sql.catalyst.expressions.aggregate {
   }
 }
 
+package org.apache.spark.sql.catalyst.expressions {
+
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+  /** BloomFilterAggregate / BloomFilterMightContain power Spark's own
+    * runtime row-group filtering but are not SQL-registered; exposing
+    * them gives the library the explicit semi-join-pruning pattern
+    * (build a bloom of the small side's keys, pre-filter the big scan)
+    * without reimplementing a sketch Spark already ships. */
+  object GraftBloomShims {
+    /** Aggregate: bloom filter over xxhash64 values (LongType child). */
+    def bloomAgg(child: Expression, estimatedItems: Long,
+                 numBits: Long): Expression =
+      new BloomFilterAggregate(child, Literal(estimatedItems),
+        Literal(numBits)).toAggregateExpression()
+
+    /** Predicate: membership probe against a built bloom filter.
+      * `might_contain` requires the bloom side to be constant-foldable,
+      * so the one-row bloom aggregate rides in as a scalar subquery —
+      * exactly how Spark's own InjectRuntimeFilter wires it. */
+    def mightContain(bloomAgg: org.apache.spark.sql.Dataset[_],
+                     value: Expression): Expression =
+      BloomFilterMightContain(
+        ScalarSubquery(bloomAgg.queryExecution.analyzed), value)
+  }
+}
+
 package org.apache.spark.sql.classic {
 
   import org.apache.spark.sql.Column
