@@ -554,6 +554,28 @@ object SparkEntry {
         .as("n_purchase_after_click")))
   }
 
+  /** Weekly cohort retention: users bucketed by first-activity week,
+    * tracked by weeks-since-cohort — two keyed aggregates and one join,
+    * the standard retention triangle. */
+  def q78_cohort_retention(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+      .select(col("user_id"), weekofyear(col("ts")).as("wk"),
+        year(col("ts")).as("yr"))
+    val firstWeek = ev.groupBy("user_id")
+      .agg(min(struct(col("yr"), col("wk"))).as("fw"))
+      .select(col("user_id"), col("fw.yr").as("cohort_yr"),
+        col("fw.wk").as("cohort_wk"))
+    ev.join(firstWeek, "user_id")
+      .groupBy("cohort_yr", "cohort_wk")
+      .agg(countDistinct(col("user_id")).as("cohort_size"),
+        countDistinct(when(col("wk") - col("cohort_wk") === 1 &&
+          col("yr") === col("cohort_yr"), col("user_id")))
+          .as("retained_wk1"),
+        countDistinct(when(col("wk") - col("cohort_wk") === 4 &&
+          col("yr") === col("cohort_yr"), col("user_id")))
+          .as("retained_wk4"))
+  }
+
   /** Bloom-filter semi-join pruning: lineitem scan pre-filtered by a
     * bloom of urgent orders' keys before the join shuffle (the runtime-
     * filter pattern, made explicit). Result must equal the plain join. */
@@ -1024,6 +1046,7 @@ object SparkEntry {
     "q75_correlations" -> (q75_correlations _),
     "q76_normalize" -> (q76_normalize _),
     "q77_funnel" -> (q77_funnel _),
+    "q78_cohort_retention" -> (q78_cohort_retention _),
     "q79_bloom_join" -> (q79_bloom_join _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
