@@ -20,7 +20,13 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count WITHOUT materializing the token array: a native
+    * codegen'd byte-scan expression ([[TokenCount]]), semantically
+    * identical to `size(tokens(text))` (spec-checked). */
+  def tokenCount(text: Column): Column = {
+    import org.apache.spark.sql.classic.GraftColumnShims
+    GraftColumnShims.column(TokenCount(GraftColumnShims.expression(text)))
+  }
 
   /** Fraction of tokens found in `stop` (lower-cased match). */
   def stopwordRatio(text: Column, stop: Seq[String]): Column = {

@@ -33,4 +33,37 @@ class TextFunctionsSpec extends SparkSpec {
     // one token: no bigrams, top unigram is the whole doc
     assert(signals("solo") == (0.0, 1.0, 0.0))
   }
+
+  test("native TokenCount matches size(split(trim)) on edge cases") {
+    import spark.implicits._
+    val cases = Seq("", " ", "  ", "a", " a ", "a b", "  a  b  ",
+      "a\tb", "\ta b", "a b\t", "\t", "a\t", "\ta", "a\nb\nc",
+      "héllo wörld", "多字节 字符 测试", "a  \t  b", "x\r\ny",
+      "one two three four five")
+    val df = cases.toDF("s").repartition(3)
+    val both = df.select(
+      TextFunctions.tokenCount(col("s")).as("native"),
+      size(when(length(trim(col("s"))) === 0,
+        array().cast("array<string>"))
+        .otherwise(split(trim(col("s")), "\\s+"))).as("reference"),
+      col("s"))
+    val bad = both.filter(col("native") =!= col("reference")).collect()
+    assert(bad.isEmpty,
+      bad.map(r => s"'${r.getString(2)}': native=${r.getInt(0)} " +
+        s"ref=${r.getInt(1)}").mkString("; "))
+    // random fuzz: whitespace-heavy strings
+    val rnd = new scala.util.Random(3)
+    val alphabet = "ab \t\n\r\fé中"
+    val fuzz = (1 to 500).map(_ => (1 to rnd.nextInt(20)).map(_ =>
+      alphabet(rnd.nextInt(alphabet.length))).mkString).toDF("s")
+    val fb = fuzz.select(
+      TextFunctions.tokenCount(col("s")).as("native"),
+      size(when(length(trim(col("s"))) === 0,
+        array().cast("array<string>"))
+        .otherwise(split(trim(col("s")), "\\s+"))).as("reference"),
+      col("s")).filter(col("native") =!= col("reference")).collect()
+    assert(fb.isEmpty, fb.take(5).map(r =>
+      s"'${r.getString(2)}': ${r.getInt(0)} vs ${r.getInt(1)}")
+      .mkString("; "))
+  }
 }
