@@ -880,6 +880,21 @@ object OracleSql {
         |    AND yr = cohort_yr THEN user_id END) AS retained_wk4
         |FROM j GROUP BY 1, 2""".stripMargin,
 
+    // q80: greedy cumulative-cut packing inside md5 hash buckets —
+    // the window mirrors Spark's exactly (same order key, same frame)
+    "q80_sequence_packing" -> (toksCte + s""",
+      |d AS (SELECT doc_id, len(toks) AS n_tokens,
+      |  ${hex8("'pack_' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+      |  md5('ord_' || CAST(doc_id AS VARCHAR)) AS ord FROM t),
+      |a AS (SELECT bucket, n_tokens,
+      |  (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   - n_tokens) // 256 AS seq_in_bucket
+      |  FROM d)
+      |SELECT bucket, seq_in_bucket, COUNT(*) AS n_docs,
+      |  SUM(n_tokens) AS n_tokens
+      |FROM a GROUP BY 1, 2""".stripMargin),
+
     "q79_bloom_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)

@@ -314,6 +314,12 @@ object SparkEntry {
       md5(norm).as("norm_hash"), length(norm).as("n_chars_norm"))
   }
 
+  /** Training-sequence packing manifest: docs → ≤256-token sequences in
+    * 8 parallel bucket streams (greedy cumulative cut, hash order). */
+  def q80_sequence_packing(s: SparkSession, d: String): DataFrame =
+    SequencePacking.manifest(T.documents(s, d), "doc_id", "text",
+      maxTokens = 256, nBuckets = 8)
+
   /** Document fingerprinting. */
   def q24_fingerprint(s: SparkSession, d: String): DataFrame =
     T.documents(s, d).select(col("doc_id"),
@@ -1048,6 +1054,7 @@ object SparkEntry {
     "q77_funnel" -> (q77_funnel _),
     "q78_cohort_retention" -> (q78_cohort_retention _),
     "q79_bloom_join" -> (q79_bloom_join _),
+    "q80_sequence_packing" -> (q80_sequence_packing _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),

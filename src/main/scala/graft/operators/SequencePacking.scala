@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: group documents into sequences of at most
+  * `maxTokens` tokens — the batching step between a cleaned corpus and
+  * an LLM pretraining run.
+  *
+  * True first-fit packing is sequential; the distributed form packs
+  * WITHIN hash buckets: docs are salted into `nBuckets` independent
+  * streams (deterministic md5 bucket, doubling as the corpus shuffle),
+  * ordered pseudo-randomly inside each, and cut greedily by cumulative
+  * token count — a doc belongs to the sequence where its cumulative
+  * range starts. Each bucket's window is one partition's linear scan, so
+  * parallelism = nBuckets and no global sort exists; at 100 TB you raise
+  * nBuckets to the write parallelism you want. Docs longer than
+  * `maxTokens` get a sequence of their own (possibly over budget —
+  * callers should truncate or split upstream).
+  */
+object SequencePacking {
+
+  /** Per-doc assignment: (bucket, seq_in_bucket) plus the doc's token
+    * count. */
+  def assign(docs: DataFrame, idCol: String, textCol: String,
+             maxTokens: Int, nBuckets: Int): DataFrame = {
+    val id = col(idCol)
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("pack_"), id.cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(nBuckets))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("_ord"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(id, TF.tokenCount(col(textCol)).as("n_tokens"),
+        bucket.as("bucket"),
+        md5(concat(lit("ord_"), id.cast("string"))).as("_ord"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(id, col("n_tokens"), col("bucket"),
+        floor((col("_cum") - col("n_tokens")) / maxTokens)
+          .as("seq_in_bucket"))
+  }
+
+  /** Packed-sequence manifest: one row per sequence with doc and token
+    * counts. */
+  def manifest(docs: DataFrame, idCol: String, textCol: String,
+               maxTokens: Int, nBuckets: Int): DataFrame =
+    assign(docs, idCol, textCol, maxTokens, nBuckets)
+      .groupBy("bucket", "seq_in_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+}
