@@ -895,6 +895,19 @@ object OracleSql {
       |  SUM(n_tokens) AS n_tokens
       |FROM a GROUP BY 1, 2""".stripMargin),
 
+    // q81: src0-4 = existing corpus, src5+ = ingest delta; a delta doc
+    // is new iff its hash misses the base AND it's the delta's first
+    "q81_incremental_dedup" ->
+      """WITH bh AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |d AS (SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |k AS (SELECT h, MIN(doc_id) AS keep FROM d
+        |  WHERE h NOT IN (SELECT h FROM bh) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(k.keep = d.doc_id, FALSE) AS is_new
+        |FROM d LEFT JOIN k USING (h)""".stripMargin,
+
     "q79_bloom_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)

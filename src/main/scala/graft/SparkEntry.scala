@@ -314,6 +314,17 @@ object SparkEntry {
       md5(norm).as("norm_hash"), length(norm).as("n_chars_norm"))
   }
 
+  /** Incremental dedup: treat src0-src4 as the existing corpus and the
+    * rest as an ingest batch — which delta docs survive (content not in
+    * base, first of their hash within the delta)? */
+  def q81_incremental_dedup(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val baseSrc = Seq("src0", "src1", "src2", "src3", "src4")
+    val base = docs.filter(col("source").isInCollection(baseSrc))
+    val delta = docs.filter(!col("source").isInCollection(baseSrc))
+    Dedup.incrementalExact(delta, base, "doc_id", "text")
+  }
+
   /** Training-sequence packing manifest: docs → ≤256-token sequences in
     * 8 parallel bucket streams (greedy cumulative cut, hash order). */
   def q80_sequence_packing(s: SparkSession, d: String): DataFrame =
@@ -1055,6 +1066,7 @@ object SparkEntry {
     "q78_cohort_retention" -> (q78_cohort_retention _),
     "q79_bloom_join" -> (q79_bloom_join _),
     "q80_sequence_packing" -> (q80_sequence_packing _),
+    "q81_incremental_dedup" -> (q81_incremental_dedup _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),

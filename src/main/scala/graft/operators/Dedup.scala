@@ -18,6 +18,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: which docs of a `delta` batch are new?
+    * A doc is dropped if its content hash already exists in the base
+    * corpus (join against the base's hash set — at scale that set is a
+    * stored table, not a rescan) or if an earlier delta doc (lower id)
+    * has the same hash. The refresh-time path: the full-corpus
+    * [[exact]] pass runs once, then every ingest batch runs this. */
+  def incrementalExact(delta: DataFrame, base: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val baseHashes = base.select(md5(col(textCol)).as("content_hash"))
+      .distinct()
+    val d = delta.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val newInDelta = d.join(baseHashes, Seq("content_hash"), "left_anti")
+    val keeper = newInDelta.groupBy("content_hash")
+      .agg(min(col(idCol)).as("_keep"))
+    delta.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .join(keeper, Seq("content_hash"), "left")
+      .select(col(idCol),
+        (col("_keep").isNotNull && col("_keep") === col(idCol))
+          .as("is_new"))
+  }
+
   /** Hot-bucket guard for LSH bucket self-joins: drop buckets with more
     * than `cap` members before pair generation. One degenerate bucket
     * (empty / boilerplate docs all hashing together) otherwise goes
