@@ -524,14 +524,14 @@ object SparkEntry {
     * a codegen'd CASE — no global sort, no ntile single-task window. */
   def q74_feature_binning(s: SparkSession, d: String): DataFrame = {
     val li = T.lineitem(s, d)
-    val th = li.agg(
-      expr("percentile(l_extendedprice, 0.25)").as("t1"),
-      expr("percentile(l_extendedprice, 0.5)").as("t2"),
-      expr("percentile(l_extendedprice, 0.75)").as("t3"))
-    li.crossJoin(broadcast(th))
-      .select(when(col("l_extendedprice") < col("t1"), 1)
-        .when(col("l_extendedprice") < col("t2"), 2)
-        .when(col("l_extendedprice") < col("t3"), 3)
+    // parallel order-statistics quantiles (continuous column — the
+    // built-in percentile aggregate would funnel a 600k-entry value map
+    // through one reducer; see Profiling.exactQuantiles)
+    val th = Profiling.exactQuantiles(li, "l_extendedprice",
+      Seq(0.25, 0.5, 0.75))
+    li.select(when(col("l_extendedprice") < th(0), 1)
+        .when(col("l_extendedprice") < th(1), 2)
+        .when(col("l_extendedprice") < th(2), 3)
         .otherwise(4).as("bin"), col("l_extendedprice"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),

@@ -16,6 +16,36 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Exact interpolated quantiles (the `quantile_cont` / Spark
+    * `percentile` definition: index p·(n−1), linear interpolation) via a
+    * range-partitioned parallel sort + order-statistics lookup.
+    *
+    * Spark's built-in exact `percentile` aggregate merges a value→count
+    * map on ONE reducer — fine for low-cardinality columns, a
+    * single-task funnel for continuous ones (measured: 6 s vs 0.4 s at
+    * sf0.1). `sortBy` + `zipWithIndex` keeps every stage parallel: the
+    * sort is range-partitioned, the index is partition-offset
+    * arithmetic, and only the O(|probs|) boundary rows are collected. */
+  def exactQuantiles(df: DataFrame, column: String,
+                     probs: Seq[Double]): Seq[Double] = {
+    val rdd = df.select(col(column).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0)).sortBy(identity)
+    val n = rdd.count()
+    if (n == 0) return probs.map(_ => Double.NaN)
+    val wanted = probs.flatMap { p =>
+      val k = p * (n - 1)
+      Seq(math.floor(k).toLong, math.ceil(k).toLong)
+    }.distinct.toSet
+    val boundary = rdd.zipWithIndex().filter(t => wanted(t._2))
+      .map(_.swap).collect().toMap
+    probs.map { p =>
+      val k = p * (n - 1)
+      val lo = boundary(math.floor(k).toLong)
+      val hi = boundary(math.ceil(k).toLong)
+      lo + (k - math.floor(k)) * (hi - lo)
+    }
+  }
+
   /** One row per column: count, nulls, approx distinct, approx
     * quartiles, min/max/mean (exact one-pass aggregates ride along for
     * free). */

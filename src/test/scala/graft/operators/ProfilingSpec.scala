@@ -37,4 +37,19 @@ class ProfilingSpec extends SparkSpec {
     // profile is one row per column
     assert(prof.size == cols.size)
   }
+
+  test("exactQuantiles matches the built-in percentile aggregate") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    for (c <- Seq("l_extendedprice", "l_quantity")) {
+      val got = Profiling.exactQuantiles(li, c, probs)
+      val want = li.selectExpr(
+        s"percentile($c, array(${probs.mkString(",")})) AS p")
+        .first().getSeq[Double](0)
+      probs.indices.foreach { i =>
+        assert(math.abs(got(i) - want(i)) < 1e-9,
+          s"$c p=${probs(i)}: ${got(i)} vs ${want(i)}")
+      }
+    }
+  }
 }
