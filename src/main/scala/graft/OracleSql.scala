@@ -908,6 +908,18 @@ object OracleSql {
         |  COALESCE(k.keep = d.doc_id, FALSE) AS is_new
         |FROM d LEFT JOIN k USING (h)""".stripMargin,
 
+    // q82: 32-token windows every 16 (DuckDB list slice is 1-based
+    // inclusive and clamps, same as Spark's slice)
+    "q82_chunking" -> (toksCte + """,
+      |c AS (SELECT doc_id, i AS chunk_idx,
+      |    toks[CAST(i*16+1 AS BIGINT) : CAST(i*16+32 AS BIGINT)] AS ctoks
+      |  FROM t, range(0, 1000) r(i)
+      |  WHERE len(toks) > 0 AND i*16 < len(toks))
+      |SELECT doc_id, chunk_idx,
+      |  md5(array_to_string(ctoks, ' ')) AS chunk_hash,
+      |  len(ctoks) AS n_tokens
+      |FROM c""".stripMargin),
+
     "q79_bloom_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)

@@ -325,6 +325,14 @@ object SparkEntry {
     Dedup.incrementalExact(delta, base, "doc_id", "text")
   }
 
+  /** Sliding-window chunking: 32-token windows every 16 tokens (50%
+    * overlap), fingerprinted per chunk. */
+  def q82_chunking(s: SparkSession, d: String): DataFrame =
+    Chunking.chunk(T.documents(s, d), "doc_id", "text",
+      chunkTokens = 32, stride = 16)
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text")).as("chunk_hash"), col("n_tokens"))
+
   /** Training-sequence packing manifest: docs → ≤256-token sequences in
     * 8 parallel bucket streams (greedy cumulative cut, hash order). */
   def q80_sequence_packing(s: SparkSession, d: String): DataFrame =
@@ -1067,6 +1075,7 @@ object SparkEntry {
     "q79_bloom_join" -> (q79_bloom_join _),
     "q80_sequence_packing" -> (q80_sequence_packing _),
     "q81_incremental_dedup" -> (q81_incremental_dedup _),
+    "q82_chunking" -> (q82_chunking _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),
