@@ -928,6 +928,79 @@ object OracleSql {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
 
+    // q83: the whole pipeline chain in one statement - quality clean
+    // (q44 fragment), near-dup CC resolution (q57 fragment at t=0.1),
+    // decontamination (q58 fragment), per-language manifest
+    "q83_full_pipeline" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT *, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, text, source, toks, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    len(list_filter(toks, tk -> list_contains(['the','and','of','to','in','is','a'], lower(tk)))) AS en,
+        |    len(list_filter(toks, tk -> list_contains(['le','la','et','les','des','un','une'], lower(tk)))) AS fr,
+        |    len(list_filter(toks, tk -> list_contains(['der','die','und','das','nicht','ist','ein'], lower(tk)))) AS de,
+        |    len(list_filter(toks, tk -> list_contains(['el','los','y','que','en','una','por'], lower(tk)))) AS es
+        |  FROM t WHERE source <> 'src0'),
+        |lang AS (
+        |  SELECT doc_id, text, source, toks, n_tokens, CASE
+        |    WHEN en = greatest(en, fr, de, es) AND en > 0 THEN 'en'
+        |    WHEN fr = greatest(en, fr, de, es) AND fr > 0 THEN 'fr'
+        |    WHEN de = greatest(en, fr, de, es) AND de > 0 THEN 'de'
+        |    WHEN es = greatest(en, fr, de, es) AND es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_guess
+        |  FROM hits),
+        |k0 AS (SELECT * FROM lang
+        |  WHERE n_tokens >= 5 AND lang_guess IN ('en', 'fr')),
+        |kept AS (SELECT * FROM k0 WHERE doc_id IN (
+        |  SELECT MIN(doc_id) FROM k0 GROUP BY md5(text))),
+        |sh AS (SELECT doc_id, source, n_tokens, lang_guess,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh3
+        |  FROM kept),
+        |ds AS (SELECT doc_id, source, n_tokens, list_distinct(sh3) AS shd FROM sh),
+        |e AS (
+        |  SELECT a.doc_id AS ea, b.doc_id AS eb
+        |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+        |    / (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd)))
+        |    >= 0.1),
+        |sym AS (SELECT ea AS u, eb AS v FROM e UNION SELECT eb, ea FROM e),
+        |reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |  WHERE s.v <> r.u),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u),
+        |base AS (SELECT ds.doc_id, COALESCE(c.component, ds.doc_id) AS component,
+        |    ds.n_tokens
+        |  FROM ds LEFT JOIN comp c USING (doc_id)),
+        |best AS (SELECT component, MAX(n_tokens) AS maxp FROM base
+        |  GROUP BY component),
+        |canon AS (SELECT base.component, MIN(base.doc_id) AS canonical_id
+        |  FROM base JOIN best USING (component)
+        |  WHERE base.n_tokens = best.maxp GROUP BY base.component),
+        |surv AS (SELECT doc_id FROM base JOIN canon USING (component)
+        |  WHERE base.doc_id = canon.canonical_id),
+        |bench AS (SELECT DISTINCT unnest(CASE WHEN len(toks) < 3
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS g
+        |  FROM t WHERE source = 'src0'),
+        |contam AS (SELECT DISTINCT s.doc_id FROM (
+        |    SELECT sh.doc_id, unnest(list_distinct(sh.sh3)) AS g FROM sh
+        |    JOIN surv USING (doc_id)) s
+        |  JOIN bench USING (g)),
+        |final AS (SELECT k.lang_guess, k.n_tokens FROM kept k
+        |  JOIN surv USING (doc_id)
+        |  WHERE k.doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT lang_guess, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM final GROUP BY 1""".stripMargin,
+
     "q31_precision_at_k" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

@@ -325,6 +325,31 @@ object SparkEntry {
     Dedup.incrementalExact(delta, base, "doc_id", "text")
   }
 
+  /** The flagship end-to-end corpus pipeline, every stage an operator
+    * this library ships: quality clean (token floor + language whitelist
+    * + exact dedup) → near-dup cluster resolution (keep the canonical
+    * doc per cluster) → benchmark decontamination → per-language
+    * manifest. One DuckDB oracle mirrors the whole chain. */
+  def q83_full_pipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val cleaned = corpus.join(
+      CorpusPipeline.clean(corpus, "doc_id", "text", minTokens = 5,
+        langs = Seq("en", "fr")).select("doc_id", "n_tokens", "lang_guess"),
+      "doc_id")
+    val pairs = Dedup.ngramJaccard(cleaned, "doc_id", "text", "source",
+      n = 3, threshold = 0.1)
+    val keepers = Dedup.resolveClusters(cleaned, pairs, "doc_id",
+      priorityCol = TF.tokenCount(col("text")))
+      .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+    val survivors = cleaned.join(keepers, "doc_id")
+    Decontamination.clean(survivors, bench, "doc_id", "text", n = 3)
+      .groupBy("lang_guess")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
+
   /** Sliding-window chunking: 32-token windows every 16 tokens (50%
     * overlap), fingerprinted per chunk. */
   def q82_chunking(s: SparkSession, d: String): DataFrame =
@@ -1076,6 +1101,7 @@ object SparkEntry {
     "q80_sequence_packing" -> (q80_sequence_packing _),
     "q81_incremental_dedup" -> (q81_incremental_dedup _),
     "q82_chunking" -> (q82_chunking _),
+    "q83_full_pipeline" -> (q83_full_pipeline _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),
