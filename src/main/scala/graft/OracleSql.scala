@@ -928,6 +928,22 @@ object OracleSql {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
 
+    // q84: asymmetric containment |A∩B|/|A| in both directions; the
+    // engine's xxhash64 shingle hashing is collision-free at this scale
+    // so string-set intersection mirrors it exactly
+    "q84_containment" -> (shinglesCte + """,
+        |ds AS (SELECT doc_id, source, list_distinct(sh3) AS sh FROM sh
+        |  WHERE len(sh3) > 0),
+        |p AS (
+        |  SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(a.sh) + 1e-9, 6) AS containment
+        |  FROM ds a JOIN ds b ON a.source = b.source
+        |    AND a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
+        |SELECT block, id_a, id_b, containment FROM p
+        |WHERE containment >= 0.05""".stripMargin),
+
     // q83: the whole pipeline chain in one statement - quality clean
     // (q44 fragment), near-dup CC resolution (q57 fragment at t=0.1),
     // decontamination (q58 fragment), per-language manifest

@@ -325,6 +325,12 @@ object SparkEntry {
     Dedup.incrementalExact(delta, base, "doc_id", "text")
   }
 
+  /** Directional containment (asymmetric Jaccard): partial-duplication
+    * detection — doc a substantially contained in doc b. */
+  def q84_containment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(T.documents(s, d), "doc_id", "text", "source",
+      n = 3, threshold = 0.05)
+
   /** The flagship end-to-end corpus pipeline, every stage an operator
     * this library ships: quality clean (token floor + language whitelist
     * + exact dedup) → near-dup cluster resolution (keep the canonical
@@ -1102,6 +1108,7 @@ object SparkEntry {
     "q81_incremental_dedup" -> (q81_incremental_dedup _),
     "q82_chunking" -> (q82_chunking _),
     "q83_full_pipeline" -> (q83_full_pipeline _),
+    "q84_containment" -> (q84_containment _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),

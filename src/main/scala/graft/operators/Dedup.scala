@@ -196,6 +196,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directional containment pairs: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| —
+    * the asymmetric twin of Jaccard that catches PARTIAL duplication
+    * (doc a quoted or subsumed inside doc b) which symmetric Jaccard
+    * misses when |b| ≫ |a|. Same inverted-index co-occurrence count as
+    * [[countJaccard]] (one shuffle keyed by shingle hash, map-side
+    * combinable), emitted in both directions per unordered pair. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, n: Int = 3,
+                       threshold: Double = 0.8): DataFrame = {
+    val d0 = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+      sort_array(array_distinct(transform(TF.shingles(col(textCol), n),
+        s => xxhash64(s)))).as("sh"))
+    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = d.select(col("block"), col("id"), explode(col("sh")).as("h"))
+    val inter = ex.select(col("block"), col("h"), col("id").as("id_a"))
+      .join(ex.select(col("block"), col("h"), col("id").as("id_b")),
+        Seq("block", "h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("block", "id_a", "id_b").agg(count(lit(1)).as("_i"))
+    val sizes = d.select(col("block"), col("id"), size(col("sh")).as("n"))
+    inter
+      .join(sizes.select(col("block"), col("id").as("id_a"),
+        col("n").as("n_a")), Seq("block", "id_a"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        round((col("_i").cast("double") / col("n_a")) + lit(1e-9), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** The standard ppjoin/AllPairs prefix filter (Bayardo et al. WWW'07):
     * candidates share a hash in the first |sh| − ⌈t·|sh|⌉ + 1 sorted
     * hashes, then exact verification by a linear merge of the sorted

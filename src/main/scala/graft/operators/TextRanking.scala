@@ -59,7 +59,13 @@ object TextRanking {
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cBig = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val cPre = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix counts roll up from the (much smaller) bigram-count table —
+    // summing c2 per prefix equals counting bg rows per prefix, without
+    // a second full shuffle of the exploded corpus
+    val cPre = cBig
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
     val vocab = docs
       .select(explode(TF.tokens(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok")).as("_v"))
