@@ -340,10 +340,13 @@ object SparkEntry {
     val docs = T.documents(s, d)
     val bench = docs.filter(col("source") === "src0")
     val corpus = docs.filter(col("source") =!= "src0")
+    // the cleaned set feeds pair generation, cluster resolution, the
+    // survivor join, and decontamination — materialize once
     val cleaned = corpus.join(
       CorpusPipeline.clean(corpus, "doc_id", "text", minTokens = 5,
         langs = Seq("en", "fr")).select("doc_id", "n_tokens", "lang_guess"),
       "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.ngramJaccard(cleaned, "doc_id", "text", "source",
       n = 3, threshold = 0.1)
     val keepers = Dedup.resolveClusters(cleaned, pairs, "doc_id",
