@@ -22,12 +22,14 @@ object EventJoins {
     * within the right side resolve by largest `tieCol`).
     *
     * Implementation: tag both sides, union, and take a running
-    * `last(payload, ignoreNulls)` over (key) ordered by (time, side,
-    * tie). One shuffle on the key, one linear pass per key — the
+    * `last(struct(payload), ignoreNulls)` over (key) ordered by (time,
+    * side, tie). One shuffle on the key, one linear pass per key — the
     * sort-merge formulation every streaming engine uses, instead of the
-    * per-left-row subquery a naive translation would run. Right-side
-    * payload values that are themselves null are indistinguishable from
-    * "no prior row" (both surface as null).
+    * per-left-row subquery a naive translation would run. The payload
+    * rides as ONE struct (non-null for every right row), so the latest
+    * right row wins atomically: its null payload fields surface as
+    * null rather than being back-filled from older rows, and
+    * multi-column payloads can never mix fields across rows.
     *
     * `left` keeps all its columns; `right`'s non-key, non-time, non-tie
     * columns become the attached payload.
@@ -38,19 +40,23 @@ object EventJoins {
     val extras = left.columns.toSeq.filterNot(base.contains)
     val payload = right.columns.toSeq.filterNot(base.contains)
     require(payload.nonEmpty, "right side has no payload columns")
-    val l = left.select(base.map(col) ++ Seq(lit(1).as("_side")) ++
-      extras.map(col) ++
-      payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
-    val r = right.select(base.map(col) ++ Seq(lit(0).as("_side")) ++
-      extras.map(e => lit(null).cast(left.schema(e).dataType).as(e)) ++
-      payload.map(col): _*)
+    val pStructR = struct(payload.map(col): _*)
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
+    val l = left.select(base.map(col) ++ Seq(lit(1).as("_side"),
+      lit(null).cast(pType).as("_p")) ++ extras.map(col): _*)
+    val r = right.select(base.map(col) ++ Seq(lit(0).as("_side"),
+      pStructR.as("_p")) ++
+      extras.map(e => lit(null).cast(left.schema(e).dataType).as(e)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol), col("_side"), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((base ++ extras).map(col) ++ Seq(col("_side")) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
-      .filter(col("_side") === 1).drop("_side")
+      .select((base ++ extras).map(col) ++ Seq(col("_side"),
+        last(col("_p"), ignoreNulls = true).over(w).as("_p")): _*)
+      .filter(col("_side") === 1)
+      .select((base ++ extras).map(col) ++
+        payload.map(p => col(s"_p.$p").as(p)): _*)
   }
 
   /** Bounded-range aggregate join: for every probe row, `count` and an

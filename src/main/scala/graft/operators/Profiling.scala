@@ -28,44 +28,59 @@ object Profiling {
     * arithmetic, and only the O(|probs|) boundary rows are collected. */
   def exactQuantiles(df: DataFrame, column: String,
                      probs: Seq[Double]): Seq[Double] = {
+    // cache the sorted data: count(), zipWithIndex's partition-size job,
+    // and the boundary collect would otherwise each re-run the sort
     val rdd = df.select(col(column).cast("double")).na.drop()
       .rdd.map(_.getDouble(0)).sortBy(identity)
-    val n = rdd.count()
-    if (n == 0) return probs.map(_ => Double.NaN)
-    val wanted = probs.flatMap { p =>
-      val k = p * (n - 1)
-      Seq(math.floor(k).toLong, math.ceil(k).toLong)
-    }.distinct.toSet
-    val boundary = rdd.zipWithIndex().filter(t => wanted(t._2))
-      .map(_.swap).collect().toMap
-    probs.map { p =>
-      val k = p * (n - 1)
-      val lo = boundary(math.floor(k).toLong)
-      val hi = boundary(math.ceil(k).toLong)
-      lo + (k - math.floor(k)) * (hi - lo)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rdd.count()
+      if (n == 0) return probs.map(_ => Double.NaN)
+      val wanted = probs.flatMap { p =>
+        val k = p * (n - 1)
+        Seq(math.floor(k).toLong, math.ceil(k).toLong)
+      }.distinct.toSet
+      val boundary = rdd.zipWithIndex().filter(t => wanted(t._2))
+        .map(_.swap).collect().toMap
+      probs.map { p =>
+        val k = p * (n - 1)
+        val lo = boundary(math.floor(k).toLong)
+        val hi = boundary(math.ceil(k).toLong)
+        lo + (k - math.floor(k)) * (hi - lo)
+      }
+    } finally rdd.unpersist(false)
   }
 
   /** One row per column: count, nulls, approx distinct, approx
     * quartiles, min/max/mean (exact one-pass aggregates ride along for
-    * free). */
+    * free). ALL columns' sketches ride in a single aggregate — one scan
+    * of the input however many columns are profiled — then the one-row
+    * result is exploded back to a row per column. */
   def approxProfile(df: DataFrame, columns: Seq[String],
-                    rsd: Double = 0.05, accuracy: Int = 10000): DataFrame =
-    columns.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-        approx_count_distinct(col(c), rsd).as("approx_distinct"),
-        percentile_approx(col(c),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("_q"),
-        min(col(c)).cast("double").as("vmin"),
-        max(col(c)).cast("double").as("vmax"),
-        avg(col(c)).as("vmean"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
-          col("approx_distinct"),
-          col("_q").getItem(0).cast("double").as("p25"),
-          col("_q").getItem(1).cast("double").as("p50"),
-          col("_q").getItem(2).cast("double").as("p75"),
-          col("vmin"), col("vmax"), col("vmean"))
-    }.reduce(_ union _)
+                    rsd: Double = 0.05, accuracy: Int = 10000): DataFrame = {
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(lit(1)).as(s"_n_$i"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$i"),
+      approx_count_distinct(col(c), rsd).as(s"_d_$i"),
+      percentile_approx(col(c),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as(s"_q_$i"),
+      min(col(c)).cast("double").as(s"_mn_$i"),
+      max(col(c)).cast("double").as(s"_mx_$i"),
+      avg(col(c)).as(s"_av_$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(columns.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"),
+          col(s"_n_$i").as("n_rows"),
+          col(s"_nn_$i").as("n_null"),
+          col(s"_d_$i").as("approx_distinct"),
+          col(s"_q_$i").getItem(0).cast("double").as("p25"),
+          col(s"_q_$i").getItem(1).cast("double").as("p50"),
+          col(s"_q_$i").getItem(2).cast("double").as("p75"),
+          col(s"_mn_$i").as("vmin"),
+          col(s"_mx_$i").as("vmax"),
+          col(s"_av_$i").as("vmean"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
 }

@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * streams (deterministic md5 bucket, doubling as the corpus shuffle),
   * ordered pseudo-randomly inside each, and cut greedily by cumulative
   * token count — a doc belongs to the sequence where its cumulative
-  * range starts. Each bucket's window is one partition's linear scan, so
-  * parallelism = nBuckets and no global sort exists; at 100 TB you raise
-  * nBuckets to the write parallelism you want. Docs longer than
-  * `maxTokens` get a sequence of their own (possibly over budget —
-  * callers should truncate or split upstream).
+  * range STARTS. The budget bound is therefore `maxTokens` plus the
+  * overhang of one boundary-straddling doc (strictly under 2·maxTokens
+  * when every doc fits the budget; unbounded only for docs that alone
+  * exceed it — truncate or split those upstream, e.g. with Chunking).
+  * Each bucket's window is one partition's linear scan, so parallelism
+  * = nBuckets and no global sort exists; at 100 TB you raise nBuckets
+  * to the write parallelism you want.
   */
 object SequencePacking {
 

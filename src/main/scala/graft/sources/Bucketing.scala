@@ -36,15 +36,23 @@ object Bucketing {
     * the query first so AQE's final plan — not the opaque adaptive
     * wrapper — is what gets inspected. */
   def hasShuffle(df: DataFrame): Boolean = {
-    df.count()
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // run THIS DataFrame's own QueryExecution (count() would build a
+    // separate one and leave df's adaptive plan un-finalized)
+    df.queryExecution.toRdd.foreach(_ => ())
+    // QueryStageExec nodes are leaves to TreeNode traversal — their
+    // subtree hangs off `.plan` — so a plain collect would see only the
+    // ResultQueryStage wrapper; flatten through stages explicitly
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    flatten(df.queryExecution.executedPlan).exists {
+      case _: ShuffleExchangeLike => true
+      case _ => false
     }
-    plan.collect {
-      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }.nonEmpty
   }
 }

@@ -32,6 +32,26 @@ class EventJoinsSpec extends SparkSpec {
       13L -> None, 14L -> None))
   }
 
+  test("asOf: latest right row wins atomically even with null payload") {
+    import spark.implicits._
+    val views = Seq(
+      (1L, 10L, 1L, Some(10.0), None: Option[Double]),
+      (1L, 20L, 2L, None, Some(20.0)))
+      .toDF("user_id", "sec", "event_id", "a", "b")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .select("user_id", "ts", "event_id", "a", "b")
+    val clicks = Seq((1L, 30L, 10L))
+      .toDF("user_id", "sec", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .select("user_id", "ts", "event_id")
+    val out = EventJoins.asOf(clicks, views, Seq("user_id"), "ts",
+      "event_id").select("a", "b").head()
+    // the t=20 row is the as-of match: its null `a` must surface as
+    // null (not back-fill 10.0 from t=10), its `b` as 20.0 — never a
+    // cross-row mix
+    assert(out.isNullAt(0) && out.getDouble(1) == 20.0)
+  }
+
   test("asOf matches the per-row subquery definition on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
