@@ -1017,6 +1017,26 @@ object OracleSql {
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM final GROUP BY 1""".stripMargin,
 
+    "q85_target_encoding" ->
+      """WITH g AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS g FROM events),
+        |s AS (SELECT event_type, SUM(CAST(value AS DECIMAL(18,2))) AS sm,
+        |    COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT event_id,
+        |  ROUND((CAST(sm - CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+        |    + 10.0 * g) / (n - 1 + 10.0) + 1e-9, 6) AS loo_enc
+        |FROM events JOIN s USING (event_type), g""".stripMargin,
+
+    "q86_gap_fill" ->
+      """WITH day AS (SELECT user_id, EXTRACT(hour FROM ts) AS hour
+        |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+        |u AS (SELECT DISTINCT user_id FROM day),
+        |h AS (SELECT unnest(range(0, 24)) AS hour),
+        |c AS (SELECT user_id, hour, COUNT(*) AS n FROM day GROUP BY 1, 2)
+        |SELECT u.user_id, h.hour, COALESCE(c.n, 0) AS n_events
+        |FROM u CROSS JOIN h
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.hour = h.hour""".stripMargin,
+
     "q31_precision_at_k" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

@@ -651,6 +651,46 @@ object SparkEntry {
         sumExact(col("l_extendedprice"), 18, 4).as("sum_price"))
   }
 
+  /** Leave-one-out target encoding with additive smoothing: the
+    * categorical-feature encoder a tabular pipeline fits per column.
+    * enc_i = (Σ_group − x_i + m·ḡ) / (n_group − 1 + m): excluding the
+    * row's own value kills target leakage; the prior mass `m` shrinks
+    * rare categories toward the global mean. One keyed aggregate
+    * broadcast back — no per-row state. */
+  def q85_target_encoding(s: SparkSession, d: String): DataFrame = {
+    val m = 10.0
+    val ev = T.events(s, d)
+    val g = ev.agg((sum(dec(col("value"), 18, 2)).cast("double") /
+      count(lit(1))).as("_g"))
+    val stats = ev.groupBy("event_type")
+      .agg(sum(dec(col("value"), 18, 2)).as("_sum"),
+        count(lit(1)).as("_n"))
+    ev.join(broadcast(stats), "event_type")
+      .crossJoin(broadcast(g))
+      .select(col("event_id"),
+        round((((col("_sum") - dec(col("value"), 18, 2)).cast("double")) +
+          lit(m) * col("_g")) / (col("_n") - 1 + m) + lit(1e-9), 6)
+          .as("loo_enc"))
+  }
+
+  /** Calendar densification (gap fill): per-user hourly event counts
+    * over a fixed day INCLUDING empty hours — generate the hour spine,
+    * cross the (small) user dim, left-join the aggregated facts. The
+    * spine side is rows-generated, not scanned, so the only real cost
+    * is the one keyed aggregate. */
+  def q86_gap_fill(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val day = ev.filter(to_date(col("ts")) === lit("2024-01-01"))
+    val users = day.select(col("user_id")).distinct()
+    val hours = s.range(0, 24).select(col("id").cast("int").as("hour"))
+    val counts = day.select(col("user_id"), hour(col("ts")).as("hour"))
+      .groupBy("user_id", "hour").agg(count(lit(1)).as("n"))
+    users.crossJoin(broadcast(hours))
+      .join(counts, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
   /** E8: precision@k per group (top-k by score, hit = purchase). */
   def q31_precision_at_k(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -1112,6 +1152,8 @@ object SparkEntry {
     "q82_chunking" -> (q82_chunking _),
     "q83_full_pipeline" -> (q83_full_pipeline _),
     "q84_containment" -> (q84_containment _),
+    "q85_target_encoding" -> (q85_target_encoding _),
+    "q86_gap_fill" -> (q86_gap_fill _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),
