@@ -936,13 +936,13 @@ object OracleSql {
         |  WHERE len(sh3) > 0),
         |p AS (
         |  SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
-        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / len(a.sh) + 1e-9, 6) AS containment
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(a.sh) AS c
         |  FROM ds a JOIN ds b ON a.source = b.source
         |    AND a.doc_id <> b.doc_id
         |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
-        |SELECT block, id_a, id_b, containment FROM p
-        |WHERE containment >= 0.05""".stripMargin),
+        |SELECT block, id_a, id_b, ROUND(c + 1e-9, 6) AS containment
+        |FROM p WHERE c >= 0.05""".stripMargin),
 
     // q83: the whole pipeline chain in one statement - quality clean
     // (q44 fragment), near-dup CC resolution (q57 fragment at t=0.1),

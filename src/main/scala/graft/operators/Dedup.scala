@@ -68,6 +68,10 @@ object Dedup {
                  shingleN: Int = 3, sigK: Int = 8, bands: Int = 4,
                  threshold: Double = 0.5,
                  maxBucketSize: Int = 10000): DataFrame = {
+    require(bands >= 1 && sigK % bands == 0,
+      s"sigK=$sigK must be a positive multiple of bands=$bands " +
+        "(bands > sigK would make every band empty and silently " +
+        "return no pairs)")
     val rows = bands
     val bandSize = sigK / bands
     // shingles feed the two verify joins; signatures feed the band
@@ -177,14 +181,8 @@ object Dedup {
     * back. Correct for any t > 0 (a qualifying pair shares ≥1 hash);
     * preferable when t is too low for the prefix filter to prune. */
   private def countJaccard(d0: DataFrame, threshold: Double): DataFrame = {
-    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = d.select(col("block"), col("id"), explode(col("sh")).as("h"))
-    val inter = ex.select(col("block"), col("h"), col("id").as("id_a"))
-      .join(ex.select(col("block"), col("h"), col("id").as("id_b")),
-        Seq("block", "h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("block", "id_a", "id_b").agg(count(lit(1)).as("_i"))
-    val sizes = d.select(col("block"), col("id"), size(col("sh")).as("n"))
+    val (inter, sizes) = coOccurrenceCounts(d0,
+      pairFilter = col("id_a") < col("id_b"))
     inter
       .join(sizes.select(col("block"), col("id").as("id_a"),
         col("n").as("n_a")), Seq("block", "id_a"))
@@ -194,6 +192,24 @@ object Dedup {
         (col("_i").cast("double") / (col("n_a") + col("n_b") - col("_i")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared candidate machinery for the inverted-index strategies:
+    * persist the shingled corpus, self-join the exploded index on
+    * (block, hash), and count shared hashes per surviving pair.
+    * Returns (per-pair intersection counts as `_i`, per-doc set sizes
+    * as `n`). */
+  private def coOccurrenceCounts(d0: DataFrame, pairFilter: Column)
+  : (DataFrame, DataFrame) = {
+    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = d.select(col("block"), col("id"), explode(col("sh")).as("h"))
+    val inter = ex.select(col("block"), col("h"), col("id").as("id_a"))
+      .join(ex.select(col("block"), col("h"), col("id").as("id_b")),
+        Seq("block", "h"))
+      .filter(pairFilter)
+      .groupBy("block", "id_a", "id_b").agg(count(lit(1)).as("_i"))
+    val sizes = d.select(col("block"), col("id"), size(col("sh")).as("n"))
+    (inter, sizes)
   }
 
   /** Directional containment pairs: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| —
@@ -208,21 +224,17 @@ object Dedup {
     val d0 = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
       sort_array(array_distinct(transform(TF.shingles(col(textCol), n),
         s => xxhash64(s)))).as("sh"))
-    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = d.select(col("block"), col("id"), explode(col("sh")).as("h"))
-    val inter = ex.select(col("block"), col("h"), col("id").as("id_a"))
-      .join(ex.select(col("block"), col("h"), col("id").as("id_b")),
-        Seq("block", "h"))
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy("block", "id_a", "id_b").agg(count(lit(1)).as("_i"))
-    val sizes = d.select(col("block"), col("id"), size(col("sh")).as("n"))
+    val (inter, sizes) = coOccurrenceCounts(d0,
+      pairFilter = col("id_a") =!= col("id_b"))
     inter
       .join(sizes.select(col("block"), col("id").as("id_a"),
         col("n").as("n_a")), Seq("block", "id_a"))
+      // threshold on the EXACT integer ratio (consistent with the other
+      // strategies); the display column rounds afterwards
+      .filter(col("_i").cast("double") / col("n_a") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"),
         round((col("_i").cast("double") / col("n_a")) + lit(1e-9), 6)
           .as("containment"))
-      .filter(col("containment") >= threshold)
   }
 
   /** The standard ppjoin/AllPairs prefix filter (Bayardo et al. WWW'07):
@@ -396,7 +408,12 @@ object Dedup {
                       idACol: String = "id_a", idBCol: String = "id_b",
                       maxIter: Int = 30): DataFrame = {
     val cc = connectedComponents(pairs, idACol, idBCol, maxIter)
-    val base = docs.select(col(idCol), priorityCol.as("_prio"))
+    // null priorities sink to -inf instead of poisoning max(): with a
+    // raw null, `_prio === _maxp` is never true for an all-null
+    // component and the inner canon join would DROP those docs
+    val base = docs.select(col(idCol),
+      coalesce(priorityCol.cast("double"),
+        lit(Double.NegativeInfinity)).as("_prio"))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
     val best = base.groupBy("component").agg(

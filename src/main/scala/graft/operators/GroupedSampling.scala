@@ -22,6 +22,10 @@ object GroupedSampling {
   def priority(uidCols: Seq[Column]): Column =
     md5(concat_ws("_", uidCols.map(_.cast("string")): _*))
 
+  /** Once-per-JVM marker so a trimming cap logs visibly without spamming
+    * (executor-side; reset only on JVM restart — a warning, not a metric). */
+  private val trimWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Keep at most `cap` rows per group, chosen by deterministic hash
     * priority; add `weight_scale` = n/cap for survivors of capped groups so
     * weighted aggregates remain unbiased (photon's weight rescaling).
@@ -43,10 +47,6 @@ object GroupedSampling {
     *      exactly cap. This window sorts at most cap+ties rows per group
     *      (the threshold filter already discarded the rest), so it is
     *      bounded work, unlike a window over the raw group. */
-  /** Once-per-JVM marker so a trimming cap logs visibly without spamming
-    * (executor-side; reset only on JVM restart — a warning, not a metric). */
-  private val trimWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
-
   def boundedSample(df: DataFrame, groupCols: Seq[String],
                     uidCols: Seq[String], cap: Int,
                     warnOnTrim: Boolean = false): DataFrame = {

@@ -35,11 +35,12 @@ object EventStreams {
 
   /** Stateful sessionization via flatMapGroupsWithState with an
     * EVENT-TIME timeout: a session closes after `gapMs` of user
-    * inactivity, either because a later event arrives past the gap or
-    * because the watermark passes lastEvent + gap — so idle users' final
-    * sessions flush and their state is freed (a NoTimeout variant leaks
-    * state and never emits the last session; state here is bounded by
-    * the watermark horizon at any stream length). */
+    * inactivity — and is EMITTED only once the watermark passes its end
+    * + gap, because until then a legitimately-late event could still
+    * extend or bridge it (Append mode cannot retract an early emit).
+    * Idle users' final sessions flush via the event-time timeout, so
+    * state is bounded by the watermark horizon at any stream length (a
+    * NoTimeout variant leaks state and never emits the last session). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
                  watermark: String = "1 hour"): Dataset[SessionSummary] = {
     val spark = events.sparkSession
@@ -49,26 +50,27 @@ object EventStreams {
       .flatMapGroupsWithState[List[Event], SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[List[Event]]) =>
-          if (state.hasTimedOut) {
-            // watermark passed lastEvent + gap: flush everything
-            val leftover = state.getOption.getOrElse(Nil)
-            state.remove()
-            splitSessions(leftover, gapMs) match {
-              case (closed, open) =>
-                (closed ++ (if (open.nonEmpty) List(open) else Nil))
-                  .iterator.map(summarize(user, _))
-            }
-          } else {
-            // accumulate, emit sessions whose gap closed inside the batch
-            val all = (state.getOption.getOrElse(Nil) ++ batch.toList)
-              .sortBy(_.ts.getTime)
-            val (closed, open) = splitSessions(all, gapMs)
-            if (open.nonEmpty) {
-              state.update(open)
-              state.setTimeoutTimestamp(open.last.ts.getTime + gapMs)
-            } else state.remove()
-            closed.iterator.map(summarize(user, _))
+          val wm = state.getCurrentWatermarkMs()
+          val all = (state.getOption.getOrElse(Nil) ++ batch.toList)
+            .sortBy(_.ts.getTime)
+          // emit only sessions no late-but-valid event can still touch:
+          // last event + gap at or below the watermark
+          val (flushable, rest) = splitSessions(all, gapMs) match {
+            case (closed, open) =>
+              val sessions = closed ++ (if (open.nonEmpty) List(open) else Nil)
+              sessions.partition(s => s.last.ts.getTime + gapMs <= wm)
           }
+          val remaining = rest.flatten.sortBy(_.ts.getTime)
+          if (remaining.nonEmpty) {
+            state.update(remaining)
+            // wake when the EARLIEST pending session becomes flushable
+            // (rest is in time order), clamped above the watermark —
+            // Spark rejects a timeout at/before it (possible when a
+            // backfilled user's events are all older than the horizon)
+            state.setTimeoutTimestamp(
+              math.max(rest.head.last.ts.getTime + gapMs, wm + 1))
+          } else state.remove()
+          flushable.iterator.map(summarize(user, _))
       }
   }
 
@@ -107,17 +109,24 @@ object EventStreams {
     * plus watermarks on BOTH sides is what lets Spark bound the join
     * state: build rows older than `watermark + windowSec` below the
     * probe watermark are evicted, so state is proportional to the window
-    * horizon, not the stream length. Output columns are qualified via
-    * the `p`/`b` aliases; non-key columns should be disjoint. */
+    * horizon, not the stream length. The output carries the probe's
+    * columns plus the build side's payload (build key/time are dropped);
+    * payload names should be disjoint from the probe's columns. */
   def intervalJoin(probe: DataFrame, build: DataFrame, key: String,
                    timeCol: String, windowSec: Long,
                    watermark: String = "1 hour"): DataFrame = {
     val p = probe.withWatermark(timeCol, watermark).alias("p")
     val b = build.withWatermark(timeCol, watermark).alias("b")
+    // drop the build side's key/time from the output: they duplicate
+    // the probe's and would make every downstream reference ambiguous
+    val payload = build.columns.toSeq
+      .filterNot(c => c == key || c == timeCol)
     p.join(b, expr(
-      s"""p.$key = b.$key AND
-         |b.$timeCol > p.$timeCol - INTERVAL $windowSec SECONDS AND
-         |b.$timeCol <= p.$timeCol""".stripMargin))
+        s"""p.$key = b.$key AND
+           |b.$timeCol > p.$timeCol - INTERVAL $windowSec SECONDS AND
+           |b.$timeCol <= p.$timeCol""".stripMargin))
+      .select(probe.columns.toSeq.map(c => col(s"p.$c")) ++
+        payload.map(c => col(s"b.$c")): _*)
   }
 
   /** Streaming GLM scoring: broadcast model over a stream — the

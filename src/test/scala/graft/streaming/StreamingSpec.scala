@@ -37,23 +37,34 @@ class StreamingSpec extends SparkSpec {
   test("stateful sessionization emits closed sessions and keeps open state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
-    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)
+    val sessions = EventStreams.sessionize(input.toDS(),
+      gapMs = 10 * 60 * 1000, watermark = "30 minutes")
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sessions").start()
-    // user 1: events at 10:01,10:05 then a 40-min gap then 10:45 →
-    // first session closes once the 10:45 event arrives
+    // user 1: events at 10:01,10:05 then a 40-min gap then 10:45
     input.addData(
       EventStreams.Event(1, ts(1), 1, "click", 1.0),
       EventStreams.Event(2, ts(5), 1, "view", 2.0))
     q.processAllAvailable()
     assert(spark.table("sessions").count() == 0) // still open
+    // the 10:45 event splits the session logically, but emission must
+    // wait for the WATERMARK to pass end+gap — a late event could still
+    // bridge the gap, and Append output cannot be retracted
     input.addData(EventStreams.Event(3, ts(45), 1, "click", 5.0))
     q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // watermark still behind
+    // 12:00 pushes the watermark to 11:30; the follow-up microbatch
+    // fires the event-time timeouts, flushing both completed sessions
+    // ([10:01,10:05] and the 10:45 singleton) while 12:00 stays open
+    input.addData(EventStreams.Event(4, Timestamp.valueOf(
+      "2024-01-01 12:00:00"), 1, "click", 7.0))
+    q.processAllAvailable()
     val closed = spark.table("sessions").as[EventStreams.SessionSummary]
-      .collect()
+      .collect().sortBy(_.startMs)
     q.stop()
-    assert(closed.length == 1)
-    assert(closed.head.n_events == 2 && closed.head.total == 3.0)
+    assert(closed.length == 2, s"got ${closed.toSeq}")
+    assert(closed(0).n_events == 2 && closed(0).total == 3.0)
+    assert(closed(1).n_events == 1 && closed(1).total == 5.0)
   }
 
   test("event-time timeout flushes idle users' final sessions") {
@@ -111,7 +122,7 @@ class StreamingSpec extends SparkSpec {
     // 10-minute lookback: a click joins views in (click - 10m, click]
     val joined = EventStreams.intervalJoin(c, v, "user_id", "ts", 600,
         watermark = "5 minutes")
-      .select(col("p.click_id"), col("b.view_value"))
+      .select(col("click_id"), col("view_value"))
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("interval").start()
     views.addData((1L, ts(0), 10.0), (1L, ts(8), 20.0), (2L, ts(1), 30.0))
