@@ -1037,6 +1037,21 @@ object OracleSql {
         |FROM u CROSS JOIN h
         |LEFT JOIN c ON c.user_id = u.user_id AND c.hour = h.hour""".stripMargin,
 
+    // q87: the change rows must be identified BEFORE lead() so each
+    // interval ends at the NEXT CHANGE, not the next raw event
+    "q87_scd2_history" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT * FROM x
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to
+        |FROM ch""".stripMargin,
+
     "q31_precision_at_k" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

@@ -691,6 +691,23 @@ object SparkEntry {
         coalesce(col("n"), lit(0L)).as("n_events"))
   }
 
+  /** SCD2-style temporal history: compress each user's event stream to
+    * state CHANGES (drop consecutive repeats of event_type) and attach
+    * validity intervals [valid_from, valid_to) via lead() — the
+    * change-data-capture → slowly-changing-dimension build, one shuffle
+    * on the entity key. Open intervals carry null valid_to. */
+  def q87_scd2_history(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = T.events(s, d)
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+  }
+
   /** E8: precision@k per group (top-k by score, hit = purchase). */
   def q31_precision_at_k(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -1154,6 +1171,7 @@ object SparkEntry {
     "q84_containment" -> (q84_containment _),
     "q85_target_encoding" -> (q85_target_encoding _),
     "q86_gap_fill" -> (q86_gap_fill _),
+    "q87_scd2_history" -> (q87_scd2_history _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),
