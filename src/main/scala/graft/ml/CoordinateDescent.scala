@@ -207,12 +207,18 @@ object CoordinateDescent {
             if (r.activeCap > 0)
               graft.operators.GroupedSampling
                 .boundedSample(withResidual, Seq(r.reIdCol), Seq("uid"),
-                  r.activeCap, warnOnTrim = true)
+                  r.activeCap, warnOnTrim = true,
+                  keepGroupSize = r.activeLowerBound > 1)
                 .withColumn("weight", col("weight") * col("weight_scale"))
                 .drop("weight_scale")
             else withResidual
           val active =
-            if (r.activeLowerBound > 1)
+            if (r.activeLowerBound > 1 && r.activeCap > 0)
+              // boundedSample already carries the pre-cap group count —
+              // no second aggregate + semi-join over the residual frame
+              capped.filter(col("group_size") >= r.activeLowerBound)
+                .drop("group_size")
+            else if (r.activeLowerBound > 1)
               capped.join(
                 withResidual.groupBy(col(r.reIdCol))
                   .agg(count(lit(1)).as("_gn"))

@@ -85,7 +85,14 @@ object Glm {
         Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg, init,
           tracker)
       case ("lbfgs", _) => lbfgs()
-      case ("normal", _) => closedForm()
+      case ("normal", _) =>
+        // the normal equations ARE the squared-loss moments: honoring a
+        // forced "normal" for any other loss/norm would silently return
+        // a linear fit labeled as that model
+        require(closedFormEligible(cfg, dim),
+          "solver=\"normal\" requires squared loss, no l1, no bounds, " +
+            "identity normalization, and dim <= 1024")
+        closedForm()
       case _ =>
         if (cfg.l1 > 0)
           Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg,
@@ -251,23 +258,18 @@ object Glm {
     val obj = new DistributedGlmObjective(data, featureDim, base)
     var warm = new Array[Double](dim)
     val out = lambdas.sorted(Ordering[Double].reverse).map { lambda =>
+      // route through the shared optimizer layer so the path honors the
+      // full config (l1 → OWLQN, Gaussian priors via QuadReg) instead of
+      // a hand-rolled ridge-only loop that would drift from train()
       val cfg = base.copy(l2 = lambda)
-      // re-run LBFGS from the previous solution (breeze supports init)
-      val fn = new breeze.optimize.DiffFunction[breeze.linalg.DenseVector[Double]] {
-        def calculate(bw: breeze.linalg.DenseVector[Double]) = {
-          val (l, g, _) = obj.valueAndGradient(bw.data)
-          var reg = 0.0
-          var i = 0
-          while (i < featureDim) {
-            reg += bw(i) * bw(i); g(i) += lambda * bw(i); i += 1
-          }
-          (l + 0.5 * lambda * reg, breeze.linalg.DenseVector(g))
-        }
-      }
-      val opt = new breeze.optimize.LBFGS[breeze.linalg.DenseVector[Double]](
-        maxIter = base.maxIter, m = 10, tolerance = base.tol)
-      warm = opt.minimize(fn, breeze.linalg.DenseVector(warm.clone())).data
-      lambda -> toOriginalSpace(warm, featureDim, base.copy(l2 = lambda))
+      warm =
+        if (cfg.l1 > 0)
+          Optimizers.owlqn(obj.valueAndGradient, dim, featureDim, cfg,
+            Some(warm.clone()))
+        else
+          Optimizers.lbfgs(obj.valueAndGradient, dim, featureDim, cfg,
+            Some(warm.clone()))
+      lambda -> toOriginalSpace(warm, featureDim, cfg)
     }.toMap
     obj.unpersist()
     out

@@ -49,16 +49,34 @@ object RandomEffect {
       return trainInterceptClosedForm(data, cfg, priors)
     val grouped = data.groupByKey(_.reId)(Encoders.STRING)
 
+    // a GlmConfig-level Gaussian prior lives in FULL coefficient space;
+    // any projected solve must gather its arrays through the same index
+    // set or QuadReg's dimension check aborts the whole Spark stage
+    def projectCfgPrior(idx: Array[Int]): GlmConfig = cfg.prior match {
+      case Some(gp) =>
+        def gatherP(a: Array[Double]): Array[Double] = {
+          val out = new Array[Double](cfg.coefDim(idx.length))
+          var i = 0
+          while (i < idx.length) { out(i) = a(idx(i)); i += 1 }
+          if (cfg.fitIntercept) out(idx.length) = a(featureDim)
+          out
+        }
+        cfg.copy(prior = Some(gp.copy(means = gatherP(gp.means),
+          variances = gatherP(gp.variances))))
+      case None => cfg
+    }
+
     def solve(samples: Array[LabeledPoint],
               prior: Option[ReModel]): GlmModel =
       if (pearsonK > 0 && pearsonK < featureDim) {
-        // selection changes the coefficient space per entity, so priors
-        // (whose means live in full space) are not applied here
+        // selection changes the coefficient space per entity, so
+        // PER-ENTITY priors (full-space means) are not applied here;
+        // the config-level prior projects through the index set
         val idx = FeatureSelection.topPearsonIndices(samples, featureDim,
           pearsonK)
         val projected = samples.map(p => p.copy(features =
           FeatureSelection.project(p.features, idx)))
-        val m = Glm.trainLocal(projected, idx.length, cfg)
+        val m = Glm.trainLocal(projected, idx.length, projectCfgPrior(idx))
         m.copy(coef = FeatureSelection.scatter(m.coef, idx, featureDim))
       } else {
         val hasPriorReg = prior.exists(_.variances.isDefined)
@@ -71,9 +89,14 @@ object RandomEffect {
           case Some(idx) =>
             val projected = samples.map(p => p.copy(features =
               FeatureSelection.project(p.features, idx)))
-            val warm = prior.map(p =>
-              FeatureSelection.gather(p.coef, idx) :+ p.intercept)
-            val m = Glm.trainLocal(projected, idx.length, cfg, warm)
+            // the warm seed must match the REDUCED dim exactly or the
+            // optimizer silently discards it (init.filter(_.length == dim))
+            val warm = prior.map { p =>
+              val g = FeatureSelection.gather(p.coef, idx)
+              if (cfg.fitIntercept) g :+ p.intercept else g
+            }
+            val m = Glm.trainLocal(projected, idx.length,
+              projectCfgPrior(idx), warm)
             val variances = m.variances.map { v =>
               // inactive dims saw only the regularizer: H_jj = l2
               val fill = if (cfg.l2 > 1e-12) 1.0 / cfg.l2 else 1e12
@@ -86,7 +109,8 @@ object RandomEffect {
             m.copy(coef = FeatureSelection.scatter(m.coef, idx, featureDim),
               variances = variances)
           case None =>
-            val warm = prior.map(p => p.coef :+ p.intercept)
+            val warm = prior.map(p =>
+              if (cfg.fitIntercept) p.coef :+ p.intercept else p.coef)
             // a prior WITH variances regularizes toward the previous
             // model (per-entity incremental training); without, it only
             // warm-starts

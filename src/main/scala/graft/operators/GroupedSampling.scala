@@ -49,7 +49,8 @@ object GroupedSampling {
     *      bounded work, unlike a window over the raw group. */
   def boundedSample(df: DataFrame, groupCols: Seq[String],
                     uidCols: Seq[String], cap: Int,
-                    warnOnTrim: Boolean = false): DataFrame = {
+                    warnOnTrim: Boolean = false,
+                    keepGroupSize: Boolean = false): DataFrame = {
     val p = priority(uidCols.map(col))
     val thresholds = df
       .groupBy(groupCols.map(col): _*)
@@ -74,13 +75,18 @@ object GroupedSampling {
           n.toDouble / cap
         } else 1.0
       }.apply(col("_n"))
-    df.withColumn("_p", p)
+    val kept = df.withColumn("_p", p)
       .join(thresholds, groupCols)
       .filter(col("_p") <= col("_pmax"))
       .withColumn("_rn", row_number().over(trimW))
       .filter(col("_rn") <= cap)
       .withColumn("weight_scale", scale)
-      .drop("_p", "_pmax", "_n", "_rn")
+    // the pre-cap group count is already aggregated here — callers that
+    // need it (e.g. a lower-bound filter) take it for free instead of
+    // re-aggregating the source
+    val withSize = if (keepGroupSize)
+      kept.withColumn("group_size", col("_n")) else kept
+    withSize.drop("_p", "_pmax", "_n", "_rn")
   }
 
   /** Weighted reservoir sample: at most `cap` rows per group with

@@ -140,6 +140,69 @@ class GameSpec extends SparkSpec {
       proj("e0").variances.get(0) < 10.0)
   }
 
+  test("subspace solve projects a config-level Gaussian prior, not crash") {
+    // cfg.prior lives in FULL coefficient space; the projected local
+    // solve must gather it through the entity's active index set
+    val rnd = new scala.util.Random(53)
+    def sparse(active: Seq[Int]) = {
+      val idx = active.toArray
+      org.apache.spark.ml.linalg.Vectors.sparse(4,
+        idx, idx.map(_ => rnd.nextGaussian()))
+    }
+    val rows = (0 until 200).map { i =>
+      val (e, active) = if (i % 2 == 0) ("e0", Seq(0, 2)) else ("e1", Seq(1, 3))
+      val v = sparse(active)
+      RandomEffect.ReSample(e, v(active.head) + 0.05 * rnd.nextGaussian(),
+        v, 0.0, 1.0)
+    }
+    val data = spark.createDataset(rows)
+    val prior = GaussianPrior(Array(0.5, 0.5, 0.5, 0.5, 0.0),
+      Array.fill(5)(1.0))
+    val cfg = GlmConfig(SquaredLoss, l2 = 0.1, maxIter = 50,
+      prior = Some(prior))
+    // both projected paths must complete with finite coefficients
+    val sub = RandomEffect.train(data, 4, cfg).collect()
+    assert(sub.length == 2 && sub.forall(_.coef.forall(c =>
+      !c.isNaN && !c.isInfinity)))
+    val pear = RandomEffect.train(data, 4, cfg, pearsonK = 2).collect()
+    assert(pear.length == 2 && pear.forall(_.coef.forall(c =>
+      !c.isNaN && !c.isInfinity)))
+    // the prior pulls active coefficients toward 0.5 relative to a
+    // no-prior fit with heavy regularization on tiny data
+    val tiny = spark.createDataset(rows.take(4))
+    val strong = cfg.copy(l2 = 1e-9, prior = Some(GaussianPrior(
+      Array(0.5, 0.5, 0.5, 0.5, 0.0), Array.fill(5)(1e-6))))
+    val pulled = RandomEffect.train(tiny, 4, strong).collect()
+      .map(m => m.reId -> m).toMap
+    assert(math.abs(pulled("e0").coef(0) - 0.5) < 0.05,
+      s"prior should dominate: ${pulled("e0").coef.toSeq}")
+  }
+
+  test("no-intercept warm starts survive the dimension check") {
+    // fitIntercept=false: the prior seed must have length featureDim,
+    // or Optimizers silently drops it and re-converges from zero
+    val rnd = new scala.util.Random(54)
+    val rows = (0 until 100).map { i =>
+      val v = org.apache.spark.ml.linalg.Vectors.dense(
+        rnd.nextGaussian(), rnd.nextGaussian())
+      RandomEffect.ReSample("e0", 2.0 * v(0) - v(1) +
+        0.01 * rnd.nextGaussian(), v, 0.0, 1.0)
+    }
+    val data = spark.createDataset(rows)
+    val cfg = GlmConfig(SquaredLoss, l2 = 0.01, fitIntercept = false,
+      maxIter = 1, tol = 1e-12)
+    val priors = spark.createDataset(Seq(
+      RandomEffect.ReModel("e0", Array(2.0, -1.0), 0.0)))
+    // with maxIter=1 the fit only lands near the optimum if the warm
+    // start was actually used (a zero start cannot converge in 1 step
+    // under LBFGS's first-iteration line search alone)
+    val m = RandomEffect.train(data, 2, cfg, priors = Some(priors),
+      subspace = false).collect().head
+    assert(math.abs(m.coef(0) - 2.0) < 0.2 &&
+      math.abs(m.coef(1) + 1.0) < 0.2,
+      s"warm start was dropped: ${m.coef.toSeq}")
+  }
+
   test("per-entity training with pearsonK zeroes unselected coefficients") {
     val rnd = new scala.util.Random(31)
     val data = (0 until 300).map { i =>
