@@ -67,7 +67,12 @@ object GameTrainingDriver {
         tol = a.dbl("tol", 1e-7),
         varianceComputation = a.str("variance", "none"))
       priorModel.map(_.coordinates.get("global")) match {
-        case Some(Some(TrainedFixed(_, m))) =>
+        case Some(Some(TrainedFixed(spec, m))) =>
+          // a prior from a different vocabulary would silently attach
+          // every mean/variance to the wrong feature index
+          require(spec.featureDim == featureDim,
+            s"incremental prior was trained at featureDim=" +
+              s"${spec.featureDim}, current data has $featureDim")
           val dim = base.coefDim(featureDim)
           val means = java.util.Arrays.copyOf(m.coef, dim)
           if (base.fitIntercept) means(featureDim) = m.intercept

@@ -120,12 +120,13 @@ object AvroIO {
       else {
         val stream = new DataFileStream[GenericRecord](pds.open(),
           new GenericDatumReader[GenericRecord]())
+        // close on task completion, not iterator exhaustion: consumers
+        // that stop early (limit/take/show) never drain the iterator and
+        // would otherwise leak the input stream until GC
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => stream.close()))
         new Iterator[Row] {
-          def hasNext: Boolean = {
-            val h = stream.hasNext
-            if (!h) stream.close()
-            h
-          }
+          def hasNext: Boolean = stream.hasNext
           def next(): Row = {
             val rec = stream.next()
             Row.fromSeq(fieldNames.toSeq.zip(types).map { case (n, t) =>
@@ -209,17 +210,26 @@ object AvroIO {
       .map(e => e.getKey -> e.getValue).toSeq
     val out = new org.apache.hadoop.fs.Path(path)
     val fs = out.getFileSystem(sc.hadoopConfiguration)
-    if (fs.exists(out)) fs.delete(out, true)
-    fs.mkdirs(out)
+    // minimal commit protocol: tasks write attempt-unique files into a
+    // staging dir; only after the job succeeds is the previous output
+    // replaced. A mid-job failure leaves the old dataset untouched, and
+    // speculative/retried attempts never write the same file.
+    val staging = new org.apache.hadoop.fs.Path(path +
+      "_staging_" + java.util.UUID.randomUUID().toString.take(8))
+    fs.mkdirs(staging)
+    val stagingStr = staging.toString
     val prepared = if (maxFiles > 0) df.coalesce(maxFiles) else df
     val sparkSchema = prepared.schema
+    try {
     prepared.rdd.foreachPartition { rows =>
       if (rows.nonEmpty) {
-        val part = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val part = tc.partitionId()
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val s = new Schema.Parser().parse(schemaJson)
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$part%05d.avro")
+        val file = new org.apache.hadoop.fs.Path(stagingStr,
+          f"part-$part%05d-a${tc.attemptNumber()}.avro")
         val stream = file.getFileSystem(conf).create(file, true)
         val writer = new org.apache.avro.file.DataFileWriter[GenericRecord](
           new org.apache.avro.generic.GenericDatumWriter[GenericRecord](s))
@@ -239,6 +249,18 @@ object AvroIO {
         } finally writer.close()
       }
     }
+    // commit: one attempt per partition (lowest), then atomic-ish swap
+    val chosen = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".avro"))
+      .groupBy(_.getName.split("-a").head)
+      .map { case (_, attempts) => attempts.minBy(_.getName) }
+    if (fs.exists(out)) fs.delete(out, true)
+    fs.mkdirs(out)
+    chosen.foreach { f =>
+      val base = f.getName.split("-a").head + ".avro"
+      fs.rename(f, new org.apache.hadoop.fs.Path(out, base))
+    }
+    } finally fs.delete(staging, true)
   }
 
   /** Write feature-bag training examples back to Avro container files —

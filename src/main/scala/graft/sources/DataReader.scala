@@ -16,13 +16,15 @@ class DataReader(spark: SparkSession, format: String = "avro") {
     * featureShardConfigurations). */
   def read(path: String): DataFrame = read(Seq(path))
 
-  def read(paths: Seq[String], numPartitions: Int = 0): DataFrame = {
-    val df = format match {
-      case "avro" => AvroIO.read(spark, paths)
-      case f => spark.read.format(f).load(paths: _*)
+  def read(paths: Seq[String], numPartitions: Int = 0): DataFrame =
+    format match {
+      // avro parallelism is set at SCAN time (minPartitions) — a
+      // repartition would shuffle the full dataset for the same effect
+      case "avro" => AvroIO.read(spark, paths, numPartitions)
+      case f =>
+        val df = spark.read.format(f).load(paths: _*)
+        if (numPartitions > 0) df.repartition(numPartitions) else df
     }
-    if (numPartitions > 0) df.repartition(numPartitions) else df
-  }
 
   /** Read + merge feature bags into one vector column per shard
     * (DataReader.readMerged overload matrix). `indexMaps` carries a

@@ -75,11 +75,18 @@ object FeatureVectorizer {
   def vectorize(df: DataFrame, bagCols: Seq[String], indexMap: DataFrame,
                 outCol: String,
                 broadcastVocabLimit: Long = 2000000L): DataFrame = {
-    val vocab = indexMap.count()
+    // the index-map lineage (distinct → sort → zipWithIndex) is
+    // expensive; count() and the collect()/join below would otherwise
+    // each recompute it end to end
+    val im = indexMap.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = im.count()
+    require(vocab <= Int.MaxValue,
+      s"index map has $vocab entries; vector dimensions are Int-bounded")
     if (vocab > broadcastVocabLimit)
-      return vectorizeByJoin(df, bagCols, indexMap, outCol, vocab.toInt)
+      return vectorizeByJoin(df, bagCols, im, outCol, vocab.toInt)
     val spark = df.sparkSession
-    val entries = indexMap.collect()
+    val entries = im.collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     val dim = entries.size
     val bc = spark.sparkContext.broadcast(entries)
@@ -116,7 +123,12 @@ object FeatureVectorizer {
                                        dim: Int): DataFrame = {
     def safeBag(b: String): Column =
       coalesce(col(b), array().cast(df.schema(b).dataType))
+    // the generated row ids feed BOTH sides of the self-join below;
+    // without materialization the two evaluations of an upstream
+    // shuffle could enumerate rows in different orders and attach
+    // vectors to the wrong rows
     val withId = df.withColumn("__rid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = withId.select(col("__rid"),
       explode(flatten(array(bagCols.map(b => transform(safeBag(b), f =>
         struct(featureKey(f.getField("name"), f.getField("term"))

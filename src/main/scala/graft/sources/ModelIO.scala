@@ -83,11 +83,19 @@ object ModelIO {
   def loadGame(spark: SparkSession, dir: String): GameModel = {
     import spark.implicits._
     val json = readText(spark, s"$dir/metadata.json")
-    // metadata is machine-written with a fixed field order — parse by regex
+    // metadata is machine-written with a fixed field order — parse by
+    // regex; the intercept alternation covers diverged fits (NaN/±Inf),
+    // and the entry-count check below makes any parse miss LOUD instead
+    // of silently dropping a coordinate from the scoring sum
     val entry = ("""\{"kind":"([^"]*)","id":"([^"]*)","featuresCol":"([^"]*)",""" +
-      """"featureDim":(\d+),"loss":"([^"]*)","intercept":([-0-9.eE]+),""" +
+      """"featureDim":(\d+),"loss":"([^"]*)","intercept":([-0-9.eE]+|NaN|-?Infinity),""" +
       """"reIdCol":"([^"]*)"\}""").r
-    val coords = entry.findAllMatchIn(json).map { m =>
+    val expected = "\"kind\":".r.findAllMatchIn(json).size
+    val parsed = entry.findAllMatchIn(json).toSeq
+    require(parsed.size == expected,
+      s"metadata.json has $expected coordinate entries but only " +
+        s"${parsed.size} parsed — refusing to load a partial GAME model")
+    val coords = parsed.iterator.map { m =>
       val (kind, id, featuresCol, dim, loss, intercept, reIdCol) =
         (m.group(1), m.group(2), m.group(3), m.group(4).toInt, m.group(5),
           m.group(6).toDouble, m.group(7))
