@@ -40,8 +40,19 @@ object LegacyDriver {
       val keyToIndex = a.list("feature-cols").zipWithIndex.map {
         case (c, i) => (c + graft.sources.FeatureVectorizer.Sep) -> i
       }.toMap
-      Constraints.boundsFor(Constraints.parse(json), keyToIndex,
-        featureDim, fitIntercept = true)
+      val parsed = Constraints.parse(json)
+      // a constraint that matches nothing would silently train
+      // UNCONSTRAINED while the user believes the bound is enforced
+      require(keyToIndex.nonEmpty,
+        "--constraints requires --feature-cols (constraint names bind " +
+          "to assembled feature columns)")
+      val unmatched = parsed.map(c => c.name +
+        graft.sources.FeatureVectorizer.Sep + c.term)
+        .filterNot(k => keyToIndex.contains(k))
+      require(unmatched.isEmpty,
+        s"constraints reference unknown features: ${unmatched.mkString(", ")}")
+      Constraints.boundsFor(parsed, keyToIndex, featureDim,
+        fitIntercept = true)
     }
     val cfg = GlmConfig(loss, maxIter = a.int("max-iter", 100),
       tol = a.dbl("tol", 1e-7),
@@ -59,11 +70,15 @@ object LegacyDriver {
         Map(l -> Glm.trainIncremental(ds, featureDim, cfg.copy(l2 = l),
           prior, a.dbl("incremental-weight", 1.0),
           a.str("solver", "auto")))
-      case None if cfg.bounds.isDefined =>
-        // constrained path: per-lambda LBFGSB fits (the warm-started
-        // regularization path is unconstrained by construction)
+      case None if cfg.bounds.isDefined ||
+          a.str("solver", "auto") != "auto" =>
+        // constrained path (LBFGSB) or an explicitly forced solver:
+        // per-lambda fits — the warm-started regularization path is
+        // unconstrained LBFGS/OWLQN by construction and would silently
+        // ignore both
         lambdas.map(l =>
-          l -> Glm.train(ds, featureDim, cfg.copy(l2 = l))).toMap
+          l -> Glm.train(ds, featureDim, cfg.copy(l2 = l),
+            a.str("solver", "auto"))).toMap
       case None =>
         Glm.regularizationPath(ds, featureDim, cfg, lambdas)
     }
@@ -74,19 +89,30 @@ object LegacyDriver {
     def metric(m: GlmModel): Double = valDs match {
       case None => Double.NaN
       case Some(v) =>
+        // evaluate the TRAINED quantity: margin includes the offset, and
+        // rows carry their training weights (prepare() defaults both)
         val scored = Glm.score(v, m, "features")
+          .withColumn("score", col("score") + col("offset"))
         metricName match {
           case "auc" => Evaluators.auc(scored, "score", "label")
-          case "rmse" => Evaluators.rmse(scored, "score", "label")
-          case _ => Evaluators.logisticLoss(scored, "score", "label")
+          case "rmse" =>
+            Evaluators.rmse(scored, "score", "label", Some("weight"))
+          case _ =>
+            Evaluators.logisticLoss(scored, "score", "label", Some("weight"))
         }
     }
     val evaluated = models.map { case (l, m) => l -> metric(m) }
-    val bestLambda = evaluated.reduceLeft { (x, y) =>
-      if (y._2.isNaN) x
-      else if (x._2.isNaN) y
-      else if (Evaluators.betterThan(metricName, x._2, y._2)) x else y
-    }._1
+    val bestLambda =
+      if (valDs.isEmpty)
+        // no validation set → nothing to compare on; the FIRST
+        // user-specified lambda is the documented deterministic choice
+        // (hash-map order would otherwise pick one arbitrarily)
+        lambdas.head
+      else evaluated.reduceLeft { (x, y) =>
+        if (y._2.isNaN) x
+        else if (x._2.isNaN) y
+        else if (Evaluators.betterThan(metricName, x._2, y._2)) x else y
+      }._1
 
     // L19 per-model validation: the selected model must produce finite
     // predictions and clear configured metric bounds before being saved
@@ -132,6 +158,10 @@ object LegacyDriver {
     var hasVar = false
     rows.foreach { r =>
       val i = r.getInt(0)
+      require(i >= -1 && i < featureDim,
+        s"prior model at $dir has feature_idx=$i but current " +
+          s"featureDim=$featureDim — vocabulary mismatch, refusing to " +
+          "mis-align the prior")
       val v = r.getDouble(2)
       if (v != 0.0) hasVar = true
       if (i >= 0) { coef(i) = r.getDouble(1); variances(i) = v }

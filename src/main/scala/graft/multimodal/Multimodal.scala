@@ -131,11 +131,12 @@ object Multimodal {
     spark.createDataFrame(rows, decodedSchema)
   }
 
-  /** Feature extraction: pixels → float embedding (STUB: channel-wise
-    * moment features; a real extractor would run a vision model here).
-    * Output shape matches the embeddings table (`array<float>`). */
+  /** Feature extraction: pixels → float embedding (STUB: mean intensity
+    * per strided pixel bucket, byte index modulo `dim` — a real
+    * extractor would run a vision model here). Output shape matches the
+    * embeddings table (`array<float>`). */
   def extractFeatures(decoded: DataFrame, dim: Int = 16): DataFrame = {
-    val featUdf = udf { (pixels: Array[Byte], w: Int, h: Int, c: Int) =>
+    val featUdf = udf { (pixels: Array[Byte]) =>
       val out = new Array[Float](dim)
       var i = 0
       while (i < pixels.length) {
@@ -145,8 +146,7 @@ object Multimodal {
       val n = math.max(1, pixels.length / dim)
       out.map(_ / n)
     }
-    decoded.withColumn("embedding",
-      featUdf(col("pixels"), col("width"), col("height"), col("channels")))
+    decoded.withColumn("embedding", featUdf(col("pixels")))
       .select("media_id", "embedding")
   }
 

@@ -17,11 +17,14 @@ object CorpusPipeline {
 
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minTokens: Int, langs: Seq[String]): DataFrame = {
+    // feeds both the keeper aggregate and the semi-join's left side —
+    // materialize so tokenCount/langId don't run over the corpus twice
     val filtered = docs.select(col(idCol), col(textCol),
       TF.tokenCount(col(textCol)).as("n_tokens"),
       TF.langId(col(textCol)).as("lang_guess"))
       .filter(col("n_tokens") >= minTokens &&
         col("lang_guess").isInCollection(langs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = filtered
       .groupBy(md5(col(textCol)).as("_h"))
       .agg(min(col(idCol)).as("_keeper"))
