@@ -149,6 +149,30 @@ class DriversSpec extends SparkSpec {
     assert(math.abs(m.coef(0) - 1.0) < 1e-4, s"coef=${m.coef.toSeq}")
   }
 
+  test("legacy driver: no validation set selects the first user lambda") {
+    dataReady
+    val (_, best) = LegacyDriver.run(spark, Args.parse(Array(
+      "--input-dir", s"$tmp/train",
+      "--uid-col", "id", "--label-col", "y",
+      "--feature-cols", "x1,x2",
+      "--loss", "squared", "--lambdas", "7.5,0.01,1000.0")))
+    assert(best == 7.5, s"expected the first user lambda, got $best")
+  }
+
+  test("legacy driver rejects constraints naming unknown features") {
+    dataReady
+    val ex = intercept[IllegalArgumentException] {
+      LegacyDriver.run(spark, Args.parse(Array(
+        "--input-dir", s"$tmp/train",
+        "--uid-col", "id", "--label-col", "y",
+        "--feature-cols", "x1,x2",
+        "--loss", "squared", "--lambdas", "0.01",
+        "--constraints",
+        """[{"name":"no_such_feature","term":"","upperBound":1.0}]""")))
+    }
+    assert(ex.getMessage.contains("no_such_feature"))
+  }
+
   test("model-validation flag passes a good model and aborts a bad one") {
     dataReady
     val base = Array(
