@@ -944,6 +944,40 @@ object OracleSql {
         |SELECT block, id_a, id_b, ROUND(c + 1e-9, 6) AS containment
         |FROM p WHERE c >= 0.05""".stripMargin),
 
+    // q88: triangles in the canonically-ordered (a<b) pair graph —
+    // wedge join closed by the third edge, per block
+    "q88_triangles" -> (shinglesCte + """,
+        |ds AS (SELECT doc_id, source, list_distinct(sh3) AS sh FROM sh),
+        |e AS (
+        |  SELECT a.source AS block, a.doc_id AS a, b.doc_id AS b
+        |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |    >= 0.05),
+        |tri AS (
+        |  SELECT e1.block, COUNT(*) AS n
+        |  FROM e e1
+        |  JOIN e e2 ON e1.block = e2.block AND e1.b = e2.a
+        |  JOIN e e3 ON e2.block = e3.block AND e1.a = e3.a
+        |    AND e2.b = e3.b
+        |  GROUP BY 1)
+        |SELECT b.block, COALESCE(tri.n, 0) AS n_triangles
+        |FROM (SELECT DISTINCT block FROM e) b
+        |LEFT JOIN tri USING (block)""".stripMargin),
+
+    // q89: Tukey fences from exact interpolated quartiles (the same
+    // p·(n−1) definition both engines share)
+    "q89_iqr_outliers" ->
+      """WITH q AS (SELECT quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3 FROM events),
+        |f AS (SELECT q1 - 1.5 * (q3 - q1) AS lo,
+        |    q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT event_type, COUNT(*) AS n,
+        |  SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+        |    AS n_outliers,
+        |  ROUND(lo + 1e-9, 6) AS fence_lo, ROUND(hi + 1e-9, 6) AS fence_hi
+        |FROM events, f GROUP BY event_type, lo, hi""".stripMargin,
+
     // q83: the whole pipeline chain in one statement - quality clean
     // (q44 fragment), near-dup CC resolution (q57 fragment at t=0.1),
     // decontamination (q58 fragment), per-language manifest

@@ -331,6 +331,32 @@ object SparkEntry {
     Dedup.containmentPairs(T.documents(s, d), "doc_id", "text", "source",
       n = 3, threshold = 0.05)
 
+  /** Triangle counting over the near-dup pair graph (per source block):
+    * a three-way self-join of the canonically-ordered edge list — the
+    * graph-analytics shape beyond connected components, and a cluster-
+    * density signal (triangles ≈ tight dup families, paths ≈ chains).
+    * Each join is an equi-join on a single vertex; candidate wedges are
+    * bounded by Σ degree², never |V|³. */
+  def q88_triangles(s: SparkSession, d: String): DataFrame = {
+    val e = Dedup.ngramJaccard(T.documents(s, d), "doc_id", "text",
+      "source", n = 3, threshold = 0.05)
+      .select(col("block"), col("id_a").as("a"), col("id_b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // edges are (a < b): wedge a<b<c exists iff (a,b) and (b,c) are
+    // edges; it closes iff (a,c) is too
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.block") === col("e2.block") &&
+        col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e2.block") === col("e3.block") &&
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .groupBy(col("e1.block").as("block"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.select(col("block")).distinct()
+      .join(tri, Seq("block"), "left")
+      .select(col("block"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** The flagship end-to-end corpus pipeline, every stage an operator
     * this library ships: quality clean (token floor + language whitelist
     * + exact dedup) → near-dup cluster resolution (keep the canonical
@@ -513,6 +539,24 @@ object SparkEntry {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"),
         sumExact(col("l_quantity"), 18, 2).as("sum_qty"))
+  }
+
+  /** IQR outlier report: Tukey's fences from parallel exact quartiles
+    * (one order-statistics pass), outliers counted by a codegen'd
+    * predicate — the data-quality screen before normalization. */
+  def q89_iqr_outliers(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val q = Profiling.exactQuantiles(ev, "value", Seq(0.25, 0.75))
+    val (q1, q3) = (q(0), q(1))
+    val iqr = q3 - q1
+    val lo = q1 - 1.5 * iqr
+    val hi = q3 + 1.5 * iqr
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < lo || col("value") > hi, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(lit(lo) + lit(1e-9), 6).as("fence_lo"),
+        round(lit(hi) + lit(1e-9), 6).as("fence_hi"))
   }
 
   /** Rolling-window feature engineering: per-user trailing 5-event mean
@@ -1172,6 +1216,8 @@ object SparkEntry {
     "q85_target_encoding" -> (q85_target_encoding _),
     "q86_gap_fill" -> (q86_gap_fill _),
     "q87_scd2_history" -> (q87_scd2_history _),
+    "q88_triangles" -> (q88_triangles _),
+    "q89_iqr_outliers" -> (q89_iqr_outliers _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),
