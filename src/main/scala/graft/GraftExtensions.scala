@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.TokenCount
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: registers the library's native Catalyst
+  * expressions as SQL functions, so pure-SQL users (spark-sql shells,
+  * JDBC, notebooks) get them without touching the Scala API.
+  *
+  * Activate per cluster with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`, or imperatively
+  * on an existing session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private val functions: Seq[(String, ExpressionInfo,
+    Seq[Expression] => Expression)] = Seq(
+    ("token_count",
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "token_count(text) takes one argument")
+        TokenCount(args.head)
+      }))
+
+  /** Imperative registration on an already-built session (tests, REPLs —
+    * `spark.sql.extensions` only applies at session construction). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("token_count is callable from pure SQL after registration") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("a b c", 3), ("  ", 0), ("one", 1))
+      .toDF("s", "want").createOrReplaceTempView("tc_docs")
+    val rows = spark.sql(
+      "SELECT token_count(s) AS got, want FROM tc_docs").collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // codegen path: the expression survives whole-stage codegen in SQL
+    val n = spark.sql(
+      "SELECT SUM(token_count(s)) AS total FROM tc_docs").head().getLong(0)
+    assert(n == 4)
+  }
+}
