@@ -24,13 +24,19 @@ object Validators {
 
   /** One-pass violation counts: returns (rule, violations) rows. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val aggs = rules.map(r =>
-      sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
+    require(rules.nonEmpty, "check() needs at least one rule")
+    // positional aliases keep arbitrary rule names (dashes, quotes,
+    // spaces) out of the SQL the stack() melt is parsed from
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(when(r.violated, 1L).otherwise(0L)).as(s"_v$i")
+    }
     val counted = df.agg(aggs.head, aggs.tail: _*)
-    // melt to (rule, violations) rows
+    def q(s: String): String = "'" + s.replace("\\", "\\\\")
+      .replace("'", "\\'") + "'"
     counted.selectExpr(
       s"stack(${rules.size}, " +
-        rules.map(r => s"'${r.name}', ${r.name}").mkString(", ") +
+        rules.zipWithIndex.map { case (r, i) => s"${q(r.name)}, _v$i" }
+          .mkString(", ") +
         ") as (rule, violations)")
   }
 

@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   * same answer on 1 executor or 1000.
   */
 object Exact {
-  /** Cast to a fixed-point decimal. Default (18,4) fits money-like columns. */
+  /** Cast to a fixed-point decimal. Default (18,4) fits money-like
+    * columns. CONTRACT: values must fit `precision − scale` integer
+    * digits — Spark's non-ANSI cast turns an overflow into NULL, which
+    * sum() would then silently skip. Callers aggregating unbounded
+    * magnitudes must pick a precision to match (the mirrored DuckDB
+    * oracle must use the same precision, where overflow ERRORS — so a
+    * bound violation surfaces as an oracle failure, not silent drift). */
   def dec(c: Column, precision: Int = 18, scale: Int = 4): Column =
     c.cast(s"decimal($precision,$scale)")
 
