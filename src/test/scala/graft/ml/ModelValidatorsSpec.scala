@@ -48,6 +48,19 @@ class ModelValidatorsSpec extends SparkSpec {
     assert(rmseFail.exists(_.startsWith("rmse=")))
   }
 
+  test("data validators accept arbitrary rule names and reject none") {
+    import graft.operators.Validators
+    val df = Seq(1.0, Double.NaN, 3.0).toDF("v")
+    // dashes/quotes in rule names must not break the stack() melt SQL
+    val out = Validators.check(df, Seq(
+      Validators.Rule("finite-check's", Validators.notFinite(col("v")))))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "finite-check's")
+    assert(out.head.getLong(1) == 1L)
+    intercept[IllegalArgumentException](Validators.check(df, Seq.empty))
+  }
+
   test("parseBounds handles lists and rejects malformed specs") {
     val b = ModelValidators.parseBounds("auc:0.6, rmse:10")
     assert(b == Seq(ModelValidators.MetricBound("auc", 0.6),
