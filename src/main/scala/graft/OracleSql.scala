@@ -944,6 +944,13 @@ object OracleSql {
         |SELECT block, id_a, id_b, ROUND(c + 1e-9, 6) AS containment
         |FROM p WHERE c >= 0.05""".stripMargin),
 
+    // q90: 2-itemset co-occurrence support over per-doc distinct tokens
+    "q90_cooccurrence" -> (toksCte + """,
+        |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS t FROM t)
+        |SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS support
+        |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 320""".stripMargin),
+
     // q88: triangles in the canonically-ordered (a<b) pair graph —
     // wedge join closed by the third edge, per block
     "q88_triangles" -> (shinglesCte + """,

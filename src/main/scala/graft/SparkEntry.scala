@@ -331,6 +331,23 @@ object SparkEntry {
     Dedup.containmentPairs(T.documents(s, d), "doc_id", "text", "source",
       n = 3, threshold = 0.05)
 
+  /** Co-occurrence mining (the 2-itemset level of frequent-pattern
+    * mining, done relationally): token pairs appearing together in at
+    * least `minSupport` documents. Distinct tokens per doc → ordered
+    * self-join on doc → map-side-combinable pair counts; candidate
+    * volume is Σ (tokens/doc)², bounded by document length, never
+    * vocabulary². */
+  def q90_cooccurrence(s: SparkSession, d: String): DataFrame = {
+    val tok = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TF.tokens(col("text")))).as("t"))
+    tok.select(col("doc_id"), col("t").as("t_a"))
+      .join(tok.select(col("doc_id"), col("t").as("t_b")), Seq("doc_id"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 320)
+  }
+
   /** Triangle counting over the near-dup pair graph (per source block):
     * a three-way self-join of the canonically-ordered edge list — the
     * graph-analytics shape beyond connected components, and a cluster-
@@ -1218,6 +1235,7 @@ object SparkEntry {
     "q87_scd2_history" -> (q87_scd2_history _),
     "q88_triangles" -> (q88_triangles _),
     "q89_iqr_outliers" -> (q89_iqr_outliers _),
+    "q90_cooccurrence" -> (q90_cooccurrence _),
     "q31_precision_at_k" -> (q31_precision_at_k _),
     "q32_auc" -> (q32_auc _),
     "q33_rmse" -> (q33_rmse _),
