@@ -864,21 +864,19 @@ object OracleSql {
 
     // q79: the bloom pre-filter is a superset prune — the exact join
     // decides, so the oracle is the plain join
-    // q78: min(struct(yr,wk)) mirrored as min(yr*100+wk) (wk < 100 makes
-    // the packing order-equivalent)
+    // q78: cohort key is the Monday DATE of the first active week (both
+    // engines' date_trunc('week') is Monday-based), year-boundary safe
     "q78_cohort_retention" ->
-      """WITH e AS (SELECT user_id, year(ts) AS yr,
-        |    weekofyear(ts) AS wk FROM events),
-        |f AS (SELECT user_id, MIN(yr * 100 + wk) AS c FROM e GROUP BY 1),
-        |j AS (SELECT e.user_id, e.yr, e.wk, c // 100 AS cohort_yr,
-        |    c % 100 AS cohort_wk FROM e JOIN f USING (user_id))
-        |SELECT cohort_yr, cohort_wk,
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week,
         |  COUNT(DISTINCT user_id) AS cohort_size,
-        |  COUNT(DISTINCT CASE WHEN wk - cohort_wk = 1
-        |    AND yr = cohort_yr THEN user_id END) AS retained_wk1,
-        |  COUNT(DISTINCT CASE WHEN wk - cohort_wk = 4
-        |    AND yr = cohort_yr THEN user_id END) AS retained_wk4
-        |FROM j GROUP BY 1, 2""".stripMargin,
+        |  COUNT(DISTINCT CASE WHEN date_diff('day', cohort_week, wk) = 7
+        |    THEN user_id END) AS retained_wk1,
+        |  COUNT(DISTINCT CASE WHEN date_diff('day', cohort_week, wk) = 28
+        |    THEN user_id END) AS retained_wk4
+        |FROM e JOIN f USING (user_id) GROUP BY 1""".stripMargin,
 
     // q80: greedy cumulative-cut packing inside md5 hash buckets —
     // the window mirrors Spark's exactly (same order key, same frame)

@@ -52,17 +52,26 @@ object SparkEntry {
     * the reference's FeatureDataStatistics over scalar columns. */
   def q02_column_stats(s: SparkSession, d: String): DataFrame = {
     val li = T.lineitem(s, d)
-    def statsOf(c: String): DataFrame = li.agg(
-      count(lit(1)).as("n"),
-      sum(when(col(c) =!= 0.0, 1L).otherwise(0L)).as("n_nonzero"),
-      min(col(c)).as("vmin"), max(col(c)).as("vmax"),
-      sumExact(col(c), 18, 6).as("vsum"),
-      avgExact(col(c), 18, 6).as("vmean"),
-      sumExact(abs(col(c)), 18, 6).as("l1"))
-      .select(lit(c).as("feature"), col("n"), col("n_nonzero"),
-        col("vmin"), col("vmax"), col("vsum"), col("vmean"), col("l1"))
-    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      .map(statsOf).reduce(_.unionAll(_))
+    // every column's stats in ONE aggregate scan (a union of per-column
+    // aggregates would scan lineitem once per column), melted back to a
+    // row per column
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(lit(1)).as(s"_n_$i"),
+      sum(when(col(c) =!= 0.0, 1L).otherwise(0L)).as(s"_nz_$i"),
+      min(col(c)).as(s"_mn_$i"), max(col(c)).as(s"_mx_$i"),
+      sumExact(col(c), 18, 6).as(s"_s_$i"),
+      avgExact(col(c), 18, 6).as(s"_a_$i"),
+      sumExact(abs(col(c)), 18, 6).as(s"_l1_$i"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("feature"), col(s"_n_$i").as("n"),
+          col(s"_nz_$i").as("n_nonzero"), col(s"_mn_$i").as("vmin"),
+          col(s"_mx_$i").as("vmax"), col(s"_s_$i").as("vsum"),
+          col(s"_a_$i").as("vmean"), col(s"_l1_$i").as("l1"))
+      }: _*)).as("r"))
+      .select("r.*")
   }
 
   /** J1: broadcast hash join (small dim side) + grouped revenue. */
@@ -642,15 +651,20 @@ object SparkEntry {
         round(max(col("l_extendedprice")) + lit(1e-9), 6).as("bin_max"))
   }
 
-  /** Pairwise Pearson correlations (one-pass co-moment aggregates). */
+  /** Pairwise Pearson correlations — all pairs in one co-moment scan. */
   def q75_correlations(s: SparkSession, d: String): DataFrame = {
     val li = T.lineitem(s, d)
-    def c(a: String, b: String): DataFrame =
-      li.agg(round(corr(col(a), col(b)) + lit(1e-9), 6).as("r"))
-        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("r"))
-    c("l_quantity", "l_extendedprice")
-      .union(c("l_quantity", "l_discount"))
-      .union(c("l_extendedprice", "l_tax"))
+    val pairs = Seq("l_quantity" -> "l_extendedprice",
+      "l_quantity" -> "l_discount", "l_extendedprice" -> "l_tax")
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      round(corr(col(a), col(b)) + lit(1e-9), 6).as(s"_r_$i")
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"_r_$i").as("r"))
+      }: _*)).as("p"))
+      .select("p.*")
   }
 
   /** Sequential funnel: view → click-after-first-view →
@@ -678,22 +692,21 @@ object SparkEntry {
     * tracked by weeks-since-cohort — two keyed aggregates and one join,
     * the standard retention triangle. */
   def q78_cohort_retention(s: SparkSession, d: String): DataFrame = {
-    val ev = T.events(s, d)
-      .select(col("user_id"), weekofyear(col("ts")).as("wk"),
-        year(col("ts")).as("yr"))
+    // cohort key = the Monday DATE of the first active week: a single
+    // calendar value, so year boundaries can't split or merge cohorts
+    // (weekofyear+year mix ISO and calendar conventions and corrupt
+    // both cohorts and the week-offset arithmetic around new year)
+    val ev = T.events(s, d).select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("wk"))
     val firstWeek = ev.groupBy("user_id")
-      .agg(min(struct(col("yr"), col("wk"))).as("fw"))
-      .select(col("user_id"), col("fw.yr").as("cohort_yr"),
-        col("fw.wk").as("cohort_wk"))
+      .agg(min(col("wk")).as("cohort_week"))
     ev.join(firstWeek, "user_id")
-      .groupBy("cohort_yr", "cohort_wk")
+      .groupBy("cohort_week")
       .agg(countDistinct(col("user_id")).as("cohort_size"),
-        countDistinct(when(col("wk") - col("cohort_wk") === 1 &&
-          col("yr") === col("cohort_yr"), col("user_id")))
-          .as("retained_wk1"),
-        countDistinct(when(col("wk") - col("cohort_wk") === 4 &&
-          col("yr") === col("cohort_yr"), col("user_id")))
-          .as("retained_wk4"))
+        countDistinct(when(datediff(col("wk"), col("cohort_week")) === 7,
+          col("user_id"))).as("retained_wk1"),
+        countDistinct(when(datediff(col("wk"), col("cohort_week")) === 28,
+          col("user_id"))).as("retained_wk4"))
   }
 
   /** Bloom-filter semi-join pruning: lineitem scan pre-filtered by a
@@ -762,9 +775,8 @@ object SparkEntry {
     val changes = T.events(s, d)
       .withColumn("_prev", lag(col("event_type"), 1).over(w))
       .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
-    val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     changes
-      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("event_type").as("state"),
         col("ts").as("valid_from"), col("valid_to"))
   }
