@@ -22,6 +22,14 @@ object Bench {
       .queryExecution.toRdd.foreach(_ => ())
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // per-query isolation: earlier queries' leftover cached /
+      // localCheckpointed RDDs (CC rounds, quantile sorts) otherwise
+      // accumulate heap pressure that bleeds GC pauses into later
+      // timings — r5 saw +40-70% on long-stable queries from this
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       // materialize EVERY output column: a bare count() lets Catalyst
       // prune projection-only plans down to a row count, so pure-map
@@ -36,13 +44,26 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line summary short enough to
+    // survive the driver's output tail (r5's full-precision doubles made
+    // the line long enough to be truncated mid-JSON in the artifact)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + jsonEscape(v) + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // belt and suspenders: the parseable artifact also lands in a side
+    // file, immune to log interleaving and tail truncation
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SUMMARY.json")),
+      summary + "\n")
+    catch { case _: Throwable => () }
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

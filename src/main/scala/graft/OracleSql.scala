@@ -726,9 +726,13 @@ object OracleSql {
       |  COALESCE(avg_nll, 0.0) AS avg_nll
       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin),
 
+    // q63: the outer CAST(SUM .. AS BIGINT) matters — DuckDB SUM over
+    // integers returns HUGEINT, which its client coerces to float64, so
+    // an uncast k_sum hashes as "123.0" against Spark's "123"
     "q63_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_sum,
         |  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS k_avg
         |FROM events GROUP BY event_type""".stripMargin,
@@ -812,10 +816,12 @@ object OracleSql {
 
     // q73: Efraimidis-Spirakis weighted reservoir with hash randomness —
     // keep the 5 largest u^(1/w) keys per type
+    // the 12dp ROUND mirrors weightedSample's ulp guard: raw pow results
+    // can differ between libm implementations in the last bits
     "q73_weighted_sample" -> (
       "WITH x AS (SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS h, " +
-        "POW(CAST(" + hex8("CAST(event_id AS VARCHAR)") +
-        " AS DOUBLE) / 4294967296.0, 1.0 / (value + 1.0)) AS k FROM events), " +
+        "ROUND(POW(CAST(" + hex8("CAST(event_id AS VARCHAR)") +
+        " AS DOUBLE) / 4294967296.0, 1.0 / (value + 1.0)), 12) AS k FROM events), " +
         "r AS (SELECT event_type, event_id, ROW_NUMBER() OVER " +
         "(PARTITION BY event_type ORDER BY k DESC, h) AS rn FROM x) " +
         "SELECT event_type, event_id FROM r WHERE rn <= 5"),
@@ -879,18 +885,27 @@ object OracleSql {
         |FROM e JOIN f USING (user_id) GROUP BY 1""".stripMargin,
 
     // q80: greedy cumulative-cut packing inside md5 hash buckets —
-    // the window mirrors Spark's exactly (same order key, same frame)
+    // the window mirrors Spark's exactly (same order key, same frame).
+    // All-BIGINT output must stay integer-typed end to end: the bucket
+    // uses only the 8th md5 hex digit (16^j ≡ 0 mod 8 for j ≥ 1, so
+    // hex8(s) % 8 reduces to the last digit mod 8 — no strpos chain),
+    // the cut is floor(x/256.0) not dialect `//`, and the terminal SUM
+    // is cast back to BIGINT (DuckDB integer SUM yields HUGEINT, which
+    // its client floats — the hash then sees "123.0" vs "123")
     "q80_sequence_packing" -> (toksCte + s""",
       |d AS (SELECT doc_id, len(toks) AS n_tokens,
-      |  ${hex8("'pack_' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+      |  (strpos('0123456789abcdef',
+      |     substr(md5('pack_' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1) % 8
+      |    AS bucket,
       |  md5('ord_' || CAST(doc_id AS VARCHAR)) AS ord FROM t),
       |a AS (SELECT bucket, n_tokens,
-      |  (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+      |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY bucket
+      |     ORDER BY ord, doc_id
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |   - n_tokens) // 256 AS seq_in_bucket
+      |   - n_tokens) / 256.0) AS BIGINT) AS seq_in_bucket
       |  FROM d)
       |SELECT bucket, seq_in_bucket, COUNT(*) AS n_docs,
-      |  SUM(n_tokens) AS n_tokens
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
       |FROM a GROUP BY 1, 2""".stripMargin),
 
     // q81: src0-4 = existing corpus, src5+ = ingest delta; a delta doc
@@ -907,12 +922,18 @@ object OracleSql {
         |FROM d LEFT JOIN k USING (h)""".stripMargin,
 
     // q82: 32-token windows every 16 (DuckDB list slice is 1-based
-    // inclusive and clamps, same as Spark's slice)
+    // inclusive and clamps, same as Spark's slice). Chunk indices come
+    // from the per-doc scalar range list — ceil(len/16) chunk starts —
+    // so the bound is derived from the data; the old constant
+    // range(0, 1000) silently capped docs past 16k tokens
     "q82_chunking" -> (toksCte + """,
-      |c AS (SELECT doc_id, i AS chunk_idx,
-      |    toks[CAST(i*16+1 AS BIGINT) : CAST(i*16+32 AS BIGINT)] AS ctoks
-      |  FROM t, range(0, 1000) r(i)
-      |  WHERE len(toks) > 0 AND i*16 < len(toks))
+      |ch AS (SELECT doc_id, toks,
+      |    unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT)))
+      |      AS chunk_idx FROM t),
+      |c AS (SELECT doc_id, chunk_idx,
+      |    toks[CAST(chunk_idx*16+1 AS BIGINT)
+      |       : CAST(chunk_idx*16+32 AS BIGINT)] AS ctoks
+      |  FROM ch)
       |SELECT doc_id, chunk_idx,
       |  md5(array_to_string(ctoks, ' ')) AS chunk_hash,
       |  len(ctoks) AS n_tokens
@@ -978,8 +999,8 @@ object OracleSql {
         |f AS (SELECT q1 - 1.5 * (q3 - q1) AS lo,
         |    q3 + 1.5 * (q3 - q1) AS hi FROM q)
         |SELECT event_type, COUNT(*) AS n,
-        |  SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
-        |    AS n_outliers,
+        |  CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
         |  ROUND(lo + 1e-9, 6) AS fence_lo, ROUND(hi + 1e-9, 6) AS fence_hi
         |FROM events, f GROUP BY event_type, lo, hi""".stripMargin,
 

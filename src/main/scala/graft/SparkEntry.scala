@@ -530,15 +530,25 @@ object SparkEntry {
 
   /** Exact-percentile column profiling (sort-based, order-statistics
     * interpolation) — the data-profiling pass a pipeline runs before
-    * choosing normalizations and clip thresholds. */
+    * choosing normalizations and clip thresholds. Routed through
+    * [[Profiling.exactQuantiles]] (range-partitioned parallel sort +
+    * order-statistics lookup): Spark's built-in `percentile` aggregate
+    * merges a value→count map on ONE reducer, which is a single-task
+    * funnel for continuous columns at scale (measured 6 s vs 0.4 s at
+    * sf0.1 — `operators/Profiling.scala`). */
   def q65_column_profile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val li = T.lineitem(s, d)
-    def prof(c: String): DataFrame = li.agg(
-      round(expr(s"percentile($c, 0.25)") + lit(1e-9), 6).as("p25"),
-      round(expr(s"percentile($c, 0.5)") + lit(1e-9), 6).as("p50"),
-      round(expr(s"percentile($c, 0.75)") + lit(1e-9), 6).as("p75"))
-      .select(lit(c).as("col_name"), col("p25"), col("p50"), col("p75"))
-    prof("l_quantity").union(prof("l_discount")).union(prof("l_tax"))
+    def prof(c: String): (String, Double, Double, Double) = {
+      val q = Profiling.exactQuantiles(li, c, Seq(0.25, 0.5, 0.75))
+      (c, q(0), q(1), q(2))
+    }
+    Seq(prof("l_quantity"), prof("l_discount"), prof("l_tax"))
+      .toDF("col_name", "_p25", "_p50", "_p75")
+      .select(col("col_name"),
+        round(col("_p25") + lit(1e-9), 6).as("p25"),
+        round(col("_p50") + lit(1e-9), 6).as("p50"),
+        round(col("_p75") + lit(1e-9), 6).as("p75"))
   }
 
   /** Skew-safe two-phase aggregation: per-type event counts and exact

@@ -40,6 +40,13 @@ object EventJoins {
     val extras = left.columns.toSeq.filterNot(base.contains)
     val payload = right.columns.toSeq.filterNot(base.contains)
     require(payload.nonEmpty, "right side has no payload columns")
+    // a payload column shadowing a left column would produce duplicate
+    // output names and ambiguous downstream references (same contract
+    // intervalJoin documents) — fail loudly instead
+    val collisions = payload.filter(extras.contains)
+    require(collisions.isEmpty,
+      s"right payload columns ${collisions.mkString(", ")} collide with " +
+        "left columns; alias them before the as-of join")
     val pStructR = struct(payload.map(col): _*)
     val pType = org.apache.spark.sql.types.StructType(
       payload.map(p => right.schema(p).copy(name = p)))

@@ -43,10 +43,14 @@ object GroupedSampling {
     *      funnel through a single-task window sort — the earlier
     *      row_number implementation did exactly that and died at 100×.
     *   3. Exact-cap trim: duplicate uids tie at the threshold and would
-    *      admit >cap rows, so a row_number over the *pruned* set takes
-    *      exactly cap. This window sorts at most cap+ties rows per group
-    *      (the threshold filter already discarded the rest), so it is
-    *      bounded work, unlike a window over the raw group. */
+    *      admit >cap rows, so a row_number over the pruned rows of
+    *      OVER-CAP groups takes exactly cap. Under-cap groups (whose
+    *      threshold is their own max — nothing to trim) bypass the
+    *      window entirely, so the trim shuffle moves only rows from
+    *      groups that actually overflowed, not the whole survivor set;
+    *      the thresholds aggregate is shared by both branches via
+    *      exchange reuse, so the only duplicated work is the map-side
+    *      scan+probe, never a second full shuffle. */
   def boundedSample(df: DataFrame, groupCols: Seq[String],
                     uidCols: Seq[String], cap: Int,
                     warnOnTrim: Boolean = false,
@@ -75,11 +79,15 @@ object GroupedSampling {
           n.toDouble / cap
         } else 1.0
       }.apply(col("_n"))
-    val kept = df.withColumn("_p", p)
+    val admitted = df.withColumn("_p", p)
       .join(thresholds, groupCols)
       .filter(col("_p") <= col("_pmax"))
+    val underCap = admitted.filter(col("_n") <= cap)
+    val trimmed = admitted.filter(col("_n") > cap)
       .withColumn("_rn", row_number().over(trimW))
       .filter(col("_rn") <= cap)
+      .drop("_rn")
+    val kept = underCap.unionByName(trimmed)
       .withColumn("weight_scale", scale)
     // the pre-cap group count is already aggregated here — callers that
     // need it (e.g. a lower-bound filter) take it for free instead of
@@ -95,25 +103,36 @@ object GroupedSampling {
     * row). Randomness is the row's hash — deterministic across runs,
     * partitionings, and engines — and the selection uses the same
     * bounded-heap threshold pattern as [[boundedSample]], so a hot
-    * group never funnels through one task. Weights must be > 0. */
+    * group never funnels through one task. Weights must be > 0.
+    *
+    * The rank key is rounded to 12 decimals: JVM Math.pow and other
+    * engines' libm pow can disagree in the last ulps, and a raw-double
+    * sort key would let near-ties rank differently across engines (the
+    * repo convention — TextRanking — is to never sort on raw float
+    * keys). Ties the rounding introduces are broken by the md5 row
+    * priority, which is engine-exact. */
   def weightedSample(df: DataFrame, groupCols: Seq[String],
                      uidCols: Seq[String], weightCol: String,
                      cap: Int): DataFrame = {
     val u = DownSampling.hashFraction(uidCols.map(col))
-    val key = pow(u, lit(1.0) / col(weightCol))
+    val key = round(pow(u, lit(1.0) / col(weightCol)), 12)
     val thresholds = df
       .withColumn("_k", key)
       .groupBy(groupCols.map(col): _*)
-      .agg(array_min(AggFunctions.collectTopK(col("_k"), cap,
-        smallest = false)).as("_kmin"))
+      .agg(count(lit(1)).as("_n"),
+        array_min(AggFunctions.collectTopK(col("_k"), cap,
+          smallest = false)).as("_kmin"))
     val trimW = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("_k").desc, priority(uidCols.map(col)))
-    df.withColumn("_k", key)
+    val admitted = df.withColumn("_k", key)
       .join(thresholds, groupCols)
       .filter(col("_k") >= col("_kmin"))
+    val underCap = admitted.filter(col("_n") <= cap)
+    val trimmed = admitted.filter(col("_n") > cap)
       .withColumn("_rn", row_number().over(trimW))
       .filter(col("_rn") <= cap)
-      .drop("_k", "_kmin", "_rn")
+      .drop("_rn")
+    underCap.unionByName(trimmed).drop("_k", "_kmin", "_n")
   }
 
   /** Top-K rows per group by an explicit ordering (deterministic iff the

@@ -210,10 +210,13 @@ object AvroIO {
       .map(e => e.getKey -> e.getValue).toSeq
     val out = new org.apache.hadoop.fs.Path(path)
     val fs = out.getFileSystem(sc.hadoopConfiguration)
-    // minimal commit protocol: tasks write attempt-unique files into a
-    // staging dir; only after the job succeeds is the previous output
-    // replaced. A mid-job failure leaves the old dataset untouched, and
-    // speculative/retried attempts never write the same file.
+    // minimal commit protocol: tasks stream into an attempt-unique TEMP
+    // file in a staging dir and promote it to the final part name only
+    // after their writer closes cleanly — so a task killed mid-write
+    // leaves a temp file that is never eligible for commit (it dies with
+    // the staging dir), and whichever complete attempt promotes is
+    // correct because retries of a partition write identical content.
+    // A mid-job failure leaves the old dataset untouched.
     val staging = new org.apache.hadoop.fs.Path(path +
       "_staging_" + java.util.UUID.randomUUID().toString.take(8))
     fs.mkdirs(staging)
@@ -228,9 +231,12 @@ object AvroIO {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val s = new Schema.Parser().parse(schemaJson)
-        val file = new org.apache.hadoop.fs.Path(stagingStr,
-          f"part-$part%05d-a${tc.attemptNumber()}.avro")
-        val stream = file.getFileSystem(conf).create(file, true)
+        val taskFs = staging.getFileSystem(conf)
+        val tmp = new org.apache.hadoop.fs.Path(stagingStr,
+          f"_tmp-part-$part%05d-a${tc.attemptNumber()}.avro")
+        val fin = new org.apache.hadoop.fs.Path(stagingStr,
+          f"part-$part%05d.avro")
+        val stream = taskFs.create(tmp, true)
         val writer = new org.apache.avro.file.DataFileWriter[GenericRecord](
           new org.apache.avro.generic.GenericDatumWriter[GenericRecord](s))
         writer.create(s, stream)
@@ -247,18 +253,22 @@ object AvroIO {
             writer.append(rec)
           }
         } finally writer.close()
+        // promote only after a clean close; if a concurrent complete
+        // attempt got there first, discard this one
+        if (!taskFs.rename(tmp, fin) && taskFs.exists(tmp))
+          taskFs.delete(tmp, false)
       }
     }
-    // commit: one attempt per partition (lowest), then atomic-ish swap
+    // commit: every final-named file is a completely-written partition
+    // (promotion happens strictly after writer.close()); temps from
+    // killed attempts are never promoted and die with the staging dir
     val chosen = fs.listStatus(staging).map(_.getPath)
-      .filter(_.getName.endsWith(".avro"))
-      .groupBy(_.getName.split("-a").head)
-      .map { case (_, attempts) => attempts.minBy(_.getName) }
+      .filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".avro"))
     if (fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
     chosen.foreach { f =>
-      val base = f.getName.split("-a").head + ".avro"
-      fs.rename(f, new org.apache.hadoop.fs.Path(out, base))
+      fs.rename(f, new org.apache.hadoop.fs.Path(out, f.getName))
     }
     } finally fs.delete(staging, true)
   }

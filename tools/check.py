@@ -29,6 +29,25 @@ def canon(rows, cols):
     out.sort()
     return out, [cols[i] for i in order]
 
+def type_class(t):
+    """Coarse type class for hash-hazard detection. The driver's compare
+    coerces DuckDB results through pandas, where HUGEINT (the result of
+    any SUM over integers) becomes float64 — so an integer column on the
+    Spark side hashed against a HUGEINT oracle column sees "123" vs
+    "123.0" even though values are equal. str()-based compare here can't
+    see that, so flag it from the declared types instead."""
+    t = t.upper().split("(")[0].strip()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT", "NUMBER"):
+        return "int"
+    if t == "HUGEINT":
+        return "hugeint"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t == "DECIMAL":
+        return "decimal"
+    return "other"
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -47,10 +66,27 @@ def main(sf_dir, out_dir):
             got = con.execute(
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
             grows, gcols = got.fetchall(), [d[0] for d in got.description]
+            gtypes = [d[1] for d in got.description]
             want = con.execute(sql)
             wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+            wtypes = [d[1] for d in want.description]
         except Exception as e:
             print(f"ERROR    {name}: {e}")
+            n_fail += 1
+            continue
+        hazards = []
+        wtype_by_col = dict(zip(wcols, wtypes))
+        for c, gt in zip(gcols, gtypes):
+            wt = wtype_by_col.get(c)
+            if wt is None:
+                continue
+            gclass, wclass = type_class(str(gt)), type_class(str(wt))
+            if wclass == "hugeint" or (
+                    gclass != wclass and {gclass, wclass} <= {
+                        "int", "hugeint", "float", "decimal"}):
+                hazards.append(f"{c}: spark={gt} oracle={wt}")
+        if hazards:
+            print(f"TYPEDIFF {name}: " + "; ".join(hazards))
             n_fail += 1
             continue
         gc, gorder = canon(grows, gcols)
