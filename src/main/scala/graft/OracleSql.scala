@@ -221,6 +221,38 @@ object OracleSql {
       """SELECT user_id, ROUND(AVG(value) + 1e-9, 6) AS mean_value
         |FROM events GROUP BY user_id""".stripMargin,
 
+    // q91: per-user 2-feature ridge (q54's Cramer template grouped per
+    // entity). The engine solves in each user's 2-dim ACTIVE subspace of
+    // the 4-dim global feature space and scatters back; the solve values
+    // are identical to this full-rank-on-active-dims closed form, and
+    // inactive_abs = 0.0 asserts the scatter wrote zeros elsewhere
+    "q91_re_ridge" ->
+      """WITH pts AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS entity,
+        |    CAST(event_id % 7 AS DOUBLE) - 3.0 AS x1,
+        |    CAST(event_id % 11 AS DOUBLE) - 5.0 AS x2,
+        |    value AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT entity, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+        |    SUM(x1*x1) + 0.1 AS s11, SUM(x1*x2) AS s12,
+        |    SUM(x2*x2) + 0.1 AS s22, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+        |  FROM pts GROUP BY entity),
+        |d AS (
+        |  SELECT *, s11*(s22*n - sx2*sx2) - s12*(s12*n - sx2*sx1)
+        |    + sx1*(s12*sx2 - s22*sx1) AS det
+        |  FROM m)
+        |SELECT entity,
+        |  ROUND((s1y*(s22*n - sx2*sx2) - s12*(s2y*n - sx2*sy)
+        |    + sx1*(s2y*sx2 - s22*sy)) / det + 1e-9, 6) AS w1,
+        |  ROUND((s11*(s2y*n - sx2*sy) - s1y*(s12*n - sx2*sx1)
+        |    + sx1*(s12*sy - s2y*sx1)) / det + 1e-9, 6) AS w2,
+        |  ROUND((s11*(s22*sy - s2y*sx2) - s12*(s12*sy - s2y*sx1)
+        |    + s1y*(s12*sx2 - s22*sx1)) / det + 1e-9, 6) AS intercept,
+        |  0.0 AS inactive_abs
+        |FROM d""".stripMargin,
+
     "q54_ridge_closed" ->
       """WITH pts AS (
         |  SELECT CAST(embedding[1] AS DOUBLE) AS x1,
@@ -1003,6 +1035,25 @@ object OracleSql {
         |    AS BIGINT) AS n_outliers,
         |  ROUND(lo + 1e-9, 6) AS fence_lo, ROUND(hi + 1e-9, 6) AS fence_hi
         |FROM events, f GROUP BY event_type, lo, hi""".stripMargin,
+
+    // q42o: the image-codec gate's oracle never touches an image — it
+    // recomputes the per-image channel sums from the same closed-form
+    // pixel formula the engine encoded into its PNG fixtures, so any
+    // codec/layout defect breaks the hash. CASTs keep integer sums
+    // BIGINT (DuckDB integer SUM → HUGEINT → client float64)
+    "q42o_multimodal_stats" ->
+      """WITH ids AS (SELECT unnest(range(0, 16)) AS i),
+        |dims AS (SELECT i, 8 + i % 5 AS w, 8 + i % 7 AS h FROM ids),
+        |xs AS (SELECT i, w, h, unnest(range(0, w)) AS x FROM dims),
+        |ys AS (SELECT i, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |cs AS (SELECT i, w, h, x, y, unnest(range(0, 3)) AS c FROM ys),
+        |v AS (SELECT i, w, h, c,
+        |    (x*3 + y*5 + c*7 + i*11) % 256 AS v FROM cs)
+        |SELECT i AS media_id, w AS width, h AS height,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+        |FROM v GROUP BY i, w, h""".stripMargin,
 
     // q83: the whole pipeline chain in one statement - quality clean
     // (q44 fragment), near-dup CC resolution (q57 fragment at t=0.1),

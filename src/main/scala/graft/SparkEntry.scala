@@ -951,6 +951,108 @@ object SparkEntry {
         round(col("intercept") + 1e-9, 6).as("mean_value"))
   }
 
+  /** P4/A8/L10-L12 under a hash gate: per-entity 2-feature ridge with
+    * REAL feature vectors through the full RandomSpec path — subspace
+    * projection included. Features live in a 4-dim global space but each
+    * user touches only 2 indices (pair chosen by user parity), so every
+    * per-entity solve runs in a projected 2-dim subspace and scatters
+    * back — `inactive_abs` (sum of |coef| on the user's untouched
+    * indices) must be exactly 0.0 or the scatter is wrong. Two CD
+    * rounds make round 2 warm-start from round 1's models, driving the
+    * prior-gather path through the same projection. The oracle solves
+    * each user's ridge normal equations by Cramer (the q54 template,
+    * grouped per user; intercept unregularized, A = XᵀX + λI with
+    * λ = 0.1 matching GlmConfig.l2). Reference analogue: per-entity
+    * featureful GAME training, GameTrainingDriverIntegTest.scala:
+    * 246-258. */
+  def q91_re_ridge(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.CoordinateDescent
+    import graft.ml.CoordinateDescent._
+    import org.apache.spark.ml.functions.array_to_vector
+    val x1 = (col("event_id") % 7).cast("double") - lit(3.0)
+    val x2 = (col("event_id") % 11).cast("double") - lit(5.0)
+    val par = pmod(col("user_id"), lit(2))
+    val feat = when(par === 0, array(x1, x2, lit(0.0), lit(0.0)))
+      .otherwise(array(lit(0.0), lit(0.0), x1, x2))
+    val data = T.events(s, d).select(
+      col("event_id").as("uid"), col("value").as("label"),
+      lit(1.0).as("weight"), lit(0.0).as("offset"),
+      array_to_vector(feat).as("xf"),
+      col("user_id").cast("string").as("userId"))
+    val model = CoordinateDescent.train(data, Seq(
+      RandomSpec("perUser2f", "userId", "xf", 4,
+        graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 0.1, maxIter = 100,
+          tol = 1e-12), activeCap = 0)), nIterations = 2)
+    val models = model.coordinates("perUser2f")
+      .asInstanceOf[TrainedRandom].models
+    val p = pmod(col("entity").cast("long"), lit(2)).cast("int")
+    models.select(col("reId").as("entity"), col("coef"), col("intercept"))
+      .select(col("entity"),
+        round(element_at(col("coef"), p * 2 + 1) + lit(1e-9), 6).as("w1"),
+        round(element_at(col("coef"), p * 2 + 2) + lit(1e-9), 6).as("w2"),
+        round(col("intercept") + lit(1e-9), 6).as("intercept"),
+        (abs(element_at(col("coef"), (lit(1) - p) * 2 + 1)) +
+          abs(element_at(col("coef"), (lit(1) - p) * 2 + 2)))
+          .as("inactive_abs"))
+  }
+
+  /** Hash-exact gate for the REAL image codec (q42's decode path): a
+    * 16-image PNG fixture corpus generated from a closed-form pixel
+    * formula, encoded with ImageIO (lossless RGB), decoded through
+    * [[graft.multimodal.Multimodal.decode]]'s real codec, and reduced to
+    * per-image stats (dims + per-channel pixel sums). The oracle
+    * recomputes the same sums from the pixel formula in pure SQL, so
+    * encode→decode→buffer-layout→channel-split all face the hash
+    * compare. The corpus is fixture-sized by design — the scale path is
+    * the decode operator itself (batched mapPartitions), gated here for
+    * correctness, benched under q42. */
+  def q42o_multimodal_stats(s: SparkSession, d: String): DataFrame = {
+    val png = udf { (i: Long) =>
+      val w = 8 + (i % 5).toInt
+      val h = 8 + (i % 7).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def f(c: Int): Int = ((x * 3 + y * 5 + c * 7 + i * 11) % 256).toInt
+          img.setRGB(x, y, (f(0) << 16) | (f(1) << 8) | f(2))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = s.range(16).select(col("id").as("media_id"),
+      lit("image").as("kind"), png(col("id")).as("payload"),
+      map().cast("map<string,string>").as("meta"))
+    val sums = udf { (px: Array[Byte]) =>
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < px.length) {
+        val v = (px(i) & 0xFF).toLong
+        (i % 3) match {
+          case 0 => r += v
+          case 1 => g += v
+          case _ => b += v
+        }
+        i += 1
+      }
+      (r, g, b)
+    }
+    graft.multimodal.Multimodal.decode(media)
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        sums(col("pixels")).as("_s"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("_s._1").as("r_sum"), col("_s._2").as("g_sum"),
+        col("_s._3").as("b_sum"))
+  }
+
   // --------------------------------------- non-SQL-expressible (rows-only)
 
   /** Multimodal pipeline: binary payload → decode → resize → embedding
@@ -1282,7 +1384,9 @@ object SparkEntry {
     "q52_game_events" -> (q52_game_events _),
     "q53_logistic_newton" -> (q53_logistic_newton _),
     "q54_ridge_closed" -> (q54_ridge_closed _),
-    "q55_re_means" -> (q55_re_means _))
+    "q55_re_means" -> (q55_re_means _),
+    "q91_re_ridge" -> (q91_re_ridge _),
+    "q42o_multimodal_stats" -> (q42o_multimodal_stats _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

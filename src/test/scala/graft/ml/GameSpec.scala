@@ -140,6 +140,51 @@ class GameSpec extends SparkSpec {
       proj("e0").variances.get(0) < 10.0)
   }
 
+  test("q91 shape: warm-started CD round lands on the identical optimum") {
+    // the q91 query runs TWO coordinate-descent rounds over a single
+    // featureful random coordinate: round 2 warm-starts each entity from
+    // round 1's model, gathered through the entity's active-index
+    // subspace. The warm start must not move the optimum (squared loss
+    // solves exactly), and each entity's solve must run in a projected
+    // dim strictly below the global dim
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 300).map { i =>
+      val e = s"u${i % 6}"
+      val par = (i % 6) % 2
+      val x1 = rnd.nextInt(7) - 3.0
+      val x2 = rnd.nextInt(11) - 5.0
+      val arr = if (par == 0) Array(x1, x2, 0.0, 0.0)
+        else Array(0.0, 0.0, x1, x2)
+      val y = 0.7 * x1 - 0.3 * x2 + par + 0.05 * rnd.nextGaussian()
+      (i.toLong, y, 1.0, 0.0,
+        org.apache.spark.ml.linalg.Vectors.dense(arr), e)
+    }
+    val data = spark.createDataFrame(rows)
+      .toDF("uid", "label", "weight", "offset", "xf", "userId")
+    val cfg = GlmConfig(SquaredLoss, l2 = 0.1, maxIter = 100, tol = 1e-12)
+    def models(nIter: Int) = CoordinateDescent.train(data,
+      Seq(RandomSpec("re", "userId", "xf", 4, cfg, activeCap = 0)),
+      nIterations = nIter)
+      .coordinates("re").asInstanceOf[TrainedRandom].models
+      .as[RandomEffect.ReModel].collect().map(m => m.reId -> m).toMap
+    val one = models(1)
+    val two = models(2)
+    one.keys.foreach { e =>
+      one(e).coef.zip(two(e).coef).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"$e warm start moved: $a vs $b")
+      }
+      assert(math.abs(one(e).intercept - two(e).intercept) < 1e-9)
+      // scatter proof: the entity's inactive pair is exactly zero
+      val par = e.stripPrefix("u").toInt % 2
+      val inactive = if (par == 0) Seq(2, 3) else Seq(0, 1)
+      inactive.foreach(j => assert(two(e).coef(j) == 0.0))
+    }
+    // the projection really engages: each entity's active span is 2 of 4
+    val sample = rows.filter(_._6 == "u0").map(r =>
+      LabeledPoint(r._2, r._5, r._4, r._3)).toArray
+    assert(FeatureSelection.activeIndices(sample, 4).length == 2)
+  }
+
   test("subspace solve projects a config-level Gaussian prior, not crash") {
     // cfg.prior lives in FULL coefficient space; the projected local
     // solve must gather it through the entity's active index set
