@@ -688,6 +688,23 @@ object OracleSql {
         |  COUNT(*) AS n_events
         |FROM x GROUP BY user_id""".stripMargin,
 
+    // q92: streaming sessionization must converge to the batch answer.
+    // Gap compares at epoch_ms (the operator compares getTime values);
+    // the raw timestamps carry microseconds, so a full-precision
+    // interval compare could split differently within 1 ms of the gap
+    "q92_streaming_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_tms
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_tms IS NULL
+        |    OR tms > prev_tms + 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin,
+
     // q58: candidate docs vs the src0 benchmark set, DISTINCT 3-shingle
     // overlap per doc — the broadcast semi-join mirrored relationally
     "q58_decontam" -> (shinglesCte + """,

@@ -213,6 +213,12 @@ object SparkEntry {
   /** A6/O3/X10: deterministic bounded per-group reservoir with weight
     * rescale (photon's RandomEffectDataset sampling semantics). */
   def q18_reservoir(s: SparkSession, d: String): DataFrame =
+    // full-width lineitem on purpose: this table carries duplicate
+    // (l_orderkey, l_linenumber) uids, and boundedSample's exact-cap
+    // admission disambiguates duplicate uids by full-row content hash —
+    // the payload columns ARE the distinguishing content, so the scan
+    // width is the price of exact-cap without a window stage (a pruned
+    // frame would make the copies bitwise-identical and unsplittable)
     GroupedSampling.boundedSample(T.lineitem(s, d), Seq("l_orderkey"),
       Seq("l_orderkey", "l_linenumber"), cap = 2)
       .select("l_orderkey", "l_linenumber", "weight_scale")
@@ -1053,6 +1059,55 @@ object SparkEntry {
         col("_s._3").as("b_sum"))
   }
 
+  /** The streaming surface at data scale: the full events table fed
+    * through a MemoryStream in event-time order (4 chunks, so the
+    * watermark advances across micro-batches and sessions flush
+    * incrementally), sessionized by the watermark-correct
+    * flatMapGroupsWithState operator, flushed by one far-future sentinel
+    * event, and reduced to per-user session/event counts. The oracle is
+    * batch sessionization over the same table — streaming with
+    * watermarks must converge to exactly the batch answer. Gap compares
+    * happen at millisecond precision on both sides (`getTime` in the
+    * operator, `epoch_ms` in the oracle) because the raw timestamps
+    * carry microseconds. The driver-side collect is the MemoryStream
+    * FIXTURE ONLY — production streams arrive via readStream; the
+    * operator's state is watermark-bounded either way. */
+  def q92_streaming_sessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = s.sqlContext
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(),
+      gapMs = 30 * 60 * 1000L, watermark = "1 hour")
+    val sink = "q92_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      val chunk = math.max(1, (ev.length + 3) / 4)
+      ev.grouped(chunk).foreach { c =>
+        input.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      // a sentinel far past the horizon pushes the watermark beyond
+      // every real session's end + gap, firing all pending timeouts
+      input.addData(EventStreams.Event(-1L,
+        new java.sql.Timestamp(ev.last.ts.getTime + 40L * 24 * 3600 * 1000),
+        -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"))
+  }
+
   // --------------------------------------- non-SQL-expressible (rows-only)
 
   /** Multimodal pipeline: binary payload → decode → resize → embedding
@@ -1386,7 +1441,8 @@ object SparkEntry {
     "q54_ridge_closed" -> (q54_ridge_closed _),
     "q55_re_means" -> (q55_re_means _),
     "q91_re_ridge" -> (q91_re_ridge _),
-    "q42o_multimodal_stats" -> (q42o_multimodal_stats _))
+    "q42o_multimodal_stats" -> (q42o_multimodal_stats _),
+    "q92_streaming_sessions" -> (q92_streaming_sessions _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -31,38 +31,49 @@ object GroupedSampling {
     * weighted aggregates remain unbiased (photon's weight rescaling).
     *
     * Scale shape: two passes, neither of which sorts or gathers a group's
-    * rows into one task.
-    *   1. Per-group threshold: bounded-heap aggregate of the `cap` smallest
-    *      priorities ([[AggFunctions.collectTopK]] — map-side partial
-    *      buffers are ≤cap heaps, the reference's fixed-capacity-heap
-    *      reservoir) plus the group count. Output is one tiny row per
-    *      group.
+    * rows into one task — and NO window stage at all.
+    *   1. Per-group threshold: bounded-heap aggregate of the `cap`
+    *      smallest ADMISSION KEYS ([[AggFunctions.collectTopK]] —
+    *      map-side partial buffers are ≤cap heaps, the reference's
+    *      fixed-capacity-heap reservoir) plus the group count. Output is
+    *      one tiny row per group.
     *   2. Equi-join thresholds back (Catalyst broadcasts when the group
     *      table is small; AQE handles skew otherwise) and keep rows whose
-    *      priority ≤ the cap-th smallest. A hot group's rows never
-    *      funnel through a single-task window sort — the earlier
-    *      row_number implementation did exactly that and died at 100×.
-    *   3. Exact-cap trim: duplicate uids tie at the threshold and would
-    *      admit >cap rows, so a row_number over the pruned rows of
-    *      OVER-CAP groups takes exactly cap. Under-cap groups (whose
-    *      threshold is their own max — nothing to trim) bypass the
-    *      window entirely, so the trim shuffle moves only rows from
-    *      groups that actually overflowed, not the whole survivor set;
-    *      the thresholds aggregate is shared by both branches via
-    *      exchange reuse, so the only duplicated work is the map-side
-    *      scan+probe, never a second full shuffle. */
+    *      key ≤ the cap-th smallest. A hot group's rows never funnel
+    *      through a single-task window sort — an early row_number
+    *      implementation did exactly that and died at 100×.
+    *
+    * The admission key makes the threshold filter EXACT without any
+    * trim stage: it is the md5 uid priority extended by a full-row
+    * xxhash64, a deterministic total order over distinct rows — so even
+    * duplicate uids (which share a priority and would over-admit at the
+    * boundary under a priority-only threshold) order deterministically
+    * by content and exactly `cap` rows pass. The one remaining tie —
+    * bitwise-identical rows straddling the boundary — can admit the
+    * extra copies; any exact choice among identical rows is
+    * value-indistinguishable anyway, and no deterministic engine can
+    * split them.
+    *
+    * The content hash reads every column of `df`, so pass a
+    * pre-projected frame when scan width matters and uids are unique
+    * (the hash is then redundant but harmless); when duplicate uids are
+    * possible, the payload columns are the only distinguishing content
+    * and reading them is the price of exactness without a window. */
   def boundedSample(df: DataFrame, groupCols: Seq[String],
                     uidCols: Seq[String], cap: Int,
                     warnOnTrim: Boolean = false,
                     keepGroupSize: Boolean = false): DataFrame = {
-    val p = priority(uidCols.map(col))
+    // fixed-width (32+16 hex) so string order == (priority, rowhash)
+    // lexicographic order; the row hash disambiguates duplicate uids
+    // deterministically from content (stable across runs/partitionings,
+    // unlike a row_number among ties)
+    val key = concat(priority(uidCols.map(col)),
+      lpad(hex(xxhash64(df.columns.map(col): _*)), 16, "0"))
     val thresholds = df
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_n"),
-        array_max(AggFunctions.collectTopK(p, cap, smallest = true))
-          .as("_pmax"))
-    val trimW = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("_p"))
+        array_max(AggFunctions.collectTopK(key, cap, smallest = true))
+          .as("_kmax"))
     // warnOnTrim: callers applying a DEFAULT cap (not one the user asked
     // for) pass true so silent truncation becomes a visible log line; the
     // UDF computes the identical value as the plain `when` expression
@@ -79,22 +90,16 @@ object GroupedSampling {
           n.toDouble / cap
         } else 1.0
       }.apply(col("_n"))
-    val admitted = df.withColumn("_p", p)
+    val kept = df.withColumn("_key", key)
       .join(thresholds, groupCols)
-      .filter(col("_p") <= col("_pmax"))
-    val underCap = admitted.filter(col("_n") <= cap)
-    val trimmed = admitted.filter(col("_n") > cap)
-      .withColumn("_rn", row_number().over(trimW))
-      .filter(col("_rn") <= cap)
-      .drop("_rn")
-    val kept = underCap.unionByName(trimmed)
+      .filter(col("_key") <= col("_kmax"))
       .withColumn("weight_scale", scale)
     // the pre-cap group count is already aggregated here — callers that
     // need it (e.g. a lower-bound filter) take it for free instead of
     // re-aggregating the source
     val withSize = if (keepGroupSize)
       kept.withColumn("group_size", col("_n")) else kept
-    withSize.drop("_p", "_pmax", "_n", "_rn")
+    withSize.drop("_key", "_kmax", "_n")
   }
 
   /** Weighted reservoir sample: at most `cap` rows per group with
@@ -116,23 +121,45 @@ object GroupedSampling {
                      cap: Int): DataFrame = {
     val u = DownSampling.hashFraction(uidCols.map(col))
     val key = round(pow(u, lit(1.0) / col(weightCol)), 12)
+    // cap+1 largest keys per group, ascending: the threshold is the
+    // cap-th largest (index size-cap+1), and a duplicated boundary —
+    // which the 12dp rounding makes genuinely possible — shows up as
+    // the two smallest heap entries being equal. Only then does the
+    // row_number tie-break window run, and only over affected groups
+    // (the boundedSample pattern).
     val thresholds = df
       .withColumn("_k", key)
       .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("_n"),
-        array_min(AggFunctions.collectTopK(col("_k"), cap,
-          smallest = false)).as("_kmin"))
+      .agg(array_sort(AggFunctions.collectTopK(col("_k"), cap + 1,
+        smallest = false)).as("_h"))
+      .select(groupCols.map(col) ++ Seq(
+        element_at(col("_h"),
+          greatest(lit(1), size(col("_h")) - cap + 1)).as("_kmin"),
+        when(size(col("_h")) === cap + 1,
+          element_at(col("_h"), 1) === element_at(col("_h"), 2))
+          .otherwise(lit(false)).as("_dupb")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val needsTrim = !thresholds.filter(col("_dupb")).isEmpty
+    // same explicit broadcast decision as boundedSample (cached stats
+    // would otherwise push Catalyst to a sort-merge probe)
+    val thr = if (thresholds.count() <= 1000000) broadcast(thresholds)
+              else thresholds
     val trimW = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("_k").desc, priority(uidCols.map(col)))
     val admitted = df.withColumn("_k", key)
-      .join(thresholds, groupCols)
+      .join(thr, groupCols)
       .filter(col("_k") >= col("_kmin"))
-    val underCap = admitted.filter(col("_n") <= cap)
-    val trimmed = admitted.filter(col("_n") > cap)
-      .withColumn("_rn", row_number().over(trimW))
-      .filter(col("_rn") <= cap)
-      .drop("_rn")
-    underCap.unionByName(trimmed).drop("_k", "_kmin", "_n")
+    val exact =
+      if (!needsTrim) admitted
+      else {
+        val clean = admitted.filter(!col("_dupb"))
+        val trimmed = admitted.filter(col("_dupb"))
+          .withColumn("_rn", row_number().over(trimW))
+          .filter(col("_rn") <= cap)
+          .drop("_rn")
+        clean.unionByName(trimmed)
+      }
+    exact.drop("_k", "_kmin", "_dupb")
   }
 
   /** Top-K rows per group by an explicit ordering (deterministic iff the

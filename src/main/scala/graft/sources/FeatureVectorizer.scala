@@ -22,6 +22,32 @@ object FeatureVectorizer {
   def featureKey(name: Column, term: Column): Column =
     concat_ws(Sep, coalesce(name, lit("")), coalesce(term, lit("")))
 
+  /** Per-group union of active (nonzero) feature indices over a vector
+    * column — the standalone DataFrame surface of U5 (the reference's
+    * projector index-set union, RandomEffectDataset.scala:417-424,
+    * computed there as a foldByKey set union). [[graft.ml.RandomEffect]]
+    * runs the same union group-locally inside its per-entity solve; this
+    * form serves callers that need the index sets as DATA — e.g. sizing
+    * per-entity subspaces, auditing feature sparsity per shard, or
+    * pre-computing projector maps.
+    *
+    * Scale shape: explode to (group, index) pairs, then collect_set —
+    * partial aggregation dedups map-side, so the shuffle carries at most
+    * |distinct indices per group per task| rows, never the raw data; no
+    * group's row set ever gathers in one task before reduction. */
+  def activeIndexUnion(df: DataFrame, groupCols: Seq[String],
+                       vecCol: String): DataFrame = {
+    val activeIdx = udf { (v: Vector) =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+      v.foreachActive { (j, x) => if (x != 0.0) b += j }
+      b.toArray
+    }
+    df.select(groupCols.map(col) :+
+        explode(activeIdx(col(vecCol))).as("_idx"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_set(col("_idx"))).as("active_indices"))
+  }
+
   /** Distinct feature keys across the given bag columns → (featureKey,
     * index) with DETERMINISTIC dense indices: a range-partitioned sort by
     * key plus per-partition prefix offsets (`zipWithIndex`). Stable across

@@ -56,6 +56,38 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("weight_scale").distinct().first().getDouble(0) == 1.0)
   }
 
+  test("boundedSample is exact-cap under duplicate uids (content key)") {
+    import spark.implicits._
+    // every uid appears twice with different payloads: a priority-only
+    // threshold would over-admit at every boundary; the content-hash
+    // disambiguator must keep exactly cap rows per group
+    val df = (1 to 200).flatMap(i =>
+      Seq((s"g${i % 5}", (i % 20).toLong, i * 1.0),
+        (s"g${i % 5}", (i % 20).toLong, i * 2.0)))
+      .toDF("g", "uid", "payload").repartition(8)
+    val out = GroupedSampling.boundedSample(df, Seq("g"), Seq("uid"), 7)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 7L), s"got $counts")
+    // deterministic: same selection on a different partitioning
+    val again = GroupedSampling.boundedSample(df.repartition(3),
+      Seq("g"), Seq("uid"), 7)
+    assert(out.select("g", "uid", "payload").collect().toSet ==
+      again.select("g", "uid", "payload").collect().toSet)
+  }
+
+  test("boundedSample works over vector columns (the activeCap shape)") {
+    import spark.implicits._
+    // CoordinateDescent's activeCap path feeds frames carrying VectorUDT
+    // features through boundedSample — the content-hash key must accept
+    // them (UDTs hash via their sql type)
+    val df = (1 to 40).map(i => (s"e${i % 3}", i.toLong,
+      org.apache.spark.ml.linalg.Vectors.dense(i * 0.5, -i * 0.25)))
+      .toDF("g", "uid", "features")
+    val out = GroupedSampling.boundedSample(df, Seq("g"), Seq("uid"), 5)
+    assert(out.groupBy("g").count().collect().forall(_.getLong(1) == 5L))
+  }
+
   test("Similarity topK ranking matches a window row_number") {
     import spark.implicits._
     val corpus = (1 to 60)

@@ -129,6 +129,29 @@ class SourcesSpec extends SparkSpec {
     assert(got.toMap == again.toMap)
   }
 
+  test("activeIndexUnion matches the per-entity local union (U5)") {
+    // mixed dense/sparse vectors with exact zeros: the union must keep
+    // only indices some row in the group activates with a NONZERO value,
+    // and must agree with FeatureSelection.activeIndices (the group-
+    // local union the per-entity solver uses)
+    val rows = Seq(
+      ("e0", org.apache.spark.ml.linalg.Vectors.dense(1.0, 0.0, 2.0, 0.0)),
+      ("e0", org.apache.spark.ml.linalg.Vectors.sparse(4, Array(1), Array(0.0))),
+      ("e0", org.apache.spark.ml.linalg.Vectors.sparse(4, Array(2, 3), Array(4.0, 5.0))),
+      ("e1", org.apache.spark.ml.linalg.Vectors.sparse(4, Array(1), Array(7.0))))
+    val df = rows.toDF("entity", "vec")
+    val got = FeatureVectorizer.activeIndexUnion(df, Seq("entity"), "vec")
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(got("e0") == Seq(0, 2, 3)) // index 1 only ever appears as 0.0
+    assert(got("e1") == Seq(1))
+    rows.groupBy(_._1).foreach { case (e, rs) =>
+      val samples = rs.map(r =>
+        graft.ml.LabeledPoint(0.0, r._2, 0.0, 1.0)).toArray
+      assert(graft.ml.FeatureSelection.activeIndices(samples, 4).toSeq ==
+        got(e))
+    }
+  }
+
   test("join-based vectorization equals the broadcast path") {
     val path = writeAvro(30)
     val df = AvroIO.read(spark, Seq(path))
