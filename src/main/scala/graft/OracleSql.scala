@@ -777,14 +777,19 @@ object OracleSql {
 
     // q63: the outer CAST(SUM .. AS BIGINT) matters — DuckDB SUM over
     // integers returns HUGEINT, which its client coerces to float64, so
-    // an uncast k_sum hashes as "123.0" against Spark's "123"
-    "q63_json_extract" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |    AS BIGINT) AS k_sum,
-        |  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS k_avg
-        |FROM events GROUP BY event_type""".stripMargin,
+    // an uncast k_sum hashes as "123.0" against Spark's "123". The k
+    // value is pulled by regexp, not a JSON path: '$.k'-style path
+    // handling is the kind of extension behavior that can shift across
+    // DuckDB versions, while the props column is verifiably flat
+    // ({"k": N} for every row) so the regexp is exact
+    "q63_json_extract" -> {
+      val k = """NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')"""
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST($k AS BIGINT)) AS BIGINT) AS k_sum,
+         |  ROUND(CAST(SUM(CAST($k AS BIGINT))
+         |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS k_avg
+         |FROM events GROUP BY event_type""".stripMargin
+    },
 
     // q64: the range join as its declarative definition (inequality
     // join); the engine's bucketized equi-join must agree exactly
