@@ -1087,14 +1087,29 @@ object SparkEntry {
       gapMs = 30 * 60 * 1000L, watermark = "1 hour")
     val sink = "q92_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessions.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
+    // the state-store partition count is frozen from shuffle.partitions
+    // at query start; 150 user keys do not need 32 state stores, and
+    // per-batch overhead scales with store count (each micro-batch
+    // opens/commits every store) — size it to the key cardinality scale
+    val spKey = "spark.sql.shuffle.partitions"
+    val spSaved = s.conf.get(spKey)
+    val q =
+      try {
+        s.conf.set(spKey, "8")
+        sessions.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+      } finally s.conf.set(spKey, spSaved)
     try {
+      // two mid-stream barriers: enough for the watermark to advance
+      // across micro-batches (incremental flushing is exercised), few
+      // enough that per-batch fixed costs (state-store open/commit per
+      // partition, sink append) don't dominate the measured throughput
       val chunk = math.max(1, (ev.length + 3) / 4)
-      ev.grouped(chunk).foreach { c =>
+      ev.grouped(chunk).zipWithIndex.foreach { case (c, i) =>
         input.addData(c.toSeq)
-        q.processAllAvailable()
+        if (i % 2 == 1) q.processAllAvailable()
       }
+      q.processAllAvailable()
       // a sentinel far past the horizon pushes the watermark beyond
       // every real session's end + gap, firing all pending timeouts
       input.addData(EventStreams.Event(-1L,

@@ -40,57 +40,63 @@ object EventStreams {
     * extend or bridge it (Append mode cannot retract an early emit).
     * Idle users' final sessions flush via the event-time timeout, so
     * state is bounded by the watermark horizon at any stream length (a
-    * NoTimeout variant leaks state and never emits the last session). */
+    * NoTimeout variant leaks state and never emits the last session).
+    *
+    * State is the user's PENDING SESSION SUMMARIES, not raw events:
+    * summaries are mergeable intervals (a new event either lands inside
+    * one, extends one, bridges two, or starts its own), so keeping raw
+    * events buys nothing — adding events can only ever MERGE sessions,
+    * never split them, so summary-level merging is exact. The state a
+    * hot user carries is then O(pending sessions) — bounded by
+    * watermark-horizon / gap — instead of O(buffered events), which is
+    * the difference between constant-ish state and unbounded state on a
+    * firehose user, and it cuts the per-batch state ser/deser from
+    * every buffered event to a handful of summaries. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
                  watermark: String = "1 hour"): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.withWatermark("ts", watermark).as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], SessionSummary](
+      .flatMapGroupsWithState[List[SessionSummary], SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, batch: Iterator[Event], state: GroupState[List[Event]]) =>
+        (user: Long, batch: Iterator[Event],
+         state: GroupState[List[SessionSummary]]) =>
           val wm = state.getCurrentWatermarkMs()
-          val all = (state.getOption.getOrElse(Nil) ++ batch.toList)
-            .sortBy(_.ts.getTime)
-          // emit only sessions no late-but-valid event can still touch:
-          // last event + gap at or below the watermark
-          val (flushable, rest) = splitSessions(all, gapMs) match {
-            case (closed, open) =>
-              val sessions = closed ++ (if (open.nonEmpty) List(open) else Nil)
-              sessions.partition(s => s.last.ts.getTime + gapMs <= wm)
-          }
-          val remaining = rest.flatten.sortBy(_.ts.getTime)
-          if (remaining.nonEmpty) {
-            state.update(remaining)
+          val incoming = batch.map { e =>
+            val t = e.ts.getTime
+            SessionSummary(user, 1L, e.value, t, t)
+          }.toList
+          val all = (state.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy(s => (s.startMs, s.endMs))
+          // fold sorted intervals, merging while the boundary gap stays
+          // within gapMs (within-summary gaps are already <= gapMs, so
+          // boundary checks reproduce the event-level split exactly)
+          val merged = all.foldLeft(List.empty[SessionSummary]) {
+            (acc, s) => acc match {
+              case h :: t if s.startMs - h.endMs <= gapMs =>
+                SessionSummary(user, h.n_events + s.n_events,
+                  h.total + s.total, h.startMs,
+                  math.max(h.endMs, s.endMs)) :: t
+              case _ => s :: acc
+            }
+          }.reverse
+          // emit only sessions no late-but-valid event can still touch
+          val (flushable, rest) =
+            merged.partition(s => s.endMs + gapMs <= wm)
+          if (rest.nonEmpty) {
+            state.update(rest)
             // wake when the EARLIEST pending session becomes flushable
-            // (rest is in time order), clamped above the watermark —
-            // Spark rejects a timeout at/before it (possible when a
-            // backfilled user's events are all older than the horizon)
+            // (rest is start-sorted and disjoint, so also end-sorted),
+            // clamped above the watermark — Spark rejects a timeout
+            // at/before it (possible when a backfilled user's events
+            // are all older than the horizon)
             state.setTimeoutTimestamp(
-              math.max(rest.head.last.ts.getTime + gapMs, wm + 1))
+              math.max(rest.head.endMs + gapMs, wm + 1))
           } else state.remove()
-          flushable.iterator.map(summarize(user, _))
+          flushable.iterator
       }
   }
-
-  private def splitSessions(sorted: List[Event], gapMs: Long)
-  : (List[List[Event]], List[Event]) = {
-    if (sorted.isEmpty) return (Nil, Nil)
-    val sessions = scala.collection.mutable.ListBuffer.empty[List[Event]]
-    var current = scala.collection.mutable.ListBuffer[Event](sorted.head)
-    sorted.tail.foreach { e =>
-      if (e.ts.getTime - current.last.ts.getTime > gapMs) {
-        sessions += current.toList
-        current = scala.collection.mutable.ListBuffer(e)
-      } else current += e
-    }
-    (sessions.toList, current.toList)
-  }
-
-  private def summarize(user: Long, s: List[Event]): SessionSummary =
-    SessionSummary(user, s.size.toLong, s.map(_.value).sum,
-      s.head.ts.getTime, s.last.ts.getTime)
 
   /** Streaming exact dedup: keep the first document per content hash,
     * with state bounded by the watermark horizon
