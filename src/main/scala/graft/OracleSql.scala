@@ -688,6 +688,27 @@ object OracleSql {
         |  COUNT(*) AS n_events
         |FROM x GROUP BY user_id""".stripMargin,
 
+    // q93: symmetric int8 quantization mirrored element for element;
+    // float32→double casts are exact in both engines, the expression
+    // shape (x*127/mx) matches the Spark side so the doubles agree
+    // bitwise, and both engines round ties away from zero. Integer sum
+    // cast to BIGINT (HUGEINT hazard).
+    "q93_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |c AS (SELECT vec_id, mx,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(round(x * 127.0 / mx) AS BIGINT))
+        |    END AS codes FROM m)
+        |SELECT vec_id, len(codes) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  md5(array_to_string(list_transform(codes,
+        |    x -> CAST(x AS VARCHAR)), ',')) AS code_hash,
+        |  ROUND(mx / 127.0 + 1e-9, 6) AS scale
+        |FROM c""".stripMargin,
+
     // q92: streaming sessionization must converge to the batch answer.
     // Gap compares at epoch_ms (the operator compares getTime values);
     // the raw timestamps carry microseconds, so a full-precision

@@ -1123,6 +1123,19 @@ object SparkEntry {
         sum(col("n_events")).cast("long").as("n_events"))
   }
 
+  /** Int8 embedding quantization manifest: per-vector symmetric scale +
+    * deterministic code fingerprint — the compression step before ANN
+    * indexing, oracle-mirrored code for code (the DuckDB side rebuilds
+    * round(v·127/max|v|) per element). Zero shuffle, pure codegen. */
+  def q93_embedding_quantize(s: SparkSession, d: String): DataFrame = {
+    val q = Similarity.quantizeInt8(T.embeddings(s, d), "embedding")
+    q.select(col("vec_id"), size(col("codes")).as("n_dims"),
+      aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+      md5(concat_ws(",", transform(col("codes"), _.cast("string"))))
+        .as("code_hash"),
+      round(col("scale") + lit(1e-9), 6).as("scale"))
+  }
+
   // --------------------------------------- non-SQL-expressible (rows-only)
 
   /** Multimodal pipeline: binary payload → decode → resize → embedding
@@ -1457,7 +1470,8 @@ object SparkEntry {
     "q55_re_means" -> (q55_re_means _),
     "q91_re_ridge" -> (q91_re_ridge _),
     "q42o_multimodal_stats" -> (q42o_multimodal_stats _),
-    "q92_streaming_sessions" -> (q92_streaming_sessions _))
+    "q92_streaming_sessions" -> (q92_streaming_sessions _),
+    "q93_embedding_quantize" -> (q93_embedding_quantize _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -88,6 +88,30 @@ class SamplingSpec extends SparkSpec {
     assert(out.groupBy("g").count().collect().forall(_.getLong(1) == 5L))
   }
 
+  test("int8 quantization round-trips within scale/2 per element") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong,
+      Array.tabulate(8)(j => (math.sin(i * (j + 1)) * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val deq = Similarity.dequantize(
+      Similarity.quantizeInt8(df, "embedding"), "codes", "scale")
+    val rows = deq.select("embedding", "embedding_deq", "scale").collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val back = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      orig.zip(back).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-6,
+          s"$a vs $b at scale $scale")
+      }
+    }
+    // codes stay in the int8 range
+    val outOfRange = Similarity.quantizeInt8(df, "embedding")
+      .select(explode(col("codes")).as("c"))
+      .filter(abs(col("c")) > 127).count()
+    assert(outOfRange == 0L)
+  }
+
   test("Similarity topK ranking matches a window row_number") {
     import spark.implicits._
     val corpus = (1 to 60)
