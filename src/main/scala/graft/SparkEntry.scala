@@ -1126,7 +1126,7 @@ object SparkEntry {
   /** Int8 embedding quantization manifest: per-vector symmetric scale +
     * deterministic code fingerprint — the compression step before ANN
     * indexing, oracle-mirrored code for code (the DuckDB side rebuilds
-    * round(v·127/max|v|) per element). Zero shuffle, pure codegen. */
+    * round(v·127/max|v|) per element). Zero shuffle, one projection. */
   def q93_embedding_quantize(s: SparkSession, d: String): DataFrame = {
     val q = Similarity.quantizeInt8(T.embeddings(s, d), "embedding")
     q.select(col("vec_id"), size(col("codes")).as("n_dims"),

@@ -25,9 +25,11 @@ object Similarity {
     * scale = max|v|/127, codes = round(v/scale) ∈ [-127, 127] — the
     * compression step an embedding store runs before ANN indexing (4×
     * smaller than float32, dot products stay within ~1% at typical
-    * dims). Pure codegen'd higher-order functions, zero shuffle; the
-    * all-zero vector quantizes to all-zero codes with scale 0. Output
-    * carries codes + scale so [[dequantize]] round-trips. */
+    * dims). Built-in higher-order functions (interpreted expressions —
+    * Spark HOFs are CodegenFallback — but still a single zero-shuffle
+    * projection, no UDF serialization); the all-zero vector quantizes
+    * to all-zero codes with scale 0. Output carries codes + scale so
+    * [[dequantize]] round-trips. */
   def quantizeInt8(df: DataFrame, vecCol: String,
                    codesCol: String = "codes",
                    scaleCol: String = "scale"): DataFrame = {
