@@ -726,6 +726,75 @@ object OracleSql {
         |  COUNT(*) AS n_events
         |FROM x GROUP BY user_id""".stripMargin,
 
+    // q94: CDC snapshot as its declarative definition — the latest
+    // change per user wins (row_number over (ts DESC, event_id DESC)),
+    // a key whose latest change is the delete op ('error') is dropped.
+    // The engine's single max(struct) aggregate must agree exactly.
+    // COUNT windows/aggregates are BIGINT in both engines (no HUGEINT
+    // hazard); ts and value pass through unchanged.
+    "q94_cdc_upsert" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, n_changes, ts AS last_ts,
+        |  event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q95: BM25 with Lucene's always-positive idf. Per-term scores are
+    // rounded to 9dp and summed as exact decimals (the q62 convention)
+    // so term order can't perturb the 6dp result; dl sums are integer
+    // counts in doubles (exact), so avgdl agrees bitwise
+    "q95_bm25" -> (toksCte + """,
+      |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+      |corpus AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      |hits AS (SELECT doc_id, term FROM tok
+      |  WHERE term IN ('spark', 'window', 'hash')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+      |idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits
+      |  GROUP BY 1),
+      |sc AS (SELECT doc_id, CAST(round(
+      |    ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+      |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 9)
+      |    AS DECIMAL(18,9)) AS s
+      |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), corpus)
+      |SELECT doc_id, COUNT(*) AS n_terms,
+      |  round(CAST(SUM(s) AS DOUBLE) + 1e-9, 6) AS bm25
+      |FROM sc GROUP BY 1""".stripMargin),
+
+    // q96: trailing-hour rolling features; the RANGE frame runs over
+    // epoch MICROseconds on both sides (same peer groups), the rolling
+    // sum is an exact DECIMAL(18,2) cast back to double (the q64
+    // convention), lag is ordered by the total (ts, event_id)
+    "q96_rolling_features" ->
+      """SELECT event_id,
+        |  COUNT(*) OVER w AS n_window,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_window,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // q97: whole-table exact ECDF — cnt_le is the integer-exact surface
+    // (RANGE frame counts all peers), the ratio is rounded at 6dp on
+    // both sides. The engine must reproduce this WITHOUT the global
+    // single-task window this statement declares.
+    "q97_value_ecdf" ->
+      """WITH w AS (SELECT event_id, value,
+        |    COUNT(*) OVER (ORDER BY value
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cnt_le,
+        |    COUNT(*) OVER () AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, cnt_le,
+        |  round(CAST(cnt_le AS DOUBLE) / n + 1e-9, 6) AS ecdf
+        |FROM w""".stripMargin,
+
     // q58: candidate docs vs the src0 benchmark set, DISTINCT 3-shingle
     // overlap per doc — the broadcast semi-join mirrored relationally
     "q58_decontam" -> (shinglesCte + """,

@@ -1136,6 +1136,44 @@ object SparkEntry {
       round(col("scale") + lit(1e-9), 6).as("scale"))
   }
 
+  /** CDC snapshot: the events stream read as a changelog on user_id —
+    * 'error' deletes the key, anything else upserts; last writer by
+    * (ts, event_id) wins. One hash aggregate ([[Cdc.snapshot]]), no
+    * window over the change history. */
+  def q94_cdc_upsert(s: SparkSession, d: String): DataFrame =
+    Cdc.snapshot(
+      T.events(s, d).select("user_id", "ts", "event_id", "event_type",
+        "value"),
+      keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+      opCol = "event_type", deleteOps = Seq("error"))
+      .select(col("user_id"), col("n_changes"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+
+  /** BM25 relevance of each document to a fixed query-term bag
+    * ([[TextRanking.bm25]]; decimal-exact term sums). */
+  def q95_bm25(s: SparkSession, d: String): DataFrame =
+    TextRanking.bm25(T.documents(s, d), "doc_id", "text",
+      Seq("spark", "window", "hash"))
+
+  /** Per-user trailing-hour rolling features over the event stream
+    * ([[Rolling.trailingFeatures]]: one RANGE-frame window, one
+    * shuffle). */
+  def q96_rolling_features(s: SparkSession, d: String): DataFrame =
+    Rolling.trailingFeatures(
+      T.events(s, d).select("event_id", "user_id", "ts", "value"),
+      Seq("user_id"), "ts", "event_id", "value", 3600L)
+      .select(col("event_id"), col("n_window"), col("sum_window"),
+        col("prev_value"))
+
+  /** Exact global ECDF of event values ([[Ranks.ecdf]]: distinct-value
+    * counts + range-partitioned prefix sums — never a whole-table
+    * single-task window) joined back per row. */
+  def q97_value_ecdf(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(col("event_id"), col("value"))
+      .join(Ranks.ecdf(T.events(s, d), "value"), Seq("value"))
+      .select(col("event_id"), col("cnt_le"), col("ecdf"))
+
   // --------------------------------------- non-SQL-expressible (rows-only)
 
   /** Multimodal pipeline: binary payload → decode → resize → embedding
@@ -1471,7 +1509,11 @@ object SparkEntry {
     "q91_re_ridge" -> (q91_re_ridge _),
     "q42o_multimodal_stats" -> (q42o_multimodal_stats _),
     "q92_streaming_sessions" -> (q92_streaming_sessions _),
-    "q93_embedding_quantize" -> (q93_embedding_quantize _))
+    "q93_embedding_quantize" -> (q93_embedding_quantize _),
+    "q94_cdc_upsert" -> (q94_cdc_upsert _),
+    "q95_bm25" -> (q95_bm25 _),
+    "q96_rolling_features" -> (q96_rolling_features _),
+    "q97_value_ecdf" -> (q97_value_ecdf _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

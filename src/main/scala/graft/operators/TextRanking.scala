@@ -84,4 +84,46 @@ object TextRanking {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
   }
+
+  /** BM25 relevance of every document to a fixed bag of query terms
+    * (Robertson-Spärck Jones; the idf variant is Lucene's
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`, always positive).
+    *
+    * Scale shape: term frequencies only for rows that MATCH a query
+    * term — the explode is filtered before the aggregate, so the
+    * shuffled tf table is bounded by matches, not corpus tokens; df for
+    * the handful of query terms and the corpus scalars (N, avgdl) ride
+    * as broadcast one-row/tiny crossJoin-or-join sides. One pass over
+    * the corpus for lengths, one for matching tokens.
+    *
+    * Determinism: per-term partial scores are rounded to 9 decimals and
+    * summed as exact decimals (the [[bigramLmScore]] convention), so the
+    * per-doc score is independent of term-summation order; the returned
+    * score is that decimal sum rounded to 6, never a raw-double sum. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+  : DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs.select(col(idCol), explode(TF.tokens(col(textCol)))
+      .as("term"))
+    val dl = docs.select(col(idCol),
+      size(TF.tokens(col(textCol))).cast("double").as("_dl"))
+    val corpus = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+    val hits = toks.filter(col("term").isin(queryTerms: _*))
+    val tf = hits.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = hits.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("_dl") / col("_avgdl")))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol),
+        round(termScore, 9).cast("decimal(18,9)").as("_s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("_s")).cast("double") + lit(1e-9), 6).as("bm25"))
+  }
 }
