@@ -795,6 +795,25 @@ object OracleSql {
         |  round(CAST(cnt_le AS DOUBLE) / n + 1e-9, 6) AS ecdf
         |FROM w""".stripMargin,
 
+    // q98: exact stratified split as its declarative definition — rank
+    // within stratum by the salted md5, cut at floor(0.8·n + 0.5).
+    // CAST(0.8 AS DOUBLE) is load-bearing: DuckDB parses the bare
+    // literal as DECIMAL(2,1) and would compute an exact 0.8·n where
+    // the engine's JVM double gives e.g. 20.000000000000004 — the +0.5
+    // floor rounds both to the same integer only when both sides run
+    // the SAME double arithmetic
+    "q98_stratified_split" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('strat_' || CAST(doc_id AS VARCHAR)),
+        |        CAST(doc_id AS VARCHAR)) - 1 AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN rk < floor(CAST(0.8 AS DOUBLE) * n + 0.5)
+        |    THEN 'train' ELSE 'test' END AS split
+        |FROM r""".stripMargin,
+
     // q58: candidate docs vs the src0 benchmark set, DISTINCT 3-shingle
     // overlap per doc — the broadcast semi-join mirrored relationally
     "q58_decontam" -> (shinglesCte + """,

@@ -545,11 +545,13 @@ object SparkEntry {
   def q65_column_profile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = T.lineitem(s, d)
-    def prof(c: String): (String, Double, Double, Double) = {
-      val q = Profiling.exactQuantiles(li, c, Seq(0.25, 0.5, 0.75))
-      (c, q(0), q(1), q(2))
-    }
-    Seq(prof("l_quantity"), prof("l_discount"), prof("l_tax"))
+    // cardinality-adaptive: these columns resolve through the shared
+    // value-counts scan; a continuous column would route to the
+    // range-sort path with an identical result
+    val qs = Profiling.exactQuantilesAuto(li,
+      Seq("l_quantity", "l_discount", "l_tax"), Seq(0.25, 0.5, 0.75))
+    Seq("l_quantity", "l_discount", "l_tax")
+      .map(c => (c, qs(c)(0), qs(c)(1), qs(c)(2)))
       .toDF("col_name", "_p25", "_p50", "_p75")
       .select(col("col_name"),
         round(col("_p25") + lit(1e-9), 6).as("p25"),
@@ -1174,6 +1176,15 @@ object SparkEntry {
       .join(Ranks.ecdf(T.events(s, d), "value"), Seq("value"))
       .select(col("event_id"), col("cnt_le"), col("ecdf"))
 
+  /** Exact 80/20 stratified split of documents by source
+    * ([[Splits.stratifiedExact]]: partition-offset ranks, no
+    * per-stratum window sort). */
+  def q98_stratified_split(s: SparkSession, d: String): DataFrame =
+    Splits.stratifiedExact(T.documents(s, d), "source", "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("split"))
+
   // --------------------------------------- non-SQL-expressible (rows-only)
 
   /** Multimodal pipeline: binary payload → decode → resize → embedding
@@ -1513,7 +1524,8 @@ object SparkEntry {
     "q94_cdc_upsert" -> (q94_cdc_upsert _),
     "q95_bm25" -> (q95_bm25 _),
     "q96_rolling_features" -> (q96_rolling_features _),
-    "q97_value_ecdf" -> (q97_value_ecdf _))
+    "q97_value_ecdf" -> (q97_value_ecdf _),
+    "q98_stratified_split" -> (q98_stratified_split _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

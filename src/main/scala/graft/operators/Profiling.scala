@@ -51,6 +51,73 @@ object Profiling {
     } finally rdd.unpersist(false)
   }
 
+  /** Exact interpolated quantiles for SEVERAL columns, adaptively.
+    *
+    * The range-sort path ([[exactQuantiles]]) is the general answer but
+    * costs a full shuffle per column. Most profiled columns are
+    * low-cardinality (prices, quantities, rates, enums) where the
+    * order statistics are fully determined by value→count pairs — a
+    * map-side-combinable hash aggregate bounded by the distinct count,
+    * NOT the row count. This routes each column by a one-scan
+    * `approx_count_distinct` probe:
+    *   - all low-cardinality columns share ONE further scan (explode to
+    *     (column, value), one grouped count) and their ≤`maxDistinct`
+    *     value-count pairs are interpolated driver-side (bounded
+    *     boundary data, same O(small) collect as exactQuantiles'
+    *     boundary rows);
+    *   - high-cardinality columns fall back to the per-column
+    *     range-sort path.
+    * Same p·(n−1) interpolation arithmetic as [[exactQuantiles]], so
+    * results are bit-identical between the two paths. */
+  def exactQuantilesAuto(df: DataFrame, columns: Seq[String],
+                         probs: Seq[Double], maxDistinct: Int = 65536)
+  : Map[String, Seq[Double]] = {
+    // rsd 0.05 with a 2x margin: a column probed under maxDistinct/2
+    // is virtually never above maxDistinct in truth
+    val acdRow = df.agg(
+      approx_count_distinct(col(columns.head), 0.05).as("_0"),
+      columns.tail.zipWithIndex.map { case (c, i) =>
+        approx_count_distinct(col(c), 0.05).as(s"_${i + 1}") }: _*
+    ).head()
+    val (small, large) = columns.zipWithIndex.partition {
+      case (_, i) => acdRow.getLong(i) <= maxDistinct / 2
+    }
+    val fromCounts: Map[String, Seq[Double]] =
+      if (small.isEmpty) Map.empty
+      else {
+        val pairs = df
+          .select(explode(array(small.map { case (c, _) =>
+            struct(lit(c).as("c"), col(c).cast("double").as("v"))
+          }: _*)).as("p"))
+          .filter(col("p.v").isNotNull)
+          .groupBy(col("p.c").as("c"), col("p.v").as("v"))
+          .agg(count(lit(1)).as("n"))
+          .collect()
+        pairs.groupBy(_.getString(0)).map { case (c, rows) =>
+          val vc = rows.map(r => (r.getDouble(1), r.getLong(2)))
+            .sortBy(_._1)
+          val n = vc.map(_._2).sum
+          val qs =
+            if (n == 0) probs.map(_ => Double.NaN)
+            else probs.map { p =>
+              val k = p * (n - 1)
+              def at(idx: Long): Double = {
+                var acc = 0L
+                var i = 0
+                while (acc + vc(i)._2 <= idx) { acc += vc(i)._2; i += 1 }
+                vc(i)._1
+              }
+              val lo = at(math.floor(k).toLong)
+              val hi = at(math.ceil(k).toLong)
+              lo + (k - math.floor(k)) * (hi - lo)
+            }
+          c -> qs
+        }
+      }
+    fromCounts ++ large.map { case (c, _) =>
+      c -> exactQuantiles(df, c, probs) }.toMap
+  }
+
   /** One row per column: count, nulls, approx distinct, approx
     * quartiles, min/max/mean (exact one-pass aggregates ride along for
     * free). ALL columns' sketches ride in a single aggregate — one scan

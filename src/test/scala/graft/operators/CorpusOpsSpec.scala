@@ -28,6 +28,29 @@ class CorpusOpsSpec extends SparkSpec {
       .filter(col("split") =!= col("split2")).count() > 0)
   }
 
+  test("stratifiedExact: exact rounded per-stratum counts, partition-invariant") {
+    import spark.implicits._
+    // strata of deliberately awkward sizes: 25 rows at 80% must give
+    // exactly 20 (a DECIMAL-exact ceil would give 21, a double ceil 21)
+    val df = ((1L to 25L).map(i => (i, "a")) ++
+      (26L to 33L).map(i => (i, "b")) ++ Seq((34L, "c")))
+      .toDF("id", "grp")
+    val fr = Seq("train" -> 0.8, "test" -> 0.2)
+    val got = Splits.stratifiedExact(df, "grp", "id", fr)
+    val counts = got.groupBy("grp", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("a", "train")) == 20L && counts(("a", "test")) == 5L)
+    // 8 rows: floor(6.4+0.5)=6 train, 2 test
+    assert(counts(("b", "train")) == 6L && counts(("b", "test")) == 2L)
+    // 1 row: floor(0.8+0.5)=1 -> train
+    assert(counts(("c", "train")) == 1L && !counts.contains(("c", "test")))
+    // partitioning-invariant per-row assignment
+    val a = got.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val b = Splits.stratifiedExact(df.repartition(7), "grp", "id", fr)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(a == b)
+  }
+
   test("decontamination flags exactly the docs sharing a 3-gram") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps"))

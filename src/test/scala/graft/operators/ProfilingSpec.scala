@@ -52,4 +52,22 @@ class ProfilingSpec extends SparkSpec {
       }
     }
   }
+
+  test("exactQuantilesAuto: both routes agree bit-exactly with the sort path") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val probs = Seq(0.25, 0.5, 0.75)
+    val cols = Seq("l_quantity", "l_extendedprice")
+    // threshold maxDistinct/2=100: l_quantity (50 values) routes via
+    // value counts, l_extendedprice (continuous) falls back to the
+    // range sort
+    val auto = Profiling.exactQuantilesAuto(li, cols, probs,
+      maxDistinct = 200)
+    cols.foreach { c =>
+      val want = Profiling.exactQuantiles(li, c, probs)
+      probs.indices.foreach { i =>
+        assert(auto(c)(i) == want(i),
+          s"$c p=${probs(i)}: ${auto(c)(i)} vs ${want(i)}")
+      }
+    }
+  }
 }
