@@ -769,7 +769,7 @@ object OracleSql {
     // epoch MICROseconds on both sides (same peer groups), the rolling
     // sum is an exact DECIMAL(18,2) cast back to double (the q64
     // convention), lag is ordered by the total (ts, event_id)
-    "q96_rolling_features" ->
+    "q96_trailing_hour" ->
       """SELECT event_id,
         |  COUNT(*) OVER w AS n_window,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -1161,7 +1161,7 @@ object SparkEntry {
   /** Per-user trailing-hour rolling features over the event stream
     * ([[Rolling.trailingFeatures]]: one RANGE-frame window, one
     * shuffle). */
-  def q96_rolling_features(s: SparkSession, d: String): DataFrame =
+  def q96_trailing_hour(s: SparkSession, d: String): DataFrame =
     Rolling.trailingFeatures(
       T.events(s, d).select("event_id", "user_id", "ts", "value"),
       Seq("user_id"), "ts", "event_id", "value", 3600L)
@@ -1523,7 +1523,7 @@ object SparkEntry {
     "q93_embedding_quantize" -> (q93_embedding_quantize _),
     "q94_cdc_upsert" -> (q94_cdc_upsert _),
     "q95_bm25" -> (q95_bm25 _),
-    "q96_rolling_features" -> (q96_rolling_features _),
+    "q96_trailing_hour" -> (q96_trailing_hour _),
     "q97_value_ecdf" -> (q97_value_ecdf _),
     "q98_stratified_split" -> (q98_stratified_split _))
 
