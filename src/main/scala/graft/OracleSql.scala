@@ -795,6 +795,80 @@ object OracleSql {
         |  round(CAST(cnt_le AS DOUBLE) / n + 1e-9, 6) AS ecdf
         |FROM w""".stripMargin,
 
+    // q99: 5-fold CV ridge — per-fold Cramer on the 3×3 normal
+    // equations (the q54 algebra restricted to fold<>f), then held-out
+    // RMSE predicted from the SAME 6dp-rounded coefficients the engine
+    // scores with: both sides evaluate ((w1*x1 + w2*x2) + b) on
+    // identical doubles, per-row squared errors round at 9dp into an
+    // exact decimal sum, so fold order and parallelism can't perturb
+    // the 6dp result
+    "q99_kfold_cv" -> {
+      val folds = (0 until 5).map { f =>
+        s"""m$f AS (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |    SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+           |    SUM(x1*x1) + 0.1 AS s11, SUM(x1*x2) AS s12,
+           |    SUM(x2*x2) + 0.1 AS s22, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y,
+           |    COUNT(*) AS n_train
+           |  FROM pts WHERE fold <> $f),
+           |d$f AS (
+           |  SELECT *, s11*(s22*n - sx2*sx2) - s12*(s12*n - sx2*sx1)
+           |      + sx1*(s12*sx2 - s22*sx1) AS det
+           |  FROM m$f),
+           |c$f AS (
+           |  SELECT n_train,
+           |    ROUND((s1y*(s22*n - sx2*sx2) - s12*(s2y*n - sx2*sy)
+           |      + sx1*(s2y*sx2 - s22*sy)) / det + 1e-9, 6) AS w1,
+           |    ROUND((s11*(s2y*n - sx2*sy) - s1y*(s12*n - sx2*sx1)
+           |      + sx1*(s12*sy - s2y*sx1)) / det + 1e-9, 6) AS w2,
+           |    ROUND((s11*(s22*sy - s2y*sx2) - s12*(s12*sy - s2y*sx1)
+           |      + s1y*(s12*sx2 - s22*sx1)) / det + 1e-9, 6) AS b
+           |  FROM d$f),
+           |e$f AS (
+           |  SELECT n_train, w1, w2, b,
+           |    (y - ((w1*x1 + w2*x2) + b)) AS err
+           |  FROM pts, c$f WHERE fold = $f),
+           |r$f AS (
+           |  SELECT $f AS fold, n_train, COUNT(*) AS n_test,
+           |    w1, w2, b AS intercept,
+           |    ROUND(sqrt(CAST(SUM(CAST(round(err*err, 9)
+           |        AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)) + 1e-9, 6)
+           |      AS rmse
+           |  FROM e$f GROUP BY n_train, w1, w2, b)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 until 5)
+        .map(f => s"SELECT * FROM r$f").mkString("\nUNION ALL ")
+      s"""WITH pts AS (
+         |  SELECT CAST(vec_id % 5 AS INTEGER) AS fold,
+         |    CAST(embedding[1] AS DOUBLE) AS x1,
+         |    CAST(embedding[2] AS DOUBLE) AS x2,
+         |    CAST(label AS DOUBLE) AS y
+         |  FROM embeddings),
+         |$folds
+         |$unions""".stripMargin
+    },
+
+    // q100: hourly OHLC bars — open/close as their declarative
+    // first/last-by-(ts, event_id) window definition; the engine's
+    // min/max(struct) aggregate must agree. Bucket is integer epoch
+    // arithmetic on both sides; volume is the exact-decimal sum
+    "q100_ohlc_bars" ->
+      """WITH b AS (SELECT user_id, value, ts, event_id,
+        |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT user_id, bucket, COUNT(*) AS n,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM r GROUP BY user_id, bucket""".stripMargin,
+
     // q98: exact stratified split as its declarative definition — rank
     // within stratum by the salted md5, cut at floor(0.8·n + 0.5).
     // CAST(0.8 AS DOUBLE) is load-bearing: DuckDB parses the bare

@@ -1176,6 +1176,39 @@ object SparkEntry {
       .join(Ranks.ecdf(T.events(s, d), "value"), Seq("value"))
       .select(col("event_id"), col("cnt_le"), col("ecdf"))
 
+  /** 5-fold cross-validated ridge on embedding[1..2]
+    * ([[CrossValidation.kfoldGlm]]): per-fold closed-form-checkable
+    * coefficients plus held-out RMSE scored from 6dp-rounded
+    * coefficients so both engines predict from identical doubles. */
+  def q99_kfold_cv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = T.embeddings(s, d).select(
+      pmod(col("vec_id"), lit(5)).cast("int").as("fold"),
+      col("label").cast("double").as("label"),
+      array_to_vector(slice(col("embedding"), 1, 2)).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+    // solver="normal": the per-fold exact normal-equations solve lands
+    // within ulps of the oracle's Cramer algebra; an iterative solver
+    // at tol 1e-12 can stop ~1e-7 away, which is enough to flip a
+    // coefficient sitting near a 6dp rounding boundary (observed on
+    // folds 3/4 with TRON)
+    graft.ml.CrossValidation.kfoldGlm(data, "fold", 5, 2,
+      graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 0.1, maxIter = 100,
+        tol = 1e-12), "normal")
+      .select(col("fold"), col("n_train"), col("n_test"),
+        element_at(col("coef"), 1).as("w1"),
+        element_at(col("coef"), 2).as("w2"),
+        col("intercept"), col("rmse"))
+  }
+
+  /** Hourly OHLC bars per user ([[Rolling.resampleBars]]: one hash
+    * aggregate, open/close via min/max(struct) — no per-bucket window
+    * sort). */
+  def q100_ohlc_bars(s: SparkSession, d: String): DataFrame =
+    Rolling.resampleBars(
+      T.events(s, d).select("user_id", "ts", "event_id", "value"),
+      Seq("user_id"), "ts", "event_id", "value", 3600L)
+
   /** Exact 80/20 stratified split of documents by source
     * ([[Splits.stratifiedExact]]: partition-offset ranks, no
     * per-stratum window sort). */
@@ -1525,7 +1558,9 @@ object SparkEntry {
     "q95_bm25" -> (q95_bm25 _),
     "q96_trailing_hour" -> (q96_trailing_hour _),
     "q97_value_ecdf" -> (q97_value_ecdf _),
-    "q98_stratified_split" -> (q98_stratified_split _))
+    "q98_stratified_split" -> (q98_stratified_split _),
+    "q99_kfold_cv" -> (q99_kfold_cv _),
+    "q100_ohlc_bars" -> (q100_ohlc_bars _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

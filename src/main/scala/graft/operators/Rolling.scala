@@ -44,4 +44,30 @@ object Rolling {
           .cast("double"))
       .withColumn("prev_value", lag(col(valCol), 1).over(seq))
   }
+
+  /** Downsample a per-key time series into fixed `bucketSec` bars:
+    * open/high/low/close of `valCol` plus count and exact volume sum.
+    *
+    * ONE hash aggregate — open/close are `min(struct(time, tie, val))`
+    * / `max(struct(...))`, so first/last-in-bucket resolve inside the
+    * map-side combine instead of a per-(key, bucket) window sort; ties
+    * are impossible because `tieCol` is unique. The bucket is
+    * `floor(epochMicros / bucketSec·1e6)` — integer arithmetic, no
+    * timezone or calendar dependence. */
+  def resampleBars(df: DataFrame, keyCols: Seq[String], timeCol: String,
+                   tieCol: String, valCol: String,
+                   bucketSec: Long): DataFrame = {
+    val bucket = floor(unix_micros(col(timeCol)) / (bucketSec * 1000000L))
+      .as("bucket")
+    val probe = struct(col(timeCol), col(tieCol), col(valCol))
+    df.groupBy((keyCols.map(col) :+ bucket): _*)
+      .agg(count(lit(1)).as("n"),
+        min(probe).as("_o"), max(probe).as("_c"),
+        max(col(valCol)).as("high"), min(col(valCol)).as("low"),
+        sum(col(valCol).cast("decimal(18,2)")).cast("double")
+          .as("volume"))
+      .select(keyCols.map(col) ++ Seq(col("bucket"), col("n"),
+        col(s"_o.$valCol").as("open"), col("high"), col("low"),
+        col(s"_c.$valCol").as("close"), col("volume")): _*)
+  }
 }

@@ -98,6 +98,28 @@ class CdcRollingRanksSpec extends SparkSpec {
       "distributed ECDF must not use a single-task global window")
   }
 
+  test("resampleBars: OHLC per bucket, no window in the plan") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 1L, 5.0), (1L, 20L, 2L, 9.0), (1L, 30L, 3L, 2.0),
+      (1L, 3599L, 4L, 7.0), // same hour bucket
+      (1L, 3600L, 5L, 4.0), // next bucket
+      (2L, 10L, 6L, 1.0))
+      .toDF("user_id", "sec", "event_id", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val bars = Rolling.resampleBars(rows, Seq("user_id"), "ts",
+      "event_id", "value", 3600L)
+    val got = bars.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got((1L, 0L)) == ((4L, 5.0, 9.0, 2.0, 7.0, 23.0)))
+    assert(got((1L, 1L)) == ((1L, 4.0, 4.0, 4.0, 4.0, 4.0)))
+    assert(got((2L, 0L)) == ((1L, 1.0, 1.0, 1.0, 1.0, 1.0)))
+    val plan = bars.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "resampleBars must resolve open/close inside the aggregate")
+  }
+
   test("Ranks.ecdf is partitioning-invariant") {
     import spark.implicits._
     val vals = (1 to 500).map(i => ((i * 37) % 97).toDouble)
