@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Change-data-capture snapshot: collapse a changelog of upserts and
   * deletes into the current state of the keyed table.
   *
-  * The entire resolution is ONE hash aggregate — `max(struct(version,
+  * The entire resolution is ONE aggregate — `max(struct(version,
   * payload))` per key — so partial aggregation runs map-side and the
   * shuffle carries one candidate row per (partition, key), never the
-  * full change history. The alternative formulation (row_number window
-  * over the changelog) shuffles and sorts every change of a hot key into
-  * one task; at 100 TB of changelog with skewed keys that window is the
+  * full change history. (Spark plans struct-max as a SortAggregate —
+  * the buffer isn't hash-aggregable — but the sort is per-partition by
+  * group key with partials before the exchange, so the scale shape is
+  * the same.) The alternative formulation (row_number window over the
+  * changelog) shuffles and sorts every change of a hot key into one
+  * task; at 100 TB of changelog with skewed keys that window is the
   * bottleneck, while the agg's map-side combine keeps hot keys bounded.
   *
   * Determinism: the caller's `versionCols` must be a total order per key

@@ -48,10 +48,12 @@ object Rolling {
   /** Downsample a per-key time series into fixed `bucketSec` bars:
     * open/high/low/close of `valCol` plus count and exact volume sum.
     *
-    * ONE hash aggregate — open/close are `min(struct(time, tie, val))`
-    * / `max(struct(...))`, so first/last-in-bucket resolve inside the
-    * map-side combine instead of a per-(key, bucket) window sort; ties
-    * are impossible because `tieCol` is unique. The bucket is
+    * ONE aggregate — open/close are `min(struct(time, tie, val))` /
+    * `max(struct(...))`, so first/last-in-bucket resolve inside the
+    * map-side combine (planned as SortAggregate — struct buffers aren't
+    * hash-aggregable — with per-partition partials before the exchange)
+    * instead of a per-(key, bucket) window sort; ties are impossible
+    * because `tieCol` is unique. The bucket is
     * `floor(epochMicros / bucketSec·1e6)` — integer arithmetic, no
     * timezone or calendar dependence. */
   def resampleBars(df: DataFrame, keyCols: Seq[String], timeCol: String,
