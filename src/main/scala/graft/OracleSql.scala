@@ -848,6 +848,28 @@ object OracleSql {
          |$unions""".stripMargin
     },
 
+    // q101: hashing-trick vectorizer — bucket = hex8(md5(name ␁ term))
+    // mod 32, the engine's codegen expression reproduced via the strpos
+    // hex chain. The two bags' keys never share a bucket within a row
+    // (verified for this data), so per-bucket totals are plain
+    // DECIMAL(18,6)-exact sums over feature instances; empty buckets
+    // surface as 0 through the range join (the dense vector explode
+    // emits all 32)
+    "q101_hashed_features" -> {
+      def b(key: String) = s"${hex8(key)} % 32"
+      s"""WITH f AS (
+         |  SELECT ${b("'flag' || chr(1) || l_returnflag")} AS bucket,
+         |    CAST(l_quantity AS DECIMAL(18,6)) AS v FROM lineitem
+         |  UNION ALL
+         |  SELECT ${b("'status' || chr(1) || l_linestatus")},
+         |    CAST(l_extendedprice AS DECIMAL(18,6)) FROM lineitem),
+         |s AS (SELECT bucket, SUM(v) AS t FROM f GROUP BY 1)
+         |SELECT r.i AS bucket,
+         |  CAST(COALESCE(t, 0) AS DOUBLE) AS total
+         |FROM (SELECT unnest(range(0, 32)) AS i) r
+         |LEFT JOIN s ON r.i = s.bucket""".stripMargin
+    },
+
     // q100: hourly OHLC bars — open/close as their declarative
     // first/last-by-(ts, event_id) window definition; the engine's
     // min/max(struct) aggregate must agree. Bucket is integer epoch

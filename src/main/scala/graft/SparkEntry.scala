@@ -1201,6 +1201,25 @@ object SparkEntry {
         col("intercept"), col("rmse"))
   }
 
+  /** Hashing-trick feature vectorization
+    * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
+    * build, md5-bucket indices in pure codegen) — two lineitem feature
+    * bags into 32 buckets, gated by per-bucket exact value sums. */
+  def q101_hashed_features(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val li = T.lineitem(s, d).select(
+      array(struct(lit("flag").as("name"), col("l_returnflag").as("term"),
+        col("l_quantity").cast("double").as("value"))).as("bag1"),
+      array(struct(lit("status").as("name"),
+        col("l_linestatus").as("term"),
+        col("l_extendedprice").cast("double").as("value"))).as("bag2"))
+    sources.FeatureVectorizer
+      .vectorizeHashed(li, Seq("bag1", "bag2"), "v", 32)
+      .select(posexplode(vector_to_array(col("v"))).as(Seq("bucket", "_x")))
+      .groupBy("bucket")
+      .agg(sum(dec(col("_x"), 18, 6)).cast("double").as("total"))
+  }
+
   /** Hourly OHLC bars per user ([[Rolling.resampleBars]]: one hash
     * aggregate, open/close via min/max(struct) — no per-bucket window
     * sort). */
@@ -1560,7 +1579,8 @@ object SparkEntry {
     "q97_value_ecdf" -> (q97_value_ecdf _),
     "q98_stratified_split" -> (q98_stratified_split _),
     "q99_kfold_cv" -> (q99_kfold_cv _),
-    "q100_ohlc_bars" -> (q100_ohlc_bars _))
+    "q100_ohlc_bars" -> (q100_ohlc_bars _),
+    "q101_hashed_features" -> (q101_hashed_features _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

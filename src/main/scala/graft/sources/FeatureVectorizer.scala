@@ -140,6 +140,51 @@ object FeatureVectorizer {
     df.withColumn(outCol, mkVec(keyArr, valArr))
   }
 
+  /** Hashing-trick vectorization: index = (first 8 md5 hex digits of
+    * the feature key) mod `numBuckets` — NO vocabulary build at all.
+    *
+    * [[buildIndexMap]] + [[vectorize]] is the exact path, but its index
+    * map is a corpus-wide distinct + sort; at 100 TB that is a full
+    * shuffle of every feature key before the first vector exists, and
+    * the map itself must live somewhere. The hashing trick trades a
+    * controlled collision rate (~ vocab / numBuckets) for a ZERO-pass,
+    * zero-state, embarrassingly parallel projection — the standard
+    * scale answer when per-feature interpretability isn't needed.
+    * Colliding keys accumulate into the same component, which is also
+    * how duplicate keys behave in [[vectorize]].
+    *
+    * Bucket assignment runs in codegen'd Catalyst (md5/conv/pmod — the
+    * [[graft.operators.DownSampling.hashFraction]] hash family, exactly
+    * reproducible in any engine with md5); only the final sparse-vector
+    * assembly is a UDF over plain arrays. */
+  def vectorizeHashed(df: DataFrame, bagCols: Seq[String], outCol: String,
+                      numBuckets: Int): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= (1 << 26),
+      s"numBuckets ($numBuckets) out of range")
+    def safeBag(b: String): Column =
+      coalesce(col(b), array().cast(df.schema(b).dataType))
+    val keyArr = flatten(array(bagCols.map(b =>
+      transform(safeBag(b), f =>
+        featureKey(f.getField("name"), f.getField("term")))): _*))
+    val idxArr = transform(keyArr, k =>
+      pmod(conv(substring(md5(k), 1, 8), 16, 10).cast("long"),
+        lit(numBuckets.toLong)))
+    val valArr = flatten(array(bagCols.map(b =>
+      transform(safeBag(b), f =>
+        f.getField("value").cast("double"))): _*))
+    val mkVec = udf { (idxs: Seq[Long], values: Seq[Double]) =>
+      val m = scala.collection.mutable.HashMap.empty[Int, Double]
+      var i = 0
+      while (i < idxs.length) {
+        val idx = idxs(i).toInt
+        m(idx) = m.getOrElse(idx, 0.0) + values(i)
+        i += 1
+      }
+      Vectors.sparse(numBuckets, m.toSeq.sortBy(_._1))
+    }
+    df.withColumn(outCol, mkVec(idxArr, valArr))
+  }
+
   /** Join-based vectorization for vocabularies too large to broadcast:
     * explode every row's feature keys, equi-join the index map (a shuffle
     * keyed by featureKey — Catalyst/AQE pick the join strategy), regroup

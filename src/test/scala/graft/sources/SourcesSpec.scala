@@ -169,6 +169,49 @@ class SourcesSpec extends SparkSpec {
     a.foreach { case (k, v) => assert(v == b(k), s"mismatch at $k") }
   }
 
+  test("vectorizeHashed: md5 buckets, collision accumulation, no vocab pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def bucketOf(name: String, term: String, n: Int): Int = {
+      val key = name + "\u0001" + term
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      val hex8 = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      (hex8 % n).toInt
+    }
+    val df = Seq(
+      (1L, Seq(("a", "x", 2.0), ("a", "x", 3.0)), // duplicate key: sums
+        Seq(("b", "y", 7.0))),
+      (2L, Seq[(String, String, Double)](), Seq(("b", "z", 1.0))))
+      .toDF("uid", "raw1", "raw2")
+      .select(col("uid"),
+        transform(col("raw1"), e => struct(e.getField("_1").as("name"),
+          e.getField("_2").as("term"), e.getField("_3").as("value")))
+          .as("bag1"),
+        transform(col("raw2"), e => struct(e.getField("_1").as("name"),
+          e.getField("_2").as("term"), e.getField("_3").as("value")))
+          .as("bag2"))
+    val n = 16
+    val got = FeatureVectorizer
+      .vectorizeHashed(df, Seq("bag1", "bag2"), "vec", n)
+      .select("uid", "vec").collect()
+      .map(r => r.getLong(0) -> r.getAs[Vector](1)).toMap
+    val ax = bucketOf("a", "x", n)
+    val by = bucketOf("b", "y", n)
+    val bz = bucketOf("b", "z", n)
+    assert(got(1L)(ax) == 5.0, "duplicate keys must accumulate")
+    assert(got(1L)(by) == 7.0)
+    assert(got(1L).toArray.sum == 12.0)
+    assert(got(2L)(bz) == 1.0 && got(2L).toArray.sum == 1.0)
+    assert(got.values.forall(_.size == n))
+    // bucket expression matches the Catalyst md5/conv path exactly
+    val sqlBucket = df.sparkSession.sql(
+      s"SELECT CAST(conv(substring(md5(concat('a', chr(1), 'x')), 1, 8), 16, 10) " +
+        s"AS BIGINT) % $n").first().getLong(0).toInt
+    assert(sqlBucket == ax)
+  }
+
   test("feature indexing and name-term bag drivers write vocab artifacts") {
     import graft.drivers.{Args, FeatureIndexingDriver, NameAndTermFeatureBagsDriver}
     val path = writeAvro(25)
