@@ -848,6 +848,40 @@ object OracleSql {
          |$unions""".stripMargin
     },
 
+    // q102: 3 unrolled PageRank iterations, mirrored term for term:
+    // contributions round at 12dp into DECIMAL(28,12) sums (edge order
+    // can't perturb), and the teleport term is (1.0 - 0.85)/n with the
+    // SUBTRACTION in double — a literal 0.15 is one ulp off the
+    // engine's JVM `1.0 - damping` (and DuckDB would parse it as exact
+    // DECIMAL besides)
+    "q102_pagerank" -> {
+      val iter = (1 to 3).map { i =>
+        val p = i - 1
+        s"""c$i AS (SELECT e.dst AS id,
+           |    CAST(round(r.rank / d.deg, 12) AS DECIMAL(28,12)) AS c
+           |  FROM e JOIN r$p r ON e.src = r.id JOIN deg d ON e.src = d.src),
+           |a$i AS (SELECT id, CAST(SUM(c) AS DOUBLE) AS s
+           |  FROM c$i GROUP BY 1),
+           |r$i AS (SELECT n.id,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * COALESCE(a.s, 0.0) AS rank
+           |  FROM nodes n LEFT JOIN a$i a ON n.id = a.id, nn)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM e0
+         |  UNION ALL SELECT s AS src, c AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+         |  FROM nodes, nn),
+         |$iter
+         |SELECT id, ROUND(rank + 1e-9, 9) AS rank FROM r3""".stripMargin
+    },
+
     // q101: hashing-trick vectorizer — bucket = hex8(md5(name ␁ term))
     // mod 32, the engine's codegen expression reproduced via the strpos
     // hex chain. The two bags' keys never share a bucket within a row

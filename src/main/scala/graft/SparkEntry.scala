@@ -1201,6 +1201,22 @@ object SparkEntry {
         col("intercept"), col("rmse"))
   }
 
+  /** 3-iteration PageRank over the symmetrized customer–supplier
+    * bipartite graph ([[Graphs.pagerank]]: join-based iterations,
+    * decimal-exact contribution sums, no driver graph state). */
+  def q102_pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = T.lineitem(s, d)
+      .join(T.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("ss"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("ss").as("dst"))
+      .unionByName(pairs.select(col("ss").as("src"), col("c").as("dst")))
+    Graphs.pagerank(edges, "src", "dst", iterations = 3)
+      .select(col("id"), round(col("rank") + lit(1e-9), 9).as("rank"))
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -1580,7 +1596,8 @@ object SparkEntry {
     "q98_stratified_split" -> (q98_stratified_split _),
     "q99_kfold_cv" -> (q99_kfold_cv _),
     "q100_ohlc_bars" -> (q100_ohlc_bars _),
-    "q101_hashed_features" -> (q101_hashed_features _))
+    "q101_hashed_features" -> (q101_hashed_features _),
+    "q102_pagerank" -> (q102_pagerank _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

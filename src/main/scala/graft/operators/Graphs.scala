@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists. Companions to the
+  * specialized graph shapes elsewhere in the repo (connected components
+  * in [[Dedup]], triangle counting in the q88 wedge join).
+  */
+object Graphs {
+
+  /** PageRank with a FIXED iteration count (the deterministic,
+    * oracle-checkable variant of run-to-convergence).
+    *
+    * Each iteration is two keyed shuffles — contributions grouped by
+    * destination, then the node-table left join — with map-side partial
+    * aggregation; no driver-side graph state, no whole-graph window.
+    * At 1000-executor scale this is the textbook join-based PageRank
+    * (edge partitioning by src for the contribution join, by id for the
+    * aggregate); a hot destination's contributions combine map-side
+    * exactly like any aggregate.
+    *
+    * Determinism: per-edge contributions `rank/degree` are rounded to
+    * `roundTo` decimals and summed as exact decimals, so the sum — and
+    * therefore every iteration's rank vector — is independent of edge
+    * order, partitioning, and engine. The teleport term is computed as
+    * `(1.0 - damping) / n` in IEEE doubles; an engine mirroring this in
+    * SQL must reproduce the SAME subtraction (a literal `0.15` is one
+    * ulp away from `1.0 - 0.85`).
+    *
+    * Dangling nodes (no out-edges) contribute nothing — callers wanting
+    * the redistribute-to-all variant should add those edges explicitly.
+    * For symmetrized (undirected) graphs danglers cannot exist. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85,
+               roundTo: Int = 12): DataFrame = {
+    require(iterations >= 1 && roundTo >= 1 && damping > 0 && damping < 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nD = nodes.count().toDouble
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var rank = nodes.select(col("id"), lit(1.0 / nD).as("rank"))
+    val teleport = (1.0 - damping) / nD
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"),
+          round(col("rank") / col("deg"), roundTo)
+            .cast(s"decimal(28,$roundTo)").as("_c"))
+      val sums = contribs.groupBy("id")
+        .agg(sum(col("_c")).cast("double").as("_s"))
+      rank = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"), (lit(teleport) +
+          lit(damping) * coalesce(col("_s"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+}

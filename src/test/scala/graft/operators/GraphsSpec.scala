@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+
+  test("pagerank: symmetric 2-cycle stays uniform; mass is conserved") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Graphs.pagerank(e, "src", "dst", iterations = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.5) < 1e-9)
+    assert(math.abs(r("b") - 0.5) < 1e-9)
+  }
+
+  test("pagerank: hub of a star outranks leaves; matches local iteration") {
+    import spark.implicits._
+    // undirected star: hub h - leaves l1..l4
+    val undirected = (1 to 4).map(i => ("h", s"l$i"))
+    val e = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val got = Graphs.pagerank(e, "src", "dst", iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // local reference iteration with the same rounding discipline
+    val n = 5.0
+    val teleport = (1.0 - 0.85) / n
+    def round12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rh = 1.0 / n
+    var rl = 1.0 / n
+    for (_ <- 1 to 3) {
+      val contribToLeaf = round12(rh / 4.0)
+      val contribToHub = round12(rl / 1.0) * 4 // exact: 4 equal decimals
+      val nh = teleport + 0.85 * contribToHub
+      val nl = teleport + 0.85 * contribToLeaf
+      rh = nh; rl = nl
+    }
+    assert(got("h") > got("l1"))
+    assert(math.abs(got("h") - rh) < 1e-9, s"hub ${got("h")} vs $rh")
+    (1 to 4).foreach { i =>
+      assert(math.abs(got(s"l$i") - rl) < 1e-9)
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, "mass conserved")
+  }
+
+  test("pagerank is partitioning-invariant") {
+    import spark.implicits._
+    val edges = (1 to 50).flatMap { i =>
+      Seq((s"n$i", s"n${(i * 7) % 50 + 1}"), (s"n${(i * 7) % 50 + 1}", s"n$i"))
+    }.toDF("src", "dst")
+    val a = Graphs.pagerank(edges, "src", "dst", 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val b = Graphs.pagerank(edges.repartition(7), "src", "dst", 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(a == b)
+  }
+}
