@@ -848,6 +848,43 @@ object OracleSql {
          |$unions""".stripMargin
     },
 
+    // q103: PSI drift — fixed-width bins from the population (min, max)
+    // with identical IEEE width arithmetic, Laplace smoothing (0.5 and
+    // 5.0 are binary-exact doubles; the CASTs stop DuckDB from parsing
+    // them as exact DECIMAL), per-bin terms rounded 9dp into exact
+    // decimal sums
+    "q103_drift_psi" ->
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT MIN(v) AS mn, MAX(v) AS mx,
+        |    CAST(COUNT(*) AS DOUBLE) AS nall FROM v),
+        |binned AS (SELECT event_type,
+        |    LEAST(9, CAST(floor((v - mn) / ((mx - mn) / 10)) AS INTEGER))
+        |      AS bin FROM v, b),
+        |gb AS (SELECT event_type, bin, COUNT(*) AS c FROM binned
+        |  GROUP BY 1, 2),
+        |frame AS (SELECT DISTINCT event_type FROM v),
+        |bins AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bin),
+        |f AS (SELECT fr.event_type, bins.bin, COALESCE(gb.c, 0) AS c
+        |  FROM frame fr CROSS JOIN bins
+        |  LEFT JOIN gb ON gb.event_type = fr.event_type
+        |    AND gb.bin = bins.bin),
+        |pop AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS call FROM f
+        |  GROUP BY 1),
+        |gn AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS ng FROM f
+        |  GROUP BY 1),
+        |t AS (SELECT event_type, ng,
+        |    CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9)) AS t
+        |  FROM (SELECT f.event_type, gn.ng,
+        |      (f.c + CAST(0.5 AS DOUBLE)) / (gn.ng + CAST(5.0 AS DOUBLE))
+        |        AS p,
+        |      (pop.call + CAST(0.5 AS DOUBLE)) / (b.nall
+        |        + CAST(5.0 AS DOUBLE)) AS q
+        |    FROM f JOIN pop USING (bin) JOIN gn USING (event_type), b))
+        |SELECT event_type, ng AS n_rows,
+        |  ROUND(CAST(SUM(t) AS DOUBLE) + 1e-9, 6) AS psi
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
     // q102: 3 unrolled PageRank iterations, mirrored term for term:
     // contributions round at 12dp into DECIMAL(28,12) sums (edge order
     // can't perturb), and the teleport term is (1.0 - 0.85)/n with the

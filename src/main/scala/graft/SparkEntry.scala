@@ -1201,16 +1201,26 @@ object SparkEntry {
         col("intercept"), col("rmse"))
   }
 
+  /** Distribution-drift screen: PSI of each event type's value
+    * distribution vs the population over 10 fixed bins
+    * ([[Profiling.psiDrift]]). */
+  def q103_drift_psi(s: SparkSession, d: String): DataFrame =
+    Profiling.psiDrift(
+      T.events(s, d).select(col("event_type"), col("value")),
+      "event_type", "value")
+
   /** 3-iteration PageRank over the symmetrized customer–supplier
     * bipartite graph ([[Graphs.pagerank]]: join-based iterations,
     * decimal-exact contribution sums, no driver graph state). */
   def q102_pagerank(s: SparkSession, d: String): DataFrame = {
-    val pairs = T.lineitem(s, d)
-      .join(T.orders(s, d),
+    // distinct on the integer pair BEFORE the string ids: the dedup
+    // shuffle moves 16 bytes per row instead of two strings
+    val pairs = T.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(T.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
       .select(concat(lit("c"), col("o_custkey")).as("c"),
         concat(lit("s"), col("l_suppkey")).as("ss"))
-      .distinct()
     val edges = pairs.select(col("c").as("src"), col("ss").as("dst"))
       .unionByName(pairs.select(col("ss").as("src"), col("c").as("dst")))
     Graphs.pagerank(edges, "src", "dst", iterations = 3)
@@ -1229,11 +1239,23 @@ object SparkEntry {
       array(struct(lit("status").as("name"),
         col("l_linestatus").as("term"),
         col("l_extendedprice").cast("double").as("value"))).as("bag2"))
-    sources.FeatureVectorizer
+    // aggregate from the vectors' SPARSE entries (≤2 per row) instead
+    // of exploding 32 dense slots per row — same totals (the dense
+    // slots only add exact-decimal zeros), 16× fewer aggregate rows;
+    // empty buckets come back through the range frame exactly like the
+    // oracle's LEFT JOIN
+    val entries = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+      val sv = v.toSparse
+      sv.indices.zip(sv.values)
+    }
+    val sums = sources.FeatureVectorizer
       .vectorizeHashed(li, Seq("bag1", "bag2"), "v", 32)
-      .select(posexplode(vector_to_array(col("v"))).as(Seq("bucket", "_x")))
-      .groupBy("bucket")
-      .agg(sum(dec(col("_x"), 18, 6)).cast("double").as("total"))
+      .select(explode(entries(col("v"))).as("e"))
+      .groupBy(col("e._1").as("bucket"))
+      .agg(sum(dec(col("e._2"), 18, 6)).cast("double").as("_t"))
+    s.range(32).select(col("id").cast("int").as("bucket"))
+      .join(sums, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("_t"), lit(0.0)).as("total"))
   }
 
   /** Hourly OHLC bars per user ([[Rolling.resampleBars]]: one hash
@@ -1597,7 +1619,8 @@ object SparkEntry {
     "q99_kfold_cv" -> (q99_kfold_cv _),
     "q100_ohlc_bars" -> (q100_ohlc_bars _),
     "q101_hashed_features" -> (q101_hashed_features _),
-    "q102_pagerank" -> (q102_pagerank _))
+    "q102_pagerank" -> (q102_pagerank _),
+    "q103_drift_psi" -> (q103_drift_psi _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -33,27 +33,38 @@ object Graphs {
     * For symmetrized (undirected) graphs danglers cannot exist. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
-               roundTo: Int = 12): DataFrame = {
+               roundTo: Int = 12,
+               broadcastNodeLimit: Long = 10000000L): DataFrame = {
     require(iterations >= 1 && roundTo >= 1 && damping > 0 && damping < 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nD = nodes.count().toDouble
+    val n = nodes.count()
+    val nD = n.toDouble
+    // rank and degree are NODE-sized — orders of magnitude smaller than
+    // the edge list they join. Up to the limit, broadcast them so each
+    // iteration is map-side over the cached edges plus ONE shuffle (the
+    // by-destination aggregate, PageRank's irreducible shuffle); past
+    // it, fall back to shuffle joins and let AQE plan (a >10M-node
+    // rank table stops being broadcast material). The same
+    // dispatch-on-measured-size pattern as FeatureVectorizer.vectorize.
+    val hint: DataFrame => DataFrame =
+      if (n <= broadcastNodeLimit) broadcast else identity
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var rank = nodes.select(col("id"), lit(1.0 / nD).as("rank"))
     val teleport = (1.0 - damping) / nD
     for (_ <- 1 to iterations) {
       val contribs = e
-        .join(rank.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
+        .join(hint(rank.withColumnRenamed("id", "src")), "src")
+        .join(hint(deg), "src")
         .select(col("dst").as("id"),
           round(col("rank") / col("deg"), roundTo)
             .cast(s"decimal(28,$roundTo)").as("_c"))
       val sums = contribs.groupBy("id")
         .agg(sum(col("_c")).cast("double").as("_s"))
-      rank = nodes.join(sums, Seq("id"), "left")
+      rank = nodes.join(hint(sums), Seq("id"), "left")
         .select(col("id"), (lit(teleport) +
           lit(damping) * coalesce(col("_s"), lit(0.0))).as("rank"))
     }

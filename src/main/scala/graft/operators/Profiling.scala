@@ -118,6 +118,59 @@ object Profiling {
       c -> exactQuantiles(df, c, probs) }.toMap
   }
 
+  /** Population-stability-index drift per group: how far each group's
+    * distribution of `valueCol` sits from the whole population's, over
+    * `nBins` fixed-width bins (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); the model-
+    * monitoring convention flags drift above ~0.2).
+    *
+    * Scale shape: one bounds aggregate (two doubles to the driver),
+    * then ONE grouped count per (group, bin) — everything after is
+    * arithmetic over nBins × nGroups tiny rows; the population
+    * histogram rolls up from the group histogram instead of re-scanning
+    * the input. In production the bounds would come from the ingest
+    * profile rather than a dedicated pass.
+    *
+    * Determinism: bin width and edges are IEEE doubles computed from
+    * the same (min, max, nBins) on any engine; Laplace smoothing
+    * (`smooth` added per bin) keeps empty bins defined without an
+    * epsilon branch; per-bin terms round at 9dp into exact decimal
+    * sums. */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               nBins: Int = 10, smooth: Double = 0.5): DataFrame = {
+    require(nBins >= 2)
+    val vals = df.select(col(groupCol), col(valueCol).cast("double")
+      .as("_v")).na.drop()
+    val b = vals.agg(min(col("_v")), max(col("_v"))).head()
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val w = (mx - mn) / nBins
+    val bin =
+      if (w == 0) lit(0)
+      else least(lit(nBins - 1), floor((col("_v") - lit(mn)) / lit(w)))
+        .cast("int")
+    val gb = vals.groupBy(col(groupCol), bin.as("_bin"))
+      .agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val frame = gb.select(groupCol).distinct()
+      .crossJoin(df.sparkSession.range(nBins.toLong)
+        .select(col("id").cast("int").as("_bin")))
+    val full = frame.join(gb, Seq(groupCol, "_bin"), "left")
+      .select(col(groupCol), col("_bin"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val popBin = full.groupBy("_bin").agg(sum(col("_c")).as("_cAll"))
+    val groupN = full.groupBy(groupCol).agg(sum(col("_c")).as("_nG"))
+    val nAll = vals.count().toDouble
+    val kSmooth = nBins * smooth
+    val p = (col("_c") + lit(smooth)) / (col("_nG") + lit(kSmooth))
+    val q = (col("_cAll") + lit(smooth)) / (lit(nAll) + lit(kSmooth))
+    full.join(broadcast(popBin), Seq("_bin"))
+      .join(broadcast(groupN), Seq(groupCol))
+      .select(col(groupCol), col("_nG"),
+        round((p - q) * log(p / q), 9).cast("decimal(18,9)").as("_t"))
+      .groupBy(groupCol, "_nG")
+      .agg(round(sum(col("_t")).cast("double") + lit(1e-9), 6).as("psi"))
+      .withColumnRenamed("_nG", "n_rows")
+  }
+
   /** One row per column: count, nulls, approx distinct, approx
     * quartiles, min/max/mean (exact one-pass aggregates ride along for
     * free). ALL columns' sketches ride in a single aggregate — one scan

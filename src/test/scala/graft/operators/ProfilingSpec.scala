@@ -53,6 +53,28 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("psiDrift: identical groups score ~0, a shifted group scores high") {
+    import spark.implicits._
+    // two identical groups: each matches the population up to smoothing
+    val same = (1 to 500).map(i => ("A", (i % 100).toDouble)) ++
+      (1 to 500).map(i => ("B", (i % 100).toDouble))
+    val flat = Profiling.psiDrift(same.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(flat.keySet == Set("A", "B") && flat("A")._1 == 500L)
+    assert(flat("A")._2 < 0.001 && flat("A")._2 == flat("B")._2,
+      s"identical groups must match the population: $flat")
+    // add a group concentrated in the top decile: it must score far
+    // above the unshifted groups (which now differ from the population
+    // only through C's contribution to it)
+    val rows = same ++ (1 to 500).map(i => ("C", 90.0 + (i % 10)))
+    val got = Profiling.psiDrift(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("A") == got("B"), "identical groups score identically")
+    assert(got("C") > 3 * got("A"),
+      s"shifted group must dominate: C=${got("C")} A=${got("A")}")
+  }
+
   test("exactQuantilesAuto: both routes agree bit-exactly with the sort path") {
     val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
     val probs = Seq(0.25, 0.5, 0.75)
