@@ -886,18 +886,20 @@ object OracleSql {
         |FROM t GROUP BY 1, 2""".stripMargin,
 
     // q102: 3 unrolled PageRank iterations, mirrored term for term:
-    // contributions round at 12dp into DECIMAL(28,12) sums (edge order
-    // can't perturb), and the teleport term is (1.0 - 0.85)/n with the
-    // SUBTRACTION in double — a literal 0.15 is one ulp off the
-    // engine's JVM `1.0 - damping` (and DuckDB would parse it as exact
-    // DECIMAL besides)
+    // contributions round to integer 1e-12 units (round(x·1e12, 0), the
+    // same IEEE product both engines compute) and sum as BIGINTs — edge
+    // order can't perturb an integer sum — then divide back in double.
+    // The teleport term is (1.0 - 0.85)/n with the SUBTRACTION in
+    // double — a literal 0.15 is one ulp off the engine's JVM
+    // `1.0 - damping` (and DuckDB would parse it as exact DECIMAL
+    // besides)
     "q102_pagerank" -> {
       val iter = (1 to 3).map { i =>
         val p = i - 1
         s"""c$i AS (SELECT e.dst AS id,
-           |    CAST(round(r.rank / d.deg, 12) AS DECIMAL(28,12)) AS c
+           |    CAST(round(r.rank / d.deg * 1e12, 0) AS BIGINT) AS c
            |  FROM e JOIN r$p r ON e.src = r.id JOIN deg d ON e.src = d.src),
-           |a$i AS (SELECT id, CAST(SUM(c) AS DOUBLE) AS s
+           |a$i AS (SELECT id, CAST(SUM(c) AS DOUBLE) / 1e12 AS s
            |  FROM c$i GROUP BY 1),
            |r$i AS (SELECT n.id,
            |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n

@@ -1213,18 +1213,23 @@ object SparkEntry {
     * bipartite graph ([[Graphs.pagerank]]: join-based iterations,
     * decimal-exact contribution sums, no driver graph state). */
   def q102_pagerank(s: SparkSession, d: String): DataFrame = {
-    // distinct on the integer pair BEFORE the string ids: the dedup
-    // shuffle moves 16 bytes per row instead of two strings
+    // run the iterations on LONG node ids (custkey·2 / suppkey·2+1):
+    // the dedup and per-iteration shuffles move 8-byte keys, and the
+    // human-readable labels are minted once from the final ranks. The
+    // label arithmetic never touches the rank values, so the oracle's
+    // string-id mirror sees identical numbers.
     val pairs = T.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(T.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey")).distinct()
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("s"), col("l_suppkey")).as("ss"))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("ss")).distinct()
     val edges = pairs.select(col("c").as("src"), col("ss").as("dst"))
       .unionByName(pairs.select(col("ss").as("src"), col("c").as("dst")))
     Graphs.pagerank(edges, "src", "dst", iterations = 3)
-      .select(col("id"), round(col("rank") + lit(1e-9), 9).as("rank"))
+      .select(when(col("id") % 2 === 0,
+          concat(lit("c"), expr("id div 2")))
+        .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),
+        round(col("rank") + lit(1e-9), 9).as("rank"))
   }
 
   /** Hashing-trick feature vectorization

@@ -21,12 +21,16 @@ object Graphs {
     * exactly like any aggregate.
     *
     * Determinism: per-edge contributions `rank/degree` are rounded to
-    * `roundTo` decimals and summed as exact decimals, so the sum — and
-    * therefore every iteration's rank vector — is independent of edge
-    * order, partitioning, and engine. The teleport term is computed as
+    * integer `10^-roundTo` units and summed as LONGS — exact and
+    * order-independent like a decimal sum, but allocation-free and fully
+    * codegen'd (a `DECIMAL(28,12)` cast from double builds a BigDecimal
+    * per edge; measured ~1 s/iteration at sf0.1 against ~0.3 s for the
+    * long kernel). Total mass is ≤ 1, so group sums fit a long for any
+    * `roundTo` ≤ 15. The teleport term is computed as
     * `(1.0 - damping) / n` in IEEE doubles; an engine mirroring this in
     * SQL must reproduce the SAME subtraction (a literal `0.15` is one
-    * ulp away from `1.0 - 0.85`).
+    * ulp away from `1.0 - 0.85`) and the same `round(x·10^roundTo, 0)`
+    * scaling.
     *
     * Dangling nodes (no out-edges) contribute nothing — callers wanting
     * the redistribute-to-all variant should add those edges explicitly.
@@ -35,7 +39,8 @@ object Graphs {
                iterations: Int, damping: Double = 0.85,
                roundTo: Int = 12,
                broadcastNodeLimit: Long = 10000000L): DataFrame = {
-    require(iterations >= 1 && roundTo >= 1 && damping > 0 && damping < 1)
+    require(iterations >= 1 && roundTo >= 1 && roundTo <= 15 &&
+      damping > 0 && damping < 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
@@ -55,15 +60,16 @@ object Graphs {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var rank = nodes.select(col("id"), lit(1.0 / nD).as("rank"))
     val teleport = (1.0 - damping) / nD
+    val scale = math.pow(10.0, roundTo) // exact power of ten in double
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(hint(rank.withColumnRenamed("id", "src")), "src")
         .join(hint(deg), "src")
         .select(col("dst").as("id"),
-          round(col("rank") / col("deg"), roundTo)
-            .cast(s"decimal(28,$roundTo)").as("_c"))
+          round(col("rank") / col("deg") * lit(scale), 0)
+            .cast("long").as("_c"))
       val sums = contribs.groupBy("id")
-        .agg(sum(col("_c")).cast("double").as("_s"))
+        .agg((sum(col("_c")).cast("double") / lit(scale)).as("_s"))
       rank = nodes.join(hint(sums), Seq("id"), "left")
         .select(col("id"), (lit(teleport) +
           lit(damping) * coalesce(col("_s"), lit(0.0))).as("rank"))

@@ -43,6 +43,12 @@ object QDebug {
       }
     }
 
+    sys.env.get("QDEBUG_CONF").foreach { kvs =>
+      kvs.split(';').map(_.split('=')).foreach {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _           => ()
+      }
+    }
     val name = args.headOption.getOrElse("q52_game_events")
     val dir = if (args.length > 1) args(1) else d
     val q = graft.SparkEntry.queries(name)

@@ -21,18 +21,17 @@ class GraphsSpec extends SparkSpec {
     val e = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
     val got = Graphs.pagerank(e, "src", "dst", iterations = 3)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    // local reference iteration with the same rounding discipline
+    // local reference iteration with the same rounding discipline:
+    // contributions as integer 1e-12 units, long sums, divide back
     val n = 5.0
     val teleport = (1.0 - 0.85) / n
-    def round12(x: Double) =
-      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def units(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     var rh = 1.0 / n
     var rl = 1.0 / n
     for (_ <- 1 to 3) {
-      val contribToLeaf = round12(rh / 4.0)
-      val contribToHub = round12(rl / 1.0) * 4 // exact: 4 equal decimals
-      val nh = teleport + 0.85 * contribToHub
-      val nl = teleport + 0.85 * contribToLeaf
+      val nh = teleport + 0.85 * ((units(rl) * 4).toDouble / 1e12)
+      val nl = teleport + 0.85 * (units(rh / 4.0).toDouble / 1e12)
       rh = nh; rl = nl
     }
     assert(got("h") > got("l1"))
@@ -41,6 +40,19 @@ class GraphsSpec extends SparkSpec {
       assert(math.abs(got(s"l$i") - rl) < 1e-9)
     }
     assert(math.abs(got.values.sum - 1.0) < 1e-6, "mass conserved")
+  }
+
+  test("pagerank: driver-resident and distributed branches agree bit-exactly") {
+    import spark.implicits._
+    val edges = (1 to 40).flatMap { i =>
+      Seq((s"n$i", s"n${(i * 3) % 40 + 1}"), (s"n${(i * 3) % 40 + 1}", s"n$i"))
+    }.toDF("src", "dst")
+    val local = Graphs.pagerank(edges, "src", "dst", 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val dist = Graphs.pagerank(edges, "src", "dst", 3,
+        broadcastNodeLimit = 0L)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(local == dist)
   }
 
   test("pagerank is partitioning-invariant") {
