@@ -119,6 +119,50 @@ object OracleSql {
       |  FROM scored)
       |SELECT qid, "rank", id, cosine FROM ranked WHERE "rank" <= 3""".stripMargin
 
+  /** Unrolled deterministic Lloyd's k-means CTEs mirroring
+    * [[graft.operators.Clustering.kmeans]]: `iters` update passes, then
+    * one final assignment `a{iters+1}`. Distances are SEQUENTIAL
+    * double sums over the dims (list_reduce associates left, matching
+    * the engine's accumulation loop) rounded 9dp with centroid-index
+    * tiebreak; means are DECIMAL(18,9)-exact element sums divided back
+    * in double; an empty cluster keeps its previous centroid via the
+    * (cl × dim) frame COALESCE. */
+  private def kmeansCte(k: Int, iters: Int, d: Int): String = {
+    val dd = d + 1
+    val head =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |dims AS (SELECT CAST(unnest(range(1, $dd)) AS INTEGER) AS j),
+         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+         |    AS INTEGER) AS cl, v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))"""
+        .stripMargin
+    val steps = (1 to iters + 1).map { i =>
+      val p = i - 1
+      val assign =
+        s"""d$i AS (SELECT e.vec_id, c.cl,
+           |    round(list_reduce(list_transform(range(1, $dd),
+           |      j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])),
+           |      (a, b) -> a + b), 9) AS d
+           |  FROM e CROSS JOIN c$p c),
+           |a$i AS (SELECT vec_id, cl FROM d$i
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+           |    ORDER BY d, cl) = 1)""".stripMargin
+      if (i > iters) assign
+      else assign + s""",
+        |m$i AS (SELECT a.cl, dims.j,
+        |    CAST(SUM(CAST(round(e.v[dims.j], 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) / COUNT(*) AS mu
+        |  FROM a$i a JOIN e USING (vec_id), dims GROUP BY a.cl, dims.j),
+        |c$i AS (SELECT f.cl, list(COALESCE(m.mu, f.pc) ORDER BY f.j) AS c
+        |  FROM (SELECT cp.cl, dims.j, cp.c[dims.j] AS pc
+        |    FROM c$p cp, dims) f
+        |  LEFT JOIN m$i m ON m.cl = f.cl AND m.j = f.j
+        |  GROUP BY f.cl)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   val all: Map[String, String] = Map(
 
     "q41_knn_lsh" -> (
@@ -847,6 +891,33 @@ object OracleSql {
          |$folds
          |$unions""".stripMargin
     },
+
+    // q104: deterministic Lloyd's k-means, mirrored pass for pass —
+    // init = k lowest vec_ids, distances as sequential 64-term double
+    // sums rounded 9dp with centroid-index tiebreak, means as
+    // DECIMAL(18,9)-exact element sums divided back in double, empty
+    // clusters keeping their centroid via the frame COALESCE
+    "q104_kmeans" ->
+      (kmeansCte(8, 2, 64) +
+        "\nSELECT vec_id, cl AS cluster FROM a3"),
+
+    // q105: SemDeDup — cosine only within a final k-means cluster
+    // (same clustering CTEs as q104); raw-double cosines hash-match by
+    // the q29 precedent (identical sequential IEEE sums)
+    "q105_semdedup" ->
+      (kmeansCte(8, 2, 64) + """,
+        |g AS (SELECT a.cl, e.vec_id, e.v FROM a3 a JOIN e USING (vec_id)),
+        |p AS (SELECT a.cl AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> a.v[i] * a.v[i]), (x, y) -> x + y)
+        |      * list_reduce(list_transform(range(1, 65),
+        |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)) AS cosine
+        |  FROM g a JOIN g b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+        |SELECT cluster, id_a, id_b, cosine FROM p
+        |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin),
 
     // q103: PSI drift — fixed-width bins from the population (min, max)
     // with identical IEEE width arithmetic, Laplace smoothing (0.5 and

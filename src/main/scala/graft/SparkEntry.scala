@@ -1201,6 +1201,23 @@ object SparkEntry {
         col("intercept"), col("rmse"))
   }
 
+  /** Deterministic Lloyd's k-means over the embeddings (k = 8, 2
+    * update passes + final assignment, [[operators.Clustering.kmeans]]:
+    * broadcast centroids, one cached-vector scan per pass ending in a
+    * k·d-row aggregate — the vectors are never shuffled). */
+  def q104_kmeans(s: SparkSession, d: String): DataFrame =
+    operators.Clustering.kmeans(
+      T.embeddings(s, d), "vec_id", "embedding", k = 8, iterations = 2)
+
+  /** SemDeDup semantic near-dup pairs
+    * ([[operators.Clustering.semDedup]]): cosine compared only within a
+    * k-means cluster — Σ cluster² pairs instead of n², with the
+    * hot-cluster guard bounding the worst case. */
+  def q105_semdedup(s: SparkSession, d: String): DataFrame =
+    operators.Clustering.semDedup(
+      T.embeddings(s, d), "vec_id", "embedding", tau = 0.3,
+      k = 8, iterations = 2)
+
   /** Distribution-drift screen: PSI of each event type's value
     * distribution vs the population over 10 fixed bins
     * ([[Profiling.psiDrift]]). */
@@ -1625,7 +1642,9 @@ object SparkEntry {
     "q100_ohlc_bars" -> (q100_ohlc_bars _),
     "q101_hashed_features" -> (q101_hashed_features _),
     "q102_pagerank" -> (q102_pagerank _),
-    "q103_drift_psi" -> (q103_drift_psi _))
+    "q103_drift_psi" -> (q103_drift_psi _),
+    "q104_kmeans" -> (q104_kmeans _),
+    "q105_semdedup" -> (q105_semdedup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+
+  private def blob(center: Array[Double], ids: Range): Seq[(Int, Seq[Double])] =
+    ids.map { i =>
+      // deterministic jitter, small enough to never cross blobs
+      i -> center.zipWithIndex.map { case (c, j) =>
+        c + 0.01 * (((i * 31 + j * 7) % 11) - 5)
+      }.toSeq
+    }
+
+  test("kmeans: separates two blobs; init is the k lowest ids") {
+    import spark.implicits._
+    val a = blob(Array(0.0, 0.0, 0.0, 0.0), 0 until 10)
+    val b = blob(Array(5.0, 5.0, 5.0, 5.0), 10 until 20)
+    val df = (a ++ b).toDF("id", "v")
+    val got = Clustering.kmeans(df, "id", "v", k = 2, iterations = 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // ids 0 and 1 seed the two centroids, both in blob a — after two
+    // Lloyd passes the update must still pull one centroid to blob b
+    val ca = (0 until 10).map(got)
+    val cb = (10 until 20).map(got)
+    assert(ca.distinct.size == 1, s"blob a split: $ca")
+    assert(cb.distinct.size == 1, s"blob b split: $cb")
+    assert(ca.head != cb.head, "blobs must land in different clusters")
+  }
+
+  test("kmeans is partitioning-invariant and deterministic") {
+    import spark.implicits._
+    val df = (blob(Array(0.0, 0.0, 0.0), 0 until 15) ++
+      blob(Array(3.0, -2.0, 1.0), 15 until 30) ++
+      blob(Array(-4.0, 4.0, 0.0), 30 until 45)).toDF("id", "v")
+    val x = Clustering.kmeans(df, "id", "v", 3, 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toSet
+    val y = Clustering.kmeans(df.repartition(7), "id", "v", 3, 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toSet
+    assert(x == y)
+  }
+
+  test("semDedup: finds the injected near-dup, only within-cluster pairs") {
+    import spark.implicits._
+    val base = blob(Array(0.0, 1.0, 2.0, 3.0), 0 until 12) ++
+      blob(Array(-3.0, 2.0, -1.0, 4.0), 12 until 24)
+    // 100 is a near-copy of 0's vector (same cluster, cosine ~1)
+    val dup = Seq(100 -> base.head._2.map(_ + 1e-4))
+    val df = (base ++ dup).toDF("id", "v")
+    val pairs = Clustering.semDedup(df, "id", "v", tau = 0.999,
+      k = 2, iterations = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(pairs.contains((0, 100)), s"injected dup not found: ${pairs.toSeq}")
+    // the hot-cluster guard drops everything when the cap is tiny
+    val none = Clustering.semDedup(df, "id", "v", tau = 0.0,
+      k = 2, iterations = 2, maxCluster = 2L)
+    assert(none.count() == 0)
+  }
+}
