@@ -892,6 +892,43 @@ object OracleSql {
          |$unions""".stripMargin
     },
 
+    // q106: FastSS fuzzy matching — deletion-neighborhood keys (i = 0
+    // keeps the string itself, i >= 1 deletes 1-based position i; the
+    // bound comes from len(t), the q82 convention), candidate equi-join
+    // on shared keys, exact integer levenshtein verification. All-
+    // integer output: immune to float formatting
+    "q106_fuzzy_match" ->
+      """WITH t AS (SELECT MIN(p_partkey) AS id, lower(trim(p_name)) AS t
+        |  FROM part GROUP BY 2),
+        |ks AS (SELECT id, t, unnest(range(0, len(t) + 1)) AS i FROM t),
+        |k AS (SELECT DISTINCT id, t,
+        |    CASE WHEN i = 0 THEN t
+        |      ELSE substr(t, 1, CAST(i - 1 AS INTEGER))
+        |        || substr(t, CAST(i + 1 AS INTEGER)) END AS k
+        |  FROM ks),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.t AS ta, b.t AS tb
+        |  FROM k a JOIN k b ON a.k = b.k AND a.id < b.id)
+        |SELECT id_a, id_b, levenshtein(ta, tb) AS dist FROM cand
+        |WHERE levenshtein(ta, tb) <= 1""".stripMargin,
+
+    // q107: duplicated-passage fraction — distinct 3-shingles per doc
+    // (the q25/q26 shingle CTEs), shingle document-frequency >= 2 ⇒
+    // duplicated; integer counts, fraction under the ROUND(+1e-9, 6)
+    // convention
+    "q107_dup_passages" -> (shinglesCte + """,
+        |ds AS (SELECT doc_id, list_distinct(sh3) AS g FROM sh),
+        |ex AS (SELECT doc_id, unnest(g) AS g FROM ds),
+        |dfq AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) >= 2),
+        |dup AS (SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        |  FROM ex JOIN dfq USING (g) GROUP BY ex.doc_id)
+        |SELECT d.doc_id, CAST(len(d.g) AS BIGINT) AS n_shingles,
+        |  COALESCE(n_dup, CAST(0 AS BIGINT)) AS n_duplicated,
+        |  CASE WHEN len(d.g) = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / len(d.g)
+        |      + 1e-9, 6) END AS dup_fraction
+        |FROM ds d LEFT JOIN dup USING (doc_id)""".stripMargin),
+
     // q104: deterministic Lloyd's k-means, mirrored pass for pass —
     // init = k lowest vec_ids, distances as sequential 64-term double
     // sums rounded 9dp with centroid-index tiebreak, means as

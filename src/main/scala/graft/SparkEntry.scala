@@ -1218,6 +1218,24 @@ object SparkEntry {
       T.embeddings(s, d), "vec_id", "embedding", tau = 0.3,
       k = 8, iterations = 2)
 
+  /** Fuzzy vocabulary matching over distinct part names
+    * ([[operators.RecordLinkage.fuzzyPairs]]): FastSS
+    * deletion-neighborhood candidate keys, codegen'd levenshtein
+    * verification — equi-join blocking, never all-pairs. */
+  def q106_fuzzy_match(s: SparkSession, d: String): DataFrame = {
+    val names = T.part(s, d)
+      .groupBy(lower(trim(col("p_name"))).as("name"))
+      .agg(min(col("p_partkey")).as("id"))
+    operators.RecordLinkage.fuzzyPairs(names, "id", "name", maxDist = 1)
+  }
+
+  /** Corpus-internal duplicated-passage screen
+    * ([[operators.Dedup.duplicatePassages]]): fraction of each doc's
+    * distinct 3-shingles appearing in at least one other doc — the
+    * shingle-DF-join approximation of exact-substring dedup. */
+  def q107_dup_passages(s: SparkSession, d: String): DataFrame =
+    operators.Dedup.duplicatePassages(T.documents(s, d), "doc_id", "text")
+
   /** Distribution-drift screen: PSI of each event type's value
     * distribution vs the population over 10 fixed bins
     * ([[Profiling.psiDrift]]). */
@@ -1644,7 +1662,9 @@ object SparkEntry {
     "q102_pagerank" -> (q102_pagerank _),
     "q103_drift_psi" -> (q103_drift_psi _),
     "q104_kmeans" -> (q104_kmeans _),
-    "q105_semdedup" -> (q105_semdedup _))
+    "q105_semdedup" -> (q105_semdedup _),
+    "q106_fuzzy_match" -> (q106_fuzzy_match _),
+    "q107_dup_passages" -> (q107_dup_passages _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

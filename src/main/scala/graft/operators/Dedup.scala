@@ -426,4 +426,33 @@ object Dedup {
       .select(col(idCol), col("component"), col("cluster_size"),
         col("canonical_id"))
   }
+
+  /** Per-document duplicated-passage fraction: the share of a doc's
+    * DISTINCT n-token shingles that appear in at least one other doc.
+    * The hash-count approximation of exact-substring dedup (Lee et al.
+    * 2022 build suffix arrays; at corpus scale the shingle
+    * document-frequency join is the shape that survives): one shingle
+    * explode → one (shingle → doc count) aggregate → one join back,
+    * never a pairwise comparison. A doc with no shingles (< n tokens)
+    * scores 0.
+    *
+    * Output: `(idCol, n_shingles, n_duplicated, dup_fraction)` with the
+    * fraction rounded 6dp. Downstream: filter high fractions out, or
+    * feed the flagged docs to [[ngramJaccard]] for pair resolution. */
+  def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol).as("_id"),
+      explode_outer(TF.distinctShingles(col(textCol), n)).as("_sh"))
+    val docFreq = ex.filter(col("_sh").isNotNull)
+      .groupBy("_sh").agg(count(lit(1)).as("_df"))
+    ex.join(docFreq, Seq("_sh"), "left")
+      .groupBy(col("_id").as(idCol))
+      .agg(count(col("_sh")).as("n_shingles"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_duplicated"))
+      .select(col(idCol), col("n_shingles"), col("n_duplicated"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(
+            col("n_duplicated").cast("double") / col("n_shingles")
+              + lit(1e-9), 6)).as("dup_fraction"))
+  }
 }

@@ -116,4 +116,24 @@ class CorpusOpsSpec extends SparkSpec {
     // doc with <2 tokens: zero bigrams, score 0
     assert(out(3L) == (0L, 0.0))
   }
+
+  test("duplicatePassages: shared shingles counted, short docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon", // shares "alpha beta gamma" with 2
+      2L -> "alpha beta gamma zeta eta",
+      3L -> "one two three four five", // no overlap
+      4L -> "tiny doc" // < 3 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatePassages(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // docs 1 and 2: 3 distinct shingles each, exactly one shared
+    assert(got(1L) == ((3L, 1L, math.rint((1.0 / 3 + 1e-9) * 1e6) / 1e6)),
+      s"got ${got(1L)}")
+    assert(got(2L)._2 == 1L)
+    assert(got(3L) == ((3L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
 }
