@@ -892,6 +892,39 @@ object OracleSql {
          |$unions""".stripMargin
     },
 
+    // q109: EWMA as a left fold over the bounded frame: DuckDB's
+    // list_reduce starts acc = l[1] and the engine starts acc = 0.0 —
+    // 0.0·0.9 + v1 = v1 bit-exactly, so both walk the same IEEE
+    // sequence; NULL values are excluded on BOTH sides (Spark's
+    // collect_list skips them, DuckDB's list() would keep them)
+    "q109_ewma_decay" ->
+      """SELECT event_id, user_id,
+        |  ROUND(list_reduce(list(CAST(value AS DOUBLE)) OVER w,
+        |    (a, x) -> a * CAST(0.9 AS DOUBLE) + x) + 1e-9, 6) AS ewma
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // q108: robust MAD fences — two interpolated medians (value, then
+    // absolute deviation), constants CAST to DOUBLE so DuckDB can't
+    // parse them as exact DECIMAL, fences under the ROUND(+1e-9, 6)
+    // convention like q89
+    "q108_mad_outliers" ->
+      """WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+        |md AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events, m),
+        |f AS (SELECT
+        |    med - CAST(3.5 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+        |      AS lo,
+        |    med + CAST(3.5 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+        |      AS hi
+        |  FROM m, md)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  ROUND(lo + 1e-9, 6) AS fence_lo, ROUND(hi + 1e-9, 6) AS fence_hi
+        |FROM events, f GROUP BY event_type, lo, hi""".stripMargin,
+
     // q106: FastSS fuzzy matching — deletion-neighborhood keys (i = 0
     // keeps the string itself, i >= 1 deletes 1-based position i; the
     // bound comes from len(t), the q82 convention), candidate equi-join

@@ -603,6 +603,43 @@ object SparkEntry {
         round(lit(hi) + lit(1e-9), 6).as("fence_hi"))
   }
 
+  /** Robust (median/MAD) outlier screen — the modified-z-score sibling
+    * of q89's Tukey fences, immune to the outliers it hunts: fences at
+    * median ± 3.5·1.4826·MAD, both statistics from
+    * [[Profiling.exactQuantiles]]'s range-partitioned parallel sort
+    * (two passes; never the single-reducer percentile map). */
+  def q108_mad_outliers(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val med = Profiling.exactQuantiles(ev, "value", Seq(0.5)).head
+    val dev = ev.select(abs(col("value") - lit(med)).as("dev"))
+    val mad = Profiling.exactQuantiles(dev, "dev", Seq(0.5)).head
+    val lo = med - 3.5 * 1.4826 * mad
+    val hi = med + 3.5 * 1.4826 * mad
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < lo || col("value") > hi, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(lit(lo) + lit(1e-9), 6).as("fence_lo"),
+        round(lit(hi) + lit(1e-9), 6).as("fence_hi"))
+  }
+
+  /** Exponentially-decayed trailing feature: per-user EWMA of the last
+    * 10 event values as a LEFT FOLD (acc·0.9 + v) over the bounded
+    * window frame — the recency-weighted sibling of q69's flat mean.
+    * One shuffle on user_id, O(10) state per row; the sequential fold
+    * gives both engines the identical IEEE evaluation order (a
+    * Σ v·0.9^k formulation would need pow() per pair and an
+    * order-dependent sum). */
+  def q109_ewma_decay(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(aggregate(collect_list(col("value").cast("double")).over(w),
+          lit(0.0), (acc, x) => acc * lit(0.9) + x) + lit(1e-9), 6)
+          .as("ewma"))
+  }
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1664,7 +1701,9 @@ object SparkEntry {
     "q104_kmeans" -> (q104_kmeans _),
     "q105_semdedup" -> (q105_semdedup _),
     "q106_fuzzy_match" -> (q106_fuzzy_match _),
-    "q107_dup_passages" -> (q107_dup_passages _))
+    "q107_dup_passages" -> (q107_dup_passages _),
+    "q108_mad_outliers" -> (q108_mad_outliers _),
+    "q109_ewma_decay" -> (q109_ewma_decay _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
