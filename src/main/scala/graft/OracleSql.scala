@@ -892,6 +892,53 @@ object OracleSql {
          |$unions""".stripMargin
     },
 
+    // q110: vocabulary build — full deterministic order (cnt desc,
+    // token asc) before both the id assignment and the top-k cut, so
+    // ties at the boundary resolve identically in both engines
+    "q110_vocab_build" -> (toksCte + """,
+        |c AS (SELECT token, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(toks) AS token FROM t) GROUP BY token),
+        |r AS (SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS id FROM c)
+        |SELECT CAST(id AS INTEGER) AS id, token, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE id <= 20""".stripMargin),
+
+    // q111: heavy hitters — the oracle is the exact definition (count >
+    // 1% of total tokens); the engine's Misra-Gries candidate phase is
+    // an internal pruning that provably cannot change this answer. The
+    // 0.01 literal is CAST to DOUBLE so DuckDB doesn't evaluate the
+    // threshold in exact DECIMAL arithmetic
+    "q111_heavy_hitters" -> (toksCte + """,
+        |tok AS (SELECT unnest(toks) AS token FROM t),
+        |n AS (SELECT COUNT(*) AS total FROM tok)
+        |SELECT token, COUNT(*) AS cnt FROM tok, n GROUP BY token, total
+        |HAVING CAST(COUNT(*) AS DOUBLE) >
+        |  CAST(0.01 AS DOUBLE) * CAST(total AS DOUBLE)""".stripMargin),
+
+    // q112: OLS trend slope from order-independent sums — x exact in
+    // BIGINT, y/xy exact in DECIMAL(18,6) (the q16 value convention);
+    // SUM over integers is CAST back to BIGINT before any arithmetic
+    // (DuckDB would return HUGEINT) and every operand is CAST to DOUBLE
+    // so the closed-form division is the identical IEEE expression the
+    // engine evaluates
+    "q112_trend_slope" ->
+      """WITH e AS (SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(value AS DECIMAL(18,6)) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(y) AS sy,
+        |    SUM(CAST(x AS DECIMAL(12,0)) * y) AS sxy
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  ROUND(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN 0.0
+        |    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END + 1e-9, 6) AS slope
+        |FROM g""".stripMargin,
+
     // q109: EWMA as a left fold over the bounded frame: DuckDB's
     // list_reduce starts acc = l[1] and the engine starts acc = 0.0 —
     // 0.0·0.9 + v1 = v1 bit-exactly, so both walk the same IEEE

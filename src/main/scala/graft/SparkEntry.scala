@@ -640,6 +640,32 @@ object SparkEntry {
           .as("ewma"))
   }
 
+  /** Tokenizer-training vocabulary: the 20 most frequent corpus tokens
+    * with deterministic contiguous ids — one bounded hash agg plus a
+    * TakeOrdered(k); see [[operators.TextRanking.buildVocab]]. */
+  def q110_vocab_build(s: SparkSession, d: String): DataFrame =
+    TextRanking.buildVocab(T.documents(s, d), "text", 20)
+
+  /** Exact heavy hitters over the token stream (> 1% of all tokens):
+    * per-partition Misra-Gries candidates, broadcast-pruned exact
+    * recount — the shuffle carries only candidate rows, never the
+    * billion-key token domain. See [[operators.HeavyHitters]]. */
+  def q111_heavy_hitters(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+    HeavyHitters.frequentItems(toks, "token", 0.01)
+  }
+
+  /** Per-event-type metric drift: OLS slope of value against day index
+    * since 2024-01-01, from decimal/integer-exact sums — see
+    * [[operators.Profiling.trendSlope]]. */
+  def q112_trend_slope(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    Profiling.trendSlope(ev, Seq("event_type"),
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")),
+      col("value"))
+  }
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1703,7 +1729,10 @@ object SparkEntry {
     "q106_fuzzy_match" -> (q106_fuzzy_match _),
     "q107_dup_passages" -> (q107_dup_passages _),
     "q108_mad_outliers" -> (q108_mad_outliers _),
-    "q109_ewma_decay" -> (q109_ewma_decay _))
+    "q109_ewma_decay" -> (q109_ewma_decay _),
+    "q110_vocab_build" -> (q110_vocab_build _),
+    "q111_heavy_hitters" -> (q111_heavy_hitters _),
+    "q112_trend_slope" -> (q112_trend_slope _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

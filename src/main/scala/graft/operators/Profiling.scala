@@ -203,4 +203,36 @@ object Profiling {
       }: _*)).as("r"))
       .select("r.*")
   }
+
+  /** Per-group ordinary-least-squares trend slope of `y` against an
+    * integer regressor `x` (e.g. a day index) — the metric-drift
+    * detector a monitoring pipeline runs per segment.
+    *
+    * One hash agg (map-side combinable, state = 5 numbers per group);
+    * the closed-form slope (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) is computed
+    * from order-independent sums: Σx/Σxx exact in BIGINT, Σy/Σxy exact
+    * in DECIMAL(·,6) (the q16 value convention), so the result is
+    * identical on 1 executor or 1000. Null x/y rows are excluded from
+    * ALL five sums, keeping the statistics consistent. Final division
+    * is one IEEE op on identical operands; emitted under the
+    * ROUND(+1e-9, 6) convention. */
+  def trendSlope(df: DataFrame, groupCols: Seq[String], x: Column,
+                 y: Column): DataFrame = {
+    val g = df
+      .select(groupCols.map(col) ++
+        Seq(x.cast("long").as("_x"), y.cast("decimal(18,6)").as("_y")): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("_sx"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y")).as("_sy"),
+        sum(col("_x").cast("decimal(12,0)") * col("_y")).as("_sxy"))
+    val num = col("n").cast("double") * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val den = (col("n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    g.select(groupCols.map(col) ++ Seq(col("n"),
+      round(when(den === lit(0.0), lit(0.0)).otherwise(num / den) +
+        lit(1e-9), 6).as("slope")): _*)
+  }
 }

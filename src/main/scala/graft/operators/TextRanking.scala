@@ -126,4 +126,24 @@ object TextRanking {
       .agg(count(lit(1)).as("n_terms"),
         round(sum(col("_s")).cast("double") + lit(1e-9), 6).as("bm25"))
   }
+
+  /** Frequency-ranked vocabulary: the `k` most common tokens with
+    * deterministic contiguous 1-based ids (count desc, token asc) — the
+    * tokenizer-training step of a corpus pipeline.
+    *
+    * Shape at 100 TB: one map-side-combinable hash agg (state bounded
+    * by the token domain, not the corpus), then a bounded
+    * TakeOrdered(k) — never a global sort of the counts. The
+    * id-assigning window runs over the k survivors only (model-sized,
+    * single partition by construction — that is the point, not a
+    * bottleneck). */
+  def buildVocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("cnt").desc, col("token").asc)
+    docs.select(explode(TF.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(ord: _*).limit(k)
+      .withColumn("id", row_number().over(Window.orderBy(ord: _*)))
+      .select(col("id"), col("token"), col("cnt"))
+  }
 }
