@@ -939,6 +939,35 @@ object OracleSql {
         |      / CAST(n * sxx - sx * sx AS DOUBLE) END + 1e-9, 6) AS slope
         |FROM g""".stripMargin,
 
+    // q113: temperature-0.5 mixture sampling. Weights ROUND(pow,9) →
+    // DECIMAL(18,9) so the normalizing sum is order-independent; the
+    // weight total is re-CAST to DECIMAL(18,9) and base to DECIMAL(10,0)
+    // so the remainder product stays under both engines' 38-digit cap
+    // (past it they re-round differently); Hamilton remainders compare
+    // as exact decimals; the per-source draw is md5-ordered (doc_id
+    // tiebreak), mirroring Mixture.sampleByQuota
+    "q113_mixture_sample" ->
+      """WITH m AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(ROUND(POW(CAST(mass AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS wt FROM m),
+        |t AS (SELECT CAST(SUM(wt) AS DECIMAL(18,9)) AS tw FROM w),
+        |b AS (SELECT source, wt * 200 AS kw,
+        |    CAST(floor(CAST(wt * 200 AS DOUBLE) / CAST(tw AS DOUBLE))
+        |      AS BIGINT) AS base, tw FROM w, t),
+        |b2 AS (SELECT source, base,
+        |    kw - tw * CAST(base AS DECIMAL(10,0)) AS rem FROM b),
+        |l AS (SELECT 200 - CAST(SUM(base) AS BIGINT) AS leftover FROM b2),
+        |q AS (SELECT source, base + CASE WHEN row_number() OVER
+        |      (ORDER BY rem DESC, source ASC) <= leftover
+        |    THEN 1 ELSE 0 END AS quota FROM b2, l),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('mix_' || CAST(doc_id AS VARCHAR)) ASC,
+        |      doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE rn <= quota""".stripMargin,
+
     // q109: EWMA as a left fold over the bounded frame: DuckDB's
     // list_reduce starts acc = l[1] and the engine starts acc = 0.0 —
     // 0.0·0.9 + v1 = v1 bit-exactly, so both walk the same IEEE

@@ -666,6 +666,15 @@ object SparkEntry {
       col("value"))
   }
 
+  /** Training-mix composition: 200 documents apportioned across the 20
+    * sources by temperature-0.5 char-mass weights (Hamilton largest
+    * remainder, decimal-exact), drawn per source in md5 order — see
+    * [[operators.Mixture]]. */
+  def q113_mixture_sample(s: SparkSession, d: String): DataFrame =
+    Mixture.sample(T.documents(s, d), "source", "doc_id", "n_chars",
+      k = 200, alpha = 0.5)
+      .select(col("doc_id"), col("source"))
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1732,7 +1741,8 @@ object SparkEntry {
     "q109_ewma_decay" -> (q109_ewma_decay _),
     "q110_vocab_build" -> (q110_vocab_build _),
     "q111_heavy_hitters" -> (q111_heavy_hitters _),
-    "q112_trend_slope" -> (q112_trend_slope _))
+    "q112_trend_slope" -> (q112_trend_slope _),
+    "q113_mixture_sample" -> (q113_mixture_sample _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
