@@ -220,7 +220,10 @@ object SparkEntry {
     // width is the price of exact-cap without a window stage (a pruned
     // frame would make the copies bitwise-identical and unsplittable)
     GroupedSampling.boundedSample(T.lineitem(s, d), Seq("l_orderkey"),
-      Seq("l_orderkey", "l_linenumber"), cap = 2)
+      Seq("l_orderkey", "l_linenumber"), cap = 2,
+      // the group domain is orders — broadcast-sized at any SF ratio
+      // that fits a driver; the big side then never shuffles
+      broadcastThresholds = true)
       .select("l_orderkey", "l_linenumber", "weight_scale")
 
   /** L14: class-aware down-sampling with weight compensation. */

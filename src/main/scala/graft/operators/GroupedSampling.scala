@@ -62,7 +62,8 @@ object GroupedSampling {
   def boundedSample(df: DataFrame, groupCols: Seq[String],
                     uidCols: Seq[String], cap: Int,
                     warnOnTrim: Boolean = false,
-                    keepGroupSize: Boolean = false): DataFrame = {
+                    keepGroupSize: Boolean = false,
+                    broadcastThresholds: Boolean = false): DataFrame = {
     // fixed-width (32+16 hex) so string order == (priority, rowhash)
     // lexicographic order; the row hash disambiguates duplicate uids
     // deterministically from content (stable across runs/partitionings,
@@ -90,8 +91,16 @@ object GroupedSampling {
           n.toDouble / cap
         } else 1.0
       }.apply(col("_n"))
+    // broadcastThresholds: the threshold table is one tiny row per
+    // GROUP; when the caller knows group cardinality is broadcast-sized
+    // (orders, users — not the row domain), hinting it turns the join
+    // back into a map-side hash probe and the big side is never
+    // shuffled at all (measured 2× on q18: the data-sized shuffle was
+    // the whole cost). Callers with data-sized group domains keep the
+    // default and let AQE plan the shuffle join.
+    val th = if (broadcastThresholds) broadcast(thresholds) else thresholds
     val kept = df.withColumn("_key", key)
-      .join(thresholds, groupCols)
+      .join(th, groupCols)
       .filter(col("_key") <= col("_kmax"))
       .withColumn("weight_scale", scale)
     // the pre-cap group count is already aggregated here — callers that
