@@ -968,6 +968,61 @@ object OracleSql {
         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE rn <= quota""".stripMargin,
 
+    // q114: each rule is a scalar mirrored from Checks' conditional
+    // sums; NULL handling matches exactly (COALESCE(NOT pred, TRUE) —
+    // a NULL value violates a range/set rule; a NULL key violates the
+    // FK via NOT EXISTS, which is what an anti join does). Range/set
+    // literals CAST to DOUBLE where the engine compares doubles
+    "q114_quality_checks" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+        |SELECT 'not_null_l_orderkey' AS rule, n_rows,
+        |  CAST((SELECT SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    FROM lineitem) AS BIGINT) AS n_violations,
+        |  CAST((SELECT SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    FROM lineitem) AS BIGINT) = 0 AS passed FROM n
+        |UNION ALL
+        |SELECT 'range_l_quantity', n_rows,
+        |  CAST((SELECT SUM(CASE WHEN COALESCE(NOT(
+        |      l_quantity >= CAST(1.0 AS DOUBLE)
+        |      AND l_quantity <= CAST(50.0 AS DOUBLE)), TRUE)
+        |    THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT SUM(CASE WHEN COALESCE(NOT(
+        |      l_quantity >= CAST(1.0 AS DOUBLE)
+        |      AND l_quantity <= CAST(50.0 AS DOUBLE)), TRUE)
+        |    THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT) = 0 FROM n
+        |UNION ALL
+        |SELECT 'range_l_discount', n_rows,
+        |  CAST((SELECT SUM(CASE WHEN COALESCE(NOT(
+        |      l_discount >= CAST(0.0 AS DOUBLE)
+        |      AND l_discount <= CAST(0.1 AS DOUBLE)), TRUE)
+        |    THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT SUM(CASE WHEN COALESCE(NOT(
+        |      l_discount >= CAST(0.0 AS DOUBLE)
+        |      AND l_discount <= CAST(0.1 AS DOUBLE)), TRUE)
+        |    THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT) = 0 FROM n
+        |UNION ALL
+        |SELECT 'in_set_l_returnflag', n_rows,
+        |  CAST((SELECT SUM(CASE WHEN COALESCE(
+        |      NOT(l_returnflag IN ('A','N','R')), TRUE)
+        |    THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT SUM(CASE WHEN COALESCE(
+        |      NOT(l_returnflag IN ('A','N','R')), TRUE)
+        |    THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT) = 0 FROM n
+        |UNION ALL
+        |SELECT 'unique_order_line', n_rows,
+        |  CAST(n_rows - (SELECT COUNT(*) FROM (SELECT DISTINCT
+        |      l_orderkey, l_linenumber FROM lineitem)) AS BIGINT),
+        |  CAST(n_rows - (SELECT COUNT(*) FROM (SELECT DISTINCT
+        |      l_orderkey, l_linenumber FROM lineitem)) AS BIGINT) = 0 FROM n
+        |UNION ALL
+        |SELECT 'fk_orders', n_rows,
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT) = 0 FROM n""".stripMargin,
+
     // q109: EWMA as a left fold over the bounded frame: DuckDB's
     // list_reduce starts acc = l[1] and the engine starts acc = 0.0 —
     // 0.0·0.9 + v1 = v1 bit-exactly, so both walk the same IEEE

@@ -678,6 +678,23 @@ object SparkEntry {
       k = 200, alpha = 0.5)
       .select(col("doc_id"), col("source"))
 
+  /** Pre-publish data-contract verification ([[operators.Checks]]):
+    * four row-local rules in ONE scan, key uniqueness as a
+    * count-distinct delta, referential integrity as an anti join —
+    * the Deequ-style suite report, integer-exact. */
+  def q114_quality_checks(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+    Checks.suite(li,
+      Seq(Checks.notNull("l_orderkey"),
+        Checks.inRange("l_quantity", 1.0, 50.0),
+        Checks.inRange("l_discount", 0.0, 0.1),
+        Checks.inSet("l_returnflag", Seq("A", "N", "R"))),
+      Seq(Checks.unique(li, Seq("l_orderkey", "l_linenumber"),
+          "unique_order_line"),
+        Checks.foreignKey(li, Seq("l_orderkey"), T.orders(s, d),
+          Seq("o_orderkey"), "fk_orders")))
+  }
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1745,7 +1762,8 @@ object SparkEntry {
     "q110_vocab_build" -> (q110_vocab_build _),
     "q111_heavy_hitters" -> (q111_heavy_hitters _),
     "q112_trend_slope" -> (q112_trend_slope _),
-    "q113_mixture_sample" -> (q113_mixture_sample _))
+    "q113_mixture_sample" -> (q113_mixture_sample _),
+    "q114_quality_checks" -> (q114_quality_checks _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
