@@ -1023,6 +1023,23 @@ object OracleSql {
         |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
         |    AS BIGINT) = 0 FROM n""".stripMargin,
 
+    // q115: calibration bins — the bin id repeats the engine's exact
+    // IEEE chain ((l_discount*10)*10, floor, least 9); means divide
+    // exact DECIMAL(18,9) sums by the bin count under the
+    // ROUND(+1e-9, 6) convention
+    "q115_calibration" ->
+      """WITH s AS (SELECT l_discount * 10 AS score,
+        |    CASE WHEN l_returnflag = 'R' THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS label FROM lineitem),
+        |b AS (SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9)
+        |    AS INTEGER) AS bin, score, label FROM s)
+        |SELECT bin, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) + 1e-9, 6) AS mean_score,
+        |  ROUND(CAST(SUM(CASE WHEN label > 0.5 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS pos_rate
+        |FROM b GROUP BY bin""".stripMargin,
+
     // q109: EWMA as a left fold over the bounded frame: DuckDB's
     // list_reduce starts acc = l[1] and the engine starts acc = 0.0 —
     // 0.0·0.9 + v1 = v1 bit-exactly, so both walk the same IEEE

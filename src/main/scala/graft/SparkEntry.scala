@@ -695,6 +695,17 @@ object SparkEntry {
           Seq("o_orderkey"), "fk_orders")))
   }
 
+  /** Model-calibration reliability bins
+    * ([[graft.ml.Evaluators.calibrationBins]]): a synthetic [0,1]
+    * score (scaled discount) against the R-returnflag label, 10
+    * equal-width bins with decimal-exact confidence/accuracy means. */
+  def q115_calibration(s: SparkSession, d: String): DataFrame = {
+    val scored = T.lineitem(s, d).select(
+      (col("l_discount") * 10).as("score"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+    graft.ml.Evaluators.calibrationBins(scored, "score", "label", 10)
+  }
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1763,7 +1774,8 @@ object SparkEntry {
     "q111_heavy_hitters" -> (q111_heavy_hitters _),
     "q112_trend_slope" -> (q112_trend_slope _),
     "q113_mixture_sample" -> (q113_mixture_sample _),
-    "q114_quality_checks" -> (q114_quality_checks _))
+    "q114_quality_checks" -> (q114_quality_checks _),
+    "q115_calibration" -> (q115_calibration _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

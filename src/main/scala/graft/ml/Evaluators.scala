@@ -266,4 +266,27 @@ object Evaluators {
       case "auc" | "aupr" | "precision_at_k" => a > b
       case _ => a < b // losses / rmse: lower is better
     }
+
+  /** Calibration (reliability) bins: scores in [0,1] into `bins`
+    * equal-width buckets; per bucket the row count, mean score
+    * ("confidence") and positive rate ("accuracy") — the per-bin rows
+    * behind a reliability diagram / expected-calibration-error.
+    *
+    * One hash aggregate over at most `bins` groups — a scan, no
+    * shuffle of substance at any scale. Determinism: the bin id is
+    * integer floor arithmetic (identical IEEE on any engine; scores
+    * exactly 1.0 fold into the top bin), and both means divide exact
+    * decimal sums by the bin count, rounded under the repo's
+    * ROUND(+1e-9, 6) convention. */
+  def calibrationBins(df: DataFrame, score: String, label: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val bin = least(floor(col(score) * bins), lit(bins - 1)).cast("int")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(graft.util.Exact.dec(col(score), 18, 9)).cast("double") /
+          count(lit(1)) + lit(1e-9), 6).as("mean_score"),
+        round(sum(when(col(label) > 0.5, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)) + lit(1e-9), 6).as("pos_rate"))
+  }
 }

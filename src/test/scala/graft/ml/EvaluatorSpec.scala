@@ -150,4 +150,18 @@ class EvaluatorSpec extends SparkSpec {
     assert(Evaluators.betterThan("auc", 0.9, 0.8))
     assert(Evaluators.betterThan("rmse", 0.8, 0.9))
   }
+
+  test("calibrationBins: edges fold in, score 1.0 lands in the top bin") {
+    val df = Seq(
+      (0.00, 0.0), (0.05, 0.0), (0.10, 0.0), (0.95, 1.0), (1.00, 1.0))
+      .toDF("score", "label")
+    val got = Evaluators.calibrationBins(df, "score", "label", 10)
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 0.00, 0.05 → bin 0; 0.10 → bin 1; 0.95 and 1.00 → bin 9
+    assert(got.keySet == Set(0, 1, 9))
+    assert(got(0) == ((2L, 0.025, 0.0)))
+    assert(got(1) == ((1L, 0.1, 0.0)))
+    assert(got(9) == ((2L, 0.975, 1.0)))
+  }
 }
