@@ -706,6 +706,19 @@ object SparkEntry {
     graft.ml.Evaluators.calibrationBins(scored, "score", "label", 10)
   }
 
+  /** Ingest-batch near-dup screen: delta sources (src5+) probed against
+    * the base corpus's banded MinHash index, shingle-Jaccard verified at
+    * 0.5 ([[operators.Dedup.incrementalMinhashLsh]]) — the incremental
+    * sibling of q81's exact path. */
+  def q116_incremental_minhash(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val baseSrc = Seq("src0", "src1", "src2", "src3", "src4")
+    Dedup.incrementalMinhashLsh(
+      docs.filter(!col("source").isInCollection(baseSrc)),
+      docs.filter(col("source").isInCollection(baseSrc)),
+      "doc_id", "text")
+  }
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1775,7 +1788,8 @@ object SparkEntry {
     "q112_trend_slope" -> (q112_trend_slope _),
     "q113_mixture_sample" -> (q113_mixture_sample _),
     "q114_quality_checks" -> (q114_quality_checks _),
-    "q115_calibration" -> (q115_calibration _))
+    "q115_calibration" -> (q115_calibration _),
+    "q116_incremental_minhash" -> (q116_incremental_minhash _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -104,6 +104,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental MinHash-LSH: delta (ingest batch) docs probed against
+    * the BASE corpus's banded index — the daily-ingest near-dup path
+    * where [[minhashLsh]] is the full-corpus refresh. Output: one row
+    * per (delta_id, base_id) near-dup pair with its verified Jaccard.
+    *
+    * Scale shape: the base side's (band, bucket, id) index is exactly
+    * what a production pipeline persists between batches; the candidate
+    * join is delta-bands (batch-sized) against that index, so corpus-
+    * internal duplicates never re-pair and the join output is bounded
+    * by the delta's bucket occupancy. Both sides pass the hot-bucket
+    * guard before pairing (one degenerate boilerplate bucket would
+    * otherwise go |delta-bucket|·|base-bucket|); the shingle-verify
+    * joins touch candidate ids only. */
+  def incrementalMinhashLsh(delta: DataFrame, base: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 3, sigK: Int = 4,
+                            bands: Int = 2, threshold: Double = 0.5,
+                            maxBucketSize: Int = 10000): DataFrame = {
+    require(bands >= 1 && sigK % bands == 0,
+      s"sigK=$sigK must be a positive multiple of bands=$bands")
+    val bandSize = sigK / bands
+    def prep(docs: DataFrame): DataFrame = docs
+      .select(col(idCol).as("id"),
+        TF.distinctShingles(col(textCol), shingleN).as("sh"),
+        TF.minhashSignature(col(textCol), shingleN, sigK).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(p: DataFrame): DataFrame = dropHotBuckets(
+      p.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            TF.lshBand(col("sig"), b * bandSize, bandSize).as("bucket"))
+        ): _*)).as("lb"))
+        .select(col("id"), col("lb.band"), col("lb.bucket")),
+      Seq("band", "bucket"), maxBucketSize)
+    val dP = prep(delta)
+    val bP = prep(base)
+    val cands = banded(dP)
+      .select(col("band"), col("bucket"), col("id").as("delta_id"))
+      .join(banded(bP)
+        .select(col("band"), col("bucket"), col("id").as("base_id")),
+        Seq("band", "bucket"))
+      .select("delta_id", "base_id")
+      .distinct()
+    cands
+      .join(dP.select(col("id").as("delta_id"), col("sh").as("sh_d")),
+        Seq("delta_id"))
+      .join(bP.select(col("id").as("base_id"), col("sh").as("sh_b")),
+        Seq("base_id"))
+      .select(col("delta_id"), col("base_id"),
+        TF.jaccard(col("sh_d"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, bucket by 16-bit prefix
     * bands (docs within `maxHamming` share ≥1 of 4 bands by pigeonhole),
     * verify with full Hamming distance. */

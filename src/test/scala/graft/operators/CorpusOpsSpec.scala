@@ -136,4 +136,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 0L, 0.0)))
     assert(got(4L) == ((0L, 0L, 0.0)))
   }
+
+  test("incremental minhash pairs delta against base only, never within a side") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq(
+      (1L, txt),                                  // near-dup target
+      (2L, txt),                                  // base-internal dup of 1
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, txt + " lambda"),                     // near-dup of 1 and 2
+      (11L, "cold warm hot mild cool damp dry wet calm windy"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashLsh(delta, base, "doc_id", "text",
+      threshold = 0.5)
+      .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+    // 10 pairs with both base copies; the base-internal (1,2) dup and
+    // delta-only doc 11 produce nothing
+    assert(got == Set((10L, 1L), (10L, 2L)))
+    val gotP = Dedup.incrementalMinhashLsh(delta.repartition(7),
+      base.repartition(5), "doc_id", "text", threshold = 0.5)
+      .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(gotP == got)
+  }
 }
