@@ -29,7 +29,12 @@ object HeavyHitters {
     * the exact recount can only remove false positives, never miss.
     * The candidate set depends on the physical partitioning; the final
     * output does not.
-    */
+    *
+    * Exactly TWO scans of the data: pass 1 emits each partition's MG
+    * survivors AND its row count as one fused mapPartitions (the tiny
+    * per-partition stats table — ≤ ⌈1/s⌉+1 rows per partition — is
+    * persisted, so candidates and the global N are both read from it);
+    * pass 2 is the broadcast-pruned exact recount. */
   def frequentItems(items: DataFrame, itemCol: String, s: Double): DataFrame = {
     require(s > 0.0 && s < 1.0, s"support threshold must be in (0,1), got $s")
     val spark = items.sparkSession
@@ -37,9 +42,20 @@ object HeavyHitters {
     val k = math.ceil(1.0 / s).toInt
     val vals = items.filter(col(itemCol).isNotNull)
       .select(col(itemCol).cast("string")).as[String]
-    val candidates =
-      vals.mapPartitions(it => misraGries(it, k)).toDF(itemCol).distinct()
-    val total = vals.toDF(itemCol).agg(count(lit(1)).as("_n"))
+    // fused pass 1: (isTotal=false, candidate, 0) rows plus one
+    // (isTotal=true, "", localN) row per partition
+    val partStats = vals.mapPartitions { it =>
+      var localN = 0L
+      val counted = it.map { x => localN += 1; x }
+      val cands = misraGries(counted, k)
+      (cands.map(t => (false, t, 0L)) ++
+        Iterator.single((true, "", localN))).iterator
+    }.toDF("_isTotal", itemCol, "_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = partStats.filter(!col("_isTotal"))
+      .select(col(itemCol)).distinct()
+    val total = partStats.filter(col("_isTotal"))
+      .agg(sum(col("_n")).as("_n"))
     // both engines compare cnt > s·N in identical IEEE double arithmetic
     vals.toDF(itemCol)
       .join(broadcast(candidates), itemCol)
@@ -51,8 +67,10 @@ object HeavyHitters {
 
   /** Misra-Gries summary of one partition: at most `k` surviving keys;
     * any item with local frequency > localN/k survives. O(1) amortized
-    * per element, O(k) memory. */
-  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    * per element, O(k) memory. Fully consumes `it` and returns the
+    * survivors as a materialized collection (safe to use after the
+    * input iterator is exhausted). */
+  private def misraGries(it: Iterator[String], k: Int): Vector[String] = {
     val counts = new java.util.HashMap[String, java.lang.Long](k * 2)
     while (it.hasNext) {
       val x = it.next()
@@ -69,7 +87,6 @@ object HeavyHitters {
       }
     }
     import scala.jdk.CollectionConverters._
-    // copy out: the iterator must not depend on the live map
-    counts.keySet().asScala.toVector.iterator
+    counts.keySet().asScala.toVector
   }
 }
