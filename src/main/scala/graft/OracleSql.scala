@@ -1122,6 +1122,42 @@ object OracleSql {
         |SELECT id_a, id_b, levenshtein(ta, tb) AS dist FROM cand
         |WHERE levenshtein(ta, tb) <= 1""".stripMargin,
 
+    // q117: the q106 candidate CTEs, then Fellegi-Sunter scoring —
+    // every weight an exact-in-binary constant CAST to DOUBLE, summed
+    // in the engine's declaration order; NULL field comparisons
+    // COALESCE to disagreement exactly like FieldRule
+    "q117_linkage_score" ->
+      """WITH t AS (SELECT MIN(p_partkey) AS id, lower(trim(p_name)) AS t
+        |  FROM part GROUP BY 2),
+        |ks AS (SELECT id, t, unnest(range(0, len(t) + 1)) AS i FROM t),
+        |k AS (SELECT DISTINCT id, t,
+        |    CASE WHEN i = 0 THEN t
+        |      ELSE substr(t, 1, CAST(i - 1 AS INTEGER))
+        |        || substr(t, CAST(i + 1 AS INTEGER)) END AS k
+        |  FROM ks),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.t AS ta, b.t AS tb
+        |  FROM k a JOIN k b ON a.k = b.k AND a.id < b.id),
+        |pr AS (SELECT id_a, id_b, levenshtein(ta, tb) AS dist FROM cand
+        |  WHERE levenshtein(ta, tb) <= 1),
+        |fl AS (SELECT p.id_a, p.id_b, p.dist,
+        |    COALESCE(a.p_brand = b.p_brand, FALSE) AS agree_p_brand,
+        |    COALESCE(a.p_type = b.p_type, FALSE) AS agree_p_type,
+        |    COALESCE(abs(a.p_size - b.p_size) <= 1, FALSE) AS agree_p_size
+        |  FROM pr p JOIN part a ON p.id_a = a.p_partkey
+        |    JOIN part b ON p.id_b = b.p_partkey),
+        |sc AS (SELECT *,
+        |    (CASE WHEN agree_p_brand THEN CAST(2.0 AS DOUBLE)
+        |       ELSE CAST(-2.0 AS DOUBLE) END
+        |     + CASE WHEN agree_p_type THEN CAST(1.5 AS DOUBLE)
+        |       ELSE CAST(-1.5 AS DOUBLE) END
+        |     + CASE WHEN agree_p_size THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(-1.0 AS DOUBLE) END) AS score
+        |  FROM fl)
+        |SELECT id_a, id_b, dist, agree_p_brand, agree_p_type,
+        |  agree_p_size, score, score >= CAST(0.0 AS DOUBLE) AS matched
+        |FROM sc""".stripMargin,
+
     // q107: duplicated-passage fraction — distinct 3-shingles per doc
     // (the q25/q26 shingle CTEs), shingle document-frequency >= 2 ⇒
     // duplicated; integer counts, fraction under the ROUND(+1e-9, 6)

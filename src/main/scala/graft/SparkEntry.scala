@@ -719,6 +719,25 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** Entity-resolution scoring ([[operators.RecordLinkage.scorePairs]]):
+    * the q106 FastSS-blocked name pairs scored Fellegi-Sunter-style on
+    * brand/type/size agreement with fixed log-odds weights; matched =
+    * net evidence ≥ 0. */
+  def q117_linkage_score(s: SparkSession, d: String): DataFrame = {
+    import operators.RecordLinkage.FieldRule
+    val names = T.part(s, d)
+      .groupBy(lower(trim(col("p_name"))).as("name"))
+      .agg(min(col("p_partkey")).as("id"))
+    val pairs = operators.RecordLinkage
+      .fuzzyPairs(names, "id", "name", maxDist = 1)
+    operators.RecordLinkage.scorePairs(pairs, "id_a", "id_b",
+      T.part(s, d), "p_partkey",
+      Seq(FieldRule.equality("p_brand", 2.0, -2.0),
+        FieldRule.equality("p_type", 1.5, -1.5),
+        FieldRule.within("p_size", 1.0, 1.0, -1.0)))
+      .withColumn("matched", col("score") >= 0.0)
+  }
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1789,7 +1808,8 @@ object SparkEntry {
     "q113_mixture_sample" -> (q113_mixture_sample _),
     "q114_quality_checks" -> (q114_quality_checks _),
     "q115_calibration" -> (q115_calibration _),
-    "q116_incremental_minhash" -> (q116_incremental_minhash _))
+    "q116_incremental_minhash" -> (q116_incremental_minhash _),
+    "q117_linkage_score" -> (q117_linkage_score _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate string matching for record linkage / fuzzy dedup. */
@@ -54,5 +54,56 @@ object RecordLinkage {
     cand.select(col("id_a"), col("id_b"),
         levenshtein(col("_ta"), col("_tb")).as("dist"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** One field-comparison rule for [[scorePairs]]: `agree` compares the
+    * two sides' values of `field`; a NULL comparison counts as
+    * disagreement (coalesced — a missing value supports no link). The
+    * weights are the caller's log-odds (Fellegi-Sunter m/u terms);
+    * exact-in-binary constants (.0, .5, .25) keep the summed score
+    * bit-identical across engines. */
+  final case class FieldRule(field: String,
+                             agree: (Column, Column) => Column,
+                             wAgree: Double, wDisagree: Double)
+
+  object FieldRule {
+    def equality(field: String, wAgree: Double, wDisagree: Double): FieldRule =
+      FieldRule(field, _ === _, wAgree, wDisagree)
+    def within(field: String, tol: Double, wAgree: Double,
+               wDisagree: Double): FieldRule =
+      FieldRule(field, (a, b) => abs(a - b) <= tol, wAgree, wDisagree)
+  }
+
+  /** Fellegi-Sunter-style linkage scoring over candidate `pairs`
+    * (e.g. from [[fuzzyPairs]]' blocking): attach each side's entity
+    * attributes with two equi-joins on `idCol`, then score every rule
+    * as one codegen'd conditional — agree → `wAgree`, disagree/NULL →
+    * `wDisagree` — summed in declaration order (fixed IEEE order, so
+    * the score reproduces anywhere).
+    *
+    * Scale shape: candidate pairs are already blocked (never all
+    * pairs); the two attribute joins are plain equi-joins a 100 TB
+    * entity table handles as ordinary shuffle or broadcast joins, and
+    * scoring adds no shuffle at all. Output: all `pairs` columns, one
+    * `agree_<field>` flag per rule, and `score`. */
+  def scorePairs(pairs: DataFrame, idA: String, idB: String,
+                 entities: DataFrame, idCol: String,
+                 rules: Seq[FieldRule]): DataFrame = {
+    require(rules.nonEmpty, "no field rules declared")
+    val fields = (idCol +: rules.map(_.field)).distinct
+    def side(prefix: String) = entities
+      .select(fields.map(f => col(f).as(prefix + f)): _*)
+    val joined = pairs
+      .join(side("_a_"), col(idA) === col(s"_a_$idCol"))
+      .join(side("_b_"), col(idB) === col(s"_b_$idCol"))
+    val flags = rules.map(r => coalesce(
+      r.agree(col(s"_a_${r.field}"), col(s"_b_${r.field}")), lit(false))
+      .as(s"agree_${r.field}"))
+    val score = rules.map(r =>
+      when(col(s"agree_${r.field}"), lit(r.wAgree))
+        .otherwise(lit(r.wDisagree))).reduce(_ + _)
+    joined
+      .select(pairs.columns.map(col) ++ flags: _*)
+      .withColumn("score", score)
   }
 }

@@ -39,4 +39,23 @@ class RecordLinkageSpec extends SparkSpec {
     assert(pairs(rows, maxDist = 1, cap = 5L).isEmpty)
     assert(pairs(rows, maxDist = 1).nonEmpty)
   }
+
+  test("scorePairs sums rule weights with NULL as disagreement") {
+    import spark.implicits._
+    import RecordLinkage.FieldRule
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val ents = Seq[(Long, Option[String], Int)](
+      (1L, Some("B1"), 10), (2L, Some("B1"), 11), (3L, None, 20))
+      .toDF("id", "brand", "size")
+    val got = RecordLinkage.scorePairs(cand, "id_a", "id_b", ents, "id",
+      Seq(FieldRule.equality("brand", 2.0, -2.0),
+        FieldRule.within("size", 1.0, 1.0, -1.0)))
+      .select("id_a", "id_b", "agree_brand", "agree_size", "score")
+      .as[(Long, Long, Boolean, Boolean, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 2L)) == ((true, true, 3.0)))
+    // brand NULL on id 3 → disagreement, size 10 vs 20 disagrees
+    assert(got((1L, 3L)) == ((false, false, -3.0)))
+    assert(got((2L, 3L)) == ((false, false, -3.0)))
+  }
 }
