@@ -1158,6 +1158,35 @@ object OracleSql {
         |  agree_p_size, score, score >= CAST(0.0 AS DOUBLE) AS matched
         |FROM sc""".stripMargin,
 
+    // q118: random projection — the oracle rebuilds the same ±1 matrix
+    // from md5 parity (first hex digit even → +1), multiplies by exact
+    // float→double casts, and folds left-to-right: list_reduce seeds
+    // acc = t₁ where the engine seeds 0.0 + t₁ — bit-identical (the
+    // q109 convention; a -0.0 t₁ difference dies in ROUND(+1e-9, 6))
+    "q118_random_projection" ->
+      """WITH js AS (SELECT unnest(range(0, 8)) AS j),
+        |sg AS (SELECT j, list_transform(range(0, 64), i ->
+        |    CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_'
+        |        || CAST(j AS VARCHAR)), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e') THEN CAST(1.0 AS DOUBLE)
+        |    ELSE CAST(-1.0 AS DOUBLE) END) AS sgn FROM js),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, j,
+        |    list_reduce(list_transform(range(1, len(v) + 1),
+        |      ix -> v[ix] * sgn[ix]), (a, b) -> a + b) AS pv
+        |  FROM e, sg)
+        |SELECT vec_id,
+        |  ROUND(MAX(CASE WHEN j = 0 THEN pv END) + 1e-9, 6) AS p0,
+        |  ROUND(MAX(CASE WHEN j = 1 THEN pv END) + 1e-9, 6) AS p1,
+        |  ROUND(MAX(CASE WHEN j = 2 THEN pv END) + 1e-9, 6) AS p2,
+        |  ROUND(MAX(CASE WHEN j = 3 THEN pv END) + 1e-9, 6) AS p3,
+        |  ROUND(MAX(CASE WHEN j = 4 THEN pv END) + 1e-9, 6) AS p4,
+        |  ROUND(MAX(CASE WHEN j = 5 THEN pv END) + 1e-9, 6) AS p5,
+        |  ROUND(MAX(CASE WHEN j = 6 THEN pv END) + 1e-9, 6) AS p6,
+        |  ROUND(MAX(CASE WHEN j = 7 THEN pv END) + 1e-9, 6) AS p7
+        |FROM p GROUP BY vec_id""".stripMargin,
+
     // q107: duplicated-passage fraction — distinct 3-shingles per doc
     // (the q25/q26 shingle CTEs), shingle document-frequency >= 2 ⇒
     // duplicated; integer counts, fraction under the ROUND(+1e-9, 6)

@@ -738,6 +738,17 @@ object SparkEntry {
       .withColumn("matched", col("score") >= 0.0)
   }
 
+  /** Distance-preserving dim reduction before ANN indexing
+    * ([[operators.Similarity.randomProjection]]): 64-dim embeddings to
+    * 8 dims through the md5-derived ±1 literal matrix, folded in the
+    * bit-reproducible q109 order. */
+  def q118_random_projection(s: SparkSession, d: String): DataFrame = {
+    val p = Similarity.randomProjection(
+      T.embeddings(s, d), "embedding", inDims = 64, outDims = 8)
+    p.select(col("vec_id") +: (0 until 8).map(j =>
+      round(element_at(col("proj"), j + 1) + lit(1e-9), 6).as(s"p$j")): _*)
+  }
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1809,7 +1820,8 @@ object SparkEntry {
     "q114_quality_checks" -> (q114_quality_checks _),
     "q115_calibration" -> (q115_calibration _),
     "q116_incremental_minhash" -> (q116_incremental_minhash _),
-    "q117_linkage_score" -> (q117_linkage_score _))
+    "q117_linkage_score" -> (q117_linkage_score _),
+    "q118_random_projection" -> (q118_random_projection _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -49,6 +49,39 @@ object Similarity {
     df.withColumn(outCol,
       transform(col(codesCol), c => (c * col(scaleCol)).cast("float")))
 
+  /** Deterministic ±1 sign for projection cell (i, j): parity of the
+    * first hex digit of md5("i_j") — reproducible anywhere md5 exists,
+    * including a SQL oracle. */
+  def projectionSign(i: Int, j: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_$j".getBytes("UTF-8"))
+    // first hex digit even ⇔ high nibble of byte 0 even
+    if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Achlioptas-style random projection to `outDims` dimensions: each
+    * output dim j is Σᵢ sign(i,j)·vᵢ with the md5-derived ±1 matrix —
+    * the distance-preserving dim-reduce a pipeline runs before LSH/ANN
+    * when 100 TB of float32 embeddings won't fit the index budget.
+    *
+    * The sign matrix is data-independent, so it is baked in as LITERAL
+    * arrays (computed once on the driver, dims·outDims values) — zero
+    * per-row hashing; the projection itself is a zero-shuffle map. Each
+    * output is a left-to-right fold seeded with 0.0 (0.0 + t₁ = t₁
+    * bit-exactly), the q109 convention, so any engine folding the same
+    * sequence reproduces the doubles bit-for-bit. */
+  def randomProjection(df: DataFrame, vecCol: String, inDims: Int,
+                       outDims: Int, outCol: String = "proj"): DataFrame = {
+    require(inDims > 0 && outDims > 0 && outDims <= inDims)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val projs = (0 until outDims).map { j =>
+      val signs = array((0 until inDims).map(i =>
+        lit(projectionSign(i, j))): _*)
+      aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), _ + _)
+    }
+    df.withColumn(outCol, array(projs: _*))
+  }
+
   /** Per-query top-k by (cosine desc, id asc): bounded-heap aggregate on
     * the struct (-cosine, id), whose ascending order IS that ranking.
     * CollectTopK's eval returns the retained k in ascending order, so

@@ -309,4 +309,37 @@ class SamplingSpec extends SparkSpec {
       capped.select("id_b").as[Long].collect().toSet
     assert(!ids.exists(_ <= 30))
   }
+
+  test("randomProjection applies the md5 sign matrix as an exact fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val v = Array(1.0f, 2.0f, 4.0f)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, "embedding", 3, 2)
+      .select("proj").as[Seq[Double]].collect().head
+    val expected = (0 until 2).map(j =>
+      (0 until 3).map(i =>
+        Similarity.projectionSign(i, j) * v(i).toDouble).sum)
+    assert(got == expected)
+    // signs are ±1 and the matrix is not degenerate (both signs occur)
+    val signs = for (i <- 0 until 8; j <- 0 until 8)
+      yield Similarity.projectionSign(i, j)
+    assert(signs.toSet == Set(1.0, -1.0))
+  }
+
+  test("randomProjection preserves relative distances approximately") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // projection of x and y: |p(x)-p(y)|² should correlate with |x-y|²
+    val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat).toArray
+    val near = base.clone(); near(0) += 0.01f
+    val far = base.map(x => -x)
+    val df = Seq((0L, base), (1L, near), (2L, far))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProjection(df, "embedding", 64, 16)
+      .select("vec_id", "proj").as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(p(0L), p(1L)) < d2(p(0L), p(2L)))
+  }
 }
