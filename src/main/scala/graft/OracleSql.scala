@@ -1187,6 +1187,28 @@ object OracleSql {
         |  ROUND(MAX(CASE WHEN j = 7 THEN pv END) + 1e-9, 6) AS p7
         |FROM p GROUP BY vec_id""".stripMargin,
 
+    // q119: PMI collocations — the vocab is the q110 deterministic
+    // order (cnt desc, token asc) cut at 20; doc frequencies and pair
+    // counts are exact integers (DuckDB COUNT is BIGINT — no HUGEINT
+    // hazard), and ln sees the identical double on both engines
+    "q119_pmi_collocations" -> (toksCte + """,
+        |c AS (SELECT token, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(toks) AS token FROM t) GROUP BY token),
+        |v AS (SELECT token FROM c ORDER BY cnt DESC, token ASC LIMIT 20),
+        |vl AS (SELECT list(token) AS vl FROM v),
+        |n AS (SELECT COUNT(*) AS nd FROM t),
+        |dt AS (SELECT doc_id, unnest(list_distinct(list_filter(toks,
+        |    tk -> list_contains(vl, tk)))) AS token FROM t, vl),
+        |p AS (SELECT a.token AS t_a, b.token AS t_b, COUNT(*) AS n_ab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |dfq AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY token)
+        |SELECT t_a, t_b, n_ab, a.df AS n_a, b.df AS n_b,
+        |  ROUND(ln(CAST(n_ab * nd AS DOUBLE)
+        |    / CAST(a.df * b.df AS DOUBLE)) + 1e-9, 6) AS pmi
+        |FROM p JOIN dfq a ON p.t_a = a.token
+        |  JOIN dfq b ON p.t_b = b.token, n""".stripMargin),
+
     // q107: duplicated-passage fraction — distinct 3-shingles per doc
     // (the q25/q26 shingle CTEs), shingle document-frequency >= 2 ⇒
     // duplicated; integer counts, fraction under the ROUND(+1e-9, 6)

@@ -749,6 +749,13 @@ object SparkEntry {
       round(element_at(col("proj"), j + 1) + lit(1e-9), 6).as(s"p$j")): _*)
   }
 
+  /** Collocation mining ([[operators.TextRanking.pmiPairs]]):
+    * document-level PMI over the top-20 vocabulary, pair generation
+    * bounded per doc by the vocab restriction. */
+  def q119_pmi_collocations(s: SparkSession, d: String): DataFrame =
+    TextRanking.pmiPairs(T.documents(s, d), "text",
+      vocabSize = 20, minPairCount = 5)
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1821,7 +1828,8 @@ object SparkEntry {
     "q115_calibration" -> (q115_calibration _),
     "q116_incremental_minhash" -> (q116_incremental_minhash _),
     "q117_linkage_score" -> (q117_linkage_score _),
-    "q118_random_projection" -> (q118_random_projection _))
+    "q118_random_projection" -> (q118_random_projection _),
+    "q119_pmi_collocations" -> (q119_pmi_collocations _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -146,4 +146,51 @@ object TextRanking {
       .withColumn("id", row_number().over(Window.orderBy(ord: _*)))
       .select(col("id"), col("token"), col("cnt"))
   }
+
+  /** Document-level PMI collocations over the top-`vocabSize` tokens:
+    * for vocabulary tokens a < b, `pmi = ln(n_ab·N / (n_a·n_b))` from
+    * exact document frequencies — the association-mining step behind
+    * collocation extraction and topic seeding.
+    *
+    * The vocabulary restriction IS the scale story: unrestricted
+    * co-occurrence is quadratic in per-doc distinct terms, but each
+    * doc's vocab-filtered distinct set is ≤ `vocabSize`, so the pair
+    * explode is bounded at C(vocabSize, 2) per document. Pairs are
+    * generated from one per-doc sorted array (a single groupBy-free
+    * projection — tokens are filtered against the broadcast
+    * vocabulary, then paired by index in one higher-order expression),
+    * never a corpus self-join. All counts are exact integers; only the
+    * final ln/division touch floats, on identical operands. */
+  def pmiPairs(docs: DataFrame, textCol: String,
+               vocabSize: Int = 20, minPairCount: Long = 2): DataFrame = {
+    val vocabList = buildVocab(docs, textCol, vocabSize)
+      .select(collect_list(col("token")).as("vl"))
+    val nDocs = docs.agg(count(lit(1)).as("_nd"))
+    // per-doc sorted distinct vocab tokens, paired by index (i < j)
+    val toks = docs
+      .crossJoin(broadcast(vocabList))
+      .select(array_sort(array_distinct(filter(TF.tokens(col(textCol)),
+        t => array_contains(col("vl"), t)))).as("ts"))
+    val pairs = toks.select(explode(flatten(transform(col("ts"),
+        (a, i) => transform(slice(col("ts"), i + 2, size(col("ts"))),
+          b => struct(a.as("t_a"), b.as("t_b")))))).as("p"))
+      .select(col("p.t_a"), col("p.t_b"))
+      .groupBy("t_a", "t_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val docFreq = docs
+      .crossJoin(broadcast(vocabList))
+      .select(explode(array_distinct(filter(TF.tokens(col(textCol)),
+        t => array_contains(col("vl"), t)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    pairs
+      .join(broadcast(docFreq.select(col("token").as("t_a"),
+        col("df").as("n_a"))), Seq("t_a"))
+      .join(broadcast(docFreq.select(col("token").as("t_b"),
+        col("df").as("n_b"))), Seq("t_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t_a"), col("t_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log((col("n_ab") * col("_nd")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")) + lit(1e-9), 6)
+          .as("pmi"))
+  }
 }

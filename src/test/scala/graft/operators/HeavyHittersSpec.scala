@@ -60,6 +60,24 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got("flat") == ((50L, 0.0)))
   }
 
+  test("pmiPairs counts document co-occurrence over the vocab only") {
+    // "a b" in 4 docs, "a c" in 1, "z" rare (outside top-3 vocab)
+    val docs = Seq("a b", "a b", "a b", "a b z", "a c", "b c")
+      .toDF("text")
+    val got = TextRanking.pmiPairs(docs, "text",
+      vocabSize = 3, minPairCount = 1)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // vocab = {a (5), b (5), c (2)}; z excluded
+    assert(!got.keySet.exists { case (x, y) => x == "z" || y == "z" })
+    val ab = got(("a", "b"))
+    assert(ab._3 == 4L && ab._4 == 5L && ab._5 == 5L) // n_ab, n_a, n_b
+    // pmi = ln(4·6 / (5·5))
+    assert(math.abs(ab._6 -
+      math.rint((math.log(24.0 / 25.0) + 1e-9) * 1e6) / 1e6) < 1e-12)
+    assert(got(("a", "c"))._3 == 1L && got(("b", "c"))._3 == 1L)
+  }
+
   test("trendSlope excludes null x/y rows from every sum") {
     val df = Seq[(String, Option[Int], Option[Double])](
       ("g", Some(0), Some(1.0)), ("g", Some(1), Some(2.0)),
