@@ -90,6 +90,12 @@ object RecordLinkage {
                  entities: DataFrame, idCol: String,
                  rules: Seq[FieldRule]): DataFrame = {
     require(rules.nonEmpty, "no field rules declared")
+    // the output adds `score` and one `agree_<field>` per rule; a pairs
+    // column with one of those names would be silently shadowed
+    val added = "score" +: rules.map(r => s"agree_${r.field}")
+    val collisions = pairs.columns.toSet.intersect(added.toSet)
+    require(collisions.isEmpty,
+      s"pairs columns collide with scoring output: ${collisions.mkString(",")}")
     val fields = (idCol +: rules.map(_.field)).distinct
     def side(prefix: String) = entities
       .select(fields.map(f => col(f).as(prefix + f)): _*)
