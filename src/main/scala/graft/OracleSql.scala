@@ -1209,6 +1209,34 @@ object OracleSql {
         |FROM p JOIN dfq a ON p.t_a = a.token
         |  JOIN dfq b ON p.t_b = b.token, n""".stripMargin),
 
+    // q120: deterministic negative sampling — catalog index is dense
+    // rank in ascending p_partkey order, candidate idx =
+    // hex8(md5('neg' ␁ user ␁ attempt)) mod |catalog|, purchased pairs
+    // excluded via NOT EXISTS (dialect-neutral anti join), first-4
+    // surviving draws per customer. All-BIGINT output: nothing float-
+    // formatted is ever hashed
+    "q120_negative_sample" -> {
+      val h = hex8("'neg' || chr(1) || CAST(u AS VARCHAR) || chr(1) || " +
+        "CAST(j AS VARCHAR)")
+      s"""WITH pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS it
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |cat AS (SELECT p_partkey AS it,
+         |    ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS idx FROM part),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM cat),
+         |att AS (SELECT u, unnest(range(0, 12)) AS j
+         |  FROM (SELECT DISTINCT u FROM pos)),
+         |cand AS (SELECT u, j, $h % mm.m AS idx FROM att, mm),
+         |hit AS (SELECT c.u, c.j, cat.it FROM cand c JOIN cat USING (idx)),
+         |neg AS (SELECT u, it, MIN(j) AS j FROM hit
+         |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |    WHERE p.u = hit.u AND p.it = hit.it)
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT u, it, j,
+         |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY j) AS rnk FROM neg)
+         |SELECT u AS cust_key, it AS part_key, CAST(j AS BIGINT) AS attempt
+         |FROM rk WHERE rnk <= 4""".stripMargin
+    },
+
     // q107: duplicated-passage fraction — distinct 3-shingles per doc
     // (the q25/q26 shingle CTEs), shingle document-frequency >= 2 ⇒
     // duplicated; integer counts, fraction under the ROUND(+1e-9, 6)

@@ -756,6 +756,21 @@ object SparkEntry {
     TextRanking.pmiPairs(T.documents(s, d), "text",
       vocabSize = 20, minPairCount = 5)
 
+  /** Negative sampling for ranking/retrieval training data
+    * ([[operators.NegativeSampling.sample]]): up to 4 md5-deterministic
+    * unpurchased parts per customer, drawn from a 12-attempt budget
+    * against the distributed dense part index, purchase pairs excluded
+    * by one anti join. All-integer output. */
+  def q120_negative_sample(s: SparkSession, d: String): DataFrame = {
+    val pos = T.orders(s, d).join(T.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust_key"), col("l_partkey").as("part_key"))
+    NegativeSampling.sample(pos, "cust_key", "part_key",
+      T.part(s, d), "p_partkey", k = 4, oversample = 3)
+      .select(col("user").as("cust_key"), col("item").as("part_key"),
+        col("attempt").cast("long").as("attempt"))
+  }
+
   /** Rolling-window feature engineering: per-user trailing 5-event mean
     * value and running event count — the classic point-in-time feature
     * a training pipeline derives per example. One shuffle on user_id;
@@ -1829,7 +1844,8 @@ object SparkEntry {
     "q116_incremental_minhash" -> (q116_incremental_minhash _),
     "q117_linkage_score" -> (q117_linkage_score _),
     "q118_random_projection" -> (q118_random_projection _),
-    "q119_pmi_collocations" -> (q119_pmi_collocations _))
+    "q119_pmi_collocations" -> (q119_pmi_collocations _),
+    "q120_negative_sample" -> (q120_negative_sample _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
