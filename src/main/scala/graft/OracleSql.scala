@@ -1209,6 +1209,31 @@ object OracleSql {
         |FROM p JOIN dfq a ON p.t_a = a.token
         |  JOIN dfq b ON p.t_b = b.token, n""".stripMargin),
 
+    // q121: 3-round synchronous label propagation over the symmetrized
+    // co-purchase part graph, mirrored round for round; the per-node
+    // argmax is a row_number with (cnt DESC, lbl ASC) — identical to
+    // the engine's min(struct(-cnt, lbl)) aggregate. All-BIGINT
+    "q121_label_prop" -> {
+      val iter = (1 to 3).map { i =>
+        val p = i - 1
+        s"""c$i AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS cnt
+           |  FROM e JOIN l$p l ON e.src = l.id GROUP BY 1, 2),
+           |w$i AS (SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+           |    ORDER BY cnt DESC, lbl ASC) AS rk FROM c$i),
+           |l$i AS (SELECT id, lbl FROM w$i WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pe AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |e AS (SELECT x AS src, y AS dst FROM pe
+         |  UNION ALL SELECT y AS src, x AS dst FROM pe),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |l0 AS (SELECT id, id AS lbl FROM nodes),
+         |$iter
+         |SELECT CAST(id AS BIGINT) AS part_key,
+         |  CAST(lbl AS BIGINT) AS community FROM l3""".stripMargin
+    },
+
     // q120: deterministic negative sampling — catalog index is dense
     // rank in ascending p_partkey order, candidate idx =
     // hex8(md5('neg' ␁ user ␁ attempt)) mod |catalog|, purchased pairs

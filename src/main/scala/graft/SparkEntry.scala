@@ -1435,6 +1435,24 @@ object SparkEntry {
         round(col("rank") + lit(1e-9), 9).as("rank"))
   }
 
+  /** Community detection over the co-purchase part graph
+    * ([[operators.Graphs.labelPropagation]]): parts are linked when
+    * they appear in the same order; 3 synchronous rounds, most-frequent
+    * neighbour label with smallest-label tiebreak. All-integer output. */
+  def q121_label_prop(s: SparkSession, d: String): DataFrame = {
+    val pairs = T.lineitem(s, d).alias("a")
+      .join(T.lineitem(s, d).alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .distinct()
+    val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(pairs.select(col("y").as("src"), col("x").as("dst")))
+    Graphs.labelPropagation(edges, "src", "dst", iterations = 3)
+      .select(col("id").cast("long").as("part_key"),
+        col("lbl").cast("long").as("community"))
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -1845,7 +1863,8 @@ object SparkEntry {
     "q117_linkage_score" -> (q117_linkage_score _),
     "q118_random_projection" -> (q118_random_projection _),
     "q119_pmi_collocations" -> (q119_pmi_collocations _),
-    "q120_negative_sample" -> (q120_negative_sample _))
+    "q120_negative_sample" -> (q120_negative_sample _),
+    "q121_label_prop" -> (q121_label_prop _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -76,4 +76,55 @@ object Graphs {
     }
     rank
   }
+
+  /** Synchronous label propagation with a FIXED iteration count:
+    * every node starts labelled with its own id; each round it adopts
+    * the most frequent label among its neighbours, ties broken by the
+    * SMALLEST label — fully deterministic, so communities reproduce
+    * bit-for-bit and an external SQL engine can replay the rounds.
+    *
+    * Scale shape: each round is two hash aggregates — neighbour-label
+    * counts keyed (node, label), then the per-node argmax as
+    * `min(struct(-cnt, lbl))` with map-side partial aggregation — plus
+    * the label lookup join, broadcast while the measured node count
+    * stays under `broadcastNodeLimit` (the [[pagerank]] dispatch).
+    * No per-node window: a 10M-degree hub combines map-side like any
+    * aggregate.
+    *
+    * Edges must be symmetrized (an (a,b) and its (b,a) mirror) — the
+    * caller owns direction semantics, same contract as [[pagerank]];
+    * every node of a symmetrized edge list appears as a destination, so
+    * each round relabels every node. Node ids need an engine-stable
+    * ordering for the tiebreak — integers and dates are safe; string
+    * ids tie the mirror to collation. Bipartite graphs can oscillate
+    * under synchronous updates — with a fixed round budget the result
+    * is still deterministic, but interpret communities on such graphs
+    * accordingly. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int,
+                       broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val hint: DataFrame => DataFrame =
+      if (n <= broadcastNodeLimit) broadcast else identity
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iterations) {
+      val counts = e
+        .join(hint(labels.withColumnRenamed("id", "src")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax(cnt) with smallest-label tiebreak as ONE aggregate:
+      // struct ordering compares the negated count first, then the
+      // label itself — no numeric assumptions about the label type
+      labels = counts.groupBy("id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("m"))
+        .select(col("id"), col("m.lbl").as("lbl"))
+    }
+    labels
+  }
 }

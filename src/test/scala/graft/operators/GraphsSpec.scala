@@ -66,4 +66,44 @@ class GraphsSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
     assert(a == b)
   }
+
+  test("label propagation: two cliques joined by one bridge separate") {
+    import spark.implicits._
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) ++
+      Seq((3L, 10L), (10L, 3L))).toDF("src", "dst")
+    val got = Graphs.labelPropagation(e, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to its smallest member's label
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1)
+    assert(Seq(10L, 11L, 12L).map(got).distinct.size == 1)
+    assert(got(1L) != got(11L), "cliques must stay distinct communities")
+  }
+
+  test("label propagation: tiebreak picks the smallest label") {
+    import spark.implicits._
+    // node 5's neighbours 2 and 9 are tied at one edge each after round
+    // 1 relabels them to themselves (each is isolated-but-for-5)
+    val e = Seq((2L, 5L), (5L, 2L), (9L, 5L), (5L, 9L)).toDF("src", "dst")
+    val got = Graphs.labelPropagation(e, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) == 2L, s"tie must break to the smallest label, got $got")
+    assert(got(2L) == 5L && got(9L) == 5L)
+  }
+
+  test("label propagation is partitioning-invariant and branch-agnostic") {
+    import spark.implicits._
+    val edges = (1 to 60).flatMap { i =>
+      Seq((i.toLong, ((i * 11) % 60 + 1).toLong),
+        (((i * 11) % 60 + 1).toLong, i.toLong))
+    }.toDF("src", "dst")
+    val a = Graphs.labelPropagation(edges, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graphs.labelPropagation(edges.repartition(7), "src", "dst", 3,
+        broadcastNodeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }
