@@ -1209,6 +1209,45 @@ object OracleSql {
         |FROM p JOIN dfq a ON p.t_a = a.token
         |  JOIN dfq b ON p.t_b = b.token, n""".stripMargin),
 
+    // q122: hard negatives = the q29 exact-kNN mirror with each query's
+    // positive set (id ≡ qid mod 5) excluded before ranking
+    "q122_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT qid, id,
+        |    list_reduce(list_transform(range(1, len(v) + 1), i -> qv[i] * v[i]), (a, b) -> a + b)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (a, b) -> a + b)
+        |      * list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b)
+        |    ) AS cosine
+        |  FROM c CROSS JOIN q
+        |  WHERE id % 5 <> qid),
+        |ranked AS (
+        |  SELECT qid, id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS "rank"
+        |  FROM scored)
+        |SELECT qid, "rank", id, cosine FROM ranked WHERE "rank" <= 3""".stripMargin,
+
+    // q123: snapshot diff — statuses depend only on VALUE equality of
+    // (status, totalprice) between the two derived snapshots, so the
+    // mirror compares columns directly; all output is id + status string
+    "q123_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey AS id, o_orderstatus AS st,
+        |    o_totalprice AS tp FROM orders WHERE o_orderkey % 11 <> 0),
+        |c AS (SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+        |    o_totalprice AS tp FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT COALESCE(b.id, c.id) AS o_orderkey,
+        |  CASE WHEN b.id IS NULL THEN 'added'
+        |    WHEN c.id IS NULL THEN 'removed'
+        |    WHEN b.st <> c.st OR b.tp <> c.tp THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |FROM b FULL OUTER JOIN c ON b.id = c.id
+        |WHERE NOT (b.id IS NOT NULL AND c.id IS NOT NULL
+        |  AND b.st = c.st AND b.tp = c.tp)""".stripMargin,
+
     // q121: 3-round synchronous label propagation over the symmetrized
     // co-purchase part graph, mirrored round for round; the per-node
     // argmax is a row_number with (cnt DESC, lbl ASC) — identical to

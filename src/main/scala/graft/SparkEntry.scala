@@ -1453,6 +1453,36 @@ object SparkEntry {
         col("lbl").cast("long").as("community"))
   }
 
+  /** Hard-negative mining ([[operators.Similarity.hardNegatives]]):
+    * exact top-3 cosine neighbors per query with each query's positive
+    * set (corpus ids ≡ qid mod 5) excluded before the bounded-heap
+    * top-k — one broadcast anti join inside the single corpus scan. */
+  def q122_hard_negatives(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val positives = corpus.select((col("id") % 5).as("qid"), col("id"))
+    Similarity.hardNegatives(queries, corpus, positives, 3)
+      .select(col("qid"), col("rank"), col("id"), col("cosine"))
+  }
+
+  /** Corpus-refresh audit ([[operators.SnapshotDiff.diff]]): the added /
+    * removed / changed rows between two deterministic order-table
+    * snapshots (drops keyed mod 11 vs mod 7, status rewritten for keys
+    * mod 13), compared on (o_orderstatus, o_totalprice) fingerprints
+    * reduced map-side before the one full-outer join. */
+  def q123_snapshot_diff(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d)
+    val base = o.filter(col("o_orderkey") % 11 =!= 0)
+    val current = o.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 13 === 0, "X").otherwise(col("o_orderstatus")))
+    SnapshotDiff.diff(base, current, "o_orderkey",
+      Seq("o_orderstatus", "o_totalprice"))
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -1864,7 +1894,9 @@ object SparkEntry {
     "q118_random_projection" -> (q118_random_projection _),
     "q119_pmi_collocations" -> (q119_pmi_collocations _),
     "q120_negative_sample" -> (q120_negative_sample _),
-    "q121_label_prop" -> (q121_label_prop _))
+    "q121_label_prop" -> (q121_label_prop _),
+    "q122_hard_negatives" -> (q122_hard_negatives _),
+    "q123_snapshot_diff" -> (q123_snapshot_diff _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

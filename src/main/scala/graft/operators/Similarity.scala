@@ -102,6 +102,25 @@ object Similarity {
       .select(col("qid"), col("id"),
         V.cosine(col("qv"), col("v")).as("cosine")), k)
 
+  /** Hard-negative mining for contrastive training: exact top-k cosine
+    * neighbors of each query EXCLUDING its known positives — the
+    * highest-similarity non-matches are exactly the negatives a
+    * retrieval model learns most from.
+    *
+    * `positives` is (qid, id) for the query batch only, so it is
+    * broadcast-sized by the same argument that makes `queries`
+    * broadcastable; the exclusion is then a broadcast anti join applied
+    * BEFORE the bounded-heap top-k (excluding after would silently
+    * under-fill k), and the whole mine stays a single map-side corpus
+    * scan — no shuffle at any corpus size. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    positives: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col("qid"), col("id"), V.cosine(col("qv"), col("v")).as("cosine"))
+    topK(scored.join(broadcast(positives.select("qid", "id")),
+      Seq("qid", "id"), "left_anti"), k)
+  }
+
   /** IVF-Flat ANN: a k-means coarse quantizer (distributed MLlib fit)
     * assigns every corpus vector to its nearest of `nList` centroids;
     * queries probe the `nProbe` nearest inverted lists and score only

@@ -136,6 +136,34 @@ class SamplingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hardNegatives equals bruteForce on survivors, never emits a positive") {
+    import spark.implicits._
+    val corpus = (1 to 60)
+      .map(i => (i.toLong, Array.tabulate(4)(j => math.sin(i * (j + 1)))))
+      .toDF("id", "v")
+    val queries = (1 to 3)
+      .map(i => (i.toLong, Array.tabulate(4)(j => math.cos(i + j))))
+      .toDF("qid", "qv")
+    // each query's positives: ids congruent to it mod 3
+    val positives = (1 to 60).flatMap { i =>
+      val q = (i % 3) + 1L
+      if (q <= 3) Some((q, i.toLong)) else None
+    }.toDF("qid", "id")
+    val got = Similarity.hardNegatives(queries, corpus, positives, 5)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.forall { case (q, i, _) => (i % 3) + 1 != q },
+      "a positive leaked into the negatives")
+    // equivalent to brute force over the pre-filtered corpus, per query
+    val want = (1L to 3L).flatMap { q =>
+      val filtered = corpus.filter((col("id") % 3) + 1 =!= q)
+      Similarity.bruteForce(queries.filter(col("qid") === q), filtered, 5)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    }.toSet
+    assert(got == want)
+  }
+
   test("weightedSample matches the window formulation and favors weight") {
     import spark.implicits._
     // two weight classes: heavy rows (w=50) vs light (w=1)
