@@ -1209,6 +1209,28 @@ object OracleSql {
         |FROM p JOIN dfq a ON p.t_a = a.token
         |  JOIN dfq b ON p.t_b = b.token, n""".stripMargin),
 
+    // q124: winsorization — thresholds are ROUND(+1e-9, 6)-canonical
+    // interpolated quantiles (the q89 convention) inlined into the
+    // clip, so the replacement value is 6dp-decimal-representable and
+    // the DECIMAL(18,6) clipped sum is order- and engine-independent
+    "q124_winsorize" ->
+      """WITH th AS (SELECT
+        |    ROUND(quantile_cont(l_extendedprice, 0.05) + 1e-9, 6) AS lo,
+        |    ROUND(quantile_cont(l_extendedprice, 0.95) + 1e-9, 6) AS hi
+        |  FROM lineitem),
+        |c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CASE WHEN l_extendedprice < lo THEN lo
+        |      WHEN l_extendedprice > hi THEN hi
+        |      ELSE CAST(l_extendedprice AS DOUBLE) END AS w
+        |  FROM lineitem, th)
+        |SELECT CAST(SUM(CASE WHEN w > v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_raised,
+        |  CAST(SUM(CASE WHEN w < v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lowered,
+        |  MIN(w) AS t_lo, MAX(w) AS t_hi,
+        |  CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized
+        |FROM c""".stripMargin,
+
     // q122: hard negatives = the q29 exact-kNN mirror with each query's
     // positive set (id ≡ qid mod 5) excluded before ranking
     "q122_hard_negatives" ->

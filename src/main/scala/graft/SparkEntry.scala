@@ -1483,6 +1483,24 @@ object SparkEntry {
       Seq("o_orderstatus", "o_totalprice"))
   }
 
+  /** Winsorization ([[operators.Profiling.winsorize]]): clip
+    * l_extendedprice to its exact [p05, p95] — thresholds from the
+    * parallel order-statistics sort, clip as a literal-inlined codegen
+    * projection. Emits clip counts, the realized fences (min/max of the
+    * clipped column), and the decimal-exact clipped sum. */
+  def q124_winsorize(s: SparkSession, d: String): DataFrame = {
+    val w = Profiling.winsorize(T.lineitem(s, d), "l_extendedprice",
+      0.05, 0.95)
+    val v = col("l_extendedprice").cast("double")
+    w.agg(
+      sum(when(col("winsorized") > v, 1L).otherwise(0L)).as("n_raised"),
+      sum(when(col("winsorized") < v, 1L).otherwise(0L)).as("n_lowered"),
+      min(col("winsorized")).as("t_lo"),
+      max(col("winsorized")).as("t_hi"),
+      graft.util.Exact.sumExact(col("winsorized"), 18, 6)
+        .as("sum_winsorized"))
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -1896,7 +1914,8 @@ object SparkEntry {
     "q120_negative_sample" -> (q120_negative_sample _),
     "q121_label_prop" -> (q121_label_prop _),
     "q122_hard_negatives" -> (q122_hard_negatives _),
-    "q123_snapshot_diff" -> (q123_snapshot_diff _))
+    "q123_snapshot_diff" -> (q123_snapshot_diff _),
+    "q124_winsorize" -> (q124_winsorize _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -51,6 +51,31 @@ object Profiling {
     } finally rdd.unpersist(false)
   }
 
+  /** Percentile clipping (winsorization): values below the `pLo`
+    * quantile are raised to it, values above `pHi` lowered to it — the
+    * standard heavy-tail taming step before statistics or model
+    * features that a stray sentinel value would otherwise dominate.
+    *
+    * Thresholds come from [[exactQuantiles]] (range-partitioned
+    * parallel sort, never the one-reducer percentile map) and are
+    * inlined as LITERALS into a codegen'd clip projection — after the
+    * threshold pass the clip is shuffle-free at any scale. The
+    * thresholds are rounded to `roundTo` decimals (under the repo's
+    * `+1e-9` convention) BEFORE clipping: the replacement value
+    * typically feeds downstream sums, and rounding makes it
+    * decimal-representable so mirrored engines whose interpolation
+    * differs in the last ulp still clip to the identical value. */
+  def winsorize(df: DataFrame, column: String, pLo: Double, pHi: Double,
+                outCol: String = "winsorized",
+                roundTo: Int = 6): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val Seq(lo, hi) = exactQuantiles(df, column, Seq(pLo, pHi))
+    val tLo = round(lit(lo) + lit(1e-9), roundTo)
+    val tHi = round(lit(hi) + lit(1e-9), roundTo)
+    val v = col(column).cast("double")
+    df.withColumn(outCol, when(v < tLo, tLo).when(v > tHi, tHi).otherwise(v))
+  }
+
   /** Exact interpolated quantiles for SEVERAL columns, adaptively.
     *
     * The range-sort path ([[exactQuantiles]]) is the general answer but

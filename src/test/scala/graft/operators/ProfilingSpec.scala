@@ -92,4 +92,18 @@ class ProfilingSpec extends SparkSpec {
       }
     }
   }
+
+  test("winsorize clips exactly at the rounded quantile fences") {
+    import spark.implicits._
+    // values 1..100: p10 = 10.9, p90 = 90.1 under p·(n−1) interpolation
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val w = Profiling.winsorize(df, "x", 0.10, 0.90, outCol = "wx")
+      .select("x", "wx").as[(Double, Double)].collect().toMap
+    assert(w(5.0) == 10.9 && w(1.0) == 10.9, "low tail raised to p10")
+    assert(w(95.0) == 90.1 && w(100.0) == 90.1, "high tail lowered to p90")
+    assert(w(50.0) == 50.0 && w(11.0) == 11.0, "interior untouched")
+    val mn = w.values.min
+    val mx = w.values.max
+    assert(mn == 10.9 && mx == 90.1)
+  }
 }
