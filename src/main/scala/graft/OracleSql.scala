@@ -1855,6 +1855,23 @@ object OracleSql {
         |  ROUND(lo + 1e-9, 6) AS fence_lo, ROUND(hi + 1e-9, 6) AS fence_hi
         |FROM events, f GROUP BY event_type, lo, hi""".stripMargin,
 
+    // q125: the audio-codec gate's oracle never touches a WAV — it
+    // recomputes the per-clip integer stats from the same closed-form
+    // sample formula the engine encoded into its fixtures (q42o's
+    // pattern for audio); positive operands only, so % is dialect-safe
+    "q125_audio_stats" ->
+      """WITH ids AS (SELECT unnest(range(0, 16)) AS i),
+        |cfg AS (SELECT i, 8000 + i * 500 AS rate,
+        |    200 + (i % 5) * 40 AS n FROM ids),
+        |ts AS (SELECT i, rate, n, unnest(range(0, n)) AS t FROM cfg),
+        |v AS (SELECT i, rate, n,
+        |    ((t * 31 + i * 17) % 4001) - 2000 AS v FROM ts)
+        |SELECT i AS media_id, CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
+        |FROM v GROUP BY i, rate, n""".stripMargin,
+
     // q42o: the image-codec gate's oracle never touches an image — it
     // recomputes the per-image channel sums from the same closed-form
     // pixel formula the engine encoded into its PNG fixtures, so any

@@ -1229,6 +1229,27 @@ object SparkEntry {
         col("_s._3").as("b_sum"))
   }
 
+  /** Audio-codec gate (the q42o pattern for the audio branch): 16 WAV
+    * fixtures whose int16 samples come from a closed-form formula,
+    * encoded by [[graft.multimodal.Multimodal.encodeWav]], decoded back
+    * through the REAL RIFF parser, and reduced to all-integer signal
+    * stats. The oracle recomputes the identical stats from the formula
+    * in pure SQL, so header layout, chunk walking, little-endian int16
+    * reads, and the stat fold all face the hash compare. */
+  def q125_audio_stats(s: SparkSession, d: String): DataFrame = {
+    val wav = udf { (i: Long) =>
+      val n = 200 + (i % 5).toInt * 40
+      val samples = Array.tabulate[Short](n) { t =>
+        (((t.toLong * 31 + i * 17) % 4001) - 2000).toShort
+      }
+      graft.multimodal.Multimodal.encodeWav(8000 + i.toInt * 500, 1, samples)
+    }
+    val media = s.range(16).select(col("id").as("media_id"),
+      lit("audio").as("kind"), wav(col("id")).as("payload"),
+      map().cast("map<string,string>").as("meta"))
+    graft.multimodal.Multimodal.audioStats(media)
+  }
+
   /** The streaming surface at data scale: the full events table fed
     * through a MemoryStream in event-time order (4 chunks, so the
     * watermark advances across micro-batches and sessions flush
@@ -1915,7 +1936,8 @@ object SparkEntry {
     "q121_label_prop" -> (q121_label_prop _),
     "q122_hard_negatives" -> (q122_hard_negatives _),
     "q123_snapshot_diff" -> (q123_snapshot_diff _),
-    "q124_winsorize" -> (q124_winsorize _))
+    "q124_winsorize" -> (q124_winsorize _),
+    "q125_audio_stats" -> (q125_audio_stats _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

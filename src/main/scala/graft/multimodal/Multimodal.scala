@@ -150,6 +150,111 @@ object Multimodal {
       .select("media_id", "embedding")
   }
 
+  /** Audio decode output: id + format + integer signal stats. */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  /** REAL RIFF/WAVE codec (pure JVM, no external libraries): walks the
+    * chunk list, requires a PCM (format 1) 16-bit `fmt ` chunk, and
+    * reads little-endian int16 samples from the `data` chunk. Unknown
+    * chunks (LIST, fact, …) are skipped by their declared size, and odd
+    * chunk sizes honor RIFF's pad byte. Returns null for payloads that
+    * are not 16-bit PCM WAV — callers decide whether to stub or drop. */
+  private[multimodal] def decodeWav(payload: Array[Byte])
+  : Option[(Int, Int, Array[Short])] = {
+    def le16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+    def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+    var bits = 0
+    var out: Option[(Int, Int, Array[Short])] = None
+    var o = 12
+    while (o + 8 <= payload.length && out.isEmpty) {
+      val id = tag(o)
+      val size = le32(o + 4)
+      if (size < 0 || o + 8 + size > payload.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          fmt = Some((le16(o + 8), le16(o + 10), le32(o + 12)))
+          bits = le16(o + 22)
+        case "data" =>
+          fmt match {
+            case Some((1, ch, rate)) if bits == 16 && ch >= 1 =>
+              val n = size / 2
+              val samples = new Array[Short](n)
+              var i = 0
+              while (i < n) {
+                samples(i) = le16(o + 8 + i * 2).toShort
+                i += 1
+              }
+              out = Some((rate, ch, samples))
+            case _ => return None // data before fmt, or non-PCM16
+          }
+        case _ => () // skip LIST/fact/other chunks
+      }
+      o += 8 + size + (size & 1) // RIFF pads odd-sized chunks
+    }
+    out
+  }
+
+  /** Encode 16-bit PCM samples as a WAV payload (the fixture/sink side
+    * of [[decodeWav]]; round-trips bit-exactly). */
+  def encodeWav(sampleRate: Int, channels: Int,
+                samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Audio feature extraction over a media table: decode WAV payloads
+    * through the real codec and reduce each to integer signal stats
+    * (sample count, Σ|sample|, peak |sample|) — all-integer output, so
+    * the stats are hash-exact across engines. Non-WAV payloads are
+    * dropped (count them upstream via a `kind` filter). Batched
+    * mapPartitions like [[decode]]: zero driver involvement, scales
+    * with partitions. */
+  def audioStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            decodeWav(r.getAs[Array[Byte]](1)).map {
+              case (rate, ch, samples) =>
+                var sumAbs = 0L
+                var peak = 0
+                var i = 0
+                while (i < samples.length) {
+                  val a = math.abs(samples(i).toInt)
+                  sumAbs += a
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                Row(r.getLong(0), rate, ch, samples.length.toLong,
+                  sumAbs, peak)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, audioStatsSchema)
+  }
+
   /** Video frame sampling: one payload → every-Nth synthetic frame rows
     * (explode-shaped, so downstream image ops apply per frame). */
   def frameSample(media: DataFrame, everyN: Int = 10,

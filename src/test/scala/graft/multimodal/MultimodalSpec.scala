@@ -93,4 +93,57 @@ class MultimodalSpec extends SparkSpec {
     assert(counts(0L) == 2)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "payload"))
   }
+
+  test("WAV codec round-trips 16-bit PCM bit-exactly, mono and stereo") {
+    val mono = Array.tabulate[Short](300)(t => ((t * 37) % 4001 - 2000).toShort)
+    val Some((r1, c1, s1)) =
+      Multimodal.decodeWav(Multimodal.encodeWav(16000, 1, mono))
+    assert(r1 == 16000 && c1 == 1 && s1.sameElements(mono))
+    val stereo = Array.tabulate[Short](128)(t => (t - 64).toShort)
+    val Some((r2, c2, s2)) =
+      Multimodal.decodeWav(Multimodal.encodeWav(44100, 2, stereo))
+    assert(r2 == 44100 && c2 == 2 && s2.sameElements(stereo))
+  }
+
+  test("WAV decoder skips unknown chunks and honors the RIFF pad byte") {
+    val samples = Array.tabulate[Short](50)(t => (t * 3).toShort)
+    val base = Multimodal.encodeWav(8000, 1, samples)
+    // splice an odd-sized LIST chunk between fmt and data (offset 36)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](7, 0, 0, 0) ++ Array.fill[Byte](7)(0x55) ++
+      Array[Byte](0) // pad to even
+    val spliced = base.take(36) ++ junk ++ base.drop(36)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val total = spliced.length - 8
+    for (k <- 0 until 4) spliced(4 + k) = ((total >> (8 * k)) & 0xFF).toByte
+    val Some((rate, ch, got)) = Multimodal.decodeWav(spliced)
+    assert(rate == 8000 && ch == 1 && got.sameElements(samples))
+  }
+
+  test("WAV decoder rejects non-WAV and truncated payloads as None") {
+    assert(Multimodal.decodeWav("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+    val good = Multimodal.encodeWav(8000, 1,
+      Array.tabulate[Short](40)(_.toShort))
+    assert(Multimodal.decodeWav(good.take(50)).isEmpty,
+      "data chunk truncated mid-payload must not decode")
+    // flip the PCM format tag to 3 (IEEE float) — not supported
+    val nonPcm = good.clone()
+    nonPcm(20) = 3
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+  }
+
+  test("audioStats reduces WAV payloads to exact integer signal stats") {
+    val spark2 = spark
+    import spark2.implicits._
+    val samples = Array[Short](100, -200, 300, -400)
+    val rows = Seq((1L, Multimodal.encodeWav(8000, 1, samples)),
+      (2L, "junk".getBytes))
+    val media = rows.toDF("media_id", "payload")
+    val got = Multimodal.audioStats(media).collect()
+    assert(got.length == 1, "non-WAV payloads are dropped")
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getInt(1) == 8000 && r.getInt(2) == 1)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 1000L && r.getInt(5) == 400)
+  }
 }
