@@ -1469,7 +1469,12 @@ object SparkEntry {
       .distinct()
     val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
       .unionByName(pairs.select(col("y").as("src"), col("x").as("dst")))
-    Graphs.labelPropagation(edges, "src", "dst", iterations = 3)
+    // broadcastNodeLimit = 0: let AQE pick the join strategy inside one
+    // job — the explicit per-round broadcast forces an eager
+    // materialization job per round, each paying cold codegen (measured
+    // 14.3 s cold / 3.1 s warm broadcast vs 13.1 / 1.9 AQE at sf0.1)
+    Graphs.labelPropagation(edges, "src", "dst", iterations = 3,
+      broadcastNodeLimit = 0L)
       .select(col("id").cast("long").as("part_key"),
         col("lbl").cast("long").as("community"))
   }
