@@ -1855,6 +1855,19 @@ object OracleSql {
         |  ROUND(lo + 1e-9, 6) AS fence_lo, ROUND(hi + 1e-9, 6) AS fence_hi
         |FROM events, f GROUP BY event_type, lo, hi""".stripMargin,
 
+    // q126: Morton interleave mirrored bit for bit with >>/&/<< on
+    // BIGINT (dialect-core operators); all-integer output
+    "q126_zorder" -> {
+      val terms = (0 until 10).map { k =>
+        s"(((a >> $k) & 1) << ${2 * k}) + (((b >> $k) & 1) << ${2 * k + 1})"
+      }.mkString(" + ")
+      s"""WITH x AS (SELECT l_orderkey, l_linenumber,
+         |    CAST(l_orderkey % 1024 AS BIGINT) AS a,
+         |    CAST(l_partkey % 1024 AS BIGINT) AS b FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST($terms AS BIGINT) AS zvalue FROM x""".stripMargin
+    },
+
     // q125: the audio-codec gate's oracle never touches a WAV — it
     // recomputes the per-clip integer stats from the same closed-form
     // sample formula the engine encoded into its fixtures (q42o's

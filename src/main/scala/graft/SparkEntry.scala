@@ -1527,6 +1527,16 @@ object SparkEntry {
         .as("sum_winsorized"))
   }
 
+  /** Z-order layout key ([[operators.ZOrder.zValue]]): the Morton code
+    * a lakehouse OPTIMIZE would range-partition lineitem by for 2-D
+    * (orderkey, partkey) locality — pure codegen bit interleave,
+    * all-integer output. The physical cluster step (one range exchange)
+    * is spec-gated; here the key itself faces the hash compare. */
+  def q126_zorder(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      ZOrder.zValue(col("l_orderkey") % 1024, col("l_partkey") % 1024, 10)
+        .as("zvalue"))
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -1942,7 +1952,8 @@ object SparkEntry {
     "q122_hard_negatives" -> (q122_hard_negatives _),
     "q123_snapshot_diff" -> (q123_snapshot_diff _),
     "q124_winsorize" -> (q124_winsorize _),
-    "q125_audio_stats" -> (q125_audio_stats _))
+    "q125_audio_stats" -> (q125_audio_stats _),
+    "q126_zorder" -> (q126_zorder _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
