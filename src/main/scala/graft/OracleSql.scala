@@ -1855,6 +1855,34 @@ object OracleSql {
         |  ROUND(lo + 1e-9, 6) AS fence_lo, ROUND(hi + 1e-9, 6) AS fence_hi
         |FROM events, f GROUP BY event_type, lo, hi""".stripMargin,
 
+    // q127: the identical RE2-safe strip chain (no backreferences, no
+    // \Q\E, 1+-quantifiers only — the corners where Java regex and RE2
+    // could diverge are avoided); 'g' makes DuckDB replace globally
+    // like Spark does by default, entity decode order ends with &amp;
+    "q127_html_extract" -> {
+      def rr(e: String, pat: String, rep: String) =
+        s"regexp_replace($e, '$pat', '$rep', 'g')"
+      val page = "'<html><head><style>p { margin: 0; }</style></head>" +
+        "<body><h1>Doc &amp; Title</h1><p class=\"b\">' || " +
+        "substr(text, 1, 200) || '</p><script>var x = 1 < 2;</script>" +
+        "&nbsp;tail</body></html>'"
+      val steps = Seq(
+        ("(?s)<script[^>]*>.*?</script>", " "),
+        ("(?s)<style[^>]*>.*?</style>", " "),
+        ("<[^>]+>", " "),
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "''"),
+        ("&amp;", "&"),
+        ("\\s+", " "))
+      val chain = steps.foldLeft(page) { case (e, (p, r)) => rr(e, p, r) }
+      s"""SELECT doc_id, md5(trim($chain)) AS text_hash,
+         |  CAST(length(trim($chain)) AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin
+    },
+
     // q126: Morton interleave mirrored bit for bit with >>/&/<< on
     // BIGINT (dialect-core operators); all-integer output
     "q126_zorder" -> {

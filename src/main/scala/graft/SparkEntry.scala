@@ -1537,6 +1537,24 @@ object SparkEntry {
       ZOrder.zValue(col("l_orderkey") % 1024, col("l_partkey") % 1024, 10)
         .as("zvalue"))
 
+  /** Web-extraction step ([[graft.functions.TextFunctions.stripHtml]]):
+    * each document rendered into a deterministic HTML page (title,
+    * style, script, entities) and stripped back to text — script/style
+    * content and tags must vanish, entities decode, whitespace
+    * collapses. Output is fingerprint + lengths; the oracle applies
+    * the identical RE2-safe regex chain. */
+  def q127_html_extract(s: SparkSession, d: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><style>p { margin: 0; }</style></head><body>" +
+        "<h1>Doc &amp; Title</h1><p class=\"b\">"),
+      substring(col("text"), 1, 200),
+      lit("</p><script>var x = 1 < 2;</script>&nbsp;tail</body></html>"))
+    T.documents(s, d).select(col("doc_id"),
+      TF.stripHtml(page).as("_t"))
+      .select(col("doc_id"), md5(col("_t")).as("text_hash"),
+        length(col("_t")).cast("long").as("n_chars"))
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -1953,7 +1971,8 @@ object SparkEntry {
     "q123_snapshot_diff" -> (q123_snapshot_diff _),
     "q124_winsorize" -> (q124_winsorize _),
     "q125_audio_stats" -> (q125_audio_stats _),
-    "q126_zorder" -> (q126_zorder _))
+    "q126_zorder" -> (q126_zorder _),
+    "q127_html_extract" -> (q127_html_extract _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -79,6 +79,28 @@ object TextFunctions {
   /** Document fingerprint: stable 16-hex-digit digest prefix. */
   def fingerprint(text: Column): Column = substring(md5(text), 1, 16)
 
+  /** HTML → text extraction (the WET-style boilerplate strip a web
+    * corpus runs before any quality/dedup stage): drop script/style
+    * elements with their content, drop all remaining tags, decode the
+    * six common entities, collapse whitespace. Pure chained
+    * `regexp_replace` — codegen'd, zero shuffle. The patterns avoid
+    * backreferences and use RE2-safe syntax, so a SQL mirror applies
+    * the IDENTICAL chain; malformed markup degrades the same way on
+    * both sides by construction. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        // entity names contain no regex metacharacters: the raw string
+        // is its own pattern in both Java regex and RE2
+        regexp_replace(c, from, to)
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Word n-gram shingles (space-joined); fewer than n tokens → empty.
     *
     * Single-pass UDF over the token array, for the same reason as

@@ -66,4 +66,22 @@ class TextFunctionsSpec extends SparkSpec {
       s"'${r.getString(2)}': ${r.getInt(0)} vs ${r.getInt(1)}")
       .mkString("; "))
   }
+
+  test("stripHtml drops script/style with content, tags, decodes entities") {
+    import spark.implicits._
+    val html = "<html><head><style>p{color:red}</style></head><body>" +
+      "<h1>A &amp; B</h1>\n<p class='x'>keep &lt;this&gt; text</p>" +
+      "<script>\nvar s = '<p>not text</p>';\n</script>" +
+      "&quot;q&quot;&#39;a&#39;&nbsp;end</body></html>"
+    val got = Seq(html).toDF("h")
+      .select(TextFunctions.stripHtml(col("h"))).as[String].head()
+    assert(got == "A & B keep <this> text \"q\"'a' end", s"got: '$got'")
+  }
+
+  test("stripHtml is the identity modulo whitespace on plain text") {
+    import spark.implicits._
+    val got = Seq("  plain   text,  no markup  ").toDF("h")
+      .select(TextFunctions.stripHtml(col("h"))).as[String].head()
+    assert(got == "plain text, no markup")
+  }
 }
