@@ -1883,6 +1883,32 @@ object OracleSql {
          |FROM documents""".stripMargin
     },
 
+    // q128: grouped top-k mirrored as a window rank — identical to the
+    // engine's bounded-heap (-cnt, token) struct ordering
+    "q128_top_terms_by_source" -> (toksCte + """,
+        |ex AS (SELECT source, unnest(toks) AS token FROM t),
+        |c AS (SELECT source, token, COUNT(*) AS cnt FROM ex GROUP BY 1, 2),
+        |r AS (SELECT source, token, cnt, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY cnt DESC, token ASC) AS rnk
+        |  FROM c)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, token, cnt
+        |FROM r WHERE rnk <= 5""".stripMargin),
+
+    // q129: aligned union = UNION ALL with explicit NULL fills
+    "q129_align_union" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS rec_id, o_orderstatus AS status,
+        |    'orders' AS origin, CAST(NULL AS VARCHAR) AS flag FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, CAST(NULL AS VARCHAR), 'lineitem',
+        |    l_returnflag FROM lineitem)
+        |SELECT origin, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_status,
+        |  CAST(SUM(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_flag
+        |FROM u GROUP BY 1""".stripMargin,
+
     // q126: Morton interleave mirrored bit for bit with >>/&/<< on
     // BIGINT (dialect-core operators); all-integer output
     "q126_zorder" -> {

@@ -1555,6 +1555,39 @@ object SparkEntry {
         length(col("_t")).cast("long").as("n_chars"))
   }
 
+  /** Per-source top-5 terms: token counts keyed (source, token), then a
+    * bounded-heap per-source top-k ([[graft.functions.AggFunctions
+    * .collectTopK]] on (-cnt, token)) — each map task retains ≤ k
+    * candidates per source, never the source's full vocabulary (the
+    * [[operators.Similarity]] topK shape on text). */
+  def q128_top_terms_by_source(s: SparkSession, d: String): DataFrame = {
+    val counts = T.documents(s, d)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("source")
+      .agg(graft.functions.AggFunctions.collectTopK(
+        struct((-col("cnt")).as("nc"), col("token")), 5, smallest = true)
+        .as("_top"))
+      .select(col("source"), posexplode(col("_top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.token").as("token"), (-col("col.nc")).as("cnt"))
+  }
+
+  /** Heterogeneous-corpus ingest ([[operators.AlignUnion.unionAligned]]):
+    * two differently-shaped source tables aligned to one schema (missing
+    * columns null-filled, by name) in one pass; per-origin row and
+    * null-column counts prove the alignment. */
+  def q129_align_union(s: SparkSession, d: String): DataFrame = {
+    val a = T.orders(s, d).select(col("o_orderkey").as("rec_id"),
+      col("o_orderstatus").as("status"), lit("orders").as("origin"))
+    val b = T.lineitem(s, d).select(col("l_orderkey").as("rec_id"),
+      col("l_returnflag").as("flag"), lit("lineitem").as("origin"))
+    AlignUnion.unionAligned(Seq(a, b))
+      .groupBy("origin").agg(count(lit(1)).as("n"),
+        sum(when(col("status").isNull, 1L).otherwise(0L)).as("null_status"),
+        sum(when(col("flag").isNull, 1L).otherwise(0L)).as("null_flag"))
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -1972,7 +2005,9 @@ object SparkEntry {
     "q124_winsorize" -> (q124_winsorize _),
     "q125_audio_stats" -> (q125_audio_stats _),
     "q126_zorder" -> (q126_zorder _),
-    "q127_html_extract" -> (q127_html_extract _))
+    "q127_html_extract" -> (q127_html_extract _),
+    "q128_top_terms_by_source" -> (q128_top_terms_by_source _),
+    "q129_align_union" -> (q129_align_union _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
