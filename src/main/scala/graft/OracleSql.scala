@@ -1883,6 +1883,29 @@ object OracleSql {
          |FROM documents""".stripMargin
     },
 
+    // q130: repeated spans — positioned 3-shingles, cross-doc set via
+    // DISTINCT (doc, sh) + HAVING >= 2, overlap-merge islands with the
+    // lag/running-sum construction (hits at p, q overlap iff q <= p+2);
+    // all-BIGINT output
+    "q130_repeated_spans" -> (toksCte + """,
+        |p AS (SELECT doc_id, toks,
+        |    unnest(range(1, len(toks) - 1)) AS i FROM t
+        |  WHERE len(toks) >= 3),
+        |shp AS (SELECT doc_id, i - 1 AS pos,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh FROM p),
+        |dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM shp)
+        |  GROUP BY sh HAVING COUNT(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM shp JOIN dup USING (sh)),
+        |m AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL
+        |      OR pos > lag(pos) OVER w + 2 THEN 1 ELSE 0 END AS nw
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g FROM m)
+        |SELECT doc_id, MIN(pos) AS span_start,
+        |  MAX(pos) + 2 AS span_end, COUNT(*) AS n_hits
+        |FROM isl GROUP BY doc_id, g""".stripMargin),
+
     // q128: grouped top-k mirrored as a window rank — identical to the
     // engine's bounded-heap (-cnt, token) struct ordering
     "q128_top_terms_by_source" -> (toksCte + """,

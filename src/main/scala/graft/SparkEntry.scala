@@ -1588,6 +1588,13 @@ object SparkEntry {
         sum(when(col("flag").isNull, 1L).otherwise(0L)).as("null_flag"))
   }
 
+  /** Exact-substring dedup spans ([[operators.Dedup.repeatedSpans]]):
+    * maximal token ranges of every document covered by 3-shingles that
+    * recur in other documents — positioned shingles, one frequency
+    * semi join, document-local overlap merge. All-integer output. */
+  def q130_repeated_spans(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedSpans(T.documents(s, d), "doc_id", "text", n = 3)
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -2007,7 +2014,8 @@ object SparkEntry {
     "q126_zorder" -> (q126_zorder _),
     "q127_html_extract" -> (q127_html_extract _),
     "q128_top_terms_by_source" -> (q128_top_terms_by_source _),
-    "q129_align_union" -> (q129_align_union _))
+    "q129_align_union" -> (q129_align_union _),
+    "q130_repeated_spans" -> (q130_repeated_spans _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

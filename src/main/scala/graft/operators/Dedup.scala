@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF, VectorOps => V}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication at training-data scale.
@@ -507,5 +508,46 @@ object Dedup {
           .otherwise(round(
             col("n_duplicated").cast("double") / col("n_shingles")
               + lit(1e-9), 6)).as("dup_fraction"))
+  }
+
+  /** Cross-document repeated SPANS — the span-level sibling of
+    * [[duplicatePassages]] (which only scores a fraction): for every
+    * document, the maximal token ranges covered by n-token shingles
+    * that also appear in at least `minDocs − 1` OTHER documents. This
+    * is the shingle-join realization of exact-substring training-data
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — the suffix-array construction there is
+    * single-machine; the distributed shape is position-aware shingles +
+    * one frequency join).
+    *
+    * Plan: positioned shingles (map-side) → cross-doc shingle set (two
+    * hash aggregates over DISTINCT (doc, shingle)) → semi join back →
+    * per-document overlap-merge of hit positions (hits at p and q
+    * overlap iff q ≤ p + n − 1) via one doc-partitioned window —
+    * document-local state, bounded by the document's own token count,
+    * the same boundedness as chunking/sessionization. All-integer
+    * output: (doc_id, span_start, span_end, n_hits), token-indexed,
+    * end inclusive. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    val sh = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.shingles(col(textCol), n)).as(Seq("pos", "sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = sh.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs).select("sh")
+    val hits = sh.join(dup, Seq("sh"), "left_semi").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(w)
+    hits
+      .withColumn("_new",
+        when(prev.isNull || col("pos") > prev + lit(n - 1), 1).otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(w))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_hits"))
+      .select("doc_id", "span_start", "span_end", "n_hits")
   }
 }

@@ -87,4 +87,41 @@ class DedupClusterSpec extends SparkSpec {
       1L -> ((1L, 3L, 2L)), 2L -> ((1L, 3L, 2L)), 3L -> ((1L, 3L, 2L)),
       5L -> ((5L, 1L, 5L)), 7L -> ((7L, 2L, 8L)), 8L -> ((7L, 2L, 8L))))
   }
+
+  test("repeatedSpans merges overlapping cross-doc shingle hits into maximal spans") {
+    import spark.implicits._
+    // docs 1 and 2 share the run "a b c d e" (tokens 2..6 of doc 1,
+    // 0..4 of doc 2); doc 3 shares nothing 3 tokens long with anyone
+    val docs = Seq(
+      (1L, "x y a b c d e z z2 z3"),
+      (2L, "a b c d e q r"),
+      (3L, "u v w x2 y2")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // shared 5-token run = 3 overlapping shingles -> ONE merged span
+    assert(got == Set((1L, 2L, 6L, 3L), (2L, 0L, 4L, 3L)), s"got $got")
+  }
+
+  test("repeatedSpans keeps disjoint repeats as separate spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c GAP1 GAP2 GAP3 d e f"),
+      (2L, "a b c m n o p q r s"),
+      (3L, "d e f k l m2 n2 o2")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3)
+      .filter(col("doc_id") === 1L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 2L, 1L), (6L, 8L, 1L)), s"got $got")
+  }
+
+  test("repeatedSpans: a within-doc-only repeat is not a cross-doc span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s p q r s"), // repeats internally only
+      (2L, "different words entirely here")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", n = 3).count() == 0)
+  }
 }
