@@ -1883,6 +1883,18 @@ object OracleSql {
          |FROM documents""".stripMargin
     },
 
+    // q131: join-skew advisor — per-key counts, pair contribution,
+    // window-rank mirror of the bounded-heap (pairs DESC, key ASC)
+    "q131_join_skew_report" ->
+      """WITH c AS (SELECT l_orderkey AS key, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT key, cnt AS cnt_left, cnt AS cnt_right,
+        |    cnt * cnt AS pairs FROM c),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pairs DESC, key ASC)
+        |    AS rnk FROM j)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, key, cnt_left, cnt_right,
+        |  pairs FROM r WHERE rnk <= 10""".stripMargin,
+
     // q130: repeated spans — positioned 3-shingles, cross-doc set via
     // DISTINCT (doc, sh) + HAVING >= 2, overlap-merge islands with the
     // lag/running-sum construction (hits at p, q overlap iff q <= p+2);

@@ -1595,6 +1595,16 @@ object SparkEntry {
   def q130_repeated_spans(s: SparkSession, d: String): DataFrame =
     Dedup.repeatedSpans(T.documents(s, d), "doc_id", "text", n = 3)
 
+  /** Join-skew advisor ([[operators.Skew.joinSkewReport]]): the top-10
+    * orderkeys by lineitem×lineitem self-join contribution — per-key
+    * counts from one aggregate per side, a key-sized join, bounded-heap
+    * top-k. The measurement that decides where [[operators.Skew
+    * .saltedJoin]] is worth its replication. */
+  def q131_join_skew_report(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d).select(col("l_orderkey"))
+    Skew.joinSkewReport(li, li, "l_orderkey", topK = 10)
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -2015,7 +2025,8 @@ object SparkEntry {
     "q127_html_extract" -> (q127_html_extract _),
     "q128_top_terms_by_source" -> (q128_top_terms_by_source _),
     "q129_align_union" -> (q129_align_union _),
-    "q130_repeated_spans" -> (q130_repeated_spans _))
+    "q130_repeated_spans" -> (q130_repeated_spans _),
+    "q131_join_skew_report" -> (q131_join_skew_report _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -48,6 +48,37 @@ object Skew {
         fin.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Join-skew ADVISOR — measure before salting: per-key row counts on
+    * both join sides and the key's join-output contribution
+    * (cnt_left · cnt_right), top-k by contribution. The keys this
+    * surfaces are exactly the ones whose reduce tasks straggle; feed
+    * them to [[saltedJoin]] / AQE skew thresholds instead of guessing.
+    *
+    * Cost: one hash aggregate per side (map-side combined), an inner
+    * join of the two COUNT tables (key-cardinality-sized, not
+    * row-sized), and a bounded-heap top-k — safe to run on the full
+    * 100 TB join inputs. All-integer output. */
+  def joinSkewReport(left: DataFrame, right: DataFrame, key: String,
+                     topK: Int = 10): DataFrame = {
+    val l = left.groupBy(col(key).as("key"))
+      .agg(count(lit(1)).as("cnt_left"))
+    val r = right.groupBy(col(key).as("key"))
+      .agg(count(lit(1)).as("cnt_right"))
+    val contrib = l.join(r, "key")
+      .withColumn("pairs", col("cnt_left") * col("cnt_right"))
+    contrib
+      .agg(graft.functions.AggFunctions.collectTopK(
+        struct((-col("pairs")).as("np"), col("key"),
+          col("cnt_left"), col("cnt_right")), topK, smallest = true)
+        .as("_top"))
+      .select(posexplode(col("_top")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.key").as("key"),
+        col("col.cnt_left").as("cnt_left"),
+        col("col.cnt_right").as("cnt_right"),
+        (-col("col.np")).as("pairs"))
+  }
+
   /** Salted equi-join for a skewed big side: the big side gets a hashed
     * salt, the small side is replicated `saltN`× (one copy per salt
     * value), and the join runs on (key, salt). Row-for-row equal to the

@@ -40,4 +40,20 @@ class SkewSpec extends SparkSpec {
     assert(want.select("key", "uid", "x", "name")
       .exceptAll(got.select("key", "uid", "x", "name")).isEmpty)
   }
+
+  test("joinSkewReport surfaces the hot key first with exact pair counts") {
+    import spark.implicits._
+    // key 7 is hot on both sides: 30 x 20 = 600 pairs dominates
+    val left = ((1 to 30).map(_ => 7) ++ (1 to 5).flatMap(k => Seq(k, k)))
+      .map(k => (k, "l")).toDF("key", "v")
+    val right = ((1 to 20).map(_ => 7) ++ (1 to 5).map(k => k))
+      .map(k => (k, "r")).toDF("key", "v")
+    val got = Skew.joinSkewReport(left, right, "key", topK = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.head == ((1L, 7, 30L, 20L, 600L)), s"got ${got.head}")
+    // remaining keys all tie at 2*1=2 pairs: tiebreak ascending key
+    assert(got.drop(1).map(_._2).toSeq == Seq(1, 2))
+    assert(got.drop(1).forall(t => t._5 == 2L))
+  }
 }
