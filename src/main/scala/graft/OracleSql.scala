@@ -1883,6 +1883,25 @@ object OracleSql {
          |FROM documents""".stripMargin
     },
 
+    // q132: split-leakage audit — the q60 hash-split mirror feeding the
+    // q58 decontamination shape, val split as the benchmark side
+    "q132_split_leakage" -> (shinglesCte + s""",
+        |sp AS (SELECT doc_id, sh3, CASE WHEN f < 0.8 THEN 'train'
+        |    WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, sh3, CAST(
+        |    ${hex8("'split_' || CAST(doc_id AS VARCHAR)")}
+        |    AS DOUBLE) / 4294967296.0 AS f FROM sh)),
+        |bench AS (SELECT DISTINCT unnest(sh3) AS g FROM sp
+        |  WHERE split = 'val'),
+        |cand AS (SELECT DISTINCT doc_id, unnest(sh3) AS g FROM sp
+        |  WHERE split = 'train'),
+        |hits AS (SELECT doc_id, COUNT(*) AS n FROM cand
+        |  JOIN bench USING (g) GROUP BY 1)
+        |SELECT s.doc_id, COALESCE(h.n, 0) AS n_contaminated,
+        |  COALESCE(h.n, 0) > 0 AS is_contaminated
+        |FROM sp s LEFT JOIN hits h USING (doc_id)
+        |WHERE s.split = 'train'""".stripMargin),
+
     // q131: join-skew advisor — per-key counts, pair contribution,
     // window-rank mirror of the bounded-heap (pairs DESC, key ASC)
     "q131_join_skew_report" ->

@@ -1605,6 +1605,21 @@ object SparkEntry {
     Skew.joinSkewReport(li, li, "l_orderkey", topK = 10)
   }
 
+  /** Train→val leakage audit: the q60 hash split composed with
+    * [[operators.Decontamination.report]] — every TRAIN document scored
+    * for distinct-3-shingle overlap against the VAL split. The check a
+    * pipeline runs before trusting held-out metrics: q58's machinery
+    * pointed at the corpus's own splits instead of an external
+    * benchmark. */
+  def q132_split_leakage(s: SparkSession, d: String): DataFrame = {
+    val docs = Splits.withSplit(T.documents(s, d), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    Decontamination.report(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "val"),
+      "doc_id", "text", n = 3)
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -2026,7 +2041,8 @@ object SparkEntry {
     "q128_top_terms_by_source" -> (q128_top_terms_by_source _),
     "q129_align_union" -> (q129_align_union _),
     "q130_repeated_spans" -> (q130_repeated_spans _),
-    "q131_join_skew_report" -> (q131_join_skew_report _))
+    "q131_join_skew_report" -> (q131_join_skew_report _),
+    "q132_split_leakage" -> (q132_split_leakage _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
