@@ -106,16 +106,24 @@ object Graphs {
     require(iterations >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    // the node table and its count are only needed to decide broadcast;
+    // with the limit at 0 (pure AQE planning) neither job runs. For
+    // symmetrized edges every node occurs as a src.
     val hint: DataFrame => DataFrame =
-      if (n <= broadcastNodeLimit) broadcast else identity
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to iterations) {
-      val counts = e
-        .join(hint(labels.withColumnRenamed("id", "src")), "src")
+      if (broadcastNodeLimit <= 0) identity
+      else if (e.select(col("src")).distinct().count() <= broadcastNodeLimit)
+        broadcast
+      else identity
+    var labels: DataFrame = null
+    for (i <- 1 to iterations) {
+      // round 1 joins against the identity labelling — algebraically
+      // label(src) = src, so the join (the round's largest operation)
+      // is a projection instead
+      val withLbl =
+        if (i == 1) e.select(col("dst"), col("src").as("lbl"))
+        else e.join(hint(labels.withColumnRenamed("id", "src")), "src")
+          .select(col("dst"), col("lbl"))
+      val counts = withLbl
         .groupBy(col("dst").as("id"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
       // argmax(cnt) with smallest-label tiebreak as ONE aggregate:
