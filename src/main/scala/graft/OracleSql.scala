@@ -1883,6 +1883,13 @@ object OracleSql {
          |FROM documents""".stripMargin
     },
 
+    // q133: streaming dedup must converge to batch keep-first-per-hash
+    // (arrival order = doc_id order, everything within the watermark)
+    "q133_streaming_dedup" ->
+      """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT)
+        |  AS doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
     // q132: split-leakage audit — the q60 hash-split mirror feeding the
     // q58 decontamination shape, val split as the benchmark side
     "q132_split_leakage" -> (shinglesCte + s""",

@@ -1314,6 +1314,47 @@ object SparkEntry {
         sum(col("n_events")).cast("long").as("n_events"))
   }
 
+  /** Streaming exact dedup converging to the batch answer: documents
+    * fed through a MemoryStream in doc_id order (4 micro-batch chunks,
+    * deterministic event times) into [[graft.streaming.EventStreams
+    * .dedupStream]] — watermark-bounded state — and the surviving set
+    * must equal batch keep-first-per-hash ([[operators.Dedup.exact]]'s
+    * rule): the oracle is one GROUP BY over the same table. */
+  def q133_streaming_dedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = s.sqlContext
+    val base = 1700000000000L
+    val docs = T.documents(s, d)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, t) =>
+        EventStreams.DocEvent(id, t, new java.sql.Timestamp(base + id * 1000L))
+      }
+    val input = MemoryStream[EventStreams.DocEvent]
+    val deduped = EventStreams.dedupStream(input.toDF(), "text", "ts",
+      watermark = "1 hour")
+    val sink = "q133_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val spKey = "spark.sql.shuffle.partitions"
+    val spSaved = s.conf.get(spKey)
+    val q =
+      try {
+        s.conf.set(spKey, "8")
+        deduped.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+      } finally s.conf.set(spKey, spSaved)
+    try {
+      val chunk = math.max(1, (docs.length + 3) / 4)
+      docs.grouped(chunk).foreach { c =>
+        input.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink).select(col("content_hash"), col("doc_id"))
+  }
+
   /** Int8 embedding quantization manifest: per-vector symmetric scale +
     * deterministic code fingerprint — the compression step before ANN
     * indexing, oracle-mirrored code for code (the DuckDB side rebuilds
@@ -2042,7 +2083,8 @@ object SparkEntry {
     "q129_align_union" -> (q129_align_union _),
     "q130_repeated_spans" -> (q130_repeated_spans _),
     "q131_join_skew_report" -> (q131_join_skew_report _),
-    "q132_split_leakage" -> (q132_split_leakage _))
+    "q132_split_leakage" -> (q132_split_leakage _),
+    "q133_streaming_dedup" -> (q133_streaming_dedup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -23,6 +23,9 @@ object EventStreams {
   case class SessionSummary(user_id: Long, n_events: Long, total: Double,
                             startMs: Long, endMs: Long)
 
+  /** Document arrival for streaming-dedup feeds. */
+  case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
   /** Tumbling event-time window aggregation with a watermark — the
     * streaming twin of SparkEntry.q17 (same groupBy, plus lateness
     * handling). */
