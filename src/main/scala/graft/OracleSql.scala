@@ -1883,6 +1883,40 @@ object OracleSql {
          |FROM documents""".stripMargin
     },
 
+    // q134: epoch shuffle — md5(epoch ␁ doc_id) permutation key, window
+    // rank mirror of the bounded-heap first-10
+    "q134_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest(range(0, 3)) AS epoch),
+        |k AS (SELECT epoch, doc_id,
+        |    md5(CAST(epoch AS VARCHAR) || chr(1) || CAST(doc_id AS VARCHAR))
+        |      AS k
+        |  FROM documents, e),
+        |r AS (SELECT epoch, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY epoch ORDER BY k, doc_id) AS rnk FROM k)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rnk <= 10""".stripMargin,
+
+    // q135: character entropy — chars via substr over a position range
+    // (dialect-safe, no empty-separator split), per-term 9dp
+    // canonicalization under the +1e-9 convention, DECIMAL(18,9) exact
+    // sum; totals forced BIGINT before division (HUGEINT hazard)
+    "q135_char_entropy" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, substr(text, i, 1) AS ch FROM pos),
+        |c AS (SELECT doc_id, ch, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+        |    COUNT(*) AS nd FROM c GROUP BY 1),
+        |terms AS (SELECT c.doc_id, nd,
+        |    ROUND(-(CAST(n AS DOUBLE) / total)
+        |      * log2(CAST(n AS DOUBLE) / total) + 1e-9, 9) AS term
+        |  FROM c JOIN t USING (doc_id))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(MAX(nd) AS BIGINT) AS n_distinct_chars,
+        |  ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE) + 1e-9, 6)
+        |    AS entropy_bits
+        |FROM terms GROUP BY 1""".stripMargin,
+
     // q133: streaming dedup must converge to batch keep-first-per-hash
     // (arrival order = doc_id order, everything within the watermark)
     "q133_streaming_dedup" ->

@@ -1661,6 +1661,51 @@ object SparkEntry {
       "doc_id", "text", n = 3)
   }
 
+  /** Deterministic epoch shuffling: the reproducible dataloader order a
+    * training run needs — epoch e's permutation key is md5(e ␁ doc_id),
+    * so the order is bit-stable across runs and engines and
+    * decorrelated across epochs. Emits each epoch's first 10 documents
+    * via the bounded-heap top-k (no global sort materialization; rank
+    * = position in the ascending key order). */
+  def q134_epoch_shuffle(s: SparkSession, d: String): DataFrame = {
+    val epochs = s.range(3).select(col("id").cast("int").as("epoch"))
+    val keyed = T.documents(s, d).select(col("doc_id").cast("long"))
+      .join(epochs)
+      .select(col("epoch"), col("doc_id"),
+        md5(concat_ws("\u0001", col("epoch").cast("string"),
+          col("doc_id").cast("string"))).as("k"))
+    keyed.groupBy("epoch")
+      .agg(graft.functions.AggFunctions.collectTopK(
+        struct(col("k"), col("doc_id")), 10, smallest = true).as("_top"))
+      .select(col("epoch"), posexplode(col("_top")))
+      .select(col("epoch").cast("long").as("epoch"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.doc_id").as("doc_id"))
+  }
+
+  /** Character-entropy quality signal (the gibberish/compressibility
+    * filter corpus pipelines run alongside repetition checks): Shannon
+    * entropy of each document's character distribution, from two hash
+    * aggregates over exploded characters. Entropy terms are summed as
+    * DECIMAL(18,9) so the cross-engine sum is order-independent. */
+  def q135_char_entropy(s: SparkSession, d: String): DataFrame = {
+    val chars = T.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("doc_id")
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_distinct"))
+    counts.join(totals, "doc_id")
+      .withColumn("_p", col("n").cast("double") / col("total"))
+      .withColumn("_term",
+        round(-col("_p") * log2(col("_p")) + lit(1e-9), 9))
+      .groupBy("doc_id")
+      .agg(max(col("n_distinct")).as("n_distinct_chars"),
+        round(sum(dec(col("_term"), 18, 9)).cast("double") + lit(1e-9), 6)
+          .as("entropy_bits"))
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -2084,7 +2129,9 @@ object SparkEntry {
     "q130_repeated_spans" -> (q130_repeated_spans _),
     "q131_join_skew_report" -> (q131_join_skew_report _),
     "q132_split_leakage" -> (q132_split_leakage _),
-    "q133_streaming_dedup" -> (q133_streaming_dedup _))
+    "q133_streaming_dedup" -> (q133_streaming_dedup _),
+    "q134_epoch_shuffle" -> (q134_epoch_shuffle _),
+    "q135_char_entropy" -> (q135_char_entropy _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
