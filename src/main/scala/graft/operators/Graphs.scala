@@ -61,9 +61,13 @@ object Graphs {
     var rank = nodes.select(col("id"), lit(1.0 / nD).as("rank"))
     val teleport = (1.0 - damping) / nD
     val scale = math.pow(10.0, roundTo) // exact power of ten in double
-    for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(hint(rank.withColumnRenamed("id", "src")), "src")
+    for (i <- 1 to iterations) {
+      // round 1's rank is the uniform literal 1/n — the rank join (the
+      // round's largest operation) degenerates to a projection
+      val withRank =
+        if (i == 1) e.select(col("src"), col("dst"), lit(1.0 / nD).as("rank"))
+        else e.join(hint(rank.withColumnRenamed("id", "src")), "src")
+      val contribs = withRank
         .join(hint(deg), "src")
         .select(col("dst").as("id"),
           round(col("rank") / col("deg") * lit(scale), 0)
