@@ -57,7 +57,11 @@ object Graphs {
     // dispatch-on-measured-size pattern as FeatureVectorizer.vectorize.
     val hint: DataFrame => DataFrame =
       if (n <= broadcastNodeLimit) broadcast else identity
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // fold out-degree into the cached edge table ONCE: every round's
+    // contribution pass then needs a single rank join instead of a
+    // rank join plus a degree join (one fewer stage/broadcast per round)
+    val ewd = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rank = nodes.select(col("id"), lit(1.0 / nD).as("rank"))
     val teleport = (1.0 - damping) / nD
     val scale = math.pow(10.0, roundTo) // exact power of ten in double
@@ -65,10 +69,10 @@ object Graphs {
       // round 1's rank is the uniform literal 1/n — the rank join (the
       // round's largest operation) degenerates to a projection
       val withRank =
-        if (i == 1) e.select(col("src"), col("dst"), lit(1.0 / nD).as("rank"))
-        else e.join(hint(rank.withColumnRenamed("id", "src")), "src")
+        if (i == 1) ewd.select(col("src"), col("dst"), col("deg"),
+          lit(1.0 / nD).as("rank"))
+        else ewd.join(hint(rank.withColumnRenamed("id", "src")), "src")
       val contribs = withRank
-        .join(hint(deg), "src")
         .select(col("dst").as("id"),
           round(col("rank") / col("deg") * lit(scale), 0)
             .cast("long").as("_c"))
@@ -77,6 +81,11 @@ object Graphs {
       rank = nodes.join(hint(sums), Seq("id"), "left")
         .select(col("id"), (lit(teleport) +
           lit(damping) * coalesce(col("_s"), lit(0.0))).as("rank"))
+      // truncate lineage every round (the Dedup.resolveClusters lesson):
+      // without this, round i's plan nests rounds 1..i-1, so the final
+      // action re-executes every earlier round once per reference —
+      // quadratic recompute that swamps the actual per-round work
+      if (i < iterations) rank = rank.localCheckpoint(true)
     }
     rank
   }
@@ -136,6 +145,9 @@ object Graphs {
       labels = counts.groupBy("id")
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("m"))
         .select(col("id"), col("m.lbl").as("lbl"))
+      // same lineage truncation as [[pagerank]]: each synchronous round
+      // must run exactly once, not once per downstream reference
+      if (i < iterations) labels = labels.localCheckpoint(true)
     }
     labels
   }
