@@ -1924,6 +1924,69 @@ object OracleSql {
         |  AS doc_id
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // q136: same synthetic contact-line construction, the same RE2-safe
+    // patterns (DuckDB's regex IS RE2 — the patterns avoid anything
+    // java.util.regex and RE2 could disagree on), and the same
+    // email → IP → phone redaction order; 'g' makes regexp_replace
+    // global like Spark's
+    "q136_pii_redact" ->
+      """WITH aug AS (SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com'
+        |      || CASE WHEN doc_id % 2 = 0 THEN ' from 10.'
+        |           || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |           || CAST((doc_id * 7 + 3) % 256 AS VARCHAR)
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+        |           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |r AS (SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        |    len(regexp_extract_all(text,
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS np,
+        |    length(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')) AS rlen
+        |  FROM aug)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ne) AS BIGINT) AS n_emails,
+        |  CAST(SUM(ni) AS BIGINT) AS n_ips,
+        |  CAST(SUM(np) AS BIGINT) AS n_phones,
+        |  CAST(SUM(rlen) AS BIGINT) AS redacted_chars
+        |FROM r GROUP BY source""".stripMargin,
+
+    // q137: pair counting over the word vocabulary with multiplicities
+    // (the Spark side's Sennrich trick, mirrored); strict total order
+    // (cnt DESC, pair) makes LIMIT 50 deterministic on both engines
+    "q137_bpe_pairs" -> (toksCte + """,
+        |wv AS (SELECT w, COUNT(*) AS wn
+        |  FROM (SELECT unnest(toks) AS w FROM t)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (SELECT substr(w, CAST(i + 1 AS INTEGER), 2) AS pair, wn
+        |  FROM (SELECT w, wn, unnest(range(0, length(w) - 1)) AS i
+        |        FROM wv)),
+        |c AS (SELECT pair, CAST(SUM(wn) AS BIGINT) AS cnt
+        |  FROM p GROUP BY pair)
+        |SELECT pair, cnt FROM c
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin),
+
+    // q138: trigram-shingle first-occurrence curve; MIN/COUNT only (no
+    // integer SUM), so no HUGEINT coercion hazard
+    "q138_vocab_growth" -> (shinglesCte + """,
+        |e AS (SELECT CAST(floor(doc_id / 100.0) AS BIGINT) AS bucket,
+        |    unnest(sh3) AS term FROM sh),
+        |f AS (SELECT term, MIN(bucket) AS first_bucket
+        |  FROM e GROUP BY term)
+        |SELECT first_bucket, COUNT(*) AS new_terms
+        |FROM f GROUP BY first_bucket""".stripMargin),
+
     // q132: split-leakage audit — the q60 hash-split mirror feeding the
     // q58 decontamination shape, val split as the benchmark side
     "q132_split_leakage" -> (shinglesCte + s""",

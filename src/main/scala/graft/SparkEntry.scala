@@ -1706,6 +1706,58 @@ object SparkEntry {
           .as("entropy_bits"))
   }
 
+  /** PII scrub audit ([[functions.PiiFunctions]]): the corpus text is
+    * digit-free, so deterministic synthetic contact lines (email for
+    * every doc, IP for even doc_ids, phone for doc_id % 3 == 0) are
+    * appended first; then detection counts on the original-plus-contact
+    * text and the redacted footprint aggregate per source. Detection and
+    * redaction are pure codegen'd regex in the RE2-safe subset — zero
+    * shuffles until the per-source aggregate. */
+  def q136_pii_redact(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PiiFunctions
+    val id = col("doc_id")
+    val aug = T.documents(s, d).select(col("source"),
+      concat(col("text"),
+        lit(" contact user"), id.cast("string"), lit("@example.com"),
+        when(id % 2 === 0, concat(lit(" from 10."),
+          (id % 256).cast("string"), lit(".0."),
+          ((id * 7 + 3) % 256).cast("string"))).otherwise(lit("")),
+        when(id % 3 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+        .as("text"))
+    aug
+      .select(col("source"), PiiFunctions.piiCounts(col("text")).as("c"),
+        length(PiiFunctions.redact(col("text"))).cast("long").as("rlen"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c.n_email")).as("n_emails"),
+        sum(col("c.n_ip")).as("n_ips"),
+        sum(col("c.n_phone")).as("n_phones"),
+        sum(col("rlen")).as("redacted_chars"))
+  }
+
+  /** One BPE merge-counting round ([[operators.Tokenizer]]): adjacent
+    * character-pair statistics over the word VOCABULARY with
+    * multiplicities (one corpus scan collapses to vocab-sized counts;
+    * the pair domain is alphabet²-bounded), top-50 merge candidates in
+    * deterministic (count desc, pair) order. */
+  def q137_bpe_pairs(s: SparkSession, d: String): DataFrame =
+    Tokenizer.topMerges(
+      Tokenizer.bpePairCounts(T.documents(s, d), "text"), 50)
+
+  /** Vocabulary-novelty curve ([[operators.Tokenizer.noveltyCurve]]):
+    * trigram shingles first-seen per ingest bucket (100 docs per bucket
+    * in doc_id order; trigrams keep the curve decaying instead of
+    * saturating in bucket 0) — two hash aggregates, the "is this crawl
+    * still finding new language?" monitor. */
+  def q138_vocab_growth(s: SparkSession, d: String): DataFrame = {
+    val terms = T.documents(s, d).select(
+      floor(col("doc_id") / lit(100.0)).cast("long").as("bucket"),
+      explode(TF.shingles(col("text"), 3)).as("term"))
+    Tokenizer.noveltyCurve(terms, "term", "bucket")
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -2131,7 +2183,10 @@ object SparkEntry {
     "q132_split_leakage" -> (q132_split_leakage _),
     "q133_streaming_dedup" -> (q133_streaming_dedup _),
     "q134_epoch_shuffle" -> (q134_epoch_shuffle _),
-    "q135_char_entropy" -> (q135_char_entropy _))
+    "q135_char_entropy" -> (q135_char_entropy _),
+    "q136_pii_redact" -> (q136_pii_redact _),
+    "q137_bpe_pairs" -> (q137_bpe_pairs _),
+    "q138_vocab_growth" -> (q138_vocab_growth _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -47,4 +47,35 @@ class PlanShapeSpec extends SparkSpec {
       explode(sequence(lit(0), lit(11))).as("attempt"))
     assert(!hasShuffle(cand))
   }
+
+  test("PII detection and redaction are shuffle-free projections") {
+    val docs = Seq((1L, "a@b.co at 10.0.0.1")).toDF("id", "t")
+    assert(!hasShuffle(docs.select(
+      graft.functions.PiiFunctions.piiCounts(col("t")),
+      graft.functions.PiiFunctions.redact(col("t")))))
+  }
+
+  test("bpePairCounts shuffles vocab-sized aggregates only (2 exchanges)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Tokenizer.bpePairCounts(Seq("low low lower").toDF("text"),
+      "text")
+    df.queryExecution.toRdd.foreach(_ => ())
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // corpus → vocab agg (1), vocab → pair agg (2); the corpus itself
+    // is never shuffled and no window appears anywhere
+    assert(nodes.count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    } == 2)
+    assert(!nodes.exists {
+      case _: org.apache.spark.sql.execution.window.WindowExec => true
+      case _ => false
+    })
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed BPE pair statistics and novelty-curve cases (q137/q138
+  * gate the corpus-scale versions against the DuckDB oracle). */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpePairCounts weights pairs by word frequency") {
+    // corpus: "low low lower" + "low" → vocab {low:3, lower:1}
+    // pairs: low → lo,ow ×3; lower → lo,ow,we,er ×1
+    val df = Seq("low low lower", "low").toDF("text")
+    val got = Tokenizer.bpePairCounts(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("lo" -> 4L, "ow" -> 4L, "we" -> 1L, "er" -> 1L))
+  }
+
+  test("single-char words contribute nothing; empty corpus is empty") {
+    val df = Seq("a b c", "").toDF("text")
+    assert(Tokenizer.bpePairCounts(df, "text").count() == 0L)
+  }
+
+  test("topMerges orders by count desc then pair text") {
+    val df = Seq("ab ab ba").toDF("text")
+    // pairs: ab×2, ba×1 — deterministic order
+    val top = Tokenizer.topMerges(Tokenizer.bpePairCounts(df, "text"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("ab", 2L), ("ba", 1L)))
+  }
+
+  test("trainBpe reproduces the classic merge sequence") {
+    // Sennrich's toy vocab {low:5, lower:2, newest:6, widest:3} without
+    // the end-of-word marker: pair counts put (e,s) and (s,t) tied at 9,
+    // tie-break adopts (e,s); round 2's (es,t) count 9 wins
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val (merges, vocab) = Tokenizer.trainBpe(words.toDF("text"), "text", 2)
+    assert(merges == Seq(("e", "s"), ("es", "t")))
+    val syms = vocab.filter(col("w") === "newest")
+      .select("syms").collect().head.getSeq[String](0)
+    assert(syms == Seq("n", "e", "w", "est"))
+  }
+
+  test("trainBpe stops early when every word is one symbol") {
+    val (merges, _) = Tokenizer.trainBpe(Seq("ab ab").toDF("text"),
+      "text", 5)
+    assert(merges == Seq(("a", "b"))) // after one merge nothing pairs
+  }
+
+  test("noveltyCurve counts first occurrences per bucket") {
+    val df = Seq(
+      (0L, "x"), (0L, "y"), (1L, "x"), (1L, "z"), (2L, "x"), (2L, "z")
+    ).toDF("bucket", "term")
+    val got = Tokenizer.noveltyCurve(df, "term", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // x,y new in bucket 0; z new in bucket 1; nothing new in bucket 2
+    assert(got == Map(0L -> 2L, 1L -> 1L))
+  }
+}
