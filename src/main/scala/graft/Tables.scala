@@ -25,14 +25,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. Read nanos as long (legacy conf) and convert to
-    * a microsecond timestamp with exact integer division — the same
-    * truncation DuckDB applies, so event-time semantics agree. */
+  /** The events table's `ts` encoding has varied across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's reader rejects
+    * without the legacy nanos-as-long conf) vs plain TIMESTAMP(MICROS).
+    * Adapt to whichever is on disk: nanos arrive as LongType under the
+    * legacy conf and are truncated to micros with exact integer division
+    * (the same truncation DuckDB applies); micros pass through untouched. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive (no-tz) micros: interpret the wall clock as UTC so
+        // unix_micros(ts) returns the same integer DuckDB's epoch_us
+        // reads off the raw parquet value — tz-independent on both sides.
+        // The UTC session tz makes the NTZ→LTZ cast that interpretation.
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
