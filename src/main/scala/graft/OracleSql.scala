@@ -1987,6 +1987,23 @@ object OracleSql {
         |SELECT first_bucket, COUNT(*) AS new_terms
         |FROM f GROUP BY first_bucket""".stripMargin),
 
+    // q139: index-set union — the engine's bitmap aggregate vs the
+    // definitional DISTINCT; same md5-hex bucket chain as q101
+    "q139_index_union" -> (toksCte + s""",
+        |b AS (SELECT source,
+        |    ${hex8("token")} % 512 AS bkt
+        |  FROM (SELECT source, unnest(toks) AS token FROM t)),
+        |u AS (SELECT DISTINCT source, bkt FROM b)
+        |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_buckets,
+        |  string_agg(CAST(bkt AS VARCHAR), ',' ORDER BY bkt) AS buckets
+        |FROM u GROUP BY source""".stripMargin),
+
+    // q140: intercept-only Poisson MLE is exactly ln(mean(y)) — the
+    // engine reaches it through the distributed LBFGS iterate
+    "q140_poisson_mle" ->
+      """SELECT round(ln(avg(l_quantity)), 6) AS intercept
+        |FROM lineitem""".stripMargin,
+
     // q132: split-leakage audit — the q60 hash-split mirror feeding the
     // q58 decontamination shape, val split as the benchmark side
     "q132_split_leakage" -> (shinglesCte + s""",

@@ -1758,6 +1758,48 @@ object SparkEntry {
     Tokenizer.noveltyCurve(terms, "term", "bucket")
   }
 
+  /** U5 standalone index-set union ([[graft.functions.AggFunctions
+    * .indexSetUnion]]): per-source union of hashed token buckets as ONE
+    * bitmap-buffered aggregate — map-side partials are ceil(512/8)-byte
+    * bitmaps, not element lists, so the shuffle per group is bounded by
+    * the vocabulary, never the corpus (reference
+    * RandomEffectDataset.scala:417-424). Gated on the sorted bucket list
+    * joined to a string plus its size. */
+  def q139_index_union(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AggFunctions
+    val idxs = T.documents(s, d).select(
+      col("source"),
+      transform(TF.tokens(col("text")), t =>
+        pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(512))
+          .cast("int")).as("idxs"))
+    idxs.groupBy("source")
+      .agg(AggFunctions.indexSetUnion(col("idxs")).as("u"))
+      .select(col("source"),
+        size(col("u")).as("n_buckets"),
+        array_join(transform(col("u"), _.cast("string")), ",")
+          .as("buckets"))
+  }
+
+  /** F4/F8 Poisson link+loss through the REAL distributed LBFGS path on
+    * the one Poisson problem with an exact closed form: intercept-only,
+    * no regularization, where the MLE is ln(mean(y)) — the gradient
+    * Σ(e^β − y) vanishes exactly there. Gates the Poisson objective,
+    * its exp-link gradient, and the optimizer end-to-end by hash; the
+    * multi-feature Poisson path stays covered by finite-diff specs. */
+  def q140_poisson_mle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val ds = T.lineitem(s, d).select(
+      col("l_quantity").cast("double").as("label"),
+      array_to_vector(array().cast("array<double>")).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val m = graft.ml.Glm.train(ds, 0,
+      graft.ml.GlmConfig(graft.ml.PoissonLoss, maxIter = 200, tol = 1e-12),
+      solver = "lbfgs")
+    Seq(rnd6(m.intercept)).toDF("intercept")
+  }
+
   /** Hashing-trick feature vectorization
     * ([[sources.FeatureVectorizer.vectorizeHashed]]: no vocabulary
     * build, md5-bucket indices in pure codegen) — two lineitem feature
@@ -2186,7 +2228,9 @@ object SparkEntry {
     "q135_char_entropy" -> (q135_char_entropy _),
     "q136_pii_redact" -> (q136_pii_redact _),
     "q137_bpe_pairs" -> (q137_bpe_pairs _),
-    "q138_vocab_growth" -> (q138_vocab_growth _))
+    "q138_vocab_growth" -> (q138_vocab_growth _),
+    "q139_index_union" -> (q139_index_union _),
+    "q140_poisson_mle" -> (q140_poisson_mle _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

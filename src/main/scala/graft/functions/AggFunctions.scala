@@ -23,4 +23,14 @@ object AggFunctions {
   def collectTopK(e: Column, k: Int, smallest: Boolean): Column =
     GraftColumnShims.column(
       GraftAggShims.collectTopK(GraftColumnShims.expression(e), k, smallest))
+
+  /** U5: union of per-row `array<int>` index sets, returned as the sorted
+    * distinct indices. Map-side partials are bounded bitmaps (one per
+    * task, ceil(maxIndex/8) bytes) rather than element lists — see
+    * [[IndexUnionAgg]] for the shuffle-size argument vs `collect_set`.
+    */
+  def indexSetUnion(indices: Column): Column = indexUnionUdaf(indices)
+
+  private lazy val indexUnionUdaf =
+    org.apache.spark.sql.functions.udaf(IndexUnionAgg)
 }
