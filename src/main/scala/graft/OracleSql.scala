@@ -2004,6 +2004,21 @@ object OracleSql {
       """SELECT round(ln(avg(l_quantity)), 6) AS intercept
         |FROM lineitem""".stripMargin,
 
+    // q141: token-budget fill — keep longest-first while the running
+    // count before the doc is under 20% of the source total; the
+    // predicate is pure-integer (5·cum_before < total) on both sides
+    "q141_token_budget" -> (toksCte + """,
+        |n AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM t),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_tokens DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    SUM(n_tokens) OVER (PARTITION BY source) AS total FROM n)
+        |SELECT doc_id, source, n_tokens FROM w
+        |WHERE cum_before * 5 < total""".stripMargin),
+
     // q132: split-leakage audit — the q60 hash-split mirror feeding the
     // q58 decontamination shape, val split as the benchmark side
     "q132_split_leakage" -> (shinglesCte + s""",

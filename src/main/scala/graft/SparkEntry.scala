@@ -1780,6 +1780,30 @@ object SparkEntry {
           .as("buckets"))
   }
 
+  /** Per-source token-budget fill — the domain-mixing primitive that
+    * caps each source at 20% of its token mass, taking documents
+    * longest-first (deterministic doc_id tie-break): keep while the
+    * running token count BEFORE the doc stays under the budget, so the
+    * set always crosses the cap by at most one document. One shuffle
+    * (partition by source) + per-source sort; the keep predicate is the
+    * pure-integer `5·cum_before < total` so no float budget threshold
+    * is ever compared on either side. */
+  def q141_token_budget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = T.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+    val fill = Window.partitionBy("source")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy("source")
+    n.withColumn("cum_before",
+        coalesce(sum("n_tokens").over(fill), lit(0L)))
+      .withColumn("total", sum("n_tokens").over(all))
+      .where(col("cum_before") * 5 < col("total"))
+      .select("doc_id", "source", "n_tokens")
+  }
+
   /** F4/F8 Poisson link+loss through the REAL distributed LBFGS path on
     * the one Poisson problem with an exact closed form: intercept-only,
     * no regularization, where the MLE is ln(mean(y)) — the gradient
@@ -2230,7 +2254,8 @@ object SparkEntry {
     "q137_bpe_pairs" -> (q137_bpe_pairs _),
     "q138_vocab_growth" -> (q138_vocab_growth _),
     "q139_index_union" -> (q139_index_union _),
-    "q140_poisson_mle" -> (q140_poisson_mle _))
+    "q140_poisson_mle" -> (q140_poisson_mle _),
+    "q141_token_budget" -> (q141_token_budget _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
