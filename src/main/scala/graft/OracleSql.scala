@@ -2004,6 +2004,37 @@ object OracleSql {
       """SELECT round(ln(avg(l_quantity)), 6) AS intercept
         |FROM lineitem""".stripMargin,
 
+    // q142: 1-D lasso closed form — soft threshold of the moment ratio;
+    // the engine reaches both branches through breeze OWLQN
+    "q142_owlqn_lasso" ->
+      """WITH m AS (SELECT
+        |    SUM(CAST(embedding[6] AS DOUBLE) * CAST(label AS DOUBLE)) AS s1,
+        |    SUM(CAST(embedding[6] AS DOUBLE) * CAST(embedding[6] AS DOUBLE)) AS q1,
+        |    SUM(CAST(embedding[7] AS DOUBLE) * CAST(label AS DOUBLE)) AS s2,
+        |    SUM(CAST(embedding[7] AS DOUBLE) * CAST(embedding[7] AS DOUBLE)) AS q2
+        |  FROM embeddings)
+        |SELECT
+        |  ROUND(sign(s1) * GREATEST(abs(s1) - 0.1, 0) / q1 + 1e-9, 6)
+        |    AS w_active,
+        |  ROUND(sign(s2) * GREATEST(abs(s2) - 100.0, 0) / q2 + 1e-9, 6)
+        |    AS w_zero
+        |FROM m""".stripMargin,
+
+    // q143: 1-D box-constrained ridge closed form — clamp(s/(q+λ), lo, hi)
+    "q143_lbfgsb_box" ->
+      """WITH m AS (SELECT
+        |    SUM(CAST(embedding[6] AS DOUBLE) * CAST(label AS DOUBLE)) AS s1,
+        |    SUM(CAST(embedding[6] AS DOUBLE) * CAST(embedding[6] AS DOUBLE)) AS q1,
+        |    SUM(CAST(embedding[7] AS DOUBLE) * CAST(label AS DOUBLE)) AS s2,
+        |    SUM(CAST(embedding[7] AS DOUBLE) * CAST(embedding[7] AS DOUBLE)) AS q2
+        |  FROM embeddings)
+        |SELECT
+        |  ROUND(LEAST(GREATEST(s1 / (q1 + 0.05), -10.0), 10.0) + 1e-9, 6)
+        |    AS w_free,
+        |  ROUND(LEAST(GREATEST(s2 / (q2 + 0.05), -0.5), 0.5) + 1e-9, 6)
+        |    AS w_clamped
+        |FROM m""".stripMargin,
+
     // q141: token-budget fill — keep longest-first while the running
     // count before the doc is under 20% of the source total; the
     // predicate is pure-integer (5·cum_before < total) on both sides

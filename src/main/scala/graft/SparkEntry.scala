@@ -1780,6 +1780,54 @@ object SparkEntry {
           .as("buckets"))
   }
 
+  /** L3 OWLQN through the one lasso with an exact closed form: 1-feature,
+    * no intercept, squared loss — the minimizer is the soft threshold
+    * sign(s)·max(|s|−λ,0)/q with s = Σxy, q = Σx². Two independent fits
+    * gate both branches: λ=0.1 shrinks but keeps the coefficient
+    * (distinguishable from plain OLS at 6 dp), λ=100 kills it to exactly
+    * 0 — the pseudo-gradient's thresholding, not just descent. */
+  def q142_owlqn_lasso(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    def pts(i: Int) = T.embeddings(s, d).select(
+      col("label").cast("double").as("label"),
+      array_to_vector(slice(col("embedding"), i, 1)).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val cfg = graft.ml.GlmConfig(graft.ml.SquaredLoss,
+      fitIntercept = false, maxIter = 300, tol = 1e-12)
+    val wA = graft.ml.Glm.train(pts(6), 1, cfg.copy(l1 = 0.1),
+      solver = "owlqn").coef(0)
+    val wZ = graft.ml.Glm.train(pts(7), 1, cfg.copy(l1 = 100.0),
+      solver = "owlqn").coef(0)
+    Seq((rnd6(wA + 1e-9), rnd6(wZ + 1e-9))).toDF("w_active", "w_zero")
+  }
+
+  /** L4 LBFGSB box constraints where the projection is exactly checkable:
+    * a 1-D ridge objective's constrained minimizer is clamp(s/(q+λ), lo,
+    * hi). The wide box stays interior (plain ridge through the
+    * projected-gradient path); the tight box BINDS at every SF (the
+    * unconstrained optimum is outside ±0.5 at sf0.001/0.01/0.1), so the
+    * active-set machinery faces the hash, not just unconstrained
+    * descent. Reference analogue: constrained training,
+    * photon-api GLMOptimizationConfiguration box bounds. */
+  def q143_lbfgsb_box(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    def pts(i: Int) = T.embeddings(s, d).select(
+      col("label").cast("double").as("label"),
+      array_to_vector(slice(col("embedding"), i, 1)).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val cfg = graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 0.05,
+      fitIntercept = false, maxIter = 200, tol = 1e-12)
+    val wF = graft.ml.Glm.train(pts(6), 1,
+      cfg.copy(bounds = Some((Array(-10.0), Array(10.0))))).coef(0)
+    val wC = graft.ml.Glm.train(pts(7), 1,
+      cfg.copy(bounds = Some((Array(-0.5), Array(0.5))))).coef(0)
+    Seq((rnd6(wF + 1e-9), rnd6(wC + 1e-9))).toDF("w_free", "w_clamped")
+  }
+
   /** Per-source token-budget fill — the domain-mixing primitive that
     * caps each source at 20% of its token mass, taking documents
     * longest-first (deterministic doc_id tie-break): keep while the
@@ -2255,7 +2303,9 @@ object SparkEntry {
     "q138_vocab_growth" -> (q138_vocab_growth _),
     "q139_index_union" -> (q139_index_union _),
     "q140_poisson_mle" -> (q140_poisson_mle _),
-    "q141_token_budget" -> (q141_token_budget _))
+    "q141_token_budget" -> (q141_token_budget _),
+    "q142_owlqn_lasso" -> (q142_owlqn_lasso _),
+    "q143_lbfgsb_box" -> (q143_lbfgsb_box _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
