@@ -2035,6 +2035,34 @@ object OracleSql {
         |    AS w_clamped
         |FROM m""".stripMargin,
 
+    // q144: chunk→pack batch assembly — the q82 chunk CTE (64/64) feeding
+    // the q80 packing window keyed by the composite chunk uid; fill_rate
+    // is a power-of-two division, binary-exact on both sides
+    "q144_training_batches" -> (toksCte + """,
+      |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+      |ch AS (SELECT doc_id, toks,
+      |    unnest(range(0, CAST(ceil(len(toks)/64.0) AS BIGINT)))
+      |      AS chunk_idx FROM f),
+      |c AS (SELECT CAST(doc_id AS VARCHAR) || '_' ||
+      |      CAST(chunk_idx AS VARCHAR) AS uid,
+      |    len(toks[CAST(chunk_idx*64+1 AS BIGINT)
+      |           : CAST(chunk_idx*64+64 AS BIGINT)]) AS n_tokens
+      |  FROM ch),
+      |d AS (SELECT uid, n_tokens,
+      |  (strpos('0123456789abcdef',
+      |     substr(md5('pack_' || uid), 8, 1)) - 1) % 8 AS bucket,
+      |  md5('ord_' || uid) AS ord FROM c),
+      |a AS (SELECT bucket, n_tokens,
+      |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY bucket
+      |     ORDER BY ord, uid
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   - n_tokens) / 512.0) AS BIGINT) AS seq_in_bucket
+      |  FROM d)
+      |SELECT bucket, seq_in_bucket, COUNT(*) AS n_chunks,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / 512.0 AS fill_rate
+      |FROM a GROUP BY 1, 2""".stripMargin),
+
     // q141: token-budget fill — keep longest-first while the running
     // count before the doc is under 20% of the source total; the
     // predicate is pure-integer (5·cum_before < total) on both sides

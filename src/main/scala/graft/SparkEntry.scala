@@ -1780,6 +1780,31 @@ object SparkEntry {
           .as("buckets"))
   }
 
+  /** Training-batch assembly capstone — the chunk→pack composition that
+    * turns a cleaned corpus into fixed-budget training sequences: filter
+    * short docs, split to non-overlapping 64-token chunks
+    * ([[operators.Chunking]], zero shuffle), pack chunks into ≤512-token
+    * sequences in 8 hash-bucket streams
+    * ([[operators.SequencePacking.assignCounted]] — only (uid, n_tokens)
+    * pairs travel through the packing shuffle, never chunk text), and
+    * emit the per-sequence manifest with its fill rate (exact: /512 is a
+    * power-of-two division). */
+  def q144_training_batches(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .where(size(TF.tokens(col("text"))) >= 8)
+    val chunks = Chunking.chunk(docs, "doc_id", "text",
+      chunkTokens = 64, stride = 64)
+      .select(concat(col("doc_id"), lit("_"), col("chunk_idx")).as("uid"),
+        col("n_tokens"))
+    SequencePacking.assignCounted(chunks, "uid", "n_tokens",
+      maxTokens = 512, nBuckets = 8)
+      .groupBy("bucket", "seq_in_bucket")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fill_rate",
+        col("n_tokens").cast("double") / lit(512.0))
+  }
+
   /** L3 OWLQN through the one lasso with an exact closed form: 1-feature,
     * no intercept, squared loss — the minimizer is the soft threshold
     * sign(s)·max(|s|−λ,0)/q with s = Σxy, q = Σx². Two independent fits
@@ -2305,7 +2330,8 @@ object SparkEntry {
     "q140_poisson_mle" -> (q140_poisson_mle _),
     "q141_token_budget" -> (q141_token_budget _),
     "q142_owlqn_lasso" -> (q142_owlqn_lasso _),
-    "q143_lbfgsb_box" -> (q143_lbfgsb_box _))
+    "q143_lbfgsb_box" -> (q143_lbfgsb_box _),
+    "q144_training_batches" -> (q144_training_batches _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -27,7 +27,18 @@ object SequencePacking {
   /** Per-doc assignment: (bucket, seq_in_bucket) plus the doc's token
     * count. */
   def assign(docs: DataFrame, idCol: String, textCol: String,
-             maxTokens: Int, nBuckets: Int): DataFrame = {
+             maxTokens: Int, nBuckets: Int): DataFrame =
+    assignCounted(
+      docs.select(col(idCol),
+        TF.tokenCount(col(textCol)).as("n_tokens")),
+      idCol, "n_tokens", maxTokens, nBuckets)
+
+  /** [[assign]] for rows whose token counts are already computed (chunked
+    * or pre-tokenized corpora): packs on the counts alone, so the text
+    * never has to travel through the bucket shuffle — at 100 TB the
+    * packing plan moves (id, n_tokens) pairs, not documents. */
+  def assignCounted(rows: DataFrame, idCol: String, nTokensCol: String,
+                    maxTokens: Int, nBuckets: Int): DataFrame = {
     val id = col(idCol)
     val bucket = pmod(
       conv(substring(md5(concat(lit("pack_"), id.cast("string"))), 1, 8),
@@ -35,7 +46,7 @@ object SequencePacking {
     val w = Window.partitionBy("bucket")
       .orderBy(col("_ord"), id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(id, TF.tokenCount(col(textCol)).as("n_tokens"),
+    rows.select(id, col(nTokensCol).as("n_tokens"),
         bucket.as("bucket"),
         md5(concat(lit("ord_"), id.cast("string"))).as("_ord"))
       .withColumn("_cum", sum(col("n_tokens")).over(w))
