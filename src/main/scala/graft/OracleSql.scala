@@ -2035,6 +2035,50 @@ object OracleSql {
         |    AS w_clamped
         |FROM m""".stripMargin,
 
+    // q145: upper-triangle covariance of the first 8 embedding coords —
+    // covar_pop (population) on both sides, q75's round convention
+    "q145_embedding_covariance" ->
+      """SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  ROUND(covar_pop(
+        |    CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE),
+        |    CAST(embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE)) + 1e-9, 6)
+        |    AS cov
+        |FROM embeddings,
+        |  (SELECT unnest(range(0, 8)) AS i) pi,
+        |  (SELECT unnest(range(0, 8)) AS j) pj
+        |WHERE i <= j GROUP BY i, j""".stripMargin,
+
+    // q146: reciprocal-rank fusion — the q95 bm25 score (already rounded
+    // to 6dp, so the rank sort key is cross-engine stable) fused with
+    // the integer n_chars quality rank, both partitioned by source
+    "q146_rank_fusion" -> (toksCte + """,
+      |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+      |corpus AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      |hits AS (SELECT doc_id, term FROM tok
+      |  WHERE term IN ('spark', 'window', 'hash')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+      |idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits
+      |  GROUP BY 1),
+      |sc AS (SELECT doc_id, CAST(round(
+      |    ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+      |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 9)
+      |    AS DECIMAL(18,9)) AS s
+      |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), corpus),
+      |b AS (SELECT doc_id, round(CAST(SUM(s) AS DOUBLE) + 1e-9, 6) AS bm25
+      |  FROM sc GROUP BY 1),
+      |r1 AS (SELECT b.doc_id, CAST(row_number() OVER (
+      |    PARTITION BY d2.source ORDER BY bm25 DESC, b.doc_id)
+      |    AS INTEGER) AS r1
+      |  FROM b JOIN documents d2 ON b.doc_id = d2.doc_id),
+      |r2 AS (SELECT doc_id, CAST(row_number() OVER (
+      |    PARTITION BY source ORDER BY n_chars DESC, doc_id)
+      |    AS INTEGER) AS r2 FROM documents)
+      |SELECT r2.doc_id, r1, r2,
+      |  ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r1), 0)
+      |    + CAST(1 AS DOUBLE) / (60 + r2) + 1e-9, 6) AS rrf
+      |FROM r2 LEFT JOIN r1 ON r2.doc_id = r1.doc_id""".stripMargin),
+
     // q144: chunk→pack batch assembly — the q82 chunk CTE (64/64) feeding
     // the q80 packing window keyed by the composite chunk uid; fill_rate
     // is a power-of-two division, binary-exact on both sides

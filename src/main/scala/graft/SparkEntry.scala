@@ -1780,6 +1780,39 @@ object SparkEntry {
           .as("buckets"))
   }
 
+  /** Embedding covariance ([[graft.functions.VectorOps.covarianceUpper]]):
+    * upper-triangle covariance of the first 8 coordinates in ONE
+    * full-scan aggregate (36 covar_pop moments as agg columns, no
+    * coordinate-pair explode) — the PCA/whitening/Mahalanobis input. */
+  def q145_embedding_covariance(s: SparkSession, d: String): DataFrame =
+    V.covarianceUpper(T.embeddings(s, d), "embedding", 8)
+      .select(col("i"), col("j"), round(col("cov") + lit(1e-9), 6).as("cov"))
+
+  /** Reciprocal-rank fusion of two per-source rankings — the retrieval
+    * re-rank primitive: BM25 relevance (list 1, hit docs only) fused
+    * with the integer n_chars quality rank (list 2, all docs) as
+    * Σ 1/(60+rank). Both row_numbers partition by source, so no global
+    * single-partition sort exists; list-1 ordering is on the ALREADY
+    * 6dp-rounded bm25 score (the q95 output convention), never a raw
+    * float sort key. */
+  def q146_rank_fusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T.documents(s, d).select("doc_id", "source", "n_chars")
+    val bm = TextRanking.bm25(T.documents(s, d), "doc_id", "text",
+      Seq("spark", "window", "hash")).select("doc_id", "bm25")
+    val r1 = docs.join(bm, "doc_id")
+      .withColumn("r1", row_number().over(Window.partitionBy("source")
+        .orderBy(col("bm25").desc, col("doc_id"))))
+      .select("doc_id", "r1")
+    val r2 = docs.withColumn("r2",
+      row_number().over(Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+    r2.join(r1, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r1"), col("r2"),
+        round(coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0)) +
+          lit(1.0) / (lit(60) + col("r2")) + lit(1e-9), 6).as("rrf"))
+  }
+
   /** Training-batch assembly capstone — the chunk→pack composition that
     * turns a cleaned corpus into fixed-budget training sequences: filter
     * short docs, split to non-overlapping 64-token chunks
@@ -2331,7 +2364,9 @@ object SparkEntry {
     "q141_token_budget" -> (q141_token_budget _),
     "q142_owlqn_lasso" -> (q142_owlqn_lasso _),
     "q143_lbfgsb_box" -> (q143_lbfgsb_box _),
-    "q144_training_batches" -> (q144_training_batches _))
+    "q144_training_batches" -> (q144_training_batches _),
+    "q145_embedding_covariance" -> (q145_embedding_covariance _),
+    "q146_rank_fusion" -> (q146_rank_fusion _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

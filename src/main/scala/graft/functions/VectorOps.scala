@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-vector column functions over `array<double>` / `array<float>`.
@@ -67,6 +67,32 @@ object VectorOps {
 
   def scale(s: Column, a: Column): Column =
     transform(asDouble(a), x => x * s)
+
+  /** Upper-triangle population covariance of the first `dim` coordinates
+    * of an embedding column, as rows (i, j, cov) — the input to PCA /
+    * whitening / Mahalanobis pipelines.
+    *
+    * ONE full-scan aggregate: all dim·(dim+1)/2 `covar_pop` moments are
+    * columns of a single `agg`, so the plan is a map-side-combined hash
+    * aggregate over the scan — no shuffle of exploded coordinate pairs
+    * (a dim²-per-row explode would multiply a 100 TB scan by 2,080 at
+    * dim 64). The quadratic agg-column count bounds `dim` (~100s of
+    * coordinates); past that, switch to a treeAggregate outer product
+    * over whole vectors. */
+  def covarianceUpper(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 128, "covarianceUpper: dim in [1,128]")
+    val pairs = for (i <- 0 until dim; j <- i until dim) yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      covar_pop(element_at(col(vecCol), i + 1).cast("double"),
+        element_at(col(vecCol), j + 1).cast("double")).as(s"_c_${i}_$j")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (i, j) =>
+        struct(lit(i).as("i"), lit(j).as("j"),
+          col(s"_c_${i}_$j").as("cov"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
 
   /** Deterministic pseudo-random hyperplane `seed`, cached per executor:
     * component i is md5("seed_i")'s leading 8 hex digits scaled to
