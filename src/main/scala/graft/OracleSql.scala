@@ -2035,6 +2035,28 @@ object OracleSql {
         |    AS w_clamped
         |FROM m""".stripMargin,
 
+    // q147: fixed-coefficient logistic quality gate — the q22 feature
+    // mirrors; keep on the margin z >= 0 (no exp in the predicate), mean
+    // score from per-doc 6dp-rounded DECIMAL probabilities
+    "q147_model_quality_filter" -> (toksCte + """,
+      |f AS (SELECT source,
+      |  6.0 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |    CAST(len(list_filter(toks, tk -> list_contains(
+      |      ['the','a','of','to','and','in','is'], lower(tk)))) AS DOUBLE)
+      |      / len(toks) END)
+      |  + 0.8 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+      |      AS DOUBLE) / len(toks) END)
+      |  + 0.5 * ln(1.0 + len(toks)) - 6.0 AS z
+      |  FROM t),
+      |k AS (SELECT source,
+      |    CAST(round(1.0 / (1.0 + exp(-z)) + 1e-9, 6) AS DECIMAL(18,6))
+      |      AS p
+      |  FROM f WHERE z >= 0)
+      |SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_p
+      |FROM k GROUP BY source""".stripMargin),
+
     // q145: upper-triangle covariance of the first 8 embedding coords —
     // covar_pop (population) on both sides, q75's round convention
     "q145_embedding_covariance" ->

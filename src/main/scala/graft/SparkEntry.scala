@@ -1780,6 +1780,28 @@ object SparkEntry {
           .as("buckets"))
   }
 
+  /** Model-based quality filtering — the stage after heuristic cleaning
+    * where a trained classifier gates the corpus: a fixed-coefficient
+    * logistic model (J1 broadcast-scoring shape, coefficients inlined)
+    * over the q22 feature set. The keep predicate is the MARGIN z ≥ 0,
+    * not sigmoid(z) ≥ 0.5 — same set, but no transcendental sits in the
+    * filter where a last-ulp exp() disagreement could flip membership.
+    * Per-source report: kept count and mean calibrated score from
+    * per-doc 6dp-rounded probabilities summed as exact decimals. */
+  def q147_model_quality_filter(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    val z = lit(6.0) * TF.stopwordRatio(col("text"), stop) +
+      lit(0.8) * TF.meanTokenLen(col("text")) +
+      lit(0.5) * log(lit(1.0) + TF.tokenCount(col("text"))) - lit(6.0)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-col("z"))) + lit(1e-9), 6)
+    T.documents(s, d).select(col("source"), z.as("z"))
+      .where(col("z") >= 0)
+      .select(col("source"), p.cast("decimal(18,6)").as("_p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("_p")).cast("double") / count(lit(1))).as("mean_p"))
+  }
+
   /** Embedding covariance ([[graft.functions.VectorOps.covarianceUpper]]):
     * upper-triangle covariance of the first 8 coordinates in ONE
     * full-scan aggregate (36 covar_pop moments as agg columns, no
@@ -2366,7 +2388,8 @@ object SparkEntry {
     "q143_lbfgsb_box" -> (q143_lbfgsb_box _),
     "q144_training_batches" -> (q144_training_batches _),
     "q145_embedding_covariance" -> (q145_embedding_covariance _),
-    "q146_rank_fusion" -> (q146_rank_fusion _))
+    "q146_rank_fusion" -> (q146_rank_fusion _),
+    "q147_model_quality_filter" -> (q147_model_quality_filter _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
