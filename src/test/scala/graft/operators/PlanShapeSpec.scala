@@ -78,4 +78,59 @@ class PlanShapeSpec extends SparkSpec {
       case _ => false
     })
   }
+
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => flattenPlan(a.executedPlan)
+      case q: QueryStageExec => flattenPlan(q.plan)
+      case other => other.children.flatMap(flattenPlan)
+    })
+  }
+
+  test("Chunking.chunk is shuffle-free (splits compose with any write)") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("id", "t")
+    assert(!hasShuffle(Chunking.chunk(docs, "id", "t", 4, 4)))
+  }
+
+  test("covarianceUpper is ONE aggregate pass — a single exchange, " +
+    "no explode below the aggregate") {
+    val df = (1 to 50)
+      .map(i => Tuple1(Array.tabulate(4)(j => math.sin(i * (j + 1)))))
+      .toDF("v")
+    val cov = graft.functions.VectorOps.covarianceUpper(df, "v", 4)
+    cov.queryExecution.toRdd.foreach(_ => ())
+    val nodes = flattenPlan(cov.queryExecution.executedPlan)
+    assert(nodes.count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    } == 1)
+    // the (i,j) explode runs over the ONE aggregated row, never the scan:
+    // no aggregate may be FED BY a Generate (explode-then-agg would be
+    // the dim²-per-row shape the operator exists to avoid)
+    assert(!nodes.exists {
+      case a if a.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.BaseAggregateExec] =>
+        flattenPlan(a).tail.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+      case _ => false
+    }, "the aggregate must consume the scan directly, not an explode")
+  }
+
+  test("indexSetUnion combines map-side: partial + final aggregate pair") {
+    val df = Seq((1, Seq(1, 5)), (1, Seq(5, 9)), (2, Seq(0)))
+      .toDF("g", "idxs").repartition(4)
+    val agg = df.groupBy("g")
+      .agg(graft.functions.AggFunctions.indexSetUnion(col("idxs")).as("u"))
+    agg.queryExecution.toRdd.foreach(_ => ())
+    val nodes = flattenPlan(agg.queryExecution.executedPlan)
+    val aggregates = nodes.filter(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+    // two aggregate operators (partial below the exchange, final above):
+    // the bitmap buffers merge BEFORE the shuffle, so a hot group ships
+    // one bitmap per task, not its row set
+    assert(aggregates.size == 2,
+      s"expected partial+final aggregates, saw ${aggregates.size}")
+  }
 }
