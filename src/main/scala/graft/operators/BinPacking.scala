@@ -63,11 +63,15 @@ object BinPacking {
                    topK: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     val heavy = df
-      .select(col(entityCol).cast("string").as("_e"))
-      .groupBy(col("_e")).agg(count(lit(1)).as("_c"))
+      // group on the RAW column and stringify collected keys with the
+      // same String.valueOf the row-side keyBy uses: a SQL
+      // cast-to-string renders timestamps/decimals differently, and a
+      // key that misses the packed map silently demotes that heavy
+      // entity to the hash tail (co-location survives, balance doesn't)
+      .groupBy(col(entityCol).as("_e")).agg(count(lit(1)).as("_c"))
       .orderBy(col("_c").desc, col("_e"))
       .limit(topK) // TakeOrdered: bounded heap per task, no global sort
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toSeq
     val packed = assign(heavy, nPartitions)
     val bmap = spark.sparkContext.broadcast(packed)
     val schema = df.schema
