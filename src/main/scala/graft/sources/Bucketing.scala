@@ -35,7 +35,15 @@ object Bucketing {
     * exchanges don't count — they're not a repartition). Materializes
     * the query first so AQE's final plan — not the opaque adaptive
     * wrapper — is what gets inspected. */
-  def hasShuffle(df: DataFrame): Boolean = {
+  def hasShuffle(df: DataFrame): Boolean = countShuffles(df) > 0
+
+  /** Number of shuffle exchanges in the EXECUTED plan of `df` (broadcast
+    * exchanges don't count — they're not a repartition). Materializes
+    * the query first so AQE's final plan — not the opaque adaptive
+    * wrapper — is what gets inspected. The count is each query's
+    * "shuffle budget": the plan-contract number the scale argument in
+    * its scaladoc is making. */
+  def countShuffles(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -50,9 +58,10 @@ object Bucketing {
       case q: QueryStageExec => flatten(q.plan)
       case other => other.children.flatMap(flatten)
     })
-    flatten(df.queryExecution.executedPlan).exists {
-      case _: ShuffleExchangeLike => true
-      case _ => false
-    }
+    // count DISTINCT exchange nodes: under AQE the same stage can be
+    // referenced from multiple query stages after reuse
+    flatten(df.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeLike => s
+    }.distinct.size
   }
 }

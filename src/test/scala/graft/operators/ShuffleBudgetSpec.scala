@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Bucketing.countShuffles
+
+/** Shuffle budgets for flagship registry queries: each query's executed
+  * plan (AQE-final, at sf0.001) must not exceed the exchange count its
+  * scale story promises. A regression here means a projection started
+  * shuffling or an aggregate grew an extra stage — the kind of plan
+  * drift per-value correctness gates can't see. Budgets are equalities
+  * in spirit but asserted as ≤ so an AQE improvement (e.g. a join
+  * flipping to broadcast) never fails the suite.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  // (query, budget): 0 = pure projection end-to-end; 1 = exactly the
+  // operator's one irreducible aggregate/window exchange
+  private val budgets = Seq(
+    "q21_token_count" -> 0,      // per-doc codegen'd text stats
+    "q24_fingerprint" -> 0,      // per-doc rolling hash
+    "q76_normalize" -> 0,        // per-doc normalization
+    "q82_chunking" -> 0,         // chunk explode composes with any write
+    "q60_split_assign" -> 0,     // deterministic hash split is row-local
+    "q13_region_revenue" -> 1,   // one agg after broadcast joins
+    "q20_dedup_exact" -> 1,      // one hash-agg on content hash
+    "q08_topk_per_order" -> 1,   // bounded per-group top-k
+    "q29_knn_brute" -> 1,        // broadcast queries + one top-k agg
+    "q139_index_union" -> 1,     // bitmap union: one grouped aggregate
+    "q145_embedding_covariance" -> 1, // single-scan moment aggregate
+    "q141_token_budget" -> 1,    // one partition-by-source sort/window
+    "q80_sequence_packing" -> 1, // bucket streams: one keyed window
+    "q95_bm25" -> 5              // tf/idf/dl/corpus/final — multi-stage
+  )
+
+  budgets.foreach { case (name, budget) =>
+    test(s"$name stays within its shuffle budget of $budget") {
+      val df = graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val n = countShuffles(df)
+      assert(n <= budget,
+        s"$name shuffles $n times, budget $budget — plan drifted")
+    }
+  }
+}
