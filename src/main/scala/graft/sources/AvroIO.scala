@@ -261,16 +261,19 @@ object AvroIO {
     }
     // commit: every final-named file is a completely-written partition
     // (promotion happens strictly after writer.close()); temps from
-    // killed attempts are never promoted and die with the staging dir
-    val chosen = fs.listStatus(staging).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") &&
+    // killed attempts are never promoted. Purge any lingering temps,
+    // then promote the WHOLE staging dir with one rename — the old
+    // dataset stays readable until the very last metadata operation,
+    // instead of across an N-file rename loop.
+    fs.listStatus(staging).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("part-") &&
         p.getName.endsWith(".avro"))
+      .foreach(p => fs.delete(p, false))
     if (fs.exists(out)) fs.delete(out, true)
-    fs.mkdirs(out)
-    chosen.foreach { f =>
-      fs.rename(f, new org.apache.hadoop.fs.Path(out, f.getName))
-    }
-    } finally fs.delete(staging, true)
+    if (!fs.rename(staging, out))
+      throw new java.io.IOException(
+        s"AvroIO.write: failed to promote $staging to $out")
+    } finally if (fs.exists(staging)) fs.delete(staging, true)
   }
 
   /** Write feature-bag training examples back to Avro container files —
