@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.ml.{GlmMath, GlmModel}
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -35,6 +35,61 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming PSI drift monitor: per event-time window, the population
+    * stability index of `valueCol` against a REFERENCE distribution —
+    * fractions per bin computed batch-side from a trusted baseline (the
+    * same fixed-edge binning [[graft.operators.Profiling.psiDrift]]
+    * uses on static data). The "is today's traffic still shaped like
+    * the training corpus?" alarm, evaluated continuously.
+    *
+    * All bins ride ONE stateful aggregation as conditional counts (the
+    * bin set is fixed), so per-window state is nBins longs — never a
+    * distribution sketch — and no second stateful operator is needed
+    * (chained streaming aggregations are where append-mode pipelines
+    * die). PSI is then a closed-form expression over those columns with
+    * the batch operator's Laplace smoothing.
+    *
+    * `binEdges` are the interior cut points (ascending); values below
+    * edge 0 fall in bin 0, above the last edge in bin n−1. `refFrac`
+    * must be strictly positive (smooth the reference batch-side) and
+    * have `binEdges.length + 1` entries. */
+  def psiMonitor(events: DataFrame, tsCol: String, valueCol: String,
+                 binEdges: Seq[Double], refFrac: Seq[Double],
+                 windowLen: String = "1 hour",
+                 watermark: String = "2 hours",
+                 smooth: Double = 0.5): DataFrame = {
+    require(binEdges.nonEmpty && binEdges == binEdges.sorted,
+      "binEdges must be non-empty and ascending")
+    require(refFrac.length == binEdges.length + 1,
+      s"refFrac needs ${binEdges.length + 1} entries, got ${refFrac.length}")
+    require(refFrac.forall(_ > 0),
+      "refFrac must be strictly positive (smooth the reference)")
+    val nBins = refFrac.length
+    val v = col(valueCol).cast("double")
+    val bin = binEdges.zipWithIndex
+      .foldRight(lit(nBins - 1): Column) { case ((e, i), acc) =>
+        when(v < e, lit(i)).otherwise(acc)
+      }
+    val aggs = (0 until nBins).map(i =>
+      count(when(col("_bin") === i, lit(1))).as(s"_n$i"))
+    val n = (0 until nBins).map(i => col(s"_n$i")).reduce(_ + _)
+    val terms = (0 until nBins).map { i =>
+      val p = (col(s"_n$i") + lit(smooth)) /
+        (col("n_rows").cast("double") + lit(nBins * smooth))
+      val r = lit(refFrac(i))
+      (p - r) * log(p / r)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("_bin", bin)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_rows", n)
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_rows"),
+        round(terms.reduce(_ + _) + lit(1e-9), 6).as("psi"))
+  }
 
   /** Stateful sessionization via flatMapGroupsWithState with an
     * EVENT-TIME timeout: a session closes after `gapMs` of user

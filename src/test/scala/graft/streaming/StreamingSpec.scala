@@ -137,6 +137,44 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((100L, 10.0), (100L, 20.0)))
   }
 
+  test("streaming PSI monitor matches the closed-form batch PSI per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val edges = Seq(2.0, 4.0)           // 3 bins: <2, [2,4), >=4
+    val ref = Seq(0.5, 0.3, 0.2)        // reference fractions
+    val input = MemoryStream[(Timestamp, Double)]
+    val psi = EventStreams.psiMonitor(input.toDF().toDF("ts", "value"),
+      "ts", "value", edges, ref, windowLen = "10 minutes",
+      watermark = "5 minutes")
+    val q = psi.writeStream.outputMode("complete")
+      .format("memory").queryName("psimon").start()
+    // window 1 (10:00): roughly reference-shaped; window 2 (10:10):
+    // mass shifted to the top bin — drift must register
+    input.addData(
+      (ts(1), 1.0), (ts(2), 1.5), (ts(3), 3.0), (ts(4), 5.0),
+      (ts(11), 5.0), (ts(12), 6.0), (ts(13), 7.0), (ts(14), 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("psimon")
+      .select(col("win_start").cast("string"), col("n_rows"), col("psi"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+    // closed-form expectation with the operator's exact smoothing/order
+    def expect(counts: Seq[Long]): Double = {
+      val n = counts.sum.toDouble
+      val t = counts.zip(ref).map { case (c, r) =>
+        val p = (c + 0.5) / (n + 1.5); (p - r) * math.log(p / r)
+      }.sum
+      BigDecimal(t + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (n1, p1) = rows("2024-01-01 10:00:00")
+    val (n2, p2) = rows("2024-01-01 10:10:00")
+    assert(n1 == 4 && n2 == 4)
+    assert(p1 == expect(Seq(2L, 1L, 1L)))
+    assert(p2 == expect(Seq(0L, 1L, 3L)))
+    assert(p2 > p1, "shifted window must show more drift")
+  }
+
   test("streaming GLM scoring broadcasts the model over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val model = graft.ml.GlmModel(Array(2.0, 1.0), 0.5, "squared")
