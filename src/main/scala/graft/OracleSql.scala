@@ -2004,6 +2004,35 @@ object OracleSql {
       """SELECT round(ln(avg(l_quantity)), 6) AS intercept
         |FROM lineitem""".stripMargin,
 
+    // q148: standardized ridge — Cramer in normalized space, unfolded
+    // exactly as the engine's effectiveCoef/marginShift (w = w'/s,
+    // b = b' - w*m)
+    "q148_norm_ridge" ->
+      """WITH pts AS (SELECT CAST(embedding[3] AS DOUBLE) AS x,
+        |    CAST(label AS DOUBLE) AS y FROM embeddings),
+        |st AS (SELECT AVG(x) AS m, stddev_pop(x) AS s FROM pts),
+        |np AS (SELECT (x - m) / s AS xs, y FROM pts, st),
+        |mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(xs) AS sx,
+        |    SUM(xs * xs) + 0.05 AS sxx, SUM(y) AS sy, SUM(xs * y) AS sxy
+        |  FROM np),
+        |sol AS (SELECT
+        |    (sxy * n - sx * sy) / (sxx * n - sx * sx) AS wp,
+        |    (sxx * sy - sx * sxy) / (sxx * n - sx * sx) AS bp
+        |  FROM mo)
+        |SELECT ROUND(wp / s + 1e-9, 6) AS w1,
+        |  ROUND(bp - (wp / s) * m + 1e-9, 6) AS intercept
+        |FROM sol, st""".stripMargin,
+
+    // q149: Gaussian-prior posterior mode — (sxy + mu/var)/(sxx + 1/var)
+    "q149_prior_ridge" ->
+      """WITH m AS (SELECT
+        |    SUM(CAST(embedding[4] AS DOUBLE) * CAST(label AS DOUBLE)) AS sxy,
+        |    SUM(CAST(embedding[4] AS DOUBLE) * CAST(embedding[4] AS DOUBLE)) AS sxx
+        |  FROM embeddings)
+        |SELECT ROUND((sxy + 0.3 / 0.04) / (sxx + 1.0 / 0.04) + 1e-9, 6)
+        |  AS w1
+        |FROM m""".stripMargin,
+
     // q142: 1-D lasso closed form — soft threshold of the moment ratio;
     // the engine reaches both branches through breeze OWLQN
     "q142_owlqn_lasso" ->

@@ -1908,6 +1908,53 @@ object SparkEntry {
     Seq((rnd6(wF + 1e-9), rnd6(wC + 1e-9))).toDF("w_free", "w_clamped")
   }
 
+  /** P7 normalization end-to-end: 1-feature + intercept ridge trained
+    * under STANDARDIZATION (x′ = (x−m)/s, l2 on the normalized
+    * coefficient, intercept unregularized) and unfolded back
+    * (w = w′/s, b = b′ − w·m). Standardization makes the closed-form
+    * path ineligible, so this rides the normalized-space LBFGS iterate
+    * plus the effective-coefficient fold — the oracle solves the
+    * standardized 2×2 Cramer system and unfolds identically. */
+  def q148_norm_ridge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val x = element_at(col("embedding"), 3).cast("double")
+    val row = T.embeddings(s, d).agg(avg(x), stddev_pop(x)).head()
+    val (m, sd) = (row.getDouble(0), row.getDouble(1))
+    val pts = T.embeddings(s, d).select(
+      col("label").cast("double").as("label"),
+      array_to_vector(slice(col("embedding"), 3, 1)).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val cfg = graft.ml.GlmConfig(graft.ml.SquaredLoss, l2 = 0.05,
+      norm = graft.ml.Normalization.standardization(Array(m), Array(sd)),
+      maxIter = 300, tol = 1e-12)
+    val mdl = graft.ml.Glm.train(pts, 1, cfg, solver = "lbfgs")
+    Seq((rnd6(mdl.coef(0) + 1e-9), rnd6(mdl.intercept + 1e-9)))
+      .toDF("w1", "intercept")
+  }
+
+  /** L17 Gaussian-prior (incremental-training) plumbing against its
+    * exact posterior: 1-feature squared loss, no intercept, prior
+    * (μ=0.3, σ²=0.04) — the regularized normal equation is
+    * (Σx² + 1/σ²)·w = Σxy + μ/σ², solved by the same closed-form path
+    * incremental retraining uses. The oracle computes the posterior
+    * mode directly. */
+  def q149_prior_ridge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val pts = T.embeddings(s, d).select(
+      col("label").cast("double").as("label"),
+      array_to_vector(slice(col("embedding"), 4, 1)).as("features"),
+      lit(0.0).as("offset"), lit(1.0).as("weight"))
+      .as[graft.ml.LabeledPoint]
+    val cfg = graft.ml.GlmConfig(graft.ml.SquaredLoss,
+      fitIntercept = false, maxIter = 200, tol = 1e-12,
+      prior = Some(graft.ml.GaussianPrior(Array(0.3), Array(0.04))))
+    val mdl = graft.ml.Glm.train(pts, 1, cfg)
+    Seq(rnd6(mdl.coef(0) + 1e-9)).toDF("w1")
+  }
+
   /** Per-source token-budget fill — the domain-mixing primitive that
     * caps each source at 20% of its token mass, taking documents
     * longest-first (deterministic doc_id tie-break): keep while the
@@ -2389,7 +2436,9 @@ object SparkEntry {
     "q144_training_batches" -> (q144_training_batches _),
     "q145_embedding_covariance" -> (q145_embedding_covariance _),
     "q146_rank_fusion" -> (q146_rank_fusion _),
-    "q147_model_quality_filter" -> (q147_model_quality_filter _))
+    "q147_model_quality_filter" -> (q147_model_quality_filter _),
+    "q148_norm_ridge" -> (q148_norm_ridge _),
+    "q149_prior_ridge" -> (q149_prior_ridge _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
