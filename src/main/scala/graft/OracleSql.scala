@@ -2004,6 +2004,16 @@ object OracleSql {
       """SELECT round(ln(avg(l_quantity)), 6) AS intercept
         |FROM lineitem""".stripMargin,
 
+    // q150: whitening's analytic invariant — whitened covariance IS the
+    // identity, so the oracle is a constant table; the engine has to do
+    // the real moment/eigen/projection work to land on it
+    "q150_whitening" ->
+      """SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  CAST(CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cov
+        |FROM (SELECT unnest(range(0, 8)) AS i) a,
+        |  (SELECT unnest(range(0, 8)) AS j) b
+        |WHERE i <= j""".stripMargin,
+
     // q148: standardized ridge — Cramer in normalized space, unfolded
     // exactly as the engine's effectiveCoef/marginShift (w = w'/s,
     // b = b' - w*m)

@@ -1810,6 +1810,21 @@ object SparkEntry {
     V.covarianceUpper(T.embeddings(s, d), "embedding", 8)
       .select(col("i"), col("j"), round(col("cov") + lit(1e-9), 6).as("cov"))
 
+  /** ZCA whitening gated by its analytic invariant: whiten the first 8
+    * embedding coordinates ([[graft.functions.VectorOps.whiten]] — one
+    * moment scan, driver-side 8×8 eigensolve, codegen'd projection, no
+    * data shuffle), then re-measure the covariance — which must BE the
+    * identity matrix at 6 dp. The oracle is the constant identity
+    * table, so the moment pass, eigensolve, and projection all face an
+    * exact gate without the eigendecomposition ever needing SQL. */
+  def q150_whitening(s: SparkSession, d: String): DataFrame = {
+    val white = V.whiten(T.embeddings(s, d), "embedding", 8)
+      .select(col("whitened").as("v"))
+    V.covarianceUpper(white, "v", 8)
+      .select(col("i"), col("j"),
+        round(col("cov") + lit(1e-9), 6).as("cov"))
+  }
+
   /** Reciprocal-rank fusion of two per-source rankings — the retrieval
     * re-rank primitive: BM25 relevance (list 1, hit docs only) fused
     * with the integer n_chars quality rank (list 2, all docs) as
@@ -2438,7 +2453,8 @@ object SparkEntry {
     "q146_rank_fusion" -> (q146_rank_fusion _),
     "q147_model_quality_filter" -> (q147_model_quality_filter _),
     "q148_norm_ridge" -> (q148_norm_ridge _),
-    "q149_prior_ridge" -> (q149_prior_ridge _))
+    "q149_prior_ridge" -> (q149_prior_ridge _),
+    "q150_whitening" -> (q150_whitening _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -94,6 +94,48 @@ object VectorOps {
       .select("p.*")
   }
 
+  /** ZCA whitening of the first `dim` coordinates: y = W·(x−μ) with
+    * W = V·Λ^(−1/2)·Vᵀ from the eigendecomposition of the population
+    * covariance — embeddings come out decorrelated with unit variance,
+    * the standard preprocessing before cosine/Mahalanobis retrieval.
+    *
+    * Scale shape: ONE full-scan aggregate collects the dim(dim+1)/2
+    * covariance moments plus the dim means (driver-sized, like k-means
+    * centroids); the eigensolve is a dim×dim driver-side breeze
+    * `eigSym`; the projection back over the data is a pure codegen
+    * expression per output coordinate (64 multiply-adds at dim 8), so
+    * the whole operator is one scan + one map — no shuffle of the data
+    * at any point. `eps` regularizes near-zero eigenvalues. */
+  def whiten(df: DataFrame, vecCol: String, dim: Int,
+             eps: Double = 1e-9): DataFrame = {
+    require(dim >= 1 && dim <= 64, "whiten: dim in [1,64]")
+    val pairs = for (i <- 0 until dim; j <- i until dim) yield (i, j)
+    val covAggs = pairs.map { case (i, j) =>
+      covar_pop(element_at(col(vecCol), i + 1).cast("double"),
+        element_at(col(vecCol), j + 1).cast("double")).as(s"_c_${i}_$j")
+    }
+    val meanAggs = (0 until dim).map(i =>
+      avg(element_at(col(vecCol), i + 1).cast("double")).as(s"_m_$i"))
+    val aggs = covAggs ++ meanAggs
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val m = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    pairs.zipWithIndex.foreach { case ((i, j), k) =>
+      m(i, j) = row.getDouble(k); m(j, i) = row.getDouble(k)
+    }
+    val mu = Array.tabulate(dim)(i => row.getDouble(pairs.length + i))
+    val es = breeze.linalg.eigSym(m)
+    val inv = breeze.linalg.diag(
+      es.eigenvalues.map(l => 1.0 / math.sqrt(l + eps)))
+    val w = es.eigenvectors * inv * es.eigenvectors.t
+    val outCoords = (0 until dim).map { i =>
+      (0 until dim).map { j =>
+        lit(w(i, j)) *
+          (element_at(col(vecCol), j + 1).cast("double") - lit(mu(j)))
+      }.reduce(_ + _)
+    }
+    df.withColumn("whitened", array(outCoords: _*))
+  }
+
   /** Deterministic pseudo-random hyperplane `seed`, cached per executor:
     * component i is md5("seed_i")'s leading 8 hex digits scaled to
     * [-1, 1) — exactly the SQL-mirrorable formula
