@@ -8,7 +8,7 @@ object Bench {
     // contract: bench runs at local[32] (override via SPARK_GRAFT_CPUS)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
-    val spark = SparkSession.builder()
+    val spark = graft.util.SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

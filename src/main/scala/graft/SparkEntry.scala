@@ -1490,7 +1490,12 @@ object SparkEntry {
         (col("l_suppkey").cast("long") * 2 + 1).as("ss")).distinct()
     val edges = pairs.select(col("c").as("src"), col("ss").as("dst"))
       .unionByName(pairs.select(col("ss").as("src"), col("c").as("dst")))
-    Graphs.pagerank(edges, "src", "dst", iterations = 3)
+    // broadcastNodeLimit = 0: same lesson as q121 — the explicit
+    // per-round broadcast forces an eager materialization job per round;
+    // letting AQE pick the strategy inside one job is faster at every
+    // scale where the rank table is broadcast-sized anyway
+    Graphs.pagerank(edges, "src", "dst", iterations = 3,
+      broadcastNodeLimit = 0L)
       .select(when(col("id") % 2 === 0,
           concat(lit("c"), expr("id div 2")))
         .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),

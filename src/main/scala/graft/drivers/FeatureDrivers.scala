@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object FeatureIndexingDriver {
 
   def main(argv: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.util.SessionTuning(SparkSession.builder())
       .appName("graft-feature-indexing").getOrCreate()
     run(spark, Args.parse(argv))
   }
@@ -44,7 +44,7 @@ object FeatureIndexingDriver {
 object NameAndTermFeatureBagsDriver {
 
   def main(argv: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.util.SessionTuning(SparkSession.builder())
       .appName("graft-feature-bags").getOrCreate()
     run(spark, Args.parse(argv))
   }

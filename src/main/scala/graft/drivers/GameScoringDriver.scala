@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GameScoringDriver {
 
   def main(argv: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.util.SessionTuning(SparkSession.builder())
       .appName("graft-game-scoring").getOrCreate()
     run(spark, Args.parse(argv))
   }

@@ -33,7 +33,7 @@ object GameTrainingDriver {
   case class Evaluated(lambda: Double, metric: Double, model: GameModel)
 
   def main(argv: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.util.SessionTuning(SparkSession.builder())
       .appName("graft-game-training").getOrCreate()
     run(spark, Args.parse(argv))
   }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object LegacyDriver {
 
   def main(argv: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.util.SessionTuning(SparkSession.builder())
       .appName("graft-glm-training").getOrCreate()
     run(spark, Args.parse(argv))
   }
