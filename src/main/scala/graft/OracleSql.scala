@@ -2522,5 +2522,138 @@ object OracleSql {
         |  MAX(CAST(embedding[1] AS DOUBLE)) AS vmax,
         |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
         |    / COUNT(*) AS vmean
-        |FROM embeddings GROUP BY label""".stripMargin)
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    // q151: Welch's t per event_type between md5-assigned variants. The
+    // CTE chain mirrors the engine's val chain step for step so every
+    // double flows through the identical IEEE expression tree; all sums
+    // are decimal-exact sufficient statistics.
+    "q151_ab_welch" -> {
+      val vh = hex8("'exp_' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT event_type,
+         |    CASE WHEN $vh < 2147483648 THEN 'A' ELSE 'B' END AS v,
+         |    CAST(value AS DECIMAL(18,6)) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT event_type,
+         |    COUNT(CASE WHEN v = 'A' THEN 1 END) AS n_a,
+         |    COUNT(CASE WHEN v = 'B' THEN 1 END) AS n_b,
+         |    SUM(CASE WHEN v = 'A' THEN y END) AS sa,
+         |    SUM(CASE WHEN v = 'B' THEN y END) AS sb,
+         |    SUM(CASE WHEN v = 'A' THEN y * y END) AS saa,
+         |    SUM(CASE WHEN v = 'B' THEN y * y END) AS sbb
+         |  FROM e GROUP BY event_type),
+         |g2 AS (SELECT event_type, n_a, n_b,
+         |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+         |    CAST(saa AS DOUBLE) AS saad, CAST(sbb AS DOUBLE) AS sbbd
+         |  FROM g),
+         |g3 AS (SELECT *,
+         |    ((saad - sad * sad / nad) / (nad - 1.0)) / nad AS sea,
+         |    ((sbbd - sbd * sbd / nbd) / (nbd - 1.0)) / nbd AS seb
+         |  FROM g2),
+         |g4 AS (SELECT *, sea + seb AS se2 FROM g3)
+         |SELECT event_type, n_a, n_b,
+         |  ROUND(sad / nad + 1e-9, 6) AS mean_a,
+         |  ROUND(sbd / nbd + 1e-9, 6) AS mean_b,
+         |  ROUND((sad / nad - sbd / nbd) / SQRT(se2) + 1e-9, 6) AS t_stat,
+         |  ROUND(se2 * se2 / (sea * sea / (nad - 1.0)
+         |    + seb * seb / (nbd - 1.0)) + 1e-9, 6) AS df_welch
+         |FROM g4""".stripMargin
+    },
+
+    // q152: chi-square independence on the same variant split. Margins
+    // and the grand total come from the cell table; per-cell
+    // contributions are rounded to 9dp and decimal-summed (cell-order
+    // independent). CAST(SUM(n) AS BIGINT) dodges the HUGEINT hazard.
+    "q152_chi_square" -> {
+      val vh = hex8("'exp_' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT event_type AS f,
+         |    CASE WHEN $vh < 2147483648 THEN 'A' ELSE 'B' END AS v
+         |  FROM events),
+         |cells AS (SELECT f, v, COUNT(*) AS n FROM e
+         |  WHERE f IS NOT NULL GROUP BY f, v),
+         |fm AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nf FROM cells GROUP BY f),
+         |vm AS (SELECT v, CAST(SUM(n) AS BIGINT) AS nv FROM cells GROUP BY v),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+         |j AS (SELECT c.n, c.f, c.v,
+         |    CAST(fm.nf AS DOUBLE) * CAST(vm.nv AS DOUBLE)
+         |      / CAST(tot.nn AS DOUBLE) AS ex
+         |  FROM cells c JOIN fm ON c.f = fm.f JOIN vm ON c.v = vm.v
+         |  CROSS JOIN tot),
+         |x AS (SELECT n, f, v, CAST(ROUND(
+         |    (CAST(n AS DOUBLE) - ex) * (CAST(n AS DOUBLE) - ex) / ex
+         |      + 1e-9, 9) AS DECIMAL(28,9)) AS xx
+         |  FROM j)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_cells,
+         |  (COUNT(DISTINCT f) - 1) * (COUNT(DISTINCT v) - 1) AS dof,
+         |  ROUND(CAST(SUM(xx) AS DOUBLE) + 1e-9, 6) AS chi2
+         |FROM x""".stripMargin
+    },
+
+    // q153: deterministic Poisson bootstrap, 16 replicates. The draw is
+    // an integer comparison of the 32-bit md5 hash against the Poisson(1)
+    // CDF·2³² thresholds — no float parsing anywhere; replicate means are
+    // exact-decimal ratios and the CI interpolates order statistics at
+    // the p·(n−1) convention (0.375 / 14.625 are exact doubles).
+    "q153_bootstrap_ci" -> {
+      val bh = hex8(
+        "'boot' || '#' || CAST(event_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)")
+      s"""WITH e AS (SELECT event_type, event_id,
+         |    CAST(value AS DECIMAL(18,6)) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |reps AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS r),
+         |d AS (SELECT event_type, r,
+         |    CASE WHEN $bh < 1580030168 THEN 0
+         |      WHEN $bh < 3160060337 THEN 1
+         |      WHEN $bh < 3950075421 THEN 2
+         |      WHEN $bh < 4213413783 THEN 3
+         |      WHEN $bh < 4279248373 THEN 4
+         |      ELSE 5 END AS w, y
+         |  FROM e CROSS JOIN reps),
+         |m AS (SELECT event_type, r,
+         |    CAST(SUM(CAST(w AS DECIMAL(10,0)) * y) AS DOUBLE)
+         |      / CAST(SUM(CAST(w AS DECIMAL(10,0))) AS DOUBLE) AS mv
+         |  FROM d GROUP BY event_type, r
+         |  HAVING SUM(CAST(w AS DECIMAL(10,0))) > 0),
+         |rk AS (SELECT event_type, mv,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY mv, r) AS rn
+         |  FROM m),
+         |p AS (SELECT event_type, COUNT(*) AS n_replicates,
+         |    MAX(CASE WHEN rn = 1 THEN mv END) AS l1,
+         |    MAX(CASE WHEN rn = 2 THEN mv END) AS l2,
+         |    MAX(CASE WHEN rn = 15 THEN mv END) AS h1,
+         |    MAX(CASE WHEN rn = 16 THEN mv END) AS h2
+         |  FROM rk GROUP BY event_type)
+         |SELECT event_type, n_replicates,
+         |  ROUND(l1 + 0.375 * (l2 - l1) + 1e-9, 6) AS ci_lo,
+         |  ROUND(h1 + 0.625 * (h2 - h1) + 1e-9, 6) AS ci_hi
+         |FROM p""".stripMargin
+    },
+
+    // q154: the oracle recomputes the canary PLANT arithmetic (slice =
+    // low 8 hash bits, id = bits above), so the engine's insertion-blind
+    // contains-join detection must recover the insertion ground truth
+    // exactly — a false positive or missed marker breaks the hash.
+    "q154_canary_audit" -> {
+      val ch = hex8("'canary_' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT CAST(((h >> 8) % 16) AS INTEGER) AS canary_id,
+         |  COUNT(*) AS n_docs
+         |FROM (SELECT $ch AS h FROM documents)
+         |WHERE h % 16 = 0
+         |GROUP BY 1""".stripMargin
+    },
+
+    // q155: full single-pass recompute — gating the engine's
+    // merge(snapshot(base), snapshot(delta)) identity. Decimal sums make
+    // the floating component of the state exactly mergeable.
+    "q155_incremental_agg" ->
+      """SELECT event_type, COUNT(value) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    + 1e-9, 6) AS sum_v,
+        |  MIN(value) AS min_v, MAX(value) AS max_v,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(COUNT(value) AS DOUBLE) + 1e-9, 6) AS mean_v
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type""".stripMargin)
 }

@@ -2307,6 +2307,64 @@ object SparkEntry {
     Similarity.lsh(queries, corpus, 3, nBits = 6, nProbe = 2)
   }
 
+  /** A/B experiment readout ([[operators.Experiments.welchTTest]]):
+    * users hash-split 50/50, then per event_type the Welch
+    * unequal-variance t statistic and Satterthwaite dof — ONE aggregate
+    * to (n, Σy, Σy²) per side, decimal-exact sums, fixed IEEE expression
+    * tree the oracle mirrors textually. */
+  def q151_ab_welch(s: SparkSession, d: String): DataFrame =
+    Experiments.welchTTest(
+      T.events(s, d).withColumn("variant",
+        Experiments.variant(col("user_id"))),
+      Seq("event_type"), "variant", "value")
+
+  /** Chi-square independence of event_type × assigned variant
+    * ([[operators.Experiments.chiSquare]]) — the sample-ratio-mismatch /
+    * categorical-drift test: one aggregate to contingency cells,
+    * broadcast margins, order-independent contribution sum. */
+  def q152_chi_square(s: SparkSession, d: String): DataFrame =
+    Experiments.chiSquare(
+      T.events(s, d).withColumn("variant",
+        Experiments.variant(col("user_id"))),
+      "event_type", "variant")
+
+  /** Percentile-bootstrap CI for each event_type's mean value
+    * ([[operators.Experiments.bootstrapMeanCI]]): 16 deterministic
+    * Poisson(1) resamples from integer hash thresholds — no RNG state,
+    * replicate partial sums are the only fan-out through the shuffle. */
+  def q153_bootstrap_ci(s: SparkSession, d: String): DataFrame =
+    Experiments.bootstrapMeanCI(T.events(s, d), Seq("event_type"),
+      "event_id", "value", replicates = 16)
+
+  /** Canary leakage audit ([[operators.Decontamination.plantCanaries]] /
+    * `detectCanaries`): plant 16 synthetic markers into a 1/16 hash
+    * slice of the corpus, then detect them insertion-blind with a
+    * broadcast probe-list contains-join over ONE corpus scan. The oracle
+    * recomputes the plant arithmetic directly, so detection must recover
+    * the insertion ground truth exactly. */
+  def q154_canary_audit(s: SparkSession, d: String): DataFrame = {
+    val marked = Decontamination.plantCanaries(
+      T.documents(s, d), "doc_id", "text", k = 16, everyN = 16)
+    Decontamination.detectCanaries(marked, "text", k = 16)
+  }
+
+  /** Incremental-recompute gate ([[operators.IncrementalAgg]]): snapshot
+    * the pre-cutoff events and the post-cutoff delta separately, MERGE
+    * the mergeable states (n, decimal Σ, min, max), and finish — the
+    * oracle aggregates the whole table in one pass, so the identity
+    * merge(snapshot(a), snapshot(b)) == snapshot(a ∪ b) is hash-gated. */
+  def q155_incremental_agg(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+    val cut = lit("2024-01-20").cast("timestamp")
+    val base = IncrementalAgg.snapshot(
+      ev.filter(col("ts") < cut), Seq("event_type"), "value")
+    val delta = IncrementalAgg.snapshot(
+      ev.filter(col("ts") >= cut), Seq("event_type"), "value")
+    IncrementalAgg.finish(
+      IncrementalAgg.merge(Seq(base, delta), Seq("event_type")),
+      Seq("event_type"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2459,7 +2517,12 @@ object SparkEntry {
     "q147_model_quality_filter" -> (q147_model_quality_filter _),
     "q148_norm_ridge" -> (q148_norm_ridge _),
     "q149_prior_ridge" -> (q149_prior_ridge _),
-    "q150_whitening" -> (q150_whitening _))
+    "q150_whitening" -> (q150_whitening _),
+    "q151_ab_welch" -> (q151_ab_welch _),
+    "q152_chi_square" -> (q152_chi_square _),
+    "q153_bootstrap_ci" -> (q153_bootstrap_ci _),
+    "q154_canary_audit" -> (q154_canary_audit _),
+    "q155_incremental_agg" -> (q155_incremental_agg _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -47,4 +47,48 @@ object Decontamination {
       report(candidates, benchmark, idCol, textCol, n)
         .filter(col("is_contaminated")).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Deterministic canary corpus for memorization / leakage audits: `k`
+    * synthetic marker strings ("CANARY-" + 12 md5 hex chars, so they
+    * cannot occur in natural text), each planted by appending it to the
+    * documents whose salted id hash lands in its 1-in-`everyN` slice.
+    * Returns the marked corpus (every input row, `textCol` possibly
+    * extended, plus the planted `canary_id` or null). */
+  def plantCanaries(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, everyN: Int = 16,
+                    salt: String = "canary"): DataFrame = {
+    // the slice predicate uses the hash's low 8 bits, the canary id the
+    // bits above them — independent as long as everyN divides 256 (a
+    // shared modulus would pin every planted doc to canary 0)
+    require(k >= 1 && everyN >= 1 && 256 % everyN == 0)
+    val h = conv(substring(md5(concat_ws("_", lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val cid = (shiftright(h, 8) % k).cast("int")
+    val tag = concat(lit("CANARY-"),
+      substring(md5(concat(lit("canary_"), cid.cast("string"))), 1, 12))
+    val planted = (h % everyN) === 0
+    df.withColumn("canary_id", when(planted, cid))
+      .withColumn(textCol,
+        when(planted, concat(col(textCol), lit(" "), tag))
+          .otherwise(col(textCol)))
+  }
+
+  /** Canary detection sweep, insertion-blind: probe the corpus for every
+    * canary pattern via a broadcast contains-join (the k patterns are a
+    * constant-sized probe list; the corpus is scanned ONCE). Returns one
+    * row per canary id with its detected document count — the shape of
+    * any "is our held-out data leaking into the corpus?" audit. */
+  def detectCanaries(df: DataFrame, textCol: String,
+                     k: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probes = (0 until k).toDF("canary_id")
+      .select(col("canary_id"), concat(lit("CANARY-"),
+        substring(md5(concat(lit("canary_"),
+          col("canary_id").cast("string"))), 1, 12)).as("pattern"))
+    df.select(col(textCol)).crossJoin(broadcast(probes))
+      .filter(contains(col(textCol), col("pattern")))
+      .groupBy("canary_id")
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }
