@@ -2644,6 +2644,87 @@ object OracleSql {
          |GROUP BY 1""".stripMargin
     },
 
+    // q156: CUPED. Per-user period means rounded to 6dp and re-cast to
+    // decimals make every cross-user moment an exact sum; θ and the
+    // adjusted means then mirror the engine's IEEE expression order
+    // through the CTE chain.
+    "q156_cuped" -> {
+      val vh = hex8("'exp_' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT user_id,
+         |    CASE WHEN $vh < 2147483648 THEN 'A' ELSE 'B' END AS v,
+         |    ts < TIMESTAMP '2024-01-15' AS pre,
+         |    CAST(value AS DECIMAL(18,6)) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |u0 AS (SELECT user_id, MAX(v) AS v,
+         |    SUM(CASE WHEN pre THEN y END) AS sx,
+         |    COUNT(CASE WHEN pre THEN 1 END) AS cx,
+         |    SUM(CASE WHEN NOT pre THEN y END) AS sy,
+         |    COUNT(CASE WHEN NOT pre THEN 1 END) AS cy
+         |  FROM e GROUP BY user_id),
+         |u AS (SELECT v,
+         |    CAST(ROUND(CAST(sx AS DOUBLE) / CAST(cx AS DOUBLE)
+         |      + 1e-9, 6) AS DECIMAL(18,6)) AS x,
+         |    CAST(ROUND(CAST(sy AS DOUBLE) / CAST(cy AS DOUBLE)
+         |      + 1e-9, 6) AS DECIMAL(18,6)) AS y
+         |  FROM u0 WHERE cx > 0 AND cy > 0),
+         |mom AS (SELECT COUNT(*) AS n, SUM(x) AS tx, SUM(y) AS ty,
+         |    SUM(x * y) AS txy, SUM(x * x) AS txx FROM u),
+         |pooled AS (SELECT
+         |    (CAST(n AS DOUBLE) * CAST(txy AS DOUBLE)
+         |      - CAST(tx AS DOUBLE) * CAST(ty AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(txx AS DOUBLE)
+         |      - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE)) AS theta,
+         |    CAST(tx AS DOUBLE) / CAST(n AS DOUBLE) AS mx FROM mom),
+         |pv AS (SELECT v AS variant, COUNT(*) AS n_units,
+         |    SUM(x) AS vx, SUM(y) AS vy FROM u GROUP BY v)
+         |SELECT variant, n_units,
+         |  ROUND(CAST(vy AS DOUBLE) / CAST(n_units AS DOUBLE)
+         |    + 1e-9, 6) AS mean_raw,
+         |  ROUND(CAST(vy AS DOUBLE) / CAST(n_units AS DOUBLE)
+         |    - theta * (CAST(vx AS DOUBLE) / CAST(n_units AS DOUBLE) - mx)
+         |    + 1e-9, 6) AS mean_adj,
+         |  ROUND(theta + 1e-9, 6) AS theta
+         |FROM pv CROSS JOIN pooled""".stripMargin
+    },
+
+    // q157: delta-method SE for a user-clustered ratio metric. Per-user
+    // (s, n) pairs; variant moments are exact decimal/integer sums; the
+    // variance formula is the fixed double expression both sides share.
+    "q157_ratio_delta" -> {
+      val vh = hex8("'exp_' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT user_id,
+         |    CASE WHEN $vh < 2147483648 THEN 'A' ELSE 'B' END AS v,
+         |    event_type, CAST(value AS DECIMAL(18,6)) AS y
+         |  FROM events),
+         |u AS (SELECT user_id, MAX(v) AS v,
+         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN y END), 0) AS DECIMAL(18,6)) AS s,
+         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+         |      THEN 1 END), 0) AS BIGINT) AS c
+         |  FROM e GROUP BY user_id),
+         |g AS (SELECT v AS variant, COUNT(*) AS n_units,
+         |    SUM(s) AS ts, CAST(SUM(c) AS BIGINT) AS tc,
+         |    SUM(CAST(s AS DECIMAL(28,6)) * s) AS tss,
+         |    SUM(CAST(s AS DECIMAL(28,6)) * CAST(c AS DECIMAL(12,0))) AS tsc,
+         |    SUM(CAST(c AS DECIMAL(28,0)) * CAST(c AS DECIMAL(12,0))) AS tcc
+         |  FROM u GROUP BY v),
+         |g2 AS (SELECT variant, n_units,
+         |    CAST(n_units AS DOUBLE) AS m, CAST(ts AS DOUBLE) AS tsd,
+         |    CAST(tc AS DOUBLE) AS tcd, CAST(tss AS DOUBLE) AS tssd,
+         |    CAST(tsc AS DOUBLE) AS tscd, CAST(tcc AS DOUBLE) AS tccd
+         |  FROM g),
+         |g3 AS (SELECT variant, n_units, m, tsd / tcd AS ratio,
+         |    (tssd - tsd * tsd / m) / (m - 1.0) AS vs,
+         |    (tscd - tsd * tcd / m) / (m - 1.0) AS cv,
+         |    (tccd - tcd * tcd / m) / (m - 1.0) AS vc,
+         |    tcd / m AS mc
+         |  FROM g2)
+         |SELECT variant, n_units, ROUND(ratio + 1e-9, 6) AS ratio,
+         |  ROUND(SQRT((vs - 2.0 * ratio * cv + ratio * ratio * vc)
+         |    / (m * mc * mc)) + 1e-9, 6) AS se
+         |FROM g3""".stripMargin
+    },
+
     // q155: full single-pass recompute — gating the engine's
     // merge(snapshot(base), snapshot(delta)) identity. Decimal sums make
     // the floating component of the state exactly mergeable.

@@ -2365,6 +2365,29 @@ object SparkEntry {
       Seq("event_type"))
   }
 
+  /** CUPED-adjusted experiment readout ([[operators.Experiments.cuped]]):
+    * pre-period (before Jan 15) per-user mean value as the covariate for
+    * the post-period metric, pooled θ, per-variant raw vs adjusted
+    * means. Unit-domain shuffles only. */
+  def q156_cuped(s: SparkSession, d: String): DataFrame =
+    Experiments.cuped(
+      T.events(s, d).withColumn("variant",
+        Experiments.variant(col("user_id"))),
+      "user_id", "variant", "value",
+      col("ts") < lit("2024-01-15").cast("timestamp"))
+
+  /** Delta-method SE for the user-clustered ratio metric revenue-per-
+    * view ([[operators.Experiments.deltaRatio]]): purchase value summed
+    * per user over view counts per user; the SE accounts for within-user
+    * correlation a per-row variance would miss. */
+  def q157_ratio_delta(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).withColumn("variant",
+      Experiments.variant(col("user_id")))
+    Experiments.deltaRatio(ev, "user_id", "variant",
+      when(col("event_type") === "purchase", dec(col("value"), 18, 6)),
+      when(col("event_type") === "view", lit(1L)))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2522,7 +2545,9 @@ object SparkEntry {
     "q152_chi_square" -> (q152_chi_square _),
     "q153_bootstrap_ci" -> (q153_bootstrap_ci _),
     "q154_canary_audit" -> (q154_canary_audit _),
-    "q155_incremental_agg" -> (q155_incremental_agg _))
+    "q155_incremental_agg" -> (q155_incremental_agg _),
+    "q156_cuped" -> (q156_cuped _),
+    "q157_ratio_delta" -> (q157_ratio_delta _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

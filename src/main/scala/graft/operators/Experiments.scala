@@ -106,6 +106,93 @@ object Experiments {
         round(col("_chi").cast("double") + lit(1e-9), roundTo).as("chi2"))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM'13): per-unit metric
+    * means adjusted by the pre-period covariate, θ = cov(X,Y)/var(X)
+    * estimated pooled. Units lacking either period are dropped (the
+    * standard complete-case variant). One per-unit aggregate → one
+    * moment aggregate (single row, broadcast back) → one per-variant
+    * aggregate; nothing bigger than the unit domain ever shuffles.
+    *
+    * Determinism: per-unit means are rounded to 6 dp and re-cast to
+    * decimals, so every cross-unit moment is an exact decimal sum; θ and
+    * the adjusted means are fixed IEEE expressions over those moments. */
+  def cuped(df: DataFrame, uidCol: String, variantCol: String,
+            valueCol: String, isPre: Column, roundTo: Int = 6): DataFrame = {
+    val y = Exact.dec(col(valueCol), 18, 6)
+    val perUnit = df.filter(col(valueCol).isNotNull)
+      .groupBy(uidCol)
+      .agg(max(col(variantCol)).as("_v"),
+        sum(when(isPre, y)).as("_sx"),
+        count(when(isPre, lit(1))).as("_cx"),
+        sum(when(!isPre, y)).as("_sy"),
+        count(when(!isPre, lit(1))).as("_cy"))
+      .filter(col("_cx") > 0 && col("_cy") > 0)
+      .select(col("_v"),
+        round(col("_sx").cast("double") / col("_cx").cast("double")
+          + lit(1e-9), 6).cast("decimal(18,6)").as("_x"),
+        round(col("_sy").cast("double") / col("_cy").cast("double")
+          + lit(1e-9), 6).cast("decimal(18,6)").as("_y"))
+    val mom = perUnit.agg(count(lit(1)).as("_n"),
+      sum(col("_x")).as("_tx"), sum(col("_y")).as("_ty"),
+      sum(col("_x") * col("_y")).as("_txy"),
+      sum(col("_x") * col("_x")).as("_txx"))
+    val nD = col("_n").cast("double")
+    val tx = col("_tx").cast("double")
+    val ty = col("_ty").cast("double")
+    val theta = (nD * col("_txy").cast("double") - tx * ty) /
+      (nD * col("_txx").cast("double") - tx * tx)
+    val pooled = mom.select(theta.as("_theta"), (tx / nD).as("_mx"))
+    def r(c: Column): Column = round(c + lit(1e-9), roundTo)
+    perUnit.crossJoin(broadcast(pooled))
+      .groupBy(col("_v").as("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_x")).as("_vx"), sum(col("_y")).as("_vy"),
+        max(col("_theta")).as("_th"), max(col("_mx")).as("_m"))
+      .select(col("variant"), col("n_units"),
+        r(col("_vy").cast("double") / col("n_units").cast("double"))
+          .as("mean_raw"),
+        r(col("_vy").cast("double") / col("n_units").cast("double")
+          - col("_th") * (col("_vx").cast("double")
+            / col("n_units").cast("double") - col("_m"))).as("mean_adj"),
+        r(col("_th")).as("theta"))
+  }
+
+  /** Delta-method standard error for a unit-clustered ratio metric
+    * R = Σ numer / Σ denom (the correct SE when the randomization unit
+    * is a user but the metric is a per-event ratio; a naive per-row SE
+    * ignores within-user correlation). Var(R) ≈ (var_s − 2R·cov +
+    * R²·var_n) / (m·mean_n²) from per-unit (s, n) moment sums, all
+    * decimal-exact. `numer` must fit DECIMAL(18,6) per unit; `denom` is
+    * an integer count expression. */
+  def deltaRatio(df: DataFrame, uidCol: String, variantCol: String,
+                 numer: Column, denom: Column,
+                 roundTo: Int = 6): DataFrame = {
+    val perUnit = df.groupBy(uidCol)
+      .agg(max(col(variantCol)).as("_v"),
+        coalesce(sum(numer), lit(0)).cast("decimal(18,6)").as("_s"),
+        coalesce(sum(denom), lit(0L)).as("_c"))
+    val cDec = col("_c").cast("decimal(12,0)")
+    val g = perUnit.groupBy(col("_v").as("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_s")).as("_ts"), sum(col("_c")).as("_tc"),
+        sum(col("_s") * col("_s")).as("_tss"),
+        sum(col("_s") * cDec).as("_tsc"),
+        sum(cDec * cDec).as("_tcc"))
+    val m = col("n_units").cast("double")
+    val ts = col("_ts").cast("double")
+    val tc = col("_tc").cast("double")
+    val ratio = ts / tc
+    val varS = (col("_tss").cast("double") - ts * ts / m) / (m - lit(1.0))
+    val covSC = (col("_tsc").cast("double") - ts * tc / m) / (m - lit(1.0))
+    val varC = (col("_tcc").cast("double") - tc * tc / m) / (m - lit(1.0))
+    val meanC = tc / m
+    val varR = (varS - lit(2.0) * ratio * covSC + ratio * ratio * varC) /
+      (m * meanC * meanC)
+    def r(c: Column): Column = round(c + lit(1e-9), roundTo)
+    g.select(col("variant"), col("n_units"),
+      r(ratio).as("ratio"), r(sqrt(varR)).as("se"))
+  }
+
   /** Poisson(1) draw count in {0..5} from a 32-bit md5 hash — the
     * deterministic bootstrap resample weight. Thresholds are the Poisson
     * CDF scaled by 2³², compared as INTEGERS so no float parsing is ever
