@@ -2725,6 +2725,34 @@ object OracleSql {
          |FROM g3""".stripMargin
     },
 
+    // q158: isotonic calibration via the MINIMAX characterization of the
+    // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
+    // (pos, n) bin sums. The winning interval is exactly the engine's
+    // PAV pool, and every candidate is one integer/integer double
+    // division, so the doubles land bit-identical.
+    "q158_isotonic" ->
+      """WITH s AS (SELECT l_discount * 10 AS score,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        |  FROM lineitem),
+        |b AS (SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9)
+        |    AS INTEGER) AS bin, COUNT(*) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS pos
+        |  FROM s GROUP BY 1),
+        |ivl AS (SELECT lo.bin AS i, hi.bin AS j,
+        |    CAST(SUM(m.pos) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE) AS avg
+        |  FROM b lo JOIN b hi ON lo.bin <= hi.bin
+        |  JOIN b m ON m.bin BETWEEN lo.bin AND hi.bin
+        |  GROUP BY lo.bin, hi.bin),
+        |mm AS (SELECT k.bin, ivl.i, MIN(ivl.avg) AS mn
+        |  FROM b k JOIN ivl ON ivl.i <= k.bin AND ivl.j >= k.bin
+        |  GROUP BY k.bin, ivl.i),
+        |iso AS (SELECT bin, MAX(mn) AS v FROM mm GROUP BY bin)
+        |SELECT b.bin, b.n,
+        |  ROUND(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+        |    + 1e-9, 6) AS rate_raw,
+        |  ROUND(iso.v + 1e-9, 6) AS rate_iso
+        |FROM b JOIN iso ON b.bin = iso.bin""".stripMargin,
+
     // q155: full single-pass recompute — gating the engine's
     // merge(snapshot(base), snapshot(delta)) identity. Decimal sums make
     // the floating component of the state exactly mergeable.

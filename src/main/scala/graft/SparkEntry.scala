@@ -2388,6 +2388,18 @@ object SparkEntry {
       when(col("event_type") === "view", lit(1L)))
   }
 
+  /** Isotonic calibration over the q115 reliability bins
+    * ([[operators.Calibration.isotonicBins]]): integer-exact PAV on the
+    * driver over 10 pre-aggregated bins; the oracle evaluates the
+    * minimax characterization max_{i≤k} min_{j≥k} avg(i..j) over the
+    * same integer sums, which provably equals the PAV fit. */
+  def q158_isotonic(s: SparkSession, d: String): DataFrame = {
+    val scored = T.lineitem(s, d).select(
+      (col("l_discount") * 10).as("score"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+    Calibration.isotonicBins(scored, "score", "label", 10)
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2547,7 +2559,8 @@ object SparkEntry {
     "q154_canary_audit" -> (q154_canary_audit _),
     "q155_incremental_agg" -> (q155_incremental_agg _),
     "q156_cuped" -> (q156_cuped _),
-    "q157_ratio_delta" -> (q157_ratio_delta _))
+    "q157_ratio_delta" -> (q157_ratio_delta _),
+    "q158_isotonic" -> (q158_isotonic _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
