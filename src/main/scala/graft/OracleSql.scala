@@ -2725,6 +2725,80 @@ object OracleSql {
          |FROM g3""".stripMargin
     },
 
+    // q159: nDCG@10 + MRR over the exact-kNN ranking (the q29 scored/
+    // ranked CTEs at k=10) graded by neighbor label. Gains 2^rel−1 are
+    // exact integer-valued doubles; discount terms round to 6dp before a
+    // decimal sum (the q37/q61 log-precision convention), and the ideal
+    // ordering re-sorts the SAME k rows by gain desc with rank tiebreak.
+    "q159_ndcg_mrr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT qid, id,
+        |    list_reduce(list_transform(range(1, len(v) + 1), i -> qv[i] * v[i]), (a, b) -> a + b)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (a, b) -> a + b)
+        |      * list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b)
+        |    ) AS cosine
+        |  FROM c CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS r
+        |  FROM scored),
+        |g AS (SELECT rk.qid, rk.r,
+        |    CAST(e2.label AS INTEGER) AS rel,
+        |    POWER(2.0, CAST(e2.label AS DOUBLE)) - 1.0 AS gain
+        |  FROM ranked rk JOIN e e2 ON rk.id = e2.vec_id
+        |  WHERE rk.r <= 10),
+        |ig AS (SELECT qid, r, rel, gain,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY gain DESC, r) AS ir
+        |  FROM g),
+        |agg AS (SELECT qid, COUNT(*) AS n_retrieved,
+        |    SUM(CAST(ROUND(gain / log2(CAST(r AS DOUBLE) + 1.0)
+        |      + 1e-9, 6) AS DECIMAL(18,6))) AS dcg,
+        |    SUM(CAST(ROUND(gain / log2(CAST(ir AS DOUBLE) + 1.0)
+        |      + 1e-9, 6) AS DECIMAL(18,6))) AS idcg,
+        |    MIN(CASE WHEN rel >= 5 THEN r END) AS fr
+        |  FROM ig GROUP BY qid)
+        |SELECT qid, n_retrieved,
+        |  ROUND(CASE WHEN CAST(idcg AS DOUBLE) = 0.0 THEN 0.0
+        |    ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END
+        |    + 1e-9, 6) AS ndcg,
+        |  ROUND(COALESCE(1.0 / CAST(fr AS DOUBLE), 0.0) + 1e-9, 6) AS rr
+        |FROM agg""".stripMargin,
+
+    // q160: ECE from the q115 bins' already-rounded 6dp rates — the
+    // weighted |acc − conf| sum is decimal-exact over bins.
+    "q160_ece" ->
+      """WITH s AS (SELECT l_discount * 10 AS score,
+        |    CASE WHEN l_returnflag = 'R' THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS label FROM lineitem),
+        |b AS (SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9)
+        |    AS INTEGER) AS bin, score, label FROM s),
+        |bins AS (SELECT bin, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(score AS DECIMAL(18,9))) AS DOUBLE)
+        |      / COUNT(*) + 1e-9, 6) AS mean_score,
+        |    ROUND(CAST(SUM(CASE WHEN label > 0.5 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*) + 1e-9, 6) AS pos_rate
+        |  FROM b GROUP BY bin),
+        |w AS (SELECT n, CAST(ROUND(abs(pos_rate - mean_score)
+        |      + 1e-9, 6) AS DECIMAL(12,6))
+        |    * CAST(n AS DECIMAL(12,0)) AS wd
+        |  FROM bins)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(wd) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |    + 1e-9, 6) AS ece
+        |FROM w""".stripMargin,
+
+    // q161: k-anonymity risk report — QI combinations under the k=25
+    // floor.
+    "q161_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 25""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

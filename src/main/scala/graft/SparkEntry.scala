@@ -2400,6 +2400,46 @@ object SparkEntry {
     Calibration.isotonicBins(scored, "score", "label", 10)
   }
 
+  /** Retrieval-quality readout ([[operators.RankingEval.perQuery]]):
+    * exact cosine top-10 per query (the q29 machinery at k=10), graded
+    * by the neighbor's label → per-query nDCG@10 (list-normalized
+    * ideal) and reciprocal rank of the first label ≥ 5 hit. */
+  def q159_ndcg_mrr(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val ranked = Similarity.bruteForce(queries, corpus, 10)
+      .join(emb.select(col("vec_id").as("id"), col("label").as("rel")),
+        "id")
+    RankingEval.perQuery(ranked, "qid", "rank", "rel", relevantMin = 5)
+  }
+
+  /** Expected calibration error over the q115 reliability bins: ECE =
+    * Σ (n_b/N)·|pos_rate − mean_score| from the bins' already-rounded
+    * 6dp values, so the weighted sum is decimal-exact. */
+  def q160_ece(s: SparkSession, d: String): DataFrame = {
+    val scored = T.lineitem(s, d).select(
+      (col("l_discount") * 10).as("score"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+    val bins = graft.ml.Evaluators.calibrationBins(scored, "score", "label", 10)
+    val diff6 = round(abs(col("pos_rate") - col("mean_score")) + lit(1e-9), 6)
+      .cast("decimal(12,6)")
+    bins.select(col("n"), (diff6 * col("n").cast("decimal(12,0)")).as("_w"))
+      .agg(sum(col("n")).as("n"), sum(col("_w")).as("_sw"))
+      .select(col("n"),
+        round(col("_sw").cast("double") / col("n").cast("double")
+          + lit(1e-9), 6).as("ece"))
+  }
+
+  /** k-anonymity audit ([[operators.Checks.kAnonymity]]): customer
+    * quasi-identifier (nation, market segment) combinations held by
+    * fewer than 25 customers — the re-identification risk report. */
+  def q161_k_anonymity(s: SparkSession, d: String): DataFrame =
+    Checks.kAnonymity(T.customer(s, d),
+      Seq("c_nationkey", "c_mktsegment"), k = 25)
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2560,7 +2600,10 @@ object SparkEntry {
     "q155_incremental_agg" -> (q155_incremental_agg _),
     "q156_cuped" -> (q156_cuped _),
     "q157_ratio_delta" -> (q157_ratio_delta _),
-    "q158_isotonic" -> (q158_isotonic _))
+    "q158_isotonic" -> (q158_isotonic _),
+    "q159_ndcg_mrr" -> (q159_ndcg_mrr _),
+    "q160_ece" -> (q160_ece _),
+    "q161_k_anonymity" -> (q161_k_anonymity _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -83,4 +83,13 @@ object Checks {
   def suite(rowLocal: DataFrame, rules: Seq[Rule],
             multiRow: Seq[DataFrame]): DataFrame =
     multiRow.foldLeft(check(rowLocal, rules))(_.unionByName(_))
+
+  /** k-anonymity audit over a quasi-identifier tuple: every combination
+    * held by fewer than `k` rows is a re-identification risk. One hash
+    * aggregate over the QI domain; the at-risk report it returns is the
+    * input to either suppression or generalization. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
 }
