@@ -156,6 +156,46 @@ object EventStreams {
       }
   }
 
+  /** Running per-key aggregate emitted every micro-batch. */
+  case class RunningAgg(key: String, n: Long, sum_v: Double,
+                        min_v: Double, max_v: Double)
+
+  /** [[runningAgg]] state: exact scaled-integer sum plus min/max. */
+  case class RunningState(n: Long, sumMicros: Long, min: Double, max: Double)
+
+  /** Streaming twin of [[graft.operators.IncrementalAgg]]: maintain the
+    * same mergeable state (n, exact scaled-integer Σ, min, max) per key
+    * with `mapGroupsWithState` in Update mode, emitting the refreshed
+    * totals each micro-batch. The sum is carried as MICRO-UNITS in a
+    * long (value rounded to 6 dp), so the running total is exact and
+    * batch-boundary independent — the stream converges to
+    * `IncrementalAgg.snapshot` of the same rows no matter how the
+    * micro-batches slice them.
+    *
+    * CONTRACT: running totals never expire, so state is one row per KEY
+    * — use only with a bounded key domain (metric names, event types).
+    * Per-entity unbounded domains belong to [[sessionize]]-style
+    * watermarked state. */
+  def runningAgg(events: Dataset[Event]): Dataset[RunningAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[RunningState, RunningAgg](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Event],
+         state: GroupState[RunningState]) =>
+          val s0 = state.getOption.getOrElse(RunningState(
+            0L, 0L, Double.PositiveInfinity, Double.NegativeInfinity))
+          val s = batch.foldLeft(s0) { (acc, e) =>
+            RunningState(acc.n + 1,
+              acc.sumMicros + math.round(e.value * 1e6),
+              math.min(acc.min, e.value), math.max(acc.max, e.value))
+          }
+          state.update(s)
+          RunningAgg(key, s.n, s.sumMicros / 1e6, s.min, s.max)
+      }
+  }
+
   /** Streaming exact dedup: keep the first document per content hash,
     * with state bounded by the watermark horizon
     * (dropDuplicatesWithinWatermark — duplicates arriving within the

@@ -175,6 +175,42 @@ class StreamingSpec extends SparkSpec {
     assert(p2 > p1, "shifted window must show more drift")
   }
 
+  test("runningAgg converges to the batch snapshot, batch-slicing independent") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 60).map(i => EventStreams.Event(
+      i.toLong, ts(i % 60), i.toLong % 7,
+      if (i % 2 == 0) "click" else "view", i * 1.25))
+
+    def run(chunks: Seq[Seq[EventStreams.Event]], name: String) = {
+      val input = MemoryStream[EventStreams.Event]
+      val agg = EventStreams.runningAgg(input.toDS())
+      val q = agg.writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      // last update per key is the final running total
+      val out = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+        .groupBy(_._1).map { case (k, rows) => rows.maxBy(_._2) }.toSet
+      q.stop()
+      out
+    }
+
+    val oneShot = run(Seq(events), "ra_one")
+    val sliced = run(events.grouped(7).toSeq, "ra_sliced")
+    assert(oneShot == sliced, "running totals depend on batch slicing")
+
+    // and the totals equal the batch IncrementalAgg snapshot
+    val batch = graft.operators.IncrementalAgg.snapshot(
+      events.toDF(), Seq("event_type"), "value")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue(), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    val got = oneShot.map(t => (t._1, t._2,
+      math.rint(t._3 * 1e6) / 1e6, t._4, t._5))
+    assert(got == batch, s"$got vs $batch")
+  }
+
   test("streaming GLM scoring broadcasts the model over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val model = graft.ml.GlmModel(Array(2.0, 1.0), 0.5, "squared")
