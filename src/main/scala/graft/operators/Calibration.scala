@@ -30,11 +30,14 @@ object Calibration {
     require(nBins >= 1 && nBins <= 100000, "nBins must be bounded")
     val bin = least(floor(col(scoreCol) * nBins).cast("long"),
       lit(nBins - 1L)).cast("int")
+    // persisted: the driver-side PAV collect and the result join both
+    // read the bin table — one data-sized aggregation, not two
     val bins = df
       .select(bin.as("bin"),
         when(col(labelCol) > 0.5, 1L).otherwise(0L).as("_p"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum(col("_p")).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded collect: nBins rows of (bin, n, pos) — never the data
     val stats = bins.orderBy("bin").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

@@ -29,7 +29,18 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q145_embedding_covariance" -> 1, // single-scan moment aggregate
     "q141_token_budget" -> 1,    // one partition-by-source sort/window
     "q80_sequence_packing" -> 1, // bucket streams: one keyed window
-    "q95_bm25" -> 5              // tf/idf/dl/corpus/final — multi-stage
+    "q95_bm25" -> 5,             // tf/idf/dl/corpus/final — multi-stage
+    "q151_ab_welch" -> 1,        // ONE sufficient-statistics aggregate
+    "q152_chi_square" -> 5,      // cached cells + 2 margins + total + final
+    "q153_bootstrap_ci" -> 3,    // replicate agg + rank window + CI agg
+    "q154_canary_audit" -> 1,    // broadcast probe list + one count agg
+    "q155_incremental_agg" -> 3, // 2 snapshots + merge agg
+    "q156_cuped" -> 3,           // unit agg + moment agg + variant agg
+    "q157_ratio_delta" -> 2,     // unit agg + variant moment agg
+    "q158_isotonic" -> 2,        // bin agg (collect side + join side)
+    "q159_ndcg_mrr" -> 4,        // top-k agg + rel join + ideal window + agg
+    "q160_ece" -> 2,             // reliability bins + final fold
+    "q161_k_anonymity" -> 1      // one QI aggregate
   )
 
   budgets.foreach { case (name, budget) =>
