@@ -2799,6 +2799,36 @@ object OracleSql {
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
         |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 25""".stripMargin,
 
+    // q162: segment-lift slice finder over CUBE(event_type, hour). One
+    // grouping-sets pass; the gid=3 row IS the global distribution;
+    // marginals coalesce their open dim to '(all)'/-1 so neither
+    // engine's NULL ordering is involved in the rank.
+    "q162_segment_lift" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(hour(ts) AS INTEGER) AS hr,
+        |    CAST(value AS DECIMAL(18,6)) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, hr,
+        |    GROUPING(event_type, hr) AS gid, COUNT(*) AS n,
+        |    SUM(y) AS s, SUM(CAST(y AS DECIMAL(28,6)) * y) AS ss
+        |  FROM e GROUP BY CUBE (event_type, hr)),
+        |g AS (SELECT CAST(n AS DOUBLE) AS gn, CAST(s AS DOUBLE) AS gsd,
+        |    CAST(ss AS DOUBLE) AS gssd FROM c WHERE gid = 3),
+        |seg AS (SELECT COALESCE(c.event_type, '(all)') AS event_type,
+        |    COALESCE(c.hr, -1) AS hr, c.gid, c.n,
+        |    CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) AS ms,
+        |    (CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) - gsd / gn)
+        |      / sqrt(((gssd - gsd * gsd / gn) / (gn - 1.0))
+        |        / CAST(c.n AS DOUBLE)) AS z
+        |  FROM c CROSS JOIN g WHERE c.gid < 3 AND c.n >= 100),
+        |r AS (SELECT event_type, hr, gid, n,
+        |    ROUND(ms + 1e-9, 6) AS mean_seg, ROUND(z + 1e-9, 6) AS z_score,
+        |    ROW_NUMBER() OVER (ORDER BY ROUND(abs(z) + 1e-9, 6) DESC,
+        |      gid, event_type, hr) AS rnk
+        |  FROM seg)
+        |SELECT event_type, hr, gid, n, mean_seg, z_score, rnk
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

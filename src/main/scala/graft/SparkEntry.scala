@@ -2440,6 +2440,44 @@ object SparkEntry {
     Checks.kAnonymity(T.customer(s, d),
       Seq("c_nationkey", "c_mktsegment"), k = 25)
 
+  /** Segment-lift discovery (slice-finder): every (event_type × hour)
+    * cube segment with support ≥ 100 scored by z = (mean_seg −
+    * mean_global)/√(var_global/n_seg), top 10 by |z|. ONE cube pass
+    * computes every grouping set's decimal-exact moments (no re-scan
+    * per level — the q70 property); the global row comes from the cube
+    * itself (gid = 3) and broadcasts back; the ranking window runs over
+    * the segment domain, never the data. Marginal rows surface their
+    * open dimension as '(all)' / -1 so no engine-specific NULL ordering
+    * is ever relied on. */
+  def q162_segment_lift(s: SparkSession, d: String): DataFrame = {
+    val y = dec(col("value"), 18, 6)
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
+    val cube = ev.cube("event_type", "hr")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(y).as("_s"), sum(y * y).as("_ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = cube.filter(col("gid") === 3)
+      .select(col("n").as("_gn"), col("_s").as("_gs"), col("_ss").as("_gss"))
+    val gn = col("_gn").cast("double")
+    val gs = col("_gs").cast("double")
+    val mg = gs / gn
+    val vg = (col("_gss").cast("double") - gs * gs / gn) / (gn - lit(1.0))
+    val ms = col("_s").cast("double") / col("n").cast("double")
+    val z = (ms - mg) / sqrt(vg / col("n").cast("double"))
+    val seg = cube.filter(col("gid") < 3 && col("n") >= 100)
+      .crossJoin(broadcast(g))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("hr"), lit(-1)).as("hr"), col("gid"), col("n"),
+        round(ms + lit(1e-9), 6).as("mean_seg"),
+        round(z + lit(1e-9), 6).as("z_score"),
+        round(abs(z) + lit(1e-9), 6).as("_az"))
+    val w = Window.orderBy(col("_az").desc, col("gid"),
+      col("event_type"), col("hr"))
+    seg.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10).drop("_az")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2603,7 +2641,8 @@ object SparkEntry {
     "q158_isotonic" -> (q158_isotonic _),
     "q159_ndcg_mrr" -> (q159_ndcg_mrr _),
     "q160_ece" -> (q160_ece _),
-    "q161_k_anonymity" -> (q161_k_anonymity _))
+    "q161_k_anonymity" -> (q161_k_anonymity _),
+    "q162_segment_lift" -> (q162_segment_lift _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -40,7 +40,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q158_isotonic" -> 2,        // bin agg (collect side + join side)
     "q159_ndcg_mrr" -> 4,        // top-k agg + rel join + ideal window + agg
     "q160_ece" -> 2,             // reliability bins + final fold
-    "q161_k_anonymity" -> 1      // one QI aggregate
+    "q161_k_anonymity" -> 1,     // one QI aggregate
+    "q162_segment_lift" -> 3     // cube agg + segment-domain rank window
   )
 
   budgets.foreach { case (name, budget) =>
