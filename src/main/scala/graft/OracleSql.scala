@@ -2829,6 +2829,62 @@ object OracleSql {
         |SELECT event_type, hr, gid, n, mean_seg, z_score, rnk
         |FROM r WHERE rnk <= 10""".stripMargin,
 
+    // q163: two-sample KS. The oracle may afford the single-task window
+    // the engine's offset-prefix-sum machinery avoids; the statistic is
+    // the same integer max |CA·nb − CB·na| with one final division.
+    "q163_ks_test" ->
+      """WITH v AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS sa,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS sb
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |c AS (SELECT v, CAST(SUM(sa) AS BIGINT) AS ca,
+        |    CAST(SUM(sb) AS BIGINT) AS cb FROM v GROUP BY v),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cca,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS ccb FROM c)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(MAX(abs(cca * nb - ccb * na)) AS BIGINT) AS d_num,
+        |  ROUND(CAST(MAX(abs(cca * nb - ccb * na)) AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 1e-9, 6)
+        |    AS d_stat
+        |FROM cum CROSS JOIN tot GROUP BY na, nb""".stripMargin,
+
+    // q164: Mann-Whitney with average tie ranks — 2·Σranks_A =
+    // Σ ca·(2R + t + 1) stays integer; the tie-corrected z mirrors the
+    // engine's expression order.
+    "q164_mann_whitney" ->
+      """WITH v AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS sa,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS sb
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |c AS (SELECT v, CAST(SUM(sa) AS BIGINT) AS ca,
+        |    CAST(SUM(sb) AS BIGINT) AS cb FROM v GROUP BY v),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT ca, cb, ca + cb AS t,
+        |    CAST(SUM(ca + cb) OVER (ORDER BY v) AS BIGINT)
+        |      - (ca + cb) AS before
+        |  FROM c),
+        |st AS (SELECT
+        |    CAST(SUM(ca * (2 * before + t + 1)) AS BIGINT) AS s2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |  FROM cum),
+        |u AS (SELECT na, nb, s2 - na * (na + 1) AS u2, ties
+        |  FROM st CROSS JOIN tot)
+        |SELECT na AS n_a, nb AS n_b, CAST(u2 AS BIGINT) AS u2_a,
+        |  ROUND((CAST(u2 AS DOUBLE) / 2.0
+        |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+        |      * (((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) + 1.0)
+        |        - CAST(ties AS DOUBLE)
+        |          / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |            * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 1.0))))
+        |    + 1e-9, 6) AS z
+        |FROM u""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -2478,6 +2478,26 @@ object SparkEntry {
       .filter(col("rnk") <= 10).drop("_az")
   }
 
+  /** Two-sample KS test ([[operators.Ranks.ksTest]]): click vs view
+    * value distributions. The D statistic's max runs over integer
+    * cross-products on the distributed rank surface (per-value counts,
+    * range-partitioned sort, partition-offset prefix sums) — only the
+    * winning numerator is ever divided. */
+  def q163_ks_test(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    Ranks.ksTest(ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"), "value")
+  }
+
+  /** Mann-Whitney U ([[operators.Ranks.mannWhitney]]), same two
+    * samples: 2·Σranks_A is integer-exact under average tie ranks, and
+    * the tie-corrected z mirrors as a fixed double expression. */
+  def q164_mann_whitney(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    Ranks.mannWhitney(ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"), "value")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2642,7 +2662,9 @@ object SparkEntry {
     "q159_ndcg_mrr" -> (q159_ndcg_mrr _),
     "q160_ece" -> (q160_ece _),
     "q161_k_anonymity" -> (q161_k_anonymity _),
-    "q162_segment_lift" -> (q162_segment_lift _))
+    "q162_segment_lift" -> (q162_segment_lift _),
+    "q163_ks_test" -> (q163_ks_test _),
+    "q164_mann_whitney" -> (q164_mann_whitney _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

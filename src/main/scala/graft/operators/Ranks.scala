@@ -57,4 +57,91 @@ object Ranks {
       .select(col("v").as(column), col("cnt_le"),
         round(col("cnt_le").cast("double") / n + lit(1e-9), 6).as("ecdf"))
   }
+
+  /** Two-sample statistics built on the same distributed rank surface:
+    * per-value (ca, cb) counts, range-partitioned sort, partition-offset
+    * prefix sums — every candidate statistic is INTEGER-exact until one
+    * final division, so the result is independent of partitioning and
+    * engine. Returns the per-partition scan's reduced sufficient
+    * statistics (only O(#partitions) longs ever reach the driver). */
+  private def twoSampleScan(a: DataFrame, b: DataFrame, column: String)
+    : (Long, Long, Long, Long, Long) = {
+    val tagged = a.select(col(column).cast("double").as("v")).na.drop()
+      .withColumn("_sa", lit(1L)).withColumn("_sb", lit(0L))
+      .unionByName(b.select(col(column).cast("double").as("v")).na.drop()
+        .withColumn("_sa", lit(0L)).withColumn("_sb", lit(1L)))
+    val counts = tagged.groupBy("v")
+      .agg(sum(col("_sa")).as("ca"), sum(col("_sb")).as("cb"))
+      .select(col("v"), col("ca"), col("cb"))
+      .rdd.map(r => (r.getDouble(0), (r.getLong(1), r.getLong(2))))
+    val sorted = counts.sortBy(_._1).localCheckpoint()
+    val partTotals = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var sa = 0L; var sb = 0L
+      it.foreach { case (_, (ca, cb)) => sa += ca; sb += cb }
+      Iterator.single((i, sa, sb))
+    }.collect().sortBy(_._1)
+    val offA = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val offB = partTotals.map(_._3).scanLeft(0L)(_ + _)
+    val na = offA.last
+    val nb = offB.last
+    // per-partition pass: running inclusive counts seeded by the
+    // partition offsets; reduce (ksNum max, 2·Σranks_A, Σ(t³−t)) exactly
+    val (ksNum, sumA2, tieSum) = sorted.mapPartitionsWithIndex {
+      case (i, it) =>
+        var cA = offA(i); var cB = offB(i)
+        var km = 0L; var s2 = 0L; var ts = 0L
+        it.foreach { case (_, (ca, cb)) =>
+          val before = cA + cB
+          cA += ca; cB += cb
+          val t = ca + cb
+          km = math.max(km, math.abs(cA * nb - cB * na))
+          s2 += ca * (2 * before + t + 1)
+          ts += t * t * t - t
+        }
+        Iterator.single((km, s2, ts))
+    }.collect().foldLeft((0L, 0L, 0L)) { case ((k, s, t), (k2, s2, t2)) =>
+      (math.max(k, k2), s + s2, t + t2)
+    }
+    (na, nb, ksNum, sumA2, tieSum)
+  }
+
+  /** Two-sample Kolmogorov-Smirnov D = max |F̂ₐ − F̂ᵦ|, exact: the max
+    * runs over the integer cross-products |CA·nb − CB·na| and only the
+    * winner is divided. One row: (n_a, n_b, d_num, d_stat). */
+  def ksTest(a: DataFrame, b: DataFrame, column: String,
+             roundTo: Int = 6): DataFrame = {
+    val (na, nb, ksNum, _, _) = twoSampleScan(a, b, column)
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((na, nb, ksNum)).toDF("n_a", "n_b", "d_num")
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))
+          + lit(1e-9), roundTo).as("d_stat"))
+  }
+
+  /** Mann-Whitney U (average ranks for ties) with the tie-corrected
+    * normal approximation. 2·Σranks_A is integer-exact (avg tie rank =
+    * R + (t+1)/2 ⇒ doubled it is 2R + t + 1); U and z then mirror as
+    * fixed double expressions. One row: (n_a, n_b, u2_a, z) with
+    * u2_a = 2·U_A kept integer so the hash never sees a float U. */
+  def mannWhitney(a: DataFrame, b: DataFrame, column: String,
+                  roundTo: Int = 6): DataFrame = {
+    val (na, nb, _, sumA2, tieSum) = twoSampleScan(a, b, column)
+    val u2 = sumA2 - na * (na + 1) // = 2·U_A, integer-exact
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((na, nb, u2, tieSum)).toDF("n_a", "n_b", "u2_a", "_ties")
+      .select(col("n_a"), col("n_b"), col("u2_a"), {
+        val naD = col("n_a").cast("double")
+        val nbD = col("n_b").cast("double")
+        val nD = naD + nbD
+        val u = col("u2_a").cast("double") / lit(2.0)
+        val mean = naD * nbD / lit(2.0)
+        val variance = naD * nbD / lit(12.0) *
+          ((nD + lit(1.0)) - col("_ties").cast("double")
+            / (nD * (nD - lit(1.0))))
+        round((u - mean) / sqrt(variance) + lit(1e-9), roundTo).as("z")
+      })
+  }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** KS and Mann-Whitney against hand-computed values. */
+class TwoSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ksTest: disjoint samples reach D=1, identical samples D=0") {
+    val a = Seq(1.0, 2.0).toDF("v")
+    val b = Seq(3.0, 4.0).toDF("v")
+    val r = Ranks.ksTest(a, b, "v").first()
+    assert(r.getAs[Long]("d_num") == 4L) // = n_a * n_b
+    assert(math.abs(r.getAs[Double]("d_stat") - 1.0) < 1e-9)
+
+    val same = Seq(1.0, 2.0, 3.0).toDF("v")
+    val r2 = Ranks.ksTest(same, same, "v").first()
+    assert(r2.getAs[Long]("d_num") == 0L)
+  }
+
+  test("ksTest matches the hand-computed D on an interleaved sample") {
+    // A = {1,3}, B = {2,4}: D = 1/2 at v=1 (CA=1,CB=0) and ties after
+    val a = Seq(1.0, 3.0).toDF("v")
+    val b = Seq(2.0, 4.0).toDF("v")
+    val r = Ranks.ksTest(a, b, "v").first()
+    assert(r.getAs[Long]("d_num") == 2L) // |1*2 - 0*2| = 2
+    assert(math.abs(r.getAs[Double]("d_stat") - 0.5) < 1e-9)
+  }
+
+  test("mannWhitney matches hand-computed U and tie-corrected z") {
+    // A = {1,2,2}, B = {2,3}: avg tie ranks give sum_ranks_A = 7,
+    // U_A = 1 (u2 = 2); ties sum = 24; var = 2.4; z = -2/sqrt(2.4)
+    val a = Seq(1.0, 2.0, 2.0).toDF("v")
+    val b = Seq(2.0, 3.0).toDF("v")
+    val r = Ranks.mannWhitney(a, b, "v").first()
+    assert(r.getAs[Long]("u2_a") == 2L)
+    assert(math.abs(r.getAs[Double]("z") - (-2.0 / math.sqrt(2.4))) < 1e-6)
+  }
+
+  test("mannWhitney is antisymmetric: swapping samples flips z") {
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val a = ev.filter($"event_type" === "click").select("value")
+    val b = ev.filter($"event_type" === "view").select("value")
+    val z1 = Ranks.mannWhitney(a, b, "value").first().getAs[Double]("z")
+    val z2 = Ranks.mannWhitney(b, a, "value").first().getAs[Double]("z")
+    assert(math.abs(z1 + z2) < 1e-5, s"$z1 vs $z2")
+  }
+}
