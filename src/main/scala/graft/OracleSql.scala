@@ -2885,6 +2885,46 @@ object OracleSql {
         |    + 1e-9, 6) AS z
         |FROM u""".stripMargin,
 
+    // q165: Gopher rule filter — every verdict is a comparison of
+    // ratios of integers both engines compute identically (bigram dup
+    // fraction via the q56 GROUP BY pattern, mean word length via the
+    // q22 char-count mirror, stopword hits as an integer sum of
+    // list_contains), so the booleans reproduce bit-for-bit and the
+    // hash only ever sees longs and booleans.
+    "q165_gopher_rules" -> (toksCte + """,
+        |bc AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS g FROM t)
+        |  GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE) AS dup_bg
+        |  FROM bc GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |        AS DOUBLE) / len(toks) END AS mwl,
+        |    COALESCE(bi.dup_bg, 0.0) AS dupf,
+        |    (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END)
+        |      AS stop_hits
+        |  FROM t LEFT JOIN bi ON t.doc_id = bi.doc_id)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  mwl BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+        |  dupf <= 0.2 AS r_dup_bigram,
+        |  stop_hits >= 2 AS r_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |    AND dupf <= 0.2 AND stop_hits >= 2 AS keep
+        |FROM m""".stripMargin),
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -2498,6 +2498,18 @@ object SparkEntry {
       ev.filter(col("event_type") === "view"), "value")
   }
 
+  /** Gopher-style rule-based quality filter
+    * ([[operators.QualityRules.gopherRules]]): per-rule boolean verdicts
+    * + keep over the rules with real signal on this corpus (word-count
+    * bounds, mean word length, duplicate-bigram repetition, stopword
+    * presence). All output columns are long/boolean, so the hash never
+    * sees a float. */
+  def q165_gopher_rules(s: SparkSession, d: String): DataFrame =
+    QualityRules.gopherRules(T.documents(s, d))
+      .select(col("doc_id"), col("n_words"), col("r_word_count"),
+        col("r_mean_word_len"), col("r_dup_bigram"), col("r_stopwords"),
+        col("keep"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2664,7 +2676,8 @@ object SparkEntry {
     "q161_k_anonymity" -> (q161_k_anonymity _),
     "q162_segment_lift" -> (q162_segment_lift _),
     "q163_ks_test" -> (q163_ks_test _),
-    "q164_mann_whitney" -> (q164_mann_whitney _))
+    "q164_mann_whitney" -> (q164_mann_whitney _),
+    "q165_gopher_rules" -> (q165_gopher_rules _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

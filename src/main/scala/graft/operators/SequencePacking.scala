@@ -62,4 +62,42 @@ object SequencePacking {
     assign(docs, idCol, textCol, maxTokens, nBuckets)
       .groupBy("bucket", "seq_in_bucket")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** Length-bucketed batching with padding-waste accounting — the other
+    * classic batching strategy (pad-to-max within a batch, so group
+    * similar lengths together to keep the padding bill down). Docs land
+    * in a length bucket (`bucketWidth`-token bands, integer division —
+    * no float boundary), are hash-salted into `nSalts` independent
+    * streams inside each band (the [[assign]] trick: per-stream windows
+    * are one partition's linear scan, so parallelism = bands·salts and
+    * no global sort), ordered pseudo-randomly, and cut into batches of
+    * `batchSize`. Output is one row per batch: its doc count, max
+    * length, real tokens, and `padding` = batchSize·max−Σtokens the
+    * pad-to-max collator would add (short tail batches still pad to
+    * `batchSize` rows — the fixed-shape-kernel convention).
+    *
+    * At 100 TB the plan moves (id, n_tokens) pairs only, and the
+    * length-band skew (real corpora pile up at the truncation length)
+    * is exactly what the salts flatten. */
+  def lengthBucketedBatches(rows: DataFrame, idCol: String,
+                            nTokensCol: String, bucketWidth: Int,
+                            batchSize: Int, nSalts: Int): DataFrame = {
+    val id = col(idCol)
+    val band = floor((col(nTokensCol) - 1) / bucketWidth).cast("long")
+    val salt = pmod(
+      conv(substring(md5(concat(lit("lb_"), id.cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(nSalts))
+    val w = Window.partitionBy("band", "salt").orderBy(col("_ord"), id)
+    rows.select(id, col(nTokensCol).as("n_tokens"), band.as("band"),
+        salt.as("salt"),
+        md5(concat(lit("ord_"), id.cast("string"))).as("_ord"))
+      .withColumn("batch_in_salt",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy("band", "salt", "batch_in_salt")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("padding",
+        lit(batchSize) * col("max_len") - col("n_tokens"))
+  }
 }
