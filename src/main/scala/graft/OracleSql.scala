@@ -2925,6 +2925,29 @@ object OracleSql {
         |    AND dupf <= 0.2 AND stop_hits >= 2 AS keep
         |FROM m""".stripMargin),
 
+    // q166: length-bucketed batching — the engine's salt is
+    // conv(first-8-hex of md5, 16, 10) % 4, and 16^k ≡ 0 (mod 4) for
+    // k ≥ 1, so only the 8th hex digit survives the modulus (the q80
+    // single-digit trick). Bands and batch cuts are floors of exact
+    // small-int divisions; every output column is integer.
+    "q166_length_buckets" -> (toksCte + """,
+        |d AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    CAST(floor((len(toks) - 1) / 16.0) AS BIGINT) AS band,
+        |    CAST((strpos('0123456789abcdef',
+        |        substr(md5('lb_' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+        |      % 4 AS BIGINT) AS salt,
+        |    md5('ord_' || CAST(doc_id AS VARCHAR)) AS ord FROM t),
+        |a AS (SELECT band, salt, n_tokens,
+        |    CAST(floor((row_number() OVER (PARTITION BY band, salt
+        |        ORDER BY ord, doc_id) - 1) / 8.0) AS BIGINT)
+        |      AS batch_in_salt FROM d)
+        |SELECT band, salt, batch_in_salt,
+        |  COUNT(*) AS n_docs,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(8 * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding
+        |FROM a GROUP BY 1, 2, 3""".stripMargin),
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

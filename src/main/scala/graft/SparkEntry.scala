@@ -2510,6 +2510,18 @@ object SparkEntry {
         col("r_mean_word_len"), col("r_dup_bigram"), col("r_stopwords"),
         col("keep"))
 
+  /** Length-bucketed batch assembly with padding-waste accounting
+    * ([[operators.SequencePacking.lengthBucketedBatches]]): 16-token
+    * length bands, 4 hash-salted streams per band, batches of 8 docs,
+    * `padding` = what a pad-to-max collator would add. All-integer
+    * output. */
+  def q166_length_buckets(s: SparkSession, d: String): DataFrame = {
+    val counted = T.documents(s, d).select(col("doc_id"),
+      TF.tokenCount(col("text")).as("n_tokens"))
+    SequencePacking.lengthBucketedBatches(counted, "doc_id", "n_tokens",
+      bucketWidth = 16, batchSize = 8, nSalts = 4)
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2677,7 +2689,8 @@ object SparkEntry {
     "q162_segment_lift" -> (q162_segment_lift _),
     "q163_ks_test" -> (q163_ks_test _),
     "q164_mann_whitney" -> (q164_mann_whitney _),
-    "q165_gopher_rules" -> (q165_gopher_rules _))
+    "q165_gopher_rules" -> (q165_gopher_rules _),
+    "q166_length_buckets" -> (q166_length_buckets _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -46,4 +46,41 @@ class SequencePackingSpec extends SparkSpec {
       "text", maxTokens, nBuckets = 4)
     assert(assign.exceptAll(again).isEmpty && again.exceptAll(assign).isEmpty)
   }
+
+  test("length-bucketed batches: invariants and determinism") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 600L).map(i => (i, 1 + rnd.nextInt(80)))
+      .toDF("doc_id", "n_tokens").repartition(5)
+    val b = SequencePacking.lengthBucketedBatches(rows, "doc_id",
+      "n_tokens", bucketWidth = 16, batchSize = 8, nSalts = 4)
+      .persist()
+
+    // every doc lands in exactly one batch; token mass preserved
+    assert(b.agg(sum("n_docs")).first().getLong(0) == 600)
+    assert(b.agg(sum("n_tokens")).first().getLong(0) ==
+      rows.agg(sum("n_tokens")).first().getLong(0))
+
+    // batches never exceed batchSize docs; padding is the pad-to-max
+    // bill and non-negative; max_len stays inside its band
+    assert(b.filter(col("n_docs") > 8).count() == 0)
+    assert(b.filter(col("padding") =!=
+      lit(8) * col("max_len") - col("n_tokens")).count() == 0)
+    assert(b.filter(col("padding") < 0).count() == 0)
+    assert(b.filter(col("max_len") > (col("band") + 1) * 16 ||
+      col("max_len") < col("band") * 16 + 1).count() == 0)
+
+    // batch ids dense from 0 within each (band, salt) stream
+    val gaps = b.groupBy("band", "salt")
+      .agg(min("batch_in_salt").as("mn"), max("batch_in_salt").as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
+    assert(gaps == 0)
+
+    // deterministic under repartitioning
+    val again = SequencePacking.lengthBucketedBatches(rows.repartition(3),
+      "doc_id", "n_tokens", bucketWidth = 16, batchSize = 8, nSalts = 4)
+    assert(b.exceptAll(again).isEmpty && again.exceptAll(b).isEmpty)
+    b.unpersist()
+  }
 }
