@@ -2948,6 +2948,51 @@ object OracleSql {
         |  CAST(8 * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding
         |FROM a GROUP BY 1, 2, 3""".stripMargin),
 
+    // q167: DeLong AUC SE/CI — placements doubled-and-scaled to
+    // integers on the rank surface (pos: 2·#neg-below + #neg-at, neg:
+    // 2·#pos-above + #pos-at), second moments summed as BIGINT, and the
+    // final variance expression mirrors the engine term-for-term.
+    "q167_delong_auc" ->
+      """WITH v AS (SELECT CAST(embedding[1] AS DOUBLE) AS v,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS sa,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS sb
+        |  FROM embeddings WHERE embedding[1] IS NOT NULL),
+        |c AS (SELECT v, CAST(SUM(sa) AS BIGINT) AS ca,
+        |    CAST(SUM(sb) AS BIGINT) AS cb FROM v GROUP BY v),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT ca, cb,
+        |    CAST(SUM(ca + cb) OVER (ORDER BY v) AS BIGINT)
+        |      - (ca + cb) AS before,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) - ca AS posb,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) - cb AS negb
+        |  FROM c),
+        |st AS (SELECT na, nb,
+        |    CAST(SUM(ca * (2 * before + (ca + cb) + 1)) AS BIGINT) AS s2,
+        |    CAST(SUM(ca * (2 * negb + cb) * (2 * negb + cb))
+        |      AS BIGINT) AS a2,
+        |    CAST(SUM(cb * (2 * (na - posb - ca) + ca)
+        |      * (2 * (na - posb - ca) + ca)) AS BIGINT) AS b2
+        |  FROM cum CROSS JOIN tot GROUP BY na, nb),
+        |d AS (SELECT na, nb, s2 - na * (na + 1) AS u2, a2, b2,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+        |  FROM st),
+        |e AS (SELECT na, nb, nad, nbd, a2, b2,
+        |    CAST(u2 AS DOUBLE) / (2.0 * nad * nbd) AS auc FROM d),
+        |f AS (SELECT na, nb, auc,
+        |    (CAST(a2 AS DOUBLE) / (4.0 * nbd * nbd) - nad * auc * auc)
+        |      / (nad - 1.0) AS s10,
+        |    (CAST(b2 AS DOUBLE) / (4.0 * nad * nad)
+        |      - nbd * auc * auc) / (nbd - 1.0) AS s01,
+        |    nad, nbd FROM e),
+        |g AS (SELECT na, nb, auc,
+        |    sqrt(s10 / nad + s01 / nbd) AS se FROM f)
+        |SELECT na AS n_pos, nb AS n_neg,
+        |  ROUND(auc + 1e-9, 6) AS auc, ROUND(se + 1e-9, 6) AS se,
+        |  ROUND(auc - 1.959964 * se + 1e-9, 6) AS ci_lo,
+        |  ROUND(auc + 1.959964 * se + 1e-9, 6) AS ci_hi
+        |FROM g""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -2522,6 +2522,20 @@ object SparkEntry {
       bucketWidth = 16, batchSize = 8, nSalts = 4)
   }
 
+  /** DeLong AUC standard error + 95% CI ([[operators.Ranks.delongAuc]])
+    * on q32's scored frame (embedding[0] as score, label ≥ 5 as
+    * positive). Placement second moments accumulate as exact longs on
+    * the distributed rank surface; only the final variance expression
+    * divides, mirrored term-for-term by the oracle. */
+  def q167_delong_auc(s: SparkSession, d: String): DataFrame = {
+    val scored = T.embeddings(s, d).select(
+      element_at(col("embedding"), 1).cast("double").as("score"),
+      (col("label") >= 5).as("pos"))
+      .filter(col("score").isNotNull)
+    Ranks.delongAuc(scored.filter(col("pos")),
+      scored.filter(!col("pos")), "score")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2690,7 +2704,8 @@ object SparkEntry {
     "q163_ks_test" -> (q163_ks_test _),
     "q164_mann_whitney" -> (q164_mann_whitney _),
     "q165_gopher_rules" -> (q165_gopher_rules _),
-    "q166_length_buckets" -> (q166_length_buckets _))
+    "q166_length_buckets" -> (q166_length_buckets _),
+    "q167_delong_auc" -> (q167_delong_auc _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -65,7 +65,7 @@ object Ranks {
     * engine. Returns the per-partition scan's reduced sufficient
     * statistics (only O(#partitions) longs ever reach the driver). */
   private def twoSampleScan(a: DataFrame, b: DataFrame, column: String)
-    : (Long, Long, Long, Long, Long) = {
+    : (Long, Long, Long, Long, Long, Long, Long) = {
     val tagged = a.select(col(column).cast("double").as("v")).na.drop()
       .withColumn("_sa", lit(1L)).withColumn("_sb", lit(0L))
       .unionByName(b.select(col(column).cast("double").as("v")).na.drop()
@@ -85,24 +85,33 @@ object Ranks {
     val na = offA.last
     val nb = offB.last
     // per-partition pass: running inclusive counts seeded by the
-    // partition offsets; reduce (ksNum max, 2·Σranks_A, Σ(t³−t)) exactly
-    val (ksNum, sumA2, tieSum) = sorted.mapPartitionsWithIndex {
+    // partition offsets; reduce (ksNum max, 2·Σranks_A, Σ(t³−t)) exactly,
+    // plus the DeLong placement second moments: a positive at value v
+    // has doubled-scaled placement 2·(#neg below) + (#neg at v) and a
+    // negative has 2·(#pos above) + (#pos at v) — both integers, so
+    // Σ ca·placement² stays integer-exact until the one final division
+    val (ksNum, sumA2, tieSum, plA2, plB2) = sorted.mapPartitionsWithIndex {
       case (i, it) =>
         var cA = offA(i); var cB = offB(i)
-        var km = 0L; var s2 = 0L; var ts = 0L
+        var km = 0L; var s2 = 0L; var ts = 0L; var pa = 0L; var pb = 0L
         it.foreach { case (_, (ca, cb)) =>
           val before = cA + cB
+          val dPosPlace = 2 * cB + cb          // cB = #neg strictly below
+          val dNegPlace = 2 * (na - cA - ca) + ca // #pos strictly above
           cA += ca; cB += cb
           val t = ca + cb
           km = math.max(km, math.abs(cA * nb - cB * na))
           s2 += ca * (2 * before + t + 1)
           ts += t * t * t - t
+          pa += ca * dPosPlace * dPosPlace
+          pb += cb * dNegPlace * dNegPlace
         }
-        Iterator.single((km, s2, ts))
-    }.collect().foldLeft((0L, 0L, 0L)) { case ((k, s, t), (k2, s2, t2)) =>
-      (math.max(k, k2), s + s2, t + t2)
+        Iterator.single((km, s2, ts, pa, pb))
+    }.collect().foldLeft((0L, 0L, 0L, 0L, 0L)) {
+      case ((k, s, t, a2, b2), (k2, s2, t2, a22, b22)) =>
+        (math.max(k, k2), s + s2, t + t2, a2 + a22, b2 + b22)
     }
-    (na, nb, ksNum, sumA2, tieSum)
+    (na, nb, ksNum, sumA2, tieSum, plA2, plB2)
   }
 
   /** Two-sample Kolmogorov-Smirnov D = max |F̂ₐ − F̂ᵦ|, exact: the max
@@ -110,7 +119,7 @@ object Ranks {
     * winner is divided. One row: (n_a, n_b, d_num, d_stat). */
   def ksTest(a: DataFrame, b: DataFrame, column: String,
              roundTo: Int = 6): DataFrame = {
-    val (na, nb, ksNum, _, _) = twoSampleScan(a, b, column)
+    val (na, nb, ksNum, _, _, _, _) = twoSampleScan(a, b, column)
     val spark = a.sparkSession
     import spark.implicits._
     Seq((na, nb, ksNum)).toDF("n_a", "n_b", "d_num")
@@ -127,7 +136,7 @@ object Ranks {
     * u2_a = 2·U_A kept integer so the hash never sees a float U. */
   def mannWhitney(a: DataFrame, b: DataFrame, column: String,
                   roundTo: Int = 6): DataFrame = {
-    val (na, nb, _, sumA2, tieSum) = twoSampleScan(a, b, column)
+    val (na, nb, _, sumA2, tieSum, _, _) = twoSampleScan(a, b, column)
     val u2 = sumA2 - na * (na + 1) // = 2·U_A, integer-exact
     val spark = a.sparkSession
     import spark.implicits._
@@ -143,5 +152,45 @@ object Ranks {
             / (nD * (nD - lit(1.0))))
         round((u - mean) / sqrt(variance) + lit(1e-9), roundTo).as("z")
       })
+  }
+
+  /** DeLong (1988) AUC standard error and 95% CI on the same
+    * distributed rank surface. The placement value of a positive —
+    * the fraction of negatives it outranks, ties at half — is, doubled
+    * and scaled by 2·n_neg, the INTEGER `2·(#neg below) + (#neg at v)`;
+    * its per-value second moment `Σ ca·placement²` therefore accumulates
+    * exactly in longs (likewise for negatives, mirrored), and only the
+    * one final variance expression divides. AUC itself is the
+    * Mann-Whitney `(2·Σranks_pos − n₁(n₁+1)) / (2·n₁·n₀)`.
+    *
+    * Long-exactness bound: `n_pos·(2·n_neg)²` must fit 2⁶³ — fine to
+    * ~10⁶ rows per class; past that, run DeLong on a score-bucketed
+    * surface or a sampled eval set (the standard practice anyway).
+    *
+    * One row: (n_pos, n_neg, auc, se, ci_lo, ci_hi), all rounded. */
+  def delongAuc(pos: DataFrame, neg: DataFrame, scoreCol: String,
+                roundTo: Int = 6): DataFrame = {
+    val (na, nb, _, sumA2, _, plA2, plB2) = twoSampleScan(pos, neg, scoreCol)
+    val u2 = sumA2 - na * (na + 1) // = 2·U_pos, integer-exact
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val naD = col("n_pos").cast("double")
+    val nbD = col("n_neg").cast("double")
+    val auc = col("_u2").cast("double") / (lit(2.0) * naD * nbD)
+    // E[V²] from the doubled-scaled second moments: a2/(4·n₀²)/n₁
+    val s10 = (col("_a2").cast("double") /
+      (lit(4.0) * nbD * nbD) - naD * auc * auc) / (naD - lit(1.0))
+    // negative placements count #pos ABOVE, so their mean is also auc
+    val s01 = (col("_b2").cast("double") /
+      (lit(4.0) * naD * naD) - nbD * auc * auc) / (nbD - lit(1.0))
+    val se = sqrt(s10 / naD + s01 / nbD)
+    val z = lit(1.959964) // Φ⁻¹(0.975) to the mirrored precision
+    Seq((na, nb, u2, plA2, plB2))
+      .toDF("n_pos", "n_neg", "_u2", "_a2", "_b2")
+      .select(col("n_pos"), col("n_neg"),
+        round(auc + lit(1e-9), roundTo).as("auc"),
+        round(se + lit(1e-9), roundTo).as("se"),
+        round(auc - z * se + lit(1e-9), roundTo).as("ci_lo"),
+        round(auc + z * se + lit(1e-9), roundTo).as("ci_hi"))
   }
 }

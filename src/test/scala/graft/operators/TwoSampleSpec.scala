@@ -37,6 +37,45 @@ class TwoSampleSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z") - (-2.0 / math.sqrt(2.4))) < 1e-6)
   }
 
+  test("delongAuc matches the hand-computed placements") {
+    // pos = {3,1}, neg = {2,1}: placements V10 = {1.0, 0.25} (ties at
+    // half), V01 = {0.5, 0.75}; AUC = 0.625, S10 = 0.28125,
+    // S01 = 0.03125, se = sqrt(S10/2 + S01/2) = 0.39528...
+    val pos = Seq(3.0, 1.0).toDF("v")
+    val neg = Seq(2.0, 1.0).toDF("v")
+    val r = Ranks.delongAuc(pos, neg, "v").first()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(math.abs(r.getAs[Double]("auc") - 0.625) < 1e-6)
+    assert(math.abs(r.getAs[Double]("se") - 0.395285) < 1e-5)
+    assert(math.abs(r.getAs[Double]("ci_lo") -
+      (0.625 - 1.959964 * 0.3952847)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("ci_hi") -
+      (0.625 + 1.959964 * 0.3952847)) < 1e-4)
+  }
+
+  test("delongAuc: perfect separation gives auc 1 and zero variance") {
+    val pos = Seq(10.0, 11.0, 12.0).toDF("v")
+    val neg = Seq(1.0, 2.0).toDF("v")
+    val r = Ranks.delongAuc(pos, neg, "v").first()
+    assert(math.abs(r.getAs[Double]("auc") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("se")) < 1e-6)
+  }
+
+  test("delongAuc AUC agrees with the evaluator's rank-sum AUC") {
+    val ev = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val scored = ev.selectExpr("CAST(embedding[0] AS DOUBLE) AS score",
+      "label >= 5 AS pos")
+    val r = Ranks.delongAuc(scored.filter($"pos"),
+      scored.filter(!$"pos"), "score").first()
+    val rows = scored.selectExpr("score", "monotonically_increasing_id() AS i",
+      "pos").rdd.map(x => (x.getDouble(0), x.getLong(1), x.getBoolean(2)))
+    val (sumRnPos, p, n) = graft.ml.Evaluators.rankSumStats(rows)
+    val auc = (2.0 * sumRnPos - p.toDouble * (p + 1)) / (2.0 * p.toDouble * n)
+    assert(math.abs(r.getAs[Double]("auc") - auc) < 1e-6)
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("auc") &&
+      r.getAs[Double]("auc") <= r.getAs[Double]("ci_hi"))
+  }
+
   test("mannWhitney is antisymmetric: swapping samples flips z") {
     val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
     val a = ev.filter($"event_type" === "click").select("value")
