@@ -233,6 +233,21 @@ object EventStreams {
         payload.map(c => col(s"b.$c")): _*)
   }
 
+  /** Stream-static enrichment: attach a bounded dimension table to a
+    * stream by key — the feature-lookup / dimension-decorate step of a
+    * streaming pipeline. Stream-static joins are STATELESS (the static
+    * side is re-planned each micro-batch, picking up storage-level
+    * updates to e.g. a parquet dim automatically), so no watermark and
+    * no state store; the broadcast hint keeps the per-batch join
+    * map-side, which is the only shape that survives a high-rate
+    * stream — a shuffled per-batch join would re-shuffle every batch.
+    * Left join by default: an unmatched event passes through with
+    * nulls rather than silently dropping (inner available for
+    * filter-on-match semantics). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), joinType)
+
   /** Streaming GLM scoring: broadcast model over a stream — the
     * `model join readStream` extension called out in SURVEY §2.10. */
   def scoreStream(stream: DataFrame, model: GlmModel, featuresCol: String)

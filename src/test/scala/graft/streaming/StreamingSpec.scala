@@ -228,4 +228,25 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(out(1L) == 4.5 && out(2L) == 0.5)
   }
+
+  test("stream-static enrichment joins stateless and passes unmatched through") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("event_id", "event_type")
+    val q = EventStreams.enrich(stream, dim, "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    input.addData((1L, "click"), (2L, "view"), (3L, "purchase"))
+    q.processAllAvailable()
+    val out = spark.table("enriched")
+      .select("event_id", "category").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // stream-static joins keep no state store
+    assert(q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    assert(out == Map(1L -> Some("engagement"), 2L -> Some("impression"),
+      3L -> None))
+  }
 }
