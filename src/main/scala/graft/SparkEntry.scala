@@ -802,11 +802,23 @@ object SparkEntry {
         Seq("click", "view", "purchase", "error", "signup"))
       .agg(sum(dec(col("value"), 18, 2)).cast("double"))
 
-  /** Grouped exact percentiles: per-event-type value quantiles. */
-  def q72_grouped_percentiles(s: SparkSession, d: String): DataFrame =
-    T.events(s, d).groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5)") + lit(1e-9), 6).as("p50"),
-        round(expr("percentile(value, 0.9)") + lit(1e-9), 6).as("p90"))
+  /** Grouped exact percentiles: per-event-type value quantiles via
+    * [[operators.Profiling.groupedExactQuantiles]] (range-partitioned
+    * sort over (group, value) with per-(partition, group) offsets — a
+    * group's values span partitions, so no per-group reducer ever holds
+    * a group's full distinct-value map the way the built-in grouped
+    * `percentile` does; with 5 event types that funnel is 5 tasks for
+    * the whole table). */
+  def q72_grouped_percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Profiling.groupedExactQuantiles(T.events(s, d),
+      "event_type", "value", Seq(0.5, 0.9))
+    qs.map { case (g, ps) => (g, ps(0), ps(1)) }
+      .toDF("event_type", "_p50", "_p90")
+      .select(col("event_type"),
+        round(col("_p50") + lit(1e-9), 6).as("p50"),
+        round(col("_p90") + lit(1e-9), 6).as("p90"))
+  }
 
   /** Weighted reservoir: 5 events per type, inclusion ∝ value — the
     * importance-weighted subsample a curation pipeline draws (A-ES keys,

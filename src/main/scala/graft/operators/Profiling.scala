@@ -143,6 +143,89 @@ object Profiling {
       c -> exactQuantiles(df, c, probs) }.toMap
   }
 
+  /** Exact interpolated quantiles PER GROUP without a per-group funnel.
+    *
+    * Spark's grouped `percentile` partially aggregates a value→count
+    * map, so each group's merge lands on ONE reducer holding that
+    * group's full distinct-value map — fine for bounded domains,
+    * a row-sized single task per group for continuous columns (and with
+    * few groups, e.g. 5 event types, the whole table funnels through 5
+    * tasks). This is the [[exactQuantiles]] range-sort generalized:
+    * sort (group, value) pairs range-partitioned — a group's values
+    * SPAN partitions, so per-group work is spread across the cluster —
+    * then per-(partition, group) subtotals (collected: O(#partitions +
+    * #groups) longs, since sorted partitions touch few group
+    * boundaries) give driver offsets, and one more pass collects only
+    * the O(#groups·|probs|) boundary order statistics. Same p·(n−1)
+    * interpolation as [[exactQuantiles]]/built-in `percentile`, so
+    * results are bit-identical to the built-in.
+    *
+    * The result is group-cardinality-sized (it IS the output), returned
+    * driver-side. */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String,
+                            valueCol: String, probs: Seq[Double])
+  : Seq[(String, Seq[Double])] = {
+    val rdd = df.select(col(groupCol).cast("string"),
+        col(valueCol).cast("double")).na.drop()
+      .rdd.map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(identity)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ordered per-(partition, group) counts; sorted data ⇒ each
+      // partition contributes a short run-length list, not a full map
+      val partGroup = rdd.mapPartitionsWithIndex { case (i, it) =>
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        it.foreach { case (g, _) =>
+          if (runs.nonEmpty && runs.last._1 == g)
+            runs(runs.length - 1) = (g, runs.last._2 + 1)
+          else runs += (g -> 1L)
+        }
+        Iterator.single(i -> runs.toSeq)
+      }.collect().sortBy(_._1)
+      val nByGroup = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      partGroup.foreach { case (_, runs) =>
+        runs.foreach { case (g, c) =>
+          nByGroup(g) = nByGroup.getOrElse(g, 0L) + c } }
+      if (nByGroup.isEmpty) return Seq.empty
+      // wanted 0-based order statistics per group
+      val wanted: Map[String, Set[Long]] = nByGroup.map { case (g, n) =>
+        g -> probs.flatMap { p =>
+          val k = p * (n - 1)
+          Seq(math.floor(k).toLong, math.ceil(k).toLong)
+        }.toSet
+      }.toMap
+      // per-partition starting offset within each group
+      val startOffsets: Array[Map[String, Long]] = {
+        val acc = scala.collection.mutable.HashMap.empty[String, Long]
+        partGroup.map { case (_, runs) =>
+          val snapshot = runs.map { case (g, _) =>
+            g -> acc.getOrElse(g, 0L) }.toMap
+          runs.foreach { case (g, c) =>
+            acc(g) = acc.getOrElse(g, 0L) + c }
+          snapshot
+        }
+      }
+      val boundary = rdd.mapPartitionsWithIndex { case (i, it) =>
+        val idx = scala.collection.mutable.HashMap.empty[String, Long]
+        startOffsets(i).foreach { case (g, o) => idx(g) = o }
+        it.flatMap { case (g, v) =>
+          val k = idx.getOrElse(g, 0L)
+          idx(g) = k + 1
+          if (wanted.getOrElse(g, Set.empty)(k)) Iterator.single((g, k, v))
+          else Iterator.empty
+        }
+      }.collect().map { case (g, k, v) => (g, k) -> v }.toMap
+      nByGroup.toSeq.map { case (g, n) =>
+        g -> probs.map { p =>
+          val k = p * (n - 1)
+          val lo = boundary((g, math.floor(k).toLong))
+          val hi = boundary((g, math.ceil(k).toLong))
+          lo + (k - math.floor(k)) * (hi - lo)
+        }
+      }
+    } finally rdd.unpersist(false)
+  }
+
   /** Population-stability-index drift per group: how far each group's
     * distribution of `valueCol` sits from the whole population's, over
     * `nBins` fixed-width bins (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); the model-

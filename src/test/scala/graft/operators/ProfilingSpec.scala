@@ -93,6 +93,32 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("groupedExactQuantiles agrees with the built-in percentile per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 4000).map { i =>
+      val g = s"g${i % 3}"
+      (g, math.rint(rnd.nextGaussian() * 50 + i % 7) / 4.0)
+    }.toDF("g", "v").repartition(9)
+    val got = Profiling.groupedExactQuantiles(df, "g", "v",
+      Seq(0.25, 0.5, 0.9)).toMap
+    val want = df.groupBy("g").agg(
+        expr("percentile(v, 0.25)").as("a"),
+        expr("percentile(v, 0.5)").as("b"),
+        expr("percentile(v, 0.9)").as("c"))
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == want.keySet)
+    for (g <- got.keySet; i <- 0 until 3)
+      assert(math.abs(got(g)(i) - want(g)(i)) < 1e-9,
+        s"$g p$i: ${got(g)(i)} vs ${want(g)(i)}")
+    // single group degenerates to exactQuantiles
+    val one = Profiling.groupedExactQuantiles(
+      df.withColumn("g", lit("all")), "g", "v", Seq(0.5))
+    assert(one.head._2.head ==
+      Profiling.exactQuantiles(df, "v", Seq(0.5)).head)
+  }
+
   test("winsorize clips exactly at the rounded quantile fences") {
     import spark.implicits._
     // values 1..100: p10 = 10.9, p90 = 90.1 under p·(n−1) interpolation
