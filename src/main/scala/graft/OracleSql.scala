@@ -2993,6 +2993,26 @@ object OracleSql {
         |  ROUND(auc + 1.959964 * se + 1e-9, 6) AS ci_hi
         |FROM g""".stripMargin,
 
+    // q168: audience overlap — per-user type flags, pairwise AND
+    // counted as integer products; mirrors the engine's bitmask fold
+    // (flag conjunction == both bits set).
+    "q168_audience_overlap" -> {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val flags = types.zipWithIndex.map { case (t, i) =>
+        s"MAX(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS c$i"
+      }.mkString(",\n    ")
+      val pairs = (for {
+        i <- types.indices
+        j <- types.indices if i < j
+      } yield s"SELECT '${types(i)}' AS type_a, '${types(j)}' AS type_b, " +
+        s"CAST(SUM(c$i * c$j) AS BIGINT) AS n_both FROM f")
+        .mkString("\nUNION ALL ")
+      s"""WITH f AS (SELECT user_id,
+         |    $flags
+         |  FROM events WHERE value > 150.0 GROUP BY user_id)
+         |$pairs""".stripMargin
+    },
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -2548,6 +2548,38 @@ object SparkEntry {
       scored.filter(!col("pos")), "score")
   }
 
+  /** Audience-overlap matrix: how many users did BOTH of every pair of
+    * event types. The small-domain set-intersection pattern: instead of
+    * a user-level self-join (q90's shape — right for unbounded token
+    * domains, quadratic per hot user here), fold each user's types into
+    * a 5-bit mask with one `bit_or` aggregate (one user-keyed shuffle,
+    * map-side combined), reduce to the ≤2⁵-row mask histogram, and
+    * expand the 10 pairs from those counts driver-side. The data is
+    * scanned once at any scale; nothing quadratic ever forms. */
+  def q168_audience_overlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val bit = types.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, i)) =>
+      when(col("event_type") === t, lit(1 << i)).otherwise(acc)
+    }
+    val maskCounts = T.events(s, d)
+      // high-value audiences: the cutoff de-saturates the matrix (every
+      // user has every type somewhere in their history; the interesting
+      // overlap is between the types they engage with heavily)
+      .filter(col("value") > 150.0)
+      .select(col("user_id"), bit.as("_b"))
+      .groupBy("user_id").agg(expr("bit_or(_b)").as("_mask"))
+      .groupBy("_mask").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val rows = for {
+      i <- types.indices
+      j <- types.indices if i < j
+    } yield (types(i), types(j),
+      maskCounts.collect { case (m, n)
+        if (m & (1 << i)) != 0 && (m & (1 << j)) != 0 => n }.sum)
+    rows.toDF("type_a", "type_b", "n_both")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2717,7 +2749,8 @@ object SparkEntry {
     "q164_mann_whitney" -> (q164_mann_whitney _),
     "q165_gopher_rules" -> (q165_gopher_rules _),
     "q166_length_buckets" -> (q166_length_buckets _),
-    "q167_delong_auc" -> (q167_delong_auc _))
+    "q167_delong_auc" -> (q167_delong_auc _),
+    "q168_audience_overlap" -> (q168_audience_overlap _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
