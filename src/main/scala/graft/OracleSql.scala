@@ -3013,6 +3013,31 @@ object OracleSql {
          |$pairs""".stripMargin
     },
 
+    // q169: last-touch attribution — the as-of join as its declarative
+    // definition (latest click ≤ purchase ts, ties by largest click
+    // id), window test applied after; lag stays exact integer micros.
+    "q169_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.ts,
+        |    c.click_id, c.click_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.click_ts <= p.ts)
+        |SELECT purchase_id, user_id,
+        |  (click_ts IS NOT NULL
+        |    AND click_ts > ts - INTERVAL 24 HOUR) AS attributed,
+        |  CASE WHEN click_ts IS NOT NULL
+        |      AND click_ts > ts - INTERVAL 24 HOUR
+        |    THEN click_id END AS attributed_click_id,
+        |  CASE WHEN click_ts IS NOT NULL
+        |      AND click_ts > ts - INTERVAL 24 HOUR
+        |    THEN epoch_us(ts) - epoch_us(click_ts) END AS lag_us
+        |FROM j WHERE rn = 1""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

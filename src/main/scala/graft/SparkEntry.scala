@@ -2580,6 +2580,32 @@ object SparkEntry {
     rows.toDF("type_a", "type_b", "n_both")
   }
 
+  /** Last-touch conversion attribution: every purchase attributed to
+    * the user's latest click at-or-before it, provided the click falls
+    * inside a 24-hour lookback. Composes [[operators.EventJoins.asOf]]
+    * (one keyed shuffle, union + linear per-key pass — never a per-
+    * purchase backward probe) with the window test applied AFTER the
+    * join, so out-of-window purchases survive as unattributed rows.
+    * Lag is emitted in exact integer microseconds — no float duration
+    * ever hashes. */
+  def q169_attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val attributed = col("click_ts").isNotNull &&
+      col("click_ts") > col("ts") - expr("INTERVAL 24 HOURS")
+    EventJoins.asOf(purchases, clicks, Seq("user_id"), "ts", "event_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        attributed.as("attributed"),
+        when(attributed, col("click_id")).as("attributed_click_id"),
+        when(attributed,
+          unix_micros(col("ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2750,7 +2776,8 @@ object SparkEntry {
     "q165_gopher_rules" -> (q165_gopher_rules _),
     "q166_length_buckets" -> (q166_length_buckets _),
     "q167_delong_auc" -> (q167_delong_auc _),
-    "q168_audience_overlap" -> (q168_audience_overlap _))
+    "q168_audience_overlap" -> (q168_audience_overlap _),
+    "q169_attribution" -> (q169_attribution _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
