@@ -3038,6 +3038,38 @@ object OracleSql {
         |    THEN epoch_us(ts) - epoch_us(click_ts) END AS lag_us
         |FROM j WHERE rn = 1""".stripMargin,
 
+    // q170: seasonal anomaly — bucket means from decimal-exact sums,
+    // baseline moments over 9dp-decimal bucket means (order-independent
+    // variance), z and the flag mirrored as identical double
+    // expressions.
+    "q170_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(hour(ts) AS INTEGER) AS hr, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, day, hr, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS bm
+        |  FROM e GROUP BY 1, 2, 3),
+        |s AS (SELECT event_type, hr, COUNT(*) AS bn,
+        |    CAST(SUM(CAST(ROUND(bm, 9) AS DECIMAL(18,9)))
+        |      AS DECIMAL(28,9)) AS bs,
+        |    CAST(SUM(CAST(ROUND(bm * bm, 9) AS DECIMAL(18,9)))
+        |      AS DECIMAL(28,9)) AS bss
+        |  FROM b GROUP BY 1, 2),
+        |j AS (SELECT b.event_type, b.day, b.hr, b.n, b.bm,
+        |    CAST(bn AS DOUBLE) AS bnd, CAST(bs AS DOUBLE) AS bsd,
+        |    CAST(bss AS DOUBLE) AS bssd
+        |  FROM b JOIN s ON b.event_type = s.event_type AND b.hr = s.hr),
+        |z AS (SELECT event_type, day, hr, n, bm,
+        |    (bm - bsd / bnd)
+        |      / sqrt((bssd - bsd * bsd / bnd) / (bnd - 1.0)) AS zv
+        |  FROM j)
+        |SELECT event_type, day, hr, n,
+        |  ROUND(bm + 1e-9, 6) AS mean_bucket,
+        |  ROUND(zv + 1e-9, 6) AS z_score,
+        |  abs(zv) > 2.0 AS is_anomaly
+        |FROM z""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -2606,6 +2606,42 @@ object SparkEntry {
           .as("lag_us"))
   }
 
+  /** Seasonal-naive anomaly scoring: each (event_type, day, hour)
+    * bucket's mean z-scored against that (event_type, hour-of-day)'s
+    * baseline across days — the seasonality-aware sibling of the PSI /
+    * IQR / MAD monitors (a 9am spike is judged against 9am's, not the
+    * whole day's). One bucket aggregate over the data (decimal-exact
+    * sums), then ALL further moments reduce from the bucket table
+    * (types·days·hours rows — never a second data scan); the baseline
+    * joins back broadcast. Bucket means are rounded to 9dp decimals
+    * before the baseline sums so the variance is order-independent;
+    * the anomaly flag compares doubles both engines derive identically
+    * from those exact sums. */
+  def q170_seasonal_anomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"), col("value"))
+    val buckets = ev.groupBy("event_type", "day", "hr")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"), 18, 6)).as("_s"))
+      .withColumn("_bm", col("_s").cast("double") / col("n").cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bm9 = round(col("_bm"), 9).cast("decimal(18,9)")
+    val bq9 = round(col("_bm") * col("_bm"), 9).cast("decimal(18,9)")
+    val base = buckets.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("_bn"), sum(bm9).as("_bs"), sum(bq9).as("_bss"))
+    val bn = col("_bn").cast("double")
+    val bs = col("_bs").cast("double")
+    val mu = bs / bn
+    val sd = sqrt((col("_bss").cast("double") - bs * bs / bn)
+      / (bn - lit(1.0)))
+    val z = (col("_bm") - mu) / sd
+    buckets.join(broadcast(base), Seq("event_type", "hr"))
+      .select(col("event_type"), col("day"), col("hr"), col("n"),
+        round(col("_bm") + lit(1e-9), 6).as("mean_bucket"),
+        round(z + lit(1e-9), 6).as("z_score"),
+        (abs(z) > lit(2.0)).as("is_anomaly"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2777,7 +2813,8 @@ object SparkEntry {
     "q166_length_buckets" -> (q166_length_buckets _),
     "q167_delong_auc" -> (q167_delong_auc _),
     "q168_audience_overlap" -> (q168_audience_overlap _),
-    "q169_attribution" -> (q169_attribution _))
+    "q169_attribution" -> (q169_attribution _),
+    "q170_seasonal_anomaly" -> (q170_seasonal_anomaly _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
