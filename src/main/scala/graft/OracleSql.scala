@@ -3070,6 +3070,74 @@ object OracleSql {
         |  abs(zv) > 2.0 AS is_anomaly
         |FROM z""".stripMargin,
 
+    // q171: Cohen's kappa — the q23 langId mirror feeds a confusion
+    // matrix; kappa stays integer to the last division (n·agree −
+    // Σ row·col over n² − Σ row·col), both integer terms emitted.
+    "q171_lang_kappa" -> (toksCte + """,
+        |hits AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, tk -> list_contains(['the','and','of','to','in','is','a'], lower(tk)))) AS en,
+        |    len(list_filter(toks, tk -> list_contains(['le','la','et','les','des','un','une'], lower(tk)))) AS fr,
+        |    len(list_filter(toks, tk -> list_contains(['der','die','und','das','nicht','ist','ein'], lower(tk)))) AS de,
+        |    len(list_filter(toks, tk -> list_contains(['el','los','y','que','en','una','por'], lower(tk)))) AS es
+        |  FROM t),
+        |g AS (SELECT lang AS actual, CASE
+        |    WHEN en = greatest(en, fr, de, es) AND en > 0 THEN 'en'
+        |    WHEN fr = greatest(en, fr, de, es) AND fr > 0 THEN 'fr'
+        |    WHEN de = greatest(en, fr, de, es) AND de > 0 THEN 'de'
+        |    WHEN es = greatest(en, fr, de, es) AND es > 0 THEN 'es'
+        |    ELSE 'und' END AS pred
+        |  FROM hits),
+        |conf AS (SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM g GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN actual = pred THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS agree FROM conf),
+        |rm AS (SELECT actual AS c, CAST(SUM(cnt) AS BIGINT) AS r
+        |  FROM conf GROUP BY 1),
+        |cm AS (SELECT pred AS c, CAST(SUM(cnt) AS BIGINT) AS p
+        |  FROM conf GROUP BY 1),
+        |rc AS (SELECT CAST(SUM(COALESCE(r, 0) * COALESCE(p, 0))
+        |    AS BIGINT) AS src
+        |  FROM rm FULL JOIN cm USING (c))
+        |SELECT n, agree AS n_agree,
+        |  n * agree - src AS kappa_num, n * n - src AS kappa_den,
+        |  ROUND(CAST(agree AS DOUBLE) / n + 1e-9, 6) AS accuracy,
+        |  ROUND(CAST(n * agree - src AS DOUBLE) / (n * n - src)
+        |    + 1e-9, 6) AS kappa
+        |FROM tot, rc""".stripMargin),
+
+    // q172: Zipf slope — q110's vocabulary CTE at k=100; per-term ln
+    // values round to 9dp decimals before the sums (absorbing libm/JVM
+    // log ulp differences), and the closed-form OLS slope mirrors as
+    // one double expression.
+    "q172_zipf_slope" -> (toksCte + """,
+        |c AS (SELECT token, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(toks) AS token FROM t) GROUP BY token),
+        |r AS (SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS id FROM c),
+        |v AS (SELECT CAST(id AS DOUBLE) AS xr, CAST(cnt AS DOUBLE) AS yf
+        |  FROM r WHERE id <= 100),
+        |a AS (SELECT COUNT(*) AS k,
+        |    CAST(SUM(CAST(ROUND(ln(xr), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(ln(yf), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(ln(xr) * ln(yf), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(ln(xr) * ln(xr), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS sxx
+        |  FROM v),
+        |b AS (SELECT k,
+        |    (CAST(k AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(k AS DOUBLE) * sxx - sx * sx) AS slope,
+        |    sx, sy FROM a)
+        |SELECT CAST(k AS BIGINT) AS n_terms,
+        |  ROUND(slope + 1e-9, 6) AS zipf_slope,
+        |  ROUND((sy - slope * sx) / CAST(k AS DOUBLE) + 1e-9, 6)
+        |    AS intercept
+        |FROM b""".stripMargin),
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

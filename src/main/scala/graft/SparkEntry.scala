@@ -2642,6 +2642,61 @@ object SparkEntry {
         (abs(z) > lit(2.0)).as("is_anomaly"))
   }
 
+  /** Cohen's kappa between the langId heuristic and the labeled `lang`
+    * column — chance-corrected agreement, the standard way to grade a
+    * classifier (or a pair of annotators) beyond raw accuracy. One
+    * confusion aggregate scans the data; the ≤25-cell matrix reduces
+    * driver-side, and kappa stays INTEGER-exact to the last division:
+    * kappa = (n·agree − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c).
+    * Both integer terms are emitted so the hash gate never rests on a
+    * float alone. */
+  def q171_lang_kappa(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val conf = T.documents(s, d)
+      .select(col("lang").as("actual"), TF.langId(col("text")).as("pred"))
+      .groupBy("actual", "pred").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = conf.map(_._3).sum
+    val agree = conf.filter(r => r._1 == r._2).map(_._3).sum
+    val rowM = conf.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val colM = conf.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val sumRC = (rowM.keySet ++ colM.keySet).toSeq
+      .map(c => rowM.getOrElse(c, 0L) * colM.getOrElse(c, 0L)).sum
+    Seq((n, agree, n * agree - sumRC, n * n - sumRC))
+      .toDF("n", "n_agree", "kappa_num", "kappa_den")
+      .select(col("n"), col("n_agree"), col("kappa_num"), col("kappa_den"),
+        round(col("n_agree").cast("double") / col("n") + lit(1e-9), 6)
+          .as("accuracy"),
+        round(col("kappa_num").cast("double") / col("kappa_den")
+          + lit(1e-9), 6).as("kappa"))
+  }
+
+  /** Zipf-slope corpus diagnostic: OLS of ln(freq) on ln(rank) over the
+    * top-100 vocabulary — natural corpora track slope ≈ −1; strong
+    * deviation flags templated or truncated text. Vocabulary ranks come
+    * from [[operators.TextRanking.buildVocab]] (bounded hash agg +
+    * TakeOrdered, no global sort); the regression reduces over 100
+    * rows with per-term ln values rounded to 9dp decimals so the sums
+    * are order-independent, and the closed-form slope mirrors as one
+    * double expression. */
+  def q172_zipf_slope(s: SparkSession, d: String): DataFrame = {
+    val v = TextRanking.buildVocab(T.documents(s, d), "text", 100)
+    val x = log(col("id").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    def d9(c: Column) = round(c, 9).cast("decimal(18,9)")
+    val agg = v.agg(count(lit(1)).as("k"), sum(d9(x)).as("_sx"),
+      sum(d9(y)).as("_sy"), sum(d9(x * y)).as("_sxy"),
+      sum(d9(x * x)).as("_sxx"))
+    val kD = col("k").cast("double")
+    val sx = col("_sx").cast("double")
+    val sy = col("_sy").cast("double")
+    val slope = (kD * col("_sxy").cast("double") - sx * sy) /
+      (kD * col("_sxx").cast("double") - sx * sx)
+    agg.select(col("k").as("n_terms"),
+      round(slope + lit(1e-9), 6).as("zipf_slope"),
+      round((sy - slope * sx) / kD + lit(1e-9), 6).as("intercept"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2814,7 +2869,9 @@ object SparkEntry {
     "q167_delong_auc" -> (q167_delong_auc _),
     "q168_audience_overlap" -> (q168_audience_overlap _),
     "q169_attribution" -> (q169_attribution _),
-    "q170_seasonal_anomaly" -> (q170_seasonal_anomaly _))
+    "q170_seasonal_anomaly" -> (q170_seasonal_anomaly _),
+    "q171_lang_kappa" -> (q171_lang_kappa _),
+    "q172_zipf_slope" -> (q172_zipf_slope _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
