@@ -3138,6 +3138,26 @@ object OracleSql {
         |    AS intercept
         |FROM b""".stripMargin),
 
+    // q173: linear multi-touch attribution — declarative inequality
+    // join mirror of the bucketized pair join; 1/n rounds to a 9dp
+    // decimal BEFORE summing so per-click totals are order-independent.
+    "q173_linear_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |pr AS (SELECT pid, click_id FROM p JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND c.cts > p.ts - INTERVAL 24 HOUR AND c.cts <= p.ts),
+        |nn AS (SELECT pid, COUNT(*) AS n FROM pr GROUP BY 1),
+        |cr AS (SELECT click_id,
+        |    CAST(ROUND(CAST(1.0 AS DOUBLE) / n, 9) AS DECIMAL(18,9))
+        |      AS credit
+        |  FROM pr JOIN nn USING (pid))
+        |SELECT click_id, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  ROUND(CAST(SUM(credit) AS DOUBLE) + 1e-9, 6) AS total_credit
+        |FROM cr GROUP BY 1""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

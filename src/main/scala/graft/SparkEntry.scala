@@ -2697,6 +2697,31 @@ object SparkEntry {
       round((sy - slope * sx) / kD + lit(1e-9), 6).as("intercept"))
   }
 
+  /** Multi-touch (linear) attribution: every click in a purchase's
+    * 24-hour lookback shares the conversion credit equally —
+    * [[operators.EventJoins.rangePairs]] (bucketized equi-join, two
+    * candidate buckets per purchase, never a per-user cross product)
+    * produces the pairs, per-purchase click counts split the credit,
+    * and per-click credit sums exactly as 9dp decimals (1/n rounds to
+    * a decimal BEFORE summing, so the total is order-independent). */
+  def q173_linear_attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val pairs = EventJoins.rangePairs(purchases, clicks, Seq("user_id"),
+      "pid", "ts", windowSec = 86400L, payload = Seq("click_id"))
+    val n = pairs.groupBy("pid").agg(count(lit(1)).as("_n"))
+    pairs.join(n, "pid")
+      .withColumn("_credit",
+        round(lit(1.0) / col("_n"), 9).cast("decimal(18,9)"))
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("_credit")).cast("double") + lit(1e-9), 6)
+          .as("total_credit"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2871,7 +2896,8 @@ object SparkEntry {
     "q169_attribution" -> (q169_attribution _),
     "q170_seasonal_anomaly" -> (q170_seasonal_anomaly _),
     "q171_lang_kappa" -> (q171_lang_kappa _),
-    "q172_zipf_slope" -> (q172_zipf_slope _))
+    "q172_zipf_slope" -> (q172_zipf_slope _),
+    "q173_linear_attribution" -> (q173_linear_attribution _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -104,4 +104,37 @@ object EventJoins {
         coalesce(col("_s"), lit(0).cast("decimal(18,2)"))
           .cast("double").as("value_sum"))
   }
+
+  /** Bounded-range PAIR join: one row per (probe, build) match with the
+    * same key and `build.timeCol` in `(probe.timeCol − windowSec,
+    * probe.timeCol]` — [[rangeAgg]]'s pair-producing sibling for
+    * consumers that need per-match rows (multi-touch attribution,
+    * exposure linking) rather than a count/sum. Identical scale shape:
+    * time-bucketized equi-join on (key, bucket), two candidate buckets
+    * per probe row, never a per-key cross product. Output is
+    * `idCol` + the requested build `payload` columns; unmatched probe
+    * rows produce nothing (attach [[rangeAgg]]'s left join when empty
+    * matches must survive). */
+  def rangePairs(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 idCol: String, timeCol: String, windowSec: Long,
+                 payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "payload columns required")
+    val reserved = keys ++ Seq(idCol, timeCol)
+    val bad = payload.filter(reserved.contains)
+    require(bad.isEmpty,
+      s"payload columns ${bad.mkString(", ")} collide with key/id/time " +
+        "columns; alias them before the range join")
+    val winUs = windowSec * 1000000L
+    val b = build.select(keys.map(col) ++ Seq(
+      floor(unix_micros(col(timeCol)) / winUs).as("_bucket"),
+      unix_micros(col(timeCol)).as("_bt")) ++ payload.map(col): _*)
+    val p = probe.select(keys.map(col) ++ Seq(col(idCol),
+      unix_micros(col(timeCol)).as("_pt")): _*)
+      .withColumn("_bucket",
+        explode(array(floor(col("_pt") / winUs),
+          floor(col("_pt") / winUs) - 1)))
+    p.join(b, keys :+ "_bucket")
+      .filter(col("_bt") > col("_pt") - winUs && col("_bt") <= col("_pt"))
+      .select(col(idCol) +: payload.map(col): _*)
+  }
 }

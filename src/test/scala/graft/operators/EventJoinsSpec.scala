@@ -121,4 +121,33 @@ class EventJoinsSpec extends SparkSpec {
     // at least one probe must actually have matches for this test to bite
     assert(got.filter(col("n_in_window") > 0).count() > 0)
   }
+
+  test("rangePairs matches the inequality-join pairs incl. boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val build = (1 to 300).map { i =>
+      (rnd.nextInt(6).toLong, (rnd.nextInt(40) * 30).toLong, i.toLong)
+    }.toDF("k", "sec", "bid")
+      .withColumn("t", timestamp_seconds(col("sec"))).select("k", "t", "bid")
+    val probe = (1 to 150).map { i =>
+      (rnd.nextInt(6).toLong, (rnd.nextInt(40) * 30).toLong, i.toLong)
+    }.toDF("k", "sec", "pid")
+      .withColumn("t", timestamp_seconds(col("sec"))).select("k", "t", "pid")
+
+    val got = EventJoins.rangePairs(probe, build, Seq("k"), "pid", "t",
+      windowSec = 60L, payload = Seq("bid"))
+    val want = probe.select(col("k").as("pk"), col("t").as("pt"), col("pid"))
+      .join(build.select(col("k").as("bk"), col("t").as("bt"), col("bid")),
+        col("pk") === col("bk") &&
+          col("bt") > col("pt") - expr("INTERVAL 60 SECOND") &&
+          col("bt") <= col("pt"))
+      .select("pid", "bid")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+    // payload collision guard
+    intercept[IllegalArgumentException] {
+      EventJoins.rangePairs(probe, build.withColumnRenamed("bid", "pid"),
+        Seq("k"), "pid", "t", 60L, Seq("pid"))
+    }
+  }
 }
