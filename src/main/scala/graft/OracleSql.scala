@@ -3158,6 +3158,56 @@ object OracleSql {
         |  ROUND(CAST(SUM(credit) AS DOUBLE) + 1e-9, 6) AS total_credit
         |FROM cr GROUP BY 1""".stripMargin,
 
+    // q174: per-user tenure — gaps in exact integer micros; only the
+    // mean divides, tenure floors an exact integer difference.
+    "q174_user_tenure" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id
+        |  FROM events),
+        |g AS (SELECT user_id, t, t - lag(t) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS gap FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(floor((MAX(t) - MIN(t)) / 86400000000.0) AS BIGINT)
+        |    AS tenure_days,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+        |  ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap) / 1000000.0
+        |    + 1e-9, 3) AS mean_gap_s
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    // q175: Benford audit — the digit comes from the INTEGER string of
+    // round(value·100) (never a float format); expectations and χ²
+    // terms mirror as fixed double expressions over exact counts.
+    "q175_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(value * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c),
+        |x AS (SELECT digit, n_obs,
+        |    CAST(n AS DOUBLE) * ln(CAST(1.0 AS DOUBLE)
+        |      + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))
+        |      / ln(CAST(10.0 AS DOUBLE)) AS ex
+        |  FROM c, t)
+        |SELECT digit, n_obs, ROUND(ex + 1e-9, 6) AS expected,
+        |  ROUND((CAST(n_obs AS DOUBLE) - ex) * (CAST(n_obs AS DOUBLE) - ex)
+        |    / ex + 1e-9, 6) AS chi2_term
+        |FROM x""".stripMargin,
+
+    // q176: first-order transition matrix — per-user lag pairs, exact
+    // count ratios.
+    "q176_transitions" ->
+      """WITH p AS (SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS prev_type, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS rt
+        |  FROM c GROUP BY 1)
+        |SELECT prev_type, event_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE) + 1e-9, 6) AS prob
+        |FROM c JOIN r USING (prev_type)""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -2722,6 +2722,74 @@ object SparkEntry {
           .as("total_credit"))
   }
 
+  /** Per-user lifetime features: event count, tenure, inter-event gap
+    * stats — the user-level feature table a retention model reads. One
+    * per-user window (parallel across users, linear within) computes
+    * lag gaps in exact integer microseconds; only the mean divides.
+    * Deterministic ordering: (ts, event_id). */
+  def q174_user_tenure(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = unix_micros(col("ts"))
+    T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("_gap", t - lag(t, 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        floor((max(t) - min(t)) / lit(86400000000.0)).cast("long")
+          .as("tenure_days"),
+        max(col("_gap")).as("max_gap_us"),
+        // seconds, not micros: a 6dp round at 4e10 magnitude sits
+        // below the double ulp and the two engines' nearest-
+        // representable results diverge; at ~4e4 seconds 3dp is exact
+        round(sum(col("_gap")).cast("double") /
+          count(col("_gap")) / lit(1000000.0) + lit(1e-9), 3)
+          .as("mean_gap_s"))
+  }
+
+  /** Benford first-digit audit on `value`: a data-quality diagnostic —
+    * organically-generated magnitudes track P(d) = log10(1+1/d);
+    * uniform synthetic values (this corpus) deviate loudly. The digit
+    * comes from the INTEGER string of round(value·100) (never a float
+    * format), so counts are exact; expectations and χ² contributions
+    * mirror as fixed double expressions. */
+  def q175_benford(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(substring(round(col("value") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = ev.agg(sum(col("n_obs")).as("_n"))
+    val expected = col("_n").cast("double") *
+      log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+    ev.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(expected + lit(1e-9), 6).as("expected"),
+        round((col("n_obs").cast("double") - expected) *
+          (col("n_obs").cast("double") - expected) / expected
+          + lit(1e-9), 6).as("chi2_term"))
+  }
+
+  /** Event-type transition matrix per user sequence: counts and row
+    * probabilities of (previous type → type) — the first-order Markov
+    * summary behind session modeling and next-event prediction. One
+    * per-user lag window, then a 25-cell aggregate; probabilities are
+    * exact count ratios. */
+  def q176_transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"),
+        col("event_type")).agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy("prev_type").agg(sum(col("n")).as("_rt"))
+    pairs.join(broadcast(rowTot), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        round(col("n").cast("double") / col("_rt").cast("double")
+          + lit(1e-9), 6).as("prob"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2897,7 +2965,10 @@ object SparkEntry {
     "q170_seasonal_anomaly" -> (q170_seasonal_anomaly _),
     "q171_lang_kappa" -> (q171_lang_kappa _),
     "q172_zipf_slope" -> (q172_zipf_slope _),
-    "q173_linear_attribution" -> (q173_linear_attribution _))
+    "q173_linear_attribution" -> (q173_linear_attribution _),
+    "q174_user_tenure" -> (q174_user_tenure _),
+    "q175_benford" -> (q175_benford _),
+    "q176_transitions" -> (q176_transitions _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
