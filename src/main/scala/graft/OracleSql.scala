@@ -3208,6 +3208,58 @@ object OracleSql {
         |  ROUND(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE) + 1e-9, 6) AS prob
         |FROM c JOIN r USING (prev_type)""".stripMargin,
 
+    // q177: curation v2 composition — the q165 keep mirror as a filter,
+    // the q20 keeper shape, the q58 overlap at n=4 (3-grams saturate
+    // this 31-token vocabulary; 4-grams leave a meaningful survivor
+    // set), one manifest.
+    "q177_curation_v2" -> (toksCte + """,
+        |s4 AS (
+        |  SELECT doc_id, source, CASE WHEN len(toks) < 4
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i : i + 3], ' ')) END AS sh4
+        |  FROM t),
+        |bc AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS g FROM t)
+        |  GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE) AS dup_bg
+        |  FROM bc GROUP BY doc_id),
+        |ruled AS (
+        |  SELECT t.* FROM t LEFT JOIN bi ON t.doc_id = bi.doc_id
+        |  WHERE len(toks) BETWEEN 50 AND 100000
+        |    AND (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |        AS DOUBLE) / len(toks) END) BETWEEN 3.0 AND 10.0
+        |    AND COALESCE(bi.dup_bg, 0.0) <= 0.2
+        |    AND (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END)
+        |      >= 2),
+        |k AS (SELECT md5(text) AS h, MIN(doc_id) AS keep
+        |  FROM ruled GROUP BY 1),
+        |dd AS (SELECT r.* FROM ruled r
+        |  JOIN k ON md5(r.text) = k.h AND r.doc_id = k.keep),
+        |bench AS (SELECT DISTINCT unnest(sh4) AS g FROM s4
+        |  WHERE source = 'src0'),
+        |hits AS (SELECT DISTINCT c.doc_id FROM (
+        |    SELECT s4.doc_id, unnest(s4.sh4) AS g FROM s4
+        |    JOIN dd ON s4.doc_id = dd.doc_id
+        |    WHERE dd.source <> 'src0') c
+        |  JOIN bench USING (g)),
+        |fin AS (SELECT * FROM dd WHERE source <> 'src0'
+        |  AND doc_id NOT IN (SELECT doc_id FROM hits))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        |FROM fin GROUP BY source""".stripMargin),
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

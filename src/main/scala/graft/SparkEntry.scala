@@ -2790,6 +2790,32 @@ object SparkEntry {
           + lit(1e-9), 6).as("prob"))
   }
 
+  /** Curation pipeline v2 — the round-6 composition: Gopher rule
+    * filter → exact dedup (keep lowest id) → benchmark decontamination
+    * → per-source manifest. Every stage is an audited operator
+    * ([[operators.QualityRules]], [[operators.Dedup]]'s keeper shape,
+    * [[operators.Decontamination.clean]]); the ruled survivor set
+    * persists once for its three consumers, the dedup keeper set rides
+    * a semi-join, the benchmark shingles broadcast. Compare q83, the
+    * near-dup/CC chain — this is the cheap-first ordering a production
+    * pipeline runs when exact dedup suffices. */
+  def q177_curation_v2(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val ruled = QualityRules.filterByRules(docs, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = ruled
+      .groupBy(md5(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("_k")).select("_k")
+    val deduped = ruled.join(keepers,
+      ruled("doc_id") === keepers("_k"), "left_semi")
+    val cleaned = Decontamination.clean(
+      deduped.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id", "text", n = 4)
+    cleaned.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2968,7 +2994,8 @@ object SparkEntry {
     "q173_linear_attribution" -> (q173_linear_attribution _),
     "q174_user_tenure" -> (q174_user_tenure _),
     "q175_benford" -> (q175_benford _),
-    "q176_transitions" -> (q176_transitions _))
+    "q176_transitions" -> (q176_transitions _),
+    "q177_curation_v2" -> (q177_curation_v2 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
