@@ -41,7 +41,20 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q159_ndcg_mrr" -> 4,        // top-k agg + rel join + ideal window + agg
     "q160_ece" -> 2,             // reliability bins + final fold
     "q161_k_anonymity" -> 1,     // one QI aggregate
-    "q162_segment_lift" -> 3     // cube agg + segment-domain rank window
+    "q162_segment_lift" -> 3,    // cube agg + segment-domain rank window
+    "q165_gopher_rules" -> 0,    // pure codegen'd rule projection
+    "q166_length_buckets" -> 1,  // one keyed window; batch agg reuses
+                                 // the (band, salt) partitioning
+    "q169_attribution" -> 1,     // as-of union + ONE keyed window
+    "q170_seasonal_anomaly" -> 1, // bucket agg; baseline reduces from
+                                 // cached buckets + broadcast join-back
+    "q172_zipf_slope" -> 1,      // vocab agg + bounded TakeOrdered
+    "q173_linear_attribution" -> 3, // pair join + purchase count + credit agg
+    "q174_user_tenure" -> 1,     // per-user window; agg reuses partitioning
+    "q175_benford" -> 2,         // digit agg + single-row total
+    "q176_transitions" -> 3,     // user window + cell agg + row margins
+    "q177_curation_v2" -> 6      // dedup agg/semi-join + decontam join +
+                                 // manifest; the rules stage shuffles nothing
   )
 
   budgets.foreach { case (name, budget) =>
