@@ -3260,6 +3260,29 @@ object OracleSql {
         |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
         |FROM fin GROUP BY source""".stripMargin),
 
+    // q178: BPE-ish regex token accounting — RE2-safe class patterns
+    // (letter/digit/punct runs, no lookahead) so Java regex and RE2
+    // agree; whitespace tokens mirror the toksCte convention on a
+    // dense string (props never blank after the null filter).
+    "q178_regex_tokens" ->
+      """WITH e AS (SELECT event_type, props,
+        |    CASE WHEN length(trim(props)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(props), '\s+')) END
+        |      AS ws,
+        |    len(regexp_extract_all(props,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe,
+        |    len(regexp_extract_all(props, '[A-Za-z]+')) AS al,
+        |    len(regexp_extract_all(props, '[0-9]+')) AS dg,
+        |    len(regexp_extract_all(props, '[^A-Za-z0-9\s]+')) AS pu
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS n_bpe_pieces,
+        |  CAST(SUM(al) AS BIGINT) AS n_alpha_runs,
+        |  CAST(SUM(dg) AS BIGINT) AS n_digit_runs,
+        |  CAST(SUM(pu) AS BIGINT) AS n_punct_runs
+        |FROM e GROUP BY event_type""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

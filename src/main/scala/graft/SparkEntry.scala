@@ -2816,6 +2816,25 @@ object SparkEntry {
         sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
   }
 
+  /** BPE-ish regex token accounting over the JSON `props` strings —
+    * the class-split pretokenization (letter runs / digit runs /
+    * punctuation runs) next to the whitespace count, aggregated per
+    * event type. Pure codegen'd `regexp_extract_all` + one aggregate;
+    * every output is an exact integer. */
+  def q178_regex_tokens(s: SparkSession, d: String): DataFrame = {
+    def cnt(pat: String): Column =
+      coalesce(size(regexp_extract_all(col("props"), lit(pat), lit(0))),
+        lit(0)).cast("long")
+    T.events(s, d).filter(col("props").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(TF.tokenCount(col("props")).cast("long")).as("n_ws_tokens"),
+        sum(TF.bpePieceCount(col("props")).cast("long")).as("n_bpe_pieces"),
+        sum(cnt("[A-Za-z]+")).as("n_alpha_runs"),
+        sum(cnt("[0-9]+")).as("n_digit_runs"),
+        sum(cnt("[^A-Za-z0-9\\s]+")).as("n_punct_runs"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2995,7 +3014,8 @@ object SparkEntry {
     "q174_user_tenure" -> (q174_user_tenure _),
     "q175_benford" -> (q175_benford _),
     "q176_transitions" -> (q176_transitions _),
-    "q177_curation_v2" -> (q177_curation_v2 _))
+    "q177_curation_v2" -> (q177_curation_v2 _),
+    "q178_regex_tokens" -> (q178_regex_tokens _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

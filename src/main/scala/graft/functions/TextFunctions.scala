@@ -43,6 +43,16 @@ object TextFunctions {
       length(regexp_replace(trim(text), "\\s+", "")).cast("double") / size(t))
   }
 
+  /** BPE-ish pretokenization count: pieces under the GPT-2-style class
+    * split — letter runs, digit runs, punctuation runs (the lookahead
+    * clause of the original pattern is dropped to stay RE2-safe, the
+    * [[PiiFunctions]] cross-engine contract). Whitespace separates but
+    * never counts. Codegen'd `regexp_extract_all`, zero shuffle. */
+  val bpePiecePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+  def bpePieceCount(text: Column): Column =
+    coalesce(size(regexp_extract_all(text, lit(bpePiecePattern), lit(0))),
+      lit(0))
+
   /** Composite heuristic quality score in [0,1]: favors mid-length docs
     * with a healthy stopword ratio and moderate token length. */
   def qualityScore(text: Column, stop: Seq[String]): Column = {
