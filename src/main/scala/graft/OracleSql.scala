@@ -3283,6 +3283,19 @@ object OracleSql {
         |  CAST(SUM(pu) AS BIGINT) AS n_punct_runs
         |FROM e GROUP BY event_type""".stripMargin,
 
+    // q179: sliding distinct — the same hour/user collapse then ×6
+    // window expansion; window starts are exact epoch-hour integers.
+    "q179_sliding_distinct" ->
+      """WITH hu AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0)
+        |      AS BIGINT) AS h, user_id, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT user_id, n,
+        |    unnest(range(h - 5, h + 1)) AS w FROM hu)
+        |SELECT make_timestamp(w * 3600000000) AS window_start,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM x GROUP BY w""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -2835,6 +2835,29 @@ object SparkEntry {
         sum(cnt("[^A-Za-z0-9\\s]+")).as("n_punct_runs"))
   }
 
+  /** Sliding-window distinct users: 6-hour windows every hour. The
+    * naive plan expands every EVENT ×6 before a countDistinct; this one
+    * dedups to (hour, user) pairs FIRST (one map-side-combinable
+    * aggregate — the domain collapse), then expands the already-shrunk
+    * pair table into its 6 covering windows and counts distinct users
+    * per window. At 100 TB the expansion runs over users·hours, not
+    * events — orders of magnitude smaller. Window starts are exact
+    * epoch-hour integers turned back into timestamps. */
+  def q179_sliding_distinct(s: SparkSession, d: String): DataFrame = {
+    val hourUser = T.events(s, d)
+      .select((floor(unix_micros(col("ts")) / lit(3600000000L)))
+        .cast("long").as("_h"), col("user_id"))
+      .groupBy("_h", "user_id").agg(count(lit(1)).as("_n"))
+    hourUser
+      .select(col("_h"), col("user_id"), col("_n"),
+        explode(sequence(col("_h") - 5, col("_h"))).as("_w"))
+      .groupBy("_w")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("_n")).as("n_events"))
+      .select(timestamp_micros((col("_w") * 3600000000L))
+        .as("window_start"), col("n_users"), col("n_events"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3015,7 +3038,8 @@ object SparkEntry {
     "q175_benford" -> (q175_benford _),
     "q176_transitions" -> (q176_transitions _),
     "q177_curation_v2" -> (q177_curation_v2 _),
-    "q178_regex_tokens" -> (q178_regex_tokens _))
+    "q178_regex_tokens" -> (q178_regex_tokens _),
+    "q179_sliding_distinct" -> (q179_sliding_distinct _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
