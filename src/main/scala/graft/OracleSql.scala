@@ -3296,6 +3296,60 @@ object OracleSql {
         |  CAST(SUM(n) AS BIGINT) AS n_events
         |FROM x GROUP BY w""".stripMargin,
 
+    // q180: point-in-time feature store — q59's correlated-subquery
+    // as-of definition, twice, same (ts DESC, event_id DESC) ties.
+    "q180_feature_store" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  p.value AS label_value,
+        |  (SELECT c.value FROM events c WHERE c.event_type = 'click'
+        |    AND c.user_id = p.user_id AND c.ts <= p.ts
+        |    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS f_click_value,
+        |  (SELECT v.value FROM events v WHERE v.event_type = 'view'
+        |    AND v.user_id = p.user_id AND v.ts <= p.ts
+        |    ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS f_view_value
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+
+    // q181: per-source rule report — the q165 verdicts aggregated;
+    // rates are exact count ratios.
+    "q181_rule_report" -> (toksCte + """,
+        |bc AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS g FROM t)
+        |  GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE) AS dup_bg
+        |  FROM bc GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.source,
+        |    len(toks) BETWEEN 50 AND 100000 AS r_wc,
+        |    (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |        AS DOUBLE) / len(toks) END) BETWEEN 3.0 AND 10.0 AS r_ml,
+        |    COALESCE(bi.dup_bg, 0.0) <= 0.2 AS r_db,
+        |    (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END)
+        |      >= 2 AS r_sw
+        |  FROM t LEFT JOIN bi ON t.doc_id = bi.doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN r_wc AND r_ml AND r_db AND r_sw
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  ROUND(CAST(SUM(CASE WHEN r_wc THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) + 1e-9, 6) AS rate_word_count,
+        |  ROUND(CAST(SUM(CASE WHEN r_ml THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) + 1e-9, 6) AS rate_mean_word_len,
+        |  ROUND(CAST(SUM(CASE WHEN r_db THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) + 1e-9, 6) AS rate_dup_bigram,
+        |  ROUND(CAST(SUM(CASE WHEN r_sw THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) + 1e-9, 6) AS rate_stopwords
+        |FROM m GROUP BY source""".stripMargin),
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

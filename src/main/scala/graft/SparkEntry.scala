@@ -2858,6 +2858,46 @@ object SparkEntry {
         .as("window_start"), col("n_users"), col("n_events"))
   }
 
+  /** Point-in-time feature-store join: each purchase attaches its
+    * user's latest click value AND latest view value, both strictly
+    * as-of the purchase time — two chained [[operators.EventJoins.asOf]]
+    * passes (each one keyed shuffle), the leak-free construction a
+    * feature platform must guarantee (a feature computed after the
+    * label's timestamp is the classic training-serving skew bug). */
+  def q180_feature_store(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("label_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("f_click_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("f_view_value"))
+    val withClick = EventJoins.asOf(purchases, clicks,
+      Seq("user_id"), "ts", "event_id")
+    EventJoins.asOf(withClick, views, Seq("user_id"), "ts", "event_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("label_value"), col("f_click_value"), col("f_view_value"))
+  }
+
+  /** Per-source quality report card: how often each Gopher rule passes
+    * per source — the audit table a curation run publishes next to its
+    * manifest. Pure projection + one aggregate; rates are exact count
+    * ratios. */
+  def q181_rule_report(s: SparkSession, d: String): DataFrame = {
+    def rate(c: String) =
+      round(sum(col(c).cast("long")).cast("double") / count(lit(1))
+        + lit(1e-9), 6).as(s"rate_${c.stripPrefix("r_")}")
+    QualityRules.gopherRules(T.documents(s, d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        rate("r_word_count"), rate("r_mean_word_len"),
+        rate("r_dup_bigram"), rate("r_stopwords"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3039,7 +3079,9 @@ object SparkEntry {
     "q176_transitions" -> (q176_transitions _),
     "q177_curation_v2" -> (q177_curation_v2 _),
     "q178_regex_tokens" -> (q178_regex_tokens _),
-    "q179_sliding_distinct" -> (q179_sliding_distinct _))
+    "q179_sliding_distinct" -> (q179_sliding_distinct _),
+    "q180_feature_store" -> (q180_feature_store _),
+    "q181_rule_report" -> (q181_rule_report _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
