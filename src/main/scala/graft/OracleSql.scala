@@ -3350,6 +3350,21 @@ object OracleSql {
         |    / COUNT(*) + 1e-9, 6) AS rate_stopwords
         |FROM m GROUP BY source""".stripMargin),
 
+    // q182: spatial radius join as its declarative definition (distance
+    // cross join) — the engine's grid-cell candidates must agree
+    // exactly; literals CAST to DOUBLE so DuckDB never compares in
+    // DECIMAL.
+    "q182_spatial_join" ->
+      """WITH p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  ROUND(sqrt((a.x - b.x) * (a.x - b.x)
+        |    + (a.y - b.y) * (a.y - b.y)) + 1e-9, 6) AS dist
+        |FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -2898,6 +2898,40 @@ object SparkEntry {
         rate("r_dup_bigram"), rate("r_stopwords"))
   }
 
+  /** Grid-bucketed spatial radius join in the (embedding₁, embedding₂)
+    * plane: all pairs within distance r — the 2-D analog of the
+    * bucketized range join. One side expands to its 3×3 neighbor cells
+    * (cell = floor(coord/r), so any ≤r pair co-resides in some probed
+    * cell), candidates are an equi-join on the cell key, and the exact
+    * distance predicate prunes — candidate count is bounded by cell
+    * co-residency, never the |A|·|B| cross product a raw distance
+    * join degenerates to. */
+  def q182_spatial_join(s: SparkSession, d: String): DataFrame = {
+    val r = 0.02
+    val pts = T.embeddings(s, d).select(col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val a = pts.select(col("vec_id").as("a"), col("x").as("ax"),
+        col("y").as("ay"),
+        floor(col("x") / r).cast("long").as("_cx"),
+        floor(col("y") / r).cast("long").as("_cy"))
+      .withColumn("_dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("a"), col("ax"), col("ay"),
+        (col("_cx") + col("_dx")).as("_cx"),
+        (col("_cy") + col("_dy")).as("_cy"))
+    val b = pts.select(col("vec_id").as("b"), col("x").as("bx"),
+      col("y").as("by"),
+      floor(col("x") / r).cast("long").as("_cx"),
+      floor(col("y") / r).cast("long").as("_cy"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    a.join(b, Seq("_cx", "_cy"))
+      .filter(col("a") < col("b") && d2 <= lit(r) * lit(r))
+      .select(col("a"), col("b"),
+        round(sqrt(d2) + lit(1e-9), 6).as("dist"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3081,7 +3115,8 @@ object SparkEntry {
     "q178_regex_tokens" -> (q178_regex_tokens _),
     "q179_sliding_distinct" -> (q179_sliding_distinct _),
     "q180_feature_store" -> (q180_feature_store _),
-    "q181_rule_report" -> (q181_rule_report _))
+    "q181_rule_report" -> (q181_rule_report _),
+    "q182_spatial_join" -> (q182_spatial_join _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
