@@ -233,6 +233,29 @@ object EventStreams {
         payload.map(c => col(s"b.$c")): _*)
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[intervalJoin]],
+    * but probe events with NO build match still emit — with null
+    * payload — once the watermark passes their match window (only then
+    * can Spark prove no matching build row can still arrive; this is
+    * the "every event decorated or explicitly undecorated" contract an
+    * audit pipeline needs, where an inner join would silently drop the
+    * unmatched). State stays watermark-bounded exactly as in the inner
+    * variant; the time-range predicate is what lets rows age out. */
+  def intervalJoinLeftOuter(probe: DataFrame, build: DataFrame,
+                            key: String, timeCol: String, windowSec: Long,
+                            watermark: String = "1 hour"): DataFrame = {
+    val p = probe.withWatermark(timeCol, watermark).alias("p")
+    val b = build.withWatermark(timeCol, watermark).alias("b")
+    val payload = build.columns.toSeq
+      .filterNot(c => c == key || c == timeCol)
+    p.join(b, expr(
+        s"""p.$key = b.$key AND
+           |b.$timeCol > p.$timeCol - INTERVAL $windowSec SECONDS AND
+           |b.$timeCol <= p.$timeCol""".stripMargin), "left_outer")
+      .select(probe.columns.toSeq.map(c => col(s"p.$c")) ++
+        payload.map(c => col(s"b.$c")): _*)
+  }
+
   /** Stream-static enrichment: attach a bounded dimension table to a
     * stream by key — the feature-lookup / dimension-decorate step of a
     * streaming pipeline. Stream-static joins are STATELESS (the static

@@ -137,6 +137,35 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((100L, 10.0), (100L, 20.0)))
   }
 
+  test("left-outer interval join emits unmatched probes after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Double)]
+    val c = clicks.toDF().toDF("user_id", "ts", "click_id")
+    val v = views.toDF().toDF("user_id", "vts", "view_value")
+      .withColumnRenamed("vts", "ts")
+    val joined = EventStreams.intervalJoinLeftOuter(c, v, "user_id", "ts",
+        600, watermark = "5 minutes")
+      .select(col("click_id"), col("view_value"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("louter").start()
+    views.addData((1L, ts(8), 20.0))
+    // click 100 matches the view; click 102 (user 2) has no view ever
+    clicks.addData((1L, ts(9), 100L), (2L, ts(9), 102L))
+    q.processAllAvailable()
+    // advance both watermarks far past click 102's window so the join
+    // can prove no matching view can still arrive
+    views.addData((9L, ts(50), 0.0))
+    clicks.addData((9L, ts(50), 999L))
+    q.processAllAvailable()
+    val out = spark.table("louter").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    q.stop()
+    assert(out.contains((100L, Some(20.0))), s"matched click missing: $out")
+    assert(out.contains((102L, None)),
+      s"unmatched click must surface with null payload: $out")
+  }
+
   test("streaming PSI monitor matches the closed-form batch PSI per window") {
     implicit val sqlCtx = spark.sqlContext
     val edges = Seq(2.0, 4.0)           // 3 bins: <2, [2,4), >=4
