@@ -3365,6 +3365,19 @@ object OracleSql {
         |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
         |    <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)""".stripMargin,
 
+    // q183: hash-collision audit — conv(first-8-hex, 16, 10) % 16
+    // reduces to the 8th hex digit's value (16^k ≡ 0 mod 16 for
+    // k ≥ 1), the q80/q166 single-digit trick; the key separator is
+    // the vectorizer's .
+    "q183_hash_collisions" -> (toksCte + """,
+        |k AS (SELECT DISTINCT unnest(toks) AS term FROM t),
+        |b AS (SELECT (strpos('0123456789abcdef',
+        |    substr(md5('tok' || chr(1) || term), 8, 1)) - 1) % 16
+        |    AS bucket FROM k)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_keys, COUNT(*) > 1 AS collided
+        |FROM b GROUP BY 1""".stripMargin),
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -2932,6 +2932,24 @@ object SparkEntry {
         round(sqrt(d2) + lit(1e-9), 6).as("dist"))
   }
 
+  /** Hashing-trick collision audit: the diagnostic a pipeline runs
+    * before committing to a hashed feature space — distinct corpus
+    * tokens hashed with the EXACT vectorizer arithmetic
+    * ([[sources.FeatureVectorizer]]: md5 first-8-hex → base-10 → mod
+    * buckets) into a deliberately small 16-bucket space, reporting
+    * per-bucket key counts. Gates the hash arithmetic itself: the
+    * oracle reproduces the same md5-digit modulus. */
+  def q183_hash_collisions(s: SparkSession, d: String): DataFrame = {
+    val keys = T.documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("term")).distinct()
+    val bucket = pmod(conv(substring(md5(
+      sources.FeatureVectorizer.featureKey(lit("tok"), col("term"))),
+      1, 8), 16, 10).cast("long"), lit(16L))
+    keys.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_keys"))
+      .withColumn("collided", col("n_keys") > 1)
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3116,7 +3134,8 @@ object SparkEntry {
     "q179_sliding_distinct" -> (q179_sliding_distinct _),
     "q180_feature_store" -> (q180_feature_store _),
     "q181_rule_report" -> (q181_rule_report _),
-    "q182_spatial_join" -> (q182_spatial_join _))
+    "q182_spatial_join" -> (q182_spatial_join _),
+    "q183_hash_collisions" -> (q183_hash_collisions _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
