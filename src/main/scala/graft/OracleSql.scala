@@ -3378,6 +3378,24 @@ object OracleSql {
         |  COUNT(*) AS n_keys, COUNT(*) > 1 AS collided
         |FROM b GROUP BY 1""".stripMargin),
 
+    // q184: Gini of per-user event counts — sorted-data identity over
+    // the per-value count surface, integer to the last division.
+    "q184_engagement_gini" ->
+      """WITH x AS (SELECT user_id, COUNT(*) AS c FROM events
+        |  GROUP BY 1),
+        |cv AS (SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM x GROUP BY 1),
+        |cum AS (SELECT v, m,
+        |    CAST(SUM(m) OVER (ORDER BY v) AS BIGINT) - m AS b FROM cv),
+        |st AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+        |    CAST(SUM(v * m) AS BIGINT) AS s,
+        |    CAST(SUM(v * m * (2 * b + m + 1)) AS BIGINT) AS a
+        |  FROM cum)
+        |SELECT n, a - (n + 1) * s AS gini_num, n * s AS gini_den,
+        |  ROUND(CAST(a - (n + 1) * s AS DOUBLE)
+        |    / CAST(n * s AS DOUBLE) + 1e-9, 6) AS gini
+        |FROM st""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

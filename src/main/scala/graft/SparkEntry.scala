@@ -2950,6 +2950,17 @@ object SparkEntry {
       .withColumn("collided", col("n_keys") > 1)
   }
 
+  /** Engagement concentration: the Gini coefficient of per-user event
+    * counts ([[operators.Ranks.gini]]) — the skew diagnostic that
+    * decides whether a user-keyed operation needs salting. Stays
+    * integer-exact on the distributed rank surface until one final
+    * division. */
+  def q184_engagement_gini(s: SparkSession, d: String): DataFrame = {
+    val perUser = T.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("c"))
+    Ranks.gini(perUser, "c")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3135,7 +3146,8 @@ object SparkEntry {
     "q180_feature_store" -> (q180_feature_store _),
     "q181_rule_report" -> (q181_rule_report _),
     "q182_spatial_join" -> (q182_spatial_join _),
-    "q183_hash_collisions" -> (q183_hash_collisions _))
+    "q183_hash_collisions" -> (q183_hash_collisions _),
+    "q184_engagement_gini" -> (q184_engagement_gini _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

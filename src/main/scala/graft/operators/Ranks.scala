@@ -154,6 +154,49 @@ object Ranks {
       })
   }
 
+  /** Gini concentration coefficient of a non-negative INTEGER column
+    * (e.g. per-key row counts — the "how skewed is this key domain"
+    * diagnostic behind salting decisions). Sorted-data identity
+    * G = (Σ 2i·xᵢ − (n+1)·Σx) / (n·Σx): rows with value v and
+    * multiplicity m at cumulative offset b contribute the INTEGER
+    * v·m·(2b + m + 1) to the first sum, so the whole statistic stays
+    * exact until one final division. Distributed exactly like [[ecdf]]:
+    * per-value counts, range-partitioned sort, partition-offset prefix
+    * sums. Long-exactness needs n·max(x)·2n < 2⁶³ — fine to ~10⁹ rows
+    * of bounded counts; past that, pre-bucket the values.
+    *
+    * One row: (n, gini_num, gini_den, gini). */
+  def gini(df: DataFrame, column: String, roundTo: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(col(column).cast("long").as("v")).na.drop()
+      .groupBy("v").agg(count(lit(1)).as("m"))
+      .as[(Long, Long)]
+    val sorted = counts.rdd.sortBy(_._1).localCheckpoint()
+    val partTotals = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var m = 0L
+      it.foreach(m += _._2)
+      Iterator.single(i -> m)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val (n, s, a) = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var b = offsets(i); var sS = 0L; var aS = 0L
+      it.foreach { case (v, m) =>
+        sS += v * m
+        aS += v * m * (2 * b + m + 1)
+        b += m
+      }
+      Iterator.single((0L, sS, aS))
+    }.collect().foldLeft((offsets.last, 0L, 0L)) {
+      case ((n0, s0, a0), (_, s1, a1)) => (n0, s0 + s1, a0 + a1)
+    }
+    Seq((n, a - (n + 1) * s, n * s))
+      .toDF("n", "gini_num", "gini_den")
+      .select(col("n"), col("gini_num"), col("gini_den"),
+        round(col("gini_num").cast("double") /
+          col("gini_den").cast("double") + lit(1e-9), roundTo).as("gini"))
+  }
+
   /** DeLong (1988) AUC standard error and 95% CI on the same
     * distributed rank surface. The placement value of a positive —
     * the fraction of negatives it outranks, ties at half — is, doubled

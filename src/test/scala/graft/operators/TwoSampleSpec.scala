@@ -76,6 +76,31 @@ class TwoSampleSpec extends SparkSpec {
       r.getAs[Double]("auc") <= r.getAs[Double]("ci_hi"))
   }
 
+  test("gini matches hand-computed values and its bounds") {
+    // x = {1,1,2,4}: sorted Σ2i·x = 2(1·1+2·1+3·2+4·4) = 50;
+    // S = 8, n = 4 → G = (50 − 5·8)/(4·8) = 10/32 = 0.3125
+    val df = Seq(1L, 1L, 2L, 4L).toDF("c")
+    val r = Ranks.gini(df, "c").first()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("gini_num") == 10L &&
+      r.getAs[Long]("gini_den") == 32L)
+    assert(math.abs(r.getAs[Double]("gini") - 0.3125) < 1e-9)
+
+    // perfectly equal counts → 0
+    val eq = Ranks.gini(Seq(7L, 7L, 7L).toDF("c"), "c").first()
+    assert(eq.getAs[Long]("gini_num") == 0L)
+
+    // one key holds everything → (n−1)/n
+    val sk = Ranks.gini(Seq(0L, 0L, 0L, 12L).toDF("c"), "c").first()
+    assert(math.abs(sk.getAs[Double]("gini") - 0.75) < 1e-9)
+
+    // partition-independence
+    val big = (1 to 500).map(i => (i % 13).toLong).toDF("c")
+    val a = Ranks.gini(big.repartition(11), "c").first().getAs[Double]("gini")
+    val b = Ranks.gini(big.repartition(2), "c").first().getAs[Double]("gini")
+    assert(a == b)
+  }
+
   test("mannWhitney is antisymmetric: swapping samples flips z") {
     val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
     val a = ev.filter($"event_type" === "click").select("value")
