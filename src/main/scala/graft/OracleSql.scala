@@ -3396,6 +3396,41 @@ object OracleSql {
         |    / CAST(n * s AS DOUBLE) + 1e-9, 6) AS gini
         |FROM st""".stripMargin,
 
+    // q185: Kaplan-Meier — exact integer risk sets; the product-limit
+    // estimator mirrors as an ordered ln-sum so the running product's
+    // summation order (and therefore every double) is identical.
+    "q185_kaplan_meier" ->
+      """WITH pur AS (SELECT user_id, epoch_us(ts) AS t, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT MAX(epoch_us(ts)) AS hmax FROM events),
+        |g AS (SELECT t, lead(t) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS nxt FROM pur),
+        |p AS (SELECT CAST(floor((COALESCE(nxt, hmax) - t)
+        |      / 3600000000.0) AS BIGINT) AS dur_hours,
+        |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM g, h),
+        |b AS (SELECT dur_hours, CAST(SUM(ev) AS BIGINT) AS n_events,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+        |  FROM p GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM p),
+        |c AS (SELECT dur_hours, n_events, n_censored,
+        |    total - (CAST(SUM(n_events + n_censored) OVER (
+        |        ORDER BY dur_hours) AS BIGINT)
+        |      - (n_events + n_censored)) AS n_at_risk
+        |  FROM b, t),
+        |s AS (SELECT dur_hours, n_at_risk, n_events, n_censored,
+        |    n_events = n_at_risk AS dead,
+        |    CASE WHEN n_events = n_at_risk THEN 0.0
+        |      ELSE ln(1.0 - CAST(n_events AS DOUBLE)
+        |        / CAST(n_at_risk AS DOUBLE)) END AS term
+        |  FROM c)
+        |SELECT dur_hours, n_at_risk, n_events, n_censored,
+        |  CASE WHEN CAST(MAX(CASE WHEN dead THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur_hours) AS INTEGER) = 1 THEN 0.0
+        |    ELSE ROUND(exp(CAST(SUM(term) OVER (ORDER BY dur_hours)
+        |      AS DOUBLE)) + 1e-9, 6) END AS surv
+        |FROM s""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

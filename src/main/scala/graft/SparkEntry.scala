@@ -2961,6 +2961,57 @@ object SparkEntry {
     Ranks.gini(perUser, "c")
   }
 
+  /** Kaplan-Meier survival curve of inter-purchase waiting times: each
+    * consecutive purchase gap (in whole hours) is an OBSERVED duration;
+    * a user's final open gap (last purchase → corpus horizon) is
+    * right-censored. Death/censor counts per integer hour and the
+    * at-risk set reduce exactly from one per-user lead window + one
+    * aggregate (the duration domain — the observation span in hours —
+    * bounds the curve table, so the KM window runs over ≤ span rows,
+    * never the users); the product-limit estimator mirrors as an
+    * ordered ln-sum (identical summation order in both engines, so the
+    * doubles agree bitwise). */
+  def q185_kaplan_meier(s: SparkSession, d: String): DataFrame = {
+    val t = unix_micros(col("ts"))
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), t.as("_t"), col("event_id"))
+    val wu = Window.partitionBy("user_id")
+      .orderBy(col("_t"), col("event_id"))
+    val horizon = ev.agg(max(t).as("_hmax"))
+    val durations = purchases
+      .withColumn("_next", lead(col("_t"), 1).over(wu))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("_next"), col("_hmax")) - col("_t"))
+          / lit(3600000000.0)).cast("long").as("dur_hours"),
+        col("_next").isNotNull.cast("long").as("_event"))
+    val byHour = durations.groupBy("dur_hours")
+      .agg(sum(col("_event")).as("n_events"),
+        sum(lit(1L) - col("_event")).as("n_censored"))
+    val w = Window.orderBy("dur_hours")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = durations.count()
+    val atRisk = (lit(total) -
+      (sum(col("n_events") + col("n_censored")).over(w) -
+        (col("n_events") + col("n_censored")))).as("n_at_risk")
+    byHour.withColumn("n_at_risk", atRisk)
+      // the row where every remaining subject dies has ln(0): emit its
+      // (and any later row's) survival as exactly 0 instead of folding
+      // −∞ through the ln-sum — Spark's log(0) is null and DuckDB's
+      // errors, so the guard is also the cross-engine contract
+      .withColumn("_dead", col("n_events") === col("n_at_risk"))
+      .withColumn("_term",
+        when(col("_dead"), lit(0.0)).otherwise(
+          log(lit(1.0) - col("n_events").cast("double") /
+            col("n_at_risk").cast("double"))))
+      .withColumn("surv",
+        when(max(col("_dead")).over(w), lit(0.0)).otherwise(
+          round(exp(sum(col("_term")).over(w)) + lit(1e-9), 6)))
+      .select(col("dur_hours"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("surv"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3147,7 +3198,8 @@ object SparkEntry {
     "q181_rule_report" -> (q181_rule_report _),
     "q182_spatial_join" -> (q182_spatial_join _),
     "q183_hash_collisions" -> (q183_hash_collisions _),
-    "q184_engagement_gini" -> (q184_engagement_gini _))
+    "q184_engagement_gini" -> (q184_engagement_gini _),
+    "q185_kaplan_meier" -> (q185_kaplan_meier _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
