@@ -3431,6 +3431,51 @@ object OracleSql {
         |      AS DOUBLE)) + 1e-9, 6) END AS surv
         |FROM s""".stripMargin,
 
+    // q186: log-rank on the q185 surface — integer risk sets, expected
+    // deaths and hypergeometric variance as 9dp-decimal term sums, the
+    // final z a mirrored double expression.
+    "q186_logrank" ->
+      """WITH pur AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS g1
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT MAX(epoch_us(ts)) AS hmax FROM events),
+        |g AS (SELECT t, g1, lead(t) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS nxt FROM pur),
+        |p AS (SELECT CAST(floor((COALESCE(nxt, hmax) - t)
+        |      / 3600000000.0) AS BIGINT) AS dur_hours,
+        |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev, g1
+        |  FROM g, h),
+        |b AS (SELECT dur_hours, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(ev * g1) AS BIGINT) AS d1,
+        |    CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(g1) AS BIGINT) AS m1
+        |  FROM p GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(SUM(g1) AS BIGINT) AS total1 FROM p),
+        |c AS (SELECT dur_hours, d, d1,
+        |    total - (CAST(SUM(m) OVER (ORDER BY dur_hours) AS BIGINT)
+        |      - m) AS n,
+        |    total1 - (CAST(SUM(m1) OVER (ORDER BY dur_hours) AS BIGINT)
+        |      - m1) AS n1
+        |  FROM b, tt),
+        |e AS (SELECT d1,
+        |    CAST(ROUND(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 9) AS DECIMAL(18,9)) AS e1,
+        |    CAST(ROUND(CASE WHEN n > 1 THEN
+        |      CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) ELSE 0.0 END, 9)
+        |      AS DECIMAL(18,9)) AS v
+        |  FROM c),
+        |f AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(e1) AS DECIMAL(28,9)) AS se,
+        |    CAST(SUM(v) AS DECIMAL(28,9)) AS sv FROM e)
+        |SELECT o1, ROUND(CAST(se AS DOUBLE) + 1e-9, 6) AS e1,
+        |  ROUND((CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE))
+        |    / sqrt(CAST(sv AS DOUBLE)) + 1e-9, 6) AS z
+        |FROM f""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -3012,6 +3012,58 @@ object SparkEntry {
         col("n_censored"), col("surv"))
   }
 
+  /** Log-rank test on the q185 surface: do waiting times after BIG
+    * purchases (value > 100) differ from the rest? Observed group-1
+    * deaths stay integer; expected deaths and the hypergeometric
+    * variance are fixed double expressions over the exact integer risk
+    * sets, reduced on the same bounded per-hour curve table. One row:
+    * (o1, e1, z). */
+  def q186_logrank(s: SparkSession, d: String): DataFrame = {
+    val t = unix_micros(col("ts"))
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), t.as("_t"), col("event_id"),
+        (col("value") > 100.0).cast("long").as("_g1"))
+    val wu = Window.partitionBy("user_id")
+      .orderBy(col("_t"), col("event_id"))
+    val horizon = ev.agg(max(t).as("_hmax"))
+    val durations = purchases
+      .withColumn("_next", lead(col("_t"), 1).over(wu))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("_next"), col("_hmax")) - col("_t"))
+          / lit(3600000000.0)).cast("long").as("dur_hours"),
+        col("_next").isNotNull.cast("long").as("_ev"), col("_g1"))
+    val byHour = durations.groupBy("dur_hours")
+      .agg(sum(col("_ev")).as("_d"),
+        sum(col("_ev") * col("_g1")).as("_d1"),
+        count(lit(1)).as("_m"), sum(col("_g1")).as("_m1"))
+    val w = Window.orderBy("dur_hours")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = durations.agg(count(lit(1)).as("n"),
+      sum(col("_g1")).as("n1")).head()
+    val (total, total1) = (tot.getLong(0), tot.getLong(1))
+    val n = lit(total) - (sum(col("_m")).over(w) - col("_m"))
+    val n1 = lit(total1) - (sum(col("_m1")).over(w) - col("_m1"))
+    val nD = col("_n").cast("double")
+    val n1D = col("_n1").cast("double")
+    val dD = col("_d").cast("double")
+    val terms = byHour
+      .withColumn("_n", n).withColumn("_n1", n1)
+      .select(col("_d1"),
+        round(dD * n1D / nD, 9).cast("decimal(18,9)").as("_e1"),
+        round(when(col("_n") > 1,
+          dD * (n1D / nD) * (lit(1.0) - n1D / nD) *
+            (nD - dD) / (nD - lit(1.0))).otherwise(lit(0.0)), 9)
+          .cast("decimal(18,9)").as("_v"))
+      .agg(sum(col("_d1")).as("o1"), sum(col("_e1")).as("_se"),
+        sum(col("_v")).as("_sv"))
+    terms.select(col("o1"),
+      round(col("_se").cast("double") + lit(1e-9), 6).as("e1"),
+      round((col("o1").cast("double") - col("_se").cast("double")) /
+        sqrt(col("_sv").cast("double")) + lit(1e-9), 6).as("z"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3199,7 +3251,8 @@ object SparkEntry {
     "q182_spatial_join" -> (q182_spatial_join _),
     "q183_hash_collisions" -> (q183_hash_collisions _),
     "q184_engagement_gini" -> (q184_engagement_gini _),
-    "q185_kaplan_meier" -> (q185_kaplan_meier _))
+    "q185_kaplan_meier" -> (q185_kaplan_meier _),
+    "q186_logrank" -> (q186_logrank _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
