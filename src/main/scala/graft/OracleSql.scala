@@ -3476,6 +3476,41 @@ object OracleSql {
         |    / sqrt(CAST(sv AS DOUBLE)) + 1e-9, 6) AS z
         |FROM f""".stripMargin,
 
+    // q187: DiD — decimal-exact unit-period sums, deltas as exactly-
+    // representable doubles, 9dp-decimal moment sums, Welch SE.
+    "q187_did" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN day(ts) <= 15
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS pre,
+        |    CAST(SUM(CASE WHEN day(ts) > 15
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS post
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |dl AS (SELECT user_id % 2 = 0 AS treated,
+        |    CAST(post - pre AS DOUBLE) AS delta FROM u),
+        |g AS (SELECT treated, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(delta, 9) AS DECIMAL(18,9)))
+        |      AS DECIMAL(28,9)) AS s,
+        |    CAST(SUM(CAST(ROUND(delta * delta, 9) AS DECIMAL(18,9)))
+        |      AS DECIMAL(28,9)) AS ss
+        |  FROM dl GROUP BY 1),
+        |tt AS (SELECT n AS n_t, CAST(s AS DOUBLE) AS st,
+        |    CAST(ss AS DOUBLE) AS sst FROM g WHERE treated),
+        |cc AS (SELECT n AS n_c, CAST(s AS DOUBLE) AS sc,
+        |    CAST(ss AS DOUBLE) AS ssc FROM g WHERE NOT treated),
+        |f AS (SELECT n_t, n_c,
+        |    st / n_t - sc / n_c AS eff,
+        |    sqrt(((sst - st * st / n_t) / (n_t - 1.0)) / n_t
+        |      + ((ssc - sc * sc / n_c) / (n_c - 1.0)) / n_c) AS se
+        |  FROM tt, cc)
+        |SELECT n_t, n_c, ROUND(eff + 1e-9, 6) AS did_effect,
+        |  ROUND(se + 1e-9, 6) AS se,
+        |  ROUND(eff / se + 1e-9, 6) AS t_stat
+        |FROM f""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

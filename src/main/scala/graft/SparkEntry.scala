@@ -3064,6 +3064,49 @@ object SparkEntry {
         sqrt(col("_sv").cast("double")) + lit(1e-9), 6).as("z"))
   }
 
+  /** Difference-in-differences: treated (even user ids) vs control,
+    * pre (days 1-15) vs post, on per-user purchase-value totals.
+    * Unit-period sums are decimal-exact; each user's post−pre delta is
+    * an exact decimal turned into an exactly-representable double, and
+    * the group moments sum as 9dp decimals (the q170 convention), so
+    * effect, Welch SE, and t mirror bitwise. One conditional aggregate
+    * per user — the panel never materializes wider than its unit
+    * table. */
+  def q187_did(s: SparkSession, d: String): DataFrame = {
+    val deltas = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15, dec(col("value"), 18, 2))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("_pre"),
+        sum(when(dayofmonth(col("ts")) > 15, dec(col("value"), 18, 2))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("_post"))
+      .select((col("user_id") % 2 === 0).as("_treated"),
+        (col("_post") - col("_pre")).cast("double").as("_delta"))
+    def d9(c: Column) = round(c, 9).cast("decimal(18,9)")
+    val g = deltas.groupBy("_treated")
+      .agg(count(lit(1)).as("n"), sum(d9(col("_delta"))).as("_s"),
+        sum(d9(col("_delta") * col("_delta"))).as("_ss"))
+    val t = g.filter(col("_treated"))
+      .select(col("n").as("n_t"), col("_s").as("_st"), col("_ss").as("_sst"))
+    val c = g.filter(!col("_treated"))
+      .select(col("n").as("n_c"), col("_s").as("_sc"), col("_ss").as("_ssc"))
+    val ntD = col("n_t").cast("double")
+    val ncD = col("n_c").cast("double")
+    val mt = col("_st").cast("double") / ntD
+    val mc = col("_sc").cast("double") / ncD
+    val vt = (col("_sst").cast("double") - col("_st").cast("double") *
+      col("_st").cast("double") / ntD) / (ntD - lit(1.0))
+    val vc = (col("_ssc").cast("double") - col("_sc").cast("double") *
+      col("_sc").cast("double") / ncD) / (ncD - lit(1.0))
+    val eff = mt - mc
+    val se = sqrt(vt / ntD + vc / ncD)
+    t.crossJoin(c).select(col("n_t"), col("n_c"),
+      round(eff + lit(1e-9), 6).as("did_effect"),
+      round(se + lit(1e-9), 6).as("se"),
+      round(eff / se + lit(1e-9), 6).as("t_stat"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3252,7 +3295,8 @@ object SparkEntry {
     "q183_hash_collisions" -> (q183_hash_collisions _),
     "q184_engagement_gini" -> (q184_engagement_gini _),
     "q185_kaplan_meier" -> (q185_kaplan_meier _),
-    "q186_logrank" -> (q186_logrank _))
+    "q186_logrank" -> (q186_logrank _),
+    "q187_did" -> (q187_did _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
