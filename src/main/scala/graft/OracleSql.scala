@@ -3511,6 +3511,33 @@ object OracleSql {
         |  ROUND(eff / se + 1e-9, 6) AS t_stat
         |FROM f""".stripMargin,
 
+    // q188: coverage diagnostics — integer frequency spectrum; entropy
+    // terms round to 9dp decimals; Chao1/Good-Turing mirror as double
+    // expressions.
+    "q188_vocab_coverage" -> (toksCte + """,
+        |tc AS (SELECT tok, COUNT(*) AS c FROM (
+        |    SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+        |sp AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM tc
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(m) AS BIGINT) AS v,
+        |    CAST(SUM(c * m) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN c = 1 THEN m ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN m ELSE 0 END) AS BIGINT) AS f2
+        |  FROM sp),
+        |en AS (SELECT CAST(SUM(CAST(ROUND(CAST(m AS DOUBLE)
+        |      * ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+        |      AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS ent
+        |  FROM sp, tt)
+        |SELECT v AS n_distinct, n AS n_tokens, f1, f2,
+        |  ROUND(CAST(v AS DOUBLE) + CAST(f1 AS DOUBLE)
+        |    * (CAST(f1 AS DOUBLE) - 1.0)
+        |    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) + 1e-9, 6) AS chao1,
+        |  ROUND(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 6)
+        |    AS good_turing_p0,
+        |  ROUND(-CAST(ent AS DOUBLE) + 1e-9, 6) AS unigram_entropy
+        |FROM tt, en""".stripMargin),
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -3107,6 +3107,43 @@ object SparkEntry {
       round(eff / se + lit(1e-9), 6).as("t_stat"))
   }
 
+  /** Corpus coverage diagnostics from the token frequency spectrum:
+    * Chao1's unseen-species estimate (V + f1²/(2f2)), Good-Turing
+    * unseen probability mass (f1/N), and unigram entropy — the
+    * "how much vocabulary haven't we crawled yet" questions. One token
+    * count aggregate (bounded by the vocabulary), then a
+    * counts-of-counts table smaller still; entropy terms round to 9dp
+    * decimals before summing so the total is order-independent. */
+  def q188_vocab_coverage(s: SparkSession, d: String): DataFrame = {
+    val counts = T.documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val spectrum = counts.groupBy("c").agg(count(lit(1)).as("m"))
+    val tot = spectrum.agg(sum(col("m")).as("v"),
+      sum(col("c") * col("m")).as("n"),
+      sum(when(col("c") === 1, col("m")).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2, col("m")).otherwise(0L)).as("f2"))
+    val nD = col("n").cast("double")
+    val p = col("c").cast("double") / nD
+    val ent = spectrum.crossJoin(broadcast(tot))
+      .select(round(col("m").cast("double") * (p * log(p)), 9)
+        .cast("decimal(18,9)").as("_e"))
+      .agg(sum(col("_e")).as("_ent"))
+    val f1D = col("f1").cast("double")
+    tot.crossJoin(broadcast(ent)).select(
+      col("v").as("n_distinct"), col("n").as("n_tokens"),
+      col("f1"), col("f2"),
+      // bias-corrected Chao1: defined even when f2 = 0 (and exactly v
+      // when the corpus has no hapax legomena at all)
+      round(col("v").cast("double") + f1D * (f1D - lit(1.0)) /
+        (lit(2.0) * (col("f2").cast("double") + lit(1.0)))
+        + lit(1e-9), 6).as("chao1"),
+      round(f1D / col("n").cast("double") + lit(1e-9), 6)
+        .as("good_turing_p0"),
+      round(-col("_ent").cast("double") + lit(1e-9), 6)
+        .as("unigram_entropy"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3296,7 +3333,8 @@ object SparkEntry {
     "q184_engagement_gini" -> (q184_engagement_gini _),
     "q185_kaplan_meier" -> (q185_kaplan_meier _),
     "q186_logrank" -> (q186_logrank _),
-    "q187_did" -> (q187_did _))
+    "q187_did" -> (q187_did _),
+    "q188_vocab_coverage" -> (q188_vocab_coverage _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
