@@ -3538,6 +3538,38 @@ object OracleSql {
         |  ROUND(-CAST(ent AS DOUBLE) + 1e-9, 6) AS unigram_entropy
         |FROM tt, en""".stripMargin),
 
+    // q189: RFM — quintile fences via quantile_cont rounded exactly as
+    // the engine rounds its exactQuantiles literals; strict > scoring.
+    "q189_rfm" -> {
+      def b(col: String, q: String) =
+        s"(CASE WHEN $col > $q THEN 1 ELSE 0 END)"
+      val rb = (1 to 4).map(i => b("rec", s"rq$i")).mkString(" + ")
+      val fb = (1 to 4).map(i => b("freq", s"fq$i")).mkString(" + ")
+      val mb = (1 to 4).map(i => b("mon", s"mq$i")).mkString(" + ")
+      val rqs = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (p, i) =>
+        s"ROUND(quantile_cont(rec, $p) + 1e-9, 6) AS rq${i + 1}, " +
+          s"ROUND(quantile_cont(freq, $p) + 1e-9, 6) AS fq${i + 1}, " +
+          s"ROUND(quantile_cont(mon, $p) + 1e-9, 6) AS mq${i + 1}"
+      }.mkString(",\n    ")
+      s"""WITH h AS (SELECT MAX(epoch_us(ts)) AS hmax FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |u AS (SELECT user_id,
+         |    CAST(floor((hmax - MAX(epoch_us(ts))) / 86400000000.0)
+         |      AS DOUBLE) AS rec,
+         |    CAST(COUNT(*) AS DOUBLE) AS freq,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mon
+         |  FROM events, h
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL
+         |  GROUP BY user_id, hmax),
+         |q AS (SELECT
+         |    $rqs
+         |  FROM u)
+         |SELECT 6 - (($rb) + 1) AS r_score,
+         |  ($fb) + 1 AS f_score, ($mb) + 1 AS m_score,
+         |  COUNT(*) AS n_users
+         |FROM u, q GROUP BY 1, 2, 3""".stripMargin
+    },
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

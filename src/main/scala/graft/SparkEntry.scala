@@ -3144,6 +3144,41 @@ object SparkEntry {
         .as("unigram_entropy"))
   }
 
+  /** RFM segmentation: quintile scores for recency / frequency /
+    * monetary per purchasing user, reduced to segment counts. The
+    * classic implementation is `ntile(5)` — an unpartitioned window,
+    * i.e. a single-task global sort; here the quintile fences come
+    * from [[operators.Profiling.exactQuantiles]] (range-partitioned
+    * parallel sort) and are inlined as rounded LITERALS into a pure
+    * codegen scoring projection, so after the fence pass nothing
+    * shuffles but the final 125-cell aggregate. Fence comparisons use
+    * the strict `>` on 6dp-rounded fences, mirrored exactly. */
+  def q189_rfm(s: SparkSession, d: String): DataFrame = {
+    val t = unix_micros(col("ts"))
+    val ev = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+    val hmax = ev.agg(max(t)).head().getLong(0)
+    val users = ev.groupBy("user_id")
+      .agg(floor((lit(hmax) - max(t)) / lit(86400000000.0))
+        .cast("double").as("rec"),
+        count(lit(1)).cast("double").as("freq"),
+        sum(dec(col("value"), 18, 2)).cast("double").as("mon"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    def fences(c: String): Seq[Double] =
+      Profiling.exactQuantiles(users, c, ps)
+        .map(q => BigDecimal(q + 1e-9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def bucket(c: String): Column =
+      fences(c).map(f => when(col(c) > f, 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    users
+      .select((lit(6) - bucket("rec")).as("r_score"),
+        bucket("freq").as("f_score"), bucket("mon").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3334,7 +3369,8 @@ object SparkEntry {
     "q185_kaplan_meier" -> (q185_kaplan_meier _),
     "q186_logrank" -> (q186_logrank _),
     "q187_did" -> (q187_did _),
-    "q188_vocab_coverage" -> (q188_vocab_coverage _))
+    "q188_vocab_coverage" -> (q188_vocab_coverage _),
+    "q189_rfm" -> (q189_rfm _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
