@@ -3570,6 +3570,45 @@ object OracleSql {
          |FROM u, q GROUP BY 1, 2, 3""".stripMargin
     },
 
+    // q190: CUSUM via the cumulative-min/max closed form — running
+    // sum + running min/max replace the recursion, same evaluation
+    // order in both engines; q170 decimal conventions for the
+    // baseline.
+    "q190_cusum" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, day, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS md
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT event_type, COUNT(*) AS bn,
+        |    CAST(SUM(CAST(ROUND(md, 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS bs,
+        |    CAST(SUM(CAST(ROUND(md * md, 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS bss
+        |  FROM b GROUP BY 1),
+        |j AS (SELECT b.event_type, b.day,
+        |    b.md - g.bs / g.bn AS dev,
+        |    sqrt((g.bss - g.bs * g.bs / g.bn) / (g.bn - 1.0)) AS sd
+        |  FROM b JOIN g ON b.event_type = g.event_type),
+        |c AS (SELECT event_type, day, dev, sd,
+        |    SUM(dev) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS cum
+        |  FROM j),
+        |f AS (SELECT event_type, day, dev, sd, cum,
+        |    cum - LEAST(0.0, MIN(cum) OVER (PARTITION BY event_type
+        |      ORDER BY day)) AS sp,
+        |    GREATEST(0.0, MAX(cum) OVER (PARTITION BY event_type
+        |      ORDER BY day)) - cum AS sn
+        |  FROM c)
+        |SELECT event_type, day,
+        |  ROUND(dev + 1e-9, 6) AS dev,
+        |  ROUND(sp + 1e-9, 6) AS cusum_pos,
+        |  ROUND(sn + 1e-9, 6) AS cusum_neg,
+        |  sp > 3.0 * sd AS alarm_pos,
+        |  sn > 3.0 * sd AS alarm_neg
+        |FROM f""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

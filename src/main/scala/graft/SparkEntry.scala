@@ -3179,6 +3179,48 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** CUSUM change detection over daily means per event type. The CUSUM
+    * recursion S⁺ₜ = max(0, S⁺ₜ₋₁ + devₜ) is not window-expressible —
+    * but its closed form IS: S⁺ₜ = cumₜ − min(0, min_{j≤t} cumⱼ) (and
+    * the mirrored max identity for S⁻), so the whole detector becomes
+    * running sum + running min/max over the bounded per-day table —
+    * deterministic, identical evaluation order in both engines. Daily
+    * means and the per-type baseline use the decimal-exact q170
+    * conventions; alarms fire at 3σ of the daily means. */
+  def q190_cusum(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"), 18, 6)).as("_s"))
+      .withColumn("_md", col("_s").cast("double") / col("n").cast("double"))
+    val bm9 = round(col("_md"), 9).cast("decimal(18,9)")
+    val bq9 = round(col("_md") * col("_md"), 9).cast("decimal(18,9)")
+    val base = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("_bn"), sum(bm9).as("_bs"), sum(bq9).as("_bss"))
+    val bn = col("_bn").cast("double")
+    val bs = col("_bs").cast("double")
+    val mu = bs / bn
+    val sd = sqrt((col("_bss").cast("double") - bs * bs / bn)
+      / (bn - lit(1.0)))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = col("_md") - mu
+    val joined = daily.join(broadcast(base), "event_type")
+      .withColumn("_dev", dev)
+      .withColumn("_cum", sum(col("_dev")).over(w))
+      .withColumn("_sp", col("_cum") -
+        least(lit(0.0), min(col("_cum")).over(w)))
+      .withColumn("_sn",
+        greatest(lit(0.0), max(col("_cum")).over(w)) - col("_cum"))
+    joined.select(col("event_type"), col("day"),
+      round(col("_dev") + lit(1e-9), 6).as("dev"),
+      round(col("_sp") + lit(1e-9), 6).as("cusum_pos"),
+      round(col("_sn") + lit(1e-9), 6).as("cusum_neg"),
+      (col("_sp") > lit(3.0) * sd).as("alarm_pos"),
+      (col("_sn") > lit(3.0) * sd).as("alarm_neg"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3370,7 +3412,8 @@ object SparkEntry {
     "q186_logrank" -> (q186_logrank _),
     "q187_did" -> (q187_did _),
     "q188_vocab_coverage" -> (q188_vocab_coverage _),
-    "q189_rfm" -> (q189_rfm _))
+    "q189_rfm" -> (q189_rfm _),
+    "q190_cusum" -> (q190_cusum _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
