@@ -3609,6 +3609,39 @@ object OracleSql {
         |  sn > 3.0 * sd AS alarm_neg
         |FROM f""".stripMargin,
 
+    // q194: Mann-Kendall — integer S over day pairs, integer tie
+    // correction, one mirrored z expression.
+    "q194_mann_kendall" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*) AS md
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b2.md > a.md THEN 1
+        |      WHEN b2.md < a.md THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM b a JOIN b b2 ON a.event_type = b2.event_type
+        |    AND a.day < b2.day
+        |  GROUP BY 1),
+        |tv AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM b GROUP BY event_type, md),
+        |ti AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_days,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM tv GROUP BY 1),
+        |f AS (SELECT sp.event_type, n_days, s_stat,
+        |    (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+        |      * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+        |      - CAST(tsum AS DOUBLE)) / 18.0 AS vr
+        |  FROM sp JOIN ti ON sp.event_type = ti.event_type)
+        |SELECT event_type, n_days, s_stat,
+        |  ROUND(CASE WHEN s_stat > 0
+        |      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(vr)
+        |    WHEN s_stat < 0
+        |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(vr)
+        |    ELSE 0.0 END + 1e-9, 6) AS z
+        |FROM f""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

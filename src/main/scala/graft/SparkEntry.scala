@@ -3221,6 +3221,47 @@ object SparkEntry {
       (col("_sn") > lit(3.0) * sd).as("alarm_neg"))
   }
 
+  /** Mann-Kendall trend test per event type: the non-parametric
+    * "is this metric drifting" answer over daily means. S = Σ sign
+    * pairs stays INTEGER (pairs form on the BOUNDED per-day table —
+    * days², never events²), the tie-corrected variance is an integer
+    * expression, and only the final z divides. Daily means use the
+    * decimal-exact convention so the sign comparisons are
+    * deterministic. */
+  def q194_mann_kendall(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg((sum(dec(col("value"), 18, 6)).cast("double") /
+        count(lit(1))).as("md"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("md").as("x1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("md").as("x2"))
+    val sPairs = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+    // tie correction over the distinct-value multiplicities
+    val ties = daily.groupBy("event_type", "md")
+      .agg(count(lit(1)).as("_t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("_dv"), sum(col("_t")).as("n_days"),
+        sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+          .as("_tsum"))
+    val nD = col("n_days").cast("double")
+    val varD = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+      col("_tsum").cast("double")) / lit(18.0)
+    val sD = col("s_stat").cast("double")
+    val zExpr = when(col("s_stat") > 0, (sD - lit(1.0)) / sqrt(varD))
+      .when(col("s_stat") < 0, (sD + lit(1.0)) / sqrt(varD))
+      .otherwise(lit(0.0))
+    sPairs.join(ties, "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        round(zExpr + lit(1e-9), 6).as("z"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3413,7 +3454,8 @@ object SparkEntry {
     "q187_did" -> (q187_did _),
     "q188_vocab_coverage" -> (q188_vocab_coverage _),
     "q189_rfm" -> (q189_rfm _),
-    "q190_cusum" -> (q190_cusum _))
+    "q190_cusum" -> (q190_cusum _),
+    "q194_mann_kendall" -> (q194_mann_kendall _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
