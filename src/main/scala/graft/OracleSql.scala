@@ -3642,6 +3642,38 @@ object OracleSql {
         |    ELSE 0.0 END + 1e-9, 6) AS z
         |FROM f""".stripMargin,
 
+    // q195: STL-lite — decimal frame sums make the centered MA
+    // order-independent; DuckDB's dayofweek is 0-based Sunday, +1
+    // aligns with Spark's.
+    "q195_seasonal_decompose" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*) AS md
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, day, md,
+        |    CAST(ROUND(md, 9) AS DECIMAL(18,9)) AS md9 FROM b),
+        |t AS (SELECT event_type, day, md,
+        |    CAST(SUM(md9) OVER w AS DOUBLE)
+        |      / CAST(COUNT(md9) OVER w AS DOUBLE) AS trend,
+        |    CAST(dayofweek(day) + 1 AS INTEGER) AS dow
+        |  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT event_type, day, dow, md, trend,
+        |    md - trend AS detr FROM t),
+        |se AS (SELECT event_type, dow,
+        |    CAST(SUM(CAST(ROUND(detr, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      / COUNT(*) AS seas
+        |  FROM dt GROUP BY 1, 2)
+        |SELECT dt.event_type, dt.day, dt.dow,
+        |  ROUND(md + 1e-9, 6) AS observed,
+        |  ROUND(trend + 1e-9, 6) AS trend,
+        |  ROUND(seas + 1e-9, 6) AS seasonal,
+        |  ROUND(detr - seas + 1e-9, 6) AS residual
+        |FROM dt JOIN se ON dt.event_type = se.event_type
+        |  AND dt.dow = se.dow""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -3262,6 +3262,41 @@ object SparkEntry {
         round(zExpr + lit(1e-9), 6).as("z"))
   }
 
+  /** Additive seasonal decomposition (STL-lite) of daily means per
+    * event type: trend = centered 7-day moving average, seasonal =
+    * day-of-week mean of the detrended series, residual = the rest —
+    * the forecasting-prep step before anomaly thresholds. Frame sums
+    * run over 9dp-decimal daily means, so the moving average is
+    * order-independent (a double frame sum would depend on the
+    * engine's in-frame summation order); everything reduces from the
+    * bounded per-day table, and the 35-row seasonal table joins back
+    * broadcast. Edge days average over their truncated frame — same
+    * explicit frame in both engines. */
+  def q195_seasonal_decompose(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg((sum(dec(col("value"), 18, 6)).cast("double") /
+        count(lit(1))).as("_md"))
+      .withColumn("_md9", round(col("_md"), 9).cast("decimal(18,9)"))
+    val wt = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("_trend", sum(col("_md9")).over(wt).cast("double") /
+        count(col("_md9")).over(wt))
+      .withColumn("_detr", col("_md") - col("_trend"))
+      .withColumn("dow", dayofweek(col("day")))
+    val seasonal = withTrend.groupBy("event_type", "dow")
+      .agg((sum(round(col("_detr"), 9).cast("decimal(18,9)"))
+        .cast("double") / count(lit(1))).as("_seas"))
+    withTrend.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"),
+        round(col("_md") + lit(1e-9), 6).as("observed"),
+        round(col("_trend") + lit(1e-9), 6).as("trend"),
+        round(col("_seas") + lit(1e-9), 6).as("seasonal"),
+        round(col("_detr") - col("_seas") + lit(1e-9), 6).as("residual"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3455,7 +3490,8 @@ object SparkEntry {
     "q188_vocab_coverage" -> (q188_vocab_coverage _),
     "q189_rfm" -> (q189_rfm _),
     "q190_cusum" -> (q190_cusum _),
-    "q194_mann_kendall" -> (q194_mann_kendall _))
+    "q194_mann_kendall" -> (q194_mann_kendall _),
+    "q195_seasonal_decompose" -> (q195_seasonal_decompose _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
