@@ -3674,6 +3674,32 @@ object OracleSql {
         |FROM dt JOIN se ON dt.event_type = se.event_type
         |  AND dt.dow = se.dow""".stripMargin,
 
+    // q196: seasonal-naive backtest — lag-7 predictions on the per-day
+    // table, 9dp-decimal error sums, expression-mirrored metrics.
+    "q196_forecast_backtest" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*) AS md
+        |  FROM e GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, md,
+        |    lag(md, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS pred
+        |  FROM b),
+        |f AS (SELECT event_type, md, pred, md - pred AS err,
+        |    abs(md - pred) / ((abs(md) + abs(pred)) / 2.0) AS sm
+        |  FROM p WHERE pred IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  ROUND(CAST(SUM(CAST(ROUND(abs(err), 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS mae,
+        |  ROUND(sqrt(CAST(SUM(CAST(ROUND(err * err, 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)) + 1e-9, 6)
+        |    AS rmse,
+        |  ROUND(CAST(SUM(CAST(ROUND(sm, 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS smape
+        |FROM f GROUP BY event_type""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

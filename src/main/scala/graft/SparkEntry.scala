@@ -3297,6 +3297,35 @@ object SparkEntry {
         round(col("_detr") - col("_seas") + lit(1e-9), 6).as("residual"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each day's mean with
+    * the same weekday's value one week earlier (the baseline every
+    * forecasting system must beat) and score MAE / RMSE / sMAPE over
+    * the days where a lag-7 prediction exists. One lag window over the
+    * bounded per-day table; error terms round to 9dp decimals before
+    * summing so the metrics are order-independent. */
+  def q196_forecast_backtest(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg((sum(dec(col("value"), 18, 6)).cast("double") /
+        count(lit(1))).as("md"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val scored = daily
+      .withColumn("_pred", lag(col("md"), 7).over(w))
+      .filter(col("_pred").isNotNull)
+    def d9(c: Column) = round(c, 9).cast("decimal(18,9)")
+    val err = col("md") - col("_pred")
+    val sm = abs(err) / ((abs(col("md")) + abs(col("_pred"))) / lit(2.0))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(d9(abs(err))).cast("double") / count(lit(1))
+          + lit(1e-9), 6).as("mae"),
+        round(sqrt(sum(d9(err * err)).cast("double") / count(lit(1)))
+          + lit(1e-9), 6).as("rmse"),
+        round(sum(d9(sm)).cast("double") / count(lit(1))
+          + lit(1e-9), 6).as("smape"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3491,7 +3520,8 @@ object SparkEntry {
     "q189_rfm" -> (q189_rfm _),
     "q190_cusum" -> (q190_cusum _),
     "q194_mann_kendall" -> (q194_mann_kendall _),
-    "q195_seasonal_decompose" -> (q195_seasonal_decompose _))
+    "q195_seasonal_decompose" -> (q195_seasonal_decompose _),
+    "q196_forecast_backtest" -> (q196_forecast_backtest _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
