@@ -53,8 +53,25 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q174_user_tenure" -> 1,     // per-user window; agg reuses partitioning
     "q175_benford" -> 2,         // digit agg + single-row total
     "q176_transitions" -> 3,     // user window + cell agg + row margins
-    "q177_curation_v2" -> 6      // dedup agg/semi-join + decontam join +
+    "q177_curation_v2" -> 6,     // dedup agg/semi-join + decontam join +
                                  // manifest; the rules stage shuffles nothing
+    "q178_regex_tokens" -> 1,    // codegen'd regex counts + ONE aggregate
+    "q179_sliding_distinct" -> 3, // (hour,user) collapse + window agg
+                                 // + distinct
+    "q180_feature_store" -> 2,   // two chained as-of windows, one each
+    "q181_rule_report" -> 1,     // rule projection is free; one aggregate
+    "q182_spatial_join" -> 1,    // cell equi-join (AQE broadcasts at
+                                 // small SF; ≤1 keyed exchange at scale)
+    "q183_hash_collisions" -> 2, // distinct keys + bucket aggregate
+    "q185_kaplan_meier" -> 4,    // per-user lead + day agg + curve window
+    "q186_logrank" -> 4,         // same surface + group prefix sums
+    "q187_did" -> 4,             // unit agg + group moments + final join
+    "q188_vocab_coverage" -> 5,  // vocab agg + spectrum + totals + entropy
+    "q190_cusum" -> 3,           // day agg + baseline + detector windows
+    "q194_mann_kendall" -> 3,    // day agg + pair join + tie agg
+    "q195_seasonal_decompose" -> 2, // day agg + trend window (seasonal
+                                 // reduces from it, joins back broadcast)
+    "q196_forecast_backtest" -> 1 // day agg; lag + metrics reuse it
   )
 
   budgets.foreach { case (name, budget) =>
