@@ -3700,6 +3700,25 @@ object OracleSql {
         |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS smape
         |FROM f GROUP BY event_type""".stripMargin,
 
+    // q197: retention state flows — dense user×week grid via range
+    // unnest, lag window, 2×2 transition counts.
+    "q197_retention_states" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(day(ts) AS INTEGER) AS dy FROM events),
+        |u AS (SELECT DISTINCT user_id FROM a),
+        |g AS (SELECT user_id, CAST(unnest(range(1, 31)) AS INTEGER)
+        |    AS dy FROM u),
+        |st AS (SELECT g.user_id, g.dy,
+        |    CASE WHEN a.user_id IS NULL THEN 0 ELSE 1 END AS s
+        |  FROM g LEFT JOIN a ON g.user_id = a.user_id
+        |    AND g.dy = a.dy),
+        |tr AS (SELECT user_id, dy, s, lag(s) OVER (
+        |    PARTITION BY user_id ORDER BY dy) AS prev FROM st)
+        |SELECT CAST(dy - 1 AS INTEGER) AS day_from,
+        |  CAST(prev AS INTEGER) AS from_state,
+        |  CAST(s AS INTEGER) AS to_state, COUNT(*) AS n_users
+        |FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -3326,6 +3326,31 @@ object SparkEntry {
           + lit(1e-9), 6).as("smape"))
   }
 
+  /** Daily retention state machine: for every user and day-of-month,
+    * active/inactive, then the 2×2 transition counts between
+    * consecutive days — the churn/resurrection accounting behind
+    * retention dashboards (cohort curves show survival; this shows the
+    * FLOWS). The dense user×day grid comes from exploding a 30-element
+    * sequence per user — grid size is users·days, never events — and
+    * transitions are one lag window over it. */
+  def q197_retention_states(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+      .select(col("user_id"), dayofmonth(col("ts")).as("dy"))
+    val active = ev.distinct()
+    val grid = ev.select("user_id").distinct()
+      .select(col("user_id"), explode(sequence(lit(1), lit(30))).as("dy"))
+    val state = grid.join(active.withColumn("_a", lit(1)),
+        Seq("user_id", "dy"), "left")
+      .select(col("user_id"), col("dy"),
+        coalesce(col("_a"), lit(0)).as("st"))
+    val w = Window.partitionBy("user_id").orderBy("dy")
+    state.withColumn("_prev", lag(col("st"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy((col("dy") - 1).as("day_from"),
+        col("_prev").as("from_state"), col("st").as("to_state"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3521,7 +3546,8 @@ object SparkEntry {
     "q190_cusum" -> (q190_cusum _),
     "q194_mann_kendall" -> (q194_mann_kendall _),
     "q195_seasonal_decompose" -> (q195_seasonal_decompose _),
-    "q196_forecast_backtest" -> (q196_forecast_backtest _))
+    "q196_forecast_backtest" -> (q196_forecast_backtest _),
+    "q197_retention_states" -> (q197_retention_states _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
