@@ -3719,6 +3719,59 @@ object OracleSql {
         |  CAST(s AS INTEGER) AS to_state, COUNT(*) AS n_users
         |FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
 
+    // q198: source vocabulary Jaccard — token-level distinct self-join
+    // mirror of the engine's bounded source-set explode.
+    "q198_source_similarity" -> (toksCte + """,
+        |st AS (SELECT DISTINCT source, unnest(toks) AS tok FROM t),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st
+        |  GROUP BY 1),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.tok = b.tok
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common,
+        |  ROUND(CAST(n_common AS DOUBLE)
+        |    / CAST(na.n + nb.n - n_common AS DOUBLE) + 1e-9, 6)
+        |    AS jaccard
+        |FROM pr JOIN sz na ON pr.source_a = na.source
+        |  JOIN sz nb ON pr.source_b = nb.source""".stripMargin),
+
+    // q199: lead-lag CCF — aligned day pairs per lag, 9dp-decimal
+    // moment sums, one mirrored correlation expression.
+    "q199_lead_lag" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')),
+        |b AS (SELECT event_type, day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*) AS md
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT day, md AS x FROM b WHERE event_type = 'click'),
+        |p AS (SELECT day AS pd, md AS y FROM b
+        |  WHERE event_type = 'purchase'),
+        |l AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS lag),
+        |j AS (SELECT lag, x, y FROM c CROSS JOIN l
+        |  JOIN p ON c.day + l.lag = p.pd),
+        |g AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      AS sxy,
+        |    CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n AS n_days,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) + 1e-9, 6)
+        |    AS ccf
+        |FROM g""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

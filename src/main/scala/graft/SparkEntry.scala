@@ -3351,6 +3351,72 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Source-similarity matrix: vocabulary Jaccard between every pair
+    * of corpus sources — the "are these two feeds the same thing"
+    * diagnostic before mixture weighting. Intersections come from the
+    * per-token source list (collect_set bounded by the SOURCE domain,
+    * never documents) exploded into pairs — Σ per-token |sources|²
+    * work, no doc-level self-join; unions are |A|+|B|−∩ from the
+    * per-source distinct counts, broadcast back. */
+  def q198_source_similarity(s: SparkSession, d: String): DataFrame = {
+    val st = T.documents(s, d)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("_n"))
+    val pairs = st.groupBy("tok")
+      .agg(collect_set(col("source")).as("_ss"))
+      .select(explode(expr(
+        """flatten(transform(_ss, a ->
+          |  transform(filter(_ss, b -> b > a),
+          |    b -> struct(a AS sa, b AS sb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("_n").as("_na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("_n").as("_nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("_na") + col("_nb") - col("n_common")).cast("double")
+          + lit(1e-9), 6).as("jaccard"))
+  }
+
+  /** Lead-lag cross-correlation: corr(click daily mean, purchase daily
+    * mean shifted by k) for k ∈ [−3, 3] — does click volume lead
+    * purchases? All moments are 9dp-decimal sums over the bounded
+    * aligned day table, one row per lag, correlation mirrored as one
+    * double expression. */
+  def q199_lead_lag(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type", "day")
+      .agg((sum(dec(col("value"), 18, 6)).cast("double") /
+        count(lit(1))).as("md"))
+    val c = daily.filter(col("event_type") === "click")
+      .select(col("day"), col("md").as("x"))
+    val p = daily.filter(col("event_type") === "purchase")
+      .select(col("day").as("_pd"), col("md").as("y"))
+    def d9(cx: Column) = round(cx, 9).cast("decimal(18,9)")
+    val withLag = c.crossJoin(
+        s.range(-3, 4).select(col("id").cast("int").as("lag")))
+      .join(p, date_add(col("day"), col("lag")) === col("_pd"))
+    val g = withLag.groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum(d9(col("x"))).as("_sx"),
+        sum(d9(col("y"))).as("_sy"), sum(d9(col("x") * col("y"))).as("_sxy"),
+        sum(d9(col("x") * col("x"))).as("_sxx"),
+        sum(d9(col("y") * col("y"))).as("_syy"))
+    val nD = col("n").cast("double")
+    val sx = col("_sx").cast("double")
+    val sy = col("_sy").cast("double")
+    val corr = (nD * col("_sxy").cast("double") - sx * sy) /
+      (sqrt(nD * col("_sxx").cast("double") - sx * sx) *
+        sqrt(nD * col("_syy").cast("double") - sy * sy))
+    g.select(col("lag"), col("n").as("n_days"),
+      round(corr + lit(1e-9), 6).as("ccf"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3547,7 +3613,9 @@ object SparkEntry {
     "q194_mann_kendall" -> (q194_mann_kendall _),
     "q195_seasonal_decompose" -> (q195_seasonal_decompose _),
     "q196_forecast_backtest" -> (q196_forecast_backtest _),
-    "q197_retention_states" -> (q197_retention_states _))
+    "q197_retention_states" -> (q197_retention_states _),
+    "q198_source_similarity" -> (q198_source_similarity _),
+    "q199_lead_lag" -> (q199_lead_lag _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
