@@ -3772,6 +3772,52 @@ object OracleSql {
         |    AS ccf
         |FROM g""".stripMargin,
 
+    // q200: corpus health report — exact counts and 6dp ratios, the
+    // q165 keep predicate reused as a filter.
+    "q200_corpus_report" -> (toksCte + """,
+        |bc AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS g FROM t)
+        |  GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE) AS dup_bg
+        |  FROM bc GROUP BY doc_id),
+        |keepc AS (
+        |  SELECT CAST(SUM(CASE WHEN
+        |      len(toks) BETWEEN 50 AND 100000
+        |      AND (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |        CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |          AS DOUBLE) / len(toks) END) BETWEEN 3.0 AND 10.0
+        |      AND COALESCE(bi.dup_bg, 0.0) <= 0.2
+        |      AND (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END)
+        |        >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM t LEFT JOIN bi ON t.doc_id = bi.doc_id),
+        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(len(toks)) AS BIGINT) AS toks,
+        |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS uniq,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS srcs FROM t),
+        |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM t))
+        |SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM base
+        |UNION ALL SELECT 'n_tokens', CAST(toks AS DOUBLE) FROM base
+        |UNION ALL SELECT 'n_sources', CAST(srcs AS DOUBLE) FROM base
+        |UNION ALL SELECT 'vocab_size', CAST(v AS DOUBLE) FROM voc
+        |UNION ALL SELECT 'mean_doc_tokens',
+        |  ROUND(CAST(toks AS DOUBLE) / n + 1e-9, 6) FROM base
+        |UNION ALL SELECT 'gopher_keep_rate',
+        |  ROUND(CAST(k AS DOUBLE) / n + 1e-9, 6) FROM keepc, base
+        |UNION ALL SELECT 'exact_dup_rate',
+        |  ROUND(CAST(n - uniq AS DOUBLE) / n + 1e-9, 6) FROM base"""
+      .stripMargin),
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -3417,6 +3417,38 @@ object SparkEntry {
       round(corr + lit(1e-9), 6).as("ccf"))
   }
 
+  /** Corpus health report: the one-table executive summary a curation
+    * run publishes — document/token volume, mean length, vocabulary
+    * size, Gopher keep rate, exact-duplicate rate — as (metric, value)
+    * rows. Two scans of the documents table (raw stats + rule
+    * verdicts) and one vocabulary aggregate; every value is an exact
+    * count or a 6dp-rounded ratio of exact counts. */
+  def q200_corpus_report(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = T.documents(s, d)
+    val base = docs.agg(count(lit(1)).as("n"),
+      sum(TF.tokenCount(col("text")).cast("long")).as("toks"),
+      countDistinct(md5(col("text"))).as("uniq"),
+      countDistinct(col("source")).as("srcs")).head()
+    val keep = QualityRules.gopherRules(docs)
+      .agg(sum(col("keep").cast("long"))).head().getLong(0)
+    val vocab = docs.select(explode(TF.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val n = base.getLong(0)
+    def r6(x: Double): Double =
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    Seq(
+      ("n_docs", n.toDouble),
+      ("n_tokens", base.getLong(1).toDouble),
+      ("n_sources", base.getLong(3).toDouble),
+      ("vocab_size", vocab.toDouble),
+      ("mean_doc_tokens", r6(base.getLong(1).toDouble / n)),
+      ("gopher_keep_rate", r6(keep.toDouble / n)),
+      ("exact_dup_rate", r6((n - base.getLong(2)).toDouble / n)))
+      .toDF("metric", "value")
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3615,7 +3647,8 @@ object SparkEntry {
     "q196_forecast_backtest" -> (q196_forecast_backtest _),
     "q197_retention_states" -> (q197_retention_states _),
     "q198_source_similarity" -> (q198_source_similarity _),
-    "q199_lead_lag" -> (q199_lead_lag _))
+    "q199_lead_lag" -> (q199_lead_lag _),
+    "q200_corpus_report" -> (q200_corpus_report _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
