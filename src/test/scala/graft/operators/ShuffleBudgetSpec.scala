@@ -71,7 +71,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q194_mann_kendall" -> 3,    // day agg + pair join + tie agg
     "q195_seasonal_decompose" -> 2, // day agg + trend window (seasonal
                                  // reduces from it, joins back broadcast)
-    "q196_forecast_backtest" -> 1 // day agg; lag + metrics reuse it
+    "q196_forecast_backtest" -> 1, // day agg; lag + metrics reuse it
+    "q197_retention_states" -> 3, // active distinct + grid join + lag
+    "q198_source_similarity" -> 4, // (src,tok) distinct + set agg +
+                                 // pair agg + broadcast size joins
+    "q199_lead_lag" -> 3         // day agg + lag-aligned join + moments
   )
 
   budgets.foreach { case (name, budget) =>
