@@ -3818,6 +3818,26 @@ object OracleSql {
         |  ROUND(CAST(n - uniq AS DOUBLE) / n + 1e-9, 6) FROM base"""
       .stripMargin),
 
+    // q201: degree power-law MLE — integer degrees, 9dp-decimal ln
+    // sums, one mirrored alpha expression.
+    "q201_degree_powerlaw" ->
+      """WITH pr AS (SELECT DISTINCT o_custkey * 2 AS a,
+        |    l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |dg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        |    SELECT a AS id FROM pr UNION ALL SELECT b FROM pr)
+        |  GROUP BY 1),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(k) AS BIGINT) AS sum_degree,
+        |    CAST(MAX(k) AS BIGINT) AS max_degree,
+        |    CAST(SUM(CAST(ROUND(ln(CAST(k AS DOUBLE) / 0.5), 9)
+        |      AS DECIMAL(18,9))) AS DOUBLE) AS sln
+        |  FROM dg)
+        |SELECT n_nodes, sum_degree, max_degree,
+        |  ROUND(1.0 + CAST(n_nodes AS DOUBLE) / sln + 1e-9, 6)
+        |    AS alpha_hat
+        |FROM ag""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

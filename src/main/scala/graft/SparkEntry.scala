@@ -3449,6 +3449,32 @@ object SparkEntry {
       .toDF("metric", "value")
   }
 
+  /** Degree-distribution diagnostic on the customer–supplier graph:
+    * per-node degrees (one aggregate over the deduped edge list) and
+    * the discrete power-law MLE α̂ = 1 + n / Σ ln(kᵢ/(k_min−½))
+    * (Clauset-Shalizi-Newman's continuous approximation at k_min = 1)
+    * — the "is this graph scale-free enough to need hub guards"
+    * question. ln terms round to 9dp decimals before summing; the
+    * degree table is node-sized. */
+  def q201_degree_powerlaw(s: SparkSession, d: String): DataFrame = {
+    val pairs = T.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(T.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b")).distinct()
+    val degrees = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("k"))
+    val lnTerm = round(log(col("k").cast("double") / lit(0.5)), 9)
+      .cast("decimal(18,9)")
+    degrees.agg(count(lit(1)).as("n_nodes"),
+        sum(col("k")).as("sum_degree"), max(col("k")).as("max_degree"),
+        sum(lnTerm).as("_sln"))
+      .select(col("n_nodes"), col("sum_degree"), col("max_degree"),
+        round(lit(1.0) + col("n_nodes").cast("double") /
+          col("_sln").cast("double") + lit(1e-9), 6).as("alpha_hat"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3648,7 +3674,8 @@ object SparkEntry {
     "q197_retention_states" -> (q197_retention_states _),
     "q198_source_similarity" -> (q198_source_similarity _),
     "q199_lead_lag" -> (q199_lead_lag _),
-    "q200_corpus_report" -> (q200_corpus_report _))
+    "q200_corpus_report" -> (q200_corpus_report _),
+    "q201_degree_powerlaw" -> (q201_degree_powerlaw _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
