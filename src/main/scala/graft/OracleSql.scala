@@ -3838,6 +3838,49 @@ object OracleSql {
         |    AS alpha_hat
         |FROM ag""".stripMargin,
 
+    // q202: assortativity — integer moments over directed edge copies,
+    // one mirrored correlation expression.
+    "q202_assortativity" ->
+      """WITH pr AS (SELECT DISTINCT o_custkey * 2 AS a,
+        |    l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ed AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+        |dg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS k FROM ed
+        |  GROUP BY 1),
+        |j AS (SELECT da.k AS ka, db.k AS kb FROM ed
+        |  JOIN dg da ON ed.a = da.id JOIN dg db ON ed.b = db.id),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(ka) AS BIGINT) AS sj,
+        |    CAST(SUM(ka * kb) AS BIGINT) AS sjk,
+        |    CAST(SUM(ka * ka) AS BIGINT) AS sj2 FROM j)
+        |SELECT m AS n_directed_edges, sjk AS sum_jk,
+        |  ROUND((CAST(sjk AS DOUBLE) / m
+        |      - (CAST(sj AS DOUBLE) / m) * (CAST(sj AS DOUBLE) / m))
+        |    / (CAST(sj2 AS DOUBLE) / m
+        |      - (CAST(sj AS DOUBLE) / m) * (CAST(sj AS DOUBLE) / m))
+        |    + 1e-9, 6) AS assortativity
+        |FROM m""".stripMargin,
+
+    // q203: burstiness — exact integer sufficient statistics per term,
+    // zeros entering through the known document count; deterministic
+    // top-20 cut (Σc desc, token asc).
+    "q203_burstiness" -> (toksCte + """,
+        |pd AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |  GROUP BY 1, 2),
+        |bt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) AS BIGINT) AS sc2
+        |  FROM pd GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |tp AS (SELECT * FROM bt ORDER BY sc DESC, tok ASC LIMIT 20)
+        |SELECT tok, sc AS n_occurrences, nd AS n_docs_with,
+        |  ROUND(CAST(sc AS DOUBLE) / n + 1e-9, 6) AS mean_per_doc,
+        |  ROUND(((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
+        |      * CAST(sc AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1.0))
+        |    / (CAST(sc AS DOUBLE) / n) + 1e-9, 6) AS vmr
+        |FROM tp, nn""".stripMargin),
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

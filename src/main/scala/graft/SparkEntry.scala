@@ -3475,6 +3475,62 @@ object SparkEntry {
           col("_sln").cast("double") + lit(1e-9), 6).as("alpha_hat"))
   }
 
+  /** Degree assortativity of the customer–supplier graph: the Pearson
+    * correlation of endpoint degrees over edges — do hubs attach to
+    * hubs? Every moment (Σj, Σjk, Σj² over directed edge copies) is
+    * an exact integer from two degree joins; only the final
+    * correlation expression divides. Disassortative r < 0 is the
+    * classic bipartite signature. */
+  def q202_assortativity(s: SparkSession, d: String): DataFrame = {
+    val pairs = T.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(T.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b")).distinct()
+    val edges = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    val degrees = edges.groupBy("a").agg(count(lit(1)).as("k"))
+    val joined = edges
+      .join(degrees.select(col("a"), col("k").as("_ka")), "a")
+      .join(degrees.select(col("a").as("b"), col("k").as("_kb")), "b")
+    val m = joined.agg(count(lit(1)).as("m"),
+      sum(col("_ka")).as("_sj"), sum(col("_ka") * col("_kb")).as("_sjk"),
+      sum(col("_ka") * col("_ka")).as("_sj2"))
+    val mD = col("m").cast("double")
+    val sj = col("_sj").cast("double")
+    val num = col("_sjk").cast("double") / mD - (sj / mD) * (sj / mD)
+    val den = col("_sj2").cast("double") / mD - (sj / mD) * (sj / mD)
+    m.select(col("m").as("n_directed_edges"), col("_sjk").as("sum_jk"),
+      round(num / den + lit(1e-9), 6).as("assortativity"))
+  }
+
+  /** Token burstiness: variance-to-mean ratio of per-document counts
+    * for the top-20 vocabulary terms — bursty (topical) terms have
+    * VMR ≫ 1, function words sit near Poisson. Zeros enter through
+    * the known document count, so Σc and Σc² over the term's observed
+    * rows are sufficient statistics — exact integers; one mirrored
+    * VMR expression per term. */
+  def q203_burstiness(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val nDocs = docs.count()
+    val perDoc = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+    val byTok = perDoc.groupBy("tok")
+      .agg(count(lit(1)).as("_nd"), sum(col("c")).as("_sc"),
+        sum(col("c") * col("c")).as("_sc2"))
+    val top = byTok.orderBy(col("_sc").desc, col("tok")).limit(20)
+    val nD = lit(nDocs).cast("double")
+    val mean = col("_sc").cast("double") / nD
+    val vr = (col("_sc2").cast("double") -
+      col("_sc").cast("double") * col("_sc").cast("double") / nD) /
+      (nD - lit(1.0))
+    top.select(col("tok"), col("_sc").as("n_occurrences"),
+      col("_nd").as("n_docs_with"),
+      round(mean + lit(1e-9), 6).as("mean_per_doc"),
+      round(vr / mean + lit(1e-9), 6).as("vmr"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3675,7 +3731,9 @@ object SparkEntry {
     "q198_source_similarity" -> (q198_source_similarity _),
     "q199_lead_lag" -> (q199_lead_lag _),
     "q200_corpus_report" -> (q200_corpus_report _),
-    "q201_degree_powerlaw" -> (q201_degree_powerlaw _))
+    "q201_degree_powerlaw" -> (q201_degree_powerlaw _),
+    "q202_assortativity" -> (q202_assortativity _),
+    "q203_burstiness" -> (q203_burstiness _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
