@@ -3881,6 +3881,55 @@ object OracleSql {
         |    / (CAST(sc AS DOUBLE) / n) + 1e-9, 6) AS vmr
         |FROM tp, nn""".stripMargin),
 
+    // q204: weighted Jaccard — Σmin over shared tokens (join), Σmax
+    // via totals; exact integers to the final ratio.
+    "q204_weighted_jaccard" -> (toksCte + """,
+        |tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT source, unnest(toks) AS tok FROM t)
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(SUM(f) AS BIGINT) AS tot FROM tf
+        |  GROUP BY 1),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(SUM(LEAST(a.f, b.f)) AS BIGINT) AS sum_min
+        |  FROM tf a JOIN tf b ON a.tok = b.tok
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, sum_min,
+        |  ROUND(CAST(sum_min AS DOUBLE)
+        |    / CAST(ta.tot + tb.tot - sum_min AS DOUBLE) + 1e-9, 6)
+        |    AS weighted_jaccard
+        |FROM sh JOIN tt ta ON sh.source_a = ta.source
+        |  JOIN tt tb ON sh.source_b = tb.source""".stripMargin),
+
+    // q205: transition entropies — exact count ratios from the 25-cell
+    // table, 9dp-decimal entropy term sums.
+    "q205_transition_entropy" ->
+      """WITH p AS (SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS rt FROM c
+        |  GROUP BY 1),
+        |cl AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS ct FROM c
+        |  GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS gt FROM c),
+        |hc AS (SELECT CAST(SUM(CAST(ROUND(
+        |      (CAST(n AS DOUBLE) / gt)
+        |      * ln(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9))) AS DOUBLE) AS v
+        |  FROM c JOIN r ON c.prev = r.prev CROSS JOIN g),
+        |hm AS (SELECT CAST(SUM(CAST(ROUND(
+        |      (CAST(ct AS DOUBLE) / gt)
+        |      * ln(CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9))) AS DOUBLE) AS v
+        |  FROM cl CROSS JOIN g)
+        |SELECT gt AS n_transitions,
+        |  ROUND(-hm.v + 1e-9, 6) AS marginal_entropy,
+        |  ROUND(-hc.v + 1e-9, 6) AS conditional_entropy,
+        |  ROUND((-hm.v) - (-hc.v) + 1e-9, 6) AS information_gain
+        |FROM g, hc, hm""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -3531,6 +3531,75 @@ object SparkEntry {
       round(vr / mean + lit(1e-9), 6).as("vmr"))
   }
 
+  /** Weighted (frequency-aware) Jaccard between sources: Σ min(fₐ,f_b)
+    * / Σ max(fₐ,f_b) over the union vocabulary — q198's refinement
+    * when HOW OFTEN matters, not just membership. Only the shared-token
+    * Σ min needs a join (Σ max = |a| + |b| − Σ min), so the pair work
+    * is bounded by shared vocabulary × source pairs, and every sum is
+    * an exact integer until the final ratio. */
+  def q204_weighted_jaccard(s: SparkSession, d: String): DataFrame = {
+    val tf = T.documents(s, d)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+    val totals = tf.groupBy("source").agg(sum(col("f")).as("_tot"))
+    val shared = tf.select(col("source").as("source_a"), col("tok"),
+        col("f").as("_fa"))
+      .join(tf.select(col("source").as("source_b"), col("tok"),
+        col("f").as("_fb")), "tok")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(least(col("_fa"), col("_fb"))).as("sum_min"))
+    shared
+      .join(broadcast(totals.select(col("source").as("source_a"),
+        col("_tot").as("_ta"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("_tot").as("_tb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("sum_min"),
+        round(col("sum_min").cast("double") /
+          (col("_ta") + col("_tb") - col("sum_min")).cast("double")
+          + lit(1e-9), 6).as("weighted_jaccard"))
+  }
+
+  /** Sequence predictability: conditional entropy H(next | prev) of
+    * the event-type transition process (nats) plus the marginal
+    * next-type entropy — how much knowing the previous event tells
+    * you. All probabilities are exact count ratios from the bounded
+    * 25-cell transition table; entropy terms round to 9dp decimals
+    * before summing. */
+  def q205_transition_entropy(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev"), col("event_type")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowTot = cells.groupBy("_prev").agg(sum(col("n")).as("_rt"))
+    val colTot = cells.groupBy("event_type").agg(sum(col("n")).as("_ct"))
+    val grand = cells.agg(sum(col("n")).as("_g"))
+    def d9(c: Column) = round(c, 9).cast("decimal(18,9)")
+    val gD = col("_g").cast("double")
+    val cond = cells.join(broadcast(rowTot), "_prev")
+      .crossJoin(broadcast(grand))
+      .select(d9((col("n").cast("double") / gD) *
+        log(col("n").cast("double") / col("_rt").cast("double")))
+        .as("_t"))
+      .agg(sum(col("_t")).as("_hc"))
+    val marg = colTot.crossJoin(broadcast(grand))
+      .select(d9((col("_ct").cast("double") / gD) *
+        log(col("_ct").cast("double") / gD)).as("_t"))
+      .agg(sum(col("_t")).as("_hm"))
+    cond.crossJoin(marg).crossJoin(grand)
+      .select(col("_g").as("n_transitions"),
+        round(-col("_hm").cast("double") + lit(1e-9), 6)
+          .as("marginal_entropy"),
+        round(-col("_hc").cast("double") + lit(1e-9), 6)
+          .as("conditional_entropy"),
+        round((-col("_hm").cast("double")) -
+          (-col("_hc").cast("double")) + lit(1e-9), 6)
+          .as("information_gain"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3733,7 +3802,9 @@ object SparkEntry {
     "q200_corpus_report" -> (q200_corpus_report _),
     "q201_degree_powerlaw" -> (q201_degree_powerlaw _),
     "q202_assortativity" -> (q202_assortativity _),
-    "q203_burstiness" -> (q203_burstiness _))
+    "q203_burstiness" -> (q203_burstiness _),
+    "q204_weighted_jaccard" -> (q204_weighted_jaccard _),
+    "q205_transition_entropy" -> (q205_transition_entropy _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
