@@ -75,7 +75,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q197_retention_states" -> 3, // active distinct + grid join + lag
     "q198_source_similarity" -> 4, // (src,tok) distinct + set agg +
                                  // pair agg + broadcast size joins
-    "q199_lead_lag" -> 3         // day agg + lag-aligned join + moments
+    "q199_lead_lag" -> 3,        // day agg + lag-aligned join + moments
+    "q200_corpus_report" -> 0,   // KPIs reduce driver-side; the final
+                                 // 7-row frame is a local Seq
+    "q201_degree_powerlaw" -> 3, // edge dedup + degree agg + moments
+    "q202_assortativity" -> 5,   // + two degree joins over edges
+    "q203_burstiness" -> 2,      // (tok, doc) agg + per-token moments
+    "q204_weighted_jaccard" -> 4, // tf agg + shared join + pair agg
+    "q205_transition_entropy" -> 7 // user window + cell/margin aggs +
+                                 // two entropy folds on tiny tables
   )
 
   budgets.foreach { case (name, budget) =>
