@@ -3930,6 +3930,33 @@ object OracleSql {
         |  ROUND((-hm.v) - (-hc.v) + 1e-9, 6) AS information_gain
         |FROM g, hc, hm""".stripMargin,
 
+    // q206: cohort LTV — decimal-exact per-(cohort, age) sums, decimal
+    // cumulative window, one final per-user division.
+    "q206_cohort_ltv" ->
+      """WITH co AS (SELECT user_id,
+        |    CAST(MIN(floor((day(ts) - 1) / 7.0)) AS INTEGER)
+        |      AS cohort_week
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT)
+        |    AS n_cohort_users FROM co GROUP BY 1),
+        |pv AS (SELECT co.cohort_week,
+        |    CAST(floor((day(e.ts) - 1) / 7.0) AS INTEGER)
+        |      - co.cohort_week AS age_week,
+        |    CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |      AS v
+        |  FROM events e JOIN co ON e.user_id = co.user_id
+        |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cm AS (SELECT cohort_week, age_week,
+        |    CAST(SUM(v) OVER (PARTITION BY cohort_week ORDER BY age_week)
+        |      AS DECIMAL(28,2)) AS cum
+        |  FROM pv)
+        |SELECT cm.cohort_week, cm.age_week, sz.n_cohort_users,
+        |  ROUND(CAST(cum AS DOUBLE)
+        |    / CAST(n_cohort_users AS DOUBLE) + 1e-9, 6)
+        |    AS cum_value_per_user
+        |FROM cm JOIN sz ON cm.cohort_week = sz.cohort_week""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -3600,6 +3600,36 @@ object SparkEntry {
           .as("information_gain"))
   }
 
+  /** Cohort LTV curves: users cohorted by first-event week, purchase
+    * value accumulated by cohort age — the growth-accounting view that
+    * tells you whether newer cohorts monetize faster. Per-(cohort,
+    * age) sums stay exact decimals and the cumulative-over-age window
+    * sums DECIMALS (order-independent); only the final per-user
+    * normalization divides. Cohort sizes broadcast back. */
+  def q206_cohort_ltv(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val wk = floor((dayofmonth(col("ts")) - 1) / 7).cast("int")
+    val cohorts = ev.groupBy("user_id")
+      .agg(min(wk).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort_users"))
+    val pv = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull)
+      .select(col("user_id"), wk.as("_wk"), col("value"))
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("_wk") - col("cohort_week")).as("age_week"))
+      .agg(sum(dec(col("value"), 18, 2)).as("_v"))
+    val w = Window.partitionBy("cohort_week").orderBy("age_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pv.withColumn("_cum", sum(col("_v")).over(w))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_cohort_users"),
+        round(col("_cum").cast("double") /
+          col("n_cohort_users").cast("double") + lit(1e-9), 6)
+          .as("cum_value_per_user"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3804,7 +3834,8 @@ object SparkEntry {
     "q202_assortativity" -> (q202_assortativity _),
     "q203_burstiness" -> (q203_burstiness _),
     "q204_weighted_jaccard" -> (q204_weighted_jaccard _),
-    "q205_transition_entropy" -> (q205_transition_entropy _))
+    "q205_transition_entropy" -> (q205_transition_entropy _),
+    "q206_cohort_ltv" -> (q206_cohort_ltv _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
