@@ -82,8 +82,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q202_assortativity" -> 5,   // + two degree joins over edges
     "q203_burstiness" -> 2,      // (tok, doc) agg + per-token moments
     "q204_weighted_jaccard" -> 4, // tf agg + shared join + pair agg
-    "q205_transition_entropy" -> 7 // user window + cell/margin aggs +
+    "q205_transition_entropy" -> 7, // user window + cell/margin aggs +
                                  // two entropy folds on tiny tables
+    "q206_cohort_ltv" -> 5       // cohort agg + join + age agg +
+                                 // cumulative window + size join
   )
 
   budgets.foreach { case (name, budget) =>
