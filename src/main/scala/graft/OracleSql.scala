@@ -3957,6 +3957,31 @@ object OracleSql {
         |    AS cum_value_per_user
         |FROM cm JOIN sz ON cm.cohort_week = sz.cohort_week""".stripMargin,
 
+    // q207: conversion by session depth — the q30 session cut, exact
+    // count ratios per capped depth bucket.
+    "q207_depth_conversion" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |y AS (SELECT user_id, event_type,
+        |    CAST(SUM(CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL '30 minutes' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS sid
+        |  FROM x),
+        |se AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS depth,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM y GROUP BY 1, 2)
+        |SELECT LEAST(depth, 10) AS depth_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*) + 1e-9, 6)
+        |    AS conversion_rate
+        |FROM se GROUP BY 1""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

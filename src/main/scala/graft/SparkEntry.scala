@@ -3630,6 +3630,33 @@ object SparkEntry {
           .as("cum_value_per_user"))
   }
 
+  /** Conversion by session depth: sessions cut at 30-minute gaps (the
+    * q30 construction), each session's event count bucketed (capped at
+    * 10+) against whether it contained a purchase — the do-longer-
+    * sessions-convert-better curve. Two keyed windows (gap flag, then
+    * running session id) and two aggregates; rates are exact count
+    * ratios. */
+  def q207_depth_conversion(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_new",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") > lag(col("ts"), 1).over(w) +
+            expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(wRun))
+      .groupBy("user_id", "_sid")
+      .agg(count(lit(1)).as("_depth"),
+        max((col("event_type") === "purchase").cast("long")).as("_conv"))
+    sessions
+      .groupBy(least(col("_depth"), lit(10L)).as("depth_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("_conv")).as("n_converted"),
+        round(sum(col("_conv")).cast("double") / count(lit(1))
+          + lit(1e-9), 6).as("conversion_rate"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3835,7 +3862,8 @@ object SparkEntry {
     "q203_burstiness" -> (q203_burstiness _),
     "q204_weighted_jaccard" -> (q204_weighted_jaccard _),
     "q205_transition_entropy" -> (q205_transition_entropy _),
-    "q206_cohort_ltv" -> (q206_cohort_ltv _))
+    "q206_cohort_ltv" -> (q206_cohort_ltv _),
+    "q207_depth_conversion" -> (q207_depth_conversion _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
