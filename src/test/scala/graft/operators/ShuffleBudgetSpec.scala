@@ -84,8 +84,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q204_weighted_jaccard" -> 4, // tf agg + shared join + pair agg
     "q205_transition_entropy" -> 7, // user window + cell/margin aggs +
                                  // two entropy folds on tiny tables
-    "q206_cohort_ltv" -> 5       // cohort agg + join + age agg +
+    "q206_cohort_ltv" -> 5,      // cohort agg + join + age agg +
                                  // cumulative window + size join
+    "q207_depth_conversion" -> 2 // session windows (one user shuffle)
+                                 // + session agg + tiny bucket agg
   )
 
   budgets.foreach { case (name, budget) =>
