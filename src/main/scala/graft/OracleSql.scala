@@ -3982,6 +3982,31 @@ object OracleSql {
         |    AS conversion_rate
         |FROM se GROUP BY 1""".stripMargin,
 
+    // q208: revenue deciles — quantile_cont fences rounded exactly as
+    // the engine rounds its exactQuantiles literals, exact decimal
+    // revenue sums, mirrored shares.
+    "q208_revenue_deciles" -> {
+      val fences = (1 to 9).map(i =>
+        s"ROUND(quantile_cont(rd, 0.$i) + 1e-9, 6) AS f$i").mkString(", ")
+      val caseSum = (1 to 9).map(i =>
+        s"(CASE WHEN rd > f$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+         |      AS r,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rd
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL
+         |  GROUP BY 1),
+         |q AS (SELECT $fences FROM u),
+         |t AS (SELECT CAST(SUM(r) AS DECIMAL(28,2)) AS tot FROM u),
+         |d AS (SELECT ($caseSum) + 1 AS decile, r FROM u, q)
+         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  ROUND(CAST(SUM(r) AS DOUBLE) + 1e-9, 2) AS revenue,
+         |  ROUND(CAST(SUM(r) AS DOUBLE) / CAST(tot AS DOUBLE)
+         |    + 1e-9, 6) AS revenue_share
+         |FROM d, t GROUP BY 1, tot""".stripMargin
+    },
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

@@ -3657,6 +3657,34 @@ object SparkEntry {
           + lit(1e-9), 6).as("conversion_rate"))
   }
 
+  /** Revenue concentration deciles: users ranked into ten spend bands
+    * by exact-quantile fences (the q189 literal-inlining pattern — no
+    * ntile global sort), each band's user count and exact-decimal
+    * revenue share — the Pareto curve behind "is 80% of revenue in the
+    * top band". Shares divide two exact decimal sums. */
+  def q208_revenue_deciles(s: SparkSession, d: String): DataFrame = {
+    val rev = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(dec(col("value"), 18, 2)).as("_r"))
+      .withColumn("_rd", col("_r").cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fences = Profiling.exactQuantiles(rev, "_rd",
+      (1 to 9).map(_ / 10.0))
+      .map(q => BigDecimal(q + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val decile = fences.map(f => when(col("_rd") > f, 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    val total = rev.agg(sum(col("_r"))).head().getDecimal(0)
+    rev.groupBy(decile.as("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_r")).cast("double").as("_dr"))
+      .select(col("decile"), col("n_users"),
+        round(col("_dr") + lit(1e-9), 2).as("revenue"),
+        round(col("_dr") / lit(total.doubleValue()) + lit(1e-9), 6)
+          .as("revenue_share"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3863,7 +3891,8 @@ object SparkEntry {
     "q204_weighted_jaccard" -> (q204_weighted_jaccard _),
     "q205_transition_entropy" -> (q205_transition_entropy _),
     "q206_cohort_ltv" -> (q206_cohort_ltv _),
-    "q207_depth_conversion" -> (q207_depth_conversion _))
+    "q207_depth_conversion" -> (q207_depth_conversion _),
+    "q208_revenue_deciles" -> (q208_revenue_deciles _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
