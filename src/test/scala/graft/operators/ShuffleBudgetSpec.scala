@@ -86,8 +86,10 @@ class ShuffleBudgetSpec extends SparkSpec {
                                  // two entropy folds on tiny tables
     "q206_cohort_ltv" -> 5,      // cohort agg + join + age agg +
                                  // cumulative window + size join
-    "q207_depth_conversion" -> 2 // session windows (one user shuffle)
+    "q207_depth_conversion" -> 2, // session windows (one user shuffle)
                                  // + session agg + tiny bucket agg
+    "q208_revenue_deciles" -> 1  // one user agg; fences inline as
+                                 // literals, the decile agg reuses it
   )
 
   budgets.foreach { case (name, budget) =>
