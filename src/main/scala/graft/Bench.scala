@@ -21,28 +21,43 @@ object Bench {
     try SparkEntry.queries("q13_region_revenue")(spark, sfDir)
       .queryExecution.toRdd.foreach(_ => ())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // per-query isolation: earlier queries' leftover cached /
-      // localCheckpointed RDDs (CC rounds, quantile sorts) otherwise
-      // accumulate heap pressure that bleeds GC pauses into later
-      // timings — r5 saw +40-70% on long-stable queries from this
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      // materialize EVERY output column: a bare count() lets Catalyst
-      // prune projection-only plans down to a row count, so pure-map
-      // queries would measure nothing
-      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      catch {
-        case e: Throwable =>
-          // a failed query must show up as a failure, not as a fast time
-          errors(name) = e.getClass.getName + ": " +
-            Option(e.getMessage).getOrElse("").take(300)
-          System.err.println(s"BENCH FAILURE $name: $e")
+    // optional comma-separated query filter (scaling runs time a subset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      def once(): Double = {
+        // per-query isolation: earlier queries' leftover cached /
+        // localCheckpointed RDDs (CC rounds, quantile sorts) otherwise
+        // accumulate heap pressure that bleeds GC pauses into later
+        // timings — r5 saw +40-70% on long-stable queries from this
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        // materialize EVERY output column: a bare count() lets Catalyst
+        // prune projection-only plans down to a row count, so pure-map
+        // queries would measure nothing
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+        catch {
+          case e: Throwable =>
+            // a failed query must show up as a failure, not as a fast time
+            errors(name) = e.getClass.getName + ": " +
+              Option(e.getMessage).getOrElse("").take(300)
+            System.err.println(s"BENCH FAILURE $name: $e")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t1 = once()
+      // run-to-run suite noise hits the expensive queries hardest (r6 saw
+      // q102 swing 7.1→13.1s on unchanged code — GC/JIT interference, not
+      // plan drift). Reporting min-of-2 for queries past 1.5s restores
+      // regression signal at ~135s extra wall on the current surface;
+      // sub-1.5s queries stay single-shot (their absolute noise is small).
+      val t = if (t1 > 1.5 && !errors.contains(name)) math.min(t1, once())
+              else t1
+      name -> t
     }
     // millisecond precision keeps the one-line summary short enough to
     // survive the driver's output tail (r5's full-precision doubles made
@@ -64,6 +79,30 @@ object Bench {
       summary + "\n")
     catch { case _: Throwable => () }
     println(summary)
+    // The driver's artifact keeps only the LAST ~2000 chars of output, and
+    // sbt's "[success] Total time ..." trailer consumes ~80 of those — the
+    // full 205-query line (~5.3KB) can never parse from that window (r5/r6
+    // both shipped parsed:null). So the LAST line we print is a compact
+    // summary guaranteed to fit: total + errors + the most expensive
+    // queries, greedily added by time-desc until a 1750-char budget, with
+    // a pointer to the complete per-query map (side file above, committed).
+    val budgetChars = 1750
+    val errCompact = errors.take(8).map { case (k, v) =>
+      "\"" + k + "\":\"" + jsonEscape(v.take(80)) + "\""
+    }.mkString("{", ",", "}")
+    val sortedQ = results.toSeq.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","queries":{"""
+    val tail0 = "}}"
+    val sb = new StringBuilder(head)
+    var first = true
+    sortedQ.foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + f3(v)
+      if (sb.length + entry.length + tail0.length <= budgetChars) {
+        sb.append(entry); first = false
+      }
+    }
+    sb.append(tail0)
+    println(sb.toString)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

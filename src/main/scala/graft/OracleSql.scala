@@ -3609,6 +3609,8 @@ object OracleSql {
         |  sn > 3.0 * sd AS alarm_neg
         |FROM f""".stripMargin,
 
+    // q191-q193 intentionally unused (drafts folded into q194/q195) —
+    // the numbering gap mirrors SparkEntry's wiring, nothing was dropped.
     // q194: Mann-Kendall — integer S over day pairs, integer tie
     // correction, one mirrored z expression.
     "q194_mann_kendall" ->

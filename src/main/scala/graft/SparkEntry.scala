@@ -213,17 +213,21 @@ object SparkEntry {
   /** A6/O3/X10: deterministic bounded per-group reservoir with weight
     * rescale (photon's RandomEffectDataset sampling semantics). */
   def q18_reservoir(s: SparkSession, d: String): DataFrame =
-    // full-width lineitem on purpose: this table carries duplicate
-    // (l_orderkey, l_linenumber) uids, and boundedSample's exact-cap
-    // admission disambiguates duplicate uids by full-row content hash —
-    // the payload columns ARE the distinguishing content, so the scan
-    // width is the price of exact-cap without a window stage (a pruned
-    // frame would make the copies bitwise-identical and unsplittable)
-    GroupedSampling.boundedSample(T.lineitem(s, d), Seq("l_orderkey"),
+    // lineitem carries duplicate (l_orderkey, l_linenumber) uids, and
+    // boundedSample's exact-cap admission disambiguates duplicate uids
+    // by content hash. The dup copies differ in (l_extendedprice,
+    // l_quantity) — hashing just those two via distinguishCols keeps the
+    // admission order total (exact cap, no window stage) while letting
+    // column pruning cut the scan from 11 columns to 4
+    GroupedSampling.boundedSample(
+      T.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Seq("l_orderkey"),
       Seq("l_orderkey", "l_linenumber"), cap = 2,
       // the group domain is orders — broadcast-sized at any SF ratio
       // that fits a driver; the big side then never shuffles
-      broadcastThresholds = true)
+      broadcastThresholds = true,
+      distinguishCols = Seq("l_extendedprice", "l_quantity"))
       .select("l_orderkey", "l_linenumber", "weight_scale")
 
   /** L14: class-aware down-sampling with weight compensation. */
@@ -3878,6 +3882,8 @@ object SparkEntry {
     "q188_vocab_coverage" -> (q188_vocab_coverage _),
     "q189_rfm" -> (q189_rfm _),
     "q190_cusum" -> (q190_cusum _),
+    // q191-q193 were never shipped (drafted, then folded into q194/q195's
+    // broader time-series surface); the id gap is intentional, not a drop
     "q194_mann_kendall" -> (q194_mann_kendall _),
     "q195_seasonal_decompose" -> (q195_seasonal_decompose _),
     "q196_forecast_backtest" -> (q196_forecast_backtest _),

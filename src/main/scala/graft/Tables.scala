@@ -15,8 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Tables whose scans feed CPU-dense map work or wide partial
+    * aggregates — these get the [[fanOut]] treatment on load. The pure
+    * dimension tables (region…part) stay direct: they end up broadcast
+    * anyway and fanning a 5-row table is pure overhead. */
+  private val fanOutTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (fanOutTables(name)) fanOut(df) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -50,4 +59,32 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan an under-split scan out to the session's parallelism before
+    * CPU-dense map work (md5 keys, shingling, tokenization, feature
+    * hashing) and wide partial aggregates. The sf fixtures are
+    * single-row-group files, so every scan is ONE task and everything
+    * upstream of the first exchange runs on one of 32 cores — r7
+    * measured q18's md5 admission keys at ~0.8s/pass single-threaded vs
+    * ~0.05s fanned out, and the whole suite paid the same tax.
+    *
+    * Scale shape: the repartition only fires when the source produced
+    * fewer splits than half the default parallelism — a 100 TB input
+    * carries thousands of row groups, so at scale this is a plan-time
+    * no-op and no shuffle is added. Catalyst pushes column pruning
+    * through the Repartition node, so the fixture-scale shuffle carries
+    * only the columns the query reads.
+    *
+    * `spark.graft.fanout` (default true) turns it off — the plan-gate
+    * suites (ShuffleBudgetSpec, PlanShapeSpec) disable it so their
+    * exchange budgets and 0-shuffle proofs keep pinning what the
+    * OPERATORS do, independent of this input-layout adaptation. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get("spark.graft.fanout", "true").toBoolean) return df
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2))
+      df.repartition(target)
+    else df
+  }
 }

@@ -54,22 +54,31 @@ object GroupedSampling {
     * value-indistinguishable anyway, and no deterministic engine can
     * split them.
     *
-    * The content hash reads every column of `df`, so pass a
-    * pre-projected frame when scan width matters and uids are unique
-    * (the hash is then redundant but harmless); when duplicate uids are
-    * possible, the payload columns are the only distinguishing content
-    * and reading them is the price of exactness without a window. */
+    * By default the content hash reads every column of `df`; when scan
+    * width matters, pass `distinguishCols` — the subset of payload
+    * columns that can actually differ between duplicate-uid rows — and
+    * the hash covers only uid + that subset, so column pruning reaches
+    * the scan (r6 measured q18 at 2.6× its former cost purely from the
+    * full-width hash). The caller owns the claim that the subset
+    * distinguishes dup-uid rows; if two distinct rows collide on it,
+    * the boundary can over-admit exactly as bitwise-identical rows can.
+    * Pass a pre-projected frame when uids are unique (the hash is then
+    * redundant but harmless). */
   def boundedSample(df: DataFrame, groupCols: Seq[String],
                     uidCols: Seq[String], cap: Int,
                     warnOnTrim: Boolean = false,
                     keepGroupSize: Boolean = false,
-                    broadcastThresholds: Boolean = false): DataFrame = {
+                    broadcastThresholds: Boolean = false,
+                    distinguishCols: Seq[String] = Nil): DataFrame = {
     // fixed-width (32+16 hex) so string order == (priority, rowhash)
     // lexicographic order; the row hash disambiguates duplicate uids
     // deterministically from content (stable across runs/partitionings,
     // unlike a row_number among ties)
+    val hashCols =
+      if (distinguishCols.nonEmpty) (uidCols ++ distinguishCols).distinct
+      else df.columns.toSeq
     val key = concat(priority(uidCols.map(col)),
-      lpad(hex(xxhash64(df.columns.map(col): _*)), 16, "0"))
+      lpad(hex(xxhash64(hashCols.map(col): _*)), 16, "0"))
     val thresholds = df
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_n"),

@@ -48,9 +48,12 @@ object QualityRules {
     // distinct stopword hits as an exact integer sum (array_contains per
     // listed word), not a set intersection — intersection dedup rules
     // differ across engines, integer sums do not
+    // foldLeft, not reduce: an empty caller-supplied stopword list must
+    // degrade to zero hits (rule passes only if minStopHits <= 0), not
+    // throw UnsupportedOperationException
     val stopHits = stopwords
       .map(w => array_contains(toks, w).cast("int"))
-      .reduce(_ + _)
+      .foldLeft(lit(0): Column)(_ + _)
     docs
       .withColumn("n_words", nWords.cast("long"))
       .withColumn("r_word_count",

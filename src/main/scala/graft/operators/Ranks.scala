@@ -214,6 +214,16 @@ object Ranks {
   def delongAuc(pos: DataFrame, neg: DataFrame, scoreCol: String,
                 roundTo: Int = 6): DataFrame = {
     val (na, nb, _, sumA2, _, plA2, plB2) = twoSampleScan(pos, neg, scoreCol)
+    // fail loudly, not with NaN/null CIs: the variance terms divide by
+    // (n-1) per class, and the integer placement moments are exact only
+    // while n_pos·(2·n_neg)² (and the mirror) fit a signed long — the
+    // require convention of rangePairs/asOf
+    require(na > 1 && nb > 1,
+      s"delongAuc needs >1 row per class, got n_pos=$na n_neg=$nb")
+    require(na <= Long.MaxValue / (2 * nb) / (2 * nb) &&
+            nb <= Long.MaxValue / (2 * na) / (2 * na),
+      s"delongAuc long-exactness bound exceeded (n_pos=$na, n_neg=$nb): " +
+        "bucket scores or sample the eval set (~1e6 rows/class is the limit)")
     val u2 = sumA2 - na * (na + 1) // = 2·U_pos, integer-exact
     val spark = pos.sparkSession
     import spark.implicits._

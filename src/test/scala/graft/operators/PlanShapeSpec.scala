@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
 class PlanShapeSpec extends SparkSpec {
   import spark.implicits._
 
+  // 0-shuffle proofs assert what the operators do; the small-input scan
+  // fan-out (Tables.fanOut) would add an environment-dependent exchange
+  spark.conf.set("spark.graft.fanout", "false")
+
   test("zValue attachment is a pure projection (no shuffle)") {
     val df = (1 to 100).map(i => (i.toLong, (i * 7 % 50).toLong))
       .toDF("a", "b")
