@@ -4009,6 +4009,17 @@ object OracleSql {
          |FROM d, t GROUP BY 1, tot""".stripMargin
     },
 
+    // q209: streaming file-source tumbling counts — complete mode makes
+    // the final table batch-equivalent, so the oracle is the plain
+    // 6-hour rollup; Spark's window() aligns to the unix epoch, mirrored
+    // with integer floor division on epoch micros.
+    "q209_streaming_file" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000
+        |    AS win_start_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

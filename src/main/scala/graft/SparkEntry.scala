@@ -1371,6 +1371,58 @@ object SparkEntry {
     s.table(sink).select(col("content_hash"), col("doc_id"))
   }
 
+  /** Streaming over a FILE source — the executor-fed path q92/q133's
+    * MemoryStream fixtures can't exercise: events are staged as 8-file
+    * parquet (a distributed write, never through the driver), read back
+    * with `readStream` + `maxFilesPerTrigger=2` so four micro-batches
+    * flow through a watermarked tumbling-window aggregate, and the
+    * complete-mode result must equal the batch 6-hour rollup (plain SQL
+    * oracle). State is one row per (window, event_type) — bounded by
+    * the time horizon, not the row count — and sums ride exact decimals
+    * so the hash compare is batch-equivalent regardless of batch
+    * slicing. */
+  def q209_streaming_file(s: SparkSession, d: String): DataFrame = {
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "q209_stage_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val ev = T.events(s, d)
+      .select(col("ts"), col("event_type"), col("value"))
+    ev.repartition(8).write.parquet(stage.getAbsolutePath)
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(ev.schema.fields))
+      .option("maxFilesPerTrigger", "2")
+      .parquet(stage.getAbsolutePath)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("value"), 18, 6).cast("double").as("sum_value"))
+    val sink = "q209_file_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // same state-store sizing rationale as q92: freeze a key-scale
+    // partition count for the stateful agg
+    val spKey = "spark.sql.shuffle.partitions"
+    val spSaved = s.conf.get(spKey)
+    val q =
+      try {
+        s.conf.set(spKey, "8")
+        agg.writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start()
+      } finally s.conf.set(spKey, spSaved)
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(stage)
+    }
+    s.table(sink).select(
+      unix_micros(col("window.start")).as("win_start_us"),
+      col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Int8 embedding quantization manifest: per-vector symmetric scale +
     * deterministic code fingerprint — the compression step before ANN
     * indexing, oracle-mirrored code for code (the DuckDB side rebuilds
@@ -3898,7 +3950,8 @@ object SparkEntry {
     "q205_transition_entropy" -> (q205_transition_entropy _),
     "q206_cohort_ltv" -> (q206_cohort_ltv _),
     "q207_depth_conversion" -> (q207_depth_conversion _),
-    "q208_revenue_deciles" -> (q208_revenue_deciles _))
+    "q208_revenue_deciles" -> (q208_revenue_deciles _),
+    "q209_streaming_file" -> (q209_streaming_file _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -26,6 +26,14 @@ object GroupedSampling {
     * (executor-side; reset only on JVM restart — a warning, not a metric). */
   private val trimWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Test hooks (local-mode only: the flag lives in the executor JVM,
+    * which in local mode is the driver JVM). The GAME training path
+    * passes `warnOnTrim = true` so production cap-trimming is visible —
+    * SamplingSpec asserts the warning actually fires on an over-cap
+    * fixture. */
+  private[graft] def trimWarningFired: Boolean = trimWarned.get
+  private[graft] def resetTrimWarning(): Unit = trimWarned.set(false)
+
   /** Keep at most `cap` rows per group, chosen by deterministic hash
     * priority; add `weight_scale` = n/cap for survivors of capped groups so
     * weighted aggregates remain unbiased (photon's weight rescaling).

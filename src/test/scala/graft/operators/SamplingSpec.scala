@@ -370,4 +370,29 @@ class SamplingSpec extends SparkSpec {
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     assert(d2(p(0L), p(1L)) < d2(p(0L), p(2L)))
   }
+
+  test("warnOnTrim fires the trim warning on an over-cap group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the GAME RE training path (CoordinateDescent) passes
+    // warnOnTrim = true so production cap-trimming is never silent —
+    // mirror the reference's logged sampling. Local mode only: the
+    // flag lives in the (shared) executor JVM.
+    val df = (1 to 10).map(i => ("g1", i.toLong)).toDF("g", "uid")
+    GroupedSampling.resetTrimWarning()
+    // materialize weight_scale explicitly: a bare count() would prune
+    // the (deterministic) warning UDF out of the plan entirely
+    val under = GroupedSampling.boundedSample(df, Seq("g"), Seq("uid"),
+      cap = 20, warnOnTrim = true)
+      .select("weight_scale").as[Double].collect()
+    assert(under.length == 10 && under.forall(_ == 1.0))
+    assert(!GroupedSampling.trimWarningFired,
+      "no group over cap, warning must not fire")
+    val scales = GroupedSampling.boundedSample(df, Seq("g"), Seq("uid"),
+      cap = 3, warnOnTrim = true)
+      .select("weight_scale").as[Double].collect()
+    assert(scales.length == 3 && scales.forall(_ == 10.0 / 3))
+    assert(GroupedSampling.trimWarningFired,
+      "a group exceeded the cap, warning must fire")
+  }
 }
