@@ -16,15 +16,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Tables whose scans feed CPU-dense map work or wide partial
-    * aggregates — these get the [[fanOut]] treatment on load. The pure
-    * dimension tables (region…part) stay direct: they end up broadcast
-    * anyway and fanning a 5-row table is pure overhead. */
-  private val fanOutTables =
-    Set("lineitem", "orders", "events", "documents", "embeddings")
+    * aggregates — these get the [[fanOut]] treatment on load, spread by
+    * their natural key. The pure dimension tables (region…part) stay
+    * direct: they end up broadcast anyway and fanning a 5-row table is
+    * pure overhead. */
+  private val fanOutKeys = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "events" -> "user_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (fanOutTables(name)) fanOut(df) else df
+    fanOutKeys.get(name) match {
+      case Some(k) => fanOut(df, k)
+      case None    => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
@@ -75,16 +81,24 @@ object Tables {
     * through the Repartition node, so the fixture-scale shuffle carries
     * only the columns the query reads.
     *
+    * The spread is HASH partitioning on the table's natural key, not
+    * round-robin: round-robin repartition locally SORTS every row first
+    * (`spark.sql.execution.sortBeforeRepartition`, needed for retry
+    * determinism) — a serial ~0.4s stage per query on the one-split
+    * fixture — while a key hash is one cheap expression, forces only
+    * the key column into the scan, and hands downstream same-key
+    * aggregates a distribution they can sometimes reuse.
+    *
     * `spark.graft.fanout` (default true) turns it off — the plan-gate
     * suites (ShuffleBudgetSpec, PlanShapeSpec) disable it so their
     * exchange budgets and 0-shuffle proofs keep pinning what the
     * OPERATORS do, independent of this input-layout adaptation. */
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     if (!spark.conf.get("spark.graft.fanout", "true").toBoolean) return df
     val target = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, target / 2))
-      df.repartition(target)
+      df.repartition(target, col(keyCol))
     else df
   }
 }

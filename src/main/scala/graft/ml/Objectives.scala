@@ -52,11 +52,27 @@ case class GlmConfig(loss: PointwiseLoss = LogisticLoss,
   */
 class DistributedGlmObjective(data: Dataset[LabeledPoint], featureDim: Int,
                               cfg: GlmConfig) extends Serializable {
-  @transient private val rdd: RDD[LabeledPoint] = {
+  @transient private val cached: RDD[LabeledPoint] = {
     val r = data.rdd
     if (r.getStorageLevel == StorageLevel.NONE)
       r.persist(StorageLevel.MEMORY_AND_DISK)
     r
+  }
+  /** Per-iteration view of the cache: every optimizer iteration is one
+    * aggregate ROUND over this RDD, so a near-empty partition charges
+    * its task-launch overhead once per round — TRON at maxIter=100 paid
+    * ~2s extra on a 2k-row fixture fanned out to 32 partitions. Build
+    * the cache at full parallelism (feature decode is the expensive
+    * pass), then iterate over a no-shuffle `coalesce` sized to ≥25k
+    * rows per partition. The count() materializes the cache — a pass
+    * the first iteration would pay anyway — and at production row
+    * counts the clamp keeps the build partitioning, so this is a
+    * fixture-scale adaptation, not a scale compromise. */
+  @transient private val rdd: RDD[LabeledPoint] = {
+    val n = cached.count()
+    val target = math.min(cached.getNumPartitions.toLong, n / 25000L + 1)
+    if (target < cached.getNumPartitions) cached.coalesce(target.toInt)
+    else cached
   }
   private val dim = cfg.coefDim(featureDim)
 
@@ -230,7 +246,7 @@ class DistributedGlmObjective(data: Dataset[LabeledPoint], featureDim: Int,
       depth = cfg.treeAggregateDepth)
   }
 
-  def unpersist(): Unit = rdd.unpersist(false)
+  def unpersist(): Unit = cached.unpersist(false)
 }
 
 /** The same objective over in-memory samples — the per-entity (random
