@@ -127,7 +127,13 @@ object OracleSql {
     * tiebreak; means are DECIMAL(18,9)-exact element sums divided back
     * in double; an empty cluster keeps its previous centroid via the
     * (cl × dim) frame COALESCE. */
-  private def kmeansCte(k: Int, iters: Int, d: Int): String = {
+  private def kmeansCte(k: Int, iters: Int, d: Int): String =
+    kmeansCte(k.toString, iters, d)
+
+  /** `k` is spliced into the init LIMIT verbatim, so it can be a scalar
+    * subquery — the auto-k mirror (ceil(n/target), q105) rides the same
+    * CTEs as the fixed-k one. */
+  private def kmeansCte(k: String, iters: Int, d: Int): String = {
     val dd = d + 1
     val head =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1350,10 +1356,13 @@ object OracleSql {
         "\nSELECT vec_id, cl AS cluster FROM a3"),
 
     // q105: SemDeDup — cosine only within a final k-means cluster
-    // (same clustering CTEs as q104); raw-double cosines hash-match by
-    // the q29 precedent (identical sequential IEEE sums)
+    // (same clustering CTEs as q104, but k = ceil(n/250) like the
+    // engine's semDedupAuto: a fixed k is a scale trap — 10× points
+    // would mean 100× within-cluster pairs); raw-double cosines
+    // hash-match by the q29 precedent (identical sequential IEEE sums)
     "q105_semdedup" ->
-      (kmeansCte(8, 2, 64) + """,
+      (kmeansCte("(SELECT CAST(CEIL(COUNT(*) / 250.0) AS BIGINT) FROM e)",
+        2, 64) + """,
         |g AS (SELECT a.cl, e.vec_id, e.v FROM a3 a JOIN e USING (vec_id)),
         |p AS (SELECT a.cl AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_reduce(list_transform(range(1, 65),

@@ -1512,9 +1512,12 @@ object SparkEntry {
     * k-means cluster — Σ cluster² pairs instead of n², with the
     * hot-cluster guard bounding the worst case. */
   def q105_semdedup(s: SparkSession, d: String): DataFrame =
-    operators.Clustering.semDedup(
+    // auto-k (ceil(n/250) → 8 at sf0.1) pins expected cluster size so
+    // pair generation stays linear in n — fixed k=8 measured 31× time
+    // for 10× data in the r7 scaling run
+    operators.Clustering.semDedupAuto(
       T.embeddings(s, d), "vec_id", "embedding", tau = 0.3,
-      k = 8, iterations = 2)
+      targetClusterSize = 250, iterations = 2)
 
   /** Fuzzy vocabulary matching over distinct part names
     * ([[operators.RecordLinkage.fuzzyPairs]]): FastSS

@@ -98,6 +98,23 @@ object Clustering {
     * A skewed cluster is quadratic in its size — `maxCluster` guards
     * the pathological case (a cluster larger than the cap is dropped
     * from pairing, the [[Dedup]] hot-bucket convention). */
+  /** [[semDedup]] with the cluster count derived from the data:
+    * k = ceil(n / targetClusterSize). A FIXED k is a scale trap — 10×
+    * the points with the same k means 10× per cluster and 100×
+    * within-cluster pairs (r7's scaling run measured exactly that:
+    * 31× time for 10× data). Pinning the EXPECTED CLUSTER SIZE instead
+    * keeps pair generation linear in n; the one extra count() is a
+    * single columnless scan. */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                   tau: Double, targetClusterSize: Long, iterations: Int,
+                   maxCluster: Long = 100000L): DataFrame = {
+    require(targetClusterSize >= 1)
+    val n = df.count()
+    val k = math.max(1L,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    semDedup(df, idCol, vecCol, tau, k, iterations, maxCluster)
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
                k: Int, iterations: Int,
                maxCluster: Long = 100000L): DataFrame = {
