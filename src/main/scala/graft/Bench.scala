@@ -50,12 +50,16 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val t1 = once()
-      // run-to-run suite noise hits the expensive queries hardest (r6 saw
-      // q102 swing 7.1→13.1s on unchanged code — GC/JIT interference, not
-      // plan drift). Reporting min-of-2 for queries past 1.5s restores
-      // regression signal at ~135s extra wall on the current surface;
-      // sub-1.5s queries stay single-shot (their absolute noise is small).
-      val t = if (t1 > 1.5 && !errors.contains(name)) math.min(t1, once())
+      // run-to-run suite noise (GC/JIT interference, not plan drift; r6
+      // saw q102 swing 7.1→13.1s on unchanged code) hides real
+      // regressions. Report min-of-2 above a threshold: at 1.5s two full
+      // refreshes still differed 6.4% (the 143 mid-band queries carried
+      // 20s of |delta|); at 0.5s the uncovered residual is ~1s for ~130s
+      // extra wall. Sub-threshold queries stay single-shot.
+      val min2Thr = sys.env.getOrElse("SPARK_GRAFT_MIN2_THRESHOLD", "0.5")
+        .toDouble
+      val t = if (t1 > min2Thr && !errors.contains(name))
+                math.min(t1, once())
               else t1
       name -> t
     }
