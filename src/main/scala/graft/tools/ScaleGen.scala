@@ -17,15 +17,19 @@ import org.apache.spark.sql.functions._
   *     aggregates honest (same groups, 10× rows per group).
   *   - dimension tables (region, nation, part, supplier) stay fixed:
   *     broadcast sides don't grow with corpus size in production either.
-  *   - documents: doc ids shift; replica text is the SAME WORDS in a
-  *     per-replica deterministic order (sorted by xxhash64(word, r)).
-  *     Within a replica, exact/near-dup structure is preserved (equal
-  *     texts stay equal, similar word sets stay similar); across
-  *     replicas, shingle sets diverge, so dup-cluster counts scale ~10×
-  *     with cluster sizes constant. Naive replication would instead put
-  *     10 identical copies of EVERY doc in each LSH bucket and blow the
-  *     candidate-pair stage up quadratically — a semantic change, not a
-  *     scale-up.
+  *   - documents: doc ids shift; replica text keeps the original word
+  *     ORDER but substitutes every 3rd token with a replica-suffixed
+  *     variant (`w~r`). Every 3-gram window contains exactly one
+  *     substituted position, so NO shingle survives across replicas
+  *     (or against the originals) — cross-replica similarity is zero —
+  *     while exact-dup texts within a replica stay exact dups and ~2/3
+  *     of tokens keep language/stopword signal, so cleaning rules and
+  *     language ID behave. Two earlier designs failed: naive copies put
+  *     10 identical docs in every LSH bucket (quadratic pair blow-up),
+  *     and a per-replica hash-SORT of the words CANONICALIZED word
+  *     order, making every pair of same-vocabulary docs look like
+  *     near-dups (4.3M candidate pairs at sf1, dedup collapsed 43k docs
+  *     to 5k keepers, and decontamination emptied the corpus).
   *   - embeddings: ids shift; vectors get a small deterministic
   *     per-replica perturbation so ANN buckets/centroids see 10×
   *     distinct points rather than 10 coincident copies.
@@ -82,17 +86,18 @@ object ScaleGen {
           .otherwise(concat(col("c_name"), lit("#"), col("_r"))))
       .drop("_r"), "customer", 16)
 
-    // per-replica deterministic word shuffle: struct array_sort orders
-    // by the leading hash field, so the word multiset is preserved and
-    // the order is a replica-keyed permutation
+    // positional substitution: order preserved, every 3rd token gets a
+    // replica suffix — each 3-gram covers exactly one substituted slot,
+    // so no shingle crosses replicas; see the scaladoc for why neither
+    // plain copies nor a word sort work
     write(read("documents").crossJoin(reps)
       .withColumn("doc_id", shift("doc_id"))
       .withColumn("text",
         when(col("_r") === 0, col("text")).otherwise(
-          expr("""array_join(transform(array_sort(transform(
-                 |  split(text, ' '),
-                 |  w -> struct(xxhash64(w, _r) AS h, w AS w))),
-                 |  s -> s.w), ' ')""".stripMargin)))
+          expr("""array_join(transform(split(text, ' '),
+                 |  (w, i) -> CASE WHEN i % 3 = 0
+                 |    THEN concat(w, '~', CAST(_r AS STRING))
+                 |    ELSE w END), ' ')""".stripMargin)))
       .drop("_r"), "documents", 32)
 
     write(read("embeddings").crossJoin(reps)
