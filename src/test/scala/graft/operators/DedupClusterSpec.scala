@@ -57,6 +57,21 @@ class DedupClusterSpec extends SparkSpec {
     assert(ccMap(pairs) == unionFind(pairs))
   }
 
+  test("star rounds (fast path disabled) agree with the fast path") {
+    // the ≤2^17-edge fast path answers small graphs driver-side; force
+    // the distributed star rounds on the same graphs so BOTH paths stay
+    // covered and provably equal
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(400)(
+      (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    val stars = Dedup.connectedComponents(pairsDf(pairs),
+      smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == ccMap(pairs))
+    assert(stars == unionFind(pairs))
+  }
+
   test("empty pair list yields an empty labeling") {
     assert(ccMap(Seq.empty).isEmpty)
   }
