@@ -58,9 +58,14 @@ object Bench {
       // extra wall. Sub-threshold queries stay single-shot.
       val min2Thr = sys.env.getOrElse("SPARK_GRAFT_MIN2_THRESHOLD", "0.5")
         .toDouble
-      val t = if (t1 > min2Thr && !errors.contains(name))
-                math.min(t1, once())
-              else t1
+      val t =
+        if (t1 > min2Thr && !errors.contains(name)) {
+          val t2 = once()
+          // if the SECOND run failed, its fast failure duration must not
+          // become the reported time — keep the successful first timing
+          // (the error itself is recorded and fails the run)
+          if (errors.contains(name)) t1 else math.min(t1, t2)
+        } else t1
       name -> t
     }
     // millisecond precision keeps the one-line summary short enough to

@@ -97,7 +97,13 @@ object Tables {
     val spark = df.sparkSession
     if (!spark.conf.get("spark.graft.fanout", "true").toBoolean) return df
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2))
+    // gate on the FILE count (a catalog listing the scan already did),
+    // not df.rdd.getNumPartitions — the latter compiles a throwaway
+    // physical plan per table load. A many-splits single file slips
+    // through as 1, which only means one redundant (cheap, hash-keyed)
+    // repartition; the decision is about rescuing one-split fixtures
+    val files = df.inputFiles.length
+    if (files > 0 && files < math.max(2, target / 2))
       df.repartition(target, col(keyCol))
     else df
   }

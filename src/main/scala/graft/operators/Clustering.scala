@@ -104,7 +104,9 @@ object Clustering {
     * within-cluster pairs (r7's scaling run measured exactly that:
     * 31× time for 10× data). Pinning the EXPECTED CLUSTER SIZE instead
     * keeps pair generation linear in n; the one extra count() is a
-    * single columnless scan. */
+    * single columnless scan (it inherits any exchange the caller's
+    * frame carries — e.g. the fixture-scale fan-out — which is absent
+    * at production layouts where fanOut is a no-op). */
   def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                    tau: Double, targetClusterSize: Long, iterations: Int,
                    maxCluster: Long = 100000L): DataFrame = {

@@ -438,7 +438,19 @@ object Dedup {
     // driver graph state: one row over the bound and the checkpointed
     // rounds run exactly as before (set `smallGraphEdges = 0` to force
     // them — the specs cover both paths).
-    if (fp._1 > 0 && fp._1 <= smallGraphEdges) {
+    // the fast path is only taken for id types whose JVM ordering
+    // provably matches SQL min() ordering (integral, string); anything
+    // else — binary, decimal, struct ids — keeps the star rounds, which
+    // handle every type least/greatest/min supports
+    val idTypeOk = {
+      import org.apache.spark.sql.types._
+      edges.schema("a").dataType match {
+        case LongType | IntegerType | ShortType | ByteType |
+             StringType => true
+        case _ => false
+      }
+    }
+    if (fp._1 > 0 && fp._1 <= smallGraphEdges && idTypeOk) {
       val spark = pairs.sparkSession
       val idType = edges.schema("a").dataType
       val rows = edges.select("a", "b").collect()
@@ -460,8 +472,10 @@ object Dedup {
         case (a: Long, b: Long)     => a < b
         case (a: Int, b: Int)       => a < b
         case (a: Short, b: Short)   => a < b
+        case (a: Byte, b: Byte)     => a < b
         case (a: String, b: String) => a.compareTo(b) < 0
-        case (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        case _ => throw new IllegalStateException(
+          s"unexpected id runtime type ${x.getClass} — idTypeOk gate broken")
       }
       rows.foreach { r =>
         val (ra, rb) = (find(r.get(0)), find(r.get(1)))

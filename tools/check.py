@@ -59,6 +59,10 @@ def main(sf_dir, out_dir, only=None):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:  # comma-separated query filter (mirrors Verify's 3rd arg)
+        unknown = sorted(only - set(oracle))
+        if unknown:
+            # a typo'd name must not silently 'pass' by checking nothing
+            print(f"NOORACLE filter names not in oracle map: {unknown}")
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

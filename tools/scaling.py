@@ -18,11 +18,15 @@ def main(small_p, big_p, factor, out_p):
     big = json.load(open(big_p))
     factor = float(factor)
     rows = {}
+    skipped = []
     for q, tb in sorted(big["queries"].items()):
         ts = small["queries"].get(q)
         if ts is None:
             continue
-        ratio = tb / ts if ts > 0 else None
+        if ts <= 0:  # ms-precision floor: can't form a ratio
+            skipped.append(q)
+            continue
+        ratio = tb / ts
         rows[q] = {
             "small_sec": round(ts, 3),
             "big_sec": round(tb, 3),
@@ -42,11 +46,13 @@ def main(small_p, big_p, factor, out_p):
         "median_ratio": med,
         "max_ratio": max(ratios) if ratios else None,
         "super_linear": flagged,
+        "skipped_zero_time": skipped,
         "queries": rows,
     }
     json.dump(out, open(out_p, "w"), indent=1)
     print(f"{len(rows)} queries, median ratio {med}x for {factor}x data, "
-          f"{len(flagged)} super-linear: {flagged}")
+          f"{len(flagged)} super-linear: {flagged}"
+          + (f", skipped (0-time small run): {skipped}" if skipped else ""))
 
 
 if __name__ == "__main__":
