@@ -4029,6 +4029,24 @@ object OracleSql {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // q210: passage-dedup rewrite — keeper = first (doc, idx) per
+    // passage hash (window form here; the engine uses the agg form),
+    // rebuilt text string_agg'd in passage order, '' when none survive.
+    "q210_passage_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split(text, '. ') AS parts
+        |  FROM documents),
+        |e AS (SELECT doc_id, i AS idx, parts[i] AS p
+        |  FROM t, UNNEST(range(1, len(parts) + 1)) AS u(i)),
+        |k AS (SELECT doc_id, idx, p,
+        |    (ROW_NUMBER() OVER (PARTITION BY md5(p)
+        |      ORDER BY doc_id, idx)) = 1 AS keep
+        |  FROM e)
+        |SELECT doc_id, COUNT(*) AS n_passages,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(p, '. ' ORDER BY idx)
+        |    FILTER (WHERE keep), '')) AS text_hash
+        |FROM k GROUP BY doc_id""".stripMargin,
+
     // q158: isotonic calibration via the MINIMAX characterization of the
     // PAV fit — iso(k) = max_{i≤k} min_{j≥k} avg(i..j) over integer
     // (pos, n) bin sums. The winning interval is exactly the engine's

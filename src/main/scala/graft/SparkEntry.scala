@@ -424,6 +424,15 @@ object SparkEntry {
         sum(col("n_tokens")).cast("long").as("total_tokens"))
   }
 
+  /** Cross-doc passage-dedup rewrite ([[operators.Dedup
+    * .dropRepeatedPassages]]): every distinct passage survives only at
+    * its globally-first (doc_id, position); documents are reassembled
+    * from their surviving passages. Rebuilt text compared by md5. */
+  def q210_passage_rewrite(s: SparkSession, d: String): DataFrame =
+    Dedup.dropRepeatedPassages(T.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_passages"), col("n_kept"),
+        md5(col("text_out")).as("text_hash"))
+
   /** Sliding-window chunking: 32-token windows every 16 tokens (50%
     * overlap), fingerprinted per chunk. */
   def q82_chunking(s: SparkSession, d: String): DataFrame =
@@ -3954,7 +3963,8 @@ object SparkEntry {
     "q206_cohort_ltv" -> (q206_cohort_ltv _),
     "q207_depth_conversion" -> (q207_depth_conversion _),
     "q208_revenue_deciles" -> (q208_revenue_deciles _),
-    "q209_streaming_file" -> (q209_streaming_file _))
+    "q209_streaming_file" -> (q209_streaming_file _),
+    "q210_passage_rewrite" -> (q210_passage_rewrite _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

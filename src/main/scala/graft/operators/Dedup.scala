@@ -561,6 +561,46 @@ object Dedup {
     * Output: `(idCol, n_shingles, n_duplicated, dup_fraction)` with the
     * fraction rounded 6dp. Downstream: filter high fractions out, or
     * feed the flagged docs to [[ngramJaccard]] for pair resolution. */
+  /** Cross-document passage-dedup REWRITE — the transform sibling of
+    * [[duplicatePassages]] (which only scores): split every document
+    * into passages on `sep`, keep each distinct passage's globally
+    * FIRST occurrence only (first = smallest `(doc id, position)` — the
+    * paragraph-dedup rule of public corpus pipelines: CCNet, Dolma),
+    * and reassemble each document from its surviving passages in
+    * original order. A passage repeated within one document also keeps
+    * only its first instance.
+    *
+    * Scale shape: explode → ONE hash aggregate on the passage hash
+    * (keeper = `min(struct(doc, idx))`, map-side combinable — never a
+    * per-passage window over the corpus) → equi-join back on the hash →
+    * per-doc ordered reassembly from collected `(idx, passage)` structs
+    * (bounded by the doc's own passage count, the same per-doc bound
+    * every text function here lives with). Passage text rides the
+    * shuffle once (inside the join), the aggregate itself carries only
+    * `(hash, doc, idx)`.
+    *
+    * Output: `(idCol, n_passages, n_kept, text_out)` — `text_out` is
+    * the rebuilt document ("" when nothing survives). */
+  def dropRepeatedPassages(df: DataFrame, idCol: String, textCol: String,
+                           sep: String = ". "): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val ex = df.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), quoted)).as(Seq("_idx", "_p")))
+      .withColumn("_h", md5(col("_p")))
+    val firsts = ex.groupBy("_h")
+      .agg(min(struct(col("_id"), col("_idx"))).as("_first"))
+    ex.join(firsts, Seq("_h"))
+      .withColumn("_keep",
+        col("_first._id") === col("_id") && col("_first._idx") === col("_idx"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(col("_keep").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("_idx"), col("_p"))))),
+          s => s.getField("_p")), sep).as("text_out"))
+  }
+
   def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
     val ex = df.select(col(idCol).as("_id"),

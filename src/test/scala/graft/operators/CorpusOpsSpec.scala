@@ -160,4 +160,27 @@ class CorpusOpsSpec extends SparkSpec {
       .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
     assert(gotP == got)
   }
+
+  test("passage rewrite keeps first occurrence globally and within doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x. y. z"), // all first occurrences
+      (2L, "y. w"),    // y already seen in doc 1
+      (3L, "x"),       // fully duplicated -> empty rewrite
+      (4L, "q. q")     // within-doc repeat keeps the first instance
+    ).toDF("doc_id", "text")
+    val byId = Dedup.dropRepeatedPassages(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId(1L) == ((3L, 3L, "x. y. z")))
+    assert(byId(2L) == ((2L, 1L, "w")))
+    assert(byId(3L) == ((1L, 0L, "")))
+    assert(byId(4L) == ((2L, 1L, "q")))
+    // partition-invariant
+    val shuffled = Dedup.dropRepeatedPassages(
+      docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(shuffled == byId)
+  }
 }
