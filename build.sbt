@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench harness parses the LAST ~2000 chars of stdout for a
+// JSON summary line. Forked run output must therefore reach stdout
+// verbatim (LoggedOutput would prefix every line with "[info] ") and sbt
+// must not append its "[success] Total time ..." trailer after it.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +33,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -96,8 +96,20 @@ object Bench {
     // queries, greedily added by time-desc until a 1750-char budget, with
     // a pointer to the complete per-query map (side file above, committed).
     val budgetChars = 1750
+    // cap the ESCAPED length (escape expansion is up to 6x for control
+    // chars, so jsonEscape(v.take(80)) could still blow the budget), and
+    // never cut mid-escape: shrink the raw prefix until the escape fits
+    def escCap(v: String, cap: Int): String = {
+      var raw = v.take(cap)
+      var esc = jsonEscape(raw)
+      while (esc.length > cap && raw.nonEmpty) {
+        raw = raw.dropRight(math.max(1, (esc.length - cap + 5) / 6))
+        esc = jsonEscape(raw)
+      }
+      esc
+    }
     val errCompact = errors.take(8).map { case (k, v) =>
-      "\"" + k + "\":\"" + jsonEscape(v.take(80)) + "\""
+      "\"" + k + "\":\"" + escCap(v, 80) + "\""
     }.mkString("{", ",", "}")
     val sortedQ = results.toSeq.sortBy(-_._2)
     val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","queries":{"""

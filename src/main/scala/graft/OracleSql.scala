@@ -661,14 +661,26 @@ object OracleSql {
     // closure (small data lets the oracle afford O(n·|C|) reachability;
     // the engine runs O(log n) large-star/small-star instead), then the
     // same canonical policy: max token count, ties -> min doc_id.
+    // Candidate pairs come from a shared-shingle equi-join, not an
+    // all-pairs block join: jaccard >= 0.01 > 0 requires at least one
+    // common shingle, so the prefilter is value-identical — and it is
+    // what lets DuckDB finish this mirror at sf1 (the all-pairs form
+    // grows quadratically with docs-per-source and exceeded 15 min).
     "q57_dup_clusters" -> ("WITH RECURSIVE" +
       shinglesCte.stripPrefix("WITH") + """,
         |ds AS (SELECT doc_id, source, list_distinct(sh3) AS sh FROM sh),
-        |e AS (
+        |g AS (SELECT doc_id, source, unnest(sh) AS g FROM ds),
+        |cand AS (
         |  SELECT a.doc_id AS ea, b.doc_id AS eb
-        |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT ea, eb FROM cand
+        |  JOIN ds da ON da.doc_id = cand.ea
+        |  JOIN ds db ON db.doc_id = cand.eb
+        |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |    / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
         |    >= 0.01),
         |sym AS (SELECT ea AS u, eb AS v FROM e UNION SELECT eb, ea FROM e),
         |reach AS (
@@ -2354,11 +2366,18 @@ object OracleSql {
         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh3
         |  FROM kept),
         |ds AS (SELECT doc_id, source, n_tokens, list_distinct(sh3) AS shd FROM sh),
-        |e AS (
+        |g AS (SELECT doc_id, source, unnest(shd) AS g FROM ds),
+        |cand AS (
         |  SELECT a.doc_id AS ea, b.doc_id AS eb
-        |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
-        |    / (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd)))
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT ea, eb FROM cand
+        |  JOIN ds da ON da.doc_id = cand.ea
+        |  JOIN ds db ON db.doc_id = cand.eb
+        |  WHERE CAST(len(list_intersect(da.shd, db.shd)) AS DOUBLE)
+        |    / (len(da.shd) + len(db.shd) - len(list_intersect(da.shd, db.shd)))
         |    >= 0.1),
         |sym AS (SELECT ea AS u, eb AS v FROM e UNION SELECT eb, ea FROM e),
         |reach AS (

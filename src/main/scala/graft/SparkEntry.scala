@@ -1394,42 +1394,52 @@ object SparkEntry {
     val stage = new java.io.File(
       sys.props("java.io.tmpdir"),
       "q209_stage_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    val ev = T.events(s, d)
-      .select(col("ts"), col("event_type"), col("value"))
-    ev.repartition(8).write.parquet(stage.getAbsolutePath)
-    val stream = s.readStream
-      .schema(org.apache.spark.sql.types.StructType(ev.schema.fields))
-      .option("maxFilesPerTrigger", "2")
-      .parquet(stage.getAbsolutePath)
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sumExact(col("value"), 18, 6).cast("double").as("sum_value"))
-    val sink = "q209_file_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    // same state-store sizing rationale as q92: freeze a key-scale
-    // partition count for the stateful agg
-    val spKey = "spark.sql.shuffle.partitions"
-    val spSaved = s.conf.get(spKey)
-    val q =
-      try {
-        s.conf.set(spKey, "8")
-        agg.writeStream.outputMode("complete")
-          .format("memory").queryName(sink).start()
-      } finally s.conf.set(spKey, spSaved)
-    try q.processAllAvailable()
-    finally {
-      q.stop()
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(stage)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
     }
-    s.table(sink).select(
-      unix_micros(col("window.start")).as("win_start_us"),
-      col("event_type"), col("n"), col("sum_value"))
+    // the staging dir must not leak on ANY failure (the write itself,
+    // readStream setup, or start()), not just a mid-stream one — so the
+    // cleanup wraps everything from the first write onward
+    try {
+      val ev = T.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))
+      ev.repartition(8).write.parquet(stage.getAbsolutePath)
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(ev.schema.fields))
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stage.getAbsolutePath)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(col("value"), 18, 6).cast("double").as("sum_value"))
+      val sink = "q209_file_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      // same state-store sizing rationale as q92: freeze a key-scale
+      // partition count for the stateful agg
+      val spKey = "spark.sql.shuffle.partitions"
+      val spSaved = s.conf.get(spKey)
+      val q =
+        try {
+          s.conf.set(spKey, "8")
+          agg.writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+        } finally s.conf.set(spKey, spSaved)
+      try q.processAllAvailable()
+      finally q.stop()
+      val out = s.table(sink).select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      // the memory sink holds the complete-mode result on the driver
+      // under a per-run UUID name — materialize the (bounded: one row
+      // per window×type) result and DROP the sink view, so repeated
+      // bench runs can't accumulate orphaned result tables
+      val rows = out.collect()
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally rm(stage)
   }
 
   /** Int8 embedding quantization manifest: per-vector symmetric scale +

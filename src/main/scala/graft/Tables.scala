@@ -102,9 +102,35 @@ object Tables {
     // physical plan per table load. A many-splits single file slips
     // through as 1, which only means one redundant (cheap, hash-keyed)
     // repartition; the decision is about rescuing one-split fixtures
-    val files = df.inputFiles.length
-    if (files > 0 && files < math.max(2, target / 2))
-      df.repartition(target, col(keyCol))
+    val files = df.inputFiles
+    if (files.length == 0 || files.length >= math.max(2, target / 2))
+      return df
+    // SIZE the fan-out to the scan, don't always use full parallelism:
+    // r7's unconditional 32-way spread taxed ~20 sub-second queries
+    // +0.3-0.5s each — a 2k-row table's whole runtime is one tiny stage,
+    // and 32 task launches cost more than the stage. Scale the target
+    // with total scan bytes (one file-status metadata call per file, no
+    // data read): below `minBytes` skip the repartition entirely; above
+    // it, one partition per `bytesPerPartition`, capped at the session
+    // parallelism. CPU-dense text work expands ~4× off compressed
+    // parquet, so the per-partition unit is small (256 KB). At
+    // production layout any scan worth fanning has enough splits to
+    // fail the file-count gate above, so none of this ever fires.
+    val minBytes = spark.conf
+      .get("spark.graft.fanout.minBytes", (128L << 10).toString).toLong
+    val perPart = spark.conf
+      .get("spark.graft.fanout.bytesPerPartition", (256L << 10).toString)
+      .toLong
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(hconf).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => Long.MaxValue / 1024 }
+    }.sum
+    val sized = math.min(target.toLong,
+      (totalBytes + perPart - 1) / math.max(1L, perPart)).toInt
+    if (totalBytes >= minBytes && sized > files.length)
+      df.repartition(sized, col(keyCol))
     else df
   }
 }

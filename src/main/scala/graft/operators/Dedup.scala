@@ -467,13 +467,29 @@ object Dedup {
         r
       }
       // union by the SAME ordering SQL's min() uses for the id type, so
-      // the surviving root IS the component minimum — no second pass
+      // the surviving root IS the component minimum — no second pass.
+      // Strings must compare as UTF-8 BYTES (unsigned), not UTF-16 code
+      // units: Spark's UTF8String orders by code point, and the two
+      // orders diverge when supplementary characters (U+10000+, lead
+      // surrogates 0xD800+) mix with BMP chars in [U+E000, U+FFFF]
+      def utf8Lt(a: String, b: String): Boolean = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      }
       def lt(x: Any, y: Any): Boolean = (x, y) match {
         case (a: Long, b: Long)     => a < b
         case (a: Int, b: Int)       => a < b
         case (a: Short, b: Short)   => a < b
         case (a: Byte, b: Byte)     => a < b
-        case (a: String, b: String) => a.compareTo(b) < 0
+        case (a: String, b: String) => utf8Lt(a, b)
         case _ => throw new IllegalStateException(
           s"unexpected id runtime type ${x.getClass} — idTypeOk gate broken")
       }

@@ -95,6 +95,24 @@ object Similarity {
       .select(col("qid"), col("col.id").as("id"),
         (-col("col.nc")).as("cosine"), (col("pos") + 1).as("rank"))
 
+  /** Iteration-friendly view of a k-means fit input: every Lloyd round
+    * is one Spark job over the input, so a near-empty partition charges
+    * its task-launch overhead once per round — 20 iterations over a
+    * 2k-row corpus fanned to 32 partitions is 640 almost-empty tasks
+    * (r7 measured q43 at 2.67× its r6 time from exactly this). Same
+    * remedy as `DistributedGlmObjective`'s iteration view
+    * (ml/Objectives.scala:61-76): coalesce the FIT input to ≥25k rows
+    * per partition (assignment/probe passes stay on the fanned scan —
+    * they run once, not per iteration). The count() is one cheap job the
+    * fit's own first pass would pay anyway; at production row counts the
+    * clamp keeps the incoming partitioning, so this is a no-op at scale. */
+  private def fitView(df: DataFrame, rowsPerPart: Long = 25000L): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val n = df.count()
+    val target = math.min(par, n / rowsPerPart + 1).toInt
+    df.coalesce(target)
+  }
+
   /** Exact top-k cosine neighbors of each query vector.
     * queries: (qid, qv), corpus: (id, v). Queries must be broadcastable. */
   def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
@@ -138,7 +156,7 @@ object Similarity {
       array_to_vector(col("v").cast("array<double>")).as("fv"))
     val model = new KMeans().setK(nList).setSeed(seed)
       .setMaxIter(kmeansMaxIter)
-      .setFeaturesCol("fv").setPredictionCol("list").fit(av)
+      .setFeaturesCol("fv").setPredictionCol("list").fit(fitView(av))
     val bucketed = model.transform(av).select(col("id"), col("v"),
       col("list"))
     val centers = corpus.sparkSession.sparkContext
@@ -190,7 +208,7 @@ object Similarity {
     // coarse quantizer: assigns every corpus vector to an inverted list
     val coarse = new KMeans().setK(nList).setSeed(seed)
       .setMaxIter(kmeansMaxIter)
-      .setFeaturesCol("fv").setPredictionCol("list").fit(av)
+      .setFeaturesCol("fv").setPredictionCol("list").fit(fitView(av))
     val dim = corpus.select(size(col("v")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subLen = dim / m

@@ -58,13 +58,16 @@ def main(sf_dir, out_dir, only=None):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
     if only:  # comma-separated query filter (mirrors Verify's 3rd arg)
         unknown = sorted(only - set(oracle))
         if unknown:
-            # a typo'd name must not silently 'pass' by checking nothing
+            # a typo'd name must not silently 'pass' by checking nothing —
+            # count each unknown as a FAILURE so a caller keying off the
+            # exit code can't see green from an all-typo filter
             print(f"NOORACLE filter names not in oracle map: {unknown}")
+            n_fail += len(unknown)
         oracle = {k: v for k, v in oracle.items() if k in only}
-    n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_path = f"{out_dir}/{name}"
         if not os.path.isdir(spark_path):
