@@ -169,6 +169,64 @@ object OracleSql {
     (head +: steps).mkString(",\n")
   }
 
+  /** Two-level k-means mirror of
+    * [[graft.operators.Clustering.kmeansTwoLevel]]: the coarse level is
+    * [[kmeansCte]] with k₁ = ceil(sqrt(ceil(n/target))) (final coarse
+    * assignment `a{iters+1}` becomes the cell), the fine level runs the
+    * SAME unrolled Lloyd conventions per cell — init = the
+    * ceil(n_c/target) lowest vec_ids of each cell (id rank − 1 is the
+    * fine index), sequential 9dp-rounded distances with lower-index
+    * tiebreak, DECIMAL(18,9)-exact means, empty fine clusters keeping
+    * their centroid — ending in `fin(vec_id, cluster)` with
+    * cluster = cell · 2³² + fineIndex. */
+  private def kmeansTwoLevelCte(target: String, iters: Int,
+                                d: Int): String = {
+    val dd = d + 1
+    val k1 =
+      s"(SELECT CAST(CEIL(SQRT(CEIL(COUNT(*) / $target))) AS BIGINT) FROM e)"
+    val head = kmeansCte(k1, iters, d) + s""",
+      |pts AS (SELECT e.vec_id, a.cl AS cell, e.v
+      |  FROM a${iters + 1} a JOIN e USING (vec_id)),
+      |csz AS (SELECT cell, COUNT(*) AS nc FROM pts GROUP BY 1),
+      |frk AS (SELECT p.cell, p.vec_id, p.v,
+      |    ROW_NUMBER() OVER (PARTITION BY p.cell ORDER BY p.vec_id) AS rk,
+      |    CAST(CEIL(c.nc / $target) AS BIGINT) AS k2
+      |  FROM pts p JOIN csz c USING (cell)),
+      |f0 AS (SELECT cell, CAST(rk - 1 AS INTEGER) AS fj, v AS c
+      |  FROM frk WHERE rk <= k2)""".stripMargin
+    val steps = (1 to iters + 1).map { i =>
+      val p = i - 1
+      val assign =
+        s"""fd$i AS (SELECT p.vec_id, p.cell, c.fj,
+           |    round(list_reduce(list_transform(range(1, $dd),
+           |      j -> (p.v[j] - c.c[j]) * (p.v[j] - c.c[j])),
+           |      (a, b) -> a + b), 9) AS d
+           |  FROM pts p JOIN f$p c USING (cell)),
+           |fa$i AS (SELECT vec_id, cell, fj FROM fd$i
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+           |    ORDER BY d, fj) = 1)""".stripMargin
+      if (i > iters) assign
+      else assign + s""",
+        |fm$i AS (SELECT a.cell, a.fj, dims.j,
+        |    CAST(SUM(CAST(round(p.v[dims.j], 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) / COUNT(*) AS mu
+        |  FROM fa$i a JOIN pts p USING (vec_id), dims
+        |  GROUP BY 1, 2, 3),
+        |f$i AS (SELECT fx.cell, fx.fj,
+        |    list(COALESCE(m.mu, fx.pc) ORDER BY fx.j) AS c
+        |  FROM (SELECT cp.cell, cp.fj, dims.j, cp.c[dims.j] AS pc
+        |    FROM f$p cp, dims) fx
+        |  LEFT JOIN fm$i m ON m.cell = fx.cell AND m.fj = fx.fj
+        |    AND m.j = fx.j
+        |  GROUP BY fx.cell, fx.fj)""".stripMargin
+    }
+    val fin = s""",
+      |fin AS (SELECT vec_id,
+      |  CAST(cell AS BIGINT) * 4294967296 + fj AS cluster
+      |  FROM fa${iters + 1})""".stripMargin
+    (head +: steps).mkString(",\n") + fin
+  }
+
   val all: Map[String, String] = Map(
 
     "q41_knn_lsh" -> (
@@ -1367,16 +1425,19 @@ object OracleSql {
       (kmeansCte(8, 2, 64) +
         "\nSELECT vec_id, cl AS cluster FROM a3"),
 
-    // q105: SemDeDup — cosine only within a final k-means cluster
-    // (same clustering CTEs as q104, but k = ceil(n/250) like the
-    // engine's semDedupAuto: a fixed k is a scale trap — 10× points
-    // would mean 100× within-cluster pairs); raw-double cosines
-    // hash-match by the q29 precedent (identical sequential IEEE sums)
+    // q105: SemDeDup — cosine only within a final TWO-LEVEL k-means
+    // cluster (coarse ⌈√k⌉ cells then per-cell fine Lloyd,
+    // k = ceil(n/250) total, mirroring Clustering.kmeansTwoLevel: a
+    // fixed k is a scale trap — 10× points would mean 100×
+    // within-cluster pairs — and a single-level k ∝ n is O(n²·d)
+    // assignment, measured 217× time for 100× data in the r8 scaling
+    // decade); raw-double cosines hash-match by the q29 precedent
+    // (identical sequential IEEE sums)
     "q105_semdedup" ->
-      (kmeansCte("(SELECT CAST(CEIL(COUNT(*) / 250.0) AS BIGINT) FROM e)",
-        2, 64) + """,
-        |g AS (SELECT a.cl, e.vec_id, e.v FROM a3 a JOIN e USING (vec_id)),
-        |p AS (SELECT a.cl AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+      (kmeansTwoLevelCte("250.0", 2, 64) + """,
+        |g AS (SELECT f.cluster, e.vec_id, e.v
+        |  FROM fin f JOIN e USING (vec_id)),
+        |p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_reduce(list_transform(range(1, 65),
         |      i -> a.v[i] * b.v[i]), (x, y) -> x + y)
         |    / sqrt(
@@ -1384,7 +1445,8 @@ object OracleSql {
         |        i -> a.v[i] * a.v[i]), (x, y) -> x + y)
         |      * list_reduce(list_transform(range(1, 65),
         |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)) AS cosine
-        |  FROM g a JOIN g b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+        |  FROM g a JOIN g b ON a.cluster = b.cluster
+        |    AND a.vec_id < b.vec_id)
         |SELECT cluster, id_a, id_b, cosine FROM p
         |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin),
 

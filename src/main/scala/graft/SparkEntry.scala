@@ -1527,13 +1527,15 @@ object SparkEntry {
       T.embeddings(s, d), "vec_id", "embedding", k = 8, iterations = 2)
 
   /** SemDeDup semantic near-dup pairs
-    * ([[operators.Clustering.semDedup]]): cosine compared only within a
-    * k-means cluster — Σ cluster² pairs instead of n², with the
-    * hot-cluster guard bounding the worst case. */
+    * ([[operators.Clustering.semDedupAuto]]): cosine compared only
+    * within a TWO-LEVEL k-means cluster — Σ cluster² pairs instead of
+    * n², with the hot-cluster guard bounding the worst case. */
   def q105_semdedup(s: SparkSession, d: String): DataFrame =
-    // auto-k (ceil(n/250) → 8 at sf0.1) pins expected cluster size so
-    // pair generation stays linear in n — fixed k=8 measured 31× time
-    // for 10× data in the r7 scaling run
+    // auto-k (ceil(n/250)) pins expected cluster size so pair
+    // generation stays linear in n (fixed k measured 31× time for 10×
+    // data in r7), and the ⌈√k⌉-coarse/per-cell-fine hierarchy keeps
+    // ASSIGNMENT near-linear too (single-level k ∝ n is O(n²·d):
+    // measured 217× time for 100× data in the r8 scaling decade)
     operators.Clustering.semDedupAuto(
       T.embeddings(s, d), "vec_id", "embedding", tau = 0.3,
       targetClusterSize = 250, iterations = 2)

@@ -87,6 +87,123 @@ object Clustering {
     v.select(col("_id").as(idCol), assign(centroids)(col("_v")).as("cluster"))
   }
 
+  /** TWO-LEVEL deterministic k-means: a coarse pass with k₁ = ⌈√k⌉
+    * cells ([[kmeans]], centroids broadcast), then an all-cells-at-once
+    * fine pass that sub-clusters each cell into k₂(c) = ⌈n_c / target⌉
+    * clusters. Returns `(idCol, cluster)` with
+    * `cluster = cell · 2³² + fineIndex`.
+    *
+    * WHY two levels: single-level k-means with k ∝ n (the only k that
+    * keeps within-cluster pair generation linear for SemDeDup) costs
+    * O(n·k·d) per Lloyd pass = O(n²·d/target) — the r8 100× scaling
+    * decade measured q105 at 217× the time for 100× data, and the
+    * driver-side init collect of k vectors grows linearly too. The
+    * hierarchy cuts assignment to O(n·√k·d) per pass (each point
+    * compares to √k coarse then ~√k fine centroids) and bounds driver
+    * state to the coarse level's k₁·d = √k·d doubles: the fine level
+    * never touches the driver — init is a per-cell window rank, each
+    * update is a (cell, j, dim) hash aggregate that STAYS a DataFrame,
+    * and assignment joins each point to its own cell's centroid array
+    * (Σ k₂·d doubles total, broadcast-class at any sane target size).
+    *
+    * Determinism (oracle-mirrorable, the [[kmeans]] conventions):
+    * fine init is the k₂(c) lowest-id vectors per cell in id order;
+    * distances are sequential double sums rounded at `roundTo` dp with
+    * lower-index tiebreak; means are DECIMAL(18,roundTo)-exact element
+    * sums divided back in double; an empty fine cluster keeps its
+    * previous centroid. */
+  def kmeansTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                     targetClusterSize: Long, iterations: Int,
+                     roundTo: Int = 9): DataFrame = {
+    require(targetClusterSize >= 1 && iterations >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val k = math.max(1L,
+      (n + targetClusterSize - 1) / targetClusterSize)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val coarse = kmeans(df, idCol, vecCol, k1, iterations, roundTo)
+      .withColumnRenamed("cluster", "_cell")
+    val pts = df
+      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .join(coarse.withColumnRenamed(idCol, "_id"), "_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fine init: the ⌈n_c/target⌉ lowest-id vectors of each cell, fine
+    // index = id rank − 1 (dense 0..k₂−1, so argmin index IS the label)
+    val sizes = pts.groupBy("_cell").agg(count(lit(1)).as("_nc"))
+    val rk = row_number().over(Window.partitionBy("_cell").orderBy("_id"))
+    // each round's centroid frame is Σk₂·(d+2) values — tiny — but it
+    // is referenced twice per iteration (assignment + the
+    // keep-empty-clusters frame) and once more by the next round:
+    // without eager materialization the lazy plan re-executes every
+    // upstream round per reference. localCheckpoint each round (the
+    // connected-components rounds convention) so plan depth and
+    // recomputation stay constant per iteration.
+    var cent = pts.join(sizes, "_cell")
+      .withColumn("_rk", rk)
+      .filter(col("_rk") <=
+        ceil(col("_nc") / lit(targetClusterSize.toDouble)).cast("long"))
+      .select(col("_cell"), (col("_rk") - 1).cast("int").as("_fj"),
+        col("_v").as("_c"))
+      .localCheckpoint(true)
+    val assignF = udf { (v: Seq[Double], cents: Seq[Seq[Double]]) =>
+      val a = v.toArray
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = a(j) - c(j); d += t * t; j += 1 }
+        val rd = java.math.BigDecimal.valueOf(d)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP)
+          .doubleValue()
+        if (rd < bestD) { bestD = rd; best = i }
+        i += 1
+      }
+      best
+    }
+    // per-cell centroid arrays in fine-index order: sort_array on the
+    // (fj, c) struct sorts by fj, so array position == fine index
+    def grouped(c: DataFrame): DataFrame = c
+      .groupBy("_cell")
+      .agg(sort_array(collect_list(struct(col("_fj"), col("_c"))))
+        .as("_cs"))
+      .select(col("_cell"),
+        transform(col("_cs"), s => s.getField("_c")).as("_cl"))
+    // keeps _v in the output so the update pass needs no re-join
+    def assign(c: DataFrame): DataFrame = pts.join(grouped(c), "_cell")
+      .select(col("_id"), col("_cell"), col("_v"),
+        assignF(col("_v"), col("_cl")).as("_fj"))
+    for (_ <- 1 to iterations) {
+      val stats = assign(cent)
+        .select(col("_cell"), col("_fj"), posexplode(col("_v")).as(Seq("_j", "_x")))
+        .groupBy("_cell", "_fj", "_j")
+        .agg((sum(round(col("_x"), roundTo)
+            .cast(s"decimal(18,$roundTo)")).cast("double") /
+          count(lit(1))).as("_mu"))
+      val frame = cent
+        .select(col("_cell"), col("_fj"), posexplode(col("_c")).as(Seq("_j", "_pc")))
+      val prev = cent
+      cent = frame.join(stats, Seq("_cell", "_fj", "_j"), "left")
+        .withColumn("_m", coalesce(col("_mu"), col("_pc")))
+        .groupBy("_cell", "_fj")
+        .agg(sort_array(collect_list(struct(col("_j"), col("_m")))).as("_ms"))
+        .select(col("_cell"), col("_fj"),
+          transform(col("_ms"), s => s.getField("_m")).as("_c"))
+        .localCheckpoint(true)
+      prev.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+    assign(cent).select(col("_id").as(idCol),
+      (col("_cell").cast("long") * lit(4294967296L) +
+        col("_fj").cast("long")).as("cluster"))
+    // (the result's schema is (idCol, cluster: long) — _v is dropped)
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs: k-means first, then
     * cosine only WITHIN a cluster — the clustering turns the O(n²)
     * all-pairs comparison into Σ cluster², with the cluster count
@@ -99,28 +216,35 @@ object Clustering {
     * the pathological case (a cluster larger than the cap is dropped
     * from pairing, the [[Dedup]] hot-bucket convention). */
   /** [[semDedup]] with the cluster count derived from the data:
-    * k = ceil(n / targetClusterSize). A FIXED k is a scale trap — 10×
-    * the points with the same k means 10× per cluster and 100×
-    * within-cluster pairs (r7's scaling run measured exactly that:
-    * 31× time for 10× data). Pinning the EXPECTED CLUSTER SIZE instead
-    * keeps pair generation linear in n; the one extra count() is a
-    * single columnless scan (it inherits any exchange the caller's
-    * frame carries — e.g. the fixture-scale fan-out — which is absent
-    * at production layouts where fanOut is a no-op). */
+    * k = ceil(n / targetClusterSize), clustered by [[kmeansTwoLevel]].
+    * A FIXED k is a scale trap — 10× the points with the same k means
+    * 10× per cluster and 100× within-cluster pairs (r7's scaling run
+    * measured exactly that: 31× time for 10× data). Pinning the
+    * EXPECTED CLUSTER SIZE keeps pair generation linear in n — but a
+    * SINGLE-LEVEL k ∝ n is its own trap (O(n·k·d) assignment = O(n²);
+    * the r8 100× decade measured 217× time for 100× data), hence the
+    * two-level hierarchy. */
   def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                    tau: Double, targetClusterSize: Long, iterations: Int,
                    maxCluster: Long = 100000L): DataFrame = {
     require(targetClusterSize >= 1)
-    val n = df.count()
-    val k = math.max(1L,
-      (n + targetClusterSize - 1) / targetClusterSize).toInt
-    semDedup(df, idCol, vecCol, tau, k, iterations, maxCluster)
+    val assigned = kmeansTwoLevel(df, idCol, vecCol, targetClusterSize,
+      iterations)
+    semDedupPairs(df, assigned, idCol, vecCol, tau, maxCluster)
   }
 
   def semDedup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
                k: Int, iterations: Int,
-               maxCluster: Long = 100000L): DataFrame = {
-    val assigned = kmeans(df, idCol, vecCol, k, iterations)
+               maxCluster: Long = 100000L): DataFrame =
+    semDedupPairs(df, kmeans(df, idCol, vecCol, k, iterations), idCol,
+      vecCol, tau, maxCluster)
+
+  /** Within-cluster cosine pairing shared by [[semDedup]] (single-level
+    * assignment) and [[semDedupAuto]] (two-level): `assigned` is any
+    * `(idCol, cluster)` frame. */
+  private def semDedupPairs(df: DataFrame, assigned: DataFrame,
+                            idCol: String, vecCol: String, tau: Double,
+                            maxCluster: Long): DataFrame = {
     val withVec = df.select(col(idCol), col(vecCol))
       .join(assigned, idCol)
       .select(col("cluster"), col(idCol).as("_id"),

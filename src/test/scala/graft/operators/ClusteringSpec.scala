@@ -41,6 +41,37 @@ class ClusteringSpec extends SparkSpec {
     assert(x == y)
   }
 
+  test("kmeansTwoLevel is partitioning-invariant and deterministic") {
+    import spark.implicits._
+    val df = (blob(Array(0.0, 0.0, 0.0), 0 until 15) ++
+      blob(Array(3.0, -2.0, 1.0), 15 until 30) ++
+      blob(Array(-4.0, 4.0, 0.0), 30 until 45)).toDF("id", "v")
+    val x = Clustering.kmeansTwoLevel(df, "id", "v",
+        targetClusterSize = 10, iterations = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSet
+    val y = Clustering.kmeansTwoLevel(df.repartition(7), "id", "v",
+        targetClusterSize = 10, iterations = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSet
+    assert(x == y)
+    assert(x.size == 45)
+    // more than one fine cluster must exist at this target size, and
+    // ids encode (cell · 2³² + fineIndex)
+    assert(x.map(_._2).size > 1)
+    assert(x.map(_._2).forall(c => c >= 0 && (c & 0xffffffffL) < 45))
+  }
+
+  test("semDedupAuto (two-level): finds the injected near-dup") {
+    import spark.implicits._
+    val base = blob(Array(0.0, 1.0, 2.0, 3.0), 0 until 12) ++
+      blob(Array(-3.0, 2.0, -1.0, 4.0), 12 until 24)
+    val dup = Seq(100 -> base.head._2.map(_ + 1e-4))
+    val df = (base ++ dup).toDF("id", "v")
+    val pairs = Clustering.semDedupAuto(df, "id", "v", tau = 0.999,
+      targetClusterSize = 13, iterations = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(pairs.contains((0, 100)), s"injected dup not found: ${pairs.toSeq}")
+  }
+
   test("semDedup: finds the injected near-dup, only within-cluster pairs") {
     import spark.implicits._
     val base = blob(Array(0.0, 1.0, 2.0, 3.0), 0 until 12) ++
