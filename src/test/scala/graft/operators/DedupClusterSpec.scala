@@ -76,6 +76,27 @@ class DedupClusterSpec extends SparkSpec {
     assert(ccMap(Seq.empty).isEmpty)
   }
 
+  test("string ids: fast path orders like SQL min() under supplementary chars") {
+    // UTF-16 code-unit order and UTF-8 byte (code point) order DISAGREE
+    // here: U+E000 (BMP private-use) sorts ABOVE U+10000 (lead
+    // surrogate 0xD800) in UTF-16 code units but BELOW it by code
+    // point — Spark's min() orders UTF8String by code point, so the
+    // driver union-find must too
+    import spark.implicits._
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "\uE000"
+    val pairs = Seq((supp, bmp), (bmp, "zz"), (supp, "aa0"))
+    val df = pairs.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(df)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val stars = Dedup.connectedComponents(df, smallGraphEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fast == stars, s"fast=$fast stars=$stars")
+    // the component minimum by code-point order is "aa0" (ASCII) here;
+    // the real assertion is path equality above, but pin the root too
+    assert(fast.values.toSet == Set("aa0"))
+  }
+
   test("result is invariant to input partitioning and duplication") {
     val pairs = Seq((5L, 3L), (3L, 9L), (9L, 5L), (1L, 2L), (2L, 1L))
     val base = ccMap(pairs)
