@@ -792,6 +792,10 @@ object OracleSql {
     // brute-force top-k whatever the k-means fit learned
     "q43o_knn_ivf_full" -> exactKnnSql,
 
+    // the persisted-index round-trip (build → parquet → load → probe
+    // all lists) must also be exhaustive-exact
+    "q211_knn_ivf_index" -> exactKnnSql,
+
     // IVF-PQ probing ALL lists with refine over every candidate: the
     // lossy codes only order candidates, the exact rescoring decides —
     // must equal brute force regardless of what the quantizers learned

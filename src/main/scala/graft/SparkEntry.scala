@@ -2361,6 +2361,40 @@ object SparkEntry {
       .select(col("qid"), col("rank"), col("id"), col("cosine"))
   }
 
+  /** IVF index PERSISTENCE gate ([[operators.Similarity.ivfBuild]] /
+    * `ivfQuery`): the index — centroids plus postings partitioned by
+    * inverted list — is built ONCE, written to parquet, and probed from
+    * the files (the production workflow: at corpus scale the fit is
+    * amortized across query batches and a probe reads only its lists'
+    * partition directories). Probe-all makes the result equal exact
+    * brute force whatever k-means learned, so the whole
+    * build→save→load→probe round-trip faces q29's SQL oracle. */
+  def q211_knn_ivf_index(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "q211_ivf_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    try {
+      Similarity.ivfBuild(corpus, dir.getAbsolutePath, nList = 8,
+        kmeansMaxIter = 2)
+      val got = Similarity.ivfQuery(s, dir.getAbsolutePath, queries,
+        k = 3, nProbe = 8)
+        .select(col("qid"), col("rank"), col("id"), col("cosine"))
+      // the index dir is per-run temp state — materialize the (bounded:
+      // |queries|·k rows) result before deleting it
+      val rows = got.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
+    } finally rm(dir)
+  }
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucket join + exact
     * cosine verification (deterministic hyperplanes → SQL-mirrorable). */
   def q45_embedding_dedup(s: SparkSession, d: String): DataFrame =
@@ -3984,7 +4018,8 @@ object SparkEntry {
     "q207_depth_conversion" -> (q207_depth_conversion _),
     "q208_revenue_deciles" -> (q208_revenue_deciles _),
     "q209_streaming_file" -> (q209_streaming_file _),
-    "q210_passage_rewrite" -> (q210_passage_rewrite _))
+    "q210_passage_rewrite" -> (q210_passage_rewrite _),
+    "q211_knn_ivf_index" -> (q211_knn_ivf_index _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -179,6 +179,70 @@ object Similarity {
         V.cosine(col("qv"), col("v")).as("cosine")), k)
   }
 
+  /** Build and PERSIST an IVF-Flat index — the production workflow at
+    * corpus scale: the k-means fit and list assignment run ONCE and the
+    * index is reused across query batches, never refit per query.
+    * Writes two tables under `dir`:
+    *   - `centroids.parquet`: (list, center) — nList rows, the coarse
+    *     quantizer;
+    *   - `postings.parquet`: (id, v) PARTITIONED BY list — each
+    *     inverted list is its own partition directory, so a probe that
+    *     touches `nProbe` lists READS only those directories (storage
+    *     partition pruning, the IVF promise made physical: at 100 TB
+    *     the unprobed lists never leave object storage).
+    * The postings write repartitions by list so each partition is one
+    * coherent file set, not a per-task fragment spray. */
+  def ivfBuild(corpus: DataFrame, dir: String, nList: Int = 16,
+               seed: Long = 7L, kmeansMaxIter: Int = 20): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val av = corpus.select(col("id"), col("v"),
+      array_to_vector(col("v").cast("array<double>")).as("fv"))
+    val model = new KMeans().setK(nList).setSeed(seed)
+      .setMaxIter(kmeansMaxIter)
+      .setFeaturesCol("fv").setPredictionCol("list").fit(fitView(av))
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list", "center")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids.parquet")
+    model.transform(av).select(col("list"), col("id"), col("v"))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$dir/postings.parquet")
+  }
+
+  /** Probe a persisted [[ivfBuild]] index: centroids load as one
+    * bounded collect (nList · dim doubles — broadcast-class by
+    * construction), each query explodes into its `nProbe` nearest
+    * lists, and the postings join on the PARTITION column so only the
+    * probed list directories are scanned. Same semantics as [[ivf]]
+    * with the fit amortized away. */
+  def ivfQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
+               queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val centRows = spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy("list").collect()
+    val cents: Array[Array[Double]] =
+      centRows.map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val probeLists = udf { (qv: Seq[Double]) =>
+      bc.value.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = c(j) - qv(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val q = queries.select(col("qid"), col("qv"),
+      explode(probeLists(col("qv").cast("array<double>"))).as("list"))
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    topK(postings.join(broadcast(q), Seq("list"))
+      .select(col("qid"), col("id"),
+        V.cosine(col("qv"), col("v")).as("cosine")), k)
+  }
+
   /** IVF-PQ ANN: IVF coarse pruning + product-quantized candidate
     * scoring + exact refinement.
     *

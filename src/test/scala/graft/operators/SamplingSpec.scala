@@ -230,6 +230,43 @@ class SamplingSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("persisted IVF index round-trips: probe-all equals brute force") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toFile
+    try {
+      Similarity.ivfBuild(corpus, dir.getAbsolutePath, nList = 4,
+        kmeansMaxIter = 2)
+      // index layout: bounded centroid table, postings partitioned by list
+      val cents = spark.read
+        .parquet(dir.getAbsolutePath + "/centroids.parquet")
+      assert(cents.count() == 4)
+      assert(new java.io.File(dir, "postings.parquet").listFiles()
+        .count(_.getName.startsWith("list=")) > 1,
+        "postings must be partitioned by inverted list")
+      // probe-all through the FILES equals exact brute force
+      val full = pairs(Similarity.ivfQuery(spark, dir.getAbsolutePath,
+        queries, k = 3, nProbe = 4))
+      assert(full == pairs(Similarity.bruteForce(queries, corpus, 3)))
+      // a partial probe still returns k rows per query
+      val part = Similarity.ivfQuery(spark, dir.getAbsolutePath, queries,
+        k = 3, nProbe = 2).collect()
+      assert(part.length == 15)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("IVF-PQ ANN recall with exact refine beats the probe floor") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
