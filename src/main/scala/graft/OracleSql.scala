@@ -796,6 +796,37 @@ object OracleSql {
     // all lists) must also be exhaustive-exact
     "q211_knn_ivf_index" -> exactKnnSql,
 
+    // DSIR importance weights: hashed-bigram bucket = conv(md5-hex8)
+    // mod 256 (hex8 helper), per-bucket Laplace-smoothed log-ratio
+    // rounded at 9 dp into exact decimals, per-doc decimal sum rounded
+    // at 6 dp, top-100 by (weight desc, doc_id)
+    "q212_dsir_select" -> (toksCte + s""",
+        |bk AS (
+        |  SELECT doc_id, lang = 'en' AS tt,
+        |    ${hex8("bg")} % 256 AS b
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |    FROM t)),
+        |counts AS (
+        |  SELECT b, SUM(CASE WHEN tt THEN 1 ELSE 0 END) AS ct,
+        |    COUNT(*) AS ca
+        |  FROM bk GROUP BY b),
+        |tot AS (SELECT SUM(ct) AS nt, SUM(ca) AS na FROM counts),
+        |lr AS (
+        |  SELECT b, CAST(ROUND(LN(((ct + 1.0) / (nt + 256.0)) /
+        |      ((ca + 1.0) / (na + 256.0))), 9) AS DECIMAL(18,9)) AS lr
+        |  FROM counts, tot),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    ROUND(CAST(SUM(lr) AS DOUBLE) + 1e-9, 6) AS dsir_weight
+        |  FROM bk JOIN lr USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(s.dsir_weight, 0.0) AS dsir_weight
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY dsir_weight DESC, d.doc_id LIMIT 100""".stripMargin),
+
     // IVF-PQ probing ALL lists with refine over every candidate: the
     // lossy codes only order candidates, the exact rescoring decides —
     // must equal brute force regardless of what the quantizers learned

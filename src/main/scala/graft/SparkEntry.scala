@@ -2395,6 +2395,16 @@ object SparkEntry {
     } finally rm(dir)
   }
 
+  /** DSIR data selection ([[operators.DataSelection]]): weigh every
+    * document by the log importance ratio of its hashed-bigram profile
+    * under the English-target vs raw-corpus distributions, keep the
+    * top 100. Bucket histograms are fixed-size (256 rows) whatever the
+    * corpus; selection is a bounded TakeOrdered. */
+  def q212_dsir_select(s: SparkSession, d: String): DataFrame =
+    DataSelection.dsirSelect(
+      T.documents(s, d).withColumn("is_en", col("lang") === "en"),
+      "doc_id", "text", "is_en", m = 100, buckets = 256, alpha = 1.0)
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucket join + exact
     * cosine verification (deterministic hyperplanes → SQL-mirrorable). */
   def q45_embedding_dedup(s: SparkSession, d: String): DataFrame =
@@ -4019,7 +4029,8 @@ object SparkEntry {
     "q208_revenue_deciles" -> (q208_revenue_deciles _),
     "q209_streaming_file" -> (q209_streaming_file _),
     "q210_passage_rewrite" -> (q210_passage_rewrite _),
-    "q211_knn_ivf_index" -> (q211_knn_ivf_index _))
+    "q211_knn_ivf_index" -> (q211_knn_ivf_index _),
+    "q212_dsir_select" -> (q212_dsir_select _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

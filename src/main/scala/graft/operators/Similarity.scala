@@ -217,9 +217,13 @@ object Similarity {
   /** Probe a persisted [[ivfBuild]] index: centroids load as one
     * bounded collect (nList · dim doubles — broadcast-class by
     * construction), each query explodes into its `nProbe` nearest
-    * lists, and the postings join on the PARTITION column so only the
-    * probed list directories are scanned. Same semantics as [[ivf]]
-    * with the fit amortized away. */
+    * lists, and the postings scan carries a LITERAL `list IN (...)`
+    * partition filter — the union of probed lists, at most nList
+    * values, computed driver-side from the broadcast-class query
+    * batch — so unprobed list directories are pruned STATICALLY at
+    * planning time (never read from storage), rather than hoping the
+    * runtime join or DPP filters them. Same semantics as [[ivf]] with
+    * the fit amortized away. */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
                queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     val centRows = spark.read.parquet(s"$dir/centroids.parquet")
@@ -237,7 +241,12 @@ object Similarity {
     }
     val q = queries.select(col("qid"), col("qv"),
       explode(probeLists(col("qv").cast("array<double>"))).as("list"))
+    // distinct probed lists: ≤ nList ints — one tiny job over the
+    // query batch buys a static PartitionFilter on the postings scan
+    val probed = q.select(col("list")).distinct()
+      .collect().map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$dir/postings.parquet")
+      .where(col("list").isin(probed.map(Int.box): _*))
     topK(postings.join(broadcast(q), Seq("list"))
       .select(col("qid"), col("id"),
         V.cosine(col("qv"), col("v")).as("cosine")), k)

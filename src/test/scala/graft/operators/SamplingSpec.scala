@@ -255,9 +255,16 @@ class SamplingSpec extends SparkSpec {
         queries, k = 3, nProbe = 4))
       assert(full == pairs(Similarity.bruteForce(queries, corpus, 3)))
       // a partial probe still returns k rows per query
-      val part = Similarity.ivfQuery(spark, dir.getAbsolutePath, queries,
-        k = 3, nProbe = 2).collect()
-      assert(part.length == 15)
+      val partial = Similarity.ivfQuery(spark, dir.getAbsolutePath,
+        queries, k = 3, nProbe = 2)
+      assert(partial.collect().length == 15)
+      // and the postings scan is STATICALLY pruned to the probed
+      // lists: the plan carries a literal partition filter, so
+      // unprobed directories never leave storage
+      val plan = partial.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+        s"expected a list partition filter in:\n$plan")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
