@@ -796,6 +796,10 @@ object OracleSql {
     // all lists) must also be exhaustive-exact
     "q211_knn_ivf_index" -> exactKnnSql,
 
+    // the persisted IVF-PQ index (codes-not-vectors on disk) probing
+    // all lists with refine over every candidate: exhaustive-exact
+    "q213_knn_ivfpq_index" -> exactKnnSql,
+
     // DSIR importance weights: hashed-bigram bucket = conv(md5-hex8)
     // mod 256 (hex8 helper), per-bucket Laplace-smoothed log-ratio
     // rounded at 9 dp into exact decimals, per-doc decimal sum rounded

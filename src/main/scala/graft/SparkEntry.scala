@@ -2395,6 +2395,37 @@ object SparkEntry {
     } finally rm(dir)
   }
 
+  /** IVF-PQ index PERSISTENCE gate ([[operators.Similarity.ivfPqBuild]]
+    * / `ivfPqQuery`): the COMPRESSED index — coarse centroids,
+    * codebooks, and per-list code partitions (codes + norm, never raw
+    * vectors) — round-trips through parquet, and probing all lists with
+    * refine-over-every-candidate must equal exact brute force whatever
+    * the quantizers learned, so the persisted path faces q29's SQL
+    * oracle like its in-memory twin q68o. */
+  def q213_knn_ivfpq_index(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "q213_ivfpq_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    try {
+      Similarity.ivfPqBuild(corpus, dir.getAbsolutePath, nList = 8,
+        m = 4, nCodes = 8, kmeansMaxIter = 2)
+      val got = Similarity.ivfPqQuery(s, dir.getAbsolutePath, queries,
+        corpus, k = 3, nProbe = 8, refineK = 10000)
+        .select(col("qid"), col("rank"), col("id"), col("cosine"))
+      val rows = got.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
+    } finally rm(dir)
+  }
+
   /** DSIR data selection ([[operators.DataSelection]]): weigh every
     * document by the log importance ratio of its hashed-bigram profile
     * under the English-target vs raw-corpus distributions, keep the
@@ -4030,7 +4061,8 @@ object SparkEntry {
     "q209_streaming_file" -> (q209_streaming_file _),
     "q210_passage_rewrite" -> (q210_passage_rewrite _),
     "q211_knn_ivf_index" -> (q211_knn_ivf_index _),
-    "q212_dsir_select" -> (q212_dsir_select _))
+    "q212_dsir_select" -> (q212_dsir_select _),
+    "q213_knn_ivfpq_index" -> (q213_knn_ivfpq_index _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

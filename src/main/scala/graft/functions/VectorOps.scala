@@ -36,24 +36,16 @@ object VectorOps {
     * don't participate in whole-stage codegen) and walks the arrays three
     * times; on candidate-verification joins (Dedup.embeddingCosine,
     * Similarity.topK inputs) that was the dominant cost — ~6× slower
-    * than this loop at 64 dims. */
+    * than a fused loop at 64 dims. The kernel is the native codegen
+    * expression [[CosineSim]] (same history for the earlier UDF form:
+    * the UDF loop beat the HOFs but still broke whole-stage codegen and
+    * boxed every element; the expression reads the unsafe buffer
+    * directly). */
   def cosine(a: Column, b: Column): Column = {
-    val cos = udf { (x: Seq[Double], y: Seq[Double]) =>
-      if (x == null || y == null || x.length != y.length)
-        null.asInstanceOf[java.lang.Double]
-      else {
-        var d = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        val n = x.length
-        while (i < n) {
-          val xi = x(i); val yi = y(i)
-          d += xi * yi; na += xi * xi; nb += yi * yi
-          i += 1
-        }
-        java.lang.Double.valueOf(d / math.sqrt(na * nb))
-      }
-    }
-    cos(asDouble(a), asDouble(b))
+    import org.apache.spark.sql.classic.GraftColumnShims
+    GraftColumnShims.column(CosineSim(
+      GraftColumnShims.expression(asDouble(a)),
+      GraftColumnShims.expression(asDouble(b))))
   }
 
   /** Euclidean distance squared (cheaper than sqrt for ranking). */

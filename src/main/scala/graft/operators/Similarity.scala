@@ -252,6 +252,160 @@ object Similarity {
         V.cosine(col("qv"), col("v")).as("cosine")), k)
   }
 
+  /** Build and PERSIST an IVF-PQ index — [[ivfBuild]]'s layout with the
+    * postings product-quantized: what lands on disk is the COMPRESSED
+    * corpus (m byte-scale codes + one norm per vector, ~100× smaller
+    * than the embeddings), partitioned by inverted list. At 100 TB this
+    * is the index you actually ship: the ANN scan reads pruned
+    * directories of codes; the original vectors stay in the embedding
+    * store and are fetched by id only for the ≤ |queries|·refineK
+    * refine join. Writes under `dir`:
+    *   - `centroids.parquet`: (list, center) — the coarse quantizer;
+    *   - `codebooks.parquet`: (j, c, center) — m·nCodes sub-centroids;
+    *   - `codes.parquet`: (id, codes, norm) PARTITIONED BY list.
+    * Training mirrors [[ivfPq]]: distributed coarse fit on a
+    * row-sized-partition view, sub-codebooks via local Lloyd on a
+    * bounded sample (codebook quality needs thousands of examples, not
+    * the corpus). */
+  def ivfPqBuild(corpus: DataFrame, dir: String, nList: Int = 16,
+                 m: Int = 4, nCodes: Int = 16, trainFraction: Double = 1.0,
+                 seed: Long = 7L, kmeansMaxIter: Int = 20): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val av = corpus.select(col("id"), col("v"),
+      array_to_vector(col("v").cast("array<double>")).as("fv"))
+    val coarse = new KMeans().setK(nList).setSeed(seed)
+      .setMaxIter(kmeansMaxIter)
+      .setFeaturesCol("fv").setPredictionCol("list").fit(fitView(av))
+    val dim = corpus.select(size(col("v")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subLen = dim / m
+    val maxTrain = 65536
+    val sample: Array[Array[Double]] =
+      (if (trainFraction >= 1.0) av
+       else av.sample(withReplacement = false, trainFraction, seed))
+        .select(col("v").cast("array<double>")).limit(maxTrain)
+        .collect().map(_.getSeq[Double](0).toArray)
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      localLloyd(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * subLen, (j + 1) * subLen)),
+        nCodes, kmeansMaxIter)
+    }.toArray
+    coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list", "center")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids.parquet")
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("j", "c", "center")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/codebooks.parquet")
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val encode = udf { (v: Seq[Float]) =>
+      val cb = bcCb.value
+      val codes = new Array[Int](cb.length)
+      var nrm = 0.0
+      var i = 0
+      while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
+      var j = 0
+      while (j < cb.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(j).length) {
+          var d = 0.0; var t = 0
+          while (t < subLen) {
+            val diff = cb(j)(c)(t) - v(j * subLen + t); d += diff * diff
+            t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(j) = best; j += 1
+      }
+      (codes, math.sqrt(nrm))
+    }
+    coarse.transform(av)
+      .select(col("list"), col("id"), encode(col("v")).as("e"))
+      .select(col("list"), col("id"), col("e._1").as("codes"),
+        col("e._2").as("norm"))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$dir/codes.parquet")
+  }
+
+  /** Probe a persisted [[ivfPqBuild]] index. Centroids and codebooks
+    * load as bounded collects (coarse nList·dim + m·nCodes·subLen
+    * doubles — broadcast-class by construction); the codes scan carries
+    * the [[ivfQuery]] literal `list IN (...)` partition filter so
+    * unprobed directories never leave storage; asymmetric-distance
+    * scoring runs over CODES (the ~100× smaller table), a bounded heap
+    * keeps refineK candidates per query, and only those ids fetch their
+    * original vectors from `corpus` for the exact rescoring. With
+    * nProbe = nList and refineK ≥ |corpus| the result equals brute
+    * force (the oracle gate); production settings are recall-gated. */
+  def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 queries: DataFrame, corpus: DataFrame, k: Int,
+                 nProbe: Int = 2, refineK: Int = 50): DataFrame = {
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$dir/centroids.parquet")
+        .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$dir/codebooks.parquet")
+      .orderBy("j", "c").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val nCodes = cbRows.map(_.getInt(1)).max + 1
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, nCodes) { (j, c) =>
+        cbRows(j * nCodes + c).getSeq[Double](2).toArray
+      }
+    val subLen = codebooks(0)(0).length
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val probeLists = udf { (qv: Seq[Double]) =>
+      bcC.value.zipWithIndex.map { case (cn, i) =>
+        var d = 0.0; var t = 0
+        while (t < cn.length) { val df = cn(t) - qv(t); d += df * df; t += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val adc = udf { (qv: Seq[Double], codes: Seq[Int], nrm: Double) =>
+      val cb = bcCb.value
+      var s = 0.0; var j = 0
+      while (j < cb.length) {
+        val cent = cb(j)(codes(j))
+        var t = 0
+        while (t < subLen) { s += cent(t) * qv(j * subLen + t); t += 1 }
+        j += 1
+      }
+      var qn = 0.0; var i = 0
+      while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
+      if (nrm == 0.0 || qn == 0.0) 0.0 else s / (math.sqrt(qn) * nrm)
+    }
+    val q = queries.select(col("qid"),
+      col("qv").cast("array<double>").as("qd"),
+      explode(probeLists(col("qv").cast("array<double>"))).as("list"))
+    val probed = q.select(col("list")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+      .where(col("list").isin(probed.map(Int.box): _*))
+    val approxTop = codes.join(broadcast(q), Seq("list"))
+      .select(col("qid"), col("id"),
+        adc(col("qd"), col("codes"), col("norm")).as("approx"))
+      .groupBy("qid")
+      .agg(AggFunctions.collectTopK(
+        struct((-col("approx")).as("na"), col("id")), refineK,
+        smallest = true).as("_top"))
+      .select(col("qid"), explode(col("_top")).as("c"))
+      .select(col("qid"), col("c.id").as("id"))
+    topK(approxTop
+      .join(corpus, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"),
+        V.cosine(col("qv"), col("v")).as("cosine")), k)
+  }
+
   /** IVF-PQ ANN: IVF coarse pruning + product-quantized candidate
     * scoring + exact refinement.
     *

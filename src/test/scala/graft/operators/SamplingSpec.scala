@@ -274,6 +274,52 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ index: codes-only layout, probe-all equals brute force") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toFile
+    try {
+      Similarity.ivfPqBuild(corpus, dir.getAbsolutePath, nList = 4,
+        m = 4, nCodes = 8, kmeansMaxIter = 2)
+      // what persists is the COMPRESSED corpus: codes+norm partitioned
+      // by list — no vector column anywhere in the index
+      val codes = spark.read
+        .parquet(dir.getAbsolutePath + "/codes.parquet")
+      assert(codes.columns.sorted.sameElements(
+        Array("codes", "id", "list", "norm")))
+      assert(new java.io.File(dir, "codes.parquet").listFiles()
+        .count(_.getName.startsWith("list=")) > 1,
+        "codes must be partitioned by inverted list")
+      assert(spark.read
+        .parquet(dir.getAbsolutePath + "/codebooks.parquet")
+        .count() == 4 * 8)
+      // probe-all + refine-all THROUGH THE FILES equals brute force
+      val full = pairs(Similarity.ivfPqQuery(spark, dir.getAbsolutePath,
+        queries, corpus, k = 3, nProbe = 4, refineK = 100000))
+      assert(full == pairs(Similarity.bruteForce(queries, corpus, 3)))
+      // a partial probe still returns k rows per query, statically
+      // pruned to the probed list directories
+      val part = Similarity.ivfPqQuery(spark, dir.getAbsolutePath,
+        queries, corpus, k = 3, nProbe = 2, refineK = 10)
+      assert(part.collect().length == 15)
+      val plan = part.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+        s"expected a list partition filter in:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("IVF-PQ ANN recall with exact refine beats the probe floor") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
