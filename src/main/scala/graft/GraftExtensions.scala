@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TokenCount
+import graft.functions.{CosineSim, TokenCount}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,6 +29,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "token_count(text) takes one argument")
         TokenCount(args.head)
+      }),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "cosine_sim(a, b) takes two array<double> arguments")
+        CosineSim(args.head, args(1))
       }))
 
   /** Imperative registration on an already-built session (tests, REPLs —

@@ -17,4 +17,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT SUM(token_count(s)) AS total FROM tc_docs").head().getLong(0)
     assert(n == 4)
   }
+
+  test("cosine_sim is callable from pure SQL after registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c," +
+        " cosine_sim(array(1.0d, 0.0d), array(0.0d, 2.0d)) AS o," +
+        " cosine_sim(array(1.0d), array(1.0d, 2.0d)) AS bad").head()
+    assert(got.getDouble(0) == 1.0)
+    assert(got.getDouble(1) == 0.0)
+    assert(got.isNullAt(2))
+  }
 }
