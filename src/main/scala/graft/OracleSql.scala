@@ -796,6 +796,11 @@ object OracleSql {
     // all lists) must also be exhaustive-exact
     "q211_knn_ivf_index" -> exactKnnSql,
 
+    // build-on-half + append-half probing all lists: every vector is
+    // in exactly one list whatever the assignment, so probe-all over
+    // the grown index is exhaustive over the full corpus
+    "q214_knn_ivf_append" -> exactKnnSql,
+
     // the persisted IVF-PQ index (codes-not-vectors on disk) probing
     // all lists with refine over every candidate: exhaustive-exact
     "q213_knn_ivfpq_index" -> exactKnnSql,

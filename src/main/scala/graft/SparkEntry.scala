@@ -2426,6 +2426,40 @@ object SparkEntry {
     } finally rm(dir)
   }
 
+  /** IVF index APPEND gate ([[operators.Similarity.ivfAppend]]): the
+    * index is built on the older half of the corpus, the newer half is
+    * appended WITHOUT refit (assign to existing centroids, new files in
+    * the hit lists' partition directories), and probe-all over the
+    * grown index must equal exact brute force over the FULL corpus —
+    * the daily-growth workflow, hash-gated end to end. */
+  def q214_knn_ivf_append(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val mid = corpus.agg(
+      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "q214_ivf_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    try {
+      Similarity.ivfBuild(corpus.filter(col("id") <= mid),
+        dir.getAbsolutePath, nList = 8, kmeansMaxIter = 2)
+      Similarity.ivfAppend(s, dir.getAbsolutePath,
+        corpus.filter(col("id") > mid))
+      val got = Similarity.ivfQuery(s, dir.getAbsolutePath, queries,
+        k = 3, nProbe = 8)
+        .select(col("qid"), col("rank"), col("id"), col("cosine"))
+      val rows = got.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
+    } finally rm(dir)
+  }
+
   /** DSIR data selection ([[operators.DataSelection]]): weigh every
     * document by the log importance ratio of its hashed-bigram profile
     * under the English-target vs raw-corpus distributions, keep the
@@ -4062,7 +4096,8 @@ object SparkEntry {
     "q210_passage_rewrite" -> (q210_passage_rewrite _),
     "q211_knn_ivf_index" -> (q211_knn_ivf_index _),
     "q212_dsir_select" -> (q212_dsir_select _),
-    "q213_knn_ivfpq_index" -> (q213_knn_ivfpq_index _))
+    "q213_knn_ivfpq_index" -> (q213_knn_ivfpq_index _),
+    "q214_knn_ivf_append" -> (q214_knn_ivf_append _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

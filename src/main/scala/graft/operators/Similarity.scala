@@ -214,6 +214,45 @@ object Similarity {
       .parquet(s"$dir/postings.parquet")
   }
 
+  /** Append a delta batch to a persisted [[ivfBuild]] index WITHOUT
+    * refitting: the batch assigns to the EXISTING coarse centroids
+    * (bounded broadcast) and its postings land as NEW files inside each
+    * list's partition directory (`mode("append")` + `partitionBy` only
+    * touches the lists the batch hits). This is the daily-growth
+    * workflow at corpus scale — a refit is a training job over the
+    * whole corpus, an append is one scan of the delta. The documented
+    * trade: coarse centroids drift as the distribution moves, so probe
+    * recall decays until a rebuild; probe-all correctness (the oracle
+    * gate) is unaffected because every vector lands in exactly one
+    * list whatever the assignment. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                batch: DataFrame): Unit = {
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$dir/centroids.parquet")
+        .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assign = udf { (v: Seq[Double]) =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < bc.value.length) {
+        val c = bc.value(i)
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    batch
+      .select(assign(col("v").cast("array<double>")).as("list"),
+        col("id"), col("v"))
+      .repartition(col("list"))
+      .write.mode("append").partitionBy("list")
+      .parquet(s"$dir/postings.parquet")
+  }
+
   /** Probe a persisted [[ivfBuild]] index: centroids load as one
     * bounded collect (nList · dim doubles — broadcast-class by
     * construction), each query explodes into its `nProbe` nearest

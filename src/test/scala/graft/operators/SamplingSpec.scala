@@ -274,6 +274,52 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("ivfAppend grows the index without refit; probe-all stays exact") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mid = corpus.agg(
+      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toFile
+    try {
+      Similarity.ivfBuild(corpus.filter(col("id") <= mid),
+        dir.getAbsolutePath, nList = 4, kmeansMaxIter = 2)
+      val centsBefore = spark.read
+        .parquet(dir.getAbsolutePath + "/centroids.parquet").collect()
+        .map(_.toString).sorted.toSeq
+      val filesBefore = spark.read
+        .parquet(dir.getAbsolutePath + "/postings.parquet")
+        .inputFiles.toSet
+      Similarity.ivfAppend(spark, dir.getAbsolutePath,
+        corpus.filter(col("id") > mid))
+      // append = new files only: every pre-append posting file survives
+      // untouched and the centroids are bit-identical (no refit)
+      val filesAfter = spark.read
+        .parquet(dir.getAbsolutePath + "/postings.parquet")
+        .inputFiles.toSet
+      assert(filesBefore.subsetOf(filesAfter) &&
+        filesAfter.size > filesBefore.size)
+      assert(spark.read
+        .parquet(dir.getAbsolutePath + "/centroids.parquet").collect()
+        .map(_.toString).sorted.toSeq == centsBefore)
+      // probe-all over the grown index == brute force over EVERYTHING
+      val full = pairs(Similarity.ivfQuery(spark, dir.getAbsolutePath,
+        queries, k = 3, nProbe = 4))
+      assert(full == pairs(Similarity.bruteForce(queries, corpus, 3)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("persisted IVF-PQ index: codes-only layout, probe-all equals brute force") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
