@@ -35,7 +35,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2,
           "cosine_sim(a, b) takes two array<double> arguments")
-        CosineSim(args.head, args(1))
+        // explicit element-type coercion (array<int> literals etc.):
+        // the expression itself REJECTS non-double arrays because its
+        // kernel reads raw double buffers; un-castable arguments fail
+        // in the analyzer instead
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        CosineSim(Cast(args.head, ArrayType(DoubleType)),
+          Cast(args(1), ArrayType(DoubleType)))
       }))
 
   /** Imperative registration on an already-built session (tests, REPLs —

@@ -1399,13 +1399,7 @@ object SparkEntry {
     * so the hash compare is batch-equivalent regardless of batch
     * slicing. */
   def q209_streaming_file(s: SparkSession, d: String): DataFrame = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "q209_stage_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
+    val stage = graft.util.TempDirs.fresh("q209_stage_")
     // the staging dir must not leak on ANY failure (the write itself,
     // readStream setup, or start()), not just a mid-stream one — so the
     // cleanup wraps everything from the first write onward
@@ -1447,7 +1441,7 @@ object SparkEntry {
       s.catalog.dropTempView(sink)
       s.createDataFrame(
         java.util.Arrays.asList(rows: _*), out.schema)
-    } finally rm(stage)
+    } finally graft.util.TempDirs.deleteRecursively(stage)
   }
 
   /** Int8 embedding quantization manifest: per-vector symmetric scale +
@@ -2361,6 +2355,27 @@ object SparkEntry {
       .select(col("qid"), col("rank"), col("id"), col("cosine"))
   }
 
+  /** Shared scaffold of the persisted-index gates (q211/q213/q214):
+    * the q29 query/corpus split, a per-run temp index directory, and
+    * collect-materialization of the (bounded: |queries|·k rows) result
+    * before the directory is deleted. `run(queries, corpus, dir)`
+    * builds and probes the index. */
+  private def annIndexGate(s: SparkSession, d: String, prefix: String)(
+      run: (DataFrame, DataFrame, String) => DataFrame): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val dir = graft.util.TempDirs.fresh(prefix)
+    try {
+      val got = run(queries, corpus, dir.getAbsolutePath)
+        .select(col("qid"), col("rank"), col("id"), col("cosine"))
+      val rows = got.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   /** IVF index PERSISTENCE gate ([[operators.Similarity.ivfBuild]] /
     * `ivfQuery`): the index — centroids plus postings partitioned by
     * inverted list — is built ONCE, written to parquet, and probed from
@@ -2369,31 +2384,11 @@ object SparkEntry {
     * partition directories). Probe-all makes the result equal exact
     * brute force whatever k-means learned, so the whole
     * build→save→load→probe round-trip faces q29's SQL oracle. */
-  def q211_knn_ivf_index(s: SparkSession, d: String): DataFrame = {
-    val emb = T.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val corpus = emb.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("id"), col("embedding").as("v"))
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "q211_ivf_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
+  def q211_knn_ivf_index(s: SparkSession, d: String): DataFrame =
+    annIndexGate(s, d, "q211_ivf_") { (queries, corpus, dir) =>
+      Similarity.ivfBuild(corpus, dir, nList = 8, kmeansMaxIter = 2)
+      Similarity.ivfQuery(s, dir, queries, k = 3, nProbe = 8)
     }
-    try {
-      Similarity.ivfBuild(corpus, dir.getAbsolutePath, nList = 8,
-        kmeansMaxIter = 2)
-      val got = Similarity.ivfQuery(s, dir.getAbsolutePath, queries,
-        k = 3, nProbe = 8)
-        .select(col("qid"), col("rank"), col("id"), col("cosine"))
-      // the index dir is per-run temp state — materialize the (bounded:
-      // |queries|·k rows) result before deleting it
-      val rows = got.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
-    } finally rm(dir)
-  }
 
   /** IVF-PQ index PERSISTENCE gate ([[operators.Similarity.ivfPqBuild]]
     * / `ivfPqQuery`): the COMPRESSED index — coarse centroids,
@@ -2402,29 +2397,16 @@ object SparkEntry {
     * refine-over-every-candidate must equal exact brute force whatever
     * the quantizers learned, so the persisted path faces q29's SQL
     * oracle like its in-memory twin q68o. */
-  def q213_knn_ivfpq_index(s: SparkSession, d: String): DataFrame = {
-    val emb = T.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val corpus = emb.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("id"), col("embedding").as("v"))
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "q213_ivfpq_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
+  def q213_knn_ivfpq_index(s: SparkSession, d: String): DataFrame =
+    annIndexGate(s, d, "q213_ivfpq_") { (queries, corpus, dir) =>
+      Similarity.ivfPqBuild(corpus, dir, nList = 8, m = 4, nCodes = 8,
+        kmeansMaxIter = 2)
+      // refine-ALL means refineK ≥ |corpus| — measured, not assumed: a
+      // fixed constant silently under-refines when the oracle replays
+      // at a bigger scale factor (sf1's corpus is 19,995 rows)
+      Similarity.ivfPqQuery(s, dir, queries, corpus, k = 3, nProbe = 8,
+        refineK = corpus.count().toInt)
     }
-    try {
-      Similarity.ivfPqBuild(corpus, dir.getAbsolutePath, nList = 8,
-        m = 4, nCodes = 8, kmeansMaxIter = 2)
-      val got = Similarity.ivfPqQuery(s, dir.getAbsolutePath, queries,
-        corpus, k = 3, nProbe = 8, refineK = 10000)
-        .select(col("qid"), col("rank"), col("id"), col("cosine"))
-      val rows = got.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
-    } finally rm(dir)
-  }
 
   /** IVF index APPEND gate ([[operators.Similarity.ivfAppend]]): the
     * index is built on the older half of the corpus, the newer half is
@@ -2432,33 +2414,15 @@ object SparkEntry {
     * the hit lists' partition directories), and probe-all over the
     * grown index must equal exact brute force over the FULL corpus —
     * the daily-growth workflow, hash-gated end to end. */
-  def q214_knn_ivf_append(s: SparkSession, d: String): DataFrame = {
-    val emb = T.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val corpus = emb.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("id"), col("embedding").as("v"))
-    val mid = corpus.agg(
-      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "q214_ivf_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
+  def q214_knn_ivf_append(s: SparkSession, d: String): DataFrame =
+    annIndexGate(s, d, "q214_ivf_") { (queries, corpus, dir) =>
+      val mid = corpus.agg(
+        percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+      Similarity.ivfBuild(corpus.filter(col("id") <= mid), dir,
+        nList = 8, kmeansMaxIter = 2)
+      Similarity.ivfAppend(s, dir, corpus.filter(col("id") > mid))
+      Similarity.ivfQuery(s, dir, queries, k = 3, nProbe = 8)
     }
-    try {
-      Similarity.ivfBuild(corpus.filter(col("id") <= mid),
-        dir.getAbsolutePath, nList = 8, kmeansMaxIter = 2)
-      Similarity.ivfAppend(s, dir.getAbsolutePath,
-        corpus.filter(col("id") > mid))
-      val got = Similarity.ivfQuery(s, dir.getAbsolutePath, queries,
-        k = 3, nProbe = 8)
-        .select(col("qid"), col("rank"), col("id"), col("cosine"))
-      val rows = got.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
-    } finally rm(dir)
-  }
 
   /** DSIR data selection ([[operators.DataSelection]]): weigh every
     * document by the log importance ratio of its hashed-bigram profile
@@ -2499,10 +2463,11 @@ object SparkEntry {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val corpus = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("id"), col("embedding").as("v"))
-    // refineK far above |corpus| at verify scale → refine rescans every
-    // candidate exactly (a bounded heap sized this way is still cheap)
+    // refine-ALL requires refineK ≥ |corpus| — count it rather than
+    // assume a constant covers every scale factor the oracle replays at
     Similarity.ivfPq(queries, corpus, 3, nList = 8, nProbe = 8,
-      m = 4, nCodes = 8, refineK = 10000, kmeansMaxIter = 2)
+      m = 4, nCodes = 8, refineK = corpus.count().toInt,
+      kmeansMaxIter = 2)
       .select(col("qid"), col("rank"), col("id"), col("cosine"))
   }
 

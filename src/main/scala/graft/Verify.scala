@@ -26,12 +26,8 @@ object Verify {
       // drop any PREVIOUS run's output first: with a reused outDir a
       // failed query would otherwise leave stale parquet behind and the
       // driver's compare would silently validate last round's result
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-        f.delete(); ()
-      }
       val target = new java.io.File(s"$outDir/$name")
-      if (target.exists()) rmTree(target)
+      if (target.exists()) graft.util.TempDirs.deleteRecursively(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

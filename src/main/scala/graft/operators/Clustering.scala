@@ -84,7 +84,15 @@ object Clustering {
       }
       centroids = next
     }
-    v.select(col("_id").as(idCol), assign(centroids)(col("_v")).as("cluster"))
+    // eager-materialize the (node-sized) assignment so the iteration
+    // cache can be RELEASED — returning a lazy frame over `v` would pin
+    // the full vector cache for the session (one orphaned corpus-sized
+    // cache per invocation across a long suite)
+    val out = v
+      .select(col("_id").as(idCol), assign(centroids)(col("_v")).as("cluster"))
+      .localCheckpoint(true)
+    v.unpersist(false)
+    out
   }
 
   /** TWO-LEVEL deterministic k-means: a coarse pass with k₁ = ⌈√k⌉
@@ -198,10 +206,21 @@ object Clustering {
         case _ => ()
       }
     }
-    assign(cent).select(col("_id").as(idCol),
+    // eager-materialize the (node-sized) labels, then RELEASE the
+    // iteration state: the pts cache (a full id+vector copy) and the
+    // last round's checkpoint RDD would otherwise stay pinned for the
+    // session ([[kmeans]]'s rationale)
+    val out = assign(cent).select(col("_id").as(idCol),
       (col("_cell").cast("long") * lit(4294967296L) +
         col("_fj").cast("long")).as("cluster"))
-    // (the result's schema is (idCol, cluster: long) — _v is dropped)
+      .localCheckpoint(true)
+    pts.unpersist(false)
+    cent.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+    out
   }
 
   /** SemDeDup-style semantic near-duplicate pairs: k-means first, then

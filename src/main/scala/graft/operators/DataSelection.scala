@@ -38,6 +38,11 @@ object DataSelection {
                   targetCol: String, buckets: Int = 256,
                   alpha: Double = 1.0): DataFrame = {
     require(buckets >= 2 && alpha > 0)
+    // deliberately NOT persisted: the explode has one row per bigram
+    // occurrence — LARGER than the corpus itself. Recomputing the
+    // cheap tokenize+md5 projection for the scoring pass beats pinning
+    // a corpus-scale cache for the session's lifetime (the returned
+    // frame would keep the blocks alive past the caller's action).
     val bg = docs
       .select(col(idCol), col(targetCol).cast("boolean").as("_t"),
         explode(TF.shingles(col(textCol), 2)).as("_bg"))
@@ -45,7 +50,6 @@ object DataSelection {
         pmod(conv(substring(md5(col("_bg")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)))
       .drop("_bg")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket histogram: `buckets` rows after a map-side-combinable agg,
     // with target and raw counted in the same pass
     val counts = bg.groupBy("_b").agg(

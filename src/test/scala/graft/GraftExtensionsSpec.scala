@@ -27,5 +27,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got.getDouble(0) == 1.0)
     assert(got.getDouble(1) == 0.0)
     assert(got.isNullAt(2))
+    // int-array arguments coerce through the declared input types
+    // instead of reading garbage off a mistyped buffer
+    val coerced = spark.sql(
+      "SELECT cosine_sim(array(1, 0), array(2, 0)) AS c").head()
+    assert(coerced.getDouble(0) == 1.0)
   }
 }

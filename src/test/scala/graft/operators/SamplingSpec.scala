@@ -265,13 +265,7 @@ class SamplingSpec extends SparkSpec {
       assert(plan.contains("PartitionFilters") &&
         "PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
         s"expected a list partition filter in:\n$plan")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir)
-    }
+    } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
   test("ivfAppend grows the index without refit; probe-all stays exact") {
@@ -311,13 +305,7 @@ class SamplingSpec extends SparkSpec {
       val full = pairs(Similarity.ivfQuery(spark, dir.getAbsolutePath,
         queries, k = 3, nProbe = 4))
       assert(full == pairs(Similarity.bruteForce(queries, corpus, 3)))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir)
-    }
+    } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
   test("persisted IVF-PQ index: codes-only layout, probe-all equals brute force") {
@@ -357,13 +345,7 @@ class SamplingSpec extends SparkSpec {
       val plan = part.queryExecution.executedPlan.toString
       assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
         s"expected a list partition filter in:\n$plan")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir)
-    }
+    } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
   test("IVF-PQ ANN recall with exact refine beats the probe floor") {
