@@ -801,6 +801,10 @@ object OracleSql {
     // the grown index is exhaustive over the full corpus
     "q214_knn_ivf_append" -> exactKnnSql,
 
+    // build-on-half + encode-append-half against existing quantizers,
+    // probe-all + refine-all: exhaustive-exact over the full corpus
+    "q215_knn_ivfpq_append" -> exactKnnSql,
+
     // the persisted IVF-PQ index (codes-not-vectors on disk) probing
     // all lists with refine over every candidate: exhaustive-exact
     "q213_knn_ivfpq_index" -> exactKnnSql,

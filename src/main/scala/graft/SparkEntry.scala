@@ -2424,6 +2424,22 @@ object SparkEntry {
       Similarity.ivfQuery(s, dir, queries, k = 3, nProbe = 8)
     }
 
+  /** IVF-PQ index APPEND gate ([[operators.Similarity.ivfPqAppend]]):
+    * the q214 workflow for the compressed layout — build codebooks on
+    * the older half, encode-and-append the newer half against the
+    * EXISTING quantizers, probe-all + refine-all over the grown index
+    * must equal exact brute force over the full corpus. */
+  def q215_knn_ivfpq_append(s: SparkSession, d: String): DataFrame =
+    annIndexGate(s, d, "q215_ivfpq_") { (queries, corpus, dir) =>
+      val mid = corpus.agg(
+        percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+      Similarity.ivfPqBuild(corpus.filter(col("id") <= mid), dir,
+        nList = 8, m = 4, nCodes = 8, kmeansMaxIter = 2)
+      Similarity.ivfPqAppend(s, dir, corpus.filter(col("id") > mid))
+      Similarity.ivfPqQuery(s, dir, queries, corpus, k = 3, nProbe = 8,
+        refineK = corpus.count().toInt)
+    }
+
   /** DSIR data selection ([[operators.DataSelection]]): weigh every
     * document by the log importance ratio of its hashed-bigram profile
     * under the English-target vs raw-corpus distributions, keep the
@@ -4062,7 +4078,8 @@ object SparkEntry {
     "q211_knn_ivf_index" -> (q211_knn_ivf_index _),
     "q212_dsir_select" -> (q212_dsir_select _),
     "q213_knn_ivfpq_index" -> (q213_knn_ivfpq_index _),
-    "q214_knn_ivf_append" -> (q214_knn_ivf_append _))
+    "q214_knn_ivf_append" -> (q214_knn_ivf_append _),
+    "q215_knn_ivfpq_append" -> (q215_knn_ivfpq_append _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -375,6 +375,75 @@ object Similarity {
       .parquet(s"$dir/codes.parquet")
   }
 
+  /** Append a delta batch to a persisted [[ivfPqBuild]] index WITHOUT
+    * refitting ([[ivfAppend]]'s workflow for the compressed layout):
+    * the batch assigns to the EXISTING coarse centroids and encodes
+    * against the EXISTING codebooks (both bounded broadcasts), and its
+    * codes land as new files in the hit lists' partition directories.
+    * Same drift trade as [[ivfAppend]], plus quantization error grows
+    * if the new vectors leave the codebooks' trained region — probe-all
+    * + refine-all correctness is unaffected (codes only order
+    * candidates; the exact rescoring decides). */
+  def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  batch: DataFrame): Unit = {
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$dir/centroids.parquet")
+        .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$dir/codebooks.parquet")
+      .orderBy("j", "c").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val nCodes = cbRows.map(_.getInt(1)).max + 1
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, nCodes) { (j, c) =>
+        cbRows(j * nCodes + c).getSeq[Double](2).toArray
+      }
+    val subLen = codebooks(0)(0).length
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val assignAndEncode = udf { (v: Seq[Double]) =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < bcC.value.length) {
+        val c = bcC.value(i)
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      val cb = bcCb.value
+      val codes = new Array[Int](cb.length)
+      var nrm = 0.0
+      i = 0
+      while (i < v.length) { nrm += v(i) * v(i); i += 1 }
+      var j = 0
+      while (j < cb.length) {
+        var bc = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cb(j).length) {
+          var d = 0.0; var t = 0
+          while (t < subLen) {
+            val diff = cb(j)(c)(t) - v(j * subLen + t); d += diff * diff
+            t += 1
+          }
+          if (d < bd) { bd = d; bc = c }
+          c += 1
+        }
+        codes(j) = bc; j += 1
+      }
+      (best, codes, math.sqrt(nrm))
+    }
+    batch
+      .select(col("id"), assignAndEncode(col("v").cast("array<double>"))
+        .as("e"))
+      .select(col("e._1").as("list"), col("id"), col("e._2").as("codes"),
+        col("e._3").as("norm"))
+      .repartition(col("list"))
+      .write.mode("append").partitionBy("list")
+      .parquet(s"$dir/codes.parquet")
+  }
+
   /** Probe a persisted [[ivfPqBuild]] index. Centroids and codebooks
     * load as bounded collects (coarse nList·dim + m·nCodes·subLen
     * doubles — broadcast-class by construction); the codes scan carries

@@ -79,10 +79,18 @@ object TextRanking {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nlp")).cast("double") / count(lit(1)) + lit(1e-9), 6)
           .as("avg_nll"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+    // eager-materialize the (doc-sized) scores and RELEASE the
+    // per-bigram-occurrence cache — `bg` is larger than the corpus, and
+    // a lazy return would pin it for the session (the Clustering.kmeans
+    // cache-release convention)
+    val out = docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+      .localCheckpoint(true)
+    bg.unpersist(false)
+    cBig.unpersist(false)
+    out
   }
 
   /** BM25 relevance of every document to a fixed bag of query terms

@@ -348,6 +348,44 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("ivfPqAppend encodes against existing quantizers; probe-all stays exact") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mid = corpus.agg(
+      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqapp").toFile
+    try {
+      Similarity.ivfPqBuild(corpus.filter(col("id") <= mid),
+        dir.getAbsolutePath, nList = 4, m = 4, nCodes = 8,
+        kmeansMaxIter = 2)
+      val cbBefore = spark.read
+        .parquet(dir.getAbsolutePath + "/codebooks.parquet").collect()
+        .map(_.toString).sorted.toSeq
+      val filesBefore = spark.read
+        .parquet(dir.getAbsolutePath + "/codes.parquet").inputFiles.toSet
+      Similarity.ivfPqAppend(spark, dir.getAbsolutePath,
+        corpus.filter(col("id") > mid))
+      // append = new code files only; quantizers untouched
+      val filesAfter = spark.read
+        .parquet(dir.getAbsolutePath + "/codes.parquet").inputFiles.toSet
+      assert(filesBefore.subsetOf(filesAfter) &&
+        filesAfter.size > filesBefore.size)
+      assert(spark.read
+        .parquet(dir.getAbsolutePath + "/codebooks.parquet").collect()
+        .map(_.toString).sorted.toSeq == cbBefore)
+      // probe-all + refine-all over the grown index == brute force
+      val full = pairs(Similarity.ivfPqQuery(spark, dir.getAbsolutePath,
+        queries, corpus, k = 3, nProbe = 4, refineK = 100000))
+      assert(full == pairs(Similarity.bruteForce(queries, corpus, 3)))
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("IVF-PQ ANN recall with exact refine beats the probe floor") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
