@@ -2431,13 +2431,16 @@ object SparkEntry {
     * must equal exact brute force over the full corpus. */
   def q215_knn_ivfpq_append(s: SparkSession, d: String): DataFrame =
     annIndexGate(s, d, "q215_ivfpq_") { (queries, corpus, dir) =>
-      val mid = corpus.agg(
-        percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+      // one pass for both corpus scalars (split point + refine-all size)
+      val stats = corpus.agg(
+        percentile_approx(col("id"), lit(0.5), lit(10000)),
+        count(lit(1))).head()
+      val mid = stats.getLong(0)
       Similarity.ivfPqBuild(corpus.filter(col("id") <= mid), dir,
         nList = 8, m = 4, nCodes = 8, kmeansMaxIter = 2)
       Similarity.ivfPqAppend(s, dir, corpus.filter(col("id") > mid))
       Similarity.ivfPqQuery(s, dir, queries, corpus, k = 3, nProbe = 8,
-        refineK = corpus.count().toInt)
+        refineK = stats.getLong(1).toInt)
     }
 
   /** DSIR data selection ([[operators.DataSelection]]): weigh every

@@ -215,11 +215,15 @@ object Clustering {
         col("_fj").cast("long")).as("cluster"))
       .localCheckpoint(true)
     pts.unpersist(false)
-    cent.queryExecution.logical match {
+    // release BOTH retained checkpoint RDDs: the last fine round's
+    // centroid frame and the coarse [[kmeans]] assignment (an n-row
+    // checkpoint reachable only through the already-materialized pts) —
+    // collect over the plan tree because coarse sits under a Project
+    Seq(cent, coarse).foreach(_.queryExecution.logical.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(false)
       case _ => ()
-    }
+    })
     out
   }
 

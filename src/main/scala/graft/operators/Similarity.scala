@@ -192,6 +192,88 @@ object Similarity {
     *     the unprobed lists never leave object storage).
     * The postings write repartitions by list so each partition is one
     * coherent file set, not a per-task fragment spray. */
+  // ---- persisted-index shared plumbing ---------------------------------
+  // one loader + one kernel each, shared by the build/append/query
+  // paths: a layout change edited in a single place cannot
+  // desynchronize append from probe
+
+  /** Coarse centroids of a persisted index, in list order — bounded
+    * (nList · dim doubles). */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
+
+  /** PQ codebooks of a persisted index as a (j)(c) grid — bounded
+    * (m · nCodes · subLen doubles). */
+  private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks.parquet")
+      .orderBy("j", "c").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    Array.tabulate(m, nCodes) { (j, c) =>
+      rows(j * nCodes + c).getSeq[Double](2).toArray
+    }
+  }
+
+  /** Index of the nearest centroid by squared L2 (lowest index wins
+    * ties) — the assignment kernel of the append paths. */
+  private def nearestIdx(cents: Array[Array[Double]],
+                         v: Seq[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest centroid indices by squared L2, ascending
+    * distance — the probe kernel of the query paths. */
+  private def probeIdx(cents: Array[Array[Double]], v: Seq[Double],
+                       nProbe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+
+  /** PQ-encode one vector against the codebook grid: per-subspace
+    * nearest sub-centroid indices plus the vector norm. */
+  private def pqEncode(cb: Array[Array[Array[Double]]], subLen: Int,
+                       v: Seq[Double]): (Array[Int], Double) = {
+    val codes = new Array[Int](cb.length)
+    var nrm = 0.0
+    var i = 0
+    while (i < v.length) { nrm += v(i) * v(i); i += 1 }
+    var j = 0
+    while (j < cb.length) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb(j).length) {
+        var d = 0.0
+        var t = 0
+        while (t < subLen) {
+          val diff = cb(j)(c)(t) - v(j * subLen + t); d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best; j += 1
+    }
+    (codes, math.sqrt(nrm))
+  }
+
   def ivfBuild(corpus: DataFrame, dir: String, nList: Int = 16,
                seed: Long = 7L, kmeansMaxIter: Int = 20): Unit = {
     import org.apache.spark.ml.clustering.KMeans
@@ -227,27 +309,16 @@ object Similarity {
     * list whatever the assignment. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                 batch: DataFrame): Unit = {
-    val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$dir/centroids.parquet")
-        .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
-    val bc = spark.sparkContext.broadcast(cents)
-    val assign = udf { (v: Seq[Double]) =>
-      var best = 0
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < bc.value.length) {
-        val c = bc.value(i)
-        var d = 0.0
-        var j = 0
-        while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    }
+    val bc = spark.sparkContext.broadcast(loadCentroids(spark, dir))
+    val assign = udf { (v: Seq[Double]) => nearestIdx(bc.value, v) }
+    // coerce the batch to the EXISTING index's column types: an
+    // append that silently mixes (say) float and double data files
+    // under one directory corrupts every later probe's scan
+    val existing = spark.read.parquet(s"$dir/postings.parquet").schema
     batch
       .select(assign(col("v").cast("array<double>")).as("list"),
-        col("id"), col("v"))
+        col("id").cast(existing("id").dataType),
+        col("v").cast(existing("v").dataType))
       .repartition(col("list"))
       .write.mode("append").partitionBy("list")
       .parquet(s"$dir/postings.parquet")
@@ -265,18 +336,9 @@ object Similarity {
     * the fit amortized away. */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
                queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val centRows = spark.read.parquet(s"$dir/centroids.parquet")
-      .orderBy("list").collect()
-    val cents: Array[Array[Double]] =
-      centRows.map(_.getSeq[Double](1).toArray)
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(loadCentroids(spark, dir))
     val probeLists = udf { (qv: Seq[Double]) =>
-      bc.value.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < c.length) { val t = c(j) - qv(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
+      probeIdx(bc.value, qv, nProbe)
     }
     val q = queries.select(col("qid"), col("qv"),
       explode(probeLists(col("qv").cast("array<double>"))).as("list"))
@@ -343,31 +405,14 @@ object Similarity {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/codebooks.parquet")
     val bcCb = spark.sparkContext.broadcast(codebooks)
-    val encode = udf { (v: Seq[Float]) =>
-      val cb = bcCb.value
-      val codes = new Array[Int](cb.length)
-      var nrm = 0.0
-      var i = 0
-      while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
-      var j = 0
-      while (j < cb.length) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb(j).length) {
-          var d = 0.0; var t = 0
-          while (t < subLen) {
-            val diff = cb(j)(c)(t) - v(j * subLen + t); d += diff * diff
-            t += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        codes(j) = best; j += 1
-      }
-      (codes, math.sqrt(nrm))
+    // float→double widening is exact, so encoding the cast column with
+    // the shared double kernel is bit-identical to a float-input loop
+    val encode = udf { (v: Seq[Double]) =>
+      pqEncode(bcCb.value, subLen, v)
     }
     coarse.transform(av)
-      .select(col("list"), col("id"), encode(col("v")).as("e"))
+      .select(col("list"), col("id"),
+        encode(col("v").cast("array<double>")).as("e"))
       .select(col("list"), col("id"), col("e._1").as("codes"),
         col("e._2").as("norm"))
       .repartition(col("list"))
@@ -386,57 +431,20 @@ object Similarity {
     * candidates; the exact rescoring decides). */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                   batch: DataFrame): Unit = {
-    val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$dir/centroids.parquet")
-        .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
-    val cbRows = spark.read.parquet(s"$dir/codebooks.parquet")
-      .orderBy("j", "c").collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val nCodes = cbRows.map(_.getInt(1)).max + 1
-    val codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m, nCodes) { (j, c) =>
-        cbRows(j * nCodes + c).getSeq[Double](2).toArray
-      }
+    val codebooks = loadCodebooks(spark, dir)
     val subLen = codebooks(0)(0).length
-    val bcC = spark.sparkContext.broadcast(cents)
+    val bcC = spark.sparkContext.broadcast(loadCentroids(spark, dir))
     val bcCb = spark.sparkContext.broadcast(codebooks)
     val assignAndEncode = udf { (v: Seq[Double]) =>
-      var best = 0
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < bcC.value.length) {
-        val c = bcC.value(i)
-        var d = 0.0
-        var j = 0
-        while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      val cb = bcCb.value
-      val codes = new Array[Int](cb.length)
-      var nrm = 0.0
-      i = 0
-      while (i < v.length) { nrm += v(i) * v(i); i += 1 }
-      var j = 0
-      while (j < cb.length) {
-        var bc = 0; var bd = Double.MaxValue
-        var c = 0
-        while (c < cb(j).length) {
-          var d = 0.0; var t = 0
-          while (t < subLen) {
-            val diff = cb(j)(c)(t) - v(j * subLen + t); d += diff * diff
-            t += 1
-          }
-          if (d < bd) { bd = d; bc = c }
-          c += 1
-        }
-        codes(j) = bc; j += 1
-      }
-      (best, codes, math.sqrt(nrm))
+      val (codes, nrm) = pqEncode(bcCb.value, subLen, v)
+      (nearestIdx(bcC.value, v), codes, nrm)
     }
+    // [[ivfAppend]]'s schema coercion: the appended files must carry
+    // the EXISTING index's column types
+    val existing = spark.read.parquet(s"$dir/codes.parquet").schema
     batch
-      .select(col("id"), assignAndEncode(col("v").cast("array<double>"))
-        .as("e"))
+      .select(col("id").cast(existing("id").dataType),
+        assignAndEncode(col("v").cast("array<double>")).as("e"))
       .select(col("e._1").as("list"), col("id"), col("e._2").as("codes"),
         col("e._3").as("norm"))
       .repartition(col("list"))
@@ -457,26 +465,12 @@ object Similarity {
   def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
                  queries: DataFrame, corpus: DataFrame, k: Int,
                  nProbe: Int = 2, refineK: Int = 50): DataFrame = {
-    val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$dir/centroids.parquet")
-        .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
-    val cbRows = spark.read.parquet(s"$dir/codebooks.parquet")
-      .orderBy("j", "c").collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val nCodes = cbRows.map(_.getInt(1)).max + 1
-    val codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m, nCodes) { (j, c) =>
-        cbRows(j * nCodes + c).getSeq[Double](2).toArray
-      }
+    val codebooks = loadCodebooks(spark, dir)
     val subLen = codebooks(0)(0).length
-    val bcC = spark.sparkContext.broadcast(cents)
+    val bcC = spark.sparkContext.broadcast(loadCentroids(spark, dir))
     val bcCb = spark.sparkContext.broadcast(codebooks)
     val probeLists = udf { (qv: Seq[Double]) =>
-      bcC.value.zipWithIndex.map { case (cn, i) =>
-        var d = 0.0; var t = 0
-        while (t < cn.length) { val df = cn(t) - qv(t); d += df * df; t += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
+      probeIdx(bcC.value, qv, nProbe)
     }
     val adc = udf { (qv: Seq[Double], codes: Seq[Int], nrm: Double) =>
       val cb = bcCb.value

@@ -308,6 +308,34 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("ivfAppend coerces a double-typed batch to the index's float schema") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 5).limit(50)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfcoerce").toFile
+    try {
+      Similarity.ivfBuild(corpus, dir.getAbsolutePath, nList = 2,
+        kmeansMaxIter = 1)
+      // the delta arrives as array<double> + int id — a different but
+      // castable shape; the append must write the index's own types
+      val delta = Seq((1000000, Array.tabulate(dim)(_ * 0.25)))
+        .toDF("id", "v")
+      Similarity.ivfAppend(spark, dir.getAbsolutePath, delta)
+      val postings = spark.read
+        .parquet(dir.getAbsolutePath + "/postings.parquet")
+      assert(postings.schema("v").dataType ==
+        corpus.schema("v").dataType)
+      assert(postings.filter(col("id") === 1000000L).count() == 1)
+      // and the grown index still probes cleanly through the files
+      val queries = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      assert(Similarity.ivfQuery(spark, dir.getAbsolutePath, queries,
+        k = 3, nProbe = 2).count() == 6)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("persisted IVF-PQ index: codes-only layout, probe-all equals brute force") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
