@@ -160,17 +160,9 @@ object Similarity {
     val bucketed = model.transform(av).select(col("id"), col("v"),
       col("list"))
     val centers = corpus.sparkSession.sparkContext
-      .broadcast(model.clusterCenters)
+      .broadcast(model.clusterCenters.map(_.toArray))
     val probeLists = udf { (qv: Seq[Double]) =>
-      centers.value.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        val ca = c.toArray
-        while (j < ca.length) {
-          val diff = ca(j) - qv(j); d += diff * diff; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
+      probeIdx(centers.value, qv, nProbe)
     }
     val q = queries.select(col("qid"), col("qv"),
       explode(probeLists(col("qv").cast("array<double>"))).as("list"))
@@ -246,6 +238,49 @@ object Similarity {
       (d, i)
     }.sortBy(_._1).take(nProbe).map(_._2).toSeq
 
+  /** Asymmetric-distance cosine estimate: Σⱼ dot(qⱼ, codebook_j[code_j])
+    * over the stored norm — the PQ scoring kernel of both the in-memory
+    * and persisted query paths. */
+  private def adcScore(cb: Array[Array[Array[Double]]], subLen: Int,
+                       qv: Seq[Double], codes: Seq[Int],
+                       nrm: Double): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < cb.length) {
+      val cent = cb(j)(codes(j))
+      var t = 0
+      while (t < subLen) { s += cent(t) * qv(j * subLen + t); t += 1 }
+      j += 1
+    }
+    var qn = 0.0
+    var i = 0
+    while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
+    if (nrm == 0.0 || qn == 0.0) 0.0 else s / (math.sqrt(qn) * nrm)
+  }
+
+  /** Appended ids must WIDEN into the index's id type: Spark's default
+    * cast would silently wrap a narrowing integral cast (long batch ids
+    * into an int-id index), storing corrupted ids that later probes
+    * join against nothing. */
+  private def requireIdWidens(from: org.apache.spark.sql.types.DataType,
+                              to: org.apache.spark.sql.types.DataType)
+  : Unit = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(1)
+      case ShortType => Some(2)
+      case IntegerType => Some(3)
+      case LongType => Some(4)
+      case _ => None
+    }
+    val ok = from == to || ((rank(from), rank(to)) match {
+      case (Some(f), Some(t)) => f <= t
+      case _ => false
+    })
+    require(ok, s"append id type ${from.catalogString} does not widen " +
+      s"to index id type ${to.catalogString}")
+  }
+
   /** PQ-encode one vector against the codebook grid: per-subspace
     * nearest sub-centroid indices plus the vector norm. */
   private def pqEncode(cb: Array[Array[Array[Double]]], subLen: Int,
@@ -315,6 +350,7 @@ object Similarity {
     // append that silently mixes (say) float and double data files
     // under one directory corrupts every later probe's scan
     val existing = spark.read.parquet(s"$dir/postings.parquet").schema
+    requireIdWidens(batch.schema("id").dataType, existing("id").dataType)
     batch
       .select(assign(col("v").cast("array<double>")).as("list"),
         col("id").cast(existing("id").dataType),
@@ -442,6 +478,7 @@ object Similarity {
     // [[ivfAppend]]'s schema coercion: the appended files must carry
     // the EXISTING index's column types
     val existing = spark.read.parquet(s"$dir/codes.parquet").schema
+    requireIdWidens(batch.schema("id").dataType, existing("id").dataType)
     batch
       .select(col("id").cast(existing("id").dataType),
         assignAndEncode(col("v").cast("array<double>")).as("e"))
@@ -473,17 +510,7 @@ object Similarity {
       probeIdx(bcC.value, qv, nProbe)
     }
     val adc = udf { (qv: Seq[Double], codes: Seq[Int], nrm: Double) =>
-      val cb = bcCb.value
-      var s = 0.0; var j = 0
-      while (j < cb.length) {
-        val cent = cb(j)(codes(j))
-        var t = 0
-        while (t < subLen) { s += cent(t) * qv(j * subLen + t); t += 1 }
-        j += 1
-      }
-      var qn = 0.0; var i = 0
-      while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
-      if (nrm == 0.0 || qn == 0.0) 0.0 else s / (math.sqrt(qn) * nrm)
+      adcScore(bcCb.value, subLen, qv, codes, nrm)
     }
     val q = queries.select(col("qid"),
       col("qv").cast("array<double>").as("qd"),
@@ -558,55 +585,24 @@ object Similarity {
         nCodes, kmeansMaxIter)
     }.toArray
     val bcCb = spark.sparkContext.broadcast(codebooks)
-    val encode = udf { (v: Seq[Float]) =>
-      val cb = bcCb.value
-      val codes = new Array[Int](cb.length)
-      var nrm = 0.0
-      var i = 0
-      while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
-      var j = 0
-      while (j < cb.length) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb(j).length) {
-          var d = 0.0; var t = 0
-          while (t < subLen) {
-            val diff = cb(j)(c)(t) - v(j * subLen + t); d += diff * diff
-            t += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        codes(j) = best; j += 1
-      }
-      (codes, math.sqrt(nrm))
+    // same shared kernels as the persisted paths (float→double widening
+    // is exact, so encoding the cast column is bit-identical)
+    val encode = udf { (v: Seq[Double]) =>
+      pqEncode(bcCb.value, subLen, v)
     }
     // the compressed corpus: list id + codes + norm, no vectors
     val encoded = coarse.transform(av)
-      .select(col("id"), col("list"), encode(col("v")).as("e"))
+      .select(col("id"), col("list"),
+        encode(col("v").cast("array<double>")).as("e"))
       .select(col("id"), col("list"), col("e._1").as("codes"),
         col("e._2").as("norm"))
-    val centers = spark.sparkContext.broadcast(coarse.clusterCenters)
+    val centers = spark.sparkContext
+      .broadcast(coarse.clusterCenters.map(_.toArray))
     val probeLists = udf { (qv: Seq[Double]) =>
-      centers.value.zipWithIndex.map { case (cn, i) =>
-        var d = 0.0; var t = 0
-        val ca = cn.toArray
-        while (t < ca.length) { val df = ca(t) - qv(t); d += df * df; t += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
+      probeIdx(centers.value, qv, nProbe)
     }
     val adc = udf { (qv: Seq[Double], codes: Seq[Int], nrm: Double) =>
-      val cb = bcCb.value
-      var s = 0.0; var j = 0
-      while (j < cb.length) {
-        val cent = cb(j)(codes(j))
-        var t = 0
-        while (t < subLen) { s += cent(t) * qv(j * subLen + t); t += 1 }
-        j += 1
-      }
-      var qn = 0.0; var i = 0
-      while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
-      if (nrm == 0.0 || qn == 0.0) 0.0 else s / (math.sqrt(qn) * nrm)
+      adcScore(bcCb.value, subLen, qv, codes, nrm)
     }
     val q = queries.select(col("qid"),
       col("qv").cast("array<double>").as("qd"),
