@@ -29,6 +29,23 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
+  test("seeded random sweep: bit-identical to HOF across dims and magnitudes") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 300).map { i =>
+      val d = 1 + rnd.nextInt(96)
+      def vec() = Array.fill(d)(
+        (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(13) - 6))
+      (i.toLong, vec(), vec())
+    }.toDF("id", "a", "b")
+    val hof = VectorOps.dot(col("a"), col("b")) /
+      sqrt(VectorOps.normSq(col("a")) * VectorOps.normSq(col("b")))
+    rows.select(VectorOps.cosine(col("a"), col("b")).as("fast"),
+      hof.as("ref")).collect().foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
   test("length mismatch and null input yield NULL; zero vector yields NaN") {
     val df = Seq(
       (1L, Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0, 3.0))),

@@ -336,6 +336,26 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("ivfAppend rejects a batch whose id type would narrow") {
+    import spark.implicits._
+    val dim = 4
+    val corpus = (1 to 20).map(i =>
+      (i, Array.tabulate(dim)(j => (i * (j + 1)).toFloat)))
+      .toDF("id", "v") // INT ids → int-id index
+    val dir = java.nio.file.Files.createTempDirectory("ivfnarrow").toFile
+    try {
+      Similarity.ivfBuild(corpus, dir.getAbsolutePath, nList = 2,
+        kmeansMaxIter = 1)
+      // a LONG-id batch must be refused, not silently wrapped
+      val delta = Seq((Int.MaxValue.toLong + 7L,
+        Array.tabulate(dim)(_ * 0.5))).toDF("id", "v")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfAppend(spark, dir.getAbsolutePath, delta)
+      }
+      assert(e.getMessage.contains("does not widen"))
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("persisted IVF-PQ index: codes-only layout, probe-all equals brute force") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
