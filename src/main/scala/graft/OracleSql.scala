@@ -1665,6 +1665,15 @@ object OracleSql {
         hex8("'split_' || CAST(doc_id AS VARCHAR)") +
         " AS DOUBLE) / 4294967296.0 AS f FROM documents)"),
 
+    // leakage-safe split: the hash runs over the CONTENT hash (salt
+    // 'gsplit'), so identical texts share a side by construction
+    "q216_leakage_safe_split" -> (
+      "SELECT doc_id, CASE WHEN f < 0.8 THEN 'train' " +
+        "WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, CAST(" +
+        hex8("'gsplit_' || md5(text)") +
+        " AS DOUBLE) / 4294967296.0 AS f FROM documents)"),
+
     // q61: ranking is integer-exact (tf desc, df asc, term asc); the
     // floating tfidf column is display-only, rounded at 6dp
     "q61_tfidf" -> (toksCte + """,

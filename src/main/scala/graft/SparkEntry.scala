@@ -2443,6 +2443,16 @@ object SparkEntry {
         refineK = stats.getLong(1).toInt)
     }
 
+  /** Leakage-safe split ([[operators.Splits.groupedSplit]]): the split
+    * hash is taken over the content hash, so exact-duplicate documents
+    * land on the SAME side — the constructive counterpart of the q132
+    * leakage audit. Zero shuffle, engine-mirrorable projection. */
+  def q216_leakage_safe_split(s: SparkSession, d: String): DataFrame =
+    Splits.groupedSplit(
+      T.documents(s, d).select(col("doc_id"), md5(col("text")).as("chash")),
+      Seq("chash"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+
   /** DSIR data selection ([[operators.DataSelection]]): weigh every
     * document by the log importance ratio of its hashed-bigram profile
     * under the English-target vs raw-corpus distributions, keep the
@@ -4082,7 +4092,8 @@ object SparkEntry {
     "q212_dsir_select" -> (q212_dsir_select _),
     "q213_knn_ivfpq_index" -> (q213_knn_ivfpq_index _),
     "q214_knn_ivf_append" -> (q214_knn_ivf_append _),
-    "q215_knn_ivfpq_append" -> (q215_knn_ivfpq_append _))
+    "q215_knn_ivfpq_append" -> (q215_knn_ivfpq_append _),
+    "q216_leakage_safe_split" -> (q216_leakage_safe_split _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -36,6 +36,28 @@ object Splits {
                 salt: String = "split"): DataFrame =
     df.withColumn("split", assign(col(idCol), fractions, salt))
 
+  /** LEAKAGE-SAFE split: the hash is taken over a GROUP key instead of
+    * the row id, so every member of a group lands on the same side —
+    * the constructive counterpart of the split-leakage audit (q132):
+    * row-hash splitting scatters a duplicate cluster across train and
+    * test, and the model is then evaluated on rows it memorized.
+    * `groupCols` is any precomputed grouping — a content hash for exact
+    * duplicates, a [[Dedup.resolveClusters]] cluster id for near-dups,
+    * a user/session id for entity-level holdout. Same zero-shuffle,
+    * partitioning-independent, engine-mirrorable projection as
+    * [[withSplit]]; per-split masses now fluctuate with GROUP sizes
+    * (unavoidable: a group is atomic by definition). */
+  def groupedSplit(df: DataFrame, groupCols: Seq[String],
+                   fractions: Seq[(String, Double)],
+                   salt: String = "gsplit"): DataFrame = {
+    require(groupCols.nonEmpty, "groupedSplit needs at least one group column")
+    // joined with an \u0001 separator so multi-column groups cannot
+    // alias each other (("ab","c") vs ("a","bc")) — the NegativeSampling
+    // key convention
+    val key = concat_ws("\u0001", groupCols.map(col): _*)
+    df.withColumn("split", assign(key, fractions, salt))
+  }
+
   /** EXACT stratified split: within every stratum the labels cut the
     * stratum's deterministic md5 order at `floor(cum_fraction·n + 0.5)`
     * — rounded cumulative boundaries, so an 80/20 split of 25 rows is

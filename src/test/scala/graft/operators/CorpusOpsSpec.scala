@@ -7,6 +7,29 @@ import org.apache.spark.sql.functions._
   * text scoring (TF-IDF / bigram LM) against hand computations. */
 class CorpusOpsSpec extends SparkSpec {
 
+  test("groupedSplit keeps every group member on the same side") {
+    import spark.implicits._
+    // 300 groups of 3 members each; a row-hash split would scatter them
+    val df = (1L to 900L).map(i => (i, s"g${i % 300}")).toDF("id", "grp")
+    val fr = Seq("train" -> 0.8, "test" -> 0.2)
+    val out = Splits.groupedSplit(df, Seq("grp"), fr)
+    assert(out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") =!= 1).count() == 0)
+    // by contrast the row-id split DOES scatter at least one group
+    assert(Splits.withSplit(df, "id", fr).groupBy("grp")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") =!= 1).count() > 0)
+    // multi-column groups cannot alias: ("ab","c") and ("a","bc") are
+    // DISTINCT groups — their separator-joined hash keys differ (the
+    // split labels themselves may still coincide by chance)
+    val two = Seq((1L, "ab", "c"), (2L, "a", "bc")).toDF("id", "x", "y")
+    val fr2 = two.select(DownSampling.hashFraction(Seq(lit("gsplit"),
+      concat_ws("\u0001", col("x"), col("y")))).as("f"))
+      .collect().map(_.getDouble(0))
+    assert(fr2(0) != fr2(1))
+  }
+
   test("split assignment is deterministic, exhaustive, and near-fractional") {
     import spark.implicits._
     val df = (1L to 4000L).toDF("id")
