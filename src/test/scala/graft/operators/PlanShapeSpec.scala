@@ -93,6 +93,27 @@ class PlanShapeSpec extends SparkSpec {
     })
   }
 
+  test("DSIR scoring joins its bucket table by broadcast, never sort-merge") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, (1 to 10).map(j => s"w${(i + j) % 40}").mkString(" "),
+        i % 3 == 0)).toDF("doc_id", "text", "t")
+    val w = DataSelection.dsirWeights(docs, "doc_id", "text", "t",
+      buckets = 32)
+    w.queryExecution.toRdd.foreach(_ => ())
+    val nodes = flattenPlan(w.queryExecution.executedPlan)
+    // the log-ratio table is `buckets` rows — the scoring join must ride
+    // a broadcast; a sort-merge here would shuffle the full per-bigram
+    // explode by bucket at corpus scale
+    assert(!nodes.exists {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _ => false
+    }, nodes.map(_.nodeName).distinct.mkString(", "))
+    assert(nodes.exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    })
+  }
+
   test("Chunking.chunk is shuffle-free (splits compose with any write)") {
     val docs = Seq((1L, "a b c d e f g h i j")).toDF("id", "t")
     assert(!hasShuffle(Chunking.chunk(docs, "id", "t", 4, 4)))
