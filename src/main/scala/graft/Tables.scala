@@ -122,11 +122,16 @@ object Tables {
       .get("spark.graft.fanout.bytesPerPartition", (256L << 10).toString)
       .toLong
     val hconf = spark.sparkContext.hadoopConfiguration
-    val totalBytes = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      try p.getFileSystem(hconf).getFileStatus(p).getLen
-      catch { case _: java.io.IOException => Long.MaxValue / 1024 }
-    }.sum
+    // an unreadable file status means SKIP the adaptation, not "assume
+    // huge": a Long.MaxValue-scale sentinel would force maximum fan-out
+    // on a transient FS error, and summing it across several failing
+    // files overflows negative and silently disables the gate below
+    val totalBytes =
+      try files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }.sum
+      catch { case _: java.io.IOException => return df }
     val sized = math.min(target.toLong,
       (totalBytes + perPart - 1) / math.max(1L, perPart)).toInt
     if (totalBytes >= minBytes && sized > files.length)

@@ -22,8 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * accumulators (dot, ‖a‖², ‖b‖²) are independent left-to-right double
   * sums and the result is `d / sqrt(na·nb)` — so every oracle hash
   * downstream is unchanged (spec-pinned equal to the HOF formulation).
-  * Mismatched lengths yield NULL, matching the UDF's guard; arrays with
-  * null ELEMENTS are out of contract (embedding columns are dense).
+  * Mismatched lengths yield NULL, matching the UDF's guard; a null
+  * ELEMENT also yields NULL — `getDouble` on a null slot would read
+  * undefined buffer bytes and emit silent garbage scores, a worse
+  * failure than the loud NPE the UDF it replaced produced (dense
+  * embedding columns never hit this branch, so the check costs one
+  * predictable test per element inside the fused loop).
   */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -56,6 +60,7 @@ case class CosineSim(left: Expression, right: Expression)
       var d = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xi = x.getDouble(i); val yi = y.getDouble(i)
         d += xi * yi; na += xi * xi; nb += yi * yi
         i += 1
@@ -81,11 +86,16 @@ case class CosineSim(left: Expression, right: Expression)
          |} else {
          |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    final double $x = $a.getDouble($i);
          |    final double $y = $b.getDouble($i);
          |    $d += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = $d / java.lang.Math.sqrt($na * $nb);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $d / java.lang.Math.sqrt($na * $nb);
+         |  }
          |}
        """.stripMargin
     })

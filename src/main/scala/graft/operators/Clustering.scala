@@ -280,10 +280,25 @@ object Clustering {
       col("_v").as("_va"))
     val b = guarded.select(col("cluster"), col("_id").as("id_b"),
       col("_v").as("_vb"))
-    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+    // eager-materialize the (tau-bounded) pair output so the iteration
+    // state can be RELEASED — returning a lazy frame would pin the
+    // corpus-sized `guarded` cache for the session, plus the `assigned`
+    // labels' checkpoint RDD (the exact leak [[kmeans]] and
+    // [[kmeansTwoLevel]] eagerly materialize-and-unpersist to avoid)
+    val out = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
       .select(col("cluster"), col("id_a"), col("id_b"),
         graft.functions.VectorOps.cosine(col("_va"), col("_vb"))
           .as("cosine"))
       .filter(col("cosine") >= tau)
+      .localCheckpoint(true)
+    guarded.unpersist(false)
+    // the labels frame from kmeans/kmeansTwoLevel is itself a retained
+    // checkpoint; it has no consumer after the pair materialization
+    assigned.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+    out
   }
 }

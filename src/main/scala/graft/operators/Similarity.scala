@@ -189,6 +189,18 @@ object Similarity {
   // paths: a layout change edited in a single place cannot
   // desynchronize append from probe
 
+  /** Snapshot a BOUNDED (broadcast-class) frame: one collect + a local
+    * relation over the rows. Used where one plan execution derives
+    * driver-side state (a partition filter) that a second execution
+    * must agree with — recomputing a nondeterministic input in between
+    * would desynchronize them. Unlike localCheckpoint this pins nothing
+    * in the block manager after the caller drops the frame. */
+  private def materialize(spark: org.apache.spark.sql.SparkSession,
+                          df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Coarse centroids of a persisted index, in list order — bounded
     * (nList · dim doubles). */
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -376,8 +388,18 @@ object Similarity {
     val probeLists = udf { (qv: Seq[Double]) =>
       probeIdx(bc.value, qv, nProbe)
     }
-    val q = queries.select(col("qid"), col("qv"),
-      explode(probeLists(col("qv").cast("array<double>"))).as("list"))
+    // MATERIALIZE the exploded query batch (broadcast-class:
+    // |queries|·nProbe rows) before deriving the partition filter: the
+    // filter is collected from one execution of this plan and the join
+    // below re-executes it — a nondeterministic `queries` (sample(),
+    // unordered limit) could otherwise probe lists the static filter
+    // already excluded, silently dropping candidates. Collect-and-
+    // recreate (the annIndexGate convention) rather than
+    // localCheckpoint: nothing stays pinned in the block manager across
+    // repeated probe calls
+    val q = materialize(spark,
+      queries.select(col("qid"), col("qv"),
+        explode(probeLists(col("qv").cast("array<double>"))).as("list")))
     // distinct probed lists: ≤ nList ints — one tiny job over the
     // query batch buys a static PartitionFilter on the postings scan
     val probed = q.select(col("list")).distinct()
@@ -512,9 +534,11 @@ object Similarity {
     val adc = udf { (qv: Seq[Double], codes: Seq[Int], nrm: Double) =>
       adcScore(bcCb.value, subLen, qv, codes, nrm)
     }
-    val q = queries.select(col("qid"),
+    // materialized before the filter collect for the same
+    // consistency-under-nondeterminism reason as [[ivfQuery]]
+    val q = materialize(spark, queries.select(col("qid"),
       col("qv").cast("array<double>").as("qd"),
-      explode(probeLists(col("qv").cast("array<double>"))).as("list"))
+      explode(probeLists(col("qv").cast("array<double>"))).as("list")))
     val probed = q.select(col("list")).distinct()
       .collect().map(_.getInt(0)).sorted
     val codes = spark.read.parquet(s"$dir/codes.parquet")

@@ -53,8 +53,13 @@ object Splits {
     require(groupCols.nonEmpty, "groupedSplit needs at least one group column")
     // joined with an \u0001 separator so multi-column groups cannot
     // alias each other (("ab","c") vs ("a","bc")) — the NegativeSampling
-    // key convention
-    val key = concat_ws("\u0001", groupCols.map(col): _*)
+    // key convention. concat_ws silently DROPS null arguments, which
+    // would collapse (null,"a") and ("a",null) onto the same key "a";
+    // tag each null with a sentinel first — the SnapshotDiff hashing
+    // convention (non-null keys are byte-identical to before, so every
+    // existing split assignment is unchanged)
+    val key = concat_ws("\u0001", groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
     df.withColumn("split", assign(key, fractions, salt))
   }
 

@@ -58,6 +58,19 @@ class CosineSimSpec extends SparkSpec {
         else java.lang.Double.valueOf(r.getDouble(1)))).toMap
     assert(rows(1L) == null)
     assert(rows(2L) == null)
+    // a null ELEMENT yields NULL, never a garbage score read off
+    // uninitialized buffer bytes — in both codegen and interpreted eval
+    val holey = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0),
+        Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0),
+        Seq[java.lang.Double](1.0, 2.0, 3.0))
+    ).toDF("id", "a", "b")
+    val hr = holey.select(col("id"),
+      VectorOps.cosine(col("a"), col("b")).as("c")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(hr(1L), "null element must yield NULL")
+    assert(!hr(2L), "dense row must still score")
     assert(rows(3L) != null && rows(3L).isNaN)
   }
 

@@ -88,4 +88,27 @@ class ClusteringSpec extends SparkSpec {
       k = 2, iterations = 2, maxCluster = 2L)
     assert(none.count() == 0)
   }
+
+  test("semDedup releases its iteration caches (only the result stays)") {
+    import spark.implicits._
+    val df = (blob(Array(0.0, 1.0, 2.0, 3.0), 0 until 12) ++
+      Seq(100 -> Seq(0.0001, 1.0001, 2.0001, 3.0001))).toDF("id", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Clustering.semDedup(df, "id", "v", tau = 0.999,
+      k = 2, iterations = 2)
+    assert(pairs.count() >= 1)
+    // the corpus-sized `guarded` cache and the kmeans labels checkpoint
+    // must be gone; the ONLY new persisted block is the materialized
+    // (tau-bounded) pair result itself, and releasing it restores the
+    // session to its pre-call persistence state
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.size <= 1, s"leaked persisted RDDs: $after")
+    pairs.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(true)
+      case _ => ()
+    }
+    val finalSet = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(finalSet.isEmpty, s"leaked persisted RDDs: $finalSet")
+  }
 }

@@ -30,6 +30,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fr2(0) != fr2(1))
   }
 
+  test("groupedSplit: null group columns are tagged, not dropped") {
+    import spark.implicits._
+    // concat_ws DROPS nulls, so without the sentinel (null,"a") and
+    // ("a",null) would collapse onto the key "a" -- three distinct
+    // groups here must produce three distinct hash keys
+    val df = Seq((1L, Option.empty[String], Some("a")),
+      (2L, Some("a"), Option.empty[String]),
+      (3L, Some("a"), Some("a"))).toDF("id", "x", "y")
+    val fr = Seq("train" -> 0.5, "test" -> 0.5)
+    val out = Splits.groupedSplit(df, Seq("x", "y"), fr)
+    // reconstruct the sentinel-tagged keys and check injectivity
+    val keys = df.select(concat_ws("\u0001",
+      coalesce(col("x"), lit("\u0000null")),
+      coalesce(col("y"), lit("\u0000null"))).as("k"))
+      .collect().map(_.getString(0))
+    assert(keys.distinct.length == 3, s"keys collapsed: ${keys.toSeq}")
+    // and a null-keyed group is still ATOMIC: duplicated members across
+    // a different partitioning agree on the side
+    val dup = df.union(df).repartition(5)
+    assert(Splits.groupedSplit(dup, Seq("x", "y"), fr)
+      .groupBy("x", "y").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") =!= 1).count() == 0)
+    assert(out.count() == 3)
+  }
+
   test("split assignment is deterministic, exhaustive, and near-fractional") {
     import spark.implicits._
     val df = (1L to 4000L).toDF("id")
