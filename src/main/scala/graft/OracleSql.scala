@@ -98,6 +98,43 @@ object OracleSql {
        |  FROM projs GROUP BY vec_id)""".stripMargin
   }
 
+  /** Shared q57/q219 chain: shingle-Jaccard near-dup candidate pairs
+    * (shared-shingle equi-join prefilter — value-identical to all-pairs
+    * for jaccard >= 0.01 > 0, and what lets DuckDB finish at sf1)
+    * resolved to connected components by transitive closure; yields
+    * `base` (doc_id, component, ntok). The engine runs O(log n)
+    * large-star/small-star instead; small data lets the oracle afford
+    * O(n*|C|) reachability. */
+  private val dupComponentsCte = "WITH RECURSIVE" +
+      shinglesCte.stripPrefix("WITH") + """,
+        |ds AS (SELECT doc_id, source, list_distinct(sh3) AS sh FROM sh),
+        |g AS (SELECT doc_id, source, unnest(sh) AS g FROM ds),
+        |cand AS (
+        |  SELECT a.doc_id AS ea, b.doc_id AS eb
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT ea, eb FROM cand
+        |  JOIN ds da ON da.doc_id = cand.ea
+        |  JOIN ds db ON db.doc_id = cand.eb
+        |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |    / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+        |    >= 0.01),
+        |sym AS (SELECT ea AS u, eb AS v FROM e UNION SELECT eb, ea FROM e),
+        |reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |  WHERE s.v <> r.u),
+        |comp AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u),
+        |base AS (
+        |  SELECT t.doc_id, COALESCE(c.component, t.doc_id) AS component,
+        |    len(t.toks) AS ntok
+        |  FROM t LEFT JOIN comp c ON t.doc_id = c.doc_id)""".stripMargin
+
   /** Exact cosine top-3 for vec_id<5 queries over the vec_id≥5 corpus —
     * the oracle for q29 (brute force) and q43o (IVF with nProbe = nList,
     * which must degenerate to exhaustive search). */
@@ -724,35 +761,7 @@ object OracleSql {
     // common shingle, so the prefilter is value-identical — and it is
     // what lets DuckDB finish this mirror at sf1 (the all-pairs form
     // grows quadratically with docs-per-source and exceeded 15 min).
-    "q57_dup_clusters" -> ("WITH RECURSIVE" +
-      shinglesCte.stripPrefix("WITH") + """,
-        |ds AS (SELECT doc_id, source, list_distinct(sh3) AS sh FROM sh),
-        |g AS (SELECT doc_id, source, unnest(sh) AS g FROM ds),
-        |cand AS (
-        |  SELECT a.doc_id AS ea, b.doc_id AS eb
-        |  FROM g a JOIN g b ON a.g = b.g AND a.source = b.source
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |e AS (
-        |  SELECT ea, eb FROM cand
-        |  JOIN ds da ON da.doc_id = cand.ea
-        |  JOIN ds db ON db.doc_id = cand.eb
-        |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-        |    / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
-        |    >= 0.01),
-        |sym AS (SELECT ea AS u, eb AS v FROM e UNION SELECT eb, ea FROM e),
-        |reach AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-        |  WHERE s.v <> r.u),
-        |comp AS (
-        |  SELECT u AS doc_id, least(u, min(v)) AS component
-        |  FROM reach GROUP BY u),
-        |base AS (
-        |  SELECT t.doc_id, COALESCE(c.component, t.doc_id) AS component,
-        |    len(t.toks) AS ntok
-        |  FROM t LEFT JOIN comp c ON t.doc_id = c.doc_id),
+    "q57_dup_clusters" -> (dupComponentsCte + """,
         |best AS (
         |  SELECT component, COUNT(*) AS cluster_size, MAX(ntok) AS maxp
         |  FROM base GROUP BY component),
@@ -764,6 +773,16 @@ object OracleSql {
         |  canon.canonical_id
         |FROM base JOIN best USING (component)
         |JOIN canon USING (component)""".stripMargin),
+
+    // q219: the q57 component chain composed into the grouped split —
+    // the hash runs over CAST(component AS VARCHAR) with the 'gsplit'
+    // salt, so a whole NEAR-dup cluster shares a side by construction
+    "q219_neardup_grouped_split" -> (dupComponentsCte + """
+        |SELECT doc_id, component, CASE WHEN f < 0.8 THEN 'train'
+        |  WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, component, CAST(""".stripMargin +
+      hex8("'gsplit_' || CAST(component AS VARCHAR)") +
+      " AS DOUBLE) / 4294967296.0 AS f FROM base)"),
 
     "q27_minhash" -> (shinglesCte + """,
         |sigs AS (
@@ -804,6 +823,10 @@ object OracleSql {
     // build-on-half + encode-append-half against existing quantizers,
     // probe-all + refine-all: exhaustive-exact over the full corpus
     "q215_knn_ivfpq_append" -> exactKnnSql,
+    // compaction gates: build + append + compact/rebuild, probe-all
+    // must still degenerate to exhaustive search
+    "q217_knn_ivf_compact" -> exactKnnSql,
+    "q218_knn_ivfpq_compact" -> exactKnnSql,
 
     // the persisted IVF-PQ index (codes-not-vectors on disk) probing
     // all lists with refine over every candidate: exhaustive-exact

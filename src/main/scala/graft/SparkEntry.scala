@@ -2443,6 +2443,47 @@ object SparkEntry {
         refineK = stats.getLong(1).toInt)
     }
 
+  /** IVF index COMPACTION gate ([[operators.Similarity.ivfCompact]]):
+    * the full lifecycle — build on a third, append two daily batches
+    * (each spraying new files into hit-list directories), then a
+    * rebuild-compaction (refit centroids from the stored postings,
+    * defragment every list to one file set) — and probe-all over the
+    * compacted index must STILL equal exact brute force over the whole
+    * corpus. The maintenance workflow the reference's index rebuild
+    * driver served (photon-client FeatureIndexingDriver.scala:261-291 —
+    * indexes there are rebuilt, never appended blindly). */
+  def q217_knn_ivf_compact(s: SparkSession, d: String): DataFrame =
+    annIndexGate(s, d, "q217_ivf_") { (queries, corpus, dir) =>
+      val Seq(t1, t2) = corpus.stat
+        .approxQuantile("id", Array(1.0 / 3, 2.0 / 3), 0.0).toSeq
+      Similarity.ivfBuild(corpus.filter(col("id") <= t1), dir,
+        nList = 8, kmeansMaxIter = 2)
+      Similarity.ivfAppend(s, dir,
+        corpus.filter(col("id") > t1 && col("id") <= t2))
+      Similarity.ivfAppend(s, dir, corpus.filter(col("id") > t2))
+      Similarity.ivfCompact(s, dir, rebuild = true, kmeansMaxIter = 2)
+      Similarity.ivfQuery(s, dir, queries, k = 3, nProbe = 8)
+    }
+
+  /** IVF-PQ codes COMPACTION gate
+    * ([[operators.Similarity.ivfPqCompact]]): build on half, append the
+    * rest, defragment the code partitions (file compaction — a PQ
+    * refit needs the embedding store, i.e. is a fresh `ivfPqBuild`),
+    * then probe-all + refine-all must equal brute force. */
+  def q218_knn_ivfpq_compact(s: SparkSession, d: String): DataFrame =
+    annIndexGate(s, d, "q218_ivfpq_") { (queries, corpus, dir) =>
+      val stats = corpus.agg(
+        percentile_approx(col("id"), lit(0.5), lit(10000)),
+        count(lit(1))).head()
+      val mid = stats.getLong(0)
+      Similarity.ivfPqBuild(corpus.filter(col("id") <= mid), dir,
+        nList = 8, m = 4, nCodes = 8, kmeansMaxIter = 2)
+      Similarity.ivfPqAppend(s, dir, corpus.filter(col("id") > mid))
+      Similarity.ivfPqCompact(s, dir)
+      Similarity.ivfPqQuery(s, dir, queries, corpus, k = 3, nProbe = 8,
+        refineK = stats.getLong(1).toInt)
+    }
+
   /** Leakage-safe split ([[operators.Splits.groupedSplit]]): the split
     * hash is taken over the content hash, so exact-duplicate documents
     * land on the SAME side — the constructive counterpart of the q132
@@ -2452,6 +2493,25 @@ object SparkEntry {
       T.documents(s, d).select(col("doc_id"), md5(col("text")).as("chash")),
       Seq("chash"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("doc_id"), col("split"))
+
+  /** NEAR-dup leakage-safe split — the composition a real corpus
+    * pipeline runs: q57's resolved duplicate clusters (shingle-Jaccard
+    * pairs → connected components) feed [[operators.Splits
+    * .groupedSplit]] as the group key, so a whole near-duplicate
+    * CLUSTER — not just byte-identical copies — lands on one side of
+    * the train/test cut. The split itself stays the zero-shuffle
+    * hash-of-group projection; all the heavy lifting is the cluster
+    * resolution the dedup pipeline already ran. */
+  def q219_neardup_grouped_split(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.01)
+    val clusters = Dedup.resolveClusters(docs, pairs, "doc_id",
+      priorityCol = TF.tokenCount(col("text")))
+    Splits.groupedSplit(clusters.select(col("doc_id"), col("component")),
+      Seq("component"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("component"), col("split"))
+  }
 
   /** DSIR data selection ([[operators.DataSelection]]): weigh every
     * document by the log importance ratio of its hashed-bigram profile
@@ -4093,7 +4153,10 @@ object SparkEntry {
     "q213_knn_ivfpq_index" -> (q213_knn_ivfpq_index _),
     "q214_knn_ivf_append" -> (q214_knn_ivf_append _),
     "q215_knn_ivfpq_append" -> (q215_knn_ivfpq_append _),
-    "q216_leakage_safe_split" -> (q216_leakage_safe_split _))
+    "q216_leakage_safe_split" -> (q216_leakage_safe_split _),
+    "q217_knn_ivf_compact" -> (q217_knn_ivf_compact _),
+    "q218_knn_ivfpq_compact" -> (q218_knn_ivfpq_compact _),
+    "q219_neardup_grouped_split" -> (q219_neardup_grouped_split _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

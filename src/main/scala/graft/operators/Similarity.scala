@@ -559,6 +559,119 @@ object Similarity {
         V.cosine(col("qv"), col("v")).as("cosine")), k)
   }
 
+  // ---- persisted-index lifecycle: compaction + recall monitoring ------
+  // every [[ivfAppend]]/[[ivfPqAppend]] writes NEW files into the hit
+  // lists' partition directories, so a daily-append index accumulates
+  // hundreds of small files per list (the classic small-file scan-cost
+  // cliff) while the un-refit centroids drift away from the data. These
+  // two close the loop the append docstrings promise: a compactor that
+  // rewrites each list into sized files (optionally refitting — a
+  // rebuild), and a recall probe that MEASURES the drift so the rebuild
+  // is triggered by evidence, not a calendar.
+
+  /** Atomically-ish swap a freshly-written table directory into place:
+    * write-to-temp → delete old → rename. The write must have FULLY
+    * materialized before the delete (it has: parquet writes are eager),
+    * so a reader never sees a half-rewritten table — the same
+    * last-step-rename discipline a production compactor uses. */
+  private def swapInto(spark: org.apache.spark.sql.SparkSession,
+                       tmp: String, dest: String): Unit = {
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(destP, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), destP),
+      s"compaction rename $tmp -> $dest failed")
+  }
+
+  /** Compact a persisted [[ivfBuild]] index's postings: every list's
+    * accumulated append fragments are rewritten into ONE coherent file
+    * set per list (the same `repartition(list)` layout the build path
+    * writes), read once → write once → swap. With `rebuild = true` the
+    * whole index is refit from the stored postings — new coarse
+    * centroids (same nList, read from the centroid table) and fresh
+    * assignments — which is the answer to append-induced centroid
+    * drift; [[ivfRecallProbe]] tells you when that is worth a training
+    * pass. Probe-all semantics are invariant under both modes (every
+    * vector lands in exactly one list either way). */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 rebuild: Boolean = false, seed: Long = 7L,
+                 kmeansMaxIter: Int = 20): Unit = {
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    if (rebuild) {
+      // full refit through the build path itself (one code path =
+      // layouts cannot diverge), into a sibling temp index, then swap
+      val nList = spark.read.parquet(s"$dir/centroids.parquet")
+        .count().toInt
+      val tmp = s"$dir/_rebuild.tmp"
+      ivfBuild(postings.select(col("id"), col("v")), tmp, nList,
+        seed, kmeansMaxIter)
+      swapInto(spark, s"$tmp/centroids.parquet", s"$dir/centroids.parquet")
+      swapInto(spark, s"$tmp/postings.parquet", s"$dir/postings.parquet")
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(tmpP, true)
+    } else {
+      // keep assignments; just coalesce each list's file spray
+      val tmp = s"$dir/postings.parquet.compact.tmp"
+      postings.select(col("list"), col("id"), col("v"))
+        .repartition(col("list"))
+        .write.mode("overwrite").partitionBy("list").parquet(tmp)
+      swapInto(spark, tmp, s"$dir/postings.parquet")
+    }
+  }
+
+  /** [[ivfCompact]] for the compressed [[ivfPqBuild]] layout: rewrite
+    * each list's accumulated code fragments into one file set per list.
+    * No rebuild mode — the index stores codes, not vectors, so a refit
+    * needs the embedding store: a full rebuild IS `ivfPqBuild(corpus,
+    * dir, …)` over the current corpus (same swap-free semantics: build
+    * overwrites). */
+  def ivfPqCompact(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Unit = {
+    val tmp = s"$dir/codes.parquet.compact.tmp"
+    spark.read.parquet(s"$dir/codes.parquet")
+      .select(col("list"), col("id"), col("codes"), col("norm"))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(tmp)
+    swapInto(spark, tmp, s"$dir/codes.parquet")
+  }
+
+  /** Mean recall@k of the PRODUCTION probe (persisted index, partial
+    * nProbe) against exact brute force over the index's own postings,
+    * on a bounded query sample — the drift monitor that decides when
+    * [[ivfCompact]]'s rebuild is due. Both sides are ≤ |queries|·k rows
+    * (bounded-heap top-k), so the comparison is driver-cheap at any
+    * corpus size; the cost is one postings scan for the brute-force
+    * side, which is why the probe runs on a SAMPLE of queries on a
+    * schedule, not per batch. Ties are deterministic on both sides
+    * (cosine desc, id asc), so the hit-set comparison is exact. */
+  def ivfRecallProbe(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, queries: DataFrame, k: Int,
+                     nProbe: Int): Double = {
+    val corpus = spark.read.parquet(s"$dir/postings.parquet")
+      .select(col("id"), col("v"))
+    val exact = bruteForce(queries, corpus, k).select("qid", "id")
+    val got = ivfQuery(spark, dir, queries, k, nProbe).select("qid", "id")
+    val denom = exact.count()
+    if (denom == 0) 1.0
+    else got.intersect(exact).count().toDouble / denom
+  }
+
+  /** [[ivfRecallProbe]] for a persisted [[ivfPqBuild]] index: the
+    * brute-force side reads the original vectors from `corpus` (the
+    * codes table cannot reconstruct them), the probe side runs the
+    * production partial-probe + bounded-refine path. */
+  def ivfPqRecallProbe(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queries: DataFrame, corpus: DataFrame,
+                       k: Int, nProbe: Int, refineK: Int): Double = {
+    val exact = bruteForce(queries, corpus, k).select("qid", "id")
+    val got = ivfPqQuery(spark, dir, queries, corpus, k, nProbe, refineK)
+      .select("qid", "id")
+    val denom = exact.count()
+    if (denom == 0) 1.0
+    else got.intersect(exact).count().toDouble / denom
+  }
+
   /** IVF-PQ ANN: IVF coarse pruning + product-quantized candidate
     * scoring + exact refinement.
     *
