@@ -14,6 +14,15 @@ package org.apache.spark.sql.catalyst.expressions.aggregate {
     def collectTopK(child: Expression, num: Int,
                     reverse: Boolean): Expression =
       CollectTopK(child, num, reverse).toAggregateExpression()
+
+    /** The BARE aggregate function, for FunctionRegistry builders: the
+      * analyzer wraps a registered AggregateFunction in its own
+      * AggregateExpression (and that path is what honors SQL-side
+      * DISTINCT / FILTER clauses), so the SQL registration must NOT
+      * pre-wrap. */
+    def collectTopKFn(child: Expression, num: Int,
+                      reverse: Boolean): Expression =
+      CollectTopK(child, num, reverse)
   }
 }
 

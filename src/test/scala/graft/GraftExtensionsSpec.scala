@@ -33,4 +33,35 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT cosine_sim(array(1, 0), array(2, 0)) AS c").head()
     assert(coerced.getDouble(0) == 1.0)
   }
+
+  test("collect_top_k is callable from pure SQL after registration") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("a", 5), ("a", 1), ("a", 3), ("a", 2), ("b", 9))
+      .toDF("g", "x").createOrReplaceTempView("ctk_rows")
+    val rows = spark.sql(
+      "SELECT g, collect_top_k(x, 2, true) AS lo," +
+        " collect_top_k(x, 2, false) AS hi" +
+        " FROM ctk_rows GROUP BY g ORDER BY g").collect()
+    assert(rows(0).getSeq[Int](1) == Seq(1, 2))
+    assert(rows(0).getSeq[Int](2) == Seq(5, 3))
+    assert(rows(1).getSeq[Int](1) == Seq(9))
+    // the heap size must be a plan-time constant
+    val e = intercept[Exception] {
+      spark.sql("SELECT collect_top_k(x, x, true) FROM ctk_rows").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("index_set_union is callable from pure SQL after registration") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("a", Seq(3, 1)), ("a", Seq(1, 9)), ("b", Seq(0)))
+      .toDF("g", "ix").createOrReplaceTempView("isu_rows")
+    val rows = spark.sql(
+      "SELECT g, index_set_union(ix) AS u FROM isu_rows" +
+        " GROUP BY g ORDER BY g").collect()
+    assert(rows(0).getSeq[Int](1) == Seq(1, 3, 9))
+    assert(rows(1).getSeq[Int](1) == Seq(0))
+  }
 }
