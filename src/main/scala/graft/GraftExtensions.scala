@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggShims
-import org.apache.spark.sql.classic.GraftColumnShims
+import org.apache.spark.sql.execution.aggregate.GraftUdafShims
 
 /** SparkSessionExtensions hook: registers the library's native Catalyst
   * expressions as SQL functions, so pure-SQL users (spark-sql shells,
@@ -56,8 +56,8 @@ object GraftExtensions {
         // they must be plan-time constants — same contract as Spark's
         // own approx_percentile(accuracy)
         GraftAggShims.collectTopKFn(args.head,
-          foldableArg[Number](args(1), "collect_top_k", "k").intValue(),
-          foldableArg[Boolean](args(2), "collect_top_k", "smallest"))
+          intArg(args(1), "collect_top_k", "k"),
+          boolArg(args(2), "collect_top_k", "smallest"))
       }),
     ("index_set_union",
       new ExpressionInfo(IndexUnionAgg.getClass.getName, "index_set_union"),
@@ -66,23 +66,43 @@ object GraftExtensions {
           "index_set_union(indices) takes one array<int> argument")
         import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.{ArrayType, IntegerType}
-        // unwrap the Aggregator's column form back to the BARE
-        // ScalaAggregator so the analyzer's own wrapping (which honors
-        // SQL DISTINCT / FILTER) applies
-        import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-        val c = AggFunctions.indexSetUnion(GraftColumnShims.column(
-          Cast(args.head, ArrayType(IntegerType))))
-        GraftColumnShims.expression(c) match {
-          case ae: AggregateExpression => ae.aggregateFunction
-          case other => other
-        }
+        // the BARE ScalaAggregator (not the Aggregator's Column form —
+        // on Spark 4 classic that unwraps to an Unevaluable
+        // ColumnNodeExpression): the analyzer does its own
+        // AggregateExpression wrapping, which honors SQL DISTINCT/FILTER
+        GraftUdafShims.scalaAggregator(AggFunctions.indexUnionUdaf,
+          Seq(Cast(args.head, ArrayType(IntegerType))))
       }))
 
-  /** Evaluate a parameter that must be a plan-time constant. */
-  private def foldableArg[T](e: Expression, fn: String, name: String): T = {
+  /** Evaluate a parameter that must be a non-null plan-time constant. */
+  private def foldableArg(e: Expression, fn: String, name: String): Any = {
     require(e.foldable, s"$fn: $name must be a literal, got ${e.sql}")
-    e.eval().asInstanceOf[T]
+    val v = e.eval()
+    require(v != null, s"$fn: $name must be a non-null literal")
+    v
   }
+
+  /** An integral literal parameter — fractional numerics (2.5, 2.0) are
+    * rejected rather than silently truncated. */
+  private def intArg(e: Expression, fn: String, name: String): Int =
+    foldableArg(e, fn, name) match {
+      case n: java.lang.Integer => n.intValue()
+      case n: java.lang.Short   => n.intValue()
+      case n: java.lang.Byte    => n.intValue()
+      case n: java.lang.Long =>
+        require(n.longValue() == n.intValue().toLong,
+          s"$fn: $name overflows Int: $n")
+        n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integral literal, got $other")
+    }
+
+  private def boolArg(e: Expression, fn: String, name: String): Boolean =
+    foldableArg(e, fn, name) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a boolean literal, got $other")
+    }
 
   /** Imperative registration on an already-built session (tests, REPLs —
     * `spark.sql.extensions` only applies at session construction). */

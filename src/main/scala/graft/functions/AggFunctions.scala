@@ -31,6 +31,9 @@ object AggFunctions {
     */
   def indexSetUnion(indices: Column): Column = indexUnionUdaf(indices)
 
-  private lazy val indexUnionUdaf =
+  /** The underlying typed UDAF, exposed for [[graft.GraftExtensions]]'s
+    * SQL registration (which needs the bare aggregate function, not a
+    * Column). */
+  private[graft] lazy val indexUnionUdaf =
     org.apache.spark.sql.functions.udaf(IndexUnionAgg)
 }

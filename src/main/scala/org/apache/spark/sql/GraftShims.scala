@@ -53,6 +53,32 @@ package org.apache.spark.sql.catalyst.expressions {
   }
 }
 
+package org.apache.spark.sql.execution.aggregate {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.expressions.{UserDefinedAggregator, UserDefinedFunction}
+
+  object GraftUdafShims {
+    /** The BARE ScalaAggregator for a typed Aggregator UDAF, for
+      * FunctionRegistry builders. Round-tripping through `Column`
+      * (`udaf(...).apply(col)` then unwrapping) does NOT work on Spark 4
+      * classic: the converter hands back a lazy Unevaluable
+      * ColumnNodeExpression, which dies at codegen if registered verbatim.
+      * `ScalaAggregator(uda, children)` is the converter Spark's own
+      * `UDFRegistration.register(name, udaf)` path uses; returning the
+      * bare function lets the analyzer do its own AggregateExpression
+      * wrapping, which is the path that honors SQL DISTINCT / FILTER. */
+    def scalaAggregator(udf: UserDefinedFunction,
+                        children: Seq[Expression]): Expression = udf match {
+      case uda: UserDefinedAggregator[_, _, _] =>
+        ScalaAggregator(uda, children)
+      case other => throw new IllegalArgumentException(
+        s"scalaAggregator expects a UserDefinedAggregator, got " +
+          s"${other.getClass.getName}")
+    }
+  }
+}
+
 package org.apache.spark.sql.classic {
 
   import org.apache.spark.sql.Column

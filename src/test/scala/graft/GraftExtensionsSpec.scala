@@ -64,4 +64,44 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows(0).getSeq[Int](1) == Seq(1, 3, 9))
     assert(rows(1).getSeq[Int](1) == Seq(0))
   }
+
+  test("index_set_union honors SQL DISTINCT and FILTER clauses") {
+    // the registration returns the BARE aggregate function so the
+    // analyzer applies its own AggregateExpression wrapping — the path
+    // that implements DISTINCT / FILTER for registered functions
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("a", Seq(3, 1), 1), ("a", Seq(3, 1), 1), ("a", Seq(9), 0),
+      ("b", Seq(0), 1))
+      .toDF("g", "ix", "keep").createOrReplaceTempView("isu_df_rows")
+    val rows = spark.sql(
+      "SELECT g, index_set_union(DISTINCT ix) AS d," +
+        " index_set_union(ix) FILTER (WHERE keep = 1) AS f" +
+        " FROM isu_df_rows GROUP BY g ORDER BY g").collect()
+    assert(rows(0).getSeq[Int](1) == Seq(1, 3, 9)) // distinct input rows
+    assert(rows(0).getSeq[Int](2) == Seq(1, 3))    // filtered out Seq(9)
+    assert(rows(1).getSeq[Int](1) == Seq(0))
+    assert(rows(1).getSeq[Int](2) == Seq(0))
+  }
+
+  test("constant parameters reject NULL and fractional literals") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(1, 2).toDF("x").createOrReplaceTempView("ck_lit_rows")
+    val eNull = intercept[Exception] {
+      spark.sql(
+        "SELECT collect_top_k(x, NULL, true) FROM ck_lit_rows").collect()
+    }
+    assert(eNull.getMessage.contains("non-null"), eNull.getMessage)
+    val eFrac = intercept[Exception] {
+      spark.sql(
+        "SELECT collect_top_k(x, 2.5, true) FROM ck_lit_rows").collect()
+    }
+    assert(eFrac.getMessage.contains("integral"), eFrac.getMessage)
+    val eBool = intercept[Exception] {
+      spark.sql(
+        "SELECT collect_top_k(x, 2, 1) FROM ck_lit_rows").collect()
+    }
+    assert(eBool.getMessage.contains("boolean"), eBool.getMessage)
+  }
 }
