@@ -237,7 +237,14 @@ object Clustering {
     *
     * A skewed cluster is quadratic in its size — `maxCluster` guards
     * the pathological case (a cluster larger than the cap is dropped
-    * from pairing, the [[Dedup]] hot-bucket convention). */
+    * from pairing, the [[Dedup]] hot-bucket convention).
+    *
+    * RELEASE CONTRACT: the returned frame is an eagerly-materialized
+    * local checkpoint (that is what lets the corpus-sized iteration
+    * caches drop immediately), so ONE pinned RDD — the tau-bounded pair
+    * set itself — stays in the block manager until the caller is done
+    * with it. Call [[releasePairs]] then; repeated un-released calls
+    * accumulate one pinned pair set each. */
   /** [[semDedup]] with the cluster count derived from the data:
     * k = ceil(n / targetClusterSize), clustered by [[kmeansTwoLevel]].
     * A FIXED k is a scale trap — 10× the points with the same k means
@@ -261,6 +268,17 @@ object Clustering {
                maxCluster: Long = 100000L): DataFrame =
     semDedupPairs(df, kmeans(df, idCol, vecCol, k, iterations), idCol,
       vecCol, tau, maxCluster)
+
+  /** Release the one block-manager RDD a [[semDedup]]/[[semDedupAuto]]
+    * result pins (see the release contract on [[semDedup]]). Safe on any
+    * frame — non-checkpoint plans are a no-op; the frame must not be
+    * read again afterwards. */
+  def releasePairs(result: DataFrame): Unit =
+    result.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Within-cluster cosine pairing shared by [[semDedup]] (single-level
     * assignment) and [[semDedupAuto]] (two-level): `assigned` is any

@@ -202,17 +202,19 @@ object Similarity {
   }
 
   /** Coarse centroids of a persisted index, in list order — bounded
-    * (nList · dim doubles). */
+    * (nList · dim doubles). `path` is the manifest-resolved table
+    * directory (one [[Manifest.snapshot]] per query keeps every table a
+    * plan reads on the same index version). */
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Array[Array[Double]] =
-    spark.read.parquet(s"$dir/centroids.parquet")
+                            path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
       .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
 
   /** PQ codebooks of a persisted index as a (j)(c) grid — bounded
     * (m · nCodes · subLen doubles). */
   private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$dir/codebooks.parquet")
+                            path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
       .orderBy("j", "c").collect()
     val m = rows.map(_.getInt(0)).max + 1
     val nCodes = rows.map(_.getInt(1)).max + 1
@@ -356,12 +358,15 @@ object Similarity {
     * list whatever the assignment. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                 batch: DataFrame): Unit = {
-    val bc = spark.sparkContext.broadcast(loadCentroids(spark, dir))
+    val snap = Manifest.snapshot(spark, dir)
+    val postingsPath = snap.path("postings")
+    val bc = spark.sparkContext.broadcast(
+      loadCentroids(spark, snap.path("centroids")))
     val assign = udf { (v: Seq[Double]) => nearestIdx(bc.value, v) }
     // coerce the batch to the EXISTING index's column types: an
     // append that silently mixes (say) float and double data files
     // under one directory corrupts every later probe's scan
-    val existing = spark.read.parquet(s"$dir/postings.parquet").schema
+    val existing = spark.read.parquet(postingsPath).schema
     requireIdWidens(batch.schema("id").dataType, existing("id").dataType)
     batch
       .select(assign(col("v").cast("array<double>")).as("list"),
@@ -369,7 +374,7 @@ object Similarity {
         col("v").cast(existing("v").dataType))
       .repartition(col("list"))
       .write.mode("append").partitionBy("list")
-      .parquet(s"$dir/postings.parquet")
+      .parquet(postingsPath)
   }
 
   /** Probe a persisted [[ivfBuild]] index: centroids load as one
@@ -384,7 +389,9 @@ object Similarity {
     * the fit amortized away. */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
                queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val bc = spark.sparkContext.broadcast(loadCentroids(spark, dir))
+    val snap = Manifest.snapshot(spark, dir)
+    val bc = spark.sparkContext.broadcast(
+      loadCentroids(spark, snap.path("centroids")))
     val probeLists = udf { (qv: Seq[Double]) =>
       probeIdx(bc.value, qv, nProbe)
     }
@@ -404,7 +411,7 @@ object Similarity {
     // query batch buys a static PartitionFilter on the postings scan
     val probed = q.select(col("list")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    val postings = spark.read.parquet(snap.path("postings"))
       .where(col("list").isin(probed.map(Int.box): _*))
     topK(postings.join(broadcast(q), Seq("list"))
       .select(col("qid"), col("id"),
@@ -489,9 +496,12 @@ object Similarity {
     * candidates; the exact rescoring decides). */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                   batch: DataFrame): Unit = {
-    val codebooks = loadCodebooks(spark, dir)
+    val snap = Manifest.snapshot(spark, dir)
+    val codesPath = snap.path("codes")
+    val codebooks = loadCodebooks(spark, snap.path("codebooks"))
     val subLen = codebooks(0)(0).length
-    val bcC = spark.sparkContext.broadcast(loadCentroids(spark, dir))
+    val bcC = spark.sparkContext.broadcast(
+      loadCentroids(spark, snap.path("centroids")))
     val bcCb = spark.sparkContext.broadcast(codebooks)
     val assignAndEncode = udf { (v: Seq[Double]) =>
       val (codes, nrm) = pqEncode(bcCb.value, subLen, v)
@@ -499,7 +509,7 @@ object Similarity {
     }
     // [[ivfAppend]]'s schema coercion: the appended files must carry
     // the EXISTING index's column types
-    val existing = spark.read.parquet(s"$dir/codes.parquet").schema
+    val existing = spark.read.parquet(codesPath).schema
     requireIdWidens(batch.schema("id").dataType, existing("id").dataType)
     batch
       .select(col("id").cast(existing("id").dataType),
@@ -508,7 +518,7 @@ object Similarity {
         col("e._3").as("norm"))
       .repartition(col("list"))
       .write.mode("append").partitionBy("list")
-      .parquet(s"$dir/codes.parquet")
+      .parquet(codesPath)
   }
 
   /** Probe a persisted [[ivfPqBuild]] index. Centroids and codebooks
@@ -524,9 +534,11 @@ object Similarity {
   def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
                  queries: DataFrame, corpus: DataFrame, k: Int,
                  nProbe: Int = 2, refineK: Int = 50): DataFrame = {
-    val codebooks = loadCodebooks(spark, dir)
+    val snap = Manifest.snapshot(spark, dir)
+    val codebooks = loadCodebooks(spark, snap.path("codebooks"))
     val subLen = codebooks(0)(0).length
-    val bcC = spark.sparkContext.broadcast(loadCentroids(spark, dir))
+    val bcC = spark.sparkContext.broadcast(
+      loadCentroids(spark, snap.path("centroids")))
     val bcCb = spark.sparkContext.broadcast(codebooks)
     val probeLists = udf { (qv: Seq[Double]) =>
       probeIdx(bcC.value, qv, nProbe)
@@ -541,7 +553,7 @@ object Similarity {
       explode(probeLists(col("qv").cast("array<double>"))).as("list")))
     val probed = q.select(col("list")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    val codes = spark.read.parquet(snap.path("codes"))
       .where(col("list").isin(probed.map(Int.box): _*))
     val approxTop = codes.join(broadcast(q), Seq("list"))
       .select(col("qid"), col("id"),
@@ -569,18 +581,127 @@ object Similarity {
   // rebuild), and a recall probe that MEASURES the drift so the rebuild
   // is triggered by evidence, not a calendar.
 
-  /** Atomically-ish swap a freshly-written table directory into place:
-    * write-to-temp → delete old → rename. The write must have FULLY
-    * materialized before the delete (it has: parquet writes are eager),
-    * so a reader never sees a half-rewritten table — the same
-    * last-step-rename discipline a production compactor uses. */
-  private def swapInto(spark: org.apache.spark.sql.SparkSession,
-                       tmp: String, dest: String): Unit = {
-    val destP = new org.apache.hadoop.fs.Path(dest)
-    val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(destP, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), destP),
-      s"compaction rename $tmp -> $dest failed")
+  /** Versioned-directory manifest for a persisted index: the compactor
+    * NEVER touches a live table directory. A rewrite lands under a fresh
+    * name (`postings.parquet.v3`), then a tiny manifest file
+    * (`_manifest.v3`) mapping logical table → physical directory is
+    * created — file creation of a NEW name, so a reader either sees the
+    * old manifest (old data, complete) or the new one (new data,
+    * complete), never a half-state. The previous physical directory is
+    * retained for one more publish (a grace window for readers that
+    * resolved just before the flip); only grandparent versions are
+    * garbage-collected. A fresh build with no manifest resolves every
+    * table to its unversioned default (`<table>.parquet`), so the layout
+    * is backward-compatible with pre-manifest indexes.
+    *
+    * Single-writer assumption: appends and compactions of ONE index must
+    * not run concurrently with each other (readers are unrestricted) —
+    * the same contract every log-pointer table format documents. */
+  private[operators] object Manifest {
+    private val Name = """_manifest\.v(\d+)""".r
+
+    private def fs(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** All manifest versions present under `dir`, ascending. */
+    private def versions(f: org.apache.hadoop.fs.FileSystem,
+                         dir: String): Seq[Int] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.map(_.getPath.getName).collect {
+        case Name(v) => v.toInt
+      }.sorted
+    }
+
+    private def readMap(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                        v: Int): Map[String, String] = {
+      val in = f.open(new org.apache.hadoop.fs.Path(s"$dir/_manifest.v$v"))
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.contains('=')).map { line =>
+            val Array(k, value) = line.split("=", 2)
+            k -> value
+          }.toMap
+      } finally in.close()
+    }
+
+    /** One consistent view of the index's table mapping: version + map.
+      * Resolve EVERY table a query needs from ONE snapshot, so a publish
+      * landing mid-query cannot pair new centroids with old postings. */
+    case class Snapshot(version: Int, map: Map[String, String],
+                        dir: String) {
+      def path(table: String): String =
+        s"$dir/${map.getOrElse(table, s"$table.parquet")}"
+    }
+
+    def snapshot(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Snapshot = {
+      val f = fs(spark, dir)
+      versions(f, dir).lastOption match {
+        case Some(v) => Snapshot(v, readMap(f, dir, v), dir)
+        case None => Snapshot(0, Map.empty, dir)
+      }
+    }
+
+    /** Publish freshly-written table directories in ONE manifest flip:
+      * rename each tmp dir to `<table>.parquet.v<next>` (fresh names —
+      * no live data is deleted), atomically create `_manifest.v<next>`
+      * carrying the FULL updated mapping, then garbage-collect physical
+      * directories referenced only by manifests older than the previous
+      * one. Multi-table updates (a rebuild's centroids + postings) become
+      * visible together, never interleaved. */
+    def publish(spark: org.apache.spark.sql.SparkSession, dir: String,
+                updates: Seq[(String, String)]): Unit = {
+      val f = fs(spark, dir)
+      val cur = snapshot(spark, dir)
+      val next = cur.version + 1
+      val renamed = updates.map { case (table, tmp) =>
+        val phys = s"$table.parquet.v$next"
+        require(f.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(s"$dir/$phys")),
+          s"publish rename $tmp -> $dir/$phys failed")
+        table -> phys
+      }
+      val newMap = cur.map ++ renamed
+      // atomic flip: write to a fresh tmp name, rename to the (new,
+      // nonexistent) manifest name — readers never see a partial file
+      val tmpMf = new org.apache.hadoop.fs.Path(
+        s"$dir/_manifest.v$next.inprogress")
+      val out = f.create(tmpMf, false)
+      try out.write(newMap.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      require(f.rename(tmpMf,
+        new org.apache.hadoop.fs.Path(s"$dir/_manifest.v$next")),
+        s"manifest flip for $dir v$next failed")
+      // retention: keep the physical dirs of versions `next` and
+      // `cur.version` (the grace copy); delete older manifests and any
+      // table directory neither of the two retained mappings references
+      val live: Set[String] = newMap.values.toSet ++
+        updates.map { case (table, _) =>
+          cur.map.getOrElse(table, s"$table.parquet")
+        }
+      versions(f, dir).filter(_ < cur.version).foreach { w =>
+        val old = readMap(f, dir, w)
+        old.values.filterNot(live).foreach { phys =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$dir/$phys"), true)
+        }
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest.v$w"),
+          false)
+      }
+      // unversioned defaults superseded two publishes ago: once a table
+      // is mapped in BOTH retained manifests, its bare `<table>.parquet`
+      // (the pre-manifest layout) can go
+      if (cur.version > 0) updates.foreach { case (table, _) =>
+        if (cur.map.contains(table)) {
+          val dflt = s"$table.parquet"
+          if (!live(dflt))
+            f.delete(new org.apache.hadoop.fs.Path(s"$dir/$dflt"), true)
+        }
+      }
+    }
   }
 
   /** Compact a persisted [[ivfBuild]] index's postings: every list's
@@ -595,28 +716,39 @@ object Similarity {
     * vector lands in exactly one list either way). */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
                  rebuild: Boolean = false, seed: Long = 7L,
-                 kmeansMaxIter: Int = 20): Unit = {
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
+                 kmeansMaxIter: Int = 20,
+                 maxRecordsPerFile: Long = 0L): Unit = {
+    val snap = Manifest.snapshot(spark, dir)
+    val postings = spark.read.parquet(snap.path("postings"))
     if (rebuild) {
       // full refit through the build path itself (one code path =
-      // layouts cannot diverge), into a sibling temp index, then swap
-      val nList = spark.read.parquet(s"$dir/centroids.parquet")
+      // layouts cannot diverge) into a sibling temp index, then ONE
+      // manifest flip for both tables — a concurrent reader never pairs
+      // new centroids with old list assignments
+      val nList = spark.read.parquet(snap.path("centroids"))
         .count().toInt
       val tmp = s"$dir/_rebuild.tmp"
       ivfBuild(postings.select(col("id"), col("v")), tmp, nList,
         seed, kmeansMaxIter)
-      swapInto(spark, s"$tmp/centroids.parquet", s"$dir/centroids.parquet")
-      swapInto(spark, s"$tmp/postings.parquet", s"$dir/postings.parquet")
+      Manifest.publish(spark, dir, Seq(
+        "centroids" -> s"$tmp/centroids.parquet",
+        "postings" -> s"$tmp/postings.parquet"))
       val tmpP = new org.apache.hadoop.fs.Path(tmp)
       tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(tmpP, true)
     } else {
-      // keep assignments; just coalesce each list's file spray
-      val tmp = s"$dir/postings.parquet.compact.tmp"
-      postings.select(col("list"), col("id"), col("v"))
+      // keep assignments; just coalesce each list's file spray.
+      // maxRecordsPerFile bounds the HOT-list case: one list is one
+      // shuffle partition here, so without a cap the biggest list
+      // becomes one giant file (and one giant task for later scans)
+      val tmp = s"$dir/_compact.tmp.postings"
+      val w = postings.select(col("list"), col("id"), col("v"))
         .repartition(col("list"))
-        .write.mode("overwrite").partitionBy("list").parquet(tmp)
-      swapInto(spark, tmp, s"$dir/postings.parquet")
+        .write.mode("overwrite").partitionBy("list")
+      (if (maxRecordsPerFile > 0L)
+         w.option("maxRecordsPerFile", maxRecordsPerFile)
+       else w).parquet(tmp)
+      Manifest.publish(spark, dir, Seq("postings" -> tmp))
     }
   }
 
@@ -627,13 +759,17 @@ object Similarity {
     * dir, …)` over the current corpus (same swap-free semantics: build
     * overwrites). */
   def ivfPqCompact(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): Unit = {
-    val tmp = s"$dir/codes.parquet.compact.tmp"
-    spark.read.parquet(s"$dir/codes.parquet")
+                   dir: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val snap = Manifest.snapshot(spark, dir)
+    val tmp = s"$dir/_compact.tmp.codes"
+    val w = spark.read.parquet(snap.path("codes"))
       .select(col("list"), col("id"), col("codes"), col("norm"))
       .repartition(col("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(tmp)
-    swapInto(spark, tmp, s"$dir/codes.parquet")
+      .write.mode("overwrite").partitionBy("list")
+    (if (maxRecordsPerFile > 0L)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(tmp)
+    Manifest.publish(spark, dir, Seq("codes" -> tmp))
   }
 
   /** Mean recall@k of the PRODUCTION probe (persisted index, partial
@@ -648,7 +784,8 @@ object Similarity {
   def ivfRecallProbe(spark: org.apache.spark.sql.SparkSession,
                      dir: String, queries: DataFrame, k: Int,
                      nProbe: Int): Double = {
-    val corpus = spark.read.parquet(s"$dir/postings.parquet")
+    val corpus = spark.read
+      .parquet(Manifest.snapshot(spark, dir).path("postings"))
       .select(col("id"), col("v"))
     val exact = bruteForce(queries, corpus, k).select("qid", "id")
     val got = ivfQuery(spark, dir, queries, k, nProbe).select("qid", "id")
@@ -670,6 +807,72 @@ object Similarity {
     val denom = exact.count()
     if (denom == 0) 1.0
     else got.intersect(exact).count().toDouble / denom
+  }
+
+  /** Operational health report of a persisted [[ivfBuild]] index — the
+    * dashboard row a daily-append pipeline watches: physical layout
+    * (lists, rows, files, skew) plus a sampled recall@k reading of the
+    * production probe. One output row per index, so reports from many
+    * indexes union into one fleet table:
+    *   (dir, version, n_lists, total_rows, total_files,
+    *    max_files_per_list, max_rows_per_list, mean_rows_per_list,
+    *    row_skew, recall_at_k, k, n_probe)
+    * `max_files_per_list` rising → [[ivfCompact]] is due (small-file
+    * scan cliff); `row_skew` (max/mean rows per list) rising → the
+    * centroids no longer balance the data; `recall_at_k` falling below
+    * the pipeline's floor → `ivfCompact(rebuild = true)`. Cost: one
+    * postings scan for the row counts, one FS listing, one
+    * [[ivfRecallProbe]] over the bounded query sample. */
+  def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, queries: DataFrame, k: Int,
+                     nProbe: Int): DataFrame =
+    indexHealth(spark, dir, "postings",
+      Manifest.snapshot(spark, dir), k, nProbe,
+      ivfRecallProbe(spark, dir, queries, k, nProbe))
+
+  /** [[ivfIndexHealth]] for the compressed [[ivfPqBuild]] layout: the
+    * layout stats come from the codes table; the recall sample needs the
+    * embedding store (`corpus`) for its exact side. */
+  def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queries: DataFrame, corpus: DataFrame,
+                       k: Int, nProbe: Int, refineK: Int): DataFrame =
+    indexHealth(spark, dir, "codes",
+      Manifest.snapshot(spark, dir), k, nProbe,
+      ivfPqRecallProbe(spark, dir, queries, corpus, k, nProbe, refineK))
+
+  private def indexHealth(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, table: String,
+                          snap: Manifest.Snapshot, k: Int, nProbe: Int,
+                          recall: Double): DataFrame = {
+    import spark.implicits._
+    // rows per list: one aggregate over the postings/codes scan —
+    // bounded output (nList rows)
+    val rowsPerList = spark.read.parquet(snap.path(table))
+      .groupBy("list").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // files per list: one FS listing of the partition directories
+    val tableP = new org.apache.hadoop.fs.Path(snap.path(table))
+    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesPerList = fs.listStatus(tableP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("list="))
+      .map { s =>
+        s.getPath.getName.stripPrefix("list=").toInt ->
+          fs.listStatus(s.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+    val nLists = rowsPerList.size
+    val totalRows = rowsPerList.values.sum
+    val meanRows = if (nLists == 0) 0.0 else totalRows.toDouble / nLists
+    Seq((dir, snap.version, nLists, totalRows,
+      filesPerList.values.sum.toLong,
+      if (filesPerList.isEmpty) 0 else filesPerList.values.max,
+      if (rowsPerList.isEmpty) 0L else rowsPerList.values.max,
+      meanRows,
+      if (meanRows == 0.0) 0.0 else rowsPerList.values.max / meanRows,
+      recall, k, nProbe))
+      .toDF("dir", "version", "n_lists", "total_rows", "total_files",
+        "max_files_per_list", "max_rows_per_list", "mean_rows_per_list",
+        "row_skew", "recall_at_k", "k", "n_probe")
   }
 
   /** IVF-PQ ANN: IVF coarse pruning + product-quantized candidate

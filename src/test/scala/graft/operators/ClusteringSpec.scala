@@ -99,15 +99,11 @@ class ClusteringSpec extends SparkSpec {
     assert(pairs.count() >= 1)
     // the corpus-sized `guarded` cache and the kmeans labels checkpoint
     // must be gone; the ONLY new persisted block is the materialized
-    // (tau-bounded) pair result itself, and releasing it restores the
-    // session to its pre-call persistence state
+    // (tau-bounded) pair result itself, and the documented release
+    // helper restores the session to its pre-call persistence state
     val after = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(after.size <= 1, s"leaked persisted RDDs: $after")
-    pairs.queryExecution.logical.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(true)
-      case _ => ()
-    }
+    Clustering.releasePairs(pairs)
     val finalSet = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(finalSet.isEmpty, s"leaked persisted RDDs: $finalSet")
   }

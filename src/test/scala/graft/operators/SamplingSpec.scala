@@ -615,10 +615,17 @@ class SamplingSpec extends SparkSpec {
     df.select("qid", "id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Manifest-resolved physical directory of a logical index table —
+    * after a compaction the live data is under a VERSIONED sibling
+    * (`postings.parquet.vN`), with the previous copy retained one more
+    * publish as the concurrent-reader grace window. */
+  private def tablePath(dir: java.io.File, table: String): String =
+    Similarity.Manifest.snapshot(spark, dir.getAbsolutePath).path(table)
+
   /** Parquet data files per list partition directory of `table`. */
   private def filesPerList(dir: java.io.File,
                            table: String): Map[String, Int] =
-    new java.io.File(dir, table).listFiles()
+    new java.io.File(tablePath(dir, table)).listFiles()
       .filter(_.getName.startsWith("list=")).map { d =>
         d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
       }.toMap
@@ -634,13 +641,13 @@ class SamplingSpec extends SparkSpec {
       Similarity.ivfAppend(spark, dir.getAbsolutePath,
         corpus.filter(col("id") > mid))
       // the append left at least one list directory fragmented
-      assert(filesPerList(dir, "postings.parquet").values.exists(_ > 1),
+      assert(filesPerList(dir, "postings").values.exists(_ > 1),
         "append should fragment at least one hit list")
       val partialBefore = annPairs(Similarity.ivfQuery(spark,
         dir.getAbsolutePath, queries, k = 3, nProbe = 2))
       Similarity.ivfCompact(spark, dir.getAbsolutePath)
       // post-compact: every list is exactly one coherent data file
-      val after = filesPerList(dir, "postings.parquet")
+      val after = filesPerList(dir, "postings")
       assert(after.nonEmpty && after.values.forall(_ == 1),
         s"lists still fragmented: $after")
       // file-compaction keeps ASSIGNMENTS, so even the partial probe
@@ -650,6 +657,71 @@ class SamplingSpec extends SparkSpec {
       assert(annPairs(Similarity.ivfQuery(spark, dir.getAbsolutePath,
         queries, k = 3, nProbe = 4)) ==
         annPairs(Similarity.bruteForce(queries, corpus, 3)))
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("compaction swap is reader-safe: plans resolved before the flip " +
+    "still read, repeated compactions GC old versions") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfswap").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 2)
+      val want = annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4))
+      // a reader that resolved the manifest BEFORE the flip: ivfQuery's
+      // postings scan is lazy, so interleave compactions between plan
+      // construction and the collect — the grace-retained previous
+      // version keeps the old plan readable, never a missing table
+      val planned = Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)
+      Similarity.ivfCompact(spark, root)
+      assert(annPairs(planned) == want,
+        "pre-flip plan failed after the compaction published")
+      // and a fresh resolve sees the compacted version, same rows
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) == want)
+      // second and third flips: plans interleaved around EVERY publish
+      // keep answering, while grandparent versions + manifests are GC'd
+      val planned2 = Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)
+      Similarity.ivfCompact(spark, root, rebuild = true,
+        kmeansMaxIter = 2)
+      assert(annPairs(planned2) == want)
+      Similarity.ivfCompact(spark, root)
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) == want)
+      val names = dir.listFiles().map(_.getName).toSeq
+      assert(names.count(_.startsWith("_manifest.v")) <= 2,
+        s"old manifests not GC'd: $names")
+      assert(names.count(_.startsWith("postings.parquet")) <= 2,
+        s"grandparent postings versions not GC'd: $names")
+      assert(!names.exists(_.contains(".tmp")) &&
+        !names.exists(_.contains("inprogress")),
+        s"publish debris left behind: $names")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("ivfCompact maxRecordsPerFile splits a hot list into bounded files") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfhotlist").toFile
+    val root = dir.getAbsolutePath
+    try {
+      // nList=2: the bigger list holds ≥ half the corpus — a hot list
+      // that would otherwise compact into one giant file (= one giant
+      // task for every later probe that hits it)
+      Similarity.ivfBuild(corpus, root, nList = 2, kmeansMaxIter = 2)
+      val want = annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 2))
+      val total = corpus.count()
+      Similarity.ivfCompact(spark, root,
+        maxRecordsPerFile = total / 8 + 1)
+      val files = filesPerList(dir, "postings")
+      assert(files.values.exists(_ > 1),
+        s"hot list should split into multiple bounded files: $files")
+      // probe results identical under the re-filed layout
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 2)) == want)
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
@@ -664,16 +736,16 @@ class SamplingSpec extends SparkSpec {
       Similarity.ivfAppend(spark, dir.getAbsolutePath,
         corpus.filter(col("id") > mid))
       val n = spark.read
-        .parquet(dir.getAbsolutePath + "/postings.parquet").count()
+        .parquet(tablePath(dir, "postings")).count()
       Similarity.ivfCompact(spark, dir.getAbsolutePath, rebuild = true,
         kmeansMaxIter = 2)
       // rebuilt in place: same nList, same row count, defragmented,
       // and probe-all through the refit index equals brute force
       assert(spark.read
-        .parquet(dir.getAbsolutePath + "/centroids.parquet").count() == 4)
+        .parquet(tablePath(dir, "centroids")).count() == 4)
       assert(spark.read
-        .parquet(dir.getAbsolutePath + "/postings.parquet").count() == n)
-      assert(filesPerList(dir, "postings.parquet").values.forall(_ == 1))
+        .parquet(tablePath(dir, "postings")).count() == n)
+      assert(filesPerList(dir, "postings").values.forall(_ == 1))
       assert(annPairs(Similarity.ivfQuery(spark, dir.getAbsolutePath,
         queries, k = 3, nProbe = 4)) ==
         annPairs(Similarity.bruteForce(queries, corpus, 3)))
@@ -693,9 +765,9 @@ class SamplingSpec extends SparkSpec {
         kmeansMaxIter = 2)
       Similarity.ivfPqAppend(spark, dir.getAbsolutePath,
         corpus.filter(col("id") > mid))
-      assert(filesPerList(dir, "codes.parquet").values.exists(_ > 1))
+      assert(filesPerList(dir, "codes").values.exists(_ > 1))
       Similarity.ivfPqCompact(spark, dir.getAbsolutePath)
-      val after = filesPerList(dir, "codes.parquet")
+      val after = filesPerList(dir, "codes")
       assert(after.nonEmpty && after.values.forall(_ == 1),
         s"lists still fragmented: $after")
       assert(annPairs(Similarity.ivfPqQuery(spark, dir.getAbsolutePath,
@@ -718,6 +790,123 @@ class SamplingSpec extends SparkSpec {
       val r = Similarity.ivfRecallProbe(spark, dir.getAbsolutePath,
         queries, k = 3, nProbe = 2)
       assert(r >= 0.4 && r <= 1.0, s"recall=$r")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("recall decay is observable and a rebuild restores it: " +
+    "append drift -> ivfRecallProbe falls -> ivfCompact(rebuild) recovers") {
+    import spark.implicits._
+    val dim = 8
+    def jitter(i: Int, j: Int, s: Double): Double =
+      math.sin(i * 31 + j * 7) * s
+    // initial distribution: two tight clusters at (0, ±5) — nList=2
+    // k-means puts one centroid on each
+    val aRows = (0 until 200).map { i =>
+      val cy = if (i % 2 == 0) 5.0 else -5.0
+      (i.toLong, Array.tabulate(dim) { j =>
+        (if (j == 1) cy else 0.0) + jitter(i, j, 0.3)
+      })
+    }
+    // drifted distribution: a NEW mass at x=10 — ON the Voronoi
+    // boundary between the two stale centroids. Its y-sign (±0.2,
+    // alternating) decides which list an append assigns each point to
+    // (a clean ~50/50 split), while the cosine ranking the probe is
+    // graded on is dominated by the SHARED x=10 direction plus
+    // higher-dim jitter — i.e. the true neighbors of a drift query are
+    // spread over both lists, and a fixed nProbe=1 probe sees half
+    def bRow(i: Int): (Long, Array[Double]) =
+      (1000L + i, Array.tabulate(dim) { j =>
+        (if (j == 0) 10.0
+         else if (j == 1) (if (i % 2 == 0) 0.2 else -0.2)
+         else 0.0) + (if (j <= 1) 0.0 else jitter(i + 977, j, 0.4))
+      })
+    // monitor query samples follow the live distribution: pre-drift
+    // queries near the original clusters, post-drift queries from the
+    // drifted mass (y component exactly 0 — the boundary)
+    val qA = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(dim) { j =>
+        (if (j == 1) 5.0 else 0.0) + jitter(i + 211, j, 0.3)
+      })
+    }.toDF("qid", "qv")
+    val qB = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(dim) { j =>
+        (if (j == 0) 10.0 else if (j == 1) 0.0
+         else jitter(i + 4099, j, 0.4))
+      })
+    }.toDF("qid", "qv")
+    val dir = java.nio.file.Files.createTempDirectory("ivfdecay").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(aRows.toDF("id", "v"), root, nList = 2,
+        kmeansMaxIter = 5)
+      val before = Similarity.ivfRecallProbe(spark, root, qA,
+        k = 10, nProbe = 1)
+      // three drifted daily batches, appended without refit
+      (0 until 3).foreach { b =>
+        Similarity.ivfAppend(spark, root,
+          (b * 100 until (b + 1) * 100).map(bRow).toDF("id", "v"))
+      }
+      val decayed = Similarity.ivfRecallProbe(spark, root, qB,
+        k = 10, nProbe = 1)
+      Similarity.ivfCompact(spark, root, rebuild = true, kmeansMaxIter = 5)
+      val restored = Similarity.ivfRecallProbe(spark, root, qB,
+        k = 10, nProbe = 1)
+      info(f"recall@10 nProbe=1: before=$before%.3f " +
+        f"decayed=$decayed%.3f restored=$restored%.3f")
+      // the monotone story the probe exists for: healthy -> drift
+      // degrades the fixed-budget probe -> a refit restores it
+      assert(before >= 0.9, f"pre-drift probe unhealthy: $before%.3f")
+      assert(decayed <= 0.65,
+        f"drifted appends should decay a fixed nProbe=1 probe: $decayed%.3f")
+      assert(restored >= decayed + 0.3 && restored >= 0.9,
+        f"rebuild should restore recall: decayed=$decayed%.3f " +
+          f"restored=$restored%.3f")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("ivfIndexHealth reports layout + recall; fragmentation and " +
+    "compaction show up in the numbers") {
+    val (queries, corpus) = annFixture()
+    val mid = corpus.agg(
+      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfhealth").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(corpus.filter(col("id") <= mid), root,
+        nList = 4, kmeansMaxIter = 2)
+      Similarity.ivfAppend(spark, root, corpus.filter(col("id") > mid))
+      val n = corpus.count()
+      val fragmented = Similarity.ivfIndexHealth(spark, root, queries,
+        k = 3, nProbe = 4).head()
+      assert(fragmented.getAs[Int]("n_lists") == 4)
+      assert(fragmented.getAs[Long]("total_rows") == n)
+      assert(fragmented.getAs[Int]("max_files_per_list") > 1,
+        "append fragmentation must be visible in the report")
+      assert(fragmented.getAs[Double]("recall_at_k") == 1.0) // probe-all
+      assert(fragmented.getAs[Double]("row_skew") >= 1.0)
+      Similarity.ivfCompact(spark, root)
+      val compacted = Similarity.ivfIndexHealth(spark, root, queries,
+        k = 3, nProbe = 4).head()
+      assert(compacted.getAs[Int]("version") == 1)
+      assert(compacted.getAs[Long]("total_rows") == n)
+      assert(compacted.getAs[Int]("max_files_per_list") == 1,
+        "compaction must bring the report back to one file per list")
+      assert(compacted.getAs[Double]("recall_at_k") == 1.0)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("ivfPqIndexHealth reads the codes layout + refined recall") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqhealth").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfPqBuild(corpus, root, nList = 4, m = 4, nCodes = 8,
+        kmeansMaxIter = 2)
+      val h = Similarity.ivfPqIndexHealth(spark, root, queries, corpus,
+        k = 3, nProbe = 4, refineK = corpus.count().toInt).head()
+      assert(h.getAs[Int]("n_lists") == 4)
+      assert(h.getAs[Long]("total_rows") == corpus.count())
+      assert(h.getAs[Double]("recall_at_k") == 1.0) // probe-all+refine-all
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
