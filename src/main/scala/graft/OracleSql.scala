@@ -828,9 +828,23 @@ object OracleSql {
     "q217_knn_ivf_compact" -> exactKnnSql,
     "q218_knn_ivfpq_compact" -> exactKnnSql,
 
+    // streaming ingest: build-on-half + micro-batch append stream,
+    // probe-all over the grown index is exhaustive over the corpus
+    "q221_knn_ivf_stream_ingest" -> exactKnnSql,
+
     // the persisted IVF-PQ index (codes-not-vectors on disk) probing
     // all lists with refine over every candidate: exhaustive-exact
     "q213_knn_ivfpq_index" -> exactKnnSql,
+
+    // index-health report's deterministic fields: list count is the
+    // quantizer's k (8 by construction — Spark KMeans always returns k
+    // centers), total rows is the indexed corpus, and probe-all recall
+    // is exactly 1.0 (deterministic ties on both sides)
+    "q220_index_health" ->
+      """SELECT CAST(8 AS INTEGER) AS n_lists,
+        |  count(*) AS total_rows,
+        |  CAST(1.0 AS DOUBLE) AS recall_at_k
+        |FROM embeddings WHERE vec_id >= 5""".stripMargin,
 
     // DSIR importance weights: hashed-bigram bucket = conv(md5-hex8)
     // mod 256 (hex8 helper), per-bucket Laplace-smoothed log-ratio

@@ -2484,6 +2484,59 @@ object SparkEntry {
         refineK = stats.getLong(1).toInt)
     }
 
+  /** Index-HEALTH gate ([[operators.Similarity.ivfIndexHealth]]): the
+    * operational report a daily-append pipeline polls per index. The
+    * gate pins its deterministic fields — list count comes from the
+    * quantizer (nList=8 by construction), total rows from the corpus,
+    * and recall@k at probe-all is exactly 1.0 (ties deterministic on
+    * both sides) — against plain SQL over the embeddings table; the
+    * fs-dependent fields (file counts, versions) are spec-gated in
+    * SamplingSpec instead. */
+  def q220_index_health(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val dir = graft.util.TempDirs.fresh("q220_health_")
+    try {
+      Similarity.ivfBuild(corpus, dir.getAbsolutePath, nList = 8,
+        kmeansMaxIter = 2)
+      val got = Similarity.ivfIndexHealth(s, dir.getAbsolutePath, queries,
+        k = 3, nProbe = 8)
+        .select(col("n_lists"), col("total_rows"), col("recall_at_k"))
+      val rows = got.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  /** Streaming index-INGEST gate ([[operators.Similarity.ivfIngest]]):
+    * build on the older half, then REPLAY the newer half as a file
+    * stream whose micro-batches append through foreachBatch → ivfAppend
+    * (the continuous-ingest workflow), and probe-all over the grown
+    * index must equal exact brute force over the full corpus — q214's
+    * oracle over the Structured-Streaming append path. */
+  def q221_knn_ivf_stream_ingest(s: SparkSession, d: String): DataFrame =
+    annIndexGate(s, d, "q221_ivf_") { (queries, corpus, dir) =>
+      val mid = corpus.agg(
+        percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+      Similarity.ivfBuild(corpus.filter(col("id") <= mid), dir,
+        nList = 8, kmeansMaxIter = 2)
+      val stage = graft.util.TempDirs.fresh("q221_stage_")
+      try {
+        val delta = corpus.filter(col("id") > mid)
+        val files = stage.getAbsolutePath + "/files"
+        delta.repartition(4).write.parquet(files)
+        val stream = s.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1").parquet(files)
+        val q = Similarity.ivfIngest(stream, dir,
+          stage.getAbsolutePath + "/ckpt")
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally graft.util.TempDirs.deleteRecursively(stage)
+      Similarity.ivfQuery(s, dir, queries, k = 3, nProbe = 8)
+    }
+
   /** Leakage-safe split ([[operators.Splits.groupedSplit]]): the split
     * hash is taken over the content hash, so exact-duplicate documents
     * land on the SAME side — the constructive counterpart of the q132
@@ -4156,7 +4209,9 @@ object SparkEntry {
     "q216_leakage_safe_split" -> (q216_leakage_safe_split _),
     "q217_knn_ivf_compact" -> (q217_knn_ivf_compact _),
     "q218_knn_ivfpq_compact" -> (q218_knn_ivfpq_compact _),
-    "q219_neardup_grouped_split" -> (q219_neardup_grouped_split _))
+    "q219_neardup_grouped_split" -> (q219_neardup_grouped_split _),
+    "q220_index_health" -> (q220_index_health _),
+    "q221_knn_ivf_stream_ingest" -> (q221_knn_ivf_stream_ingest _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

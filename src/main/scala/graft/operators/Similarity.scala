@@ -343,6 +343,9 @@ object Similarity {
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list")
       .parquet(s"$dir/postings.parquet")
+    // a fresh in-place build supersedes any prior compaction history:
+    // clear stale manifests/versions so readers resolve the new tables
+    Manifest.reset(spark, dir)
   }
 
   /** Append a delta batch to a persisted [[ivfBuild]] index WITHOUT
@@ -483,6 +486,8 @@ object Similarity {
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list")
       .parquet(s"$dir/codes.parquet")
+    // see ivfBuild: fresh in-place build invalidates compaction history
+    Manifest.reset(spark, dir)
   }
 
   /** Append a delta batch to a persisted [[ivfPqBuild]] index WITHOUT
@@ -659,8 +664,13 @@ object Similarity {
       val next = cur.version + 1
       val renamed = updates.map { case (table, tmp) =>
         val phys = s"$table.parquet.v$next"
-        require(f.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(s"$dir/$phys")),
+        val dest = new org.apache.hadoop.fs.Path(s"$dir/$phys")
+        // a crash between a previous publish's rename and its manifest
+        // write can orphan a directory at this version name; no manifest
+        // references it (or versions() would have counted it), so it is
+        // garbage — clear it rather than failing every later publish
+        if (f.exists(dest)) f.delete(dest, true)
+        require(f.rename(new org.apache.hadoop.fs.Path(tmp), dest),
           s"publish rename $tmp -> $dir/$phys failed")
         table -> phys
       }
@@ -702,6 +712,29 @@ object Similarity {
         }
       }
     }
+
+    /** Drop the index back to the unversioned layout: every manifest,
+      * then every versioned table directory. Fresh IN-PLACE builds call
+      * this after overwriting the default tables, so a stale manifest
+      * from an earlier compaction cannot shadow the new data. (An
+      * in-place fresh build is documented reader-UNSAFE — overwrite
+      * deletes live files; refit a LIVE index with
+      * [[Similarity.ivfCompact]]`(rebuild = true)` /
+      * [[Similarity.ivfPqRebuild]] instead, which flip the manifest.) */
+    def reset(spark: org.apache.spark.sql.SparkSession,
+              dir: String): Unit = {
+      val f = fs(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (f.exists(p)) {
+        val entries = f.listStatus(p).toSeq.map(_.getPath)
+        // manifests first: if this is interrupted midway, readers fall
+        // back to the (just-written) defaults, never a deleted version
+        entries.filter(_.getName.startsWith("_manifest.v"))
+          .foreach(f.delete(_, false))
+        entries.filter(_.getName.matches(""".+\.parquet\.v\d+"""))
+          .foreach(f.delete(_, true))
+      }
+    }
   }
 
   /** Compact a persisted [[ivfBuild]] index's postings: every list's
@@ -738,12 +771,13 @@ object Similarity {
         .delete(tmpP, true)
     } else {
       // keep assignments; just coalesce each list's file spray.
-      // maxRecordsPerFile bounds the HOT-list case: one list is one
-      // shuffle partition here, so without a cap the biggest list
-      // becomes one giant file (and one giant task for later scans)
+      // maxRecordsPerFile bounds the HOT-list case twice over: salted
+      // repartitioning caps the rewrite TASK at ~target rows (see
+      // [[saltedByList]]) and the write option caps the FILE size
       val tmp = s"$dir/_compact.tmp.postings"
-      val w = postings.select(col("list"), col("id"), col("v"))
-        .repartition(col("list"))
+      val w = saltedByList(
+        postings.select(col("list"), col("id"), col("v")),
+        maxRecordsPerFile)
         .write.mode("overwrite").partitionBy("list")
       (if (maxRecordsPerFile > 0L)
          w.option("maxRecordsPerFile", maxRecordsPerFile)
@@ -754,22 +788,69 @@ object Similarity {
 
   /** [[ivfCompact]] for the compressed [[ivfPqBuild]] layout: rewrite
     * each list's accumulated code fragments into one file set per list.
-    * No rebuild mode — the index stores codes, not vectors, so a refit
-    * needs the embedding store: a full rebuild IS `ivfPqBuild(corpus,
-    * dir, …)` over the current corpus (same swap-free semantics: build
-    * overwrites). */
+    * No in-place rebuild mode — the index stores codes, not vectors, so
+    * a refit needs the embedding store: that is [[ivfPqRebuild]]. */
   def ivfPqCompact(spark: org.apache.spark.sql.SparkSession,
                    dir: String, maxRecordsPerFile: Long = 0L): Unit = {
     val snap = Manifest.snapshot(spark, dir)
     val tmp = s"$dir/_compact.tmp.codes"
-    val w = spark.read.parquet(snap.path("codes"))
+    val src = spark.read.parquet(snap.path("codes"))
       .select(col("list"), col("id"), col("codes"), col("norm"))
-      .repartition(col("list"))
+    val w = saltedByList(src, maxRecordsPerFile)
       .write.mode("overwrite").partitionBy("list")
     (if (maxRecordsPerFile > 0L)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(tmp)
     Manifest.publish(spark, dir, Seq("codes" -> tmp))
+  }
+
+  /** Reader-safe refit of a persisted [[ivfPqBuild]] index from the
+    * embedding store (`corpus` — the codes table cannot reconstruct
+    * vectors): [[ivfCompact]]'s rebuild mode for the compressed layout.
+    * Re-trains through `ivfPqBuild` itself into a sibling temp index
+    * (same nList/m/nCodes, read from the existing tables), then flips
+    * centroids, codebooks, and codes in ONE manifest publish — a
+    * concurrent reader sees the old index or the new one, never new
+    * centroids scoring old codes. */
+  def ivfPqRebuild(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   corpus: DataFrame, trainFraction: Double = 1.0,
+                   seed: Long = 7L, kmeansMaxIter: Int = 20): Unit = {
+    val snap = Manifest.snapshot(spark, dir)
+    val nList = spark.read.parquet(snap.path("centroids")).count().toInt
+    val cb = loadCodebooks(spark, snap.path("codebooks"))
+    val tmp = s"$dir/_rebuild.tmp"
+    ivfPqBuild(corpus, tmp, nList, cb.length, cb(0).length,
+      trainFraction, seed, kmeansMaxIter)
+    Manifest.publish(spark, dir, Seq(
+      "centroids" -> s"$tmp/centroids.parquet",
+      "codebooks" -> s"$tmp/codebooks.parquet",
+      "codes" -> s"$tmp/codes.parquet"))
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tmpP, true)
+  }
+
+  /** Compaction repartitioning: one shuffle partition per list by
+    * default; with a records-per-file target also SALT the hot lists so
+    * a skewed list is rewritten by ⌈rows/target⌉ parallel tasks instead
+    * of one giant task (the write's own `maxRecordsPerFile` bounds file
+    * SIZE but not task time). The per-list slice counts are one bounded
+    * aggregate (nList rows) collected to a broadcast-class map. */
+  private def saltedByList(src: DataFrame,
+                           maxRecordsPerFile: Long): DataFrame = {
+    if (maxRecordsPerFile <= 0L) src.repartition(col("list"))
+    else {
+      val spark = src.sparkSession
+      val slices = src.groupBy("list").count().collect().map { r =>
+        r.getInt(0) ->
+          math.max(1L, (r.getLong(1) + maxRecordsPerFile - 1)
+            / maxRecordsPerFile).toInt
+      }.toMap
+      val bc = spark.sparkContext.broadcast(slices)
+      val slicesOf = udf { (list: Int) => bc.value.getOrElse(list, 1) }
+      src.repartition(col("list"),
+        pmod(xxhash64(col("id")), slicesOf(col("list"))))
+    }
   }
 
   /** Mean recall@k of the PRODUCTION probe (persisted index, partial
@@ -809,6 +890,64 @@ object Similarity {
     else got.intersect(exact).count().toDouble / denom
   }
 
+  /** Continuous embedding ingest into a persisted [[ivfBuild]] index:
+    * each micro-batch appends WITHOUT refit via [[ivfAppend]] (assign to
+    * existing centroids — a bounded broadcast per batch — and write new
+    * files into the hit lists), the Structured-Streaming face of the
+    * daily-growth workflow. The maintenance loop stays the batch one:
+    * [[ivfIndexHealth]] on a schedule, [[ivfCompact]] when fragmentation
+    * climbs, `rebuild = true` when [[ivfRecallProbe]] decays.
+    *
+    * Delivery is foreachBatch's at-least-once: a retried batch appends
+    * its vectors twice. Probe correctness degrades gracefully (a
+    * duplicate id can at worst displace one true neighbor from top-k);
+    * exact-once pipelines should dedupe by id at the next compaction or
+    * upstream. Single-writer: do not run concurrent with appends or
+    * compactions of the same index. */
+  def ivfIngest(stream: DataFrame, dir: String,
+                checkpoint: String): org.apache.spark.sql.streaming
+                  .StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          ivfAppend(batch.sparkSession, dir, batch)
+      }
+      .start()
+
+  /** The probe-budget tuner run after a build or rebuild: the smallest
+    * nProbe among 1, 2, 4, … (capped at the index's nList) whose sampled
+    * recall@k meets `targetRecall` — evidence-picked instead of
+    * hand-tuned, the operational complement of [[ivfRecallProbe]]
+    * (which monitors an ALREADY-chosen budget for drift). The exact side
+    * is computed ONCE (one postings scan); each candidate budget costs
+    * one partial probe over its pruned lists. Doubling granularity is
+    * deliberate: at production nList (thousands) the budget/recall curve
+    * is flat enough that the next power of two is the right unit of
+    * spend. Returns the cap if even probing everything misses the target
+    * (only possible when `queries`' neighbors tie non-deterministically —
+    * probe-all itself is exact). */
+  def ivfSuggestNProbe(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queries: DataFrame, k: Int,
+                       targetRecall: Double): Int = {
+    val snap = Manifest.snapshot(spark, dir)
+    val nList = spark.read.parquet(snap.path("centroids")).count().toInt
+    val corpus = spark.read.parquet(snap.path("postings"))
+      .select(col("id"), col("v"))
+    val exact = bruteForce(queries, corpus, k).select("qid", "id")
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    if (exact.isEmpty) return 1
+    var p = 1
+    while (p < nList) {
+      val got = ivfQuery(spark, dir, queries, k, p).select("qid", "id")
+        .collect().map(r => (r.get(0), r.get(1))).toSet
+      if (got.intersect(exact).size.toDouble / exact.size >= targetRecall)
+        return p
+      p = math.min(p * 2, nList)
+    }
+    nList
+  }
+
   /** Operational health report of a persisted [[ivfBuild]] index — the
     * dashboard row a daily-append pipeline watches: physical layout
     * (lists, rows, files, skew) plus a sampled recall@k reading of the
@@ -845,6 +984,9 @@ object Similarity {
                           snap: Manifest.Snapshot, k: Int, nProbe: Int,
                           recall: Double): DataFrame = {
     import spark.implicits._
+    // lists the INDEX has (from the quantizer, so an empty list still
+    // counts — k-means can leave clusters unpopulated)
+    val nLists = spark.read.parquet(snap.path("centroids")).count().toInt
     // rows per list: one aggregate over the postings/codes scan —
     // bounded output (nList rows)
     val rowsPerList = spark.read.parquet(snap.path(table))
@@ -860,19 +1002,18 @@ object Similarity {
           fs.listStatus(s.getPath)
             .count(_.getPath.getName.endsWith(".parquet"))
       }.toMap
-    val nLists = rowsPerList.size
     val totalRows = rowsPerList.values.sum
     val meanRows = if (nLists == 0) 0.0 else totalRows.toDouble / nLists
-    Seq((dir, snap.version, nLists, totalRows,
+    Seq((dir, snap.version, nLists, nLists - rowsPerList.size, totalRows,
       filesPerList.values.sum.toLong,
       if (filesPerList.isEmpty) 0 else filesPerList.values.max,
       if (rowsPerList.isEmpty) 0L else rowsPerList.values.max,
       meanRows,
       if (meanRows == 0.0) 0.0 else rowsPerList.values.max / meanRows,
       recall, k, nProbe))
-      .toDF("dir", "version", "n_lists", "total_rows", "total_files",
-        "max_files_per_list", "max_rows_per_list", "mean_rows_per_list",
-        "row_skew", "recall_at_k", "k", "n_probe")
+      .toDF("dir", "version", "n_lists", "empty_lists", "total_rows",
+        "total_files", "max_files_per_list", "max_rows_per_list",
+        "mean_rows_per_list", "row_skew", "recall_at_k", "k", "n_probe")
   }
 
   /** IVF-PQ ANN: IVF coarse pruning + product-quantized candidate

@@ -910,6 +910,125 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("ivfSuggestNProbe picks the smallest doubling budget meeting the " +
+    "target, and probe-all always suffices") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfsuggest").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 2)
+      // target 1.0 is achievable (probe-all is exact), so the suggestion
+      // is a valid budget: its measured recall meets the target, and
+      // (doubling granularity) half of it does not
+      val p = Similarity.ivfSuggestNProbe(spark, root, queries,
+        k = 3, targetRecall = 1.0)
+      assert(p >= 1 && p <= 4)
+      assert(Similarity.ivfRecallProbe(spark, root, queries,
+        k = 3, nProbe = p) >= 1.0)
+      if (p > 1)
+        assert(Similarity.ivfRecallProbe(spark, root, queries,
+          k = 3, nProbe = p / 2) < 1.0,
+          s"suggested $p but ${p / 2} already meets the target")
+      // a looser target can only shrink the suggested budget
+      assert(Similarity.ivfSuggestNProbe(spark, root, queries,
+        k = 3, targetRecall = 0.5) <= p)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("ivfIngest streams micro-batch appends into a persisted index") {
+    val (queries, corpus) = annFixture()
+    val mid = corpus.agg(
+      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfingest").toFile
+    val root = dir.getAbsolutePath
+    val stage = java.nio.file.Files.createTempDirectory("ivfingest_stage")
+      .toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfingest_ckpt")
+      .toFile
+    try {
+      Similarity.ivfBuild(corpus.filter(col("id") <= mid), root,
+        nList = 4, kmeansMaxIter = 2)
+      // stage the delta as files; replay as a stream in small batches
+      val delta = corpus.filter(col("id") > mid)
+      val stagePath = stage.getAbsolutePath + "/files"
+      delta.repartition(4).write.parquet(stagePath)
+      val stream = spark.readStream
+        .schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagePath)
+      val q = Similarity.ivfIngest(stream, root, ckpt.getAbsolutePath)
+      try q.processAllAvailable()
+      finally q.stop()
+      // the grown index answers probe-all exactly over the full corpus
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) ==
+        annPairs(Similarity.bruteForce(queries, corpus, 3)))
+      // multiple micro-batches left fragmentation for the compactor
+      assert(filesPerList(dir, "postings").values.exists(_ > 1))
+      Similarity.ivfCompact(spark, root)
+      assert(filesPerList(dir, "postings").values.forall(_ == 1))
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) ==
+        annPairs(Similarity.bruteForce(queries, corpus, 3)))
+    } finally {
+      graft.util.TempDirs.deleteRecursively(dir)
+      graft.util.TempDirs.deleteRecursively(stage)
+      graft.util.TempDirs.deleteRecursively(ckpt)
+    }
+  }
+
+  test("a fresh in-place build resets stale compaction manifests") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfrebuildfresh")
+      .toFile
+    val root = dir.getAbsolutePath
+    try {
+      val half = corpus.filter(col("id") % 2 === 0)
+      Similarity.ivfBuild(half, root, nList = 4, kmeansMaxIter = 2)
+      Similarity.ivfCompact(spark, root) // manifest now at v1
+      // a user rebuilds from scratch over the FULL corpus, in place:
+      // without a manifest reset, readers would resolve the stale v1
+      // postings and silently answer over half the data
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 2)
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) ==
+        annPairs(Similarity.bruteForce(queries, corpus, 3)))
+      val names = dir.listFiles().map(_.getName).toSeq
+      assert(!names.exists(_.startsWith("_manifest.v")),
+        s"stale manifest survived the fresh build: $names")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("ivfPqRebuild refits the compressed index in one reader-safe flip") {
+    val (queries, corpus) = annFixture()
+    val mid = corpus.agg(
+      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqrebuild").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfPqBuild(corpus.filter(col("id") <= mid), root,
+        nList = 4, m = 4, nCodes = 8, kmeansMaxIter = 2)
+      Similarity.ivfPqAppend(spark, root, corpus.filter(col("id") > mid))
+      // a reader that planned against the pre-rebuild index keeps
+      // working through the grace-retained version
+      val planned = Similarity.ivfPqQuery(spark, root, queries, corpus,
+        k = 3, nProbe = 4, refineK = 100000)
+      Similarity.ivfPqRebuild(spark, root, corpus, kmeansMaxIter = 2)
+      val want = annPairs(Similarity.bruteForce(queries, corpus, 3))
+      assert(annPairs(planned) == want)
+      // the refit index: same hyper-params, one manifest version for
+      // all three tables, defragmented, exhaustive-exact at probe-all
+      assert(annPairs(Similarity.ivfPqQuery(spark, root, queries, corpus,
+        k = 3, nProbe = 4, refineK = 100000)) == want)
+      val snap = Similarity.Manifest.snapshot(spark, root)
+      assert(snap.version == 1)
+      assert(Set("centroids", "codebooks", "codes")
+        .forall(snap.map.contains), snap.map.toString)
+      assert(filesPerList(dir, "codes").values.forall(_ == 1))
+      assert(!new java.io.File(dir, "_rebuild.tmp").exists())
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("ivfPqRecallProbe: probe-all + refine-all recall is 1.0") {
     val (queries, corpus) = annFixture()
     val dir = java.nio.file.Files.createTempDirectory("ivfpqrecall").toFile
