@@ -2524,9 +2524,11 @@ object SparkEntry {
         nList = 8, kmeansMaxIter = 2)
       val stage = graft.util.TempDirs.fresh("q221_stage_")
       try {
+        // two staged files = two micro-batches: enough to exercise the
+        // multi-batch append path without doubling the gate's job count
         val delta = corpus.filter(col("id") > mid)
         val files = stage.getAbsolutePath + "/files"
-        delta.repartition(4).write.parquet(files)
+        delta.repartition(2).write.parquet(files)
         val stream = s.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", "1").parquet(files)
         val q = Similarity.ivfIngest(stream, dir,

@@ -915,6 +915,22 @@ object Similarity {
       }
       .start()
 
+  /** [[ivfIngest]] for the compressed [[ivfPqBuild]] layout: each
+    * micro-batch PQ-encodes against the existing quantizers and appends
+    * via [[ivfPqAppend]]. Same at-least-once and single-writer contract;
+    * quantization drift on shifted data is the batch monitor's problem
+    * ([[ivfPqRecallProbe]] → [[ivfPqRebuild]]). */
+  def ivfPqIngest(stream: DataFrame, dir: String,
+                  checkpoint: String): org.apache.spark.sql.streaming
+                    .StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          ivfPqAppend(batch.sparkSession, dir, batch)
+      }
+      .start()
+
   /** The probe-budget tuner run after a build or rebuild: the smallest
     * nProbe among 1, 2, 4, … (capped at the index's nList) whose sampled
     * recall@k meets `targetRecall` — evidence-picked instead of

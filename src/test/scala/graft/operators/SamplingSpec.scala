@@ -691,6 +691,14 @@ class SamplingSpec extends SparkSpec {
       Similarity.ivfCompact(spark, root)
       assert(annPairs(Similarity.ivfQuery(spark, root, queries,
         k = 3, nProbe = 4)) == want)
+      // static list-pruning must survive the move to a VERSIONED
+      // postings directory: the probe's scan still carries the literal
+      // partition filter, so unprobed lists never leave storage
+      val partialPlan = Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 2).queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*list".r
+        .findFirstIn(partialPlan).isDefined,
+        s"expected a list partition filter in:\n$partialPlan")
       val names = dir.listFiles().map(_.getName).toSeq
       assert(names.count(_.startsWith("_manifest.v")) <= 2,
         s"old manifests not GC'd: $names")
@@ -974,6 +982,37 @@ class SamplingSpec extends SparkSpec {
       graft.util.TempDirs.deleteRecursively(dir)
       graft.util.TempDirs.deleteRecursively(stage)
       graft.util.TempDirs.deleteRecursively(ckpt)
+    }
+  }
+
+  test("ivfPqIngest streams encoded micro-batches into the codes table") {
+    val (queries, corpus) = annFixture()
+    val mid = corpus.agg(
+      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqingest").toFile
+    val root = dir.getAbsolutePath
+    val stage = java.nio.file.Files
+      .createTempDirectory("ivfpqingest_stage").toFile
+    try {
+      Similarity.ivfPqBuild(corpus.filter(col("id") <= mid), root,
+        nList = 4, m = 4, nCodes = 8, kmeansMaxIter = 2)
+      val delta = corpus.filter(col("id") > mid)
+      val files = stage.getAbsolutePath + "/files"
+      delta.repartition(3).write.parquet(files)
+      val stream = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(files)
+      val q = Similarity.ivfPqIngest(stream, root,
+        stage.getAbsolutePath + "/ckpt")
+      try q.processAllAvailable()
+      finally q.stop()
+      // probe-all + refine-all over the grown compressed index is exact
+      assert(annPairs(Similarity.ivfPqQuery(spark, root, queries, corpus,
+        k = 3, nProbe = 4, refineK = 100000)) ==
+        annPairs(Similarity.bruteForce(queries, corpus, 3)))
+      assert(filesPerList(dir, "codes").values.exists(_ > 1))
+    } finally {
+      graft.util.TempDirs.deleteRecursively(dir)
+      graft.util.TempDirs.deleteRecursively(stage)
     }
   }
 
