@@ -138,6 +138,41 @@ object OracleSql {
   /** Exact cosine top-3 for vec_id<5 queries over the vec_id≥5 corpus —
     * the oracle for q29 (brute force) and q43o (IVF with nProbe = nList,
     * which must degenerate to exhaustive search). */
+  /** q222's oracle: BPE encoding as pure SQL. Each word is rendered as
+    * a chr(31)-DOUBLE-separated symbol string (`␟␟a␟␟b␟␟`) and every
+    * adopted merge (a, b) replays as one `replace` of `␟a␟␟b␟` with
+    * `␟ab␟`: the pattern consumes the INNER separator of each flanking
+    * pair, so the string keeps its double boundaries and the scanner's
+    * resume-after-replacement position is exactly the merge walk's
+    * `i += 2` — greedy, leftmost, non-overlapping (verified
+    * symbol-for-symbol against a reference walk on the full table).
+    * The merge list mirrors SparkEntry.q222_bpe_encode's literal. */
+  private val bpeEncodeSql: String = {
+    val merges = Seq("a" -> "g", "ag" -> "g", "r" -> "o", "ro" -> "w",
+      "a" -> "n", "o" -> "n")
+    var f = "concat(chr(31), chr(31), " +
+      "regexp_replace(w, '(.)', concat('\\1', chr(31), chr(31)), 'g'))"
+    for ((a, b) <- merges)
+      f = s"replace($f, concat(chr(31),'$a',chr(31),chr(31),'$b'," +
+        s"chr(31)), concat(chr(31),'$a$b',chr(31)))"
+    s"""WITH t AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(toks,
+       |      w -> substr($f, 3, length($f) - 4)),
+       |      concat(chr(31), chr(31))) AS stream
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN stream = '' THEN 0
+       |    ELSE (length(stream) - length(replace(stream, concat(chr(31), chr(31)), ''))) / 2 + 1
+       |    END AS INTEGER) AS n_bpe,
+       |  md5(stream) AS bpe_hash
+       |FROM enc""".stripMargin
+  }
+
   private val exactKnnSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
@@ -831,6 +866,12 @@ object OracleSql {
     // streaming ingest: build-on-half + micro-batch append stream,
     // probe-all over the grown index is exhaustive over the corpus
     "q221_knn_ivf_stream_ingest" -> exactKnnSql,
+
+    // BPE encoding under q222's fixed merge list: each word becomes a
+    // chr(31)-double-separated symbol string and the merges replay as
+    // chained replaces (`␟a␟␟b␟` -> `␟ab␟`), which reproduces the
+    // greedy leftmost non-overlapping walk exactly
+    "q222_bpe_encode" -> bpeEncodeSql,
 
     // the persisted IVF-PQ index (codes-not-vectors on disk) probing
     // all lists with refine over every candidate: exhaustive-exact

@@ -2539,6 +2539,23 @@ object SparkEntry {
       Similarity.ivfQuery(s, dir, queries, k = 3, nProbe = 8)
     }
 
+  /** BPE corpus-ENCODING gate ([[operators.Tokenizer.bpeEncode]]): the
+    * scan a pipeline runs corpus-wide after training — each document's
+    * subword stream under a FIXED merge list (training itself is gated
+    * by q137), fingerprinted per doc. The DuckDB oracle replays the
+    * greedy leftmost non-overlapping merge walk as a chain of string
+    * `replace`s over a double-separator symbol encoding (pattern
+    * `␟a␟␟b␟` → `␟ab␟` consumes the inner separators, so scan-resume
+    * after a replacement matches the walk's i += 2 exactly — verified
+    * symbol-for-symbol against a reference implementation). */
+  def q222_bpe_encode(s: SparkSession, d: String): DataFrame = {
+    val merges = Seq("a" -> "g", "ag" -> "g", "r" -> "o", "ro" -> "w",
+      "a" -> "n", "o" -> "n")
+    Tokenizer.bpeEncode(T.documents(s, d), "text", merges)
+      .select(col("doc_id"), size(col("bpe")).as("n_bpe"),
+        md5(concat_ws("\u001f\u001f", col("bpe"))).as("bpe_hash"))
+  }
+
   /** Leakage-safe split ([[operators.Splits.groupedSplit]]): the split
     * hash is taken over the content hash, so exact-duplicate documents
     * land on the SAME side — the constructive counterpart of the q132
@@ -4213,7 +4230,8 @@ object SparkEntry {
     "q218_knn_ivfpq_compact" -> (q218_knn_ivfpq_compact _),
     "q219_neardup_grouped_split" -> (q219_neardup_grouped_split _),
     "q220_index_health" -> (q220_index_health _),
-    "q221_knn_ivf_stream_ingest" -> (q221_knn_ivf_stream_ingest _))
+    "q221_knn_ivf_stream_ingest" -> (q221_knn_ivf_stream_ingest _),
+    "q222_bpe_encode" -> (q222_bpe_encode _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -98,6 +98,47 @@ object Tokenizer {
     (adopted.toSeq, vocab)
   }
 
+  /** BPE ENCODING: apply a trained merge list to a text column,
+    * producing each document's subword token sequence — the op a
+    * pipeline runs corpus-wide after [[trainBpe]] ran once (training is
+    * a vocab-sized job; ENCODING is the 100 TB scan). Tokenization
+    * mirrors [[TextFunctions.tokens]] (trim + split on whitespace), then
+    * each word is split to characters and the merges replay IN ADOPTED
+    * ORDER, each pass greedy-leftmost non-overlapping — the exact walk
+    * `trainBpe` used, so encoding a training word reproduces its final
+    * vocab symbols (spec invariant). One zero-shuffle projection; the
+    * merge list is model-sized and rides the UDF closure as a broadcast.
+    */
+  def bpeEncode(df: DataFrame, textCol: String,
+                merges: Seq[(String, String)],
+                outCol: String = "bpe"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val t = text.trim
+        if (t.isEmpty) Seq.empty[String]
+        else t.split("\\s+").toSeq.flatMap { w =>
+          var syms: Array[String] = w.map(_.toString).toArray
+          bc.value.foreach { case (a, b) =>
+            if (syms.length >= 2) {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                  out += (a + b); i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.result()
+            }
+          }
+          syms.toSeq
+        }
+      }
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
   /** Vocabulary-novelty curve: for an ingest order expressed as a bucket
     * column, how many never-seen-before terms first appear in each
     * bucket. Two hash aggregates (term → min bucket, then bucket →

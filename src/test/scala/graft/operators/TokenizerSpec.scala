@@ -49,6 +49,38 @@ class TokenizerSpec extends SparkSpec {
     assert(merges == Seq(("a", "b"))) // after one merge nothing pairs
   }
 
+  test("bpeEncode replays trained merges: encoding a training word " +
+    "reproduces its final vocab symbols") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val (merges, vocab) = Tokenizer.trainBpe(words.toDF("text"), "text", 3)
+    // every vocab word, re-encoded from raw text, lands on exactly the
+    // symbol sequence training left it with — train/encode agree
+    val enc = Tokenizer.bpeEncode(vocab.select(col("w").as("text")),
+      "text", merges)
+    val mismatches = enc.select(col("text"), col("bpe"))
+      .collect().map { r =>
+        val want = vocab.filter(col("w") === r.getString(0))
+          .select("syms").head().getSeq[String](0)
+        (r.getString(0), r.getSeq[String](1), want)
+      }.filter { case (_, got, want) => got != want }
+    assert(mismatches.isEmpty, mismatches.mkString("\n"))
+    // multi-word documents flatten in order; unseen words fall back to
+    // characters (plus any merges that happen to apply)
+    val doc = Tokenizer.bpeEncode(
+      Seq("newest news").toDF("text"), "text", merges)
+      .select("bpe").head().getSeq[String](0)
+    assert(doc.startsWith(vocab.filter(col("w") === "newest")
+      .select("syms").head().getSeq[String](0)), doc.toString)
+    // null and empty texts behave like TextFunctions.tokens
+    val edge = Tokenizer.bpeEncode(
+      Seq(Some(""), Some("  "), None).toDF("text"), "text", merges)
+      .select("bpe").collect()
+    assert(edge(0).getSeq[String](0).isEmpty)
+    assert(edge(1).getSeq[String](0).isEmpty)
+    assert(edge(2).isNullAt(0))
+  }
+
   test("noveltyCurve counts first occurrences per bucket") {
     val df = Seq(
       (0L, "x"), (0L, "y"), (1L, "x"), (1L, "z"), (2L, "x"), (2L, "z")
