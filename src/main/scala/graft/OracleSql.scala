@@ -204,12 +204,14 @@ object OracleSql {
 
   /** `k` is spliced into the init LIMIT verbatim, so it can be a scalar
     * subquery — the auto-k mirror (ceil(n/target), q105) rides the same
-    * CTEs as the fixed-k one. */
-  private def kmeansCte(k: String, iters: Int, d: Int): String = {
+    * CTEs as the fixed-k one. `srcWhere` filters the clustered source
+    * (the incremental mirror q223 trains on the BASE slice only). */
+  private def kmeansCte(k: String, iters: Int, d: Int,
+                        srcWhere: String = ""): String = {
     val dd = d + 1
     val head =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
+         |  FROM embeddings $srcWhere),
          |dims AS (SELECT CAST(unnest(range(1, $dd)) AS INTEGER) AS j),
          |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
          |    AS INTEGER) AS cl, v AS c
@@ -1573,6 +1575,45 @@ object OracleSql {
         |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)) AS cosine
         |  FROM g a JOIN g b ON a.cluster = b.cluster
         |    AND a.vec_id < b.vec_id)
+        |SELECT cluster, id_a, id_b, cosine FROM p
+        |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin),
+
+    // q223: INCREMENTAL SemDeDup — the base slice (vec_id % 10 < 8)
+    // clusters through the standard unrolled Lloyd CTEs (iters = 2, so
+    // final centroids are c2 and the base's final assignment is a3);
+    // the batch slice assigns to those FROZEN centroids under the same
+    // rounded-distance lower-index-tiebreak convention, and only pairs
+    // involving a batch point, in batch-touched clusters, survive
+    "q223_semdedup_incremental" ->
+      (kmeansCte("16", 2, 64, "WHERE vec_id % 10 < 8") + """,
+        |nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 >= 8),
+        |dn AS (SELECT nb.vec_id, c.cl,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      j -> (nb.v[j] - c.c[j]) * (nb.v[j] - c.c[j])),
+        |      (a, b) -> a + b), 9) AS d
+        |  FROM nb CROSS JOIN c2 c),
+        |an AS (SELECT vec_id, cl FROM dn
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d, cl) = 1),
+        |allp AS (
+        |  SELECT a.cl AS cluster, e.vec_id, e.v, FALSE AS nw
+        |  FROM a3 a JOIN e USING (vec_id)
+        |  UNION ALL
+        |  SELECT an.cl, nb.vec_id, nb.v, TRUE FROM an JOIN nb
+        |    USING (vec_id)),
+        |tc AS (SELECT DISTINCT cluster FROM allp WHERE nw),
+        |g AS (SELECT allp.* FROM allp JOIN tc USING (cluster)),
+        |p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> a.v[i] * a.v[i]), (x, y) -> x + y)
+        |      * list_reduce(list_transform(range(1, 65),
+        |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)) AS cosine
+        |  FROM g a JOIN g b ON a.cluster = b.cluster
+        |    AND a.vec_id < b.vec_id AND (a.nw OR b.nw))
         |SELECT cluster, id_a, id_b, cosine FROM p
         |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin),
 

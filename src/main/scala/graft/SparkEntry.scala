@@ -1542,6 +1542,21 @@ object SparkEntry {
       T.embeddings(s, d), "vec_id", "embedding", tau = 0.3,
       targetClusterSize = 250, iterations = 2)
 
+  /** INCREMENTAL SemDeDup gate
+    * ([[operators.Clustering.semDedupIncremental]]): the base slice
+    * clusters once, the "daily batch" slice assigns to the FROZEN
+    * centroids, and only pairs involving a batch point (in clusters the
+    * batch touched) are emitted — yesterday's base-vs-base pairs never
+    * re-emit. The DuckDB mirror replays the unrolled Lloyd CTEs on the
+    * base slice plus a frozen-centroid assignment of the batch. */
+  def q223_semdedup_incremental(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    operators.Clustering.semDedupIncremental(
+      emb.filter(col("vec_id") % 10 < 8),
+      emb.filter(col("vec_id") % 10 >= 8),
+      "vec_id", "embedding", tau = 0.3, k = 16, iterations = 2)
+  }
+
   /** Fuzzy vocabulary matching over distinct part names
     * ([[operators.RecordLinkage.fuzzyPairs]]): FastSS
     * deletion-neighborhood candidate keys, codegen'd levenshtein
@@ -4231,7 +4246,8 @@ object SparkEntry {
     "q219_neardup_grouped_split" -> (q219_neardup_grouped_split _),
     "q220_index_health" -> (q220_index_health _),
     "q221_knn_ivf_stream_ingest" -> (q221_knn_ivf_stream_ingest _),
-    "q222_bpe_encode" -> (q222_bpe_encode _))
+    "q222_bpe_encode" -> (q222_bpe_encode _),
+    "q223_semdedup_incremental" -> (q223_semdedup_incremental _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -33,7 +33,16 @@ object Clustering {
     * never shuffled and never collected. Returns `(idCol, cluster)`.
     */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-             iterations: Int, roundTo: Int = 9): DataFrame = {
+             iterations: Int, roundTo: Int = 9): DataFrame =
+    kmeansWithCentroids(df, idCol, vecCol, k, iterations, roundTo)._1
+
+  /** [[kmeans]] also returning the FINAL centroids — the bounded (k·d
+    * doubles) state [[semDedupIncremental]] assigns later batches
+    * against, the same save-the-quantizer move as
+    * [[Similarity.ivfBuild]]'s centroid table. */
+  def kmeansWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, iterations: Int, roundTo: Int = 9)
+      : (DataFrame, Array[Array[Double]]) = {
     require(k >= 1 && iterations >= 1 && roundTo >= 1 && roundTo <= 15)
     val spark = df.sparkSession
     val v = df.select(col(idCol).as("_id"),
@@ -43,27 +52,7 @@ object Clustering {
       .map(_.getSeq[Double](1).toArray)
     require(init.length == k, s"need at least $k vectors, got ${init.length}")
 
-    def assign(cs: Array[Array[Double]]) = {
-      val bc = spark.sparkContext.broadcast(cs)
-      udf { (vec: Seq[Double]) =>
-        val a = vec.toArray
-        var best = 0
-        var bestD = Double.MaxValue
-        var i = 0
-        while (i < bc.value.length) {
-          val c = bc.value(i)
-          var d = 0.0
-          var j = 0
-          while (j < c.length) { val t = a(j) - c(j); d += t * t; j += 1 }
-          val rd = java.math.BigDecimal.valueOf(d)
-            .setScale(roundTo, java.math.RoundingMode.HALF_UP)
-            .doubleValue()
-          if (rd < bestD) { bestD = rd; best = i }
-          i += 1
-        }
-        best
-      }
-    }
+    def assign(cs: Array[Array[Double]]) = assignTo(spark, cs, roundTo)
 
     var centroids = init
     for (_ <- 1 to iterations) {
@@ -92,7 +81,34 @@ object Clustering {
       .select(col("_id").as(idCol), assign(centroids)(col("_v")).as("cluster"))
       .localCheckpoint(true)
     v.unpersist(false)
-    out
+    (out, centroids)
+  }
+
+  /** The [[kmeans]] assignment kernel as a standalone UDF: argmin of
+    * `roundTo`-dp-rounded squared L2 against broadcast centroids, ties
+    * to the lower index — exposed so batch assignment reproduces
+    * training assignment bit for bit. */
+  private def assignTo(spark: org.apache.spark.sql.SparkSession,
+                       centroids: Array[Array[Double]], roundTo: Int) = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    udf { (vec: Seq[Double]) =>
+      val a = vec.toArray
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < bc.value.length) {
+        val c = bc.value(i)
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = a(j) - c(j); d += t * t; j += 1 }
+        val rd = java.math.BigDecimal.valueOf(d)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP)
+          .doubleValue()
+        if (rd < bestD) { bestD = rd; best = i }
+        i += 1
+      }
+      best
+    }
   }
 
   /** TWO-LEVEL deterministic k-means: a coarse pass with k₁ = ⌈√k⌉
@@ -268,6 +284,60 @@ object Clustering {
                maxCluster: Long = 100000L): DataFrame =
     semDedupPairs(df, kmeans(df, idCol, vecCol, k, iterations), idCol,
       vecCol, tau, maxCluster)
+
+  /** INCREMENTAL SemDeDup for a daily batch: cluster the BASE corpus
+    * once (deterministic [[kmeans]] — at 100 TB this ran yesterday),
+    * assign the BATCH to the FINAL centroids (one broadcast pass, the
+    * [[Similarity.ivfAppend]] move — no re-clustering), and emit only
+    * near-duplicate pairs INVOLVING a batch point, within the clusters
+    * the batch touched. Base-vs-base pairs were yesterday's output;
+    * today's scan cost is |batch| assignment plus batch-touched-cluster
+    * pairing, not a corpus re-cluster. Ids must be unique across
+    * base ∪ batch. Same release contract as [[semDedup]]
+    * ([[releasePairs]]); same `maxCluster` hot-cluster guard, measured
+    * on the cluster's TOTAL (base + batch) size. */
+  def semDedupIncremental(base: DataFrame, batch: DataFrame,
+                          idCol: String, vecCol: String, tau: Double,
+                          k: Int, iterations: Int,
+                          maxCluster: Long = 100000L): DataFrame = {
+    val spark = base.sparkSession
+    val (baseLabels, centroids) =
+      kmeansWithCentroids(base, idCol, vecCol, k, iterations)
+    val assign = assignTo(spark, centroids, roundTo = 9)
+    def vecs(df: DataFrame, isNew: Boolean) =
+      df.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+        .withColumn("_new", lit(isNew))
+    val baseSide = vecs(base, isNew = false)
+      .join(baseLabels.select(col(idCol).as("_id"), col("cluster")), "_id")
+    val batchSide = vecs(batch, isNew = true)
+      .withColumn("cluster", assign(col("_v")))
+    val all = baseSide.select("cluster", "_id", "_v", "_new")
+      .unionByName(batchSide.select("cluster", "_id", "_v", "_new"))
+    // only clusters the batch actually hit can produce new pairs —
+    // a bounded (≤ k ints) semi-join keys the pruning
+    val touched = batchSide.select("cluster").distinct()
+    val guarded = all.join(broadcast(touched), Seq("cluster"),
+        "left_semi")
+      .join(all.groupBy("cluster").agg(count(lit(1)).as("_sz")),
+        "cluster")
+      .filter(col("_sz") <= maxCluster).drop("_sz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = guarded.select(col("cluster"), col("_id").as("id_a"),
+      col("_v").as("_va"), col("_new").as("_na"))
+    val b = guarded.select(col("cluster"), col("_id").as("id_b"),
+      col("_v").as("_vb"), col("_new").as("_nb"))
+    val out = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") && (col("_na") || col("_nb")))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        graft.functions.VectorOps.cosine(col("_va"), col("_vb"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+      .localCheckpoint(true)
+    guarded.unpersist(false)
+    releasePairs(baseLabels) // the labels checkpoint has no consumer now
+    out
+  }
 
   /** Release the one block-manager RDD a [[semDedup]]/[[semDedupAuto]]
     * result pins (see the release contract on [[semDedup]]). Safe on any

@@ -89,6 +89,42 @@ class ClusteringSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("semDedupIncremental pairs only batch-involving near-dups, " +
+    "assigned against the base clustering") {
+    import spark.implicits._
+    // base: two tight blobs; ids 0/1 are a base-base near-dup pair that
+    // must NOT re-emit (it was yesterday's output)
+    def v(c: Double, eps: Double) = Seq(c, c + eps, 1.0, 2.0)
+    val base = Seq(
+      0L -> v(0.0, 0.0000), 1L -> v(0.0, 0.0001), 2L -> v(0.1, 0.03),
+      10L -> v(9.0, 0.000), 11L -> v(9.0, 0.020), 12L -> v(9.1, 0.05)
+    ).toDF("id", "vec")
+    // batch: a copy of id 0, a copy of id 10, and one far-off vector
+    val batch = Seq(
+      100L -> v(0.0, 0.00005), 101L -> v(9.0, 0.001),
+      102L -> Seq(-5.0, 4.0, -3.0, 0.5)
+    ).toDF("id", "vec")
+    val got = Clustering.semDedupIncremental(base, batch, "id", "vec",
+      tau = 0.99999, k = 2, iterations = 2)
+    val pairs = got.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair involves a batch id; the base-base dup (0,1)
+    // is absent; the far-off batch vector pairs with nothing
+    assert(pairs.forall { case (a, b) => a >= 100L || b >= 100L }, pairs)
+    assert(pairs.contains((0L, 100L)) && pairs.contains((1L, 100L)),
+      pairs.toString)
+    assert(pairs.contains((10L, 101L)), pairs.toString)
+    assert(!pairs.exists { case (a, b) => a == 102L || b == 102L }, pairs)
+    // deterministic under repartitioning
+    val again = Clustering.semDedupIncremental(base.repartition(3),
+      batch.repartition(2), "id", "vec", tau = 0.99999, k = 2,
+      iterations = 2)
+    assert(again.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == pairs)
+    Clustering.releasePairs(got)
+    Clustering.releasePairs(again)
+  }
+
   test("semDedup releases its iteration caches (only the result stays)") {
     import spark.implicits._
     val df = (blob(Array(0.0, 1.0, 2.0, 3.0), 0 until 12) ++
