@@ -254,11 +254,11 @@ object OracleSql {
     * their centroid — ending in `fin(vec_id, cluster)` with
     * cluster = cell · 2³² + fineIndex. */
   private def kmeansTwoLevelCte(target: String, iters: Int,
-                                d: Int): String = {
+                                d: Int, srcWhere: String = ""): String = {
     val dd = d + 1
     val k1 =
       s"(SELECT CAST(CEIL(SQRT(CEIL(COUNT(*) / $target))) AS BIGINT) FROM e)"
-    val head = kmeansCte(k1, iters, d) + s""",
+    val head = kmeansCte(k1, iters, d, srcWhere) + s""",
       |pts AS (SELECT e.vec_id, a.cl AS cell, e.v
       |  FROM a${iters + 1} a JOIN e USING (vec_id)),
       |csz AS (SELECT cell, COUNT(*) AS nc FROM pts GROUP BY 1),
@@ -1601,6 +1601,58 @@ object OracleSql {
         |  FROM a3 a JOIN e USING (vec_id)
         |  UNION ALL
         |  SELECT an.cl, nb.vec_id, nb.v, TRUE FROM an JOIN nb
+        |    USING (vec_id)),
+        |tc AS (SELECT DISTINCT cluster FROM allp WHERE nw),
+        |g AS (SELECT allp.* FROM allp JOIN tc USING (cluster)),
+        |p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> a.v[i] * a.v[i]), (x, y) -> x + y)
+        |      * list_reduce(list_transform(range(1, 65),
+        |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)) AS cosine
+        |  FROM g a JOIN g b ON a.cluster = b.cluster
+        |    AND a.vec_id < b.vec_id AND (a.nw OR b.nw))
+        |SELECT cluster, id_a, id_b, cosine FROM p
+        |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin),
+
+    // q224: incremental SemDeDup at the SCALE clustering — the base
+    // slice runs the two-level Lloyd CTEs (fin labels, frozen coarse c2
+    // + fine f2 centroids at iters = 2); the batch replays BOTH frozen
+    // levels (coarse argmin over c2, then fine argmin over its cell's
+    // f2 rows, COALESCE fj -> 0 for a base-empty cell) and only
+    // batch-involving pairs in batch-touched clusters survive
+    "q224_semdedup_incremental_auto" ->
+      (kmeansTwoLevelCte("100.0", 2, 64, "WHERE vec_id % 10 < 8") + """,
+        |nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 >= 8),
+        |dnc AS (SELECT nb.vec_id, c.cl,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      j -> (nb.v[j] - c.c[j]) * (nb.v[j] - c.c[j])),
+        |      (a, b) -> a + b), 9) AS d
+        |  FROM nb CROSS JOIN c2 c),
+        |anc AS (SELECT vec_id, cl FROM dnc
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d, cl) = 1),
+        |bfd AS (SELECT an.vec_id, f.fj,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      j -> (nb.v[j] - f.c[j]) * (nb.v[j] - f.c[j])),
+        |      (a, b) -> a + b), 9) AS d
+        |  FROM anc an JOIN nb USING (vec_id)
+        |  JOIN f2 f ON f.cell = an.cl),
+        |bfa AS (SELECT vec_id, fj FROM bfd
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d, fj) = 1),
+        |bcl AS (SELECT an.vec_id,
+        |    CAST(an.cl AS BIGINT) * 4294967296 + COALESCE(b.fj, 0)
+        |      AS cluster
+        |  FROM anc an LEFT JOIN bfa b USING (vec_id)),
+        |allp AS (
+        |  SELECT fin.cluster, e.vec_id, e.v, FALSE AS nw
+        |  FROM fin JOIN e USING (vec_id)
+        |  UNION ALL
+        |  SELECT bcl.cluster, nb.vec_id, nb.v, TRUE FROM bcl JOIN nb
         |    USING (vec_id)),
         |tc AS (SELECT DISTINCT cluster FROM allp WHERE nw),
         |g AS (SELECT allp.* FROM allp JOIN tc USING (cluster)),

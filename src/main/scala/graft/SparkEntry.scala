@@ -1557,6 +1557,23 @@ object SparkEntry {
       "vec_id", "embedding", tau = 0.3, k = 16, iterations = 2)
   }
 
+  /** Incremental SemDeDup at the SCALE clustering
+    * ([[operators.Clustering.semDedupIncrementalAuto]]): the base slice
+    * clusters two-level (k ∝ n/target — pairing stays linear — with
+    * O(n·√k·d) assignment), the batch replays BOTH frozen quantizer
+    * levels, and only batch-involving pairs in touched clusters emit.
+    * The DuckDB mirror replays the two-level Lloyd CTEs plus the
+    * frozen coarse+fine batch assignment. */
+  def q224_semdedup_incremental_auto(s: SparkSession,
+                                     d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    operators.Clustering.semDedupIncrementalAuto(
+      emb.filter(col("vec_id") % 10 < 8),
+      emb.filter(col("vec_id") % 10 >= 8),
+      "vec_id", "embedding", tau = 0.3, targetClusterSize = 100,
+      iterations = 2)
+  }
+
   /** Fuzzy vocabulary matching over distinct part names
     * ([[operators.RecordLinkage.fuzzyPairs]]): FastSS
     * deletion-neighborhood candidate keys, codegen'd levenshtein
@@ -4247,7 +4264,9 @@ object SparkEntry {
     "q220_index_health" -> (q220_index_health _),
     "q221_knn_ivf_stream_ingest" -> (q221_knn_ivf_stream_ingest _),
     "q222_bpe_encode" -> (q222_bpe_encode _),
-    "q223_semdedup_incremental" -> (q223_semdedup_incremental _))
+    "q223_semdedup_incremental" -> (q223_semdedup_incremental _),
+    "q224_semdedup_incremental_auto" ->
+      (q224_semdedup_incremental_auto _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

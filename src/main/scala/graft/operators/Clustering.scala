@@ -139,14 +139,30 @@ object Clustering {
   def kmeansTwoLevel(df: DataFrame, idCol: String, vecCol: String,
                      targetClusterSize: Long, iterations: Int,
                      roundTo: Int = 9): DataFrame = {
+    val (out, _, fineCent) = kmeansTwoLevelWithState(df, idCol, vecCol,
+      targetClusterSize, iterations, roundTo)
+    releasePairs(fineCent)
+    out
+  }
+
+  /** [[kmeansTwoLevel]] also returning the frozen quantizer state —
+    * (labels, coarse centroids, fine-centroid frame `(_cell, _fj, _c)`)
+    * — so [[semDedupIncrementalAuto]] can assign later batches without
+    * re-clustering. The fine frame is a retained local checkpoint
+    * (Σk₂·d doubles): release it with [[releasePairs]] when done. */
+  def kmeansTwoLevelWithState(df: DataFrame, idCol: String,
+                              vecCol: String, targetClusterSize: Long,
+                              iterations: Int, roundTo: Int = 9)
+      : (DataFrame, Array[Array[Double]], DataFrame) = {
     require(targetClusterSize >= 1 && iterations >= 1)
     import org.apache.spark.sql.expressions.Window
     val n = df.count()
     val k = math.max(1L,
       (n + targetClusterSize - 1) / targetClusterSize)
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
-    val coarse = kmeans(df, idCol, vecCol, k1, iterations, roundTo)
-      .withColumnRenamed("cluster", "_cell")
+    val (coarseLabels, coarseCentroids) =
+      kmeansWithCentroids(df, idCol, vecCol, k1, iterations, roundTo)
+    val coarse = coarseLabels.withColumnRenamed("cluster", "_cell")
     val pts = df
       .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
       .join(coarse.withColumnRenamed(idCol, "_id"), "_id")
@@ -169,34 +185,9 @@ object Clustering {
       .select(col("_cell"), (col("_rk") - 1).cast("int").as("_fj"),
         col("_v").as("_c"))
       .localCheckpoint(true)
-    val assignF = udf { (v: Seq[Double], cents: Seq[Seq[Double]]) =>
-      val a = v.toArray
-      var best = 0
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < cents.length) {
-        val c = cents(i)
-        var d = 0.0
-        var j = 0
-        while (j < c.length) { val t = a(j) - c(j); d += t * t; j += 1 }
-        val rd = java.math.BigDecimal.valueOf(d)
-          .setScale(roundTo, java.math.RoundingMode.HALF_UP)
-          .doubleValue()
-        if (rd < bestD) { bestD = rd; best = i }
-        i += 1
-      }
-      best
-    }
-    // per-cell centroid arrays in fine-index order: sort_array on the
-    // (fj, c) struct sorts by fj, so array position == fine index
-    def grouped(c: DataFrame): DataFrame = c
-      .groupBy("_cell")
-      .agg(sort_array(collect_list(struct(col("_fj"), col("_c"))))
-        .as("_cs"))
-      .select(col("_cell"),
-        transform(col("_cs"), s => s.getField("_c")).as("_cl"))
+    val assignF = fineAssignUdf(roundTo)
     // keeps _v in the output so the update pass needs no re-join
-    def assign(c: DataFrame): DataFrame = pts.join(grouped(c), "_cell")
+    def assign(c: DataFrame): DataFrame = pts.join(fineGrouped(c), "_cell")
       .select(col("_id"), col("_cell"), col("_v"),
         assignF(col("_v"), col("_cl")).as("_fj"))
     for (_ <- 1 to iterations) {
@@ -231,17 +222,51 @@ object Clustering {
         col("_fj").cast("long")).as("cluster"))
       .localCheckpoint(true)
     pts.unpersist(false)
-    // release BOTH retained checkpoint RDDs: the last fine round's
-    // centroid frame and the coarse [[kmeans]] assignment (an n-row
-    // checkpoint reachable only through the already-materialized pts) —
-    // collect over the plan tree because coarse sits under a Project
-    Seq(cent, coarse).foreach(_.queryExecution.logical.foreach {
+    // release the coarse [[kmeans]] assignment checkpoint (an n-row RDD
+    // reachable only through the already-materialized pts) — collect
+    // over the plan tree because coarse sits under a Project. The fine
+    // centroid frame `cent` is RETURNED (bounded: Σk₂·d doubles); the
+    // caller releases it ([[kmeansTwoLevel]] does so immediately).
+    coarse.queryExecution.logical.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(false)
       case _ => ()
-    })
-    out
+    }
+    (out, coarseCentroids, cent)
   }
+
+  /** Per-cell fine-centroid arrays in fine-index order: sort_array on
+    * the (fj, c) struct sorts by fj, so array position == fine index. */
+  private def fineGrouped(c: DataFrame): DataFrame = c
+    .groupBy("_cell")
+    .agg(sort_array(collect_list(struct(col("_fj"), col("_c"))))
+      .as("_cs"))
+    .select(col("_cell"),
+      transform(col("_cs"), s => s.getField("_c")).as("_cl"))
+
+  /** The fine-level assignment kernel: argmin of `roundTo`-dp-rounded
+    * squared L2 over a per-row centroid array, ties to the lower index
+    * — an empty array (a batch point landing in a base-empty cell)
+    * yields fine index 0. */
+  private def fineAssignUdf(roundTo: Int) =
+    udf { (v: Seq[Double], cents: Seq[Seq[Double]]) =>
+      val a = v.toArray
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = a(j) - c(j); d += t * t; j += 1 }
+        val rd = java.math.BigDecimal.valueOf(d)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP)
+          .doubleValue()
+        if (rd < bestD) { bestD = rd; best = i }
+        i += 1
+      }
+      best
+    }
 
   /** SemDeDup-style semantic near-duplicate pairs: k-means first, then
     * cosine only WITHIN a cluster — the clustering turns the O(n²)
@@ -312,6 +337,56 @@ object Clustering {
       .join(baseLabels.select(col(idCol).as("_id"), col("cluster")), "_id")
     val batchSide = vecs(batch, isNew = true)
       .withColumn("cluster", assign(col("_v")))
+    val out = incrementalPairs(baseSide, batchSide, tau, maxCluster)
+    releasePairs(baseLabels) // the labels checkpoint has no consumer now
+    out
+  }
+
+  /** [[semDedupIncremental]] with the SCALE clustering: the base runs
+    * [[kmeansTwoLevel]] (k ∝ n/target with O(n·√k·d) assignment — the
+    * q105 lesson: a fixed k makes within-cluster pairing quadratic, a
+    * single-level k ∝ n makes assignment quadratic), and the batch
+    * replays BOTH frozen levels — coarse centroids broadcast, fine
+    * centroids joined per cell — under the training kernels' exact
+    * rounding/tie-break. A batch point landing in a base-empty coarse
+    * cell forms its own cluster (fine index 0). This is the daily
+    * semantic-dedup increment at 100 TB: linear in the batch, never a
+    * corpus re-cluster. */
+  def semDedupIncrementalAuto(base: DataFrame, batch: DataFrame,
+                              idCol: String, vecCol: String, tau: Double,
+                              targetClusterSize: Long, iterations: Int,
+                              maxCluster: Long = 100000L): DataFrame = {
+    val spark = base.sparkSession
+    val (baseLabels, coarseCentroids, fineCent) =
+      kmeansTwoLevelWithState(base, idCol, vecCol, targetClusterSize,
+        iterations)
+    val coarseAssign = assignTo(spark, coarseCentroids, roundTo = 9)
+    def vecs(df: DataFrame, isNew: Boolean) =
+      df.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+        .withColumn("_new", lit(isNew))
+    val baseSide = vecs(base, isNew = false)
+      .join(baseLabels.select(col(idCol).as("_id"), col("cluster")), "_id")
+    val batchSide = vecs(batch, isNew = true)
+      .withColumn("_cell", coarseAssign(col("_v")))
+      .join(fineGrouped(fineCent), Seq("_cell"), "left")
+      .withColumn("_fj", fineAssignUdf(9)(col("_v"),
+        coalesce(col("_cl"),
+          array().cast("array<array<double>>"))))
+      .select(col("_id"), col("_v"), col("_new"),
+        (col("_cell").cast("long") * lit(4294967296L) +
+          col("_fj").cast("long")).as("cluster"))
+    val out = incrementalPairs(baseSide, batchSide, tau, maxCluster)
+    Seq(baseLabels, fineCent).foreach(releasePairs)
+    out
+  }
+
+  /** Shared pairing tail of the incremental SemDeDup paths: union the
+    * labeled sides, prune to batch-touched clusters (bounded semi-join),
+    * apply the hot-cluster guard on TOTAL size, and emit tau-bounded
+    * batch-involving pairs as an eagerly-materialized checkpoint. */
+  private def incrementalPairs(baseSide: DataFrame, batchSide: DataFrame,
+                               tau: Double, maxCluster: Long): DataFrame = {
     val all = baseSide.select("cluster", "_id", "_v", "_new")
       .unionByName(batchSide.select("cluster", "_id", "_v", "_new"))
     // only clusters the batch actually hit can produce new pairs —
@@ -335,7 +410,6 @@ object Clustering {
       .filter(col("cosine") >= tau)
       .localCheckpoint(true)
     guarded.unpersist(false)
-    releasePairs(baseLabels) // the labels checkpoint has no consumer now
     out
   }
 

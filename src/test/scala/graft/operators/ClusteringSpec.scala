@@ -125,6 +125,41 @@ class ClusteringSpec extends SparkSpec {
     Clustering.releasePairs(again)
   }
 
+  test("semDedupIncrementalAuto (two-level) matches the single-level " +
+    "increment's pair semantics and is deterministic") {
+    import spark.implicits._
+    def v(c: Double, eps: Double) = Seq(c, c + eps, 1.0, 2.0)
+    val base = (0 until 20).map { i =>
+      val center = if (i % 2 == 0) 0.0 else 9.0
+      (i.toLong, v(center, 0.01 * i))
+    }.toDF("id", "vec")
+    val batch = Seq(
+      100L -> v(0.0, 0.0001), // near-dup of the id-0 blob
+      101L -> v(9.0, 0.011),  // near-dup of the id-1 blob
+      102L -> Seq(-7.0, 3.0, -2.0, 1.0) // far from everything
+    ).toDF("id", "vec")
+    val got = Clustering.semDedupIncrementalAuto(base, batch, "id",
+      "vec", tau = 0.99999, targetClusterSize = 6, iterations = 2)
+    val pairs = got.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a >= 100L || b >= 100L }, pairs)
+    assert(pairs.exists { case (a, b) => b == 100L && a % 2 == 0 }, pairs)
+    assert(pairs.exists { case (a, b) => b == 101L && a % 2 == 1 }, pairs)
+    assert(!pairs.exists { case (a, b) => a == 102L || b == 102L }, pairs)
+    // deterministic under repartitioning; iteration state all released
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val again = Clustering.semDedupIncrementalAuto(base.repartition(5),
+      batch.repartition(2), "id", "vec", tau = 0.99999,
+      targetClusterSize = 6, iterations = 2)
+    assert(again.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == pairs)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked beyond the result checkpoint: $leaked")
+    Clustering.releasePairs(got)
+    Clustering.releasePairs(again)
+  }
+
   test("semDedup releases its iteration caches (only the result stays)") {
     import spark.implicits._
     val df = (blob(Array(0.0, 1.0, 2.0, 3.0), 0 until 12) ++
