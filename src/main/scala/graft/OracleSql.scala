@@ -1669,6 +1669,36 @@ object OracleSql {
         |SELECT cluster, id_a, id_b, cosine FROM p
         |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin),
 
+    // q225: next-fit sequence packing — per id-mod-8 bucket, a
+    // recursive CTE walks documents in id order carrying (seq, fill):
+    // overflow closes the sequence, an oversized doc isolates. One
+    // frontier row per bucket per iteration, so recursion depth is the
+    // largest bucket's doc count
+    "q225_pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS bucket,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id) AS rn
+        |  FROM t),
+        |walk AS (
+        |  SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT) AS seq,
+        |    n AS seq_fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nxt.bucket, nxt.rn, nxt.doc_id, nxt.n,
+        |    CASE WHEN w.seq_fill + nxt.n > 128 THEN w.seq + 1
+        |      ELSE w.seq END,
+        |    CASE WHEN w.seq_fill + nxt.n > 128 THEN nxt.n
+        |      ELSE w.seq_fill + nxt.n END
+        |  FROM walk w JOIN d nxt ON nxt.bucket = w.bucket
+        |    AND nxt.rn = w.rn + 1)
+        |SELECT doc_id, bucket, seq, seq_fill FROM walk""".stripMargin,
+
     // q103: PSI drift — fixed-width bins from the population (min, max)
     // with identical IEEE width arithmetic, Laplace smoothing (0.5 and
     // 5.0 are binary-exact doubles; the CASTs stop DuckDB from parsing

@@ -2588,6 +2588,19 @@ object SparkEntry {
         md5(concat_ws("\u001f\u001f", col("bpe"))).as("bpe_hash"))
   }
 
+  /** Sequence-PACKING gate ([[operators.Tokenizer.packSequences]]):
+    * documents pack next-fit into 128-token training sequences within
+    * id-mod-8 buckets. The DuckDB mirror walks each bucket with a
+    * recursive CTE carrying (seq, fill) — the exact state machine the
+    * distributed per-bucket walk runs. */
+  def q225_pack_sequences(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .as("n_tokens"))
+    SequencePacking.packNextFit(docs, "doc_id", "n_tokens",
+      budget = 128L, numBuckets = 8)
+  }
+
   /** Leakage-safe split ([[operators.Splits.groupedSplit]]): the split
     * hash is taken over the content hash, so exact-duplicate documents
     * land on the SAME side — the constructive counterpart of the q132
@@ -4266,7 +4279,8 @@ object SparkEntry {
     "q222_bpe_encode" -> (q222_bpe_encode _),
     "q223_semdedup_incremental" -> (q223_semdedup_incremental _),
     "q224_semdedup_incremental_auto" ->
-      (q224_semdedup_incremental_auto _))
+      (q224_semdedup_incremental_auto _),
+    "q225_pack_sequences" -> (q225_pack_sequences _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

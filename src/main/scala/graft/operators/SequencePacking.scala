@@ -55,6 +55,49 @@ object SequencePacking {
           .as("seq_in_bucket"))
   }
 
+  /** STRICT next-fit packing — the hard-budget sibling of
+    * [[assignCounted]]: where the cumulative cut lets one
+    * boundary-straddling doc overhang `budget` (acceptable when the
+    * collator truncates), next-fit CLOSES the sequence a doc would
+    * overflow, so no sequence ever exceeds the budget except an
+    * oversized doc sitting alone — the semantics when sequences must
+    * fit the context window untruncated. Documents bucket by
+    * `id mod numBuckets` and each bucket packs independently in id
+    * order (hash partitioning keeps a bucket whole on one partition;
+    * the within-partition sort makes the walk one ordered scan —
+    * parallelism = numBuckets, never a driver collect, and the plan
+    * moves (id, n) pairs only). Deterministic by construction, so the
+    * walk is SQL-mirrorable as a recursive CTE (q225). Returns
+    * `(idCol, bucket, seq, seq_fill)`; `seq_fill` is the fill AFTER
+    * placing the row — a sequence's last row carries its total. */
+  def packNextFit(df: DataFrame, idCol: String, tokensCol: String,
+                  budget: Long, numBuckets: Int): DataFrame = {
+    require(budget >= 1 && numBuckets >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df
+      .select(col(idCol).cast("long").as("_id"),
+        col(tokensCol).cast("long").as("_n"))
+      .withColumn("_bucket",
+        pmod(col("_id"), lit(numBuckets.toLong)).cast("int"))
+      .repartition(col("_bucket"))
+      .sortWithinPartitions("_bucket", "_id")
+    src.select(col("_bucket"), col("_id"), col("_n"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var curBucket = Int.MinValue
+        var seq = 0L
+        var fill = 0L
+        it.map { case (b, id, n) =>
+          if (b != curBucket) { curBucket = b; seq = 0L; fill = n }
+          else if (fill + n > budget) { seq += 1L; fill = n }
+          else fill += n
+          (id, b, seq, fill)
+        }
+      }
+      .toDF(idCol, "bucket", "seq", "seq_fill")
+  }
+
   /** Packed-sequence manifest: one row per sequence with doc and token
     * counts. */
   def manifest(docs: DataFrame, idCol: String, textCol: String,

@@ -81,6 +81,42 @@ class TokenizerSpec extends SparkSpec {
     assert(edge(2).isNullAt(0))
   }
 
+  test("packNextFit packs per bucket in id order; oversized " +
+    "docs isolate; partitioning-invariant") {
+    import spark.implicits._
+    // one bucket (ids all ≡ 0 mod 1): budget 10, sizes walk the edges
+    val df = Seq(
+      (0L, 4L), (1L, 5L),         // seq 0: fill 4, 9
+      (2L, 2L),                   // 9+2 > 10 -> seq 1: fill 2
+      (3L, 25L),                  // oversize -> seq 2 alone: fill 25
+      (4L, 1L),                   // fill 25+1 > 10 -> seq 3: fill 1
+      (5L, 9L),                   // 1+9 = 10 fits exactly -> fill 10
+      (6L, 1L)                    // -> seq 4
+    ).toDF("id", "n")
+    val got = SequencePacking.packNextFit(df, "id", "n", budget = 10L,
+      numBuckets = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 0L, 4L), (1L, 0L, 9L), (2L, 1L, 2L),
+      (3L, 2L, 25L), (4L, 3L, 1L), (5L, 3L, 10L), (6L, 4L, 1L)),
+      got.mkString(","))
+    // multi-bucket: sequences never cross buckets, numbering per bucket
+    val multi = SequencePacking.packNextFit(df, "id", "n", budget = 10L,
+      numBuckets = 3)
+    val byBucket = multi.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(byBucket.forall { case (id, b, _) => b == (id % 3).toInt })
+    assert(byBucket.filter(_._2 == 0).map(_._3).min == 0L)
+    // invariant under input partitioning
+    val again = SequencePacking.packNextFit(df.repartition(5), "id", "n",
+      budget = 10L, numBuckets = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(again == multi.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet)
+  }
+
   test("noveltyCurve counts first occurrences per bucket") {
     val df = Seq(
       (0L, "x"), (0L, "y"), (1L, "x"), (1L, "z"), (2L, "x"), (2L, "z")
