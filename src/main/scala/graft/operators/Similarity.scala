@@ -675,11 +675,14 @@ object Similarity {
         table -> phys
       }
       val newMap = cur.map ++ renamed
-      // atomic flip: write to a fresh tmp name, rename to the (new,
-      // nonexistent) manifest name — readers never see a partial file
+      // atomic flip: write to a tmp name, rename to the (new,
+      // nonexistent) manifest name — readers never see a partial file.
+      // overwrite=true: a stale .inprogress from a crash between a prior
+      // attempt's create and rename is garbage (single-writer contract)
+      // and must not block every later publish
       val tmpMf = new org.apache.hadoop.fs.Path(
         s"$dir/_manifest.v$next.inprogress")
-      val out = f.create(tmpMf, false)
+      val out = f.create(tmpMf, true)
       try out.write(newMap.toSeq.sorted.map { case (k, v) => s"$k=$v" }
         .mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
