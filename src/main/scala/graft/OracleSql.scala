@@ -1699,6 +1699,28 @@ object OracleSql {
         |    AND nxt.rn = w.rn + 1)
         |SELECT doc_id, bucket, seq, seq_fill FROM walk""".stripMargin,
 
+    // q226: semantic decontamination — per corpus vector, MAX cosine to
+    // any benchmark vector (identical per-pair IEEE sums as q29, and
+    // MAX over identical doubles is order-independent), flagged at tau
+    "q226_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |b AS (SELECT v AS bv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= 5),
+        |m AS (SELECT id, MAX(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> v[i] * bv[i]), (x, y) -> x + y)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> v[i] * v[i]), (x, y) -> x + y)
+        |      * list_reduce(list_transform(range(1, 65),
+        |        i -> bv[i] * bv[i]), (x, y) -> x + y))
+        |  ) AS max_benchmark_cosine
+        |  FROM c CROSS JOIN b GROUP BY id)
+        |SELECT id, max_benchmark_cosine,
+        |  max_benchmark_cosine >= CAST(0.25 AS DOUBLE) AS contaminated
+        |FROM m""".stripMargin,
+
     // q103: PSI drift — fixed-width bins from the population (min, max)
     // with identical IEEE width arithmetic, Laplace smoothing (0.5 and
     // 5.0 are binary-exact doubles; the CASTs stop DuckDB from parsing

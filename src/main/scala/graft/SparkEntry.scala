@@ -2601,6 +2601,21 @@ object SparkEntry {
       budget = 128L, numBuckets = 8)
   }
 
+  /** Semantic-DECONTAMINATION gate
+    * ([[operators.Similarity.benchmarkContamination]]): every corpus
+    * vector annotated with its max cosine to any benchmark vector plus
+    * the tau flag — one broadcast, zero shuffles. The oracle is a plain
+    * cross-join MAX with the q29 cosine arithmetic. */
+  def q226_semantic_decontam(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    Similarity.benchmarkContamination(
+      emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("v")),
+      "id", "v",
+      emb.filter(col("vec_id") < 5), "embedding", tau = 0.25)
+      .select(col("id"), col("max_benchmark_cosine"), col("contaminated"))
+  }
+
   /** Leakage-safe split ([[operators.Splits.groupedSplit]]): the split
     * hash is taken over the content hash, so exact-duplicate documents
     * land on the SAME side — the constructive counterpart of the q132
@@ -4280,7 +4295,8 @@ object SparkEntry {
     "q223_semdedup_incremental" -> (q223_semdedup_incremental _),
     "q224_semdedup_incremental_auto" ->
       (q224_semdedup_incremental_auto _),
-    "q225_pack_sequences" -> (q225_pack_sequences _))
+    "q225_pack_sequences" -> (q225_pack_sequences _),
+    "q226_semantic_decontam" -> (q226_semantic_decontam _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -893,6 +893,54 @@ object Similarity {
     else got.intersect(exact).count().toDouble / denom
   }
 
+  /** Semantic DECONTAMINATION against an evaluation benchmark: annotate
+    * every corpus row with its maximum cosine to ANY benchmark vector
+    * plus a `contaminated` flag at `tau` — the embedding-space
+    * complement of n-gram decontamination (a paraphrased eval question
+    * shares no 13-gram but sits next to the original in embedding
+    * space). Eval benchmarks are small, so the benchmark rides a
+    * broadcast and the whole operator is ONE zero-shuffle projection
+    * over the corpus (spec-asserted: no Exchange in the plan) — at
+    * 100 TB the corpus streams through map tasks once. For a benchmark
+    * too big to broadcast, flip the roles: build a persisted
+    * [[ivfBuild]] index over the benchmark and [[ivfQuery]] the corpus
+    * against it. Cosine arithmetic mirrors the exact-kNN oracle's
+    * sequential sums, so the annotation is hash-exact against SQL. */
+  def benchmarkContamination(corpus: DataFrame, idCol: String,
+                             vecCol: String, benchmark: DataFrame,
+                             benchVecCol: String, tau: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val bench: Array[Array[Double]] = benchmark
+      .select(col(benchVecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(bench.nonEmpty, "benchmarkContamination: empty benchmark")
+    val bc = spark.sparkContext.broadcast(bench)
+    val maxCos = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      var vn = 0.0
+      var i = 0
+      while (i < a.length) { vn += a(i) * a(i); i += 1 }
+      var best = Double.NegativeInfinity
+      var r = 0
+      while (r < bc.value.length) {
+        val b = bc.value(r)
+        var s = 0.0
+        var bn = 0.0
+        var j = 0
+        while (j < b.length) { s += a(j) * b(j); bn += b(j) * b(j); j += 1 }
+        val c = s / math.sqrt(vn * bn)
+        if (c > best) best = c
+        r += 1
+      }
+      best
+    }
+    corpus
+      .withColumn("max_benchmark_cosine",
+        maxCos(col(vecCol).cast("array<double>")))
+      .withColumn("contaminated",
+        col("max_benchmark_cosine") >= tau)
+  }
+
   /** Continuous embedding ingest into a persisted [[ivfBuild]] index:
     * each micro-batch appends WITHOUT refit via [[ivfAppend]] (assign to
     * existing centroids — a bounded broadcast per batch — and write new

@@ -784,6 +784,34 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("benchmarkContamination flags by max benchmark cosine in one " +
+    "zero-shuffle projection") {
+    import spark.implicits._
+    val bench = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("bid", "bv")
+    val corpus = Seq(
+      (10L, Seq(2.0, 0.0, 0.0, 0.0)),  // colinear with bench 0 -> 1.0
+      (11L, Seq(0.0, 0.0, 3.0, 0.0)),  // orthogonal to both -> 0.0
+      (12L, Seq(1.0, 1.0, 0.0, 0.0)),  // 45° to both -> ~0.707
+      (13L, Seq(-1.0, -1.0, 0.0, 0.0)) // anti-aligned -> ~-0.707
+    ).toDF("id", "v")
+    val got = Similarity.benchmarkContamination(corpus, "id", "v",
+      bench, "bv", tau = 0.7)
+    val rows = got.select("id", "max_benchmark_cosine", "contaminated")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1) * 1000).round / 1000.0, r.getBoolean(2))).toMap
+    assert(rows(10L) == (1.0, true))
+    assert(rows(11L) == (0.0, false))
+    assert(rows(12L) == (0.707, true))
+    assert(rows(13L) == (-0.707, false))
+    // the scale claim: a broadcast + map projection, never a shuffle
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"decontamination must be zero-shuffle:\n$plan")
+  }
+
   test("ivfRecallProbe measures the production probe against brute force") {
     val (queries, corpus) = annFixture()
     val dir = java.nio.file.Files.createTempDirectory("ivfrecall").toFile
