@@ -812,6 +812,32 @@ class SamplingSpec extends SparkSpec {
       s"decontamination must be zero-shuffle:\n$plan")
   }
 
+  test("benchmarkContamination's scale path (benchmark as a persisted " +
+    "index, corpus probes top-1) agrees with the broadcast pass") {
+    val (bench, corpus) = annFixture() // 5 "benchmark" + rest "corpus"
+    val dir = java.nio.file.Files.createTempDirectory("decontamidx").toFile
+    try {
+      val want = Similarity.benchmarkContamination(corpus, "id", "v",
+        bench.select(col("qv")), "qv", tau = 0.25)
+        .select("id", "max_benchmark_cosine").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // roles flipped: index the BENCHMARK, probe with the corpus;
+      // top-1 cosine at probe-all IS the max benchmark cosine
+      Similarity.ivfBuild(bench.select(col("qid").as("id"),
+        col("qv").as("v")), dir.getAbsolutePath, nList = 2,
+        kmeansMaxIter = 2)
+      val got = Similarity.ivfQuery(spark, dir.getAbsolutePath,
+        corpus.select(col("id").as("qid"), col("v").as("qv")),
+        k = 1, nProbe = 2)
+        .select("qid", "cosine").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, c) =>
+        assert(math.abs(c - want(id)) < 1e-12, s"id=$id $c vs ${want(id)}")
+      }
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("ivfRecallProbe measures the production probe against brute force") {
     val (queries, corpus) = annFixture()
     val dir = java.nio.file.Files.createTempDirectory("ivfrecall").toFile
@@ -1093,6 +1119,59 @@ class SamplingSpec extends SparkSpec {
         .forall(snap.map.contains), snap.map.toString)
       assert(filesPerList(dir, "codes").values.forall(_ == 1))
       assert(!new java.io.File(dir, "_rebuild.tmp").exists())
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("IVF-PQ recall decay and recovery: drifted appends degrade " +
+    "ivfPqRecallProbe, ivfPqRebuild restores it") {
+    import spark.implicits._
+    val dim = 8
+    def jitter(i: Int, j: Int, s: Double): Double =
+      math.sin(i * 31 + j * 7) * s
+    // same drift construction as the IVF decay spec: base mass at
+    // (0, ±5), drifted mass at x=10 straddling the Voronoi boundary
+    val aRows = (0 until 200).map { i =>
+      val cy = if (i % 2 == 0) 5.0 else -5.0
+      (i.toLong, Array.tabulate(dim) { j =>
+        (if (j == 1) cy else 0.0) + jitter(i, j, 0.3)
+      })
+    }
+    def bRow(i: Int): (Long, Array[Double]) =
+      (1000L + i, Array.tabulate(dim) { j =>
+        (if (j == 0) 10.0
+         else if (j == 1) (if (i % 2 == 0) 0.2 else -0.2)
+         else 0.0) + (if (j <= 1) 0.0 else jitter(i + 977, j, 0.4))
+      })
+    val qB = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(dim) { j =>
+        (if (j == 0) 10.0 else if (j == 1) 0.0
+         else jitter(i + 4099, j, 0.4))
+      })
+    }.toDF("qid", "qv")
+    val base = aRows.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqdecay").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfPqBuild(base, root, nList = 2, m = 4, nCodes = 8,
+        kmeansMaxIter = 5)
+      (0 until 3).foreach { b =>
+        Similarity.ivfPqAppend(spark, root,
+          (b * 100 until (b + 1) * 100).map(bRow).toDF("id", "v"))
+      }
+      val corpus = base.unionByName(
+        (0 until 300).map(bRow).toDF("id", "v"))
+      val decayed = Similarity.ivfPqRecallProbe(spark, root, qB, corpus,
+        k = 10, nProbe = 1, refineK = 1000)
+      Similarity.ivfPqRebuild(spark, root, corpus, kmeansMaxIter = 5)
+      val restored = Similarity.ivfPqRecallProbe(spark, root, qB, corpus,
+        k = 10, nProbe = 1, refineK = 1000)
+      info(f"PQ recall@10 nProbe=1: decayed=$decayed%.3f " +
+        f"restored=$restored%.3f")
+      assert(decayed <= 0.65,
+        f"drifted appends should decay the PQ probe: $decayed%.3f")
+      assert(restored >= decayed + 0.3 && restored >= 0.9,
+        f"ivfPqRebuild should restore recall: decayed=$decayed%.3f " +
+          f"restored=$restored%.3f")
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
