@@ -253,6 +253,15 @@ object OracleSql {
     * tiebreak, DECIMAL(18,9)-exact means, empty fine clusters keeping
     * their centroid — ending in `fin(vec_id, cluster)` with
     * cluster = cell · 2³² + fineIndex. */
+  /** DuckDB execution hint: rewrite `name AS (` to
+    * `name AS MATERIALIZED (` for the given CTEs. Semantics-neutral —
+    * it only stops DuckDB from inlining a CTE into every consumer,
+    * which for multi-consumer chains (training + frozen-assignment
+    * branches over the same Lloyd CTEs) exploded the plan to an OOM. */
+  private def materializeCtes(names: Seq[String], sql: String): String =
+    names.foldLeft(sql)((s, n) =>
+      s.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
+
   private def kmeansTwoLevelCte(target: String, iters: Int,
                                 d: Int, srcWhere: String = ""): String = {
     val dd = d + 1
@@ -1623,8 +1632,14 @@ object OracleSql {
     // levels (coarse argmin over c2, then fine argmin over its cell's
     // f2 rows, COALESCE fj -> 0 for a base-empty cell) and only
     // batch-involving pairs in batch-touched clusters survive
-    "q224_semdedup_incremental_auto" ->
-      (kmeansTwoLevelCte("100.0", 2, 64, "WHERE vec_id % 10 < 8") + """,
+    // DuckDB needs MATERIALIZED hints here: the two-level CTE chain is
+    // consumed by BOTH the training tail and the frozen batch-assignment
+    // branch, and inlining it into every consumer exploded the plan
+    // (observed OOM at 100 GiB at 10x SF; with the hints the same query
+    // runs in ~12 s under a 24 GB cap — execution-only, value-identical)
+    "q224_semdedup_incremental_auto" -> materializeCtes(
+      Seq("e", "pts", "nb", "allp", "g"),
+      kmeansTwoLevelCte("100.0", 2, 64, "WHERE vec_id % 10 < 8") + """,
         |nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id % 10 >= 8),
         |dnc AS (SELECT nb.vec_id, c.cl,
