@@ -35,56 +35,75 @@ object Bench {
     // accumulation for ~2s amortized cost per chunk.
     val restartEvery = sys.env.getOrElse("SPARK_GRAFT_RESTART_EVERY", "50")
       .toInt
-    val results = SparkEntry.queries
+    // run-to-run suite noise (GC/JIT interference, not plan drift; r6
+    // saw q102 swing 7.1→13.1s on unchanged code) hides real
+    // regressions. Queries above this threshold get a second timing; at
+    // 0.5s the uncovered residual is ~1s for ~130s extra wall.
+    // Sub-threshold queries stay single-shot. Parsed once up front so a
+    // malformed value fails fast, not mid-suite.
+    val min2Thr = sys.env.getOrElse("SPARK_GRAFT_MIN2_THRESHOLD", "0.5")
+      .toDouble
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .zipWithIndex
-      .map { case ((name, fn), i) =>
+      .toSeq
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Double = {
+      // per-query isolation: earlier queries' leftover cached /
+      // localCheckpointed RDDs (CC rounds, quantile sorts) otherwise
+      // accumulate heap pressure that bleeds GC pauses into later
+      // timings — r5 saw +40-70% on long-stable queries from this
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      // materialize EVERY output column: a bare count() lets Catalyst
+      // prune projection-only plans down to a row count, so pure-map
+      // queries would measure nothing
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch {
+        case e: Throwable =>
+          // a failed query must show up as a failure, not as a fast time
+          errors(name) = e.getClass.getName + ": " +
+            Option(e.getMessage).getOrElse("").take(300)
+          System.err.println(s"BENCH FAILURE $name: $e")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // PASS 1: suite order, single timing each.
+    val t1map = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    selected.zipWithIndex.foreach { case ((name, fn), i) =>
       if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
         spark.stop()
         spark = newSession()
       }
-      def once(): Double = {
-        // per-query isolation: earlier queries' leftover cached /
-        // localCheckpointed RDDs (CC rounds, quantile sorts) otherwise
-        // accumulate heap pressure that bleeds GC pauses into later
-        // timings — r5 saw +40-70% on long-stable queries from this
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        // materialize EVERY output column: a bare count() lets Catalyst
-        // prune projection-only plans down to a row count, so pure-map
-        // queries would measure nothing
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-        catch {
-          case e: Throwable =>
-            // a failed query must show up as a failure, not as a fast time
-            errors(name) = e.getClass.getName + ": " +
-              Option(e.getMessage).getOrElse("").take(300)
-            System.err.println(s"BENCH FAILURE $name: $e")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t1 = once()
-      // run-to-run suite noise (GC/JIT interference, not plan drift; r6
-      // saw q102 swing 7.1→13.1s on unchanged code) hides real
-      // regressions. Report min-of-2 above a threshold: at 1.5s two full
-      // refreshes still differed 6.4% (the 143 mid-band queries carried
-      // 20s of |delta|); at 0.5s the uncovered residual is ~1s for ~130s
-      // extra wall. Sub-threshold queries stay single-shot.
-      val min2Thr = sys.env.getOrElse("SPARK_GRAFT_MIN2_THRESHOLD", "0.5")
-        .toDouble
-      val t =
-        if (t1 > min2Thr && !errors.contains(name)) {
-          val t2 = once()
-          // if the SECOND run failed, its fast failure duration must not
-          // become the reported time — keep the successful first timing
-          // (the error itself is recorded and fails the run)
-          if (errors.contains(name)) t1 else math.min(t1, t2)
-        } else t1
-      name -> t
+      t1map(name) = timeQuery(name, fn)
     }
+    // PASS 2: re-time above-threshold queries in a DIFFERENT order and a
+    // fresh session, report per-query min across passes. Back-to-back
+    // min-of-2 (r10 and earlier) could not shed a heavy predecessor's
+    // page-cache/GC shadow because BOTH samples sat in the same shadow —
+    // q146 shipped at 3.55s where isolation measures 0.88s. Ascending
+    // pass-1 time puts light queries first (far from any heavy shadow);
+    // heavy queries at the end only shadow other heavy queries, whose
+    // own work dominates the shadow.
+    val pass2 = selected
+      .filter { case (n, _) => t1map(n) > min2Thr && !errors.contains(n) }
+      .sortBy { case (n, _) => t1map(n) }
+    if (pass2.nonEmpty) { spark.stop(); spark = newSession() }
+    pass2.zipWithIndex.foreach { case ((name, fn), j) =>
+      if (restartEvery > 0 && j > 0 && j % restartEvery == 0) {
+        spark.stop()
+        spark = newSession()
+      }
+      val t2 = timeQuery(name, fn)
+      // if the SECOND run failed, its fast failure duration must not
+      // become the reported time — keep the successful first timing
+      // (the error itself is recorded and fails the run)
+      if (!errors.contains(name)) t1map(name) = math.min(t1map(name), t2)
+    }
+    val results = selected.map { case (n, _) => n -> t1map(n) }
     // millisecond precision keeps the one-line summary short enough to
     // survive the driver's output tail (r5's full-precision doubles made
     // the line long enough to be truncated mid-JSON in the artifact)
