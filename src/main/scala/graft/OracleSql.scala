@@ -259,8 +259,12 @@ object OracleSql {
     * which for multi-consumer chains (training + frozen-assignment
     * branches over the same Lloyd CTEs) exploded the plan to an OOM. */
   private def materializeCtes(names: Seq[String], sql: String): String =
+    // word-boundary anchored so a CTE whose name merely ENDS with a
+    // hinted name (e.g. `rate` vs hint `ate`) is never rewritten
     names.foldLeft(sql)((s, n) =>
-      s.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
+      s.replaceAll(
+        "\\b" + java.util.regex.Pattern.quote(n) + " AS \\(",
+        java.util.regex.Matcher.quoteReplacement(s"$n AS MATERIALIZED (")))
 
   private def kmeansTwoLevelCte(target: String, iters: Int,
                                 d: Int, srcWhere: String = ""): String = {
@@ -877,6 +881,26 @@ object OracleSql {
     // streaming ingest: build-on-half + micro-batch append stream,
     // probe-all over the grown index is exhaustive over the corpus
     "q221_knn_ivf_stream_ingest" -> exactKnnSql,
+
+    // same, compressed layout: PQ-encoded micro-batch appends, then
+    // probe-all + refine-all degenerates to exhaustive-exact
+    "q227_knn_ivfpq_stream_ingest" -> exactKnnSql,
+
+    // e2e GAME training gate: the split sizes and per-coordinate model
+    // counts are deterministic facts of the mod-5 split over events
+    // (one intercept model per distinct entity in TRAIN), and rmse_ok
+    // must come back TRUE — a regressed optimizer fails the hash
+    "q228_game_train_e2e" ->
+      """WITH t AS (SELECT event_id, user_id FROM events
+        |  WHERE event_id % 5 <> 0)
+        |SELECT (SELECT count(*) FROM t) AS n_train,
+        |  (SELECT count(*) FROM events WHERE event_id % 5 = 0)
+        |    AS n_valid,
+        |  (SELECT count(DISTINCT user_id) FROM t) AS n_users,
+        |  (SELECT count(DISTINCT event_id % 101) FROM t) AS n_items,
+        |  (SELECT count(DISTINCT (event_id % 101) % 13) FROM t)
+        |    AS n_artists,
+        |  TRUE AS rmse_ok""".stripMargin,
 
     // BPE encoding under q222's fixed merge list: each word becomes a
     // chr(31)-double-separated symbol string and the merges replay as
@@ -1695,9 +1719,10 @@ object OracleSql {
         |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
         |  FROM documents),
         |d AS (
-        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS bucket,
+        |  SELECT doc_id,
+        |    CAST(((doc_id % 8) + 8) % 8 AS INTEGER) AS bucket,
         |    CAST(len(toks) AS BIGINT) AS n,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+        |    ROW_NUMBER() OVER (PARTITION BY ((doc_id % 8) + 8) % 8
         |      ORDER BY doc_id) AS rn
         |  FROM t),
         |walk AS (

@@ -2571,6 +2571,100 @@ object SparkEntry {
       Similarity.ivfQuery(s, dir, queries, k = 3, nProbe = 8)
     }
 
+  /** Streaming ingest gate for the COMPRESSED layout
+    * ([[operators.Similarity.ivfPqIngest]]): q221's scaffold with
+    * PQ-encoded appends — build on the older half, replay the newer
+    * half as a two-file micro-batch stream through foreachBatch →
+    * ivfPqAppend, then probe-all + refine-all over the grown index
+    * must equal exact brute force (the lossy codes only order
+    * candidates; exact refinement over every candidate decides). */
+  def q227_knn_ivfpq_stream_ingest(s: SparkSession, d: String): DataFrame =
+    annIndexGate(s, d, "q227_ivfpq_") { (queries, corpus, dir) =>
+      val stats = corpus.agg(
+        percentile_approx(col("id"), lit(0.5), lit(10000)),
+        count(lit(1))).head()
+      val mid = stats.getLong(0)
+      Similarity.ivfPqBuild(corpus.filter(col("id") <= mid), dir,
+        nList = 8, m = 4, nCodes = 8, kmeansMaxIter = 2)
+      val stage = graft.util.TempDirs.fresh("q227_stage_")
+      try {
+        val delta = corpus.filter(col("id") > mid)
+        val files = stage.getAbsolutePath + "/files"
+        delta.repartition(2).write.parquet(files)
+        val stream = s.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1").parquet(files)
+        val q = Similarity.ivfPqIngest(stream, dir,
+          stage.getAbsolutePath + "/ckpt")
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally graft.util.TempDirs.deleteRecursively(stage)
+      Similarity.ivfPqQuery(s, dir, queries, corpus, k = 3, nProbe = 8,
+        refineK = stats.getLong(1).toInt)
+    }
+
+  /** End-to-end GAME-training gate at fixture scale (reference
+    * GameTrainingDriverIntegTest.scala:78-97 — the reference's de-facto
+    * oracle is a full-CLI run over Yahoo-Music-shaped data, global
+    * features plus per-user/per-song/per-artist intercepts, gated on a
+    * golden validation RMSE). The dataset derives deterministically
+    * from the events table so the SAME gate scales with the SF dir:
+    * user = the fixture's user_id, item = event_id mod 101, artist =
+    * item mod 13 (the song→artist nesting), features and per-entity
+    * effects are hash-uniform, and
+    * y = 0.5 + 2x1 − x2 + u·0.8 + i·0.6 + a·0.4 + ε, ε ∈ 0.05·[−1,1].
+    * Training runs through the driver CLI surface (squared loss,
+    * one-lambda grid, two coordinate sweeps) on the mod-5 split; the
+    * gate emits what the oracle replays exactly — split sizes and
+    * per-coordinate model counts — plus `rmse_ok`: validation RMSE
+    * under 0.25, far below the ~0.62 fixed-effects-only floor (the
+    * random effects must actually learn) yet safely above the 0.029
+    * noise std. Hash-compared against literal TRUE, so a regressed
+    * model FAILS the gate rather than shipping a quietly-worse RMSE. */
+  def q228_game_train_e2e(s: SparkSession, d: String): DataFrame = {
+    def u01(c: Column, salt: Int): Column =
+      (pmod(xxhash64(c, lit(salt)), lit(2001L)) - lit(1000L)) / lit(1000.0)
+    val data = T.events(s, d).select(
+      col("event_id").as("id"), col("user_id").as("user"),
+      pmod(col("event_id"), lit(101L)).as("item"))
+      .withColumn("artist", pmod(col("item"), lit(13L)))
+      .withColumn("x1", u01(col("id"), 1))
+      .withColumn("x2", u01(col("id"), 2))
+      .withColumn("y",
+        lit(0.5) + lit(2.0) * col("x1") - col("x2") +
+          u01(col("user"), 11) * 0.8 + u01(col("item"), 12) * 0.6 +
+          u01(col("artist"), 13) * 0.4 + u01(col("id"), 99) * 0.05)
+    val stage = graft.util.TempDirs.fresh("q228_game_")
+    try {
+      val root = stage.getAbsolutePath
+      data.filter(pmod(col("id"), lit(5L)) =!= 0).write
+        .parquet(s"$root/train")
+      data.filter(pmod(col("id"), lit(5L)) === 0).write
+        .parquet(s"$root/valid")
+      val (model, results) = graft.drivers.GameTrainingDriver.run(s,
+        graft.drivers.Args.parse(Array(
+          "--input-dir", s"$root/train",
+          "--validation-dir", s"$root/valid",
+          "--uid-col", "id", "--label-col", "y",
+          "--feature-cols", "x1,x2",
+          "--random-coordinates",
+          "perUser:user,perItem:item,perArtist:artist",
+          "--loss", "squared", "--lambdas", "0.01", "--re-lambda", "0.1",
+          "--evaluator", "rmse", "--iterations", "2")))
+      val rmse = results.head.metric
+      def nModels(cid: String): Long = model.coordinates(cid)
+        .asInstanceOf[graft.ml.CoordinateDescent.TrainedRandom]
+        .models.count()
+      import s.implicits._
+      Seq((
+        s.read.parquet(s"$root/train").count(),
+        s.read.parquet(s"$root/valid").count(),
+        nModels("perUser"), nModels("perItem"), nModels("perArtist"),
+        rmse < 0.25))
+        .toDF("n_train", "n_valid", "n_users", "n_items", "n_artists",
+          "rmse_ok")
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
   /** BPE corpus-ENCODING gate ([[operators.Tokenizer.bpeEncode]]): the
     * scan a pipeline runs corpus-wide after training — each document's
     * subword stream under a FIXED merge list (training itself is gated
@@ -2585,7 +2679,11 @@ object SparkEntry {
       "a" -> "n", "o" -> "n")
     Tokenizer.bpeEncode(T.documents(s, d), "text", merges)
       .select(col("doc_id"), size(col("bpe")).as("n_bpe"),
-        md5(concat_ws("\u001f\u001f", col("bpe"))).as("bpe_hash"))
+        // concat_ws SKIPS a null array (would hash ""), while the SQL
+        // mirror yields NULL -- guard so both sides agree on null text
+        when(col("bpe").isNull, lit(null))
+          .otherwise(md5(concat_ws("\u001f\u001f", col("bpe"))))
+          .as("bpe_hash"))
   }
 
   /** Sequence-PACKING gate ([[operators.Tokenizer.packSequences]]):
@@ -4296,7 +4394,9 @@ object SparkEntry {
     "q224_semdedup_incremental_auto" ->
       (q224_semdedup_incremental_auto _),
     "q225_pack_sequences" -> (q225_pack_sequences _),
-    "q226_semantic_decontam" -> (q226_semantic_decontam _))
+    "q226_semantic_decontam" -> (q226_semantic_decontam _),
+    "q227_knn_ivfpq_stream_ingest" -> (q227_knn_ivfpq_stream_ingest _),
+    "q228_game_train_e2e" -> (q228_game_train_e2e _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

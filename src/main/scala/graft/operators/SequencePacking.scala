@@ -61,8 +61,10 @@ object SequencePacking {
     * collator truncates), next-fit CLOSES the sequence a doc would
     * overflow, so no sequence ever exceeds the budget except an
     * oversized doc sitting alone — the semantics when sequences must
-    * fit the context window untruncated. Documents bucket by
-    * `id mod numBuckets` and each bucket packs independently in id
+    * fit the context window untruncated. Documents bucket by the
+    * non-negative `pmod(id, numBuckets)` (the q225 oracle mirrors pmod
+    * explicitly, so negative ids agree) and each bucket packs
+    * independently in id
     * order (hash partitioning keeps a bucket whole on one partition;
     * the within-partition sort makes the walk one ordered scan —
     * parallelism = numBuckets, never a driver collect, and the plan
