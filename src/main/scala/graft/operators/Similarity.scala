@@ -601,7 +601,13 @@ object Similarity {
     *
     * Single-writer assumption: appends and compactions of ONE index must
     * not run concurrently with each other (readers are unrestricted) —
-    * the same contract every log-pointer table format documents. */
+    * the same contract every log-pointer table format documents. The
+    * publish path ENFORCES its half of the contract with an
+    * exclusive-create `_writer.lock`: a second concurrent publish fails
+    * before touching any live state (no renames, no manifest, nothing
+    * orphaned). A lock left by a crashed writer is cleared with
+    * [[breakLock]] (an operator decision — nothing else may hold it
+    * under the single-writer contract). */
   private[operators] object Manifest {
     private val Name = """_manifest\.v(\d+)""".r
 
@@ -660,7 +666,37 @@ object Similarity {
     def publish(spark: org.apache.spark.sql.SparkSession, dir: String,
                 updates: Seq[(String, String)]): Unit = {
       val f = fs(spark, dir)
-      val cur = snapshot(spark, dir)
+      // writer lock FIRST: the loser of a publish race must throw
+      // before any rename — its tmp inputs remain the caller's to
+      // retry with, and live state is untouched
+      val lock = new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
+      val lockOut =
+        try f.create(lock, false)
+        catch {
+          case e: java.io.IOException => throw new IllegalStateException(
+            s"another publish holds $dir/_writer.lock (single-writer " +
+              "contract). If the previous writer crashed, clear it with " +
+              "Manifest.breakLock and retry.", e)
+        }
+      lockOut.close()
+      try publishLocked(f, dir, updates)
+      finally f.delete(lock, false)
+    }
+
+    /** Remove a `_writer.lock` left behind by a crashed publish. Only
+      * safe when no publish is actually running (operator decision). */
+    def breakLock(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Unit =
+      fs(spark, dir).delete(
+        new org.apache.hadoop.fs.Path(s"$dir/_writer.lock"), false)
+
+    private def publishLocked(f: org.apache.hadoop.fs.FileSystem,
+                              dir: String,
+                              updates: Seq[(String, String)]): Unit = {
+      val cur = versions(f, dir).lastOption match {
+        case Some(v) => Snapshot(v, readMap(f, dir, v), dir)
+        case None => Snapshot(0, Map.empty, dir)
+      }
       val next = cur.version + 1
       val renamed = updates.map { case (table, tmp) =>
         val phys = s"$table.parquet.v$next"
@@ -736,6 +772,10 @@ object Similarity {
           .foreach(f.delete(_, false))
         entries.filter(_.getName.matches(""".+\.parquet\.v\d+"""))
           .foreach(f.delete(_, true))
+        // a fresh build supersedes any in-flight or crashed publish, so
+        // its stale writer lock must not block the index's future
+        entries.filter(_.getName == "_writer.lock")
+          .foreach(f.delete(_, false))
       }
     }
   }
@@ -1015,6 +1055,56 @@ object Similarity {
     nList
   }
 
+  /** [[ivfSuggestNProbe]] for the compressed [[ivfPqBuild]] layout —
+    * where the knob matters MORE: PQ's lossy candidate ordering sits
+    * below IVF recall at equal nProbe, so a budget tuned on an IVF
+    * twin overstates PQ recall. The exact side reads the original
+    * vectors from `corpus` (codes cannot reconstruct them) and is
+    * computed ONCE; each candidate budget runs the production
+    * partial-probe + bounded-refine path at the SAME `refineK` the
+    * pipeline will use — the suggestion is for the deployed
+    * (nProbe, refineK) pair, not an idealized probe. */
+  def ivfPqSuggestNProbe(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, queries: DataFrame,
+                         corpus: DataFrame, k: Int, refineK: Int,
+                         targetRecall: Double): Int = {
+    val snap = Manifest.snapshot(spark, dir)
+    val nList = spark.read.parquet(snap.path("centroids")).count().toInt
+    val exact = bruteForce(queries, corpus, k).select("qid", "id")
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    if (exact.isEmpty) return 1
+    var p = 1
+    while (p < nList) {
+      val got = ivfPqQuery(spark, dir, queries, corpus, k, p, refineK)
+        .select("qid", "id")
+        .collect().map(r => (r.get(0), r.get(1))).toSet
+      if (got.intersect(exact).size.toDouble / exact.size >= targetRecall)
+        return p
+      p = math.min(p * 2, nList)
+    }
+    nList
+  }
+
+  /** The maintenance DECISION the health numbers exist for: map each
+    * [[ivfIndexHealth]]/[[ivfPqIndexHealth]] row (or a fleet union of
+    * them) to the action an operator would take —
+    * `rebuild` when sampled recall has fallen below the pipeline's
+    * floor (fragmentation-only compaction cannot recover centroid
+    * drift), else `compact` when the small-file count or row skew has
+    * crossed its ceiling, else `none`. Pure column logic: runs over a
+    * one-row report or a million-index fleet table identically, and a
+    * NULL recall (health sampled without a probe) never triggers a
+    * rebuild. */
+  def indexMaintenancePlan(health: DataFrame, recallFloor: Double,
+                           maxFilesPerListCeiling: Long,
+                           rowSkewCeiling: Double =
+                             Double.PositiveInfinity): DataFrame =
+    health.withColumn("action",
+      when(col("recall_at_k") < recallFloor, lit("rebuild"))
+        .when(col("max_files_per_list") > maxFilesPerListCeiling ||
+          col("row_skew") > rowSkewCeiling, lit("compact"))
+        .otherwise(lit("none")))
+
   /** Operational health report of a persisted [[ivfBuild]] index — the
     * dashboard row a daily-append pipeline watches: physical layout
     * (lists, rows, files, skew) plus a sampled recall@k reading of the
@@ -1022,34 +1112,50 @@ object Similarity {
     * indexes union into one fleet table:
     *   (dir, version, n_lists, total_rows, total_files,
     *    max_files_per_list, max_rows_per_list, mean_rows_per_list,
-    *    row_skew, recall_at_k, k, n_probe)
+    *    row_skew, recall_at_k, k, n_probe, suggested_n_probe)
     * `max_files_per_list` rising → [[ivfCompact]] is due (small-file
     * scan cliff); `row_skew` (max/mean rows per list) rising → the
     * centroids no longer balance the data; `recall_at_k` falling below
-    * the pipeline's floor → `ivfCompact(rebuild = true)`. Cost: one
-    * postings scan for the row counts, one FS listing, one
+    * the pipeline's floor → `ivfCompact(rebuild = true)` — and
+    * [[indexMaintenancePlan]] turns exactly those thresholds into an
+    * action column. With `suggestTargetRecall` set the report also runs
+    * [[ivfSuggestNProbe]] and carries the budget in
+    * `suggested_n_probe` (NULL when not requested — the tuner costs a
+    * geometric ladder of probes, so it's opt-in per schedule). Cost:
+    * one postings scan for the row counts, one FS listing, one
     * [[ivfRecallProbe]] over the bounded query sample. */
   def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
                      dir: String, queries: DataFrame, k: Int,
-                     nProbe: Int): DataFrame =
+                     nProbe: Int,
+                     suggestTargetRecall: Option[Double] = None): DataFrame =
     indexHealth(spark, dir, "postings",
       Manifest.snapshot(spark, dir), k, nProbe,
-      ivfRecallProbe(spark, dir, queries, k, nProbe))
+      ivfRecallProbe(spark, dir, queries, k, nProbe),
+      suggestTargetRecall.map(t =>
+        ivfSuggestNProbe(spark, dir, queries, k, t)))
 
   /** [[ivfIndexHealth]] for the compressed [[ivfPqBuild]] layout: the
     * layout stats come from the codes table; the recall sample needs the
-    * embedding store (`corpus`) for its exact side. */
+    * embedding store (`corpus`) for its exact side. With
+    * `suggestTargetRecall` set, the report also carries the
+    * [[ivfPqSuggestNProbe]] budget (at the report's own refineK) — the
+    * knob an operator turns when the decay demo says recall is sliding. */
   def ivfPqIndexHealth(spark: org.apache.spark.sql.SparkSession,
                        dir: String, queries: DataFrame, corpus: DataFrame,
-                       k: Int, nProbe: Int, refineK: Int): DataFrame =
+                       k: Int, nProbe: Int, refineK: Int,
+                       suggestTargetRecall: Option[Double] = None)
+    : DataFrame =
     indexHealth(spark, dir, "codes",
       Manifest.snapshot(spark, dir), k, nProbe,
-      ivfPqRecallProbe(spark, dir, queries, corpus, k, nProbe, refineK))
+      ivfPqRecallProbe(spark, dir, queries, corpus, k, nProbe, refineK),
+      suggestTargetRecall.map(t =>
+        ivfPqSuggestNProbe(spark, dir, queries, corpus, k, refineK, t)))
 
   private def indexHealth(spark: org.apache.spark.sql.SparkSession,
                           dir: String, table: String,
                           snap: Manifest.Snapshot, k: Int, nProbe: Int,
-                          recall: Double): DataFrame = {
+                          recall: Double,
+                          suggested: Option[Int]): DataFrame = {
     import spark.implicits._
     // lists the INDEX has (from the quantizer, so an empty list still
     // counts — k-means can leave clusters unpopulated)
@@ -1077,10 +1183,11 @@ object Similarity {
       if (rowsPerList.isEmpty) 0L else rowsPerList.values.max,
       meanRows,
       if (meanRows == 0.0) 0.0 else rowsPerList.values.max / meanRows,
-      recall, k, nProbe))
+      recall, k, nProbe, suggested))
       .toDF("dir", "version", "n_lists", "empty_lists", "total_rows",
         "total_files", "max_files_per_list", "max_rows_per_list",
-        "mean_rows_per_list", "row_skew", "recall_at_k", "k", "n_probe")
+        "mean_rows_per_list", "row_skew", "recall_at_k", "k", "n_probe",
+        "suggested_n_probe")
   }
 
   /** IVF-PQ ANN: IVF coarse pruning + product-quantized candidate

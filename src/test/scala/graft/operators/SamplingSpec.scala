@@ -1192,4 +1192,167 @@ class SamplingSpec extends SparkSpec {
       assert(r >= 0.0 && r < 1.0, s"recall=$r")
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
+
+  test("ivfPqSuggestNProbe picks the smallest doubling budget meeting " +
+    "the target at the deployed refineK, and probe-all suffices") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqsuggest").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfPqBuild(corpus, root, nList = 4, m = 4, nCodes = 8,
+        kmeansMaxIter = 2)
+      // refine-all makes target 1.0 achievable (probe-all + refine-all
+      // is exact), so the suggestion is a valid deployed budget: its
+      // measured recall meets the target and (doubling granularity)
+      // half of it does not
+      val refineK = corpus.count().toInt
+      val p = Similarity.ivfPqSuggestNProbe(spark, root, queries, corpus,
+        k = 3, refineK = refineK, targetRecall = 1.0)
+      assert(p >= 1 && p <= 4)
+      assert(Similarity.ivfPqRecallProbe(spark, root, queries, corpus,
+        k = 3, nProbe = p, refineK = refineK) >= 1.0)
+      if (p > 1)
+        assert(Similarity.ivfPqRecallProbe(spark, root, queries, corpus,
+          k = 3, nProbe = p / 2, refineK = refineK) < 1.0,
+          s"suggested $p but ${p / 2} already meets the target")
+      // a looser target can only shrink the suggested budget
+      assert(Similarity.ivfPqSuggestNProbe(spark, root, queries, corpus,
+        k = 3, refineK = refineK, targetRecall = 0.5) <= p)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("index health carries the suggested probe budget when asked, " +
+    "NULL otherwise (both layouts)") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("healthsuggest").toFile
+    val pqDir = java.nio.file.Files.createTempDirectory("healthsuggestpq")
+      .toFile
+    try {
+      Similarity.ivfBuild(corpus, dir.getAbsolutePath, nList = 4,
+        kmeansMaxIter = 2)
+      val plain = Similarity.ivfIndexHealth(spark, dir.getAbsolutePath,
+        queries, k = 3, nProbe = 4).head()
+      assert(plain.isNullAt(plain.fieldIndex("suggested_n_probe")),
+        "the tuner is opt-in: the default report must not pay for it")
+      val h = Similarity.ivfIndexHealth(spark, dir.getAbsolutePath,
+        queries, k = 3, nProbe = 4,
+        suggestTargetRecall = Some(1.0)).head()
+      assert(h.getAs[Int]("suggested_n_probe") ==
+        Similarity.ivfSuggestNProbe(spark, dir.getAbsolutePath, queries,
+          k = 3, targetRecall = 1.0))
+      val refineK = corpus.count().toInt
+      Similarity.ivfPqBuild(corpus, pqDir.getAbsolutePath, nList = 4,
+        m = 4, nCodes = 8, kmeansMaxIter = 2)
+      val hPq = Similarity.ivfPqIndexHealth(spark, pqDir.getAbsolutePath,
+        queries, corpus, k = 3, nProbe = 4, refineK = refineK,
+        suggestTargetRecall = Some(1.0)).head()
+      assert(hPq.getAs[Int]("suggested_n_probe") ==
+        Similarity.ivfPqSuggestNProbe(spark, pqDir.getAbsolutePath,
+          queries, corpus, k = 3, refineK = refineK, targetRecall = 1.0))
+    } finally {
+      graft.util.TempDirs.deleteRecursively(dir)
+      graft.util.TempDirs.deleteRecursively(pqDir)
+    }
+  }
+
+  test("indexMaintenancePlan drives the decay loop: healthy -> none, " +
+    "decayed recall -> rebuild, fragmentation alone -> compact") {
+    import spark.implicits._
+    val dim = 8
+    def jitter(i: Int, j: Int, s: Double): Double =
+      math.sin(i * 31 + j * 7) * s
+    // same drift construction as the decay spec: base mass at (0, +-5),
+    // drifted mass at x=10 straddling the stale Voronoi boundary
+    val aRows = (0 until 200).map { i =>
+      val cy = if (i % 2 == 0) 5.0 else -5.0
+      (i.toLong, Array.tabulate(dim) { j =>
+        (if (j == 1) cy else 0.0) + jitter(i, j, 0.3)
+      })
+    }
+    def bRow(i: Int): (Long, Array[Double]) =
+      (1000L + i, Array.tabulate(dim) { j =>
+        (if (j == 0) 10.0
+         else if (j == 1) (if (i % 2 == 0) 0.2 else -0.2)
+         else 0.0) + (if (j <= 1) 0.0 else jitter(i + 977, j, 0.4))
+      })
+    val qA = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(dim) { j =>
+        (if (j == 1) 5.0 else 0.0) + jitter(i + 211, j, 0.3)
+      })
+    }.toDF("qid", "qv")
+    val qB = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(dim) { j =>
+        (if (j == 0) 10.0 else if (j == 1) 0.0
+         else jitter(i + 4099, j, 0.4))
+      })
+    }.toDF("qid", "qv")
+    val dir = java.nio.file.Files.createTempDirectory("ivfplan").toFile
+    val root = dir.getAbsolutePath
+    def action(q: org.apache.spark.sql.DataFrame): String =
+      Similarity.indexMaintenancePlan(
+        Similarity.ivfIndexHealth(spark, root, q, k = 10, nProbe = 1),
+        recallFloor = 0.8, maxFilesPerListCeiling = 1)
+        .head().getAs[String]("action")
+    try {
+      Similarity.ivfBuild(aRows.toDF("id", "v"), root, nList = 2,
+        kmeansMaxIter = 5)
+      // healthy: build layout is one file per list, pre-drift recall
+      // is above the floor
+      assert(action(qA) == "none")
+      (0 until 3).foreach { b =>
+        Similarity.ivfAppend(spark, root,
+          (b * 100 until (b + 1) * 100).map(bRow).toDF("id", "v"))
+      }
+      // drift decayed the monitored recall below the floor: rebuild
+      // outranks the fragmentation the appends also caused (compaction
+      // alone cannot recover centroid drift)
+      assert(action(qB) == "rebuild")
+      Similarity.ivfCompact(spark, root, rebuild = true, kmeansMaxIter = 5)
+      assert(action(qB) == "none")
+      // fragmentation ALONE: one more batch of the (now well-covered)
+      // drifted mass keeps recall healthy but splits hit lists across
+      // files -> compact, and compaction returns the plan to none
+      Similarity.ivfAppend(spark, root,
+        (300 until 400).map(bRow).toDF("id", "v"))
+      assert(action(qB) == "compact")
+      Similarity.ivfCompact(spark, root)
+      assert(action(qB) == "none")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("Manifest.publish enforces the single-writer lock: the loser " +
+    "throws before touching live state and orphans nothing") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivflock").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 2)
+      Similarity.ivfCompact(spark, root) // publish v1
+      val want = annPairs(Similarity.bruteForce(queries, corpus, 3))
+      // a concurrent writer holds the lock
+      assert(new java.io.File(dir, "_writer.lock").createNewFile())
+      val e = intercept[IllegalStateException] {
+        Similarity.ivfCompact(spark, root)
+      }
+      assert(e.getMessage.contains("_writer.lock"))
+      // loser failed BEFORE touching live state: same manifest version,
+      // probe still exhaustive-exact
+      assert(Similarity.Manifest.snapshot(spark, root).version == 1)
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) == want)
+      // crashed-writer recovery: break the lock and retry
+      Similarity.Manifest.breakLock(spark, root)
+      Similarity.ivfCompact(spark, root)
+      assert(Similarity.Manifest.snapshot(spark, root).version == 2)
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) == want)
+      // a successful publish releases the lock, reclaims the loser's
+      // tmp, and retains exactly the live + grace versions
+      val names = dir.listFiles().map(_.getName).toSet
+      assert(!names.contains("_writer.lock"))
+      assert(!names.contains("_compact.tmp.postings"), names.toString)
+      assert(names.filter(_.matches(""".+\.parquet\.v\d+""")) ==
+        Set("postings.parquet.v1", "postings.parquet.v2"), names.toString)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
 }
