@@ -87,11 +87,39 @@ object GroupedSampling {
       else df.columns.toSeq
     val key = concat(priority(uidCols.map(col)),
       lpad(hex(xxhash64(hashCols.map(col): _*)), 16, "0"))
-    val thresholds = df
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("_n"),
-        array_max(AggFunctions.collectTopK(key, cap, smallest = true))
-          .as("_kmax"))
+    // Two regimes for the per-group cap-th-key threshold:
+    //   cap ≤ 4096 — one bounded-heap aggregate (the fast path: one
+    //     shuffle, map-side combine, ~32 KB per group buffer at worst).
+    //   cap > 4096 — the SAFETY-bound regime (GAME's active-set default
+    //     is 10⁶): Spark's collect_top_k PREALLOCATES a cap-sized queue
+    //     per group buffer, so a 15k-entity coordinate would request
+    //     terabytes of empty heap (observed driver OOM at the sf1 e2e
+    //     gate). Instead count group sizes (codegen hash agg, bytes per
+    //     group) and window-rank ONLY the rows of groups actually over
+    //     the cap — in the safety-bound regime that set is empty or
+    //     tiny, so the sort prices only data that genuinely needs
+    //     trimming. The cap-th key value is identical in both
+    //     formulations (ties included), so results are hash-equal.
+    val thresholds =
+      if (cap <= 4096)
+        df.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("_n"),
+            array_max(AggFunctions.collectTopK(key, cap, smallest = true))
+              .as("_kmax"))
+      else {
+        val keyed = df.withColumn("_key", key)
+        val sizes = keyed.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("_n"))
+        val w = Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("_key"))
+        val thr = keyed
+          .join(sizes.filter(col("_n") > cap)
+            .select(groupCols.map(col): _*), groupCols, "left_semi")
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === cap)
+          .select(groupCols.map(col) :+ col("_key").as("_kmax"): _*)
+        sizes.join(thr, groupCols, "left_outer")
+      }
     // warnOnTrim: callers applying a DEFAULT cap (not one the user asked
     // for) pass true so silent truncation becomes a visible log line; the
     // UDF computes the identical value as the plain `when` expression
@@ -118,7 +146,8 @@ object GroupedSampling {
     val th = if (broadcastThresholds) broadcast(thresholds) else thresholds
     val kept = df.withColumn("_key", key)
       .join(th, groupCols)
-      .filter(col("_key") <= col("_kmax"))
+      // large-cap path: a NULL _kmax marks an under-cap group — keep all
+      .filter(col("_kmax").isNull || col("_key") <= col("_kmax"))
       .withColumn("weight_scale", scale)
     // the pre-cap group count is already aggregated here — callers that
     // need it (e.g. a lower-bound filter) take it for free instead of

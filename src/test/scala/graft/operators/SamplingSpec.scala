@@ -1355,4 +1355,40 @@ class SamplingSpec extends SparkSpec {
         Set("postings.parquet.v1", "postings.parquet.v2"), names.toString)
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
+
+  test("boundedSample large-cap path (sizes + window over oversized " +
+    "groups only) ranks by the same key as the bounded-heap path") {
+    import spark.implicits._
+    val df = ((1 to 9000).map(i => ("hot", i.toLong)) ++
+      (1 to 500).map(i => ("cold", 100000L + i)))
+      .toDF("g", "uid").repartition(8)
+    def keptUids(cap: Int) = GroupedSampling
+      .boundedSample(df, Seq("g"), Seq("uid"), cap)
+      .filter(col("g") === "hot")
+      .select("uid").as[Long].collect().toSet
+    // 4096 rides the heap aggregate, 4097 the sizes+window path; both
+    // keep the cap smallest deterministic keys, so the heap selection
+    // must be a strict prefix-subset of the window selection
+    val heap = keptUids(4096)
+    val window = keptUids(4097)
+    assert(heap.size == 4096 && window.size == 4097)
+    assert(heap.subsetOf(window),
+      "the two cap regimes must rank by the same deterministic key")
+    // under-cap groups pass whole with scale 1; oversized groups carry
+    // the n/cap rescale
+    val out = GroupedSampling.boundedSample(df, Seq("g"), Seq("uid"), 4097)
+    val byG = out.groupBy("g").agg(count(lit(1)).as("n"),
+      min(col("weight_scale")).as("lo"), max(col("weight_scale")).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byG("cold") == ((500L, 1.0, 1.0)))
+    assert(byG("hot")._1 == 4097L &&
+      math.abs(byG("hot")._2 - 9000.0 / 4097) < 1e-12 &&
+      byG("hot")._2 == byG("hot")._3)
+    // keepGroupSize still reports the PRE-cap count in the window path
+    val sized = GroupedSampling.boundedSample(df, Seq("g"), Seq("uid"),
+      4097, keepGroupSize = true)
+    assert(sized.filter(col("g") === "hot")
+      .select("group_size").distinct().as[Long].collect().toSeq == Seq(9000L))
+  }
 }
