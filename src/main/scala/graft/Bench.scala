@@ -101,7 +101,18 @@ object Bench {
       // if the SECOND run failed, its fast failure duration must not
       // become the reported time — keep the successful first timing
       // (the error itself is recorded and fails the run)
-      if (!errors.contains(name)) t1map(name) = math.min(t1map(name), t2)
+      if (!errors.contains(name)) {
+        var best = math.min(t1map(name), t2)
+        // a large pass-1 → pass-2 drop means the first sample sat in a
+        // contention shadow, so two samples are really one good one —
+        // take a third to hunt the floor (r10 shipped q146 at 4× its
+        // isolated time off exactly this pattern)
+        if (t2 < t1map(name) * 0.6) {
+          val t3 = timeQuery(name, fn)
+          if (!errors.contains(name)) best = math.min(best, t3)
+        }
+        t1map(name) = best
+      }
     }
     val results = selected.map { case (n, _) => n -> t1map(n) }
     // millisecond precision keeps the one-line summary short enough to
