@@ -1105,6 +1105,42 @@ object Similarity {
           col("row_skew") > rowSkewCeiling, lit("compact"))
         .otherwise(lit("none")))
 
+  /** Execute an [[indexMaintenancePlan]] action on a persisted index —
+    * the apply half of the health → plan → apply loop. The layout is
+    * sniffed from the manifest snapshot (a codes table means IVF-PQ):
+    * `compact` defragments ([[ivfCompact]] / [[ivfPqCompact]]),
+    * `rebuild` refits ([[ivfCompact]]`(rebuild = true)` for IVF;
+    * [[ivfPqRebuild]] for PQ, which REQUIRES the embedding store —
+    * codes cannot reconstruct vectors, so a PQ rebuild without `corpus`
+    * throws rather than silently downgrading to a compaction), `none`
+    * is a no-op. Single-writer contract as for every compaction. */
+  def indexMaintenanceApply(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, action: String,
+                            corpus: Option[DataFrame] = None,
+                            maxRecordsPerFile: Long = 0L, seed: Long = 7L,
+                            kmeansMaxIter: Int = 20): Unit = {
+    val snap = Manifest.snapshot(spark, dir)
+    val codesP = new org.apache.hadoop.fs.Path(snap.path("codes"))
+    val isPq = codesP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(codesP)
+    action match {
+      case "none" => ()
+      case "compact" =>
+        if (isPq) ivfPqCompact(spark, dir, maxRecordsPerFile)
+        else ivfCompact(spark, dir, rebuild = false, seed, kmeansMaxIter,
+          maxRecordsPerFile)
+      case "rebuild" =>
+        if (isPq) {
+          val c = corpus.getOrElse(throw new IllegalArgumentException(
+            "indexMaintenanceApply: a PQ rebuild needs the embedding " +
+              "store (corpus) — codes cannot reconstruct vectors"))
+          ivfPqRebuild(spark, dir, c, 1.0, seed, kmeansMaxIter)
+        } else ivfCompact(spark, dir, rebuild = true, seed, kmeansMaxIter)
+      case other => throw new IllegalArgumentException(
+        s"indexMaintenanceApply: unknown action '$other'")
+    }
+  }
+
   /** Operational health report of a persisted [[ivfBuild]] index — the
     * dashboard row a daily-append pipeline watches: physical layout
     * (lists, rows, files, skew) plus a sampled recall@k reading of the

@@ -1255,8 +1255,9 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
-  test("indexMaintenancePlan drives the decay loop: healthy -> none, " +
-    "decayed recall -> rebuild, fragmentation alone -> compact") {
+  test("plan+apply drive the decay loop: healthy -> none, decayed " +
+    "recall -> rebuild, fragmentation alone -> compact, applied " +
+    "actions return the plan to none") {
     import spark.implicits._
     val dim = 8
     def jitter(i: Int, j: Int, s: Double): Double =
@@ -1307,7 +1308,10 @@ class SamplingSpec extends SparkSpec {
       // outranks the fragmentation the appends also caused (compaction
       // alone cannot recover centroid drift)
       assert(action(qB) == "rebuild")
-      Similarity.ivfCompact(spark, root, rebuild = true, kmeansMaxIter = 5)
+      // apply EXECUTES the planned action (layout sniffed from the
+      // manifest) and the loop closes: the next plan reads none
+      Similarity.indexMaintenanceApply(spark, root, "rebuild",
+        kmeansMaxIter = 5)
       assert(action(qB) == "none")
       // fragmentation ALONE: one more batch of the (now well-covered)
       // drifted mass keeps recall healthy but splits hit lists across
@@ -1315,8 +1319,37 @@ class SamplingSpec extends SparkSpec {
       Similarity.ivfAppend(spark, root,
         (300 until 400).map(bRow).toDF("id", "v"))
       assert(action(qB) == "compact")
-      Similarity.ivfCompact(spark, root)
+      Similarity.indexMaintenanceApply(spark, root, "compact")
       assert(action(qB) == "none")
+      Similarity.indexMaintenanceApply(spark, root, "none") // no-op
+      assert(action(qB) == "none")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("indexMaintenanceApply on a PQ index: compact works, rebuild " +
+    "demands the embedding store") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqapply").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfPqBuild(corpus, root, nList = 4, m = 4, nCodes = 8,
+        kmeansMaxIter = 2)
+      Similarity.indexMaintenanceApply(spark, root, "compact")
+      assert(Similarity.Manifest.snapshot(spark, root).version == 1)
+      // codes cannot reconstruct vectors: a corpus-less PQ rebuild must
+      // refuse rather than silently downgrade to a compaction
+      intercept[IllegalArgumentException] {
+        Similarity.indexMaintenanceApply(spark, root, "rebuild")
+      }
+      Similarity.indexMaintenanceApply(spark, root, "rebuild",
+        corpus = Some(corpus), kmeansMaxIter = 2)
+      assert(Similarity.Manifest.snapshot(spark, root).version == 2)
+      val want = annPairs(Similarity.bruteForce(queries, corpus, 3))
+      assert(annPairs(Similarity.ivfPqQuery(spark, root, queries, corpus,
+        k = 3, nProbe = 4, refineK = 100000)) == want)
+      intercept[IllegalArgumentException] {
+        Similarity.indexMaintenanceApply(spark, root, "defragment")
+      }
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
