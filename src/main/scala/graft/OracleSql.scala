@@ -886,6 +886,17 @@ object OracleSql {
     // probe-all + refine-all degenerates to exhaustive-exact
     "q227_knn_ivfpq_stream_ingest" -> exactKnnSql,
 
+    // plan->apply maintenance gate: list count and corpus rows are
+    // deterministic; the fragmented index must plan 'compact' (probe-all
+    // recall is exact, so only the file ceiling trips) and the applied
+    // compaction must return the plan to 'none'
+    "q229_index_maintenance" ->
+      """SELECT CAST(8 AS INTEGER) AS n_lists,
+        |  count(*) AS total_rows,
+        |  'compact' AS action_fragmented,
+        |  'none' AS action_compacted
+        |FROM embeddings WHERE vec_id >= 5""".stripMargin,
+
     // e2e GAME training gate: the split sizes and per-coordinate model
     // counts are deterministic facts of the mod-5 split over events
     // (one intercept model per distinct entity in TRAIN), and rmse_ok

@@ -2542,6 +2542,46 @@ object SparkEntry {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  /** Maintenance plan→apply gate ([[operators.Similarity
+    * .indexMaintenancePlan]] / `indexMaintenanceApply`): build on the
+    * older half, append the rest (fragmenting the hit lists), and the
+    * planner — recall floor 0.9, one-file-per-list ceiling — must read
+    * `compact` (probe-all recall is exactly 1.0, so only fragmentation
+    * trips); applying the planned action must return the next plan to
+    * `none`. Deterministic by construction: the quantizer always emits
+    * nList=8 lists, an append always splits at least one hit list
+    * across files, and a compaction always coalesces each list back to
+    * one file. */
+  def q229_index_maintenance(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val mid = corpus.agg(
+      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+    val dir = graft.util.TempDirs.fresh("q229_maint_")
+    try {
+      val root = dir.getAbsolutePath
+      Similarity.ivfBuild(corpus.filter(col("id") <= mid), root,
+        nList = 8, kmeansMaxIter = 2)
+      Similarity.ivfAppend(s, root, corpus.filter(col("id") > mid))
+      def planned(): org.apache.spark.sql.Row =
+        Similarity.indexMaintenancePlan(
+          Similarity.ivfIndexHealth(s, root, queries, k = 3, nProbe = 8),
+          recallFloor = 0.9, maxFilesPerListCeiling = 1).head()
+      val before = planned()
+      Similarity.indexMaintenanceApply(s, root,
+        before.getAs[String]("action"))
+      val after = planned()
+      import s.implicits._
+      Seq((before.getAs[Int]("n_lists"), before.getAs[Long]("total_rows"),
+        before.getAs[String]("action"), after.getAs[String]("action")))
+        .toDF("n_lists", "total_rows", "action_fragmented",
+          "action_compacted")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   /** Streaming index-INGEST gate ([[operators.Similarity.ivfIngest]]):
     * build on the older half, then REPLAY the newer half as a file
     * stream whose micro-batches append through foreachBatch → ivfAppend
@@ -4396,7 +4436,8 @@ object SparkEntry {
     "q225_pack_sequences" -> (q225_pack_sequences _),
     "q226_semantic_decontam" -> (q226_semantic_decontam _),
     "q227_knn_ivfpq_stream_ingest" -> (q227_knn_ivfpq_stream_ingest _),
-    "q228_game_train_e2e" -> (q228_game_train_e2e _))
+    "q228_game_train_e2e" -> (q228_game_train_e2e _),
+    "q229_index_maintenance" -> (q229_index_maintenance _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
