@@ -2676,14 +2676,19 @@ object SparkEntry {
     val stage = graft.util.TempDirs.fresh("q228_game_")
     try {
       val root = stage.getAbsolutePath
-      data.filter(pmod(col("id"), lit(5L)) =!= 0).write
-        .parquet(s"$root/train")
-      data.filter(pmod(col("id"), lit(5L)) === 0).write
-        .parquet(s"$root/valid")
+      // ONE corpus scan writes both splits (partitioned write) — two
+      // filtered writes would read the events table twice, a real 2×
+      // at the 100 TB input this models
+      data.withColumn("_split",
+        when(pmod(col("id"), lit(5L)) === 0, lit("valid"))
+          .otherwise(lit("train")))
+        .write.partitionBy("_split").parquet(s"$root/data")
+      val train = s"$root/data/_split=train"
+      val valid = s"$root/data/_split=valid"
       val (model, results) = graft.drivers.GameTrainingDriver.run(s,
         graft.drivers.Args.parse(Array(
-          "--input-dir", s"$root/train",
-          "--validation-dir", s"$root/valid",
+          "--input-dir", train,
+          "--validation-dir", valid,
           "--uid-col", "id", "--label-col", "y",
           "--feature-cols", "x1,x2",
           "--random-coordinates",
@@ -2696,8 +2701,8 @@ object SparkEntry {
         .models.count()
       import s.implicits._
       Seq((
-        s.read.parquet(s"$root/train").count(),
-        s.read.parquet(s"$root/valid").count(),
+        s.read.parquet(train).count(),
+        s.read.parquet(valid).count(),
         nModels("perUser"), nModels("perItem"), nModels("perArtist"),
         rmse < 0.25))
         .toDF("n_train", "n_valid", "n_users", "n_items", "n_artists",
