@@ -886,6 +886,14 @@ object OracleSql {
     // probe-all + refine-all degenerates to exhaustive-exact
     "q227_knn_ivfpq_stream_ingest" -> exactKnnSql,
 
+    // PQ index health, deterministic fields: quantizer always emits 8
+    // lists, rows = corpus, probe-all + refine-all recall exactly 1.0
+    "q230_index_health_pq" ->
+      """SELECT CAST(8 AS INTEGER) AS n_lists,
+        |  count(*) AS total_rows,
+        |  CAST(1.0 AS DOUBLE) AS recall_at_k
+        |FROM embeddings WHERE vec_id >= 5""".stripMargin,
+
     // plan->apply maintenance gate: list count and corpus rows are
     // deterministic; the fragmented index must plan 'compact' (probe-all
     // recall is exact, so only the file ceiling trips) and the applied

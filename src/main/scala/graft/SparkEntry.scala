@@ -2542,6 +2542,32 @@ object SparkEntry {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  /** [[q220_index_health]] for the COMPRESSED layout
+    * ([[operators.Similarity.ivfPqIndexHealth]]): the codes table's
+    * operational report, deterministic fields only — list count from
+    * the coarse quantizer (always nList=8), total rows from the
+    * corpus, and recall@k at probe-all + refine-all exactly 1.0 (the
+    * lossy codes only order candidates; exact refinement over every
+    * candidate decides, with deterministic ties). */
+  def q230_index_health_pq(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val dir = graft.util.TempDirs.fresh("q230_health_")
+    try {
+      Similarity.ivfPqBuild(corpus, dir.getAbsolutePath, nList = 8,
+        m = 4, nCodes = 8, kmeansMaxIter = 2)
+      val got = Similarity.ivfPqIndexHealth(s, dir.getAbsolutePath,
+        queries, corpus, k = 3, nProbe = 8,
+        refineK = corpus.count().toInt)
+        .select(col("n_lists"), col("total_rows"), col("recall_at_k"))
+      val rows = got.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   /** Maintenance plan→apply gate ([[operators.Similarity
     * .indexMaintenancePlan]] / `indexMaintenanceApply`): build on the
     * older half, append the rest (fragmenting the hit lists), and the
@@ -4442,7 +4468,8 @@ object SparkEntry {
     "q226_semantic_decontam" -> (q226_semantic_decontam _),
     "q227_knn_ivfpq_stream_ingest" -> (q227_knn_ivfpq_stream_ingest _),
     "q228_game_train_e2e" -> (q228_game_train_e2e _),
-    "q229_index_maintenance" -> (q229_index_maintenance _))
+    "q229_index_maintenance" -> (q229_index_maintenance _),
+    "q230_index_health_pq" -> (q230_index_health_pq _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
