@@ -908,16 +908,19 @@ object OracleSql {
     // e2e GAME training gate: the split sizes and per-coordinate model
     // counts are deterministic facts of the mod-5 split over events
     // (one intercept model per distinct entity in TRAIN), and rmse_ok
-    // must come back TRUE — a regressed optimizer fails the hash
+    // must come back TRUE — a regressed optimizer fails the hash.
+    // Entity ids mirror Spark's pmod (((x % m) + m) % m) so negative
+    // event_ids bucket identically — same divergence class as q225.
     "q228_game_train_e2e" ->
-      """WITH t AS (SELECT event_id, user_id FROM events
+      """WITH t AS (SELECT ((event_id % 101) + 101) % 101 AS item,
+        |    user_id FROM events
         |  WHERE event_id % 5 <> 0)
         |SELECT (SELECT count(*) FROM t) AS n_train,
         |  (SELECT count(*) FROM events WHERE event_id % 5 = 0)
         |    AS n_valid,
         |  (SELECT count(DISTINCT user_id) FROM t) AS n_users,
-        |  (SELECT count(DISTINCT event_id % 101) FROM t) AS n_items,
-        |  (SELECT count(DISTINCT (event_id % 101) % 13) FROM t)
+        |  (SELECT count(DISTINCT item) FROM t) AS n_items,
+        |  (SELECT count(DISTINCT ((item % 13) + 13) % 13) FROM t)
         |    AS n_artists,
         |  TRUE AS rmse_ok""".stripMargin,
 

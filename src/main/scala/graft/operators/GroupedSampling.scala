@@ -38,8 +38,9 @@ object GroupedSampling {
     * priority; add `weight_scale` = n/cap for survivors of capped groups so
     * weighted aggregates remain unbiased (photon's weight rescaling).
     *
-    * Scale shape: two passes, neither of which sorts or gathers a group's
-    * rows into one task — and NO window stage at all.
+    * Scale shape — two regimes, split on the cap (see the inline
+    * comment at the threshold computation):
+    *   cap ≤ 4096 (sampling regime): two passes, no window stage.
     *   1. Per-group threshold: bounded-heap aggregate of the `cap`
     *      smallest ADMISSION KEYS ([[AggFunctions.collectTopK]] —
     *      map-side partial buffers are ≤cap heaps, the reference's
@@ -50,6 +51,14 @@ object GroupedSampling {
     *      key ≤ the cap-th smallest. A hot group's rows never funnel
     *      through a single-task window sort — an early row_number
     *      implementation did exactly that and died at 100×.
+    *   cap > 4096 (safety-bound regime): collect_top_k's cap-sized
+    *      buffer preallocation would OOM (it requests cap slots per
+    *      group regardless of data), so groups ACTUALLY over the cap are
+    *      window-ranked instead. A group far above a large cap does
+    *      funnel through one sort task here — bounded to the over-cap
+    *      groups only, which under a safety bound are empty or few; a
+    *      workload that routinely overflows a >4096 cap should lower
+    *      the cap into the sampling regime.
     *
     * The admission key makes the threshold filter EXACT without any
     * trim stage: it is the md5 uid priority extended by a full-row

@@ -668,19 +668,36 @@ object Similarity {
       val f = fs(spark, dir)
       // writer lock FIRST: the loser of a publish race must throw
       // before any rename — its tmp inputs remain the caller's to
-      // retry with, and live state is untouched
+      // retry with, and live state is untouched.
+      // Atomicity assumption: create(overwrite=false) is an atomic
+      // create-if-absent on HDFS; on the local FS and on object stores
+      // it is check-then-create, so two writers racing within that
+      // window can both "win". The versioned-dir + fresh-manifest-name
+      // layout keeps even that worst case from corrupting readers (the
+      // losers' renames fail on existing names); the lock is the
+      // fail-fast layer, not the only defense.
       val lock = new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
       val lockOut =
         try f.create(lock, false)
         catch {
-          case e: java.io.IOException => throw new IllegalStateException(
-            s"another publish holds $dir/_writer.lock (single-writer " +
-              "contract). If the previous writer crashed, clear it with " +
-              "Manifest.breakLock and retry.", e)
+          // only an existing lock is contention; any other IO failure
+          // (permissions, transient FS error) must surface as itself,
+          // not masquerade as "another writer"
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.nio.file.FileAlreadyExistsException) =>
+            throw new IllegalStateException(
+              s"another publish holds $dir/_writer.lock (single-writer " +
+                "contract). If the previous writer crashed, clear it " +
+                "with Manifest.breakLock and retry.", e)
         }
       lockOut.close()
       try publishLocked(f, dir, updates)
-      finally f.delete(lock, false)
+      finally if (!f.delete(lock, false))
+        // a leaked lock blocks every future publish until breakLock —
+        // make the leak loud instead of silently returning false
+        org.slf4j.LoggerFactory.getLogger(Manifest.getClass).error(
+          s"failed to remove $dir/_writer.lock after publish; future " +
+            "publishes will fail until Manifest.breakLock clears it")
     }
 
     /** Remove a `_writer.lock` left behind by a crashed publish. Only
@@ -1063,26 +1080,42 @@ object Similarity {
     * computed ONCE; each candidate budget runs the production
     * partial-probe + bounded-refine path at the SAME `refineK` the
     * pipeline will use — the suggestion is for the deployed
-    * (nProbe, refineK) pair, not an idealized probe. */
+    * (nProbe, refineK) pair, not an idealized probe.
+    *
+    * Unlike the plain-IVF tuner, probe-all is NOT exact here — PQ's
+    * lossy candidate ordering at a finite refineK can keep the true
+    * neighbor out of the refine set no matter how many lists are
+    * probed — so the ladder MEASURES recall at nList too and returns
+    * `None` (with a warning) when the target is unreachable at this
+    * refineK: no budget is implied to meet a target it provably
+    * misses; the operator's knob at that point is refineK, not
+    * nProbe. */
   def ivfPqSuggestNProbe(spark: org.apache.spark.sql.SparkSession,
                          dir: String, queries: DataFrame,
                          corpus: DataFrame, k: Int, refineK: Int,
-                         targetRecall: Double): Int = {
+                         targetRecall: Double): Option[Int] = {
     val snap = Manifest.snapshot(spark, dir)
     val nList = spark.read.parquet(snap.path("centroids")).count().toInt
     val exact = bruteForce(queries, corpus, k).select("qid", "id")
       .collect().map(r => (r.get(0), r.get(1))).toSet
-    if (exact.isEmpty) return 1
+    if (exact.isEmpty) return Some(1)
     var p = 1
-    while (p < nList) {
+    while (true) {
       val got = ivfPqQuery(spark, dir, queries, corpus, k, p, refineK)
         .select("qid", "id")
         .collect().map(r => (r.get(0), r.get(1))).toSet
-      if (got.intersect(exact).size.toDouble / exact.size >= targetRecall)
-        return p
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      if (recall >= targetRecall) return Some(p)
+      if (p >= nList) {
+        org.slf4j.LoggerFactory.getLogger(Similarity.getClass).warn(
+          f"ivfPqSuggestNProbe: target recall $targetRecall%.3f is " +
+            f"unreachable at refineK=$refineK (probe-all measured " +
+            f"$recall%.3f); raise refineK")
+        return None
+      }
       p = math.min(p * 2, nList)
     }
-    nList
+    None // unreachable
   }
 
   /** The maintenance DECISION the health numbers exist for: map each
@@ -1184,7 +1217,9 @@ object Similarity {
     indexHealth(spark, dir, "codes",
       Manifest.snapshot(spark, dir), k, nProbe,
       ivfPqRecallProbe(spark, dir, queries, corpus, k, nProbe, refineK),
-      suggestTargetRecall.map(t =>
+      // flatMap: an unreachable target surfaces as NULL (plus the
+      // tuner's warning log), never as a budget that misses the target
+      suggestTargetRecall.flatMap(t =>
         ivfPqSuggestNProbe(spark, dir, queries, corpus, k, refineK, t)))
 
   private def indexHealth(spark: org.apache.spark.sql.SparkSession,

@@ -1208,6 +1208,7 @@ class SamplingSpec extends SparkSpec {
       val refineK = corpus.count().toInt
       val p = Similarity.ivfPqSuggestNProbe(spark, root, queries, corpus,
         k = 3, refineK = refineK, targetRecall = 1.0)
+        .getOrElse(fail("target 1.0 must be reachable under refine-all"))
       assert(p >= 1 && p <= 4)
       assert(Similarity.ivfPqRecallProbe(spark, root, queries, corpus,
         k = 3, nProbe = p, refineK = refineK) >= 1.0)
@@ -1217,7 +1218,15 @@ class SamplingSpec extends SparkSpec {
           s"suggested $p but ${p / 2} already meets the target")
       // a looser target can only shrink the suggested budget
       assert(Similarity.ivfPqSuggestNProbe(spark, root, queries, corpus,
-        k = 3, refineK = refineK, targetRecall = 0.5) <= p)
+        k = 3, refineK = refineK, targetRecall = 0.5).exists(_ <= p))
+      // a target unreachable at the deployed refineK must be REPORTED
+      // unreachable (None), not papered over with probe-all: recall
+      // can't exceed refineK/k·|queries| worth of hits when the refine
+      // set is a single candidate per query
+      assert(Similarity.ivfPqSuggestNProbe(spark, root, queries, corpus,
+        k = 3, refineK = 1, targetRecall = 1.0).isEmpty,
+        "refineK=1 cannot reach recall 1.0 at k=3; suggester must " +
+          "return None instead of an unmeasured probe-all budget")
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
@@ -1246,9 +1255,15 @@ class SamplingSpec extends SparkSpec {
       val hPq = Similarity.ivfPqIndexHealth(spark, pqDir.getAbsolutePath,
         queries, corpus, k = 3, nProbe = 4, refineK = refineK,
         suggestTargetRecall = Some(1.0)).head()
-      assert(hPq.getAs[Int]("suggested_n_probe") ==
-        Similarity.ivfPqSuggestNProbe(spark, pqDir.getAbsolutePath,
-          queries, corpus, k = 3, refineK = refineK, targetRecall = 1.0))
+      assert(Similarity.ivfPqSuggestNProbe(spark, pqDir.getAbsolutePath,
+        queries, corpus, k = 3, refineK = refineK, targetRecall = 1.0)
+        .contains(hPq.getAs[Int]("suggested_n_probe")))
+      // unreachable target -> NULL in the health row (plus the tuner's
+      // warning), never an implied-sufficient budget
+      val hUnreach = Similarity.ivfPqIndexHealth(spark,
+        pqDir.getAbsolutePath, queries, corpus, k = 3, nProbe = 4,
+        refineK = 1, suggestTargetRecall = Some(1.0)).head()
+      assert(hUnreach.isNullAt(hUnreach.fieldIndex("suggested_n_probe")))
     } finally {
       graft.util.TempDirs.deleteRecursively(dir)
       graft.util.TempDirs.deleteRecursively(pqDir)
