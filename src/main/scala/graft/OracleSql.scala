@@ -924,6 +924,75 @@ object OracleSql {
         |    AS n_artists,
         |  TRUE AS rmse_ok""".stripMargin,
 
+    // q231: q228's logistic twin — same deterministic split/entity
+    // facts (pmod-normalized), and auc_ok must come back TRUE (the
+    // trained model's validation AUC clears a floor the fixed effects
+    // alone cannot)
+    "q231_game_train_logistic" ->
+      """WITH t AS (SELECT ((event_id % 31) + 31) % 31 AS item,
+        |    user_id FROM events
+        |  WHERE event_id % 5 <> 0)
+        |SELECT (SELECT count(*) FROM t) AS n_train,
+        |  (SELECT count(*) FROM events WHERE event_id % 5 = 0)
+        |    AS n_valid,
+        |  (SELECT count(DISTINCT user_id) FROM t) AS n_users,
+        |  (SELECT count(DISTINCT item) FROM t) AS n_items,
+        |  (SELECT count(DISTINCT ((item % 7) + 7) % 7) FROM t)
+        |    AS n_artists,
+        |  TRUE AS auc_ok""".stripMargin,
+
+    // q232: incremental retraining's exact posterior — phase 1 is the
+    // intercept-unregularized ridge normal system on the even half,
+    // phase 2 re-solves the odd half with the phase-1 coefficients as
+    // a weight-2 Gaussian prior on BOTH slots (saved without
+    // variances -> unit prior variances): (A2 + wI)theta = b2 + w*theta1.
+    // Both 2x2 systems solved by Cramer.
+    "q232_game_train_incremental" ->
+      """WITH d1 AS (SELECT CAST(embedding[4] AS DOUBLE) AS x,
+        |    CAST(label AS DOUBLE) AS y FROM embeddings
+        |    WHERE vec_id % 2 = 0),
+        |d2 AS (SELECT CAST(embedding[4] AS DOUBLE) AS x,
+        |    CAST(label AS DOUBLE) AS y FROM embeddings
+        |    WHERE vec_id % 2 <> 0),
+        |m1 AS (SELECT SUM(x*x) AS sxx, SUM(x) AS sx, SUM(x*y) AS sxy,
+        |    SUM(y) AS sy, CAST(COUNT(*) AS DOUBLE) AS n FROM d1),
+        |s1 AS (SELECT
+        |    (sxy * n - sx * sy) / ((sxx + 0.05) * n - sx * sx) AS w1,
+        |    ((sxx + 0.05) * sy - sx * sxy)
+        |      / ((sxx + 0.05) * n - sx * sx) AS b1 FROM m1),
+        |m2 AS (SELECT SUM(x*x) AS sxx, SUM(x) AS sx, SUM(x*y) AS sxy,
+        |    SUM(y) AS sy, CAST(COUNT(*) AS DOUBLE) AS n FROM d2),
+        |s2 AS (SELECT
+        |    ((sxy + 2.0 * w1) * (n + 2.0) - sx * (sy + 2.0 * b1))
+        |      / ((sxx + 2.0) * (n + 2.0) - sx * sx) AS w2,
+        |    ((sxx + 2.0) * (sy + 2.0 * b1) - sx * (sxy + 2.0 * w1))
+        |      / ((sxx + 2.0) * (n + 2.0) - sx * sx) AS b2
+        |  FROM m2, s1)
+        |SELECT ROUND(w1 + 1e-9, 6) AS w1, ROUND(b1 + 1e-9, 6) AS b1,
+        |  ROUND(w2 + 1e-9, 6) AS w2, ROUND(b2 + 1e-9, 6) AS b2
+        |FROM s1, s2""".stripMargin,
+
+    // q233: the scoring driver's whole sum replayed per uid — global
+    // margin + per-user + per-item intercepts, every term a pmod
+    // rational of the ids
+    "q233_game_score_e2e" ->
+      """SELECT event_id AS uid,
+        |  ROUND(0.5
+        |    + 2.0 * (CAST(((event_id % 7) + 7) % 7 AS DOUBLE) / 7.0)
+        |    - (CAST(((event_id % 11) + 11) % 11 AS DOUBLE) / 11.0)
+        |    + CAST(((user_id % 9) + 9) % 9 AS DOUBLE) / 10.0
+        |    + CAST((((((event_id % 101) + 101) % 101) % 5) + 5) % 5
+        |        AS DOUBLE) / 20.0
+        |    + 1e-9, 6) AS score
+        |FROM events""".stripMargin,
+
+    // q234: the fleet plan's three actions are structural facts of the
+    // three constructed index states
+    "q234_fleet_maintenance_plan" ->
+      """SELECT 1 AS idx, 'none' AS action
+        |UNION ALL SELECT 2, 'compact'
+        |UNION ALL SELECT 3, 'rebuild'""".stripMargin,
+
     // BPE encoding under q222's fixed merge list: each word becomes a
     // chr(31)-double-separated symbol string and the merges replay as
     // chained replaces (`␟a␟␟b␟` -> `␟ab␟`), which reproduces the

@@ -2736,6 +2736,248 @@ object SparkEntry {
     } finally graft.util.TempDirs.deleteRecursively(stage)
   }
 
+  /** q228's binary-classification twin (reference DriverTest.scala's
+    * heart-scale logistic runs and the AUC evaluator of
+    * GameTrainingDriverIntegTest): the Yahoo-Music-shaped fixture with
+    * the label the SIGN of an ENTITY-DOMINATED margin
+    * (y = 1 iff 0.7x1 − 0.5x2 + u·1.2 + i·0.9 + a·0.5 + ε > 0, ε ∈
+    * 0.1·[−1,1], ~50/50 by symmetry; item = id mod 31 / artist = item
+    * mod 7 keep every intercept's sample count high enough that the
+    * unregularized per-entity logistic fits don't overfit even at
+    * sf0.001), trained `--loss logistic --evaluator auc` through the
+    * full CLI surface. Gate: `auc_ok` = validation AUC above 0.93 —
+    * far over the ~0.71–0.77 fixed-effects-only ceiling measured at
+    * sf0.001–0.1 (the per-entity intercepts must carry their share of
+    * the margin through the LOGISTIC link, not just the squared-loss
+    * closed form q228 rides; measured full-model AUC 0.985–0.995) —
+    * hash-compared against literal TRUE. Split/entity counts replay in
+    * DuckDB exactly as in q228 (pmod-normalized). */
+  def q231_game_train_logistic(s: SparkSession, d: String): DataFrame = {
+    def u01(c: Column, salt: Int): Column =
+      (pmod(xxhash64(c, lit(salt)), lit(2001L)) - lit(1000L)) / lit(1000.0)
+    val data = T.events(s, d).select(
+      col("event_id").as("id"), col("user_id").as("user"),
+      pmod(col("event_id"), lit(31L)).as("item"))
+      .withColumn("artist", pmod(col("item"), lit(7L)))
+      .withColumn("x1", u01(col("id"), 1))
+      .withColumn("x2", u01(col("id"), 2))
+      .withColumn("y",
+        (lit(0.7) * col("x1") - lit(0.5) * col("x2") +
+          u01(col("user"), 11) * 1.2 + u01(col("item"), 12) * 0.9 +
+          u01(col("artist"), 13) * 0.5 + u01(col("id"), 99) * 0.1 > 0)
+          .cast("double"))
+    val stage = graft.util.TempDirs.fresh("q231_game_")
+    try {
+      val root = stage.getAbsolutePath
+      data.withColumn("_split",
+        when(pmod(col("id"), lit(5L)) === 0, lit("valid"))
+          .otherwise(lit("train")))
+        .write.partitionBy("_split").parquet(s"$root/data")
+      val train = s"$root/data/_split=train"
+      val valid = s"$root/data/_split=valid"
+      val (model, results) = graft.drivers.GameTrainingDriver.run(s,
+        graft.drivers.Args.parse(Array(
+          "--input-dir", train,
+          "--validation-dir", valid,
+          "--uid-col", "id", "--label-col", "y",
+          "--feature-cols", "x1,x2",
+          "--random-coordinates",
+          "perUser:user,perItem:item,perArtist:artist",
+          "--loss", "logistic", "--lambdas", "0.01", "--re-lambda", "0.1",
+          "--evaluator", "auc", "--iterations", "2")))
+      val auc = results.head.metric
+      def nModels(cid: String): Long = model.coordinates(cid)
+        .asInstanceOf[graft.ml.CoordinateDescent.TrainedRandom]
+        .models.count()
+      import s.implicits._
+      Seq((
+        s.read.parquet(train).count(),
+        s.read.parquet(valid).count(),
+        nModels("perUser"), nModels("perItem"), nModels("perArtist"),
+        auc > 0.93))
+        .toDF("n_train", "n_valid", "n_users", "n_items", "n_artists",
+          "auc_ok")
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** Incremental (prior-seeded) retraining through the CLI surface
+    * against its EXACT posterior (reference GameEstimator.scala:777-798
+    * + GameTrainingDriverIntegTest's incremental variants; the in-lib
+    * arithmetic is q149's) on the degenerate sub-case where the whole
+    * pipeline has a closed form: 1 feature + intercept, squared loss.
+    * Phase 1 trains ridge(λ) on the even-uid half of `embeddings` and
+    * SAVES it (`--output-dir`); phase 2 retrains on the odd half with
+    * `--prior-model-dir --incremental-weight ω` — the saved
+    * coefficients become the Gaussian prior's means, and the variances
+    * default to 1 (the phase-1 save carries none), so the posterior
+    * solves (A₂ + ωI)·θ = b₂ + ω·θ₁. The DuckDB oracle replays BOTH
+    * 2×2 normal systems by Cramer — a drift anywhere in save → load →
+    * prior construction → regularized solve moves a coefficient and
+    * fails the hash. */
+  def q232_game_train_incremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = T.embeddings(s, d).select(
+      col("vec_id").cast("long").as("uid"),
+      col("label").cast("double").as("y"),
+      element_at(col("embedding"), 4).cast("double").as("x"))
+    val stage = graft.util.TempDirs.fresh("q232_incr_")
+    try {
+      val root = stage.getAbsolutePath
+      pts.withColumn("_split",
+        when(pmod(col("uid"), lit(2L)) === 0, lit("d1")).otherwise(lit("d2")))
+        .write.partitionBy("_split").parquet(s"$root/data")
+      def base(split: String) = Array(
+        "--input-dir", s"$root/data/_split=$split",
+        "--uid-col", "uid", "--label-col", "y", "--feature-cols", "x",
+        "--loss", "squared", "--lambdas", "0.05", "--iterations", "1")
+      val (m1, _) = graft.drivers.GameTrainingDriver.run(s,
+        graft.drivers.Args.parse(base("d1") ++
+          Array("--output-dir", s"$root/m1")))
+      val (m2, _) = graft.drivers.GameTrainingDriver.run(s,
+        graft.drivers.Args.parse(base("d2") ++ Array(
+          "--prior-model-dir", s"$root/m1/best-model",
+          "--incremental-weight", "2.0")))
+      def fixed(m: graft.ml.CoordinateDescent.GameModel) =
+        m.coordinates("global")
+          .asInstanceOf[graft.ml.CoordinateDescent.TrainedFixed].model
+      val (g1, g2) = (fixed(m1), fixed(m2))
+      Seq((rnd6(g1.coef(0) + 1e-9), rnd6(g1.intercept + 1e-9),
+        rnd6(g2.coef(0) + 1e-9), rnd6(g2.intercept + 1e-9)))
+        .toDF("w1", "b1", "w2", "b2")
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** GAME SCORING lifecycle e2e (reference GameScoringDriver.scala:
+    * 136-197): a hand-specified model — global (w=(2,−1), b=0.5) plus
+    * per-user and per-item intercept models — is SAVED with
+    * [[sources.ModelIO.saveGame]], then the scoring driver loads it and
+    * scores the events fixture through the full prepare → load → score
+    * path. Every model coefficient and feature is a pmod rational of
+    * the ids, so the DuckDB oracle replays the whole scoring sum
+    * score = b + w·x + intercept_user + intercept_item in plain SQL —
+    * value-exact per uid, not just row counts. Broadcast/hash-join
+    * scoring shape is q05/q91's; what this gates is the driver wiring:
+    * metadata round-trip, reId column projection, full-outer score
+    * algebra across three coordinates. */
+  def q233_game_score_e2e(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.CoordinateDescent.{FixedSpec, GameModel, RandomSpec,
+      TrainedFixed, TrainedRandom}
+    val data = T.events(s, d).select(
+      col("event_id").as("id"), col("user_id").as("user"),
+      pmod(col("event_id"), lit(101L)).as("item"),
+      (pmod(col("event_id"), lit(7L)).cast("double") / 7.0).as("x1"),
+      (pmod(col("event_id"), lit(11L)).cast("double") / 11.0).as("x2"))
+    val emptyCoef = array().cast("array<double>")
+    val noVar = lit(null).cast("array<double>")
+    val users = data.select(col("user")).distinct()
+      .select(col("user").cast("string").as("reId"),
+        emptyCoef.as("coef"),
+        (pmod(col("user"), lit(9L)).cast("double") / 10.0).as("intercept"),
+        noVar.as("variances"))
+    val items = data.select(col("item")).distinct()
+      .select(col("item").cast("string").as("reId"),
+        emptyCoef.as("coef"),
+        (pmod(col("item"), lit(5L)).cast("double") / 20.0).as("intercept"),
+        noVar.as("variances"))
+    val cfg = graft.ml.GlmConfig(graft.ml.SquaredLoss)
+    val model = GameModel(Map(
+      "global" -> TrainedFixed(FixedSpec("global", "features", 2, cfg),
+        graft.ml.GlmModel(Array(2.0, -1.0), 0.5, "squared", None)),
+      "perUser" -> TrainedRandom(
+        RandomSpec("perUser", "user", "emptyFeatures", 0, cfg), users),
+      "perItem" -> TrainedRandom(
+        RandomSpec("perItem", "item", "emptyFeatures", 0, cfg), items)))
+    val stage = graft.util.TempDirs.fresh("q233_score_")
+    try {
+      val root = stage.getAbsolutePath
+      data.write.parquet(s"$root/data")
+      graft.sources.ModelIO.saveGame(s, model, s"$root/model")
+      val scores = graft.drivers.GameScoringDriver.run(s,
+        graft.drivers.Args.parse(Array(
+          "--input-dir", s"$root/data",
+          "--model-dir", s"$root/model",
+          "--uid-col", "id", "--label-col", "x1",
+          "--feature-cols", "x1,x2",
+          "--random-coordinates", "perUser:user,perItem:item")))
+      // materialize (lineage-truncated) before the staging dir is
+      // deleted — the gate's caller consumes the frame AFTER this
+      // function returns, when the source files are gone
+      scores
+        .select(col("uid"), round(col("score") + lit(1e-9), 6).as("score"))
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** FLEET-mode maintenance planning ([[operators.Similarity
+    * .indexMaintenancePlan]] over a UNION of health rows — the claim at
+    * its docstring that it "runs over a one-row report or a
+    * million-index fleet table identically", which every other gate
+    * exercises one row at a time). Three real indexes in three states:
+    *   1. healthy — fresh build (one file per list by construction of
+    *      the repartition(list) write), probe-all recall 1.0 → `none`;
+    *   2. fragmented — build + append (new files inside hit lists),
+    *      probe-all keeps recall exact → `compact`, proving file count
+    *      alone triggers without recall involvement;
+    *   3. recall-decayed — a FIXED 4-cluster geometric corpus (SF-
+    *      independent, so the measured recall is the same constant
+    *      everywhere): each query's top-2 sit in its own cluster's list
+    *      and the 3rd strictly in the next cluster's, so nProbe=1
+    *      recall is exactly 2/3 < 0.9 → `rebuild` (checked BEFORE the
+    *      file ceiling — a decayed index must refit, not merely
+    *      defragment).
+    * One plan call over the 3-row fleet; the oracle pins all three
+    * actions. */
+  def q234_fleet_maintenance_plan(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val mid = corpus.agg(
+      percentile_approx(col("id"), lit(0.5), lit(10000))).head().getLong(0)
+    // the decayed fixture: cluster directions u_c = e_c + 0.2·e_{c+1},
+    // members u_c and u_c + 0.05·e_{c+2} — all query-member cosines
+    // distinct (no rank-3 ties), 3rd-nearest of query e_c is cluster
+    // (c−1)'s first member via its 0.2·e_c component
+    import s.implicits._
+    def member(c: Int, eps: Double): Array[Float] = {
+      val a = new Array[Float](4)
+      a(c) = 1.0f; a((c + 1) % 4) = 0.2f
+      a((c + 2) % 4) = eps.toFloat
+      a
+    }
+    val decCorpus = (0 until 4).flatMap(c => Seq(
+      (c * 2L, member(c, 0.0)), (c * 2L + 1, member(c, 0.05))))
+      .toDF("id", "v")
+    val decQueries = (0 until 4).map { c =>
+      val a = new Array[Float](4); a(c) = 1.0f; (c.toLong, a)
+    }.toDF("qid", "qv")
+    val dirs = Seq("q234_ok_", "q234_frag_", "q234_dec_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(okDir, fragDir, decDir) = dirs.map(_.getAbsolutePath)
+      Similarity.ivfBuild(corpus, okDir, nList = 8, kmeansMaxIter = 2)
+      Similarity.ivfBuild(corpus.filter(col("id") <= mid), fragDir,
+        nList = 8, kmeansMaxIter = 2)
+      Similarity.ivfAppend(s, fragDir, corpus.filter(col("id") > mid))
+      Similarity.ivfBuild(decCorpus, decDir, nList = 4,
+        kmeansMaxIter = 10)
+      val fleet = Similarity
+        .ivfIndexHealth(s, okDir, queries, k = 3, nProbe = 8)
+        .withColumn("idx", lit(1))
+        .unionByName(Similarity
+          .ivfIndexHealth(s, fragDir, queries, k = 3, nProbe = 8)
+          .withColumn("idx", lit(2)))
+        .unionByName(Similarity
+          .ivfIndexHealth(s, decDir, decQueries, k = 3, nProbe = 1)
+          .withColumn("idx", lit(3)))
+      val plan = Similarity.indexMaintenancePlan(fleet,
+        recallFloor = 0.9, maxFilesPerListCeiling = 1)
+        .select(col("idx"), col("action"))
+      plan.localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** BPE corpus-ENCODING gate ([[operators.Tokenizer.bpeEncode]]): the
     * scan a pipeline runs corpus-wide after training — each document's
     * subword stream under a FIXED merge list (training itself is gated
@@ -4469,7 +4711,11 @@ object SparkEntry {
     "q227_knn_ivfpq_stream_ingest" -> (q227_knn_ivfpq_stream_ingest _),
     "q228_game_train_e2e" -> (q228_game_train_e2e _),
     "q229_index_maintenance" -> (q229_index_maintenance _),
-    "q230_index_health_pq" -> (q230_index_health_pq _))
+    "q230_index_health_pq" -> (q230_index_health_pq _),
+    "q231_game_train_logistic" -> (q231_game_train_logistic _),
+    "q232_game_train_incremental" -> (q232_game_train_incremental _),
+    "q233_game_score_e2e" -> (q233_game_score_e2e _),
+    "q234_fleet_maintenance_plan" -> (q234_fleet_maintenance_plan _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
