@@ -360,25 +360,30 @@ object Similarity {
     * gate) is unaffected because every vector lands in exactly one
     * list whatever the assignment. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-                batch: DataFrame): Unit = {
-    val snap = Manifest.snapshot(spark, dir)
-    val postingsPath = snap.path("postings")
-    val bc = spark.sparkContext.broadcast(
-      loadCentroids(spark, snap.path("centroids")))
-    val assign = udf { (v: Seq[Double]) => nearestIdx(bc.value, v) }
-    // coerce the batch to the EXISTING index's column types: an
-    // append that silently mixes (say) float and double data files
-    // under one directory corrupts every later probe's scan
-    val existing = spark.read.parquet(postingsPath).schema
-    requireIdWidens(batch.schema("id").dataType, existing("id").dataType)
-    batch
-      .select(assign(col("v").cast("array<double>")).as("list"),
-        col("id").cast(existing("id").dataType),
-        col("v").cast(existing("v").dataType))
-      .repartition(col("list"))
-      .write.mode("append").partitionBy("list")
-      .parquet(postingsPath)
-  }
+                batch: DataFrame): Unit =
+    // writer lock for the WHOLE drop, snapshot taken inside it: an
+    // append racing a compaction would otherwise land its files in the
+    // superseded physical directory after the compactor's read — rows
+    // silently lost at the manifest flip (and GC'd with the old dir)
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val postingsPath = snap.path("postings")
+      val bc = spark.sparkContext.broadcast(
+        loadCentroids(spark, snap.path("centroids")))
+      val assign = udf { (v: Seq[Double]) => nearestIdx(bc.value, v) }
+      // coerce the batch to the EXISTING index's column types: an
+      // append that silently mixes (say) float and double data files
+      // under one directory corrupts every later probe's scan
+      val existing = spark.read.parquet(postingsPath).schema
+      requireIdWidens(batch.schema("id").dataType, existing("id").dataType)
+      batch
+        .select(assign(col("v").cast("array<double>")).as("list"),
+          col("id").cast(existing("id").dataType),
+          col("v").cast(existing("v").dataType))
+        .repartition(col("list"))
+        .write.mode("append").partitionBy("list")
+        .parquet(postingsPath)
+    }
 
   /** Probe a persisted [[ivfBuild]] index: centroids load as one
     * bounded collect (nList · dim doubles — broadcast-class by
@@ -500,31 +505,33 @@ object Similarity {
     * + refine-all correctness is unaffected (codes only order
     * candidates; the exact rescoring decides). */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  batch: DataFrame): Unit = {
-    val snap = Manifest.snapshot(spark, dir)
-    val codesPath = snap.path("codes")
-    val codebooks = loadCodebooks(spark, snap.path("codebooks"))
-    val subLen = codebooks(0)(0).length
-    val bcC = spark.sparkContext.broadcast(
-      loadCentroids(spark, snap.path("centroids")))
-    val bcCb = spark.sparkContext.broadcast(codebooks)
-    val assignAndEncode = udf { (v: Seq[Double]) =>
-      val (codes, nrm) = pqEncode(bcCb.value, subLen, v)
-      (nearestIdx(bcC.value, v), codes, nrm)
+                  batch: DataFrame): Unit =
+    // [[ivfAppend]]'s writer lock, same rationale
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val codesPath = snap.path("codes")
+      val codebooks = loadCodebooks(spark, snap.path("codebooks"))
+      val subLen = codebooks(0)(0).length
+      val bcC = spark.sparkContext.broadcast(
+        loadCentroids(spark, snap.path("centroids")))
+      val bcCb = spark.sparkContext.broadcast(codebooks)
+      val assignAndEncode = udf { (v: Seq[Double]) =>
+        val (codes, nrm) = pqEncode(bcCb.value, subLen, v)
+        (nearestIdx(bcC.value, v), codes, nrm)
+      }
+      // [[ivfAppend]]'s schema coercion: the appended files must carry
+      // the EXISTING index's column types
+      val existing = spark.read.parquet(codesPath).schema
+      requireIdWidens(batch.schema("id").dataType, existing("id").dataType)
+      batch
+        .select(col("id").cast(existing("id").dataType),
+          assignAndEncode(col("v").cast("array<double>")).as("e"))
+        .select(col("e._1").as("list"), col("id"), col("e._2").as("codes"),
+          col("e._3").as("norm"))
+        .repartition(col("list"))
+        .write.mode("append").partitionBy("list")
+        .parquet(codesPath)
     }
-    // [[ivfAppend]]'s schema coercion: the appended files must carry
-    // the EXISTING index's column types
-    val existing = spark.read.parquet(codesPath).schema
-    requireIdWidens(batch.schema("id").dataType, existing("id").dataType)
-    batch
-      .select(col("id").cast(existing("id").dataType),
-        assignAndEncode(col("v").cast("array<double>")).as("e"))
-      .select(col("e._1").as("list"), col("id"), col("e._2").as("codes"),
-        col("e._3").as("norm"))
-      .repartition(col("list"))
-      .write.mode("append").partitionBy("list")
-      .parquet(codesPath)
-  }
 
   /** Probe a persisted [[ivfPqBuild]] index. Centroids and codebooks
     * load as bounded collects (coarse nList·dim + m·nCodes·subLen
@@ -601,11 +608,19 @@ object Similarity {
     *
     * Single-writer assumption: appends and compactions of ONE index must
     * not run concurrently with each other (readers are unrestricted) —
-    * the same contract every log-pointer table format documents. The
-    * publish path ENFORCES its half of the contract with an
-    * exclusive-create `_writer.lock`: a second concurrent publish fails
-    * before touching any live state (no renames, no manifest, nothing
-    * orphaned). A lock left by a crashed writer is cleared with
+    * the same contract every log-pointer table format documents. EVERY
+    * writer enforces it through the exclusive-create `_writer.lock`
+    * ([[withLock]]): appends hold it for the whole file drop, and a
+    * compaction/rebuild holds it across its READ→rewrite→flip span —
+    * not just the flip — because an append landing files in the old
+    * physical directory after the compactor's read but before its
+    * manifest flip would be silently dropped when the old directory is
+    * garbage-collected (the rows exist in no live table). The loser of
+    * any collision throws BEFORE touching live state (no renames, no
+    * manifest, no appended files, nothing orphaned); a streaming ingest
+    * whose micro-batch loses simply fails that batch — restarting the
+    * query replays it from the checkpoint (at-least-once, verified in
+    * SamplingSpec). A lock left by a crashed writer is cleared with
     * [[breakLock]] (an operator decision — nothing else may hold it
     * under the single-writer contract). */
   private[operators] object Manifest {
@@ -664,21 +679,38 @@ object Similarity {
       * one. Multi-table updates (a rebuild's centroids + postings) become
       * visible together, never interleaved. */
     def publish(spark: org.apache.spark.sql.SparkSession, dir: String,
-                updates: Seq[(String, String)]): Unit = {
-      val f = fs(spark, dir)
-      // writer lock FIRST: the loser of a publish race must throw
-      // before any rename — its tmp inputs remain the caller's to
-      // retry with, and live state is untouched.
-      // Atomicity assumption: create(overwrite=false) is an atomic
-      // create-if-absent on HDFS; on the local FS and on object stores
-      // it is check-then-create, so two writers racing within that
-      // window can both "win". The versioned-dir + fresh-manifest-name
-      // layout keeps even that worst case from corrupting readers (the
-      // losers' renames fail on existing names); the lock is the
-      // fail-fast layer, not the only defense.
+                updates: Seq[(String, String)]): Unit =
+      withLock(spark, dir) {
+        publishLocked(fs(spark, dir), dir, updates)
+      }
+
+    /** [[publish]] for callers ALREADY inside [[withLock]] (a
+      * compaction holds the lock across its read→rewrite→flip span —
+      * re-acquiring here would deadlock-by-throw on its own lock). */
+    private[operators] def publishUnderLock(
+        spark: org.apache.spark.sql.SparkSession, dir: String,
+        updates: Seq[(String, String)]): Unit =
+      publishLocked(fs(spark, dir), dir, updates)
+
+    /** Run `f` holding the index's exclusive `_writer.lock` — the
+      * enforcement point of the single-writer contract, shared by every
+      * writer (append, ingest micro-batch, compaction, rebuild,
+      * publish). The loser throws BEFORE touching any live state — its
+      * inputs remain the caller's to retry with.
+      *
+      * Atomicity assumption: create(overwrite=false) is an atomic
+      * create-if-absent on HDFS; on the local FS and on object stores
+      * it is check-then-create, so two writers racing within that
+      * window can both "win". The versioned-dir + fresh-manifest-name
+      * layout keeps even that worst case from corrupting READERS (the
+      * losers' renames fail on existing names); the lock is the
+      * fail-fast layer, not the only defense. */
+    private[operators] def withLock[T](
+        spark: org.apache.spark.sql.SparkSession, dir: String)(f: => T): T = {
+      val fsys = fs(spark, dir)
       val lock = new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
       val lockOut =
-        try f.create(lock, false)
+        try fsys.create(lock, false)
         catch {
           // only an existing lock is contention; any other IO failure
           // (permissions, transient FS error) must surface as itself,
@@ -686,18 +718,18 @@ object Similarity {
           case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                     _: java.nio.file.FileAlreadyExistsException) =>
             throw new IllegalStateException(
-              s"another publish holds $dir/_writer.lock (single-writer " +
+              s"another writer holds $dir/_writer.lock (single-writer " +
                 "contract). If the previous writer crashed, clear it " +
                 "with Manifest.breakLock and retry.", e)
         }
       lockOut.close()
-      try publishLocked(f, dir, updates)
-      finally if (!f.delete(lock, false))
-        // a leaked lock blocks every future publish until breakLock —
+      try f
+      finally if (!fsys.delete(lock, false))
+        // a leaked lock blocks every future writer until breakLock —
         // make the leak loud instead of silently returning false
         org.slf4j.LoggerFactory.getLogger(Manifest.getClass).error(
-          s"failed to remove $dir/_writer.lock after publish; future " +
-            "publishes will fail until Manifest.breakLock clears it")
+          s"failed to remove $dir/_writer.lock; future writers will " +
+            "fail until Manifest.breakLock clears it")
     }
 
     /** Remove a `_writer.lock` left behind by a crashed publish. Only
@@ -810,7 +842,11 @@ object Similarity {
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
                  rebuild: Boolean = false, seed: Long = 7L,
                  kmeansMaxIter: Int = 20,
-                 maxRecordsPerFile: Long = 0L): Unit = {
+                 maxRecordsPerFile: Long = 0L): Unit =
+  // lock across the whole read→rewrite→flip span (not just the flip):
+  // an append landing between our postings read and the manifest flip
+  // would be dropped with the superseded directory
+  Manifest.withLock(spark, dir) {
     val snap = Manifest.snapshot(spark, dir)
     val postings = spark.read.parquet(snap.path("postings"))
     if (rebuild) {
@@ -823,7 +859,7 @@ object Similarity {
       val tmp = s"$dir/_rebuild.tmp"
       ivfBuild(postings.select(col("id"), col("v")), tmp, nList,
         seed, kmeansMaxIter)
-      Manifest.publish(spark, dir, Seq(
+      Manifest.publishUnderLock(spark, dir, Seq(
         "centroids" -> s"$tmp/centroids.parquet",
         "postings" -> s"$tmp/postings.parquet"))
       val tmpP = new org.apache.hadoop.fs.Path(tmp)
@@ -842,7 +878,7 @@ object Similarity {
       (if (maxRecordsPerFile > 0L)
          w.option("maxRecordsPerFile", maxRecordsPerFile)
        else w).parquet(tmp)
-      Manifest.publish(spark, dir, Seq("postings" -> tmp))
+      Manifest.publishUnderLock(spark, dir, Seq("postings" -> tmp))
     }
   }
 
@@ -851,18 +887,20 @@ object Similarity {
     * No in-place rebuild mode — the index stores codes, not vectors, so
     * a refit needs the embedding store: that is [[ivfPqRebuild]]. */
   def ivfPqCompact(spark: org.apache.spark.sql.SparkSession,
-                   dir: String, maxRecordsPerFile: Long = 0L): Unit = {
-    val snap = Manifest.snapshot(spark, dir)
-    val tmp = s"$dir/_compact.tmp.codes"
-    val src = spark.read.parquet(snap.path("codes"))
-      .select(col("list"), col("id"), col("codes"), col("norm"))
-    val w = saltedByList(src, maxRecordsPerFile)
-      .write.mode("overwrite").partitionBy("list")
-    (if (maxRecordsPerFile > 0L)
-       w.option("maxRecordsPerFile", maxRecordsPerFile)
-     else w).parquet(tmp)
-    Manifest.publish(spark, dir, Seq("codes" -> tmp))
-  }
+                   dir: String, maxRecordsPerFile: Long = 0L): Unit =
+    // [[ivfCompact]]'s full-span writer lock, same rationale
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val tmp = s"$dir/_compact.tmp.codes"
+      val src = spark.read.parquet(snap.path("codes"))
+        .select(col("list"), col("id"), col("codes"), col("norm"))
+      val w = saltedByList(src, maxRecordsPerFile)
+        .write.mode("overwrite").partitionBy("list")
+      (if (maxRecordsPerFile > 0L)
+         w.option("maxRecordsPerFile", maxRecordsPerFile)
+       else w).parquet(tmp)
+      Manifest.publishUnderLock(spark, dir, Seq("codes" -> tmp))
+    }
 
   /** Reader-safe refit of a persisted [[ivfPqBuild]] index from the
     * embedding store (`corpus` — the codes table cannot reconstruct
@@ -874,21 +912,23 @@ object Similarity {
     * centroids scoring old codes. */
   def ivfPqRebuild(spark: org.apache.spark.sql.SparkSession, dir: String,
                    corpus: DataFrame, trainFraction: Double = 1.0,
-                   seed: Long = 7L, kmeansMaxIter: Int = 20): Unit = {
-    val snap = Manifest.snapshot(spark, dir)
-    val nList = spark.read.parquet(snap.path("centroids")).count().toInt
-    val cb = loadCodebooks(spark, snap.path("codebooks"))
-    val tmp = s"$dir/_rebuild.tmp"
-    ivfPqBuild(corpus, tmp, nList, cb.length, cb(0).length,
-      trainFraction, seed, kmeansMaxIter)
-    Manifest.publish(spark, dir, Seq(
-      "centroids" -> s"$tmp/centroids.parquet",
-      "codebooks" -> s"$tmp/codebooks.parquet",
-      "codes" -> s"$tmp/codes.parquet"))
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(tmpP, true)
-  }
+                   seed: Long = 7L, kmeansMaxIter: Int = 20): Unit =
+    // [[ivfCompact]]'s full-span writer lock, same rationale
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val nList = spark.read.parquet(snap.path("centroids")).count().toInt
+      val cb = loadCodebooks(spark, snap.path("codebooks"))
+      val tmp = s"$dir/_rebuild.tmp"
+      ivfPqBuild(corpus, tmp, nList, cb.length, cb(0).length,
+        trainFraction, seed, kmeansMaxIter)
+      Manifest.publishUnderLock(spark, dir, Seq(
+        "centroids" -> s"$tmp/centroids.parquet",
+        "codebooks" -> s"$tmp/codebooks.parquet",
+        "codes" -> s"$tmp/codes.parquet"))
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(tmpP, true)
+    }
 
   /** Compaction repartitioning: one shuffle partition per list by
     * default; with a records-per-file target also SALT the hot lists so

@@ -1404,6 +1404,112 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("streaming ingest interleaves with a compaction between " +
+    "micro-batches: every ingested row survives the manifest flip, " +
+    "no orphan dirs, no leaked lock") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfingcomp").toFile
+    val root = dir.getAbsolutePath
+    val stage = java.nio.file.Files.createTempDirectory("ivfingcompst")
+      .toFile
+    try {
+      val base = corpus.filter(col("id") % 2 === 0)
+      val delta = corpus.filter(col("id") % 2 =!= 0)
+      Similarity.ivfBuild(base, root, nList = 4, kmeansMaxIter = 2)
+      val files = stage.getAbsolutePath + "/files"
+      val ckpt = stage.getAbsolutePath + "/ckpt"
+      delta.filter(col("id") % 4 === 1).coalesce(1)
+        .write.mode("append").parquet(files)
+      val q = Similarity.ivfIngest(
+        spark.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1").parquet(files),
+        root, ckpt)
+      try {
+        q.processAllAvailable()
+        // a compaction lands while the stream is idle: the manifest
+        // flips the postings to a fresh versioned directory
+        Similarity.ivfCompact(spark, root)
+        assert(Similarity.Manifest.snapshot(spark, root).version == 1)
+        // the next micro-batch must resolve the NEW snapshot — an
+        // append into the superseded directory would be GC'd later
+        delta.filter(col("id") % 4 === 3).coalesce(1)
+          .write.mode("append").parquet(files)
+        q.processAllAvailable()
+      } finally q.stop()
+      val snap = Similarity.Manifest.snapshot(spark, root)
+      val postings = spark.read.parquet(snap.path("postings"))
+      assert(postings.count() == corpus.count())
+      assert(postings.select("id").distinct().count() == corpus.count())
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) ==
+        annPairs(Similarity.bruteForce(queries, corpus, 3)))
+      val names = dir.listFiles().map(_.getName).toSet
+      assert(!names.contains("_writer.lock"), names.toString)
+      assert(!names.exists(_.startsWith("_compact.tmp")), names.toString)
+      assert(names.filter(_.matches(""".+\.parquet\.v\d+""")) ==
+        Set("postings.parquet.v1"), names.toString)
+    } finally {
+      graft.util.TempDirs.deleteRecursively(dir)
+      graft.util.TempDirs.deleteRecursively(stage)
+    }
+  }
+
+  test("a micro-batch colliding with a held writer lock fails the " +
+    "stream loudly (no partial append); checkpoint restart replays it " +
+    "with no loss and no duplication") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfinglock").toFile
+    val root = dir.getAbsolutePath
+    val stage = java.nio.file.Files.createTempDirectory("ivfinglockst")
+      .toFile
+    try {
+      val base = corpus.filter(col("id") % 2 === 0)
+      val delta = corpus.filter(col("id") % 2 =!= 0)
+      Similarity.ivfBuild(base, root, nList = 4, kmeansMaxIter = 2)
+      val files = stage.getAbsolutePath + "/files"
+      val ckpt = stage.getAbsolutePath + "/ckpt"
+      delta.coalesce(1).write.mode("append").parquet(files)
+      // a compaction (or crashed writer) holds the lock when the
+      // micro-batch arrives
+      assert(new java.io.File(dir, "_writer.lock").createNewFile())
+      def ingest() = Similarity.ivfIngest(
+        spark.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1").parquet(files),
+        root, ckpt)
+      val q = ingest()
+      val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(c => Option(c.getMessage).getOrElse("")).toSeq
+      assert(messages(e).exists(_.contains("_writer.lock")),
+        messages(e).mkString(" | "))
+      // the losing batch appended NOTHING (the lock precedes any write)
+      val snap0 = Similarity.Manifest.snapshot(spark, root)
+      assert(spark.read.parquet(snap0.path("postings")).count() ==
+        base.count())
+      // operator clears the crashed lock; the restarted query replays
+      // the failed batch from the checkpoint — at-least-once with no
+      // partial append means exactly-once here
+      Similarity.Manifest.breakLock(spark, root)
+      val q2 = ingest()
+      try q2.processAllAvailable() finally q2.stop()
+      val snap = Similarity.Manifest.snapshot(spark, root)
+      val postings = spark.read.parquet(snap.path("postings"))
+      assert(postings.count() == corpus.count())
+      assert(postings.select("id").distinct().count() == corpus.count())
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) ==
+        annPairs(Similarity.bruteForce(queries, corpus, 3)))
+    } finally {
+      graft.util.TempDirs.deleteRecursively(dir)
+      graft.util.TempDirs.deleteRecursively(stage)
+    }
+  }
+
   test("boundedSample large-cap path (sizes + window over oversized " +
     "groups only) ranks by the same key as the bounded-heap path") {
     import spark.implicits._
