@@ -29,10 +29,18 @@ object Bench {
     // min of 3, recorded in the artifact. Cross-round totals drift with
     // the host (r11's suite total rose 1.31x on unchanged code — pure
     // environment); dividing by calibration_sec makes that shift
-    // self-evident without judge re-runs.
+    // self-evident without judge re-runs. Pinned to sf0.1 regardless of
+    // SPARK_GRAFT_SF_DIR so a scaling-decade run emits the SAME
+    // workload's time — data volume must not masquerade as machine
+    // speed (override only if that dir is absent on a foreign host).
+    val calDir = {
+      val pinned = sys.env.getOrElse("SPARK_GRAFT_CAL_DIR",
+        "/root/testdata/sf0.1")
+      if (new java.io.File(pinned).isDirectory) pinned else sfDir
+    }
     val calibration = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      SparkEntry.queries("q13_region_revenue")(spark, sfDir)
+      SparkEntry.queries("q13_region_revenue")(spark, calDir)
         .queryExecution.toRdd.foreach(_ => ())
       (System.nanoTime() - t0) / 1e9
     }.min
