@@ -986,6 +986,20 @@ object OracleSql {
         |    + 1e-9, 6) AS score
         |FROM events""".stripMargin,
 
+    // q235: probing the persisted (build + append assembled) shingle
+    // index must equal the direct two-sided report — q58's SQL verbatim
+    "q235_decontam_index" -> (shinglesCte + """,
+      |bench AS (SELECT DISTINCT unnest(sh3) AS g FROM sh
+      |  WHERE source = 'src0'),
+      |cand AS (SELECT DISTINCT doc_id, unnest(sh3) AS g FROM sh
+      |  WHERE source <> 'src0'),
+      |hits AS (SELECT doc_id, COUNT(*) AS n FROM cand
+      |  JOIN bench USING (g) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated,
+      |  COALESCE(h.n, 0) > 0 AS is_contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.source <> 'src0'""".stripMargin),
+
     // q234: the fleet plan's three actions are structural facts of the
     // three constructed index states
     "q234_fleet_maintenance_plan" ->

@@ -2978,6 +2978,33 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  /** PERSISTED decontamination index lifecycle
+    * ([[operators.Decontamination.decontamIndexBuild]]/`Append`/
+    * `Report`): the benchmark suite's distinct shingles are written
+    * ONCE (here in two installments — build on the even-id half of the
+    * src0 benchmark, append the odd half, exercising the anti-join
+    * suite-update path), then the candidate batch probes the FILES —
+    * the daily-pipeline workflow where eval text is never re-shingled
+    * per run. Probing the fully-assembled index must equal q58's
+    * direct two-sided report exactly, so the oracle is q58's SQL
+    * verbatim. */
+  def q235_decontam_index(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("source") === "src0")
+    val stage = graft.util.TempDirs.fresh("q235_decontam_")
+    try {
+      val root = stage.getAbsolutePath
+      Decontamination.decontamIndexBuild(
+        bench.filter(pmod(col("doc_id"), lit(2L)) === 0), root,
+        "text", n = 3)
+      Decontamination.decontamIndexAppend(s, root,
+        bench.filter(pmod(col("doc_id"), lit(2L)) =!= 0), "text")
+      Decontamination.decontamIndexReport(s, root,
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
   /** BPE corpus-ENCODING gate ([[operators.Tokenizer.bpeEncode]]): the
     * scan a pipeline runs corpus-wide after training — each document's
     * subword stream under a FIXED merge list (training itself is gated
@@ -4715,7 +4742,8 @@ object SparkEntry {
     "q231_game_train_logistic" -> (q231_game_train_logistic _),
     "q232_game_train_incremental" -> (q232_game_train_incremental _),
     "q233_game_score_e2e" -> (q233_game_score_e2e _),
-    "q234_fleet_maintenance_plan" -> (q234_fleet_maintenance_plan _))
+    "q234_fleet_maintenance_plan" -> (q234_fleet_maintenance_plan _),
+    "q235_decontam_index" -> (q235_decontam_index _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -119,6 +119,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("persisted decontam index: build+append equals the direct " +
+    "report, appends stay distinct, and a width mismatch fails loudly") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps"),
+      (101L, "pack my box with five dozen"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "a very quick brown fox indeed"),
+      (2L, "with five dozen liquor jugs"),
+      (3L, "completely unrelated words here galore"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("decontamidx").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Decontamination.decontamIndexBuild(
+        bench.filter(col("doc_id") === 100L), root, "text", n = 3)
+      Decontamination.decontamIndexAppend(spark, root,
+        bench.filter(col("doc_id") === 101L), "text")
+      // re-appending the SAME benchmark adds nothing (anti-join keeps
+      // the stored set distinct)
+      val before = spark.read.parquet(s"$root/shingles.parquet").count()
+      Decontamination.decontamIndexAppend(spark, root, bench, "text")
+      assert(spark.read.parquet(s"$root/shingles.parquet").count()
+        == before)
+      val viaIndex = Decontamination
+        .decontamIndexReport(spark, root, cands, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      val direct = Decontamination
+        .report(cands, bench, "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(viaIndex == direct)
+      assert(viaIndex.exists { case (id, _, c) => id == 2L && c })
+      // the width rides the metadata — the probe cannot be run at a
+      // silently different n
+      assert(Decontamination.decontamIndexN(spark, root) == 3)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("topTfIdfTerms ranks by (tf desc, df asc, term asc)") {
     import spark.implicits._
     val docs = Seq(
