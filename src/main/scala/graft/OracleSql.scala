@@ -1382,6 +1382,33 @@ object OracleSql {
         |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS pos_rate
         |FROM b GROUP BY bin""".stripMargin,
 
+    // q236: probing the PERSISTED banded index (built src0-2, appended
+    // src3-4) must equal q116's direct two-sided incremental run — same
+    // SQL verbatim
+    "q236_minhash_index" -> (shinglesCte + """,
+        |sigs AS (SELECT doc_id, source,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 1, 8))), 'zzzzzzzz') AS mh0,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 9, 8))), 'zzzzzzzz') AS mh1,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 17, 8))), 'zzzzzzzz') AS mh2,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 25, 8))), 'zzzzzzzz') AS mh3,
+        |  list_distinct(sh3) AS shd FROM sh),
+        |bnd AS (SELECT doc_id, source,
+        |  md5(mh0 || '|' || mh1) AS b0, md5(mh2 || '|' || mh3) AS b1,
+        |  shd FROM sigs),
+        |p AS (SELECT d.doc_id AS delta_id, e.doc_id AS base_id,
+        |    CAST(len(list_intersect(d.shd, e.shd)) AS DOUBLE)
+        |      / (len(d.shd) + len(e.shd) - len(list_intersect(d.shd, e.shd)))
+        |      AS jaccard
+        |  FROM bnd d JOIN bnd e ON (d.b0 = e.b0 OR d.b1 = e.b1)
+        |    AND d.source NOT IN ('src0','src1','src2','src3','src4')
+        |    AND e.source IN ('src0','src1','src2','src3','src4'))
+        |SELECT delta_id, base_id, jaccard FROM p
+        |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin),
+
     // q116: incremental MinHash-LSH — the q27 signature mirror (4 md5
     // slots), 2 bands of 2 slots, candidates = band equality between
     // delta (src5+) and base (src0-4) sides only, verified with the q26

@@ -3005,6 +3005,36 @@ object SparkEntry {
     } finally graft.util.TempDirs.deleteRecursively(stage)
   }
 
+  /** PERSISTED MinHash-LSH near-dup index lifecycle
+    * ([[operators.Dedup.minhashIndexBuild]]/`Append`/`Probe`): the base
+    * corpus's banded signature table — the thing
+    * `incrementalMinhashLsh` documents as "what a production pipeline
+    * persists between batches" — written once (here in two
+    * installments: build on src0–src2, append src3–src4), then the
+    * ingest batch probes the FILES; the base is never re-signed and
+    * only candidate base ids fetch text for the exact-Jaccard verify.
+    * Must equal q116's two-sided incremental run exactly, so the
+    * oracle is q116's SQL verbatim. */
+  def q236_minhash_index(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val baseSrc = Seq("src0", "src1", "src2", "src3", "src4")
+    val base = docs.filter(col("source").isInCollection(baseSrc))
+    val stage = graft.util.TempDirs.fresh("q236_minhash_")
+    try {
+      val root = stage.getAbsolutePath
+      Dedup.minhashIndexBuild(
+        base.filter(col("source").isInCollection(Seq("src0", "src1",
+          "src2"))), root, "doc_id", "text")
+      Dedup.minhashIndexAppend(s, root,
+        base.filter(col("source").isInCollection(Seq("src3", "src4"))),
+        "doc_id", "text")
+      Dedup.minhashIndexProbe(s, root,
+        docs.filter(!col("source").isInCollection(baseSrc)), base,
+        "doc_id", "text")
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
   /** BPE corpus-ENCODING gate ([[operators.Tokenizer.bpeEncode]]): the
     * scan a pipeline runs corpus-wide after training — each document's
     * subword stream under a FIXED merge list (training itself is gated
@@ -4743,7 +4773,8 @@ object SparkEntry {
     "q232_game_train_incremental" -> (q232_game_train_incremental _),
     "q233_game_score_e2e" -> (q233_game_score_e2e _),
     "q234_fleet_maintenance_plan" -> (q234_fleet_maintenance_plan _),
-    "q235_decontam_index" -> (q235_decontam_index _))
+    "q235_decontam_index" -> (q235_decontam_index _),
+    "q236_minhash_index" -> (q236_minhash_index _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -158,6 +158,126 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- persisted near-dup (MinHash-LSH) index ------------------------
+  // [[incrementalMinhashLsh]] documents its base-side (band, bucket, id)
+  // table as "exactly what a production pipeline persists between
+  // batches" — these close that loop: the base corpus is signed and
+  // banded ONCE (the full-corpus scan), every ingest batch probes the
+  // FILES, and accepted batches append their own banded rows so
+  // tomorrow's batch dedups against today's. The LSH parameters
+  // (shingleN, sigK, bands) are pinned in index metadata: a probe at
+  // different parameters would hash into disjoint buckets and silently
+  // report zero duplicates. Verification needs base TEXT for the exact
+  // Jaccard — candidate base_ids (bounded by bucket occupancy) join
+  // back to the caller's corpus table, shingling only matched rows,
+  // the same candidates-then-fetch shape as IVF-PQ's refine.
+
+  private def minhashMetaPath(dir: String) = s"$dir/_minhash_meta"
+
+  /** (shingleN, sigK, bands) the index at `dir` was built with. */
+  def minhashIndexParams(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): (Int, Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(minhashMetaPath(dir))
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val m =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains('=')).map { l =>
+          val Array(k, v) = l.split("=", 2); k -> v.trim.toInt
+        }.toMap
+      finally in.close()
+    (m("shingleN"), m("sigK"), m("bands"))
+  }
+
+  /** (id, band, bucket) banded-signature rows for `docs`. */
+  private def bandRows(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, sigK: Int, bands: Int): DataFrame = {
+    val bandSize = sigK / bands
+    docs.select(col(idCol).as("id"),
+      TF.minhashSignature(col(textCol), shingleN, sigK).as("sig"))
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          TF.lshBand(col("sig"), b * bandSize, bandSize).as("bucket"))
+      ): _*)).as("lb"))
+      .select(col("id"), col("lb.band"), col("lb.bucket"))
+  }
+
+  /** Build the persisted index: the corpus's banded rows plus pinned
+    * parameters. The one full-corpus signature scan a daily pipeline
+    * should ever pay. */
+  def minhashIndexBuild(docs: DataFrame, dir: String, idCol: String,
+                        textCol: String, shingleN: Int = 3,
+                        sigK: Int = 4, bands: Int = 2): Unit = {
+    require(bands >= 1 && sigK % bands == 0,
+      s"sigK=$sigK must be a positive multiple of bands=$bands")
+    val spark = docs.sparkSession
+    bandRows(docs, idCol, textCol, shingleN, sigK, bands)
+      .write.mode("overwrite").parquet(s"$dir/bands.parquet")
+    val p = new org.apache.hadoop.fs.Path(minhashMetaPath(dir))
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    out.write(s"shingleN=$shingleN\nsigK=$sigK\nbands=$bands\n"
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Append an accepted batch's banded rows (parameters from the index
+    * metadata) — one batch scan, no rebuild. */
+  def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, batch: DataFrame, idCol: String,
+                         textCol: String): Unit = {
+    val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
+    bandRows(batch, idCol, textCol, shingleN, sigK, bands)
+      .write.mode("append").parquet(s"$dir/bands.parquet")
+  }
+
+  /** Probe a delta batch against the persisted index:
+    * [[incrementalMinhashLsh]] with the base side read from files —
+    * the base corpus is never re-signed. `base` supplies the TEXT for
+    * the exact-Jaccard verification of candidate ids only. */
+  def minhashIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, delta: DataFrame, base: DataFrame,
+                        idCol: String, textCol: String,
+                        threshold: Double = 0.5,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
+    val idx = dropHotBuckets(
+      spark.read.parquet(s"$dir/bands.parquet"),
+      Seq("band", "bucket"), maxBucketSize)
+    val dP = delta.select(col(idCol).as("id"),
+      TF.distinctShingles(col(textCol), shingleN).as("sh"),
+      TF.minhashSignature(col(textCol), shingleN, sigK).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandSize = sigK / bands
+    val dBands = dropHotBuckets(
+      dP.select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          TF.lshBand(col("sig"), b * bandSize, bandSize).as("bucket"))
+      ): _*)).as("lb"))
+        .select(col("id"), col("lb.band"), col("lb.bucket")),
+      Seq("band", "bucket"), maxBucketSize)
+    val cands = dBands
+      .select(col("band"), col("bucket"), col("id").as("delta_id"))
+      .join(idx.select(col("band"), col("bucket"),
+        col("id").as("base_id")), Seq("band", "bucket"))
+      .select("delta_id", "base_id")
+      .distinct()
+    // fetch-then-shingle ONLY candidate base rows (join before the
+    // shingle projection — the whole point of the persisted index is
+    // never re-shingling the base corpus)
+    val candBase = cands.select(col("base_id")).distinct()
+      .join(base.select(col(idCol).as("base_id"),
+        col(textCol).as("_t")), Seq("base_id"))
+      .select(col("base_id"),
+        TF.distinctShingles(col("_t"), shingleN).as("sh_b"))
+    cands
+      .join(dP.select(col("id").as("delta_id"), col("sh").as("sh_d")),
+        Seq("delta_id"))
+      .join(candBase, Seq("base_id"))
+      .select(col("delta_id"), col("base_id"),
+        TF.jaccard(col("sh_d"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, bucket by 16-bit prefix
     * bands (docs within `maxHamming` share ≥1 of 4 bands by pigeonhole),
     * verify with full Hamming distance. */
