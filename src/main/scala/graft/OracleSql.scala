@@ -1743,6 +1743,43 @@ object OracleSql {
         |SELECT cluster, id_a, id_b, cosine FROM p
         |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin),
 
+    // q237: the persisted-state replay of q223 — identical semantics
+    // through save -> load -> frozen-assign -> touched-cluster pairing,
+    // so the mirror is q223's SQL verbatim (built below via the shared
+    // definition)
+    "q237_semdedup_persisted" ->
+      (kmeansCte("16", 2, 64, "WHERE vec_id % 10 < 8") + """,
+        |nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 >= 8),
+        |dn AS (SELECT nb.vec_id, c.cl,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      j -> (nb.v[j] - c.c[j]) * (nb.v[j] - c.c[j])),
+        |      (a, b) -> a + b), 9) AS d
+        |  FROM nb CROSS JOIN c2 c),
+        |an AS (SELECT vec_id, cl FROM dn
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d, cl) = 1),
+        |allp AS (
+        |  SELECT a.cl AS cluster, e.vec_id, e.v, FALSE AS nw
+        |  FROM a3 a JOIN e USING (vec_id)
+        |  UNION ALL
+        |  SELECT an.cl, nb.vec_id, nb.v, TRUE FROM an JOIN nb
+        |    USING (vec_id)),
+        |tc AS (SELECT DISTINCT cluster FROM allp WHERE nw),
+        |g AS (SELECT allp.* FROM allp JOIN tc USING (cluster)),
+        |p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> a.v[i] * a.v[i]), (x, y) -> x + y)
+        |      * list_reduce(list_transform(range(1, 65),
+        |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)) AS cosine
+        |  FROM g a JOIN g b ON a.cluster = b.cluster
+        |    AND a.vec_id < b.vec_id AND (a.nw OR b.nw))
+        |SELECT cluster, id_a, id_b, cosine FROM p
+        |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin),
+
     // q223: INCREMENTAL SemDeDup — the base slice (vec_id % 10 < 8)
     // clusters through the standard unrolled Lloyd CTEs (iters = 2, so
     // final centroids are c2 and the base's final assignment is a3);

@@ -1557,6 +1557,33 @@ object SparkEntry {
       "vec_id", "embedding", tau = 0.3, k = 16, iterations = 2)
   }
 
+  /** PERSISTED SemDeDup state lifecycle
+    * ([[operators.Clustering.semDedupStateSave]] /
+    * [[operators.Clustering.semDedupIncrementalPersisted]]): yesterday's
+    * base clustering (labels + frozen centroids) lands on disk once;
+    * today's batch loads the bounded centroid file, assigns under the
+    * training kernel's exact rounding, prunes the label table to
+    * touched clusters BEFORE fetching any base vectors, and emits
+    * batch-involving pairs — q223's in-run incremental replayed through
+    * files, so the oracle is q223's SQL verbatim. */
+  def q237_semdedup_persisted(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    val stage = graft.util.TempDirs.fresh("q237_sem_")
+    try {
+      val root = stage.getAbsolutePath
+      val (labels, centroids) = operators.Clustering.kmeansWithCentroids(
+        base, "vec_id", "embedding", k = 16, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, root, labels, "vec_id",
+        centroids)
+      operators.Clustering.releasePairs(labels)
+      operators.Clustering.semDedupIncrementalPersisted(s, root, base,
+        batch, "vec_id", "embedding", tau = 0.3)
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
   /** Incremental SemDeDup at the SCALE clustering
     * ([[operators.Clustering.semDedupIncrementalAuto]]): the base slice
     * clusters two-level (k ∝ n/target — pairing stays linear — with
@@ -4774,7 +4801,8 @@ object SparkEntry {
     "q233_game_score_e2e" -> (q233_game_score_e2e _),
     "q234_fleet_maintenance_plan" -> (q234_fleet_maintenance_plan _),
     "q235_decontam_index" -> (q235_decontam_index _),
-    "q236_minhash_index" -> (q236_minhash_index _))
+    "q236_minhash_index" -> (q236_minhash_index _),
+    "q237_semdedup_persisted" -> (q237_semdedup_persisted _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -385,6 +385,62 @@ object Clustering {
     * labeled sides, prune to batch-touched clusters (bounded semi-join),
     * apply the hot-cluster guard on TOTAL size, and emit tau-bounded
     * batch-involving pairs as an eagerly-materialized checkpoint. */
+  // ---- persisted SemDeDup state --------------------------------------
+  // [[semDedupIncremental]]'s docstring says "at 100 TB this ran
+  // yesterday" — these persist yesterday's run so today's batch never
+  // re-clusters: the base labels and frozen centroids land on disk
+  // once, each increment loads the (bounded, k·d doubles) centroids,
+  // assigns the batch, and fetches base VECTORS only for rows of
+  // batch-touched clusters (labels prune BEFORE the vector join, so
+  // the corpus embedding table is never scanned corpus-wide).
+
+  /** Save a base clustering (the `(labels, centroids)` pair
+    * [[kmeansWithCentroids]] returns) as the persistent SemDeDup state:
+    * labels as a distributed table, centroids as one bounded file. */
+  def semDedupStateSave(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, labels: DataFrame, idCol: String,
+                        centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    labels.select(col(idCol).as("id"), col("cluster"))
+      .write.mode("overwrite").parquet(s"$dir/labels.parquet")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "center")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids.parquet")
+  }
+
+  /** [[semDedupIncremental]] against the persisted state: frozen
+    * centroids load as one bounded collect, the batch assigns under
+    * the training kernel's exact rounding/tie-break, and only
+    * batch-involving pairs within touched clusters emit — identical
+    * output to the in-run incremental, without re-clustering or
+    * corpus-wide vector fetches. `base` supplies vectors by id for the
+    * touched clusters' rows only. Release contract as [[semDedup]]. */
+  def semDedupIncrementalPersisted(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      base: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      tau: Double, maxCluster: Long = 100000L): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+      .orderBy("cluster").collect()
+      .map(_.getAs[Seq[Double]]("center").toArray)
+    val assign = assignTo(spark, centroids, roundTo = 9)
+    val batchSide = batch.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_new", lit(true))
+      .withColumn("cluster", assign(col("_v")))
+    // prune labels to touched clusters BEFORE fetching vectors: the
+    // increment's base-side IO is proportional to touched clusters,
+    // not the corpus
+    val touched = batchSide.select("cluster").distinct()
+    val baseSide = spark.read.parquet(s"$dir/labels.parquet")
+      .join(broadcast(touched), Seq("cluster"), "left_semi")
+      .join(base.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("_v")), Seq("id"))
+      .select(col("id").as("_id"), col("_v"), lit(false).as("_new"),
+        col("cluster"))
+    incrementalPairs(baseSide, batchSide, tau, maxCluster)
+  }
+
   private def incrementalPairs(baseSide: DataFrame, batchSide: DataFrame,
                                tau: Double, maxCluster: Long): DataFrame = {
     val all = baseSide.select("cluster", "_id", "_v", "_new")
