@@ -1382,6 +1382,33 @@ object OracleSql {
         |    AS DOUBLE) / COUNT(*) + 1e-9, 6) AS pos_rate
         |FROM b GROUP BY bin""".stripMargin,
 
+    // q238: the persisted minhash index's health row — every stat
+    // replayed from the q116 signature mirror over the base sources
+    // (each doc contributes one row per band; buckets group by
+    // (band, bucket-hash); hot cap 25)
+    "q238_minhash_health" -> (shinglesCte + """,
+        |sigs AS (SELECT doc_id, source,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 1, 8))), 'zzzzzzzz') AS mh0,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 9, 8))), 'zzzzzzzz') AS mh1,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 17, 8))), 'zzzzzzzz') AS mh2,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 25, 8))), 'zzzzzzzz') AS mh3
+        |  FROM sh WHERE source IN ('src0','src1','src2','src3','src4')),
+        |bkt AS (
+        |  SELECT 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sigs
+        |  UNION ALL
+        |  SELECT 1, md5(mh2 || '|' || mh3) FROM sigs),
+        |sz AS (SELECT band, bucket, COUNT(*) AS n FROM bkt
+        |  GROUP BY 1, 2)
+        |SELECT 3 AS shingle_n, 4 AS sig_k, 2 AS n_bands,
+        |  (SELECT COUNT(*) FROM bkt) AS total_rows,
+        |  COUNT(*) AS n_buckets, MAX(n) AS max_bucket,
+        |  COUNT(CASE WHEN n > 25 THEN 1 END) AS hot_buckets
+        |FROM sz""".stripMargin),
+
     // q236: probing the PERSISTED banded index (built src0-2, appended
     // src3-4) must equal q116's direct two-sided incremental run — same
     // SQL verbatim

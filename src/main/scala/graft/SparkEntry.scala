@@ -3062,6 +3062,36 @@ object SparkEntry {
     } finally graft.util.TempDirs.deleteRecursively(stage)
   }
 
+  /** Health report of the persisted MinHash index
+    * ([[operators.Dedup.minhashIndexHealth]]): the q220 shape for the
+    * text-dedup side — size plus bucket-skew stats, because a hot LSH
+    * bucket is this index's failure mode (the probe's guard silently
+    * drops over-cap buckets, so `hot_buckets` rising means near-dups
+    * go unreported). Every field replays in DuckDB from the q116
+    * signature mirror over the same base sources — including the
+    * bucket-size distribution behind `max_bucket`/`hot_buckets`
+    * (max_bucket 4 at sf1; the fixture corpora never breach the 25
+    * cap, so hot_buckets gates at 0 via the replayed CASE, and the
+    * hot-path semantics are spec-pinned by dropHotBuckets's own
+    * tests). */
+  def q238_minhash_health(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val base = docs.filter(col("source").isInCollection(
+      Seq("src0", "src1", "src2", "src3", "src4")))
+    val stage = graft.util.TempDirs.fresh("q238_mhhealth_")
+    try {
+      val root = stage.getAbsolutePath
+      Dedup.minhashIndexBuild(
+        base.filter(col("source").isInCollection(Seq("src0", "src1",
+          "src2"))), root, "doc_id", "text")
+      Dedup.minhashIndexAppend(s, root,
+        base.filter(col("source").isInCollection(Seq("src3", "src4"))),
+        "doc_id", "text")
+      Dedup.minhashIndexHealth(s, root, hotBucketCap = 25)
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
   /** BPE corpus-ENCODING gate ([[operators.Tokenizer.bpeEncode]]): the
     * scan a pipeline runs corpus-wide after training — each document's
     * subword stream under a FIXED merge list (training itself is gated
@@ -4802,7 +4832,8 @@ object SparkEntry {
     "q234_fleet_maintenance_plan" -> (q234_fleet_maintenance_plan _),
     "q235_decontam_index" -> (q235_decontam_index _),
     "q236_minhash_index" -> (q236_minhash_index _),
-    "q237_semdedup_persisted" -> (q237_semdedup_persisted _))
+    "q237_semdedup_persisted" -> (q237_semdedup_persisted _),
+    "q238_minhash_health" -> (q238_minhash_health _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

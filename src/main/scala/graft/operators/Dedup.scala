@@ -230,6 +230,31 @@ object Dedup {
       .write.mode("append").parquet(s"$dir/bands.parquet")
   }
 
+  /** Operational health report of a persisted [[minhashIndexBuild]]
+    * index — the q-220-shaped dashboard row for the text-dedup side:
+    * physical size plus BUCKET-SKEW readings, because a hot LSH bucket
+    * is this index's failure mode (pair generation goes |bucket|²;
+    * [[minhashIndexProbe]]'s guard silently drops over-cap buckets, so
+    * a growing `hot_buckets` count means near-dups are going
+    * unreported and an exact-dedup pre-pass is due). One row per
+    * index; rows from many indexes union into one fleet table. All
+    * aggregates are one bounded scan of the (band, bucket, id) table. */
+  def minhashIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                         dir: String,
+                         hotBucketCap: Int = 10000): DataFrame = {
+    val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
+    val idx = spark.read.parquet(s"$dir/bands.parquet")
+    val sizes = idx.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_n"))
+    sizes.agg(
+      lit(shingleN).as("shingle_n"), lit(sigK).as("sig_k"),
+      lit(bands).as("n_bands"),
+      sum(col("_n")).as("total_rows"),
+      count(lit(1)).as("n_buckets"),
+      max(col("_n")).as("max_bucket"),
+      count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"))
+  }
+
   /** Probe a delta batch against the persisted index:
     * [[incrementalMinhashLsh]] with the base side read from files —
     * the base corpus is never re-signed. `base` supplies the TEXT for
