@@ -33,6 +33,9 @@ object Bench {
     // SPARK_GRAFT_SF_DIR so a scaling-decade run emits the SAME
     // workload's time — data volume must not masquerade as machine
     // speed (override only if that dir is absent on a foreign host).
+    // Recorded baseline: round 12 measured calibration_sec = 1.431 —
+    // divide any cross-round total by (calibration_sec / 1.431) before
+    // reading a regression into it.
     val calDir = {
       val pinned = sys.env.getOrElse("SPARK_GRAFT_CAL_DIR",
         "/root/testdata/sf0.1")

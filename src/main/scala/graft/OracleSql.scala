@@ -1007,6 +1007,25 @@ object OracleSql {
         |UNION ALL SELECT 2, 'compact'
         |UNION ALL SELECT 3, 'rebuild'""".stripMargin,
 
+    // q239: the cross-family fleet plan's three actions are structural
+    // facts of the constructed states (healthy IVF; a minhash index
+    // whose one boilerplate bucket of 8 breaches the cap of 5; a
+    // minhash index carrying 4 append fragment sets over the ceiling
+    // of 2) — q234's pinning shape extended to the text family
+    "q239_fleet_text_plan" ->
+      """SELECT 1 AS idx, 'none' AS action
+        |UNION ALL SELECT 2, 'dedup_prepass'
+        |UNION ALL SELECT 3, 'compact'""".stripMargin,
+
+    // q241: the bayesian trial ladder's integer-safe structural facts —
+    // 4 trials ran, every lambda stayed in the declared box, and the
+    // selected trial is <= the worst and <= every trial (selectBest's
+    // contract; metric VALUES are float-fragile so they stay out)
+    "q241_tuning_bayesian" ->
+      """SELECT CAST(4 AS BIGINT) AS n_trials, true AS lambdas_in_box,
+        |  true AS selected_le_worst, true AS selected_le_all"""
+        .stripMargin,
+
     // BPE encoding under q222's fixed merge list: each word becomes a
     // chr(31)-double-separated symbol string and the merges replay as
     // chained replaces (`␟a␟␟b␟` -> `␟ab␟`), which reproduces the
@@ -1789,6 +1808,69 @@ object OracleSql {
         |allp AS (
         |  SELECT a.cl AS cluster, e.vec_id, e.v, FALSE AS nw
         |  FROM a3 a JOIN e USING (vec_id)
+        |  UNION ALL
+        |  SELECT an.cl, nb.vec_id, nb.v, TRUE FROM an JOIN nb
+        |    USING (vec_id)),
+        |tc AS (SELECT DISTINCT cluster FROM allp WHERE nw),
+        |g AS (SELECT allp.* FROM allp JOIN tc USING (cluster)),
+        |p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |    / sqrt(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> a.v[i] * a.v[i]), (x, y) -> x + y)
+        |      * list_reduce(list_transform(range(1, 65),
+        |        i -> b.v[i] * b.v[i]), (x, y) -> x + y)) AS cosine
+        |  FROM g a JOIN g b ON a.cluster = b.cluster
+        |    AND a.vec_id < b.vec_id AND (a.nw OR b.nw))
+        |SELECT cluster, id_a, id_b, cosine FROM p
+        |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin),
+
+    // q240: q237's persisted-state replay plus the APPEND — day-1
+    // (vec_id % 10 = 8, plus the planted id -1 carrying day-2's lowest
+    // vector) assigns to the frozen centroids and joins the BASE side
+    // (nw = FALSE: its pairs only emit against day-2 rows); day-2
+    // (vec_id % 10 = 9) is the probing batch (nw = TRUE). The planted
+    // row forces a cosine-1.0 day-2-vs-day-1 pair, so the append path
+    // is load-bearing in the hash
+    // (MATERIALIZED hints as q224: c2 now feeds THREE frozen-assignment
+    // consumers — the training tail, day-1's, and day-2's — and e/b1/nb
+    // each feed two; inlining the Lloyd chain per consumer explodes the
+    // plan. Execution-only, value-identical.)
+    "q240_semdedup_state_append" -> materializeCtes(
+      Seq("e", "c2", "a3", "b1", "nb", "allp", "g"),
+      kmeansCte("16", 2, 64, "WHERE vec_id % 10 < 8") + """,
+        |pl AS (SELECT CAST(-1 AS BIGINT) AS vec_id,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings
+        |    WHERE vec_id % 10 = 9)),
+        |b1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 8
+        |  UNION ALL SELECT vec_id, v FROM pl),
+        |db1 AS (SELECT b1.vec_id, c.cl,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      j -> (b1.v[j] - c.c[j]) * (b1.v[j] - c.c[j])),
+        |      (a, b) -> a + b), 9) AS d
+        |  FROM b1 CROSS JOIN c2 c),
+        |ab1 AS (SELECT vec_id, cl FROM db1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d, cl) = 1),
+        |nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 9),
+        |dn AS (SELECT nb.vec_id, c.cl,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      j -> (nb.v[j] - c.c[j]) * (nb.v[j] - c.c[j])),
+        |      (a, b) -> a + b), 9) AS d
+        |  FROM nb CROSS JOIN c2 c),
+        |an AS (SELECT vec_id, cl FROM dn
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d, cl) = 1),
+        |allp AS (
+        |  SELECT a.cl AS cluster, e.vec_id, e.v, FALSE AS nw
+        |  FROM a3 a JOIN e USING (vec_id)
+        |  UNION ALL
+        |  SELECT ab1.cl, b1.vec_id, b1.v, FALSE FROM ab1 JOIN b1
+        |    USING (vec_id)
         |  UNION ALL
         |  SELECT an.cl, nb.vec_id, nb.v, TRUE FROM an JOIN nb
         |    USING (vec_id)),

@@ -3055,10 +3055,12 @@ object SparkEntry {
       Dedup.minhashIndexAppend(s, root,
         base.filter(col("source").isInCollection(Seq("src3", "src4"))),
         "doc_id", "text")
+      // the probe eagerly materializes its own result (it releases the
+      // per-probe signature cache before returning) — no extra
+      // checkpoint needed before the staging dir is deleted
       Dedup.minhashIndexProbe(s, root,
         docs.filter(!col("source").isInCollection(baseSrc)), base,
         "doc_id", "text")
-        .localCheckpoint()
     } finally graft.util.TempDirs.deleteRecursively(stage)
   }
 
@@ -3087,8 +3089,180 @@ object SparkEntry {
       Dedup.minhashIndexAppend(s, root,
         base.filter(col("source").isInCollection(Seq("src3", "src4"))),
         "doc_id", "text")
+      // dir/version/n_fragments are real but path- and write-layout-
+      // dependent (a temp dir; file counts vary with parallelism), so
+      // the gate pins the data-derived stats; the fragment/plan loop is
+      // value-gated by q239's controlled fixture instead
       Dedup.minhashIndexHealth(s, root, hotBucketCap = 25)
+        .select("shingle_n", "sig_k", "n_bands", "total_rows",
+          "n_buckets", "max_bucket", "hot_buckets")
         .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** CROSS-FAMILY fleet maintenance plan
+    * ([[operators.Similarity.indexMaintenancePlan]] over an IVF health
+    * row UNIONed with two [[operators.Dedup.minhashIndexHealth]] rows —
+    * q234's pattern extended to the text family, closing the r12
+    * verdict's "hot_buckets has no planner action" gap): one healthy
+    * IVF index (probe-all recall 1.0 → `none`), one minhash index whose
+    * single boilerplate bucket breaches the hot cap (`dedup_prepass` —
+    * the probe guard is silently dropping its pairs; the fix is
+    * collapsing the boilerplate, [[operators.Dedup
+    * .minhashMaintenanceApply]], not a file rewrite), and one minhash
+    * index carrying three append fragment sets over the ceiling
+    * (`compact` → [[operators.Dedup.minhashIndexCompact]]). The fleet
+    * table is a `unionByName(allowMissingColumns)` — absent columns are
+    * NULL and NULL never triggers an action, so each family only trips
+    * its own rules. All three verdicts are structural facts of the
+    * constructed states (q234's oracle shape), pinned by the oracle. */
+  def q239_fleet_text_plan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // healthy IVF fixture: 8 distinct axis-ish vectors, queried by
+    // themselves at probe-all — recall exactly 1.0
+    def v(c: Int, eps: Double): Array[Float] = {
+      val a = new Array[Float](4)
+      a(c % 4) = 1.0f; a((c + 1) % 4) = 0.2f
+      a((c + 2) % 4) = eps.toFloat
+      a
+    }
+    val okCorpus = (0 until 4).flatMap(c => Seq(
+      (c * 2L, v(c, 0.0)), (c * 2L + 1, v(c, 0.05)))).toDF("id", "v")
+    val okQueries = (0 until 4).map { c =>
+      val a = new Array[Float](4); a(c) = 1.0f; (c.toLong, a)
+    }.toDF("qid", "qv")
+    // hot minhash fixture: 8 copies of one boilerplate line — every
+    // band funnels them into ONE bucket of 8, over the cap of 5
+    val hotDocs = (0L until 8L)
+      .map(i => (i, "all work and no play makes jack a dull boy"))
+      .toDF("id", "text").repartition(1)
+    // fragmented minhash fixture: distinct texts, built once then
+    // appended three times (each a 1-file drop) — 4 fragments > 2
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs",
+      2L -> "how vexingly quick daft zebras jump",
+      3L -> "sphinx of black quartz judge my vow",
+      4L -> "the five boxing wizards jump quickly",
+      5L -> "jackdaws love my big sphinx of quartz")
+    val fragDocs = texts.toDF("id", "text").repartition(1)
+    val dirs = Seq("q239_ivf_", "q239_hot_", "q239_frag_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(ivfDir, hotDir, fragDir) = dirs.map(_.getAbsolutePath)
+      Similarity.ivfBuild(okCorpus, ivfDir, nList = 4, kmeansMaxIter = 10)
+      Dedup.minhashIndexBuild(hotDocs, hotDir, "id", "text")
+      Dedup.minhashIndexBuild(fragDocs.filter(col("id") < 3), fragDir,
+        "id", "text")
+      (3L until 6L).foreach(i =>
+        Dedup.minhashIndexAppend(s, fragDir,
+          fragDocs.filter(col("id") === i), "id", "text"))
+      val fleet = Similarity
+        .ivfIndexHealth(s, ivfDir, okQueries, k = 3, nProbe = 4)
+        .withColumn("idx", lit(1))
+        .unionByName(Dedup.minhashIndexHealth(s, hotDir,
+          hotBucketCap = 5).withColumn("idx", lit(2)),
+          allowMissingColumns = true)
+        .unionByName(Dedup.minhashIndexHealth(s, fragDir,
+          hotBucketCap = 5).withColumn("idx", lit(3)),
+          allowMissingColumns = true)
+      val plan = Similarity.indexMaintenancePlan(fleet,
+        recallFloor = 0.9, maxFilesPerListCeiling = 10,
+        maxFragmentsCeiling = 2)
+        .select(col("idx"), col("action"))
+      plan.localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
+  /** PERSISTED SemDeDup state APPEND
+    * ([[operators.Clustering.semDedupStateAppend]] — the r12 verdict's
+    * "day-2 batch cannot see day-1's accepted batch" gap): the base
+    * clustering saves once (q237's path), day-1's accepted batch folds
+    * its frozen-centroid labels INTO the state, and day-2's batch
+    * probes the files — its pairs now span base AND day-1 rows without
+    * any re-cluster. Day-1 carries a PLANTED row (id −1, the exact
+    * vector of day-2's lowest id) so the append path is load-bearing:
+    * the probe must report that cosine-1.0 pair, and the planted row's
+    * cluster id must agree between the append's assignment and the
+    * oracle's frozen-centroid replay. The DuckDB mirror is q237's with
+    * one more frozen assignment (base Lloyd CTEs → assign day-1 ∪
+    * planted → assign day-2 → batch-involving pairs in touched
+    * clusters). */
+  def q240_semdedup_state_append(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val day2 = emb.filter(col("vec_id") % 10 === 9)
+    val m = day2.agg(min(col("vec_id"))).head().getLong(0)
+    val planted = emb.filter(col("vec_id") === m)
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    val day1 = emb.filter(col("vec_id") % 10 === 8)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(planted)
+    val stage = graft.util.TempDirs.fresh("q240_semapp_")
+    try {
+      val root = stage.getAbsolutePath
+      val (labels, centroids) = operators.Clustering.kmeansWithCentroids(
+        base, "vec_id", "embedding", k = 16, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, root, labels, "vec_id",
+        centroids)
+      operators.Clustering.releasePairs(labels)
+      operators.Clustering.semDedupStateAppend(s, root, day1, "vec_id",
+        "embedding")
+      // the vector table must cover every indexed id: base ∪ day-1
+      val vecTable = base.select(col("vec_id"), col("embedding"))
+        .unionByName(day1)
+      operators.Clustering.semDedupIncrementalPersisted(s, root,
+        vecTable, day2, "vec_id", "embedding", tau = 0.3)
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** BAYESIAN hyperparameter tuning through the full GAME CLI surface
+    * ([[ml.tuning.GaussianProcessSearch]] via `--tuning bayesian` —
+    * promoting the DriversSpec-only L18 coverage to a CORRECTNESS row,
+    * the r12 verdict's #5): a deterministic-seed 4-trial ladder tunes
+    * the fixed-effect lambda of a squared-loss model with one random
+    * coordinate on the embeddings fixture. The gate pins the
+    * integer-safe structural facts of the search: the ladder ran all 4
+    * trials, every proposed lambda stayed inside the declared
+    * [1e-4, 1e2] box, and the selected trial's metric is ≤ the worst's
+    * AND ≤ every trial's (selectBest's contract — the verdict's sanity
+    * bound). Metric VALUES are float-fragile across platforms, so they
+    * stay out of the hash; model quality itself is gated by
+    * q228/q231. */
+  def q241_tuning_bayesian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = T.embeddings(s, d).select(
+      col("vec_id").cast("long").as("uid"),
+      col("label").cast("double").as("y"),
+      element_at(col("embedding"), 1).cast("double").as("x1"),
+      element_at(col("embedding"), 2).cast("double").as("x2"),
+      pmod(col("vec_id"), lit(13L)).as("grp"))
+    val stage = graft.util.TempDirs.fresh("q241_tune_")
+    try {
+      val root = stage.getAbsolutePath
+      pts.withColumn("_split",
+        when(pmod(col("uid"), lit(5L)) === 0, lit("valid"))
+          .otherwise(lit("train")))
+        .write.partitionBy("_split").parquet(s"$root/data")
+      val (_, results) = graft.drivers.GameTrainingDriver.run(s,
+        graft.drivers.Args.parse(Array(
+          "--input-dir", s"$root/data/_split=train",
+          "--validation-dir", s"$root/data/_split=valid",
+          "--uid-col", "uid", "--label-col", "y",
+          "--feature-cols", "x1,x2",
+          "--random-coordinates", "perGrp:grp",
+          "--loss", "squared", "--evaluator", "rmse",
+          "--tuning", "bayesian", "--tuning-iters", "4",
+          "--tuning-min", "1e-4", "--tuning-max", "1e2",
+          "--iterations", "1")))
+      val best = graft.drivers.GameTrainingDriver.selectBest(results,
+        "rmse")
+      Seq((results.size.toLong,
+        results.forall(r => r.lambda >= 1e-4 && r.lambda <= 1e2),
+        best.metric <= results.map(_.metric).max,
+        results.forall(r => best.metric <= r.metric)))
+        .toDF("n_trials", "lambdas_in_box", "selected_le_worst",
+          "selected_le_all")
     } finally graft.util.TempDirs.deleteRecursively(stage)
   }
 
@@ -4833,7 +5007,10 @@ object SparkEntry {
     "q235_decontam_index" -> (q235_decontam_index _),
     "q236_minhash_index" -> (q236_minhash_index _),
     "q237_semdedup_persisted" -> (q237_semdedup_persisted _),
-    "q238_minhash_health" -> (q238_minhash_health _))
+    "q238_minhash_health" -> (q238_minhash_health _),
+    "q239_fleet_text_plan" -> (q239_fleet_text_plan _),
+    "q240_semdedup_state_append" -> (q240_semdedup_state_append _),
+    "q241_tuning_bayesian" -> (q241_tuning_bayesian _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

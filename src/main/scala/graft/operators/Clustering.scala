@@ -407,7 +407,42 @@ object Clustering {
       .toDF("cluster", "center")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/centroids.parquet")
+    // in-place fresh save (reader-UNSAFE, like any fresh build): drop
+    // any stale manifest so an earlier versioned append cannot shadow it
+    Manifest.reset(spark, dir)
   }
+
+  /** Fold an ACCEPTED batch into the persisted state: the batch assigns
+    * under the frozen centroids (the exact kernel
+    * [[semDedupIncrementalPersisted]] probes with, so tomorrow's probe
+    * and today's accept agree on every cluster id) and its `(id,
+    * cluster)` labels append to the label table — day-2 batches near-dup
+    * against day-1's accepted batch WITHOUT a base re-cluster. Writer
+    * contract as every index append in this package:
+    * [[Manifest.withLock]] held for the whole drop, live table resolved
+    * through the snapshot inside it. Centroids are never touched — the
+    * state's quantizer stays frozen until an explicit
+    * [[semDedupStateSave]] rebuild. */
+  def semDedupStateAppend(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, batch: DataFrame, idCol: String,
+                          vecCol: String): Unit = {
+    val assign = assignTo(spark, loadStateCentroids(spark, dir),
+      roundTo = 9)
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      batch.select(col(idCol).as("id"),
+        assign(col(vecCol).cast("array<double>")).as("cluster"))
+        .write.mode("append").parquet(snap.path("labels"))
+    }
+  }
+
+  /** The frozen centroids of a persisted state, as one bounded collect
+    * (k·d doubles — broadcast-class by construction). */
+  private def loadStateCentroids(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Array[Array[Double]] =
+    spark.read.parquet(Manifest.snapshot(spark, dir).path("centroids"))
+      .orderBy("cluster").collect()
+      .map(_.getAs[Seq[Double]]("center").toArray)
 
   /** [[semDedupIncremental]] against the persisted state: frozen
     * centroids load as one bounded collect, the batch assigns under
@@ -420,7 +455,10 @@ object Clustering {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       base: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
       tau: Double, maxCluster: Long = 100000L): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    // one snapshot resolves BOTH tables: a state append flipping
+    // mid-probe cannot pair new labels with other-version centroids
+    val snap = Manifest.snapshot(spark, dir)
+    val centroids = spark.read.parquet(snap.path("centroids"))
       .orderBy("cluster").collect()
       .map(_.getAs[Seq[Double]]("center").toArray)
     val assign = assignTo(spark, centroids, roundTo = 9)
@@ -432,7 +470,7 @@ object Clustering {
     // increment's base-side IO is proportional to touched clusters,
     // not the corpus
     val touched = batchSide.select("cluster").distinct()
-    val baseSide = spark.read.parquet(s"$dir/labels.parquet")
+    val baseSide = spark.read.parquet(snap.path("labels"))
       .join(broadcast(touched), Seq("cluster"), "left_semi")
       .join(base.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("_v")), Seq("id"))

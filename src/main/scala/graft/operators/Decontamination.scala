@@ -57,9 +57,14 @@ object Decontamination {
   // with the shingle width pinned in a metadata file so a probe at the
   // wrong n fails loudly instead of silently under-flagging.
   // Benchmarks change rarely; [[decontamIndexAppend]] anti-joins the
-  // delta so the stored set stays distinct. Single-writer contract as
-  // for any append-maintained table (appends are operator-scheduled
-  // suite updates, not a concurrent workload).
+  // delta so the stored set stays distinct. The single-writer contract
+  // is ENFORCED, not assumed: every writer takes [[Manifest.withLock]],
+  // and because the stored set is broadcast-class, an append REWRITES
+  // the whole table behind one manifest flip instead of dropping
+  // fragments — a probe racing an append reads the old file set through
+  // its snapshot, a failed/retried append re-runs from the old manifest
+  // (duplicates are structurally impossible), and no compaction op is
+  // ever needed because fragments never exist.
 
   private def metaPath(dir: String) = s"$dir/_decontam_meta"
 
@@ -93,23 +98,38 @@ object Decontamination {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/shingles.parquet")
     writeMeta(benchmark.sparkSession, dir, n)
+    Manifest.reset(benchmark.sparkSession, dir)
   }
 
   /** Add a new benchmark (suite update) to an existing index: the
     * delta's distinct shingles anti-joined against the stored set, so
     * the table stays distinct and the append costs one delta scan plus
-    * one broadcast-class join — never a rebuild from raw eval text. */
+    * one broadcast-class join — never a rebuild from raw eval text.
+    *
+    * Writer contract: the whole update runs under
+    * [[Manifest.withLock]] (a colliding writer throws before touching
+    * live state), and because the set is broadcast-class the new table
+    * (old ∪ new shingles) is written WHOLE to a fresh versioned
+    * directory and swapped in with one manifest flip — atomic for
+    * readers, idempotent under retry (a crashed attempt leaves the old
+    * manifest live; re-running re-reads it), and never fragmented. */
   def decontamIndexAppend(spark: org.apache.spark.sql.SparkSession,
                           dir: String, benchmarkDelta: DataFrame,
                           textCol: String): Unit = {
     val n = decontamIndexN(spark, dir)
-    val existing = spark.read.parquet(s"$dir/shingles.parquet")
-    benchmarkDelta
-      .select(explode(TF.distinctShingles(col(textCol), n)).as("g"))
-      .distinct()
-      .join(broadcast(existing), Seq("g"), "left_anti")
-      .coalesce(1)
-      .write.mode("append").parquet(s"$dir/shingles.parquet")
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val existing = spark.read.parquet(snap.path("shingles"))
+      val tmp = s"$dir/_append.tmp.shingles"
+      benchmarkDelta
+        .select(explode(TF.distinctShingles(col(textCol), n)).as("g"))
+        .distinct()
+        .join(broadcast(existing), Seq("g"), "left_anti")
+        .unionByName(existing)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      Manifest.publishUnderLock(spark, dir, Seq("shingles" -> tmp))
+    }
   }
 
   /** [[report]] against the persisted index: the shingle width comes
@@ -121,7 +141,8 @@ object Decontamination {
                           dir: String, candidates: DataFrame,
                           idCol: String, textCol: String): DataFrame = {
     val n = decontamIndexN(spark, dir)
-    val benchSh = spark.read.parquet(s"$dir/shingles.parquet")
+    val benchSh = spark.read.parquet(
+      Manifest.snapshot(spark, dir).path("shingles"))
     val hits = candidates
       .select(col(idCol),
         explode(TF.distinctShingles(col(textCol), n)).as("g"))

@@ -203,7 +203,9 @@ object Dedup {
 
   /** Build the persisted index: the corpus's banded rows plus pinned
     * parameters. The one full-corpus signature scan a daily pipeline
-    * should ever pay. */
+    * should ever pay. In-place fresh build (reader-UNSAFE, like
+    * [[Similarity.ivfBuild]]): overwrites the default table and drops
+    * any stale manifest so an earlier compaction cannot shadow it. */
   def minhashIndexBuild(docs: DataFrame, dir: String, idCol: String,
                         textCol: String, shingleN: Int = 3,
                         sigK: Int = 4, bands: Int = 2): Unit = {
@@ -218,17 +220,48 @@ object Dedup {
     out.write(s"shingleN=$shingleN\nsigK=$sigK\nbands=$bands\n"
       .getBytes("UTF-8"))
     out.close()
+    Manifest.reset(spark, dir)
   }
 
   /** Append an accepted batch's banded rows (parameters from the index
-    * metadata) — one batch scan, no rebuild. */
+    * metadata) — one batch scan, no rebuild. [[Manifest.withLock]] is
+    * held for the WHOLE file drop and the live table is resolved
+    * through the snapshot INSIDE it, so an append can neither interleave
+    * with another writer nor land files in a directory a concurrent
+    * compaction is about to supersede (the single-writer contract every
+    * index writer in this package enforces). Each append adds one file
+    * fragment set; [[minhashIndexCompact]] folds them back. */
   def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
                          dir: String, batch: DataFrame, idCol: String,
                          textCol: String): Unit = {
     val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
-    bandRows(batch, idCol, textCol, shingleN, sigK, bands)
-      .write.mode("append").parquet(s"$dir/bands.parquet")
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      bandRows(batch, idCol, textCol, shingleN, sigK, bands)
+        .write.mode("append").parquet(snap.path("bands"))
+    }
   }
+
+  /** Compact the banded table's accumulated append fragments into one
+    * coherent file set — [[Similarity.ivfCompact]] for the text-dedup
+    * index. Read once under the writer lock (held across the whole
+    * read→rewrite→flip span, so a racing append cannot land rows in
+    * the superseded directory), rewritten range-clustered on
+    * (band, bucket) — the probe's equi-join keys, so row-group min/max
+    * pruning works after the rewrite — and swapped in with ONE
+    * [[Manifest]] flip: a concurrent probe sees the old file set or
+    * the new one, never a torn mix. */
+  def minhashIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit =
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val tmp = s"$dir/_compact.tmp.bands"
+      spark.read.parquet(snap.path("bands"))
+        .repartitionByRange(col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite").parquet(tmp)
+      Manifest.publishUnderLock(spark, dir, Seq("bands" -> tmp))
+    }
 
   /** Operational health report of a persisted [[minhashIndexBuild]]
     * index — the q-220-shaped dashboard row for the text-dedup side:
@@ -243,8 +276,18 @@ object Dedup {
                          dir: String,
                          hotBucketCap: Int = 10000): DataFrame = {
     val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
-    val idx = spark.read.parquet(s"$dir/bands.parquet")
-    val sizes = idx.groupBy("band", "bucket")
+    val snap = Manifest.snapshot(spark, dir)
+    val bandsPath = snap.path("bands")
+    // append-fragment count: one FS listing of the live banded table —
+    // each [[minhashIndexAppend]] adds a file set, and past the
+    // planner's ceiling the scan-cost cliff says [[minhashIndexCompact]]
+    // is due (the IVF family's max_files_per_list signal, flat layout)
+    val tableP = new org.apache.hadoop.fs.Path(bandsPath)
+    val nFragments = tableP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
+      .toLong
+    val sizes = spark.read.parquet(bandsPath).groupBy("band", "bucket")
       .agg(count(lit(1)).as("_n"))
     sizes.agg(
       lit(shingleN).as("shingle_n"), lit(sigK).as("sig_k"),
@@ -252,13 +295,24 @@ object Dedup {
       sum(col("_n")).as("total_rows"),
       count(lit(1)).as("n_buckets"),
       max(col("_n")).as("max_bucket"),
-      count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"))
+      count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"),
+      lit(dir).as("dir"), lit(snap.version).as("version"),
+      lit(nFragments).as("n_fragments"))
   }
 
   /** Probe a delta batch against the persisted index:
     * [[incrementalMinhashLsh]] with the base side read from files —
     * the base corpus is never re-signed. `base` supplies the TEXT for
-    * the exact-Jaccard verification of candidate ids only. */
+    * the exact-Jaccard verification of candidate ids only; a candidate
+    * base_id with NO row in `base` fails the job loudly (codegen'd
+    * `raise_error`, free on the no-miss path) instead of silently
+    * under-reporting near-dups — the caller passed a text table that
+    * does not cover the index (e.g. appended batches missing from it).
+    * The result is eagerly materialized (localCheckpoint) so the
+    * per-probe signature cache can be released before returning —
+    * a long-lived daily-pipeline session never accumulates cached
+    * partitions across probes. Release the result's pinned blocks with
+    * [[Clustering.releasePairs]] when done with it. */
   def minhashIndexProbe(spark: org.apache.spark.sql.SparkSession,
                         dir: String, delta: DataFrame, base: DataFrame,
                         idCol: String, textCol: String,
@@ -266,7 +320,7 @@ object Dedup {
                         maxBucketSize: Int = 10000): DataFrame = {
     val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
     val idx = dropHotBuckets(
-      spark.read.parquet(s"$dir/bands.parquet"),
+      spark.read.parquet(Manifest.snapshot(spark, dir).path("bands")),
       Seq("band", "bucket"), maxBucketSize)
     val dP = delta.select(col(idCol).as("id"),
       TF.distinctShingles(col(textCol), shingleN).as("sh"),
@@ -288,20 +342,77 @@ object Dedup {
       .distinct()
     // fetch-then-shingle ONLY candidate base rows (join before the
     // shingle projection — the whole point of the persisted index is
-    // never re-shingling the base corpus)
+    // never re-shingling the base corpus); LEFT join so a candidate id
+    // the text table cannot resolve raises instead of vanishing
     val candBase = cands.select(col("base_id")).distinct()
       .join(base.select(col(idCol).as("base_id"),
-        col(textCol).as("_t")), Seq("base_id"))
+        col(textCol).as("_t")), Seq("base_id"), "left")
       .select(col("base_id"),
-        TF.distinctShingles(col("_t"), shingleN).as("sh_b"))
-    cands
+        TF.distinctShingles(
+          when(col("_t").isNull, raise_error(concat(
+            lit("minhashIndexProbe: index candidate base_id "),
+            col("base_id").cast("string"),
+            lit(" has no row in the supplied base text table — pass " +
+              "a table covering every indexed batch")))).otherwise(
+            col("_t")), shingleN).as("sh_b"))
+    val out = cands
       .join(dP.select(col("id").as("delta_id"), col("sh").as("sh_d")),
         Seq("delta_id"))
       .join(candBase, Seq("base_id"))
       .select(col("delta_id"), col("base_id"),
         TF.jaccard(col("sh_d"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    dP.unpersist(false)
+    out
   }
+
+  /** Execute an [[Similarity.indexMaintenancePlan]] action on a
+    * persisted MinHash index — [[Similarity.indexMaintenanceApply]]'s
+    * text-family counterpart, closing the health → plan → apply loop
+    * for this index: `compact` folds append fragments
+    * ([[minhashIndexCompact]]); `dedup_prepass` answers a hot
+    * `hot_buckets` reading — the bucket's members are near-identical
+    * boilerplate by construction, so the fix is collapsing them, not
+    * rewriting files: the corpus is exact-deduped to its min-id
+    * representatives and the index is REBUILT from the survivors (same
+    * pinned LSH params) through the build path into a sibling temp
+    * index, swapped in with one manifest flip under the full-span
+    * writer lock. A post-action probe reports the pairs the hot-bucket
+    * guard was silently dropping, now against each boilerplate class's
+    * keeper. `dedup_prepass` REQUIRES the corpus text table (the banded
+    * table cannot reconstruct text — the [[Similarity.ivfPqRebuild]]
+    * situation) and throws without it. */
+  def minhashMaintenanceApply(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, action: String,
+                              corpus: Option[DataFrame] = None,
+                              idCol: String = "id",
+                              textCol: String = "text"): Unit =
+    action match {
+      case "none" => ()
+      case "compact" => minhashIndexCompact(spark, dir)
+      case "dedup_prepass" =>
+        val c = corpus.getOrElse(throw new IllegalArgumentException(
+          "minhashMaintenanceApply: a dedup_prepass rebuild needs the " +
+            "corpus text table — the banded index cannot reconstruct " +
+            "text"))
+        val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
+        Manifest.withLock(spark, dir) {
+          val keepers = c.join(
+            exact(c, idCol, textCol).select(col("keeper_id").as(idCol)),
+            Seq(idCol), "left_semi")
+          val tmp = s"$dir/_rebuild.tmp"
+          minhashIndexBuild(keepers, tmp, idCol, textCol, shingleN,
+            sigK, bands)
+          Manifest.publishUnderLock(spark, dir,
+            Seq("bands" -> s"$tmp/bands.parquet"))
+          val tmpP = new org.apache.hadoop.fs.Path(tmp)
+          tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(tmpP, true)
+        }
+      case other => throw new IllegalArgumentException(
+        s"minhashMaintenanceApply: unknown action '$other'")
+    }
 
   /** SimHash near-dup pairs: 64-bit signature, bucket by 16-bit prefix
     * bands (docs within `maxHamming` share ≥1 of 4 bands by pigeonhole),

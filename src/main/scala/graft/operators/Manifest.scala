@@ -1,0 +1,247 @@
+package graft.operators
+
+  /** Versioned-directory manifest for a persisted index — the shared
+    * operational substrate of EVERY index family this package persists:
+    * IVF/IVF-PQ ([[Similarity]]), the MinHash-LSH near-dup index
+    * ([[Dedup]]), the decontamination shingle index
+    * ([[Decontamination]]), and the SemDeDup label state
+    * ([[Clustering]]). One contract, one enforcement point: any writer
+    * of any family takes [[withLock]], any versioned rewrite goes
+    * through [[publish]]/[[publishUnderLock]], and any reader resolves
+    * tables through one [[snapshot]].
+    *
+    * The compactor NEVER touches a live table directory. A rewrite
+    * lands under a fresh
+    * name (`postings.parquet.v3`), then a tiny manifest file
+    * (`_manifest.v3`) mapping logical table → physical directory is
+    * created — file creation of a NEW name, so a reader either sees the
+    * old manifest (old data, complete) or the new one (new data,
+    * complete), never a half-state. The previous physical directory is
+    * retained for one more publish (a grace window for readers that
+    * resolved just before the flip); only grandparent versions are
+    * garbage-collected. A fresh build with no manifest resolves every
+    * table to its unversioned default (`<table>.parquet`), so the layout
+    * is backward-compatible with pre-manifest indexes.
+    *
+    * Single-writer assumption: appends and compactions of ONE index must
+    * not run concurrently with each other (readers are unrestricted) —
+    * the same contract every log-pointer table format documents. EVERY
+    * writer enforces it through the exclusive-create `_writer.lock`
+    * ([[withLock]]): appends hold it for the whole file drop, and a
+    * compaction/rebuild holds it across its READ→rewrite→flip span —
+    * not just the flip — because an append landing files in the old
+    * physical directory after the compactor's read but before its
+    * manifest flip would be silently dropped when the old directory is
+    * garbage-collected (the rows exist in no live table). The loser of
+    * any collision throws BEFORE touching live state (no renames, no
+    * manifest, no appended files, nothing orphaned); a streaming ingest
+    * whose micro-batch loses simply fails that batch — restarting the
+    * query replays it from the checkpoint (at-least-once, verified in
+    * SamplingSpec). A lock left by a crashed writer is cleared with
+    * [[breakLock]] (an operator decision — nothing else may hold it
+    * under the single-writer contract). */
+  private[operators] object Manifest {
+    private val Name = """_manifest\.v(\d+)""".r
+
+    private def fs(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** All manifest versions present under `dir`, ascending. */
+    private def versions(f: org.apache.hadoop.fs.FileSystem,
+                         dir: String): Seq[Int] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.map(_.getPath.getName).collect {
+        case Name(v) => v.toInt
+      }.sorted
+    }
+
+    private def readMap(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                        v: Int): Map[String, String] = {
+      val in = f.open(new org.apache.hadoop.fs.Path(s"$dir/_manifest.v$v"))
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.contains('=')).map { line =>
+            val Array(k, value) = line.split("=", 2)
+            k -> value
+          }.toMap
+      } finally in.close()
+    }
+
+    /** One consistent view of the index's table mapping: version + map.
+      * Resolve EVERY table a query needs from ONE snapshot, so a publish
+      * landing mid-query cannot pair new centroids with old postings. */
+    case class Snapshot(version: Int, map: Map[String, String],
+                        dir: String) {
+      def path(table: String): String =
+        s"$dir/${map.getOrElse(table, s"$table.parquet")}"
+    }
+
+    def snapshot(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Snapshot = {
+      val f = fs(spark, dir)
+      versions(f, dir).lastOption match {
+        case Some(v) => Snapshot(v, readMap(f, dir, v), dir)
+        case None => Snapshot(0, Map.empty, dir)
+      }
+    }
+
+    /** Publish freshly-written table directories in ONE manifest flip:
+      * rename each tmp dir to `<table>.parquet.v<next>` (fresh names —
+      * no live data is deleted), atomically create `_manifest.v<next>`
+      * carrying the FULL updated mapping, then garbage-collect physical
+      * directories referenced only by manifests older than the previous
+      * one. Multi-table updates (a rebuild's centroids + postings) become
+      * visible together, never interleaved. */
+    def publish(spark: org.apache.spark.sql.SparkSession, dir: String,
+                updates: Seq[(String, String)]): Unit =
+      withLock(spark, dir) {
+        publishLocked(fs(spark, dir), dir, updates)
+      }
+
+    /** [[publish]] for callers ALREADY inside [[withLock]] (a
+      * compaction holds the lock across its read→rewrite→flip span —
+      * re-acquiring here would deadlock-by-throw on its own lock). */
+    private[operators] def publishUnderLock(
+        spark: org.apache.spark.sql.SparkSession, dir: String,
+        updates: Seq[(String, String)]): Unit =
+      publishLocked(fs(spark, dir), dir, updates)
+
+    /** Run `f` holding the index's exclusive `_writer.lock` — the
+      * enforcement point of the single-writer contract, shared by every
+      * writer (append, ingest micro-batch, compaction, rebuild,
+      * publish). The loser throws BEFORE touching any live state — its
+      * inputs remain the caller's to retry with.
+      *
+      * Atomicity assumption: create(overwrite=false) is an atomic
+      * create-if-absent on HDFS; on the local FS and on object stores
+      * it is check-then-create, so two writers racing within that
+      * window can both "win". The versioned-dir + fresh-manifest-name
+      * layout keeps even that worst case from corrupting READERS (the
+      * losers' renames fail on existing names); the lock is the
+      * fail-fast layer, not the only defense. */
+    private[operators] def withLock[T](
+        spark: org.apache.spark.sql.SparkSession, dir: String)(f: => T): T = {
+      val fsys = fs(spark, dir)
+      val lock = new org.apache.hadoop.fs.Path(s"$dir/_writer.lock")
+      val lockOut =
+        try fsys.create(lock, false)
+        catch {
+          // only an existing lock is contention; any other IO failure
+          // (permissions, transient FS error) must surface as itself,
+          // not masquerade as "another writer"
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.nio.file.FileAlreadyExistsException) =>
+            throw new IllegalStateException(
+              s"another writer holds $dir/_writer.lock (single-writer " +
+                "contract). If the previous writer crashed, clear it " +
+                "with Manifest.breakLock and retry.", e)
+        }
+      lockOut.close()
+      try f
+      finally if (!fsys.delete(lock, false))
+        // a leaked lock blocks every future writer until breakLock —
+        // make the leak loud instead of silently returning false
+        org.slf4j.LoggerFactory.getLogger(Manifest.getClass).error(
+          s"failed to remove $dir/_writer.lock; future writers will " +
+            "fail until Manifest.breakLock clears it")
+    }
+
+    /** Remove a `_writer.lock` left behind by a crashed publish. Only
+      * safe when no publish is actually running (operator decision). */
+    def breakLock(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Unit =
+      fs(spark, dir).delete(
+        new org.apache.hadoop.fs.Path(s"$dir/_writer.lock"), false)
+
+    private def publishLocked(f: org.apache.hadoop.fs.FileSystem,
+                              dir: String,
+                              updates: Seq[(String, String)]): Unit = {
+      val cur = versions(f, dir).lastOption match {
+        case Some(v) => Snapshot(v, readMap(f, dir, v), dir)
+        case None => Snapshot(0, Map.empty, dir)
+      }
+      val next = cur.version + 1
+      val renamed = updates.map { case (table, tmp) =>
+        val phys = s"$table.parquet.v$next"
+        val dest = new org.apache.hadoop.fs.Path(s"$dir/$phys")
+        // a crash between a previous publish's rename and its manifest
+        // write can orphan a directory at this version name; no manifest
+        // references it (or versions() would have counted it), so it is
+        // garbage — clear it rather than failing every later publish
+        if (f.exists(dest)) f.delete(dest, true)
+        require(f.rename(new org.apache.hadoop.fs.Path(tmp), dest),
+          s"publish rename $tmp -> $dir/$phys failed")
+        table -> phys
+      }
+      val newMap = cur.map ++ renamed
+      // atomic flip: write to a tmp name, rename to the (new,
+      // nonexistent) manifest name — readers never see a partial file.
+      // overwrite=true: a stale .inprogress from a crash between a prior
+      // attempt's create and rename is garbage (single-writer contract)
+      // and must not block every later publish
+      val tmpMf = new org.apache.hadoop.fs.Path(
+        s"$dir/_manifest.v$next.inprogress")
+      val out = f.create(tmpMf, true)
+      try out.write(newMap.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      require(f.rename(tmpMf,
+        new org.apache.hadoop.fs.Path(s"$dir/_manifest.v$next")),
+        s"manifest flip for $dir v$next failed")
+      // retention: keep the physical dirs of versions `next` and
+      // `cur.version` (the grace copy); delete older manifests and any
+      // table directory neither of the two retained mappings references
+      val live: Set[String] = newMap.values.toSet ++
+        updates.map { case (table, _) =>
+          cur.map.getOrElse(table, s"$table.parquet")
+        }
+      versions(f, dir).filter(_ < cur.version).foreach { w =>
+        val old = readMap(f, dir, w)
+        old.values.filterNot(live).foreach { phys =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$dir/$phys"), true)
+        }
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest.v$w"),
+          false)
+      }
+      // unversioned defaults superseded two publishes ago: once a table
+      // is mapped in BOTH retained manifests, its bare `<table>.parquet`
+      // (the pre-manifest layout) can go
+      if (cur.version > 0) updates.foreach { case (table, _) =>
+        if (cur.map.contains(table)) {
+          val dflt = s"$table.parquet"
+          if (!live(dflt))
+            f.delete(new org.apache.hadoop.fs.Path(s"$dir/$dflt"), true)
+        }
+      }
+    }
+
+    /** Drop the index back to the unversioned layout: every manifest,
+      * then every versioned table directory. Fresh IN-PLACE builds call
+      * this after overwriting the default tables, so a stale manifest
+      * from an earlier compaction cannot shadow the new data. (An
+      * in-place fresh build is documented reader-UNSAFE — overwrite
+      * deletes live files; refit a LIVE index with
+      * [[Similarity.ivfCompact]]`(rebuild = true)` /
+      * [[Similarity.ivfPqRebuild]] instead, which flip the manifest.) */
+    def reset(spark: org.apache.spark.sql.SparkSession,
+              dir: String): Unit = {
+      val f = fs(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (f.exists(p)) {
+        val entries = f.listStatus(p).toSeq.map(_.getPath)
+        // manifests first: if this is interrupted midway, readers fall
+        // back to the (just-written) defaults, never a deleted version
+        entries.filter(_.getName.startsWith("_manifest.v"))
+          .foreach(f.delete(_, false))
+        entries.filter(_.getName.matches(""".+\.parquet\.v\d+"""))
+          .foreach(f.delete(_, true))
+        // a fresh build supersedes any in-flight or crashed publish, so
+        // its stale writer lock must not block the index's future
+        entries.filter(_.getName == "_writer.lock")
+          .foreach(f.delete(_, false))
+      }
+    }
+  }

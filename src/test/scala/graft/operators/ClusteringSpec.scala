@@ -125,6 +125,50 @@ class ClusteringSpec extends SparkSpec {
     Clustering.releasePairs(again)
   }
 
+  test("semDedupStateAppend: day-2 near-dups against day-1's accepted " +
+    "batch through the persisted state, under the writer lock") {
+    import spark.implicits._
+    def v(c: Double, eps: Double) = Seq(c, c + eps, 1.0, 2.0)
+    val base = Seq(
+      0L -> v(0.0, 0.0000), 1L -> v(0.0, 0.0001), 2L -> v(0.1, 0.03),
+      10L -> v(9.0, 0.000), 11L -> v(9.0, 0.020), 12L -> v(9.1, 0.05)
+    ).toDF("id", "vec")
+    // day-1 brings a NEW near-dup nucleus far from both base blobs
+    val day1 = Seq(200L -> Seq(-5.0, 4.0, -3.0, 0.5)).toDF("id", "vec")
+    // day-2: a near-copy of day-1's vector and a near-copy of base id 0
+    val day2 = Seq(
+      300L -> Seq(-5.0, 4.0001, -3.0, 0.5),
+      301L -> v(0.0, 0.00005)).toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("semapp").toFile
+    val root = dir.getAbsolutePath
+    try {
+      val (labels, centroids) = Clustering.kmeansWithCentroids(
+        base, "id", "vec", k = 2, iterations = 2)
+      Clustering.semDedupStateSave(spark, root, labels, "id", centroids)
+      Clustering.releasePairs(labels)
+      Clustering.semDedupStateAppend(spark, root, day1, "id", "vec")
+      // the label table now carries day-1's frozen assignment
+      val vecs = base.unionByName(day1)
+      val got = Clustering.semDedupIncrementalPersisted(spark, root,
+        vecs, day2, "id", "vec", tau = 0.999)
+      val pairs = got.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // day-2 vs day-1: only possible if the append landed
+      assert(pairs.contains((200L, 300L)), pairs.toString)
+      // day-2 vs base still works, and every pair involves a day-2 id
+      assert(pairs.exists { case (a, b) => b == 301L && a <= 1L }, pairs)
+      assert(pairs.forall { case (a, b) => a >= 300L || b >= 300L }, pairs)
+      Clustering.releasePairs(got)
+      // the writer lock is enforced on the state append
+      Manifest.withLock(spark, root) {
+        val e = intercept[IllegalStateException] {
+          Clustering.semDedupStateAppend(spark, root, day2, "id", "vec")
+        }
+        assert(e.getMessage.contains("another writer"))
+      }
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("semDedupIncrementalAuto (two-level) matches the single-level " +
     "increment's pair semantics and is deterministic") {
     import spark.implicits._

@@ -138,11 +138,27 @@ class CorpusOpsSpec extends SparkSpec {
       Decontamination.decontamIndexAppend(spark, root,
         bench.filter(col("doc_id") === 101L), "text")
       // re-appending the SAME benchmark adds nothing (anti-join keeps
-      // the stored set distinct)
-      val before = spark.read.parquet(s"$root/shingles.parquet").count()
+      // the stored set distinct); appends publish versioned tables, so
+      // reads resolve through the manifest snapshot
+      def live() = spark.read.parquet(
+        Manifest.snapshot(spark, root).path("shingles")).count()
+      val before = live()
       Decontamination.decontamIndexAppend(spark, root, bench, "text")
-      assert(spark.read.parquet(s"$root/shingles.parquet").count()
-        == before)
+      assert(live() == before)
+      // every append flips the manifest exactly once (atomic whole-set
+      // rewrite: readers see the old file set or the new one, never a
+      // fragment mix — and a retry re-runs from the old manifest)
+      assert(Manifest.snapshot(spark, root).version == 2)
+      // the writer lock is enforced: a colliding append throws BEFORE
+      // touching live state
+      Manifest.withLock(spark, root) {
+        val e = intercept[IllegalStateException] {
+          Decontamination.decontamIndexAppend(spark, root, bench, "text")
+        }
+        assert(e.getMessage.contains("another writer"))
+      }
+      assert(Manifest.snapshot(spark, root).version == 2)
+      assert(live() == before)
       val viaIndex = Decontamination
         .decontamIndexReport(spark, root, cands, "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
@@ -247,6 +263,142 @@ class CorpusOpsSpec extends SparkSpec {
       base.repartition(5), "doc_id", "text", threshold = 0.5)
       .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
     assert(gotP == got)
+  }
+
+  test("persisted minhash index: append holds the writer lock, compact " +
+    "folds fragments behind a manifest flip, probes are invariant") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq(
+      (1L, txt), (2L, txt),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, txt + " lambda"),
+      (11L, "cold warm hot mild cool damp dry wet calm windy"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Dedup.minhashIndexBuild(base.filter(col("doc_id") === 1L), root,
+        "doc_id", "text")
+      Dedup.minhashIndexAppend(spark, root,
+        base.filter(col("doc_id") > 1L), "doc_id", "text")
+      def probe() = Dedup.minhashIndexProbe(spark, root, delta, base,
+        "doc_id", "text", threshold = 0.5)
+        .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+      val direct = Dedup.incrementalMinhashLsh(delta, base, "doc_id",
+        "text", threshold = 0.5)
+        .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+      assert(probe() == direct && direct == Set((10L, 1L), (10L, 2L)))
+      // the writer lock is enforced: a colliding append throws BEFORE
+      // dropping any file (same row count after)
+      def liveRows() = spark.read.parquet(
+        Manifest.snapshot(spark, root).path("bands")).count()
+      val rowsBefore = liveRows()
+      Manifest.withLock(spark, root) {
+        val e = intercept[IllegalStateException] {
+          Dedup.minhashIndexAppend(spark, root, delta, "doc_id", "text")
+        }
+        assert(e.getMessage.contains("another writer"))
+      }
+      assert(liveRows() == rowsBefore)
+      // appends accumulate file fragments; compaction folds them into
+      // one coherent set behind a manifest flip — the probe result and
+      // the banded rows are invariant, the version advances
+      def health() = Dedup.minhashIndexHealth(spark, root).head()
+      val fragsBefore = health().getAs[Long]("n_fragments")
+      assert(fragsBefore >= 2L, s"expected append fragments: $fragsBefore")
+      assert(Manifest.snapshot(spark, root).version == 0)
+      Dedup.minhashIndexCompact(spark, root)
+      assert(Manifest.snapshot(spark, root).version == 1)
+      assert(health().getAs[Long]("n_fragments") <= fragsBefore)
+      assert(liveRows() == rowsBefore)
+      assert(probe() == direct)
+      // appends keep working against the versioned table
+      Dedup.minhashIndexAppend(spark, root,
+        Seq((4L, "pack my box with five dozen liquor jugs"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      assert(liveRows() == rowsBefore + 2) // 2 bands per doc
+      assert(probe() == direct)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("minhash probe fails loudly when the base text table does not " +
+    "cover an indexed candidate") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, txt),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, txt + " lambda")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhmiss").toFile
+    try {
+      Dedup.minhashIndexBuild(docs, dir.getAbsolutePath, "doc_id", "text")
+      // doc 1 is a candidate for delta 10, but the supplied text table
+      // only covers doc 2 — silent under-reporting is not an option
+      val e = intercept[Exception] {
+        Dedup.minhashIndexProbe(spark, dir.getAbsolutePath, delta,
+          docs.filter(col("doc_id") === 2L), "doc_id", "text")
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m =>
+        m != null && m.contains("minhashIndexProbe")), chain(e))
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("hot-bucket recovery loop: health flips hot_buckets 0 -> >0, the " +
+    "plan says dedup_prepass, apply collapses the boilerplate, and the " +
+    "probe recovers the silently-dropped pair") {
+    import spark.implicits._
+    val boiler = "all work and no play makes jack a dull boy"
+    val clean = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump"))
+      .toDF("doc_id", "text")
+    val boilerplate = (20L until 28L).map(i => (i, boiler))
+      .toDF("doc_id", "text")
+    val corpus = clean.unionByName(boilerplate)
+    // another copy of the boilerplate class — identical signature, so
+    // the band match is structural, not hash-luck
+    val delta = Seq((100L, boiler)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhhot").toFile
+    val root = dir.getAbsolutePath
+    val cap = 4
+    try {
+      Dedup.minhashIndexBuild(clean, root, "doc_id", "text")
+      def health() = Dedup.minhashIndexHealth(spark, root,
+        hotBucketCap = cap)
+      def plan() = Similarity.indexMaintenancePlan(health(),
+        recallFloor = 0.9, maxFilesPerListCeiling = 10,
+        maxFragmentsCeiling = 1000)
+        .head().getAs[String]("action")
+      assert(health().head().getAs[Long]("hot_buckets") == 0L)
+      assert(plan() == "none")
+      // the boilerplate batch lands: its bucket (8 members) breaches
+      // the cap, the probe's guard silently drops it — recall decays
+      Dedup.minhashIndexAppend(spark, root, boilerplate, "doc_id", "text")
+      def probe() = Dedup.minhashIndexProbe(spark, root, delta, corpus,
+        "doc_id", "text", threshold = 0.5, maxBucketSize = cap)
+        .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+      assert(probe().isEmpty, "hot bucket should be dropped pre-fix")
+      assert(health().head().getAs[Long]("hot_buckets") > 0L)
+      assert(plan() == "dedup_prepass")
+      // apply: exact-dedup pre-pass + rebuild from the keepers, one
+      // manifest flip — the boilerplate class collapses to min-id 20
+      Dedup.minhashMaintenanceApply(spark, root, "dedup_prepass",
+        Some(corpus), "doc_id", "text")
+      assert(health().head().getAs[Long]("hot_buckets") == 0L)
+      assert(plan() == "none")
+      assert(probe() == Set((100L, 20L)),
+        "the dropped near-dup pair must be recovered against the keeper")
+      // dedup_prepass without the corpus cannot silently no-op
+      intercept[IllegalArgumentException] {
+        Dedup.minhashMaintenanceApply(spark, root, "dedup_prepass")
+      }
+    } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
   test("passage rewrite keeps first occurrence globally and within doc") {

@@ -620,7 +620,7 @@ class SamplingSpec extends SparkSpec {
     * (`postings.parquet.vN`), with the previous copy retained one more
     * publish as the concurrent-reader grace window. */
   private def tablePath(dir: java.io.File, table: String): String =
-    Similarity.Manifest.snapshot(spark, dir.getAbsolutePath).path(table)
+    Manifest.snapshot(spark, dir.getAbsolutePath).path(table)
 
   /** Parquet data files per list partition directory of `table`. */
   private def filesPerList(dir: java.io.File,
@@ -1113,7 +1113,7 @@ class SamplingSpec extends SparkSpec {
       // all three tables, defragmented, exhaustive-exact at probe-all
       assert(annPairs(Similarity.ivfPqQuery(spark, root, queries, corpus,
         k = 3, nProbe = 4, refineK = 100000)) == want)
-      val snap = Similarity.Manifest.snapshot(spark, root)
+      val snap = Manifest.snapshot(spark, root)
       assert(snap.version == 1)
       assert(Set("centroids", "codebooks", "codes")
         .forall(snap.map.contains), snap.map.toString)
@@ -1350,7 +1350,7 @@ class SamplingSpec extends SparkSpec {
       Similarity.ivfPqBuild(corpus, root, nList = 4, m = 4, nCodes = 8,
         kmeansMaxIter = 2)
       Similarity.indexMaintenanceApply(spark, root, "compact")
-      assert(Similarity.Manifest.snapshot(spark, root).version == 1)
+      assert(Manifest.snapshot(spark, root).version == 1)
       // codes cannot reconstruct vectors: a corpus-less PQ rebuild must
       // refuse rather than silently downgrade to a compaction
       intercept[IllegalArgumentException] {
@@ -1358,7 +1358,7 @@ class SamplingSpec extends SparkSpec {
       }
       Similarity.indexMaintenanceApply(spark, root, "rebuild",
         corpus = Some(corpus), kmeansMaxIter = 2)
-      assert(Similarity.Manifest.snapshot(spark, root).version == 2)
+      assert(Manifest.snapshot(spark, root).version == 2)
       val want = annPairs(Similarity.bruteForce(queries, corpus, 3))
       assert(annPairs(Similarity.ivfPqQuery(spark, root, queries, corpus,
         k = 3, nProbe = 4, refineK = 100000)) == want)
@@ -1385,13 +1385,13 @@ class SamplingSpec extends SparkSpec {
       assert(e.getMessage.contains("_writer.lock"))
       // loser failed BEFORE touching live state: same manifest version,
       // probe still exhaustive-exact
-      assert(Similarity.Manifest.snapshot(spark, root).version == 1)
+      assert(Manifest.snapshot(spark, root).version == 1)
       assert(annPairs(Similarity.ivfQuery(spark, root, queries,
         k = 3, nProbe = 4)) == want)
       // crashed-writer recovery: break the lock and retry
-      Similarity.Manifest.breakLock(spark, root)
+      Manifest.breakLock(spark, root)
       Similarity.ivfCompact(spark, root)
-      assert(Similarity.Manifest.snapshot(spark, root).version == 2)
+      assert(Manifest.snapshot(spark, root).version == 2)
       assert(annPairs(Similarity.ivfQuery(spark, root, queries,
         k = 3, nProbe = 4)) == want)
       // a successful publish releases the lock, reclaims the loser's
@@ -1429,14 +1429,14 @@ class SamplingSpec extends SparkSpec {
         // a compaction lands while the stream is idle: the manifest
         // flips the postings to a fresh versioned directory
         Similarity.ivfCompact(spark, root)
-        assert(Similarity.Manifest.snapshot(spark, root).version == 1)
+        assert(Manifest.snapshot(spark, root).version == 1)
         // the next micro-batch must resolve the NEW snapshot — an
         // append into the superseded directory would be GC'd later
         delta.filter(col("id") % 4 === 3).coalesce(1)
           .write.mode("append").parquet(files)
         q.processAllAvailable()
       } finally q.stop()
-      val snap = Similarity.Manifest.snapshot(spark, root)
+      val snap = Manifest.snapshot(spark, root)
       val postings = spark.read.parquet(snap.path("postings"))
       assert(postings.count() == corpus.count())
       assert(postings.select("id").distinct().count() == corpus.count())
@@ -1488,16 +1488,16 @@ class SamplingSpec extends SparkSpec {
       assert(messages(e).exists(_.contains("_writer.lock")),
         messages(e).mkString(" | "))
       // the losing batch appended NOTHING (the lock precedes any write)
-      val snap0 = Similarity.Manifest.snapshot(spark, root)
+      val snap0 = Manifest.snapshot(spark, root)
       assert(spark.read.parquet(snap0.path("postings")).count() ==
         base.count())
       // operator clears the crashed lock; the restarted query replays
       // the failed batch from the checkpoint — at-least-once with no
       // partial append means exactly-once here
-      Similarity.Manifest.breakLock(spark, root)
+      Manifest.breakLock(spark, root)
       val q2 = ingest()
       try q2.processAllAvailable() finally q2.stop()
-      val snap = Similarity.Manifest.snapshot(spark, root)
+      val snap = Manifest.snapshot(spark, root)
       val postings = spark.read.parquet(snap.path("postings"))
       assert(postings.count() == corpus.count())
       assert(postings.select("id").distinct().count() == corpus.count())
