@@ -1017,6 +1017,114 @@ object OracleSql {
         |UNION ALL SELECT 2, 'dedup_prepass'
         |UNION ALL SELECT 3, 'compact'""".stripMargin,
 
+    // q242: the persisted SimHash index probe must equal q40's
+    // incremental side — nibble-exact signature rebuild, 4×16-bit
+    // pigeonhole bands, Hamming <= 16 — restricted to delta (src5+) ×
+    // base (src0-4) pairs. The hot-bucket guard has no mirror: no
+    // 16-bit bucket approaches the 10k cap at verify scale
+    "q242_simhash_index" -> (simhashCte + """,
+        |bse AS (SELECT s.doc_id, s.lo, s.hi FROM sig s
+        |  JOIN documents d USING (doc_id)
+        |  WHERE d.source IN ('src0','src1','src2','src3','src4')),
+        |dlt AS (SELECT s.doc_id, s.lo, s.hi FROM sig s
+        |  JOIN documents d USING (doc_id)
+        |  WHERE d.source NOT IN ('src0','src1','src2','src3','src4'))
+        |SELECT delta_id, base_id, hamming FROM (
+        |  SELECT a.doc_id AS delta_id, b.doc_id AS base_id,
+        |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |      AS BIGINT) AS hamming,
+        |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+        |  FROM dlt a, bse b)
+        |WHERE hamming <= 16 AND (
+        |  (alo & 65535) = (blo & 65535)
+        |  OR ((alo >> 16) & 65535) = ((blo >> 16) & 65535)
+        |  OR (ahi & 65535) = (bhi & 65535)
+        |  OR ((ahi >> 16) & 65535) = ((bhi >> 16) & 65535))"""
+      .stripMargin),
+
+    // q243: the SimHash index's health row replayed from q40's
+    // signature mirror over the base sources — each doc contributes
+    // one bucket per 16-bit band; hot cap 25 (q238's convention)
+    "q243_simhash_health" -> (simhashCte + """,
+        |bse AS (SELECT s.doc_id, s.lo, s.hi FROM sig s
+        |  JOIN documents d USING (doc_id)
+        |  WHERE d.source IN ('src0','src1','src2','src3','src4')),
+        |bkt AS (
+        |  SELECT 0 AS band, lo & 65535 AS bucket FROM bse
+        |  UNION ALL SELECT 1, (lo >> 16) & 65535 FROM bse
+        |  UNION ALL SELECT 2, hi & 65535 FROM bse
+        |  UNION ALL SELECT 3, (hi >> 16) & 65535 FROM bse),
+        |sz AS (SELECT band, bucket, COUNT(*) AS n FROM bkt GROUP BY 1, 2)
+        |SELECT (SELECT COUNT(*) FROM bse) AS total_rows,
+        |  COUNT(*) AS n_buckets, MAX(n) AS max_bucket,
+        |  COUNT(CASE WHEN n > 25 THEN 1 END) AS hot_buckets
+        |FROM sz""".stripMargin),
+
+    // q244: the drift probe's controlled fixture makes every value an
+    // exact constant — corpus duplicated on dims 0-3 axes (k-means at
+    // k=4 converges to the points, base similarity exactly 1), healthy
+    // batch = corpus (ratio 1 -> none), drifted batch on dims 4-7 is
+    // orthogonal to every possible centroid (similarity exactly 0,
+    // ratio 0 -> rebuild at floor 0.5)
+    "q244_ivf_drift" ->
+      """SELECT 'healthy' AS which, CAST(1.0 AS DOUBLE) AS base_mean_sim,
+        |  CAST(1.0 AS DOUBLE) AS batch_mean_sim,
+        |  CAST(1.0 AS DOUBLE) AS drift_ratio, 'none' AS action
+        |UNION ALL
+        |SELECT 'drifted', CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE), 'rebuild'""".stripMargin,
+
+    // q245: the persisted SemDeDup state's health row — every stat
+    // replayed through the same unrolled-Lloyd (base) + frozen-assign
+    // (day-1 append) CTEs as q237/q240, then one per-cluster count
+    // aggregate; hot cap 50
+    "q245_semdedup_state_health" ->
+      (kmeansCte("16", 2, 64, "WHERE vec_id % 10 < 8") + """,
+        |b1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 8),
+        |db1 AS (SELECT b1.vec_id, c.cl,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      j -> (b1.v[j] - c.c[j]) * (b1.v[j] - c.c[j])),
+        |      (a, b) -> a + b), 9) AS d
+        |  FROM b1 CROSS JOIN c2 c),
+        |ab1 AS (SELECT vec_id, cl FROM db1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d, cl) = 1),
+        |lab AS (SELECT cl FROM a3 UNION ALL SELECT cl FROM ab1),
+        |sz AS (SELECT cl, COUNT(*) AS n FROM lab GROUP BY 1)
+        |SELECT CAST(16 AS BIGINT) AS n_clusters,
+        |  (SELECT COUNT(*) FROM lab) AS total_rows,
+        |  COUNT(*) AS occupied_clusters, MAX(n) AS max_cluster,
+        |  COUNT(CASE WHEN n > 50 THEN 1 END) AS hot_clusters
+        |FROM sz""".stripMargin),
+
+    // q246: the decontam index's health row — the assembled
+    // (build-even + append-odd) stored set must equal one distinct
+    // shingle pass over all of src0, and distinct_shingles ==
+    // total_rows pins the append anti-join's distinctness invariant
+    "q246_decontam_health" -> (shinglesCte + """,
+        |g AS (SELECT DISTINCT unnest(sh3) AS g FROM sh
+        |  WHERE source = 'src0')
+        |SELECT CAST(3 AS INTEGER) AS shingle_n,
+        |  COUNT(*) AS total_rows,
+        |  COUNT(DISTINCT g) AS distinct_shingles
+        |FROM g""".stripMargin),
+
+    // q247: the whole-fleet plan's six verdicts are structural facts of
+    // the constructed states — healthy IVF (probe-all recall 1.0), an
+    // orthogonal-batch drift row (ratio 0 < 0.5), a minhash index whose
+    // boilerplate bucket of 8 breaches cap 5, a simhash index carrying
+    // 3 append fragment sets over ceiling 2, a SemDeDup state with one
+    // 3-member cluster over the probe guard's cap of 2, and a
+    // broadcast-class decontam index no rule applies to
+    "q247_fleet_all_families" ->
+      """SELECT 1 AS idx, 'none' AS action
+        |UNION ALL SELECT 2, 'rebuild'
+        |UNION ALL SELECT 3, 'dedup_prepass'
+        |UNION ALL SELECT 4, 'compact'
+        |UNION ALL SELECT 5, 'rebuild'
+        |UNION ALL SELECT 6, 'none'""".stripMargin,
+
     // q241: the bayesian trial ladder's integer-safe structural facts —
     // 4 trials ran, every lambda stayed in the declared box, and the
     // selected trial is <= the worst and <= every trial (selectBest's

@@ -3266,6 +3266,241 @@ object SparkEntry {
     } finally graft.util.TempDirs.deleteRecursively(stage)
   }
 
+  /** PERSISTED SimHash index ([[operators.Dedup.simhashIndexBuild]] /
+    * append / probe — the third persisted text-dedup family): 16 bytes
+    * (id, sig) per doc on disk, pigeonhole bands DERIVED from the
+    * stored signature on scan, and Hamming verification on the very
+    * signatures the candidate join carried — so unlike q236's MinHash
+    * probe, the base corpus is never re-read in ANY form (no text
+    * table). Built on src0–2, appended src3–4 (the lock/fragment
+    * install path), probed by the remaining sources at q40's
+    * maxHamming=16. The DuckDB oracle is q40's nibble-exact signature
+    * mirror restricted to the delta×base side. */
+  def q242_simhash_index(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val baseSrc = Seq("src0", "src1", "src2", "src3", "src4")
+    val base = docs.filter(col("source").isInCollection(baseSrc))
+    val stage = graft.util.TempDirs.fresh("q242_simhash_")
+    try {
+      val root = stage.getAbsolutePath
+      Dedup.simhashIndexBuild(
+        base.filter(col("source").isInCollection(Seq("src0", "src1",
+          "src2"))), root, "doc_id", "text")
+      Dedup.simhashIndexAppend(s, root,
+        base.filter(col("source").isInCollection(Seq("src3", "src4"))),
+        "doc_id", "text")
+      Dedup.simhashIndexProbe(s, root,
+        docs.filter(!col("source").isInCollection(baseSrc)),
+        "doc_id", "text", maxHamming = 16)
+        .withColumn("hamming", col("hamming").cast("long"))
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** Health report of the persisted SimHash index
+    * ([[operators.Dedup.simhashIndexHealth]]): size plus bucket-skew
+    * stats over the four 16-bit pigeonhole bands — a hot bucket means
+    * the probe guard is silently dropping that boilerplate class's
+    * pairs (q238's failure signal, SimHash family). Every data-derived
+    * field replays in DuckDB from q40's signature mirror; dir/version/
+    * n_fragments are path- and layout-dependent and are gated by the
+    * controlled fixtures (q239 pattern) instead. */
+  def q243_simhash_health(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val base = docs.filter(col("source").isInCollection(
+      Seq("src0", "src1", "src2", "src3", "src4")))
+    val stage = graft.util.TempDirs.fresh("q243_shhealth_")
+    try {
+      val root = stage.getAbsolutePath
+      Dedup.simhashIndexBuild(
+        base.filter(col("source").isInCollection(Seq("src0", "src1",
+          "src2"))), root, "doc_id", "text")
+      Dedup.simhashIndexAppend(s, root,
+        base.filter(col("source").isInCollection(Seq("src3", "src4"))),
+        "doc_id", "text")
+      Dedup.simhashIndexHealth(s, root, hotBucketCap = 25)
+        .select("total_rows", "n_buckets", "max_bucket", "hot_buckets")
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** Centroid-DRIFT probe of a persisted IVF index
+    * ([[operators.Similarity.ivfDriftProbe]] → the
+    * [[operators.Similarity.indexMaintenancePlan]] `driftRatioFloor`
+    * rule): the cheap leading indicator of recall decay — no
+    * brute-force side, one postings scan + one batch scan. Controlled
+    * fixture (q234/q239's oracle shape): the corpus is the four axis
+    * points of dims 0–3 in an 8-dim space, so k-means at k=4 converges
+    * to the points themselves and `base_mean_sim` is exactly 1.0; the
+    * HEALTHY batch is the corpus itself (ratio exactly 1.0 → `none`),
+    * the DRIFTED batch lives in dims 4–7, orthogonal to every possible
+    * centroid (batch similarity exactly 0.0, ratio 0.0 → `rebuild`).
+    * All values exact constants, pinned by the oracle with the
+    * planner's verdicts. */
+  def q244_ivf_drift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val corpus = (0 until 4).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    val healthy = corpus
+    val drifted = (0 until 4).map(c => (100L + c, pt(4 + c)))
+      .toDF("id", "v")
+    val stage = graft.util.TempDirs.fresh("q244_drift_")
+    try {
+      val root = stage.getAbsolutePath
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 10)
+      val fleet = Similarity.ivfDriftProbe(s, root, healthy)
+        .withColumn("which", lit("healthy"))
+        .unionByName(Similarity.ivfDriftProbe(s, root, drifted)
+          .withColumn("which", lit("drifted")))
+      Similarity.indexMaintenancePlan(fleet, recallFloor = 0.0,
+        maxFilesPerListCeiling = Long.MaxValue,
+        driftRatioFloor = 0.5)
+        .select(col("which"),
+          round(col("base_mean_sim"), 6).as("base_mean_sim"),
+          round(col("batch_mean_sim"), 6).as("batch_mean_sim"),
+          round(col("drift_ratio"), 6).as("drift_ratio"),
+          col("action"))
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** Health report of a persisted SemDeDup state
+    * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
+    * the fifth index family): label-table size and cluster skew,
+    * because an over-cap cluster is silently SKIPPED by the
+    * incremental probe's maxCluster guard (near-dups go unreported —
+    * the quantizer's k fell behind the corpus, a rebuild signal). Base
+    * clusters save once (q237's path), day-1 appends under the frozen
+    * centroids, and every data-derived stat replays in DuckDB through
+    * the same unrolled-Lloyd + frozen-assignment CTEs as q237/q240. */
+  def q245_semdedup_state_health(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val day1 = emb.filter(col("vec_id") % 10 === 8)
+    val stage = graft.util.TempDirs.fresh("q245_semhealth_")
+    try {
+      val root = stage.getAbsolutePath
+      val (labels, centroids) = operators.Clustering.kmeansWithCentroids(
+        base, "vec_id", "embedding", k = 16, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, root, labels, "vec_id",
+        centroids)
+      operators.Clustering.releasePairs(labels)
+      operators.Clustering.semDedupStateAppend(s, root, day1, "vec_id",
+        "embedding")
+      operators.Clustering.semDedupStateHealth(s, root,
+        hotClusterCap = 50)
+        .select("n_clusters", "total_rows", "occupied_clusters",
+          "max_cluster", "hot_clusters")
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** Health report of a persisted decontamination index
+    * ([[operators.Decontamination.decontamIndexHealth]] — the fleet row
+    * for the sixth family): the index is broadcast-class BY CONTRACT,
+    * so the row's load-bearing reading is the stored-set size against
+    * the broadcast budget; `distinct_shingles` == `total_rows` is the
+    * append path's distinctness invariant (the anti-join is doing its
+    * job), pinned here value-exactly. Built on src0's even doc ids,
+    * appended the odd ones — the assembled set must equal one distinct
+    * pass over all of src0. */
+  def q246_decontam_health(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("source") === "src0")
+    val stage = graft.util.TempDirs.fresh("q246_dchealth_")
+    try {
+      val root = stage.getAbsolutePath
+      Decontamination.decontamIndexBuild(
+        bench.filter(pmod(col("doc_id"), lit(2L)) === 0), root,
+        "text", n = 3)
+      Decontamination.decontamIndexAppend(s, root,
+        bench.filter(pmod(col("doc_id"), lit(2L)) =!= 0), "text")
+      Decontamination.decontamIndexHealth(s, root)
+        .select("shingle_n", "total_rows", "distinct_shingles")
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** WHOLE-fleet maintenance plan: ONE
+    * [[operators.Similarity.indexMaintenancePlan]] call over a health
+    * union spanning every persisted family this package ships — IVF
+    * (healthy → `none`, plus a drift row whose orthogonal batch says
+    * `rebuild`), MinHash (hot boilerplate bucket → `dedup_prepass`),
+    * SimHash (append fragments over ceiling → `compact`), SemDeDup
+    * (one cluster past the probe guard's cap → `rebuild`), and the
+    * decontamination index (broadcast-class and fragment-free →
+    * `none`). Absent columns are NULL per family and NULL never
+    * triggers, so each row trips exactly its own family's rule — the
+    * q234/q239 pattern completed across all six families. All verdicts
+    * are structural facts of the constructed states. */
+  def q247_fleet_all_families(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def v8(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val ivfCorpus = (0 until 4).map(c => (c.toLong, v8(c)))
+      .toDF("id", "v")
+    val drifted = (0 until 4).map(c => (100L + c, v8(4 + c)))
+      .toDF("id", "v")
+    val boiler = "all work and no play makes jack a dull boy"
+    val hotDocs = (0L until 8L).map(i => (i, boiler))
+      .toDF("id", "text").repartition(1)
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs",
+      2L -> "how vexingly quick daft zebras jump",
+      3L -> "sphinx of black quartz judge my vow")
+    val fragDocs = texts.toDF("id", "text").repartition(1)
+    // one 3-member embedding cluster over a cap of 2 -> hot_clusters=1
+    val semVecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.98f, 0.02f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val dirs = Seq("q247_ivf_", "q247_mh_", "q247_sh_", "q247_sem_",
+      "q247_dc_").map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(ivfDir, mhDir, shDir, semDir, dcDir) =
+        dirs.map(_.getAbsolutePath)
+      Similarity.ivfBuild(ivfCorpus, ivfDir, nList = 4,
+        kmeansMaxIter = 10)
+      Dedup.minhashIndexBuild(hotDocs, mhDir, "id", "text")
+      Dedup.simhashIndexBuild(fragDocs.filter(col("id") < 2), shDir,
+        "id", "text")
+      (2L until 4L).foreach(i => Dedup.simhashIndexAppend(s, shDir,
+        fragDocs.filter(col("id") === i), "id", "text"))
+      val (labels, centroids) = operators.Clustering.kmeansWithCentroids(
+        semVecs, "vec_id", "embedding", k = 2, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, semDir, labels,
+        "vec_id", centroids)
+      operators.Clustering.releasePairs(labels)
+      Decontamination.decontamIndexBuild(
+        fragDocs.select(col("id").as("doc_id"), col("text")), dcDir,
+        "text", n = 3)
+      val fleet = Similarity
+        .ivfIndexHealth(s, ivfDir,
+          ivfCorpus.select(col("id").as("qid"), col("v").as("qv")),
+          k = 1, nProbe = 4).withColumn("idx", lit(1))
+        .unionByName(Similarity.ivfDriftProbe(s, ivfDir, drifted)
+          .withColumn("idx", lit(2)), allowMissingColumns = true)
+        .unionByName(Dedup.minhashIndexHealth(s, mhDir,
+          hotBucketCap = 5).withColumn("idx", lit(3)),
+          allowMissingColumns = true)
+        .unionByName(Dedup.simhashIndexHealth(s, shDir)
+          .withColumn("idx", lit(4)), allowMissingColumns = true)
+        .unionByName(operators.Clustering.semDedupStateHealth(s, semDir,
+          hotClusterCap = 2).withColumn("idx", lit(5)),
+          allowMissingColumns = true)
+        .unionByName(Decontamination.decontamIndexHealth(s, dcDir)
+          .withColumn("idx", lit(6)), allowMissingColumns = true)
+      Similarity.indexMaintenancePlan(fleet, recallFloor = 0.9,
+        maxFilesPerListCeiling = 10, maxFragmentsCeiling = 2,
+        driftRatioFloor = 0.5, hotClustersCeiling = 0L)
+        .select(col("idx"), col("action"))
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** BPE corpus-ENCODING gate ([[operators.Tokenizer.bpeEncode]]): the
     * scan a pipeline runs corpus-wide after training — each document's
     * subword stream under a FIXED merge list (training itself is gated
@@ -5010,7 +5245,13 @@ object SparkEntry {
     "q238_minhash_health" -> (q238_minhash_health _),
     "q239_fleet_text_plan" -> (q239_fleet_text_plan _),
     "q240_semdedup_state_append" -> (q240_semdedup_state_append _),
-    "q241_tuning_bayesian" -> (q241_tuning_bayesian _))
+    "q241_tuning_bayesian" -> (q241_tuning_bayesian _),
+    "q242_simhash_index" -> (q242_simhash_index _),
+    "q243_simhash_health" -> (q243_simhash_health _),
+    "q244_ivf_drift" -> (q244_ivf_drift _),
+    "q245_semdedup_state_health" -> (q245_semdedup_state_health _),
+    "q246_decontam_health" -> (q246_decontam_health _),
+    "q247_fleet_all_families" -> (q247_fleet_all_families _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

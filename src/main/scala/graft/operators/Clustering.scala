@@ -436,6 +436,58 @@ object Clustering {
     }
   }
 
+  /** Operational health report of a persisted SemDeDup state — the
+    * fleet-table row for this family (q220's shape): label-table size
+    * and CLUSTER-SKEW readings, because an over-cap cluster is this
+    * state's failure mode ([[semDedupIncrementalPersisted]]'s
+    * `maxCluster` guard silently skips clusters past the cap, so a
+    * growing `hot_clusters` count means near-dups are going unreported
+    * — the quantizer's k has fallen behind the corpus and a
+    * [[semDedupStateSave]] rebuild with more clusters is due), plus
+    * append-fragment count (each [[semDedupStateAppend]] drops one file
+    * set; [[semDedupStateCompact]] folds them). One bounded aggregate
+    * over the label table plus one FS listing. */
+  def semDedupStateHealth(spark: org.apache.spark.sql.SparkSession,
+                          dir: String,
+                          hotClusterCap: Long = 100000L): DataFrame = {
+    val snap = Manifest.snapshot(spark, dir)
+    val labelsPath = snap.path("labels")
+    val tableP = new org.apache.hadoop.fs.Path(labelsPath)
+    val nFragments = tableP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
+      .toLong
+    val k = spark.read.parquet(snap.path("centroids")).count()
+    val sizes = spark.read.parquet(labelsPath).groupBy("cluster")
+      .agg(count(lit(1)).as("_n"))
+    sizes.agg(
+      lit(k).as("n_clusters"),
+      sum(col("_n")).as("total_rows"),
+      count(lit(1)).as("occupied_clusters"),
+      max(col("_n")).as("max_cluster"),
+      count(when(col("_n") > hotClusterCap, 1)).as("hot_clusters"),
+      lit(dir).as("dir"), lit(snap.version).as("version"),
+      lit(nFragments).as("n_fragments"))
+  }
+
+  /** Fold the label table's accumulated append fragments into one
+    * coherent file set behind a [[Manifest]] flip, range-clustered on
+    * `cluster` — the key [[semDedupIncrementalPersisted]]'s
+    * touched-cluster semi-join prunes on, so row-group min/max pruning
+    * works after the rewrite. Lock held across the whole
+    * read→rewrite→flip span like every compactor in this package. */
+  def semDedupStateCompact(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Unit =
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val tmp = s"$dir/_compact.tmp.labels"
+      spark.read.parquet(snap.path("labels"))
+        .repartitionByRange(col("cluster"))
+        .sortWithinPartitions("cluster")
+        .write.mode("overwrite").parquet(tmp)
+      Manifest.publishUnderLock(spark, dir, Seq("labels" -> tmp))
+    }
+
   /** The frozen centroids of a persisted state, as one bounded collect
     * (k·d doubles — broadcast-class by construction). */
   private def loadStateCentroids(spark: org.apache.spark.sql.SparkSession,

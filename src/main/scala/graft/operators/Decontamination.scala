@@ -132,6 +132,36 @@ object Decontamination {
     }
   }
 
+  /** Operational health report of a persisted decontamination index —
+    * the fleet-table row for this family. The index is broadcast-class
+    * BY CONTRACT ([[decontamIndexReport]] broadcasts the whole stored
+    * set into every probe task), so the row's load-bearing reading is
+    * `total_rows` × ~16 bytes against the broadcast budget: a suite
+    * that grew past broadcastability needs the role-flip documented on
+    * [[Similarity.benchmarkContamination]] (index the BENCHMARK as IVF,
+    * probe the corpus), not a bigger driver. Appends rewrite the set
+    * whole behind a manifest flip, so `n_fragments` stays at the write
+    * parallelism (no compaction op exists because fragmentation is
+    * structurally impossible); `shingle_n` is the pinned width every
+    * probe must match. */
+  def decontamIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    val n = decontamIndexN(spark, dir)
+    val snap = Manifest.snapshot(spark, dir)
+    val shinglesPath = snap.path("shingles")
+    val tableP = new org.apache.hadoop.fs.Path(shinglesPath)
+    val nFragments = tableP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
+      .toLong
+    spark.read.parquet(shinglesPath).agg(
+      lit(n).as("shingle_n"),
+      count(lit(1)).as("total_rows"),
+      count_distinct(col("g")).as("distinct_shingles"),
+      lit(dir).as("dir"), lit(snap.version).as("version"),
+      lit(nFragments).as("n_fragments"))
+  }
+
   /** [[report]] against the persisted index: the shingle width comes
     * from the index metadata (a mismatched caller width would silently
     * miss every overlap), the stored set broadcasts, and the candidate

@@ -450,6 +450,228 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- persisted SimHash index ------------------------------------
+  //
+  // The third persisted text-dedup family (after the MinHash banded
+  // index and the decontamination shingle index), for the boilerplate/
+  // template near-dup regime MinHash's set-Jaccard misses: Hamming
+  // distance over 64-bit [[graft.functions.TextFunctions.simhash64]]
+  // signatures. What lands on disk is ONLY (id, sig) — 16 bytes per
+  // document, the cheapest persisted dedup state of the three — because
+  // SimHash banding is a bit-slice of the signature itself: the 4×16-bit
+  // pigeonhole buckets are DERIVED on scan (two codegen'd bit ops), not
+  // stored 4× like MinHash's band rows, and verification is Hamming
+  // distance on the very signatures the candidate join already carried —
+  // unlike [[minhashIndexProbe]], a probe needs NO base text table at
+  // all. Same operational contract as every other persisted family:
+  // every writer under [[Manifest.withLock]], compaction behind a
+  // versioned-manifest flip, one health row per index for the fleet
+  // table, hot-bucket guards on both probe sides.
+
+  /** Build the persisted SimHash index: one signature scan of the
+    * corpus, (id, sig) on disk. `simhash64` is parameter-free over the
+    * fixed tokenization, so unlike the MinHash index there are no LSH
+    * parameters to pin — any probe is comparable with any build.
+    * In-place fresh build (reader-UNSAFE, like [[minhashIndexBuild]]):
+    * overwrites the default table and drops any stale manifest. */
+  def simhashIndexBuild(docs: DataFrame, dir: String, idCol: String,
+                        textCol: String): Unit = {
+    docs.select(col(idCol).as("id"), TF.simhash64(col(textCol)).as("sig"))
+      .write.mode("overwrite").parquet(s"$dir/sigs.parquet")
+    Manifest.reset(docs.sparkSession, dir)
+  }
+
+  /** Append an accepted batch's signatures — one batch scan, no
+    * rebuild. Lock held for the whole file drop, live table resolved
+    * through the snapshot INSIDE it (the single-writer contract every
+    * index writer in this package enforces). Each append adds one file
+    * fragment set; [[simhashIndexCompact]] folds them back. */
+  def simhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, batch: DataFrame, idCol: String,
+                         textCol: String): Unit =
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      batch.select(col(idCol).as("id"),
+        TF.simhash64(col(textCol)).as("sig"))
+        .write.mode("append").parquet(snap.path("sigs"))
+    }
+
+  /** Fold the signature table's append fragments into one coherent
+    * file set behind a [[Manifest]] flip. The rewrite range-clusters on
+    * `sig`, which sorts band 3 (the top 16 bits) into contiguous row
+    * groups — one of the four probe joins gets min/max pruning; the
+    * other three are bit-slices no single sort order can serve, and at
+    * 16 bytes/row the table is small enough that defragmentation is the
+    * point, not pruning. */
+  def simhashIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit =
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val tmp = s"$dir/_compact.tmp.sigs"
+      spark.read.parquet(snap.path("sigs"))
+        .repartitionByRange(col("sig"))
+        .sortWithinPartitions("sig")
+        .write.mode("overwrite").parquet(tmp)
+      Manifest.publishUnderLock(spark, dir, Seq("sigs" -> tmp))
+    }
+
+  /** (id, band, bucket, sig) rows for a signature table — the banding
+    * used by probe and health. The signature rides along (8 bytes) so
+    * the candidate join needs no join-back for the Hamming verify. */
+  private def simhashBandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
+          .as("bucket"))): _*)).as("lb"))
+      .select(col("id"), col("sig"), col("lb.band"), col("lb.bucket"))
+
+  /** Operational health report of a persisted [[simhashIndexBuild]]
+    * index — one row per index for the fleet table, same failure
+    * signals as [[minhashIndexHealth]]: `hot_buckets`/`max_bucket`
+    * (the probe guard silently drops over-cap buckets — template
+    * boilerplate funnels thousands of docs into one 16-bit bucket, so a
+    * hot bucket means near-dups are going unreported and an exact-dedup
+    * pre-pass is due) and `n_fragments` (append fragmentation →
+    * [[simhashIndexCompact]]). Bucket stats are computed by banding the
+    * stored signatures on scan — one bounded aggregate. */
+  def simhashIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                         dir: String,
+                         hotBucketCap: Int = 10000): DataFrame = {
+    val snap = Manifest.snapshot(spark, dir)
+    val sigsPath = snap.path("sigs")
+    val tableP = new org.apache.hadoop.fs.Path(sigsPath)
+    val nFragments = tableP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
+      .toLong
+    val sizes = simhashBandRows(spark.read.parquet(sigsPath))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
+    sizes.agg(
+      sum(col("_n")).as("total_band_rows"),
+      (sum(col("_n")) / 4).cast("long").as("total_rows"),
+      count(lit(1)).as("n_buckets"),
+      max(col("_n")).as("max_bucket"),
+      count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"),
+      lit(dir).as("dir"), lit(snap.version).as("version"),
+      lit(nFragments).as("n_fragments"))
+  }
+
+  /** Probe a delta batch against the persisted index: [[simhash]] with
+    * the base side read from files — the base corpus is never re-hashed,
+    * and because verification is Hamming distance on the STORED
+    * signatures, the probe needs no base text table at all (the
+    * candidates-then-fetch step [[minhashIndexProbe]] pays simply does
+    * not exist for this family). Both sides pass the hot-bucket guard;
+    * candidate (delta_id, base_id) pairs are deduplicated across bands
+    * with their signatures riding along, so each pair is verified once.
+    * The result is eagerly materialized so the per-probe delta cache is
+    * released before returning (no cached-partition accumulation across
+    * a daily pipeline's probes); release the result's pinned blocks with
+    * [[Clustering.releasePairs]] when done. */
+  def simhashIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, delta: DataFrame, idCol: String,
+                        textCol: String, maxHamming: Int = 3,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val baseBands = dropHotBuckets(
+      simhashBandRows(
+        spark.read.parquet(Manifest.snapshot(spark, dir).path("sigs"))),
+      Seq("band", "bucket"), maxBucketSize)
+    val dSigs = delta.select(col(idCol).as("id"),
+      TF.simhash64(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dBands = dropHotBuckets(simhashBandRows(dSigs),
+      Seq("band", "bucket"), maxBucketSize)
+    val out = dBands
+      .select(col("band"), col("bucket"), col("id").as("delta_id"),
+        col("sig").as("sig_d"))
+      .join(baseBands.select(col("band"), col("bucket"),
+        col("id").as("base_id"), col("sig").as("sig_b")),
+        Seq("band", "bucket"))
+      .select("delta_id", "base_id", "sig_d", "sig_b")
+      .distinct()
+      .select(col("delta_id"), col("base_id"),
+        TF.hamming64(col("sig_d"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    dSigs.unpersist(false)
+    out
+  }
+
+  /** [[minhashMaintenanceApply]] for the SimHash family — the apply
+    * half of its health → plan → apply loop: `compact` folds signature
+    * fragments ([[simhashIndexCompact]]); `dedup_prepass` answers a hot
+    * `hot_buckets` reading by exact-deduping the corpus and REBUILDING
+    * the signature table from the min-id keepers (same fix as MinHash:
+    * a hot 16-bit band bucket is template boilerplate by construction —
+    * collapse it, don't rewrite files), swapped in with one manifest
+    * flip under the full-span writer lock. `dedup_prepass` REQUIRES the
+    * corpus text table (signatures cannot reconstruct text). */
+  def simhashMaintenanceApply(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, action: String,
+                              corpus: Option[DataFrame] = None,
+                              idCol: String = "id",
+                              textCol: String = "text"): Unit =
+    action match {
+      case "none" => ()
+      case "compact" => simhashIndexCompact(spark, dir)
+      case "dedup_prepass" =>
+        val c = corpus.getOrElse(throw new IllegalArgumentException(
+          "simhashMaintenanceApply: a dedup_prepass rebuild needs the " +
+            "corpus text table — the signature index cannot " +
+            "reconstruct text"))
+        Manifest.withLock(spark, dir) {
+          val keepers = c.join(
+            exact(c, idCol, textCol).select(col("keeper_id").as(idCol)),
+            Seq(idCol), "left_semi")
+          val tmp = s"$dir/_rebuild.tmp.sigs"
+          keepers.select(col(idCol).as("id"),
+            TF.simhash64(col(textCol)).as("sig"))
+            .write.mode("overwrite").parquet(tmp)
+          Manifest.publishUnderLock(spark, dir, Seq("sigs" -> tmp))
+        }
+      case other => throw new IllegalArgumentException(
+        s"simhashMaintenanceApply: unknown action '$other'")
+    }
+
+  /** Streaming micro-batch ingest into a persisted [[minhashIndexBuild]]
+    * index — [[Similarity.ivfIngest]] for the text-dedup side: each
+    * micro-batch of accepted documents appends its banded rows via
+    * [[minhashIndexAppend]] (LSH parameters pinned by the index
+    * metadata). At-least-once like every foreachBatch sink — a retried
+    * batch lands its band rows twice, which inflates candidate
+    * multiplicity but never pair VALUES (the probe deduplicates
+    * candidate pairs before verifying); exact-once pipelines dedupe by
+    * id at the next [[minhashIndexCompact]]. Single-writer: a batch
+    * colliding with a concurrent compaction fails loudly and the
+    * restarted query replays it from the checkpoint. */
+  def minhashIngest(stream: DataFrame, dir: String, checkpoint: String,
+                    idCol: String = "id", textCol: String = "text")
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          minhashIndexAppend(batch.sparkSession, dir, batch, idCol,
+            textCol)
+      }
+      .start()
+
+  /** [[minhashIngest]] for the SimHash family: each micro-batch appends
+    * its 16-byte signatures via [[simhashIndexAppend]]. A retried batch
+    * writes duplicate (id, sig) rows — candidate dedup keeps probe
+    * values unaffected; compaction is the dedupe point. */
+  def simhashIngest(stream: DataFrame, dir: String, checkpoint: String,
+                    idCol: String = "id", textCol: String = "text")
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          simhashIndexAppend(batch.sparkSession, dir, batch, idCol,
+            textCol)
+      }
+      .start()
+
   /** n-gram Jaccard near-dup pairs within an explicit blocking key (e.g.
     * source), computed by prefix-filtered set-similarity join — never the
     * all-pairs |block|² product.

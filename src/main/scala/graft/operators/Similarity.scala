@@ -756,6 +756,55 @@ object Similarity {
     else got.intersect(exact).count().toDouble / denom
   }
 
+  /** Centroid-DRIFT probe of a persisted [[ivfBuild]] index: the early-
+    * warning signal [[ivfRecallProbe]] confirms. An IVF index's quality
+    * rests on its coarse centroids modeling the data distribution; as
+    * appended batches drift (new domains, new embedding model epochs),
+    * vectors land ever farther from their assigned centroid and probe
+    * recall decays. This probe measures that directly and CHEAPLY —
+    * no brute-force exact side, no queries needed:
+    *
+    *   - `base_mean_sim`: mean cosine of (a deterministic 1-in-
+    *     `baseSampleMod` sample of) the STORED postings to the centroid
+    *     of the list each is filed under — how well the quantizer fits
+    *     the corpus it currently holds;
+    *   - `batch_mean_sim`: mean cosine of the incoming batch to its
+    *     nearest centroid (the same squared-L2 assignment [[ivfAppend]]
+    *     would use) — how well the quantizer fits what is ARRIVING;
+    *   - `drift_ratio` = batch/base: ≈1 means the batch looks like the
+    *     corpus; falling means the quantizer is going stale for new
+    *     data. [[indexMaintenancePlan]]'s `driftRatioFloor` turns it
+    *     into a `rebuild` verdict.
+    *
+    * Cost: one (sampled) postings scan joined to the broadcast-class
+    * centroid table by the STORED list id (no assignment recompute),
+    * plus one batch scan. One output row; rows from many indexes union
+    * into the fleet table. */
+  def ivfDriftProbe(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, batch: DataFrame,
+                    baseSampleMod: Long = 1L): DataFrame = {
+    val snap = Manifest.snapshot(spark, dir)
+    val cents = spark.read.parquet(snap.path("centroids"))
+      .select(col("list"), col("center"))
+    val base = spark.read.parquet(snap.path("postings"))
+      .filter(pmod(xxhash64(col("id")), lit(baseSampleMod)) === 0)
+      .join(broadcast(cents), Seq("list"))
+      .agg(avg(V.cosine(col("v").cast("array<double>"), col("center")))
+        .as("base_mean_sim"))
+    val bc = spark.sparkContext.broadcast(
+      loadCentroids(spark, snap.path("centroids")))
+    val assign = udf { (v: Seq[Double]) => nearestIdx(bc.value, v) }
+    val bat = batch
+      .select(assign(col("v").cast("array<double>")).as("list"), col("v"))
+      .join(broadcast(cents), Seq("list"))
+      .agg(avg(V.cosine(col("v").cast("array<double>"), col("center")))
+        .as("batch_mean_sim"))
+    base.crossJoin(bat).select(
+      lit(dir).as("dir"), lit(snap.version).as("version"),
+      col("base_mean_sim"), col("batch_mean_sim"),
+      (col("batch_mean_sim") / col("base_mean_sim")).as("drift_ratio"))
+  }
+
   /** Semantic DECONTAMINATION against an evaluation benchmark: annotate
     * every corpus row with its maximum cosine to ANY benchmark vector
     * plus a `contaminated` flag at `tau` — the embedding-space
@@ -930,7 +979,8 @@ object Similarity {
     * fleet table is just `unionByName(allowMissingColumns = true)`) to
     * the action an operator would take:
     *
-    *  - `rebuild` — sampled `recall_at_k` below the pipeline's floor
+    *  - `rebuild` — sampled `recall_at_k` below the pipeline's floor,
+    *    or [[ivfDriftProbe]]'s `drift_ratio` below `driftRatioFloor`
     *    (IVF family; fragmentation-only compaction cannot recover
     *    centroid drift);
     *  - `dedup_prepass` — `hot_buckets` over its ceiling (MinHash
@@ -956,12 +1006,26 @@ object Similarity {
                              Double.PositiveInfinity,
                            hotBucketsCeiling: Long = 0L,
                            maxFragmentsCeiling: Long =
+                             Long.MaxValue,
+                           driftRatioFloor: Double =
+                             Double.NegativeInfinity,
+                           hotClustersCeiling: Long =
                              Long.MaxValue): DataFrame = {
     val present = health.columns.toSet
     def c(name: String) =
       if (present(name)) col(name) else lit(null).cast("double")
     health.withColumn("action",
       when(c("recall_at_k") < recallFloor, lit("rebuild"))
+        // drift is the recall rule's cheap leading indicator
+        // ([[ivfDriftProbe]]): a batch/base assignment-similarity ratio
+        // under the floor means the quantizer has gone stale for the
+        // arriving data — same remedy, a refit
+        .when(c("drift_ratio") < driftRatioFloor, lit("rebuild"))
+        // SemDeDup family: clusters past the probe's maxCluster guard
+        // are silently skipped, so pairs go unreported — the quantizer's
+        // k has fallen behind the corpus; the remedy is a re-cluster
+        // with more clusters (semDedupStateSave), a rebuild
+        .when(c("hot_clusters") > hotClustersCeiling, lit("rebuild"))
         .when(c("hot_buckets") > hotBucketsCeiling, lit("dedup_prepass"))
         .when(c("max_files_per_list") > maxFilesPerListCeiling ||
           c("row_skew") > rowSkewCeiling ||

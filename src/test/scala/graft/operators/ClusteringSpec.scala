@@ -169,6 +169,70 @@ class ClusteringSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("semDedupStateHealth reports cluster skew and fragments; " +
+    "semDedupStateCompact folds fragments behind a manifest flip with " +
+    "probes invariant") {
+    import spark.implicits._
+    def v(c: Double, eps: Double) = Seq(c, c + eps, 1.0, 2.0)
+    val base = Seq(
+      0L -> v(0.0, 0.0000), 1L -> v(0.0, 0.0001), 2L -> v(0.1, 0.03),
+      10L -> v(9.0, 0.000)).toDF("id", "vec")
+    val day1 = Seq(200L -> v(0.0, 0.0002)).toDF("id", "vec")
+    val day2 = Seq(300L -> v(0.0, 0.00005)).toDF("id", "vec")
+    val probeBatch = Seq(400L -> v(0.0, 0.00007)).toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("semhealth").toFile
+    val root = dir.getAbsolutePath
+    try {
+      val (labels, centroids) = Clustering.kmeansWithCentroids(
+        base, "id", "vec", k = 2, iterations = 2)
+      Clustering.semDedupStateSave(spark, root, labels, "id", centroids)
+      Clustering.releasePairs(labels)
+      Clustering.semDedupStateAppend(spark, root, day1, "id", "vec")
+      Clustering.semDedupStateAppend(spark, root, day2, "id", "vec")
+      def health() = Clustering.semDedupStateHealth(spark, root,
+        hotClusterCap = 4).head()
+      val h0 = health()
+      assert(h0.getAs[Long]("n_clusters") == 2L)
+      assert(h0.getAs[Long]("total_rows") == 6L)
+      // the 0.0-blob cluster holds base {0,1,2} + day-1 + day-2 = 5 > 4
+      assert(h0.getAs[Long]("max_cluster") == 5L)
+      assert(h0.getAs[Long]("hot_clusters") == 1L)
+      val frags = h0.getAs[Long]("n_fragments")
+      assert(frags >= 3L, s"two appends must fragment: $frags")
+      // the planner maps hot_clusters to a rebuild (quantizer stale)
+      assert(Similarity.indexMaintenancePlan(
+        Clustering.semDedupStateHealth(spark, root, hotClusterCap = 4),
+        recallFloor = 0.9, maxFilesPerListCeiling = 10,
+        hotClustersCeiling = 0L)
+        .head().getAs[String]("action") == "rebuild")
+      def probe() = {
+        val vecs = base.unionByName(day1).unionByName(day2)
+        val got = Clustering.semDedupIncrementalPersisted(spark, root,
+          vecs, probeBatch, "id", "vec", tau = 0.999)
+        val pairs = got.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Clustering.releasePairs(got)
+        pairs
+      }
+      val before = probe()
+      assert(before.contains((200L, 400L)) && before.contains((300L, 400L)),
+        before.toString)
+      // compaction: fewer fragments, version flip, identical probe
+      Clustering.semDedupStateCompact(spark, root)
+      assert(Manifest.snapshot(spark, root).version == 1)
+      assert(health().getAs[Long]("n_fragments") < frags)
+      assert(health().getAs[Long]("total_rows") == 6L)
+      assert(probe() == before)
+      // compaction holds the writer lock
+      Manifest.withLock(spark, root) {
+        val e = intercept[IllegalStateException] {
+          Clustering.semDedupStateCompact(spark, root)
+        }
+        assert(e.getMessage.contains("another writer"))
+      }
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("semDedupIncrementalAuto (two-level) matches the single-level " +
     "increment's pair semantics and is deterministic") {
     import spark.implicits._

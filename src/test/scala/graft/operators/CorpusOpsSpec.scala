@@ -172,6 +172,20 @@ class CorpusOpsSpec extends SparkSpec {
       // the width rides the metadata — the probe cannot be run at a
       // silently different n
       assert(Decontamination.decontamIndexN(spark, root) == 3)
+      // the health row: stored-set size, pinned width, distinctness
+      // invariant (total == distinct — the anti-join is doing its job),
+      // and a plan call over it answers `none` (no rule applies to a
+      // broadcast-class fragment-free index)
+      val h = Decontamination.decontamIndexHealth(spark, root).head()
+      assert(h.getAs[Int]("shingle_n") == 3)
+      assert(h.getAs[Long]("total_rows") == before)
+      assert(h.getAs[Long]("distinct_shingles") == before)
+      assert(Similarity.indexMaintenancePlan(
+        Decontamination.decontamIndexHealth(spark, root),
+        recallFloor = 0.9, maxFilesPerListCeiling = 10,
+        maxFragmentsCeiling = 1000, driftRatioFloor = 0.5,
+        hotClustersCeiling = 0L)
+        .head().getAs[String]("action") == "none")
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
@@ -397,6 +411,123 @@ class CorpusOpsSpec extends SparkSpec {
       // dedup_prepass without the corpus cannot silently no-op
       intercept[IllegalArgumentException] {
         Dedup.minhashMaintenanceApply(spark, root, "dedup_prepass")
+      }
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("persisted simhash index: probe equals the direct run with no " +
+    "base text table, append holds the writer lock, compact folds " +
+    "fragments behind a manifest flip") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq(
+      (1L, txt), (2L, txt),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, txt), // identical -> Hamming 0 against docs 1 and 2
+      (11L, "cold warm hot mild cool damp dry wet calm windy"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Dedup.simhashIndexBuild(base.filter(col("doc_id") === 1L), root,
+        "doc_id", "text")
+      Dedup.simhashIndexAppend(spark, root,
+        base.filter(col("doc_id") > 1L), "doc_id", "text")
+      // NOTE: no text table crosses the probe boundary — verification
+      // is Hamming on the STORED signatures
+      def probe() = Dedup.simhashIndexProbe(spark, root, delta,
+        "doc_id", "text", maxHamming = 16)
+        .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+      // the direct (non-persisted) run over base ∪ delta, restricted to
+      // cross-side pairs, is the semantic contract
+      val direct = Dedup.simhash(base.unionByName(delta), "doc_id",
+        "text", maxHamming = 16)
+        .filter(col("id_a") < 10L && col("id_b") >= 10L)
+        .select(col("id_b"), col("id_a")).as[(Long, Long)].collect().toSet
+      assert(probe() == direct && direct.contains((10L, 1L)))
+      // writer lock enforced: a colliding append throws BEFORE any drop
+      def liveRows() = spark.read.parquet(
+        Manifest.snapshot(spark, root).path("sigs")).count()
+      val rowsBefore = liveRows()
+      Manifest.withLock(spark, root) {
+        val e = intercept[IllegalStateException] {
+          Dedup.simhashIndexAppend(spark, root, delta, "doc_id", "text")
+        }
+        assert(e.getMessage.contains("another writer"))
+      }
+      assert(liveRows() == rowsBefore)
+      // fragments fold behind one manifest flip; probe invariant
+      def health() = Dedup.simhashIndexHealth(spark, root).head()
+      val fragsBefore = health().getAs[Long]("n_fragments")
+      assert(fragsBefore >= 2L, s"expected append fragments: $fragsBefore")
+      assert(Manifest.snapshot(spark, root).version == 0)
+      Dedup.simhashIndexCompact(spark, root)
+      assert(Manifest.snapshot(spark, root).version == 1)
+      assert(health().getAs[Long]("n_fragments") <= fragsBefore)
+      assert(liveRows() == rowsBefore)
+      assert(probe() == direct)
+      // appends keep working against the versioned table (one sig row)
+      Dedup.simhashIndexAppend(spark, root,
+        Seq((4L, "pack my box with five dozen liquor jugs"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      assert(liveRows() == rowsBefore + 1)
+      assert(probe() == direct)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("simhash index health: boilerplate flips hot_buckets and the " +
+    "cross-family plan answers dedup_prepass") {
+    import spark.implicits._
+    val boiler = "all work and no play makes jack a dull boy"
+    val clean = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val boilerplate = (20L until 28L).map(i => (i, boiler))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shhot").toFile
+    val root = dir.getAbsolutePath
+    val cap = 4
+    try {
+      Dedup.simhashIndexBuild(clean, root, "doc_id", "text")
+      def health() = Dedup.simhashIndexHealth(spark, root,
+        hotBucketCap = cap)
+      def plan() = Similarity.indexMaintenancePlan(health(),
+        recallFloor = 0.9, maxFilesPerListCeiling = 10,
+        maxFragmentsCeiling = 1000)
+        .head().getAs[String]("action")
+      val h0 = health().head()
+      assert(h0.getAs[Long]("total_rows") == 2L)
+      assert(h0.getAs[Long]("hot_buckets") == 0L)
+      assert(plan() == "none")
+      // 8 identical docs: one signature, all 4 bands breach the cap —
+      // the probe guard now silently drops that boilerplate class
+      Dedup.simhashIndexAppend(spark, root, boilerplate, "doc_id",
+        "text")
+      val h1 = health().head()
+      assert(h1.getAs[Long]("hot_buckets") >= 4L)
+      assert(h1.getAs[Long]("max_bucket") >= 8L)
+      assert(plan() == "dedup_prepass")
+      def probe() = Dedup.simhashIndexProbe(spark, root,
+        Seq((100L, boiler)).toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming = 3, maxBucketSize = cap)
+        .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+      assert(probe().isEmpty, "hot bucket should be dropped pre-fix")
+      // apply: exact-dedup pre-pass + signature rebuild from keepers,
+      // one manifest flip — the boilerplate class collapses to min-id
+      // 20 and the silently-dropped pair is recovered against it
+      val corpus = clean.unionByName(boilerplate)
+      Dedup.simhashMaintenanceApply(spark, root, "dedup_prepass",
+        Some(corpus), "doc_id", "text")
+      assert(health().head().getAs[Long]("hot_buckets") == 0L)
+      assert(plan() == "none")
+      assert(probe() == Set((100L, 20L)),
+        "the dropped near-dup pair must be recovered against the keeper")
+      // dedup_prepass without the corpus cannot silently no-op
+      intercept[IllegalArgumentException] {
+        Dedup.simhashMaintenanceApply(spark, root, "dedup_prepass")
       }
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }

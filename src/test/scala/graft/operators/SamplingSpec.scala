@@ -1039,6 +1039,111 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("ivfDriftProbe: ratio 1 on in-distribution batches, 0 on " +
+    "orthogonal drift, and the planner turns the floor into rebuild") {
+    import spark.implicits._
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val corpus = (0 until 4).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    val drifted = (0 until 4).map(c => (100L + c, pt(4 + c)))
+      .toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 10)
+      val healthy = Similarity.ivfDriftProbe(spark, root, corpus).head()
+      assert(math.abs(healthy.getAs[Double]("base_mean_sim") - 1.0) < 1e-12)
+      assert(math.abs(healthy.getAs[Double]("drift_ratio") - 1.0) < 1e-12)
+      val drift = Similarity.ivfDriftProbe(spark, root, drifted)
+      val dRow = drift.head()
+      assert(math.abs(dRow.getAs[Double]("batch_mean_sim")) < 1e-12)
+      assert(math.abs(dRow.getAs[Double]("drift_ratio")) < 1e-12)
+      // the planner rule: under the floor -> rebuild; the default floor
+      // (negative infinity) never triggers even at ratio 0
+      assert(Similarity.indexMaintenancePlan(drift, recallFloor = 0.0,
+        maxFilesPerListCeiling = Long.MaxValue, driftRatioFloor = 0.5)
+        .head().getAs[String]("action") == "rebuild")
+      assert(Similarity.indexMaintenancePlan(drift, recallFloor = 0.0,
+        maxFilesPerListCeiling = Long.MaxValue)
+        .head().getAs[String]("action") == "none")
+      // an IVF health row (no drift_ratio column) cannot trip the
+      // drift rule — absent columns are NULL, NULL never triggers
+      val health = Similarity.ivfIndexHealth(spark, root,
+        corpus.select(col("id").as("qid"), col("v").as("qv")),
+        k = 1, nProbe = 4)
+      assert(Similarity.indexMaintenancePlan(health, recallFloor = 0.0,
+        maxFilesPerListCeiling = Long.MaxValue, driftRatioFloor = 0.5)
+        .head().getAs[String]("action") == "none")
+      // sampled base side: 1-in-2 deterministic sample still reads a
+      // nonempty slice and keeps the exact fixture value
+      val sampled = Similarity.ivfDriftProbe(spark, root, corpus,
+        baseSampleMod = 2L).head()
+      assert(math.abs(sampled.getAs[Double]("base_mean_sim") - 1.0) < 1e-12)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("minhashIngest and simhashIngest stream micro-batch appends " +
+    "into the persisted text indexes") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq((1L, txt),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "text")
+    val batches = Seq(
+      (20L, txt),
+      (21L, "cold warm hot mild cool damp dry wet calm windy"),
+      (22L, txt + " lambda"))
+      .toDF("id", "text")
+    val delta = Seq((100L, txt)).toDF("id", "text")
+    val mhDir = java.nio.file.Files.createTempDirectory("mhing").toFile
+    val shDir = java.nio.file.Files.createTempDirectory("shing").toFile
+    val stage = java.nio.file.Files.createTempDirectory("txting").toFile
+    try {
+      Dedup.minhashIndexBuild(base, mhDir.getAbsolutePath, "id", "text")
+      Dedup.simhashIndexBuild(base, shDir.getAbsolutePath, "id", "text")
+      val files = stage.getAbsolutePath + "/files"
+      batches.repartition(3).write.parquet(files)
+      val stream1 = spark.readStream.schema(batches.schema)
+        .option("maxFilesPerTrigger", "1").parquet(files)
+      val q1 = Dedup.minhashIngest(stream1, mhDir.getAbsolutePath,
+        stage.getAbsolutePath + "/ckpt_mh")
+      try q1.processAllAvailable() finally q1.stop()
+      val stream2 = spark.readStream.schema(batches.schema)
+        .option("maxFilesPerTrigger", "1").parquet(files)
+      val q2 = Dedup.simhashIngest(stream2, shDir.getAbsolutePath,
+        stage.getAbsolutePath + "/ckpt_sh")
+      try q2.processAllAvailable() finally q2.stop()
+      // both grown indexes see the streamed batches: the probe reports
+      // near-dups against streamed id 20/22, not just the base
+      val mhGot = Dedup.minhashIndexProbe(spark, mhDir.getAbsolutePath,
+        delta, base.unionByName(batches), "id", "text", threshold = 0.5)
+        .select("base_id").as[Long].collect().toSet
+      assert(Set(1L, 20L).subsetOf(mhGot), s"minhash probe saw $mhGot")
+      val shGot = Dedup.simhashIndexProbe(spark, shDir.getAbsolutePath,
+        delta, "id", "text", maxHamming = 16)
+        .select("base_id").as[Long].collect().toSet
+      assert(Set(1L, 20L).subsetOf(shGot), s"simhash probe saw $shGot")
+      // micro-batches fragmented both tables; compaction folds them
+      assert(Dedup.minhashIndexHealth(spark, mhDir.getAbsolutePath)
+        .head().getAs[Long]("n_fragments") >= 2L)
+      assert(Dedup.simhashIndexHealth(spark, shDir.getAbsolutePath)
+        .head().getAs[Long]("n_fragments") >= 2L)
+      Dedup.minhashIndexCompact(spark, mhDir.getAbsolutePath)
+      Dedup.simhashIndexCompact(spark, shDir.getAbsolutePath)
+      assert(Dedup.minhashIndexProbe(spark, mhDir.getAbsolutePath,
+        delta, base.unionByName(batches), "id", "text", threshold = 0.5)
+        .select("base_id").as[Long].collect().toSet == mhGot)
+      assert(Dedup.simhashIndexProbe(spark, shDir.getAbsolutePath,
+        delta, "id", "text", maxHamming = 16)
+        .select("base_id").as[Long].collect().toSet == shGot)
+    } finally {
+      graft.util.TempDirs.deleteRecursively(mhDir)
+      graft.util.TempDirs.deleteRecursively(shDir)
+      graft.util.TempDirs.deleteRecursively(stage)
+    }
+  }
+
   test("ivfPqIngest streams encoded micro-batches into the codes table") {
     val (queries, corpus) = annFixture()
     val mid = corpus.agg(
