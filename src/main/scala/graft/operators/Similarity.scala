@@ -1069,6 +1069,85 @@ object Similarity {
     }
   }
 
+  /** Execute EVERY action of a fleet plan ([[indexMaintenancePlan]]'s
+    * output over any mix of families) in one call — the last step of
+    * the fleet loop: health union → plan → THIS. Each row's family is
+    * sniffed from its manifest snapshot's on-disk tables (postings →
+    * IVF, codes → IVF-PQ, bands → MinHash, sigs → SimHash, labels →
+    * SemDeDup state, shingles → decontam) and the action dispatches to
+    * that family's apply operator. Actions that need an input only the
+    * operator can supply take it from `corpora` keyed by index dir —
+    * text tables (canonical `id`/`text` columns) for the text-family
+    * `dedup_prepass`, the embedding store (`id`/`v`) for a PQ rebuild.
+    *
+    * Per-row failure isolation: a row whose action cannot run unattended
+    * (a PQ rebuild with no embedding store in `corpora`, a SemDeDup
+    * `rebuild` — re-clustering is a modeling decision with a chosen k,
+    * [[Clustering.semDedupStateSave]]) is REPORTED, not thrown: fleet
+    * maintenance over a thousand indexes must not abort on the one row
+    * that needs an operator. Returns the report: one row per plan row,
+    * (dir, family, action, status, detail) with status `executed` /
+    * `skipped` / `failed`. Driver-side loop over a bounded plan (the
+    * fleet table is one row per index by construction); each executed
+    * action is itself a distributed job under that index's writer
+    * lock. */
+  def fleetMaintenanceApply(spark: org.apache.spark.sql.SparkSession,
+                            plan: DataFrame,
+                            corpora: Map[String, DataFrame] = Map.empty)
+    : DataFrame = {
+    import spark.implicits._
+    val rows = plan.select(col("dir").cast("string"),
+      col("action").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val report = rows.map { case (dir, action) =>
+      val snap = Manifest.snapshot(spark, dir)
+      def has(table: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(snap.path(table))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      val family =
+        if (has("codes")) "ivf_pq"
+        else if (has("postings")) "ivf"
+        else if (has("bands")) "minhash"
+        else if (has("sigs")) "simhash"
+        else if (has("labels")) "semdedup"
+        else if (has("shingles")) "decontam"
+        else "unknown"
+      val corpus = corpora.get(dir)
+      def run(f: => Unit): (String, String) =
+        try { f; ("executed", "") }
+        catch { case e: Exception =>
+          ("failed", Option(e.getMessage).getOrElse(e.getClass.getName)
+            .take(200))
+        }
+      val (status, detail) = (family, action) match {
+        case (_, "none") => ("skipped", "no action planned")
+        case ("unknown", _) =>
+          ("skipped", "no recognizable index tables at dir")
+        case ("ivf" | "ivf_pq", a) =>
+          if (family == "ivf_pq" && a == "rebuild" && corpus.isEmpty)
+            ("skipped", "PQ rebuild needs the embedding store in corpora")
+          else run(indexMaintenanceApply(spark, dir, a, corpus))
+        case ("minhash", a) =>
+          if (a == "dedup_prepass" && corpus.isEmpty)
+            ("skipped", "dedup_prepass needs the corpus text in corpora")
+          else run(Dedup.minhashMaintenanceApply(spark, dir, a, corpus))
+        case ("simhash", a) =>
+          if (a == "dedup_prepass" && corpus.isEmpty)
+            ("skipped", "dedup_prepass needs the corpus text in corpora")
+          else run(Dedup.simhashMaintenanceApply(spark, dir, a, corpus))
+        case ("semdedup", "compact") =>
+          run(Clustering.semDedupStateCompact(spark, dir))
+        case ("semdedup", "rebuild") =>
+          ("skipped", "SemDeDup rebuild is a re-cluster with a chosen " +
+            "k — run semDedupStateSave")
+        case (f, a) => ("skipped", s"no $a operator for family $f")
+      }
+      (dir, family, action, status, detail)
+    }.toSeq
+    report.toDF("dir", "family", "action", "status", "detail")
+  }
+
   /** Operational health report of a persisted [[ivfBuild]] index — the
     * dashboard row a daily-append pipeline watches: physical layout
     * (lists, rows, files, skew) plus a sampled recall@k reading of the

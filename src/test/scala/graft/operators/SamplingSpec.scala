@@ -1083,6 +1083,74 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("fleetMaintenanceApply executes a mixed-family plan with per-row " +
+    "isolation: compacts run, prepasses need their corpus, semdedup " +
+    "rebuilds defer to the operator") {
+    import spark.implicits._
+    val boiler = "all work and no play makes jack a dull boy"
+    val hotDocs = (0L until 8L).map(i => (i, boiler)).toDF("id", "text")
+      .repartition(1)
+    val fragDocs = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs",
+      2L -> "how vexingly quick daft zebras jump")
+      .toDF("id", "text").repartition(1)
+    def vv(c: Double) = Seq(c, c + 0.001)
+    val semVecs = Seq((0L, vv(1.0)), (1L, vv(1.0)), (2L, vv(1.0)),
+      (3L, vv(-5.0))).toDF("id", "vec")
+    val dirs = Seq("fleet_mh_", "fleet_sh_", "fleet_sem_")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toFile)
+    try {
+      val Seq(mhDir, shDir, semDir) = dirs.map(_.getAbsolutePath)
+      Dedup.minhashIndexBuild(hotDocs, mhDir, "id", "text")
+      Dedup.simhashIndexBuild(fragDocs.filter(col("id") === 0L), shDir,
+        "id", "text")
+      (1L until 3L).foreach(i => Dedup.simhashIndexAppend(spark, shDir,
+        fragDocs.filter(col("id") === i), "id", "text"))
+      val (labels, centroids) = Clustering.kmeansWithCentroids(
+        semVecs, "id", "vec", k = 2, iterations = 2)
+      Clustering.semDedupStateSave(spark, semDir, labels, "id", centroids)
+      Clustering.releasePairs(labels)
+      def fleet() = Dedup.minhashIndexHealth(spark, mhDir,
+          hotBucketCap = 5)
+        .unionByName(Dedup.simhashIndexHealth(spark, shDir),
+          allowMissingColumns = true)
+        .unionByName(Clustering.semDedupStateHealth(spark, semDir,
+          hotClusterCap = 2), allowMissingColumns = true)
+      def plan() = Similarity.indexMaintenancePlan(fleet(),
+        recallFloor = 0.9, maxFilesPerListCeiling = 10,
+        maxFragmentsCeiling = 2, hotClustersCeiling = 0L)
+      val planned = plan().select("dir", "action").as[(String, String)]
+        .collect().toMap
+      assert(planned(mhDir) == "dedup_prepass")
+      assert(planned(shDir) == "compact")
+      assert(planned(semDir) == "rebuild")
+      // first apply: no corpora — the prepass is SKIPPED loudly, the
+      // compact executes, the semdedup rebuild defers to the operator
+      val r1 = Similarity.fleetMaintenanceApply(spark, plan())
+        .select("dir", "family", "status").as[(String, String, String)]
+        .collect().map { case (d, f, s) => d -> (f, s) }.toMap
+      assert(r1(mhDir) == ("minhash", "skipped"))
+      assert(r1(shDir) == ("simhash", "executed"))
+      assert(r1(semDir) == ("semdedup", "skipped"))
+      assert(Dedup.simhashIndexHealth(spark, shDir)
+        .head().getAs[Long]("n_fragments") == 1L)
+      // second apply WITH the minhash corpus: the prepass executes and
+      // the re-planned fleet row goes quiet
+      val r2 = Similarity.fleetMaintenanceApply(spark, plan(),
+        corpora = Map(mhDir -> hotDocs))
+        .select("dir", "status").as[(String, String)].collect().toMap
+      assert(r2(mhDir) == "executed")
+      val after = plan().select("dir", "action").as[(String, String)]
+        .collect().toMap
+      assert(after(mhDir) == "none" && after(shDir) == "none")
+      // `none` rows report as skipped/no-op, never as failures
+      val r3 = Similarity.fleetMaintenanceApply(spark, plan())
+        .select("status").as[String].collect().toSet
+      assert(!r3.contains("failed"))
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   test("minhashIngest and simhashIngest stream micro-batch appends " +
     "into the persisted text indexes") {
     import spark.implicits._
