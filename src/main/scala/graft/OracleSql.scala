@@ -1125,6 +1125,17 @@ object OracleSql {
         |UNION ALL SELECT 5, 'rebuild'
         |UNION ALL SELECT 6, 'none'""".stripMargin,
 
+    // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make
+    // every 2-dim subvector slice exactly representable, so the base
+    // reconstruction is exact and every value is the q244 constant
+    "q248_ivfpq_drift" ->
+      """SELECT 'healthy' AS which, CAST(1.0 AS DOUBLE) AS base_mean_sim,
+        |  CAST(1.0 AS DOUBLE) AS batch_mean_sim,
+        |  CAST(1.0 AS DOUBLE) AS drift_ratio, 'none' AS action
+        |UNION ALL
+        |SELECT 'drifted', CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE), 'rebuild'""".stripMargin,
+
     // q241: the bayesian trial ladder's integer-safe structural facts —
     // 4 trials ran, every lambda stayed in the declared box, and the
     // selected trial is <= the worst and <= every trial (selectBest's

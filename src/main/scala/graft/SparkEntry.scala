@@ -3365,6 +3365,45 @@ object SparkEntry {
     } finally graft.util.TempDirs.deleteRecursively(stage)
   }
 
+  /** Centroid+codebook DRIFT probe of a persisted IVF-PQ index
+    * ([[operators.Similarity.ivfPqDriftProbe]] — q244's compressed
+    * twin): the codes table stores no vectors, so the base side scores
+    * each row's RECONSTRUCTION (concat of its codebook entries) against
+    * its list centroid, folding coarse drift and codebook staleness
+    * into one ratio. Controlled fixture as q244, with m=4/nCodes=4 so
+    * every 2-dim subvector slice of the axis corpus is exactly
+    * representable — reconstruction is exact, `base_mean_sim` is
+    * exactly 1.0, and the drifted batch (dims 4–7, orthogonal to every
+    * centroid) pins ratio 0.0 → `rebuild`. */
+  def q248_ivfpq_drift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val corpus = (0 until 4).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    val drifted = (0 until 4).map(c => (100L + c, pt(4 + c)))
+      .toDF("id", "v")
+    val stage = graft.util.TempDirs.fresh("q248_pqdrift_")
+    try {
+      val root = stage.getAbsolutePath
+      Similarity.ivfPqBuild(corpus, root, nList = 4, m = 4, nCodes = 4,
+        kmeansMaxIter = 10)
+      val fleet = Similarity.ivfPqDriftProbe(s, root, corpus)
+        .withColumn("which", lit("healthy"))
+        .unionByName(Similarity.ivfPqDriftProbe(s, root, drifted)
+          .withColumn("which", lit("drifted")))
+      Similarity.indexMaintenancePlan(fleet, recallFloor = 0.0,
+        maxFilesPerListCeiling = Long.MaxValue,
+        driftRatioFloor = 0.5)
+        .select(col("which"),
+          round(col("base_mean_sim"), 6).as("base_mean_sim"),
+          round(col("batch_mean_sim"), 6).as("batch_mean_sim"),
+          round(col("drift_ratio"), 6).as("drift_ratio"),
+          col("action"))
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -5251,7 +5290,8 @@ object SparkEntry {
     "q244_ivf_drift" -> (q244_ivf_drift _),
     "q245_semdedup_state_health" -> (q245_semdedup_state_health _),
     "q246_decontam_health" -> (q246_decontam_health _),
-    "q247_fleet_all_families" -> (q247_fleet_all_families _))
+    "q247_fleet_all_families" -> (q247_fleet_all_families _),
+    "q248_ivfpq_drift" -> (q248_ivfpq_drift _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

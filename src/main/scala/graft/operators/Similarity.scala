@@ -805,6 +805,56 @@ object Similarity {
       (col("batch_mean_sim") / col("base_mean_sim")).as("drift_ratio"))
   }
 
+  /** [[ivfDriftProbe]] for the compressed [[ivfPqBuild]] layout. The
+    * codes table stores no vectors, so the base side scores the
+    * RECONSTRUCTION — each row decodes to concat(codebook_j[code_j]),
+    * the best x the index can represent — against the centroid of the
+    * list it is filed under. That folds BOTH decay modes into one
+    * number: coarse-centroid drift (vectors far from their list) and
+    * codebook staleness (vectors the codebooks can no longer represent
+    * — reconstruction error pulls the cosine down even when the coarse
+    * assignment is fine). The batch side scores the caller's REAL
+    * vectors against their nearest centroid, exactly as [[ivfAppend]]
+    * would assign them. Cost: one (sampled) codes scan with the
+    * broadcast-class codebooks + centroids, one batch scan. */
+  def ivfPqDriftProbe(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, batch: DataFrame,
+                      baseSampleMod: Long = 1L): DataFrame = {
+    val snap = Manifest.snapshot(spark, dir)
+    val cents = spark.read.parquet(snap.path("centroids"))
+      .select(col("list"), col("center"))
+    val cb = loadCodebooks(spark, snap.path("codebooks"))
+    val subLen = cb(0)(0).length
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val recon = udf { (codes: Seq[Int]) =>
+      val out = new Array[Double](codes.length * subLen)
+      var j = 0
+      while (j < codes.length) {
+        System.arraycopy(bcCb.value(j)(codes(j)), 0, out, j * subLen,
+          subLen)
+        j += 1
+      }
+      out.toSeq
+    }
+    val base = spark.read.parquet(snap.path("codes"))
+      .filter(pmod(xxhash64(col("id")), lit(baseSampleMod)) === 0)
+      .join(broadcast(cents), Seq("list"))
+      .agg(avg(V.cosine(recon(col("codes")), col("center")))
+        .as("base_mean_sim"))
+    val bcC = spark.sparkContext.broadcast(
+      loadCentroids(spark, snap.path("centroids")))
+    val assign = udf { (v: Seq[Double]) => nearestIdx(bcC.value, v) }
+    val bat = batch
+      .select(assign(col("v").cast("array<double>")).as("list"), col("v"))
+      .join(broadcast(cents), Seq("list"))
+      .agg(avg(V.cosine(col("v").cast("array<double>"), col("center")))
+        .as("batch_mean_sim"))
+    base.crossJoin(bat).select(
+      lit(dir).as("dir"), lit(snap.version).as("version"),
+      col("base_mean_sim"), col("batch_mean_sim"),
+      (col("batch_mean_sim") / col("base_mean_sim")).as("drift_ratio"))
+  }
+
   /** Semantic DECONTAMINATION against an evaluation benchmark: annotate
     * every corpus row with its maximum cosine to ANY benchmark vector
     * plus a `contaminated` flag at `tau` — the embedding-space

@@ -1083,6 +1083,42 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("ivfPqDriftProbe scores reconstructions: exact fixture gives " +
+    "ratio 1, orthogonal drift gives 0, stale codebooks pull base down") {
+    import spark.implicits._
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val corpus = (0 until 4).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    val drifted = (0 until 4).map(c => (100L + c, pt(4 + c)))
+      .toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("pqdrift").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfPqBuild(corpus, root, nList = 4, m = 4, nCodes = 4,
+        kmeansMaxIter = 10)
+      val healthy = Similarity.ivfPqDriftProbe(spark, root, corpus).head()
+      assert(math.abs(healthy.getAs[Double]("base_mean_sim") - 1.0) < 1e-12)
+      assert(math.abs(healthy.getAs[Double]("drift_ratio") - 1.0) < 1e-12)
+      val dRow = Similarity.ivfPqDriftProbe(spark, root, drifted).head()
+      assert(math.abs(dRow.getAs[Double]("batch_mean_sim")) < 1e-12)
+      // codebook staleness is visible through the BASE side: append an
+      // off-axis vector the codebooks cannot represent — its
+      // reconstruction snaps to stale codebook entries ((0.6, 0.8) →
+      // (0, 1); (1, 0) stays), lands in list 2 but reconstructs to
+      // (0, 1, 1, 0, …), cosine 1/√2 to its centroid — pulling
+      // base_mean_sim strictly below the pre-append exact 1.0
+      val off = new Array[Float](8)
+      off(0) = 0.6f; off(1) = 0.8f; off(2) = 1.0f
+      Similarity.ivfPqAppend(spark, root,
+        Seq((200L, off)).toDF("id", "v"))
+      val stale = Similarity.ivfPqDriftProbe(spark, root, corpus).head()
+      val b = stale.getAs[Double]("base_mean_sim")
+      assert(b < 1.0 - 1e-9 && b > 0.9,
+        s"stale codebooks must depress base_mean_sim: $stale")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("fleetMaintenanceApply executes a mixed-family plan with per-row " +
     "isolation: compacts run, prepasses need their corpus, semdedup " +
     "rebuilds defer to the operator") {
