@@ -1125,6 +1125,60 @@ object OracleSql {
         |UNION ALL SELECT 5, 'rebuild'
         |UNION ALL SELECT 6, 'none'""".stripMargin,
 
+    // q249: the daily-ingest composition replayed stage by stage from
+    // the shared CTEs — quality floor (q21 len(toks)), exact dedup vs
+    // base src1-4 hashes + earlier-batch keepers (q81's keeper logic),
+    // near-dup vs the src1-4 banded index at J >= 0.5 (q116's signature
+    // mirror), decontamination vs src0's distinct shingles (q58/q235).
+    // The hot-bucket guard has no mirror (no bucket nears the cap at
+    // verify scale, the q116 precedent)
+    "q249_daily_ingest" -> (shinglesCte + """,
+        |sigs AS (SELECT doc_id, source,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 1, 8))), 'zzzzzzzz') AS mh0,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 9, 8))), 'zzzzzzzz') AS mh1,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 17, 8))), 'zzzzzzzz') AS mh2,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 25, 8))), 'zzzzzzzz') AS mh3,
+        |  list_distinct(sh3) AS shd FROM sh),
+        |bnd AS (SELECT doc_id, source,
+        |  md5(mh0 || '|' || mh1) AS b0, md5(mh2 || '|' || mh3) AS b1,
+        |  shd FROM sigs),
+        |near AS (SELECT DISTINCT dd.doc_id
+        |  FROM bnd dd JOIN bnd e ON (dd.b0 = e.b0 OR dd.b1 = e.b1)
+        |    AND dd.source NOT IN ('src0','src1','src2','src3','src4')
+        |    AND e.source IN ('src1','src2','src3','src4')
+        |  WHERE CAST(len(list_intersect(dd.shd, e.shd)) AS DOUBLE)
+        |    / (len(dd.shd) + len(e.shd)
+        |       - len(list_intersect(dd.shd, e.shd)))
+        |    >= CAST(0.5 AS DOUBLE)),
+        |bh AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE source IN ('src1','src2','src3','src4')),
+        |dl AS (SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |k AS (SELECT h, MIN(doc_id) AS keep FROM dl
+        |  WHERE h NOT IN (SELECT h FROM bh) GROUP BY 1),
+        |bg AS (SELECT DISTINCT unnest(sh3) AS g FROM sh
+        |  WHERE source = 'src0'),
+        |cg AS (SELECT DISTINCT doc_id, unnest(list_distinct(sh3)) AS g
+        |  FROM sh
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |ct AS (SELECT cg.doc_id, COUNT(*) AS n FROM cg
+        |  JOIN bg USING (g) GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  NOT COALESCE(k.keep = dl.doc_id, FALSE) AS is_dup_exact,
+        |  (near.doc_id IS NOT NULL) AS is_neardup,
+        |  COALESCE(ct.n, 0) > 0 AS is_contaminated,
+        |  (len(t.toks) >= 5 AND COALESCE(k.keep = dl.doc_id, FALSE)
+        |    AND near.doc_id IS NULL AND COALESCE(ct.n, 0) = 0)
+        |    AS accepted
+        |FROM t JOIN dl ON t.doc_id = dl.doc_id
+        |LEFT JOIN k USING (h)
+        |LEFT JOIN near ON near.doc_id = t.doc_id
+        |LEFT JOIN ct ON ct.doc_id = t.doc_id""".stripMargin),
+
     // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make
     // every 2-dim subvector slice exactly representable, so the base
     // reconstruction is exact and every value is the q244 constant

@@ -3404,6 +3404,62 @@ object SparkEntry {
     } finally graft.util.TempDirs.deleteRecursively(stage)
   }
 
+  /** DAILY-INGEST pipeline over PERSISTED state — the operational
+    * composition every index in this package exists for, in one gate:
+    * the benchmark suite (src0) is indexed once
+    * ([[operators.Decontamination.decontamIndexBuild]]), the base
+    * corpus (src1–4) is signed once
+    * ([[operators.Dedup.minhashIndexBuild]]), and the DAY'S BATCH
+    * (src5+) is admitted through four stages touching only the files
+    * and the batch — the base corpus is never re-scanned in text form
+    * except for the probe's candidate-id fetches:
+    *  1. quality floor (token count ≥ 5, q21's codegen counter),
+    *  2. exact dedup vs base hashes AND earlier-in-batch keepers
+    *     ([[operators.Dedup.incrementalExact]], q81's semantics),
+    *  3. near-dup vs the persisted MinHash index at J ≥ 0.5
+    *     ([[operators.Dedup.minhashIndexProbe]], q116/q236's kernel),
+    *  4. benchmark decontamination via the persisted shingle index
+    *     ([[operators.Decontamination.decontamIndexReport]], q58/q235).
+    * One row per batch doc with each verdict and the final `accepted`
+    * conjunction — the DuckDB mirror replays all four stages from the
+    * shared shingle/token CTEs. */
+  def q249_daily_ingest(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("source") === "src0")
+    val baseSrc = Seq("src1", "src2", "src3", "src4")
+    val base = docs.filter(col("source").isInCollection(baseSrc))
+    val batch = docs.filter(
+      !col("source").isInCollection("src0" +: baseSrc))
+    val dirs = Seq("q249_mh_", "q249_dc_").map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(mhDir, dcDir) = dirs.map(_.getAbsolutePath)
+      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
+      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      val exactFlag = Dedup.incrementalExact(batch, base, "doc_id",
+        "text")
+      val nearIds = Dedup.minhashIndexProbe(s, mhDir, batch, base,
+        "doc_id", "text", threshold = 0.5)
+        .select(col("delta_id").as("doc_id")).distinct()
+        .withColumn("_near", lit(true))
+      val contam = Decontamination.decontamIndexReport(s, dcDir, batch,
+        "doc_id", "text")
+        .select(col("doc_id"), col("is_contaminated"))
+      batch.select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"))
+        .join(exactFlag, Seq("doc_id"))
+        .join(nearIds, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          (!col("is_new")).as("is_dup_exact"),
+          coalesce(col("_near"), lit(false)).as("is_neardup"),
+          col("is_contaminated"),
+          (col("n_tokens") >= 5 && col("is_new") &&
+            !coalesce(col("_near"), lit(false)) &&
+            !col("is_contaminated")).as("accepted"))
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -5291,7 +5347,8 @@ object SparkEntry {
     "q245_semdedup_state_health" -> (q245_semdedup_state_health _),
     "q246_decontam_health" -> (q246_decontam_health _),
     "q247_fleet_all_families" -> (q247_fleet_all_families _),
-    "q248_ivfpq_drift" -> (q248_ivfpq_drift _))
+    "q248_ivfpq_drift" -> (q248_ivfpq_drift _),
+    "q249_daily_ingest" -> (q249_daily_ingest _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
