@@ -1125,6 +1125,68 @@ object OracleSql {
         |UNION ALL SELECT 5, 'rebuild'
         |UNION ALL SELECT 6, 'none'""".stripMargin,
 
+    // q250: the persisted exact-hash index probe — md5 membership
+    // against the distinct base (src1-4) hash set, q81's base-side
+    // semantics with the set read from files
+    "q250_exact_index" ->
+      """WITH bh AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE source IN ('src1','src2','src3','src4'))
+        |SELECT doc_id,
+        |  (md5(text) IN (SELECT h FROM bh)) AS is_dup
+        |FROM documents
+        |WHERE source NOT IN ('src0','src1','src2','src3','src4')"""
+        .stripMargin,
+
+    // q251: the streaming admission's accumulated verdict rows must
+    // equal the one-shot batch result — q249's mirror with the
+    // ORDER-INDEPENDENT exact stage (base-hash membership only; the
+    // min-id intra-batch keeper is the daily batch compaction's job,
+    // not the stream's)
+    "q251_streaming_admission" -> (shinglesCte + """,
+        |sigs AS (SELECT doc_id, source,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 1, 8))), 'zzzzzzzz') AS mh0,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 9, 8))), 'zzzzzzzz') AS mh1,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 17, 8))), 'zzzzzzzz') AS mh2,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 25, 8))), 'zzzzzzzz') AS mh3,
+        |  list_distinct(sh3) AS shd FROM sh),
+        |bnd AS (SELECT doc_id, source,
+        |  md5(mh0 || '|' || mh1) AS b0, md5(mh2 || '|' || mh3) AS b1,
+        |  shd FROM sigs),
+        |near AS (SELECT DISTINCT dd.doc_id
+        |  FROM bnd dd JOIN bnd e ON (dd.b0 = e.b0 OR dd.b1 = e.b1)
+        |    AND dd.source NOT IN ('src0','src1','src2','src3','src4')
+        |    AND e.source IN ('src1','src2','src3','src4')
+        |  WHERE CAST(len(list_intersect(dd.shd, e.shd)) AS DOUBLE)
+        |    / (len(dd.shd) + len(e.shd)
+        |       - len(list_intersect(dd.shd, e.shd)))
+        |    >= CAST(0.5 AS DOUBLE)),
+        |bh AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE source IN ('src1','src2','src3','src4')),
+        |bg AS (SELECT DISTINCT unnest(sh3) AS g FROM sh
+        |  WHERE source = 'src0'),
+        |cg AS (SELECT DISTINCT doc_id, unnest(list_distinct(sh3)) AS g
+        |  FROM sh
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |ct AS (SELECT cg.doc_id, COUNT(*) AS n FROM cg
+        |  JOIN bg USING (g) GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  (md5(t.text) IN (SELECT h FROM bh)) AS is_dup_exact,
+        |  (near.doc_id IS NOT NULL) AS is_neardup,
+        |  COALESCE(ct.n, 0) > 0 AS is_contaminated,
+        |  (len(t.toks) >= 5
+        |    AND md5(t.text) NOT IN (SELECT h FROM bh)
+        |    AND near.doc_id IS NULL AND COALESCE(ct.n, 0) = 0)
+        |    AS accepted
+        |FROM t
+        |LEFT JOIN near ON near.doc_id = t.doc_id
+        |LEFT JOIN ct ON ct.doc_id = t.doc_id
+        |WHERE t.source NOT IN ('src0','src1','src2','src3','src4')"""
+      .stripMargin),
+
     // q249: the daily-ingest composition replayed stage by stage from
     // the shared CTEs — quality floor (q21 len(toks)), exact dedup vs
     // base src1-4 hashes + earlier-batch keepers (q81's keeper logic),

@@ -3460,6 +3460,76 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  /** PERSISTED exact-hash index ([[operators.Dedup.exactIndexBuild]] /
+    * `Append` / `Probe` — the seventh persisted family, and the table
+    * [[operators.Dedup.incrementalExact]]'s contract promises: "at
+    * scale that set is a stored table, not a rescan"): one md5 per
+    * distinct base text on disk, batch probes are one hash projection
+    * + one semi-join against the files, duplicate stored hashes
+    * (append is dedupe-free by design — an anti-join would rescan the
+    * corpus-sized table per batch) cannot change verdicts. Built on
+    * src1–2, appended src3–4, probed by src5+. */
+  def q250_exact_index(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val baseSrc = Seq("src1", "src2", "src3", "src4")
+    val stage = graft.util.TempDirs.fresh("q250_exact_")
+    try {
+      val root = stage.getAbsolutePath
+      Dedup.exactIndexBuild(
+        docs.filter(col("source").isInCollection(Seq("src1", "src2"))),
+        root, "doc_id", "text")
+      Dedup.exactIndexAppend(s, root,
+        docs.filter(col("source").isInCollection(Seq("src3", "src4"))),
+        "doc_id", "text")
+      Dedup.exactIndexProbe(s, root,
+        docs.filter(!col("source").isInCollection("src0" +: baseSrc)),
+        "doc_id", "text")
+        .localCheckpoint()
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
+
+  /** STREAMING admission against persisted curation state
+    * ([[operators.CorpusPipeline.streamingAdmission]] — the continuous
+    * face of q249's daily ingest): the day's batch is staged as
+    * multi-file parquet by a distributed write (q209's file-source
+    * convention — input never passes through the driver) and replayed
+    * through `readStream` + `maxFilesPerTrigger`, each micro-batch
+    * running the order-independent admission kernel (quality floor +
+    * persisted exact-hash probe + persisted MinHash probe + persisted
+    * decontam probe) and appending verdict rows. Because every verdict
+    * depends only on its own row and the index FILES, the accumulated
+    * sink CONVERGES to the one-shot batch result whatever the trigger
+    * cadence — the DuckDB mirror is that batch result's SQL. */
+  def q251_streaming_admission(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("source") === "src0")
+    val baseSrc = Seq("src1", "src2", "src3", "src4")
+    val base = docs.filter(col("source").isInCollection(baseSrc))
+    val batch = docs.filter(
+      !col("source").isInCollection("src0" +: baseSrc))
+    val dirs = Seq("q251_ex_", "q251_mh_", "q251_dc_", "q251_stage_",
+      "q251_out_", "q251_ckpt_").map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, dcDir, stageDir, outDir, ckptDir) =
+        dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "doc_id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
+      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      batch.select(col("doc_id"), col("text")).repartition(6)
+        .write.parquet(stageDir)
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(
+          batch.select(col("doc_id"), col("text")).schema.fields))
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stageDir)
+      val q = operators.CorpusPipeline.streamingAdmission(stream, exDir,
+        mhDir, dcDir, base, outDir, ckptDir)
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(outDir).localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -5348,7 +5418,9 @@ object SparkEntry {
     "q246_decontam_health" -> (q246_decontam_health _),
     "q247_fleet_all_families" -> (q247_fleet_all_families _),
     "q248_ivfpq_drift" -> (q248_ivfpq_drift _),
-    "q249_daily_ingest" -> (q249_daily_ingest _))
+    "q249_daily_ingest" -> (q249_daily_ingest _),
+    "q250_exact_index" -> (q250_exact_index _),
+    "q251_streaming_admission" -> (q251_streaming_admission _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -40,6 +40,90 @@ object Dedup {
           .as("is_new"))
   }
 
+  // ---- persisted exact-hash index ---------------------------------
+  //
+  // [[incrementalExact]]'s own contract says it: "at scale that set is
+  // a stored table, not a rescan". This is that table — the seventh
+  // persisted family, and the cheapest: one 32-char md5 per distinct
+  // document text. Same operational contract as every other family
+  // (writers under [[Manifest.withLock]], compaction behind a manifest
+  // flip, one health row for the fleet table). Appends write the
+  // BATCH's distinct hashes without anti-joining the stored set (an
+  // anti-join would scan the corpus-sized table per batch); duplicate
+  // hashes across appends are harmless to probes (semi-join semantics)
+  // and are folded out by [[exactIndexCompact]].
+
+  /** Build the persisted exact-dedup index: the corpus's distinct
+    * content hashes. In-place fresh build (reader-UNSAFE, like every
+    * fresh build in this package). */
+  def exactIndexBuild(docs: DataFrame, dir: String, idCol: String,
+                      textCol: String): Unit = {
+    docs.select(md5(col(textCol)).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/hashes.parquet")
+    Manifest.reset(docs.sparkSession, dir)
+  }
+
+  /** Append an accepted batch's distinct hashes — one batch scan, no
+    * stored-set rescan. Lock held for the whole drop, table resolved
+    * through the snapshot inside it. */
+  def exactIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, batch: DataFrame, idCol: String,
+                       textCol: String): Unit =
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      batch.select(md5(col(textCol)).as("h")).distinct()
+        .write.mode("append").parquet(snap.path("hashes"))
+    }
+
+  /** Probe a delta batch against the persisted hash set: one content
+    * hash per delta row, one semi-join against the files — duplicate
+    * stored hashes cannot change the verdict. Returns every delta row
+    * with `is_dup` (its text already exists in the indexed corpus). */
+  def exactIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, delta: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val stored = spark.read.parquet(
+      Manifest.snapshot(spark, dir).path("hashes"))
+    val hashed = delta.select(col(idCol), md5(col(textCol)).as("h"))
+    hashed.join(stored.select(col("h"), lit(true).as("_hit")),
+        Seq("h"), "left")
+      .select(col(idCol), coalesce(col("_hit"), lit(false)).as("is_dup"))
+  }
+
+  /** Fold append fragments into one distinct, range-clustered file set
+    * behind a [[Manifest]] flip — the dedupe point for cross-append
+    * duplicate hashes. */
+  def exactIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit =
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val tmp = s"$dir/_compact.tmp.hashes"
+      spark.read.parquet(snap.path("hashes")).distinct()
+        .repartitionByRange(col("h")).sortWithinPartitions("h")
+        .write.mode("overwrite").parquet(tmp)
+      Manifest.publishUnderLock(spark, dir, Seq("hashes" -> tmp))
+    }
+
+  /** Health row of the persisted hash set — fleet-table shape:
+    * `total_rows` vs `distinct_hashes` measures cross-append duplicate
+    * accumulation (compaction due when the gap grows), `n_fragments`
+    * the file fragmentation. */
+  def exactIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val snap = Manifest.snapshot(spark, dir)
+    val hashesPath = snap.path("hashes")
+    val tableP = new org.apache.hadoop.fs.Path(hashesPath)
+    val nFragments = tableP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
+      .toLong
+    spark.read.parquet(hashesPath).agg(
+      count(lit(1)).as("total_rows"),
+      count_distinct(col("h")).as("distinct_hashes"),
+      lit(dir).as("dir"), lit(snap.version).as("version"),
+      lit(nFragments).as("n_fragments"))
+  }
+
   /** Hot-bucket guard for LSH bucket self-joins: drop buckets with more
     * than `cap` members before pair generation. One degenerate bucket
     * (empty / boilerplate docs all hashing together) otherwise goes

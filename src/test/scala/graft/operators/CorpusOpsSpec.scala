@@ -415,6 +415,95 @@ class CorpusOpsSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("persisted exact-hash index: probe is append- and duplicate-" +
+    "immune, compaction dedupes behind a flip, writer lock enforced") {
+    import spark.implicits._
+    val txt = "alpha beta gamma"
+    val base = Seq((1L, txt), (2L, "one two three")).toDF("doc_id", "text")
+    val delta = Seq((10L, txt), (11L, "brand new words"),
+      (12L, "one two three")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("exidx").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Dedup.exactIndexBuild(base.filter(col("doc_id") === 1L), root,
+        "doc_id", "text")
+      Dedup.exactIndexAppend(spark, root,
+        base.filter(col("doc_id") === 2L), "doc_id", "text")
+      def probe() = Dedup.exactIndexProbe(spark, root, delta, "doc_id",
+        "text").as[(Long, Boolean)].collect().toMap
+      assert(probe() == Map(10L -> true, 11L -> false, 12L -> true))
+      // re-appending the same batch stores duplicate hashes — verdicts
+      // cannot change (semi-join semantics); health shows the gap
+      Dedup.exactIndexAppend(spark, root, base, "doc_id", "text")
+      assert(probe() == Map(10L -> true, 11L -> false, 12L -> true))
+      def health() = Dedup.exactIndexHealth(spark, root).head()
+      val h0 = health()
+      assert(h0.getAs[Long]("total_rows") == 4L)
+      assert(h0.getAs[Long]("distinct_hashes") == 2L)
+      assert(h0.getAs[Long]("n_fragments") >= 3L)
+      // compaction dedupes and defragments behind one manifest flip
+      Dedup.exactIndexCompact(spark, root)
+      assert(Manifest.snapshot(spark, root).version == 1)
+      val h1 = health()
+      assert(h1.getAs[Long]("total_rows") == 2L)
+      assert(h1.getAs[Long]("distinct_hashes") == 2L)
+      assert(probe() == Map(10L -> true, 11L -> false, 12L -> true))
+      // the writer lock is enforced on the append
+      Manifest.withLock(spark, root) {
+        val e = intercept[IllegalStateException] {
+          Dedup.exactIndexAppend(spark, root, delta, "doc_id", "text")
+        }
+        assert(e.getMessage.contains("another writer"))
+      }
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("streaming admission converges to the one-shot batch verdicts " +
+    "under any micro-batch slicing") {
+    import spark.implicits._
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val benchTxt = "secret eval question about sphinxes and quartz"
+    val bench = Seq((100L, benchTxt)).toDF("doc_id", "text")
+    val base = Seq((1L, boiler),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, boiler),                      // exact dup of base
+      (11L, boiler + " iota"),            // near-dup of base
+      (12L, benchTxt + " padded a bit longer now"), // contaminated
+      (13L, "tiny"),                      // under the token floor
+      (14L, "completely fresh clean document with many words"))
+      .toDF("doc_id", "text")
+    val dirs = Seq("adm_ex_", "adm_mh_", "adm_dc_", "adm_st_")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toFile)
+    try {
+      val Seq(exDir, mhDir, dcDir, stDir) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "doc_id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
+      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "n_tokens", "is_dup_exact", "is_neardup",
+          "is_contaminated", "accepted")
+          .as[(Long, Long, Boolean, Boolean, Boolean, Boolean)]
+          .collect().toSet
+      val oneShot = rows(CorpusPipeline.admitBatch(spark, batch, exDir,
+        mhDir, dcDir, base, "doc_id", "text"))
+      assert(oneShot.map(r => r._1 -> r._6).toMap ==
+        Map(10L -> false, 11L -> false, 12L -> false, 13L -> false,
+          14L -> true), oneShot.toString)
+      // stream the same batch one file at a time: the accumulated sink
+      // must equal the one-shot verdicts exactly
+      batch.repartition(5).write.parquet(s"$stDir/files")
+      val stream = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stDir/files")
+      val q = CorpusPipeline.streamingAdmission(stream, exDir, mhDir,
+        dcDir, base, s"$stDir/out", s"$stDir/ckpt")
+      try q.processAllAvailable()
+      finally q.stop()
+      assert(rows(spark.read.parquet(s"$stDir/out")) == oneShot)
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   test("persisted simhash index: probe equals the direct run with no " +
     "base text table, append holds the writer lock, compact folds " +
     "fragments behind a manifest flip") {
