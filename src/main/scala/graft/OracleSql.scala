@@ -1110,20 +1110,22 @@ object OracleSql {
         |  COUNT(DISTINCT g) AS distinct_shingles
         |FROM g""".stripMargin),
 
-    // q247: the whole-fleet plan's six verdicts are structural facts of
-    // the constructed states — healthy IVF (probe-all recall 1.0), an
-    // orthogonal-batch drift row (ratio 0 < 0.5), a minhash index whose
-    // boilerplate bucket of 8 breaches cap 5, a simhash index carrying
-    // 3 append fragment sets over ceiling 2, a SemDeDup state with one
-    // 3-member cluster over the probe guard's cap of 2, and a
-    // broadcast-class decontam index no rule applies to
+    // q247: the whole-fleet plan's seven verdicts are structural facts
+    // of the constructed states — healthy IVF (probe-all recall 1.0),
+    // an orthogonal-batch drift row (ratio 0 < 0.5), a minhash index
+    // whose boilerplate bucket of 8 breaches cap 5, a simhash index
+    // carrying 3 append fragment sets over ceiling 2, a SemDeDup state
+    // with one 3-member cluster over the probe guard's cap of 2, a
+    // broadcast-class decontam index no rule applies to, and an
+    // exact-hash set with 4 append fragments over ceiling 2
     "q247_fleet_all_families" ->
       """SELECT 1 AS idx, 'none' AS action
         |UNION ALL SELECT 2, 'rebuild'
         |UNION ALL SELECT 3, 'dedup_prepass'
         |UNION ALL SELECT 4, 'compact'
         |UNION ALL SELECT 5, 'rebuild'
-        |UNION ALL SELECT 6, 'none'""".stripMargin,
+        |UNION ALL SELECT 6, 'none'
+        |UNION ALL SELECT 7, 'compact'""".stripMargin,
 
     // q250: the persisted exact-hash index probe — md5 membership
     // against the distinct base (src1-4) hash set, q81's base-side

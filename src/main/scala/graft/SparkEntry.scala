@@ -3593,12 +3593,14 @@ object SparkEntry {
     * (healthy → `none`, plus a drift row whose orthogonal batch says
     * `rebuild`), MinHash (hot boilerplate bucket → `dedup_prepass`),
     * SimHash (append fragments over ceiling → `compact`), SemDeDup
-    * (one cluster past the probe guard's cap → `rebuild`), and the
+    * (one cluster past the probe guard's cap → `rebuild`), the
     * decontamination index (broadcast-class and fragment-free →
-    * `none`). Absent columns are NULL per family and NULL never
-    * triggers, so each row trips exactly its own family's rule — the
-    * q234/q239 pattern completed across all six families. All verdicts
-    * are structural facts of the constructed states. */
+    * `none`), and the exact-hash set (three dedupe-free appends over
+    * the fragment ceiling → `compact`). Absent columns are NULL per
+    * family and NULL never triggers, so each row trips exactly its own
+    * family's rule — the q234/q239 pattern completed across all SEVEN
+    * persisted families. All verdicts are structural facts of the
+    * constructed states. */
   def q247_fleet_all_families(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def v8(dim: Int): Array[Float] = {
@@ -3623,9 +3625,9 @@ object SparkEntry {
       (2L, Array(0.98f, 0.02f)), (3L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
     val dirs = Seq("q247_ivf_", "q247_mh_", "q247_sh_", "q247_sem_",
-      "q247_dc_").map(graft.util.TempDirs.fresh)
+      "q247_dc_", "q247_ex_").map(graft.util.TempDirs.fresh)
     try {
-      val Seq(ivfDir, mhDir, shDir, semDir, dcDir) =
+      val Seq(ivfDir, mhDir, shDir, semDir, dcDir, exDir) =
         dirs.map(_.getAbsolutePath)
       Similarity.ivfBuild(ivfCorpus, ivfDir, nList = 4,
         kmeansMaxIter = 10)
@@ -3642,6 +3644,10 @@ object SparkEntry {
       Decontamination.decontamIndexBuild(
         fragDocs.select(col("id").as("doc_id"), col("text")), dcDir,
         "text", n = 3)
+      Dedup.exactIndexBuild(fragDocs.filter(col("id") === 0L), exDir,
+        "id", "text")
+      (1L until 4L).foreach(i => Dedup.exactIndexAppend(s, exDir,
+        fragDocs.filter(col("id") === i), "id", "text"))
       val fleet = Similarity
         .ivfIndexHealth(s, ivfDir,
           ivfCorpus.select(col("id").as("qid"), col("v").as("qv")),
@@ -3658,6 +3664,8 @@ object SparkEntry {
           allowMissingColumns = true)
         .unionByName(Decontamination.decontamIndexHealth(s, dcDir)
           .withColumn("idx", lit(6)), allowMissingColumns = true)
+        .unionByName(Dedup.exactIndexHealth(s, exDir)
+          .withColumn("idx", lit(7)), allowMissingColumns = true)
       Similarity.indexMaintenancePlan(fleet, recallFloor = 0.9,
         maxFilesPerListCeiling = 10, maxFragmentsCeiling = 2,
         driftRatioFloor = 0.5, hotClustersCeiling = 0L)

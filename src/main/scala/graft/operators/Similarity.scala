@@ -1162,6 +1162,7 @@ object Similarity {
         else if (has("sigs")) "simhash"
         else if (has("labels")) "semdedup"
         else if (has("shingles")) "decontam"
+        else if (has("hashes")) "exact"
         else "unknown"
       val corpus = corpora.get(dir)
       def run(f: => Unit): (String, String) =
@@ -1188,6 +1189,8 @@ object Similarity {
           else run(Dedup.simhashMaintenanceApply(spark, dir, a, corpus))
         case ("semdedup", "compact") =>
           run(Clustering.semDedupStateCompact(spark, dir))
+        case ("exact", "compact") =>
+          run(Dedup.exactIndexCompact(spark, dir))
         case ("semdedup", "rebuild") =>
           ("skipped", "SemDeDup rebuild is a re-cluster with a chosen " +
             "k — run semDedupStateSave")
