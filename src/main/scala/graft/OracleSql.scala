@@ -1189,6 +1189,57 @@ object OracleSql {
         |WHERE t.source NOT IN ('src0','src1','src2','src3','src4')"""
       .stripMargin),
 
+    // q252: q251's admission mirror aggregated per source — the funnel
+    // counts are independent flags, n_accepted the conjunction
+    "q252_admission_funnel" -> (shinglesCte + """,
+        |sigs AS (SELECT doc_id, source,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 1, 8))), 'zzzzzzzz') AS mh0,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 9, 8))), 'zzzzzzzz') AS mh1,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 17, 8))), 'zzzzzzzz') AS mh2,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 25, 8))), 'zzzzzzzz') AS mh3,
+        |  list_distinct(sh3) AS shd FROM sh),
+        |bnd AS (SELECT doc_id, source,
+        |  md5(mh0 || '|' || mh1) AS b0, md5(mh2 || '|' || mh3) AS b1,
+        |  shd FROM sigs),
+        |near AS (SELECT DISTINCT dd.doc_id
+        |  FROM bnd dd JOIN bnd e ON (dd.b0 = e.b0 OR dd.b1 = e.b1)
+        |    AND dd.source NOT IN ('src0','src1','src2','src3','src4')
+        |    AND e.source IN ('src1','src2','src3','src4')
+        |  WHERE CAST(len(list_intersect(dd.shd, e.shd)) AS DOUBLE)
+        |    / (len(dd.shd) + len(e.shd)
+        |       - len(list_intersect(dd.shd, e.shd)))
+        |    >= CAST(0.5 AS DOUBLE)),
+        |bh AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE source IN ('src1','src2','src3','src4')),
+        |bg AS (SELECT DISTINCT unnest(sh3) AS g FROM sh
+        |  WHERE source = 'src0'),
+        |cg AS (SELECT DISTINCT doc_id, unnest(list_distinct(sh3)) AS g
+        |  FROM sh
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |ct AS (SELECT cg.doc_id, COUNT(*) AS n FROM cg
+        |  JOIN bg USING (g) GROUP BY 1)
+        |SELECT t.source, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN len(t.toks) < 5 THEN 1 END) AS n_quality_fail,
+        |  COUNT(CASE WHEN md5(t.text) IN (SELECT h FROM bh) THEN 1 END)
+        |    AS n_exact_dup,
+        |  COUNT(CASE WHEN near.doc_id IS NOT NULL THEN 1 END)
+        |    AS n_neardup,
+        |  COUNT(CASE WHEN COALESCE(ct.n, 0) > 0 THEN 1 END)
+        |    AS n_contaminated,
+        |  COUNT(CASE WHEN len(t.toks) >= 5
+        |    AND md5(t.text) NOT IN (SELECT h FROM bh)
+        |    AND near.doc_id IS NULL AND COALESCE(ct.n, 0) = 0 THEN 1
+        |    END) AS n_accepted
+        |FROM t
+        |LEFT JOIN near ON near.doc_id = t.doc_id
+        |LEFT JOIN ct ON ct.doc_id = t.doc_id
+        |WHERE t.source NOT IN ('src0','src1','src2','src3','src4')
+        |GROUP BY 1""".stripMargin),
+
     // q249: the daily-ingest composition replayed stage by stage from
     // the shared CTEs — quality floor (q21 len(toks)), exact dedup vs
     // base src1-4 hashes + earlier-batch keepers (q81's keeper logic),

@@ -3530,6 +3530,45 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  /** ADMISSION FUNNEL by source — the data-ops dashboard over the
+    * daily ingest: q249's per-doc verdicts aggregated per source into
+    * (docs, quality failures, exact dups, near-dups, contaminated,
+    * accepted). A souring source shows up here first (its near-dup or
+    * contamination count jumps), which is what an operator actually
+    * watches — per-doc verdicts are the audit trail, this is the
+    * alert surface. Same persisted-index probes as q249; one extra
+    * hash-aggregate over the verdict rows. Verdict counts are
+    * independent flags (a doc can fail several stages), `n_accepted`
+    * is the conjunction. */
+  def q252_admission_funnel(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("source") === "src0")
+    val baseSrc = Seq("src1", "src2", "src3", "src4")
+    val base = docs.filter(col("source").isInCollection(baseSrc))
+    val batch = docs.filter(
+      !col("source").isInCollection("src0" +: baseSrc))
+    val dirs = Seq("q252_ex_", "q252_mh_", "q252_dc_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, dcDir) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "doc_id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
+      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      val verdicts = operators.CorpusPipeline.admitBatch(s, batch,
+        exDir, mhDir, dcDir, base, "doc_id", "text")
+      batch.select(col("doc_id"), col("source"))
+        .join(verdicts, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_tokens") < 5, 1)).as("n_quality_fail"),
+          count(when(col("is_dup_exact"), 1)).as("n_exact_dup"),
+          count(when(col("is_neardup"), 1)).as("n_neardup"),
+          count(when(col("is_contaminated"), 1)).as("n_contaminated"),
+          count(when(col("accepted"), 1)).as("n_accepted"))
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -5428,7 +5467,8 @@ object SparkEntry {
     "q248_ivfpq_drift" -> (q248_ivfpq_drift _),
     "q249_daily_ingest" -> (q249_daily_ingest _),
     "q250_exact_index" -> (q250_exact_index _),
-    "q251_streaming_admission" -> (q251_streaming_admission _))
+    "q251_streaming_admission" -> (q251_streaming_admission _),
+    "q252_admission_funnel" -> (q252_admission_funnel _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1613,6 +1613,41 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("a crash between a publish's rename and its manifest write " +
+    "leaves an orphan versioned dir: the next publish reclaims it and " +
+    "readers never saw it") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivforphan").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 2)
+      val want = annPairs(Similarity.bruteForce(queries, corpus, 3))
+      // simulate the crash window: the doomed writer renamed its tmp to
+      // the NEXT version name (v1), died before creating _manifest.v1,
+      // and leaked its lock. No manifest references v1, so readers
+      // still resolve the unversioned default.
+      val orphan = new java.io.File(dir, "postings.parquet.v1")
+      assert(orphan.mkdir())
+      java.nio.file.Files.writeString(
+        new java.io.File(orphan, "garbage.parquet").toPath, "not parquet")
+      assert(new java.io.File(dir, "_writer.lock").createNewFile())
+      assert(Manifest.snapshot(spark, root).version == 0)
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) == want)
+      // operator recovery: clear the crashed lock, re-run the publish —
+      // the orphan at the version name is deleted, never merged into
+      // the new physical directory
+      Manifest.breakLock(spark, root)
+      Similarity.ivfCompact(spark, root)
+      assert(Manifest.snapshot(spark, root).version == 1)
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) == want)
+      assert(!new java.io.File(orphan, "garbage.parquet").exists(),
+        "the orphan's contents must be reclaimed, not merged")
+      assert(!new java.io.File(dir, "_writer.lock").exists())
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("streaming ingest interleaves with a compaction between " +
     "micro-batches: every ingested row survives the manifest flip, " +
     "no orphan dirs, no leaked lock") {
