@@ -1294,6 +1294,19 @@ object OracleSql {
         |LEFT JOIN near ON near.doc_id = t.doc_id
         |LEFT JOIN ct ON ct.doc_id = t.doc_id""".stripMargin),
 
+    // q253: the fleet APPLY's per-row outcomes are structural facts —
+    // the hot minhash prepass executes (corpus supplied), both
+    // fragmented indexes compact, the hot SemDeDup rebuild is skipped
+    // (re-clustering is a modeling decision); executed families re-plan
+    // quiet, the skipped one still demands its rebuild
+    "q253_fleet_apply" ->
+      """SELECT 'minhash' AS family, 'dedup_prepass' AS action,
+        |  'executed' AS status, 'none' AS action_after
+        |UNION ALL SELECT 'simhash', 'compact', 'executed', 'none'
+        |UNION ALL SELECT 'semdedup', 'rebuild', 'skipped', 'rebuild'
+        |UNION ALL SELECT 'exact', 'compact', 'executed', 'none'"""
+        .stripMargin,
+
     // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make
     // every 2-dim subvector slice exactly representable, so the base
     // reconstruction is exact and every value is the q244 constant

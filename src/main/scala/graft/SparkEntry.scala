@@ -3569,6 +3569,71 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  /** FLEET APPLY lifecycle ([[operators.Similarity
+    * .fleetMaintenanceApply]] — the q247 planner's execution half,
+    * oracle-gated): a four-family fleet in triggering states is
+    * planned, applied in ONE call, and re-planned. The hot MinHash
+    * index (corpus supplied) executes its dedup_prepass, the
+    * fragmented SimHash and exact-hash indexes execute compactions,
+    * and the hot SemDeDup state is SKIPPED (a re-cluster is a modeling
+    * decision — per-row isolation, not an abort). The gate pins each
+    * row's (family, action, status) and the post-apply re-plan action:
+    * every executed family goes quiet (`none`), the skipped one still
+    * demands its rebuild. All structural facts of the constructed
+    * states. */
+  def q253_fleet_apply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val boiler = "all work and no play makes jack a dull boy"
+    val hotDocs = (0L until 8L).map(i => (i, boiler)).toDF("id", "text")
+      .repartition(1)
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs",
+      2L -> "how vexingly quick daft zebras jump",
+      3L -> "sphinx of black quartz judge my vow")
+    val fragDocs = texts.toDF("id", "text").repartition(1)
+    def vv(c: Double) = Seq(c, c + 0.001)
+    val semVecs = Seq((0L, vv(1.0)), (1L, vv(1.0)), (2L, vv(1.0)),
+      (3L, vv(-5.0))).toDF("id", "vec")
+    val dirs = Seq("q253_mh_", "q253_sh_", "q253_sem_", "q253_ex_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(mhDir, shDir, semDir, exDir) = dirs.map(_.getAbsolutePath)
+      Dedup.minhashIndexBuild(hotDocs, mhDir, "id", "text")
+      Dedup.simhashIndexBuild(fragDocs.filter(col("id") < 2), shDir,
+        "id", "text")
+      (2L until 4L).foreach(i => Dedup.simhashIndexAppend(s, shDir,
+        fragDocs.filter(col("id") === i), "id", "text"))
+      val (labels, centroids) = operators.Clustering.kmeansWithCentroids(
+        semVecs, "id", "vec", k = 2, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, semDir, labels, "id",
+        centroids)
+      operators.Clustering.releasePairs(labels)
+      Dedup.exactIndexBuild(fragDocs.filter(col("id") === 0L), exDir,
+        "id", "text")
+      (1L until 4L).foreach(i => Dedup.exactIndexAppend(s, exDir,
+        fragDocs.filter(col("id") === i), "id", "text"))
+      def plan() = Similarity.indexMaintenancePlan(
+        Dedup.minhashIndexHealth(s, mhDir, hotBucketCap = 5)
+          .unionByName(Dedup.simhashIndexHealth(s, shDir),
+            allowMissingColumns = true)
+          .unionByName(operators.Clustering.semDedupStateHealth(s,
+            semDir, hotClusterCap = 2), allowMissingColumns = true)
+          .unionByName(Dedup.exactIndexHealth(s, exDir),
+            allowMissingColumns = true),
+        recallFloor = 0.9, maxFilesPerListCeiling = 10,
+        maxFragmentsCeiling = 2, hotClustersCeiling = 0L)
+      val report = Similarity.fleetMaintenanceApply(s, plan(),
+        corpora = Map(mhDir -> hotDocs))
+      val after = plan().select(col("dir"),
+        col("action").as("action_after"))
+      report.join(after, Seq("dir"))
+        .select(col("family"), col("action"), col("status"),
+          col("action_after"))
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -5468,7 +5533,8 @@ object SparkEntry {
     "q249_daily_ingest" -> (q249_daily_ingest _),
     "q250_exact_index" -> (q250_exact_index _),
     "q251_streaming_admission" -> (q251_streaming_admission _),
-    "q252_admission_funnel" -> (q252_admission_funnel _))
+    "q252_admission_funnel" -> (q252_admission_funnel _),
+    "q253_fleet_apply" -> (q253_fleet_apply _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
