@@ -76,18 +76,44 @@ object Dedup {
     }
 
   /** Probe a delta batch against the persisted hash set: one content
-    * hash per delta row, one semi-join against the files — duplicate
-    * stored hashes cannot change the verdict. Returns every delta row
-    * with `is_dup` (its text already exists in the indexed corpus). */
+    * hash per delta row, one membership join against the files —
+    * duplicate stored hashes cannot change the verdict OR the row
+    * count (the stored side is deduplicated before the join, so the
+    * output is exactly one row per delta row however many times a hash
+    * was re-appended — the contract [[CorpusPipeline.admitBatch]]'s
+    * funnel counts rely on). Returns every delta row with `is_dup`
+    * (its text already exists in the indexed corpus). */
   def exactIndexProbe(spark: org.apache.spark.sql.SparkSession,
                       dir: String, delta: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val stored = spark.read.parquet(
       Manifest.snapshot(spark, dir).path("hashes"))
     val hashed = delta.select(col(idCol), md5(col(textCol)).as("h"))
-    hashed.join(stored.select(col("h"), lit(true).as("_hit")),
+    hashed.join(
+        stored.select(col("h")).distinct().withColumn("_hit", lit(true)),
         Seq("h"), "left")
       .select(col(idCol), coalesce(col("_hit"), lit(false)).as("is_dup"))
+  }
+
+  /** Deterministic partition count for a flat-table compaction
+    * rewrite: live table bytes / `bytesPerPart`, min 1. Pinned
+    * explicitly because an argless `repartitionByRange` leaves the
+    * output file count to AQE's shuffle coalescing — the q253 re-plan
+    * gate (and any `n_fragments` ceiling) must see a file count that
+    * is a function of DATA SIZE, not of the session's shuffle
+    * settings. 256 MB/partition keeps post-compaction files in the
+    * large-scan sweet spot at any corpus size. */
+  private def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                bytesPerPart: Long = 256L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    math.max(1L, (bytes + bytesPerPart - 1) / bytesPerPart).toInt
   }
 
   /** Fold append fragments into one distinct, range-clustered file set
@@ -99,7 +125,9 @@ object Dedup {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.hashes"
       spark.read.parquet(snap.path("hashes")).distinct()
-        .repartitionByRange(col("h")).sortWithinPartitions("h")
+        .repartitionByRange(
+          compactPartitions(spark, snap.path("hashes")), col("h"))
+        .sortWithinPartitions("h")
         .write.mode("overwrite").parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("hashes" -> tmp))
     }
@@ -340,8 +368,17 @@ object Dedup {
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.bands"
-      spark.read.parquet(snap.path("bands"))
-        .repartitionByRange(col("band"), col("bucket"))
+      // distinct(): the dedupe point for replayed-ingest rows — a
+      // foreachBatch micro-batch that committed its append and crashed
+      // before its checkpoint is replayed, landing identical
+      // (id, band, bucket) rows; probes survive that (candidate-pair
+      // dedup) but the duplicates inflate total_rows/max_bucket and
+      // scan cost forever unless compaction folds them (the
+      // exactIndexCompact contract, mirrored here)
+      spark.read.parquet(snap.path("bands")).distinct()
+        .repartitionByRange(
+          compactPartitions(spark, snap.path("bands")),
+          col("band"), col("bucket"))
         .sortWithinPartitions("band", "bucket")
         .write.mode("overwrite").parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("bands" -> tmp))
@@ -371,12 +408,18 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
       .toLong
+    // _nd = distinct ids per bucket: a replayed ingest batch lands
+    // IDENTICAL (id, band, bucket) rows, so Σ _nd is the table's
+    // distinct-row count and the total_rows − distinct_rows gap is the
+    // replay-duplicate debt compaction will fold (the
+    // exactIndexHealth total-vs-distinct reading for this family)
     val sizes = spark.read.parquet(bandsPath).groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("_n"), count_distinct(col("id")).as("_nd"))
     sizes.agg(
       lit(shingleN).as("shingle_n"), lit(sigK).as("sig_k"),
       lit(bands).as("n_bands"),
       sum(col("_n")).as("total_rows"),
+      sum(col("_nd")).as("distinct_rows"),
       count(lit(1)).as("n_buckets"),
       max(col("_n")).as("max_bucket"),
       count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"),
@@ -592,8 +635,13 @@ object Dedup {
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.sigs"
-      spark.read.parquet(snap.path("sigs"))
-        .repartitionByRange(col("sig"))
+      // distinct(): folds replayed-ingest duplicates (identical
+      // (id, sig) rows from an at-least-once micro-batch retry) — see
+      // minhashIndexCompact; partition count pinned by data size so
+      // the post-compaction fragment count is AQE-independent
+      spark.read.parquet(snap.path("sigs")).distinct()
+        .repartitionByRange(
+          compactPartitions(spark, snap.path("sigs")), col("sig"))
         .sortWithinPartitions("sig")
         .write.mode("overwrite").parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("sigs" -> tmp))
@@ -628,16 +676,26 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
       .toLong
-    val sizes = simhashBandRows(spark.read.parquet(sigsPath))
+    val sigs = spark.read.parquet(sigsPath)
+    // distinct (id, sig) vs total rows: the replay-duplicate debt a
+    // retried ingest micro-batch leaves behind (see
+    // minhashIndexHealth) — one extra bounded aggregate over the
+    // 16-byte/row table
+    val rowStats = sigs.agg(count(lit(1)).as("total_rows"),
+      count_distinct(col("id"), col("sig")).as("distinct_rows"))
+    val sizes = simhashBandRows(sigs)
       .groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
     sizes.agg(
       sum(col("_n")).as("total_band_rows"),
-      (sum(col("_n")) / 4).cast("long").as("total_rows"),
       count(lit(1)).as("n_buckets"),
       max(col("_n")).as("max_bucket"),
-      count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"),
-      lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"))
+      count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"))
+      .crossJoin(rowStats)
+      .select(col("total_band_rows"), col("total_rows"),
+        col("distinct_rows"), col("n_buckets"), col("max_bucket"),
+        col("hot_buckets"),
+        lit(dir).as("dir"), lit(snap.version).as("version"),
+        lit(nFragments).as("n_fragments"))
   }
 
   /** Probe a delta batch against the persisted index: [[simhash]] with

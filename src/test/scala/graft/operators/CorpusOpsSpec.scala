@@ -429,13 +429,17 @@ class CorpusOpsSpec extends SparkSpec {
         "doc_id", "text")
       Dedup.exactIndexAppend(spark, root,
         base.filter(col("doc_id") === 2L), "doc_id", "text")
+      // collect the raw Seq, not a Map: duplicate stored hashes must
+      // not duplicate OUTPUT ROWS either (one row per delta doc — the
+      // funnel-count contract), and a Map would mask extra rows
       def probe() = Dedup.exactIndexProbe(spark, root, delta, "doc_id",
-        "text").as[(Long, Boolean)].collect().toMap
-      assert(probe() == Map(10L -> true, 11L -> false, 12L -> true))
+        "text").as[(Long, Boolean)].collect().toSeq.sorted
+      val want = Seq(10L -> true, 11L -> false, 12L -> true)
+      assert(probe() == want)
       // re-appending the same batch stores duplicate hashes — verdicts
-      // cannot change (semi-join semantics); health shows the gap
+      // AND row count cannot change; health shows the gap
       Dedup.exactIndexAppend(spark, root, base, "doc_id", "text")
-      assert(probe() == Map(10L -> true, 11L -> false, 12L -> true))
+      assert(probe() == want)
       def health() = Dedup.exactIndexHealth(spark, root).head()
       val h0 = health()
       assert(h0.getAs[Long]("total_rows") == 4L)
@@ -447,7 +451,7 @@ class CorpusOpsSpec extends SparkSpec {
       val h1 = health()
       assert(h1.getAs[Long]("total_rows") == 2L)
       assert(h1.getAs[Long]("distinct_hashes") == 2L)
-      assert(probe() == Map(10L -> true, 11L -> false, 12L -> true))
+      assert(probe() == want)
       // the writer lock is enforced on the append
       Manifest.withLock(spark, root) {
         val e = intercept[IllegalStateException] {
@@ -642,5 +646,54 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(shuffled == byId)
+  }
+
+  test("replayed ingest batches: health flags the duplicate rows and " +
+    "compaction folds them (MinHash + SimHash)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text").repartition(1)
+    val batch = Seq(
+      (10L, "how vexingly quick daft zebras jump today"))
+      .toDF("doc_id", "text").repartition(1)
+    val dirs = Seq("mhreplay", "shreplay")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toFile)
+    try {
+      val Seq(mhDir, shDir) = dirs.map(_.getAbsolutePath)
+      Dedup.minhashIndexBuild(docs, mhDir, "doc_id", "text")
+      Dedup.simhashIndexBuild(docs, shDir, "doc_id", "text")
+      // an at-least-once retry: the SAME committed batch appends twice
+      Dedup.minhashIndexAppend(spark, mhDir, batch, "doc_id", "text")
+      Dedup.minhashIndexAppend(spark, mhDir, batch, "doc_id", "text")
+      Dedup.simhashIndexAppend(spark, shDir, batch, "doc_id", "text")
+      Dedup.simhashIndexAppend(spark, shDir, batch, "doc_id", "text")
+      def mh() = Dedup.minhashIndexHealth(spark, mhDir).head()
+      def sh() = Dedup.simhashIndexHealth(spark, shDir).head()
+      // 3 docs × 2 bands = 6 distinct banded rows; the replay adds 2
+      val m0 = mh()
+      assert(m0.getAs[Long]("total_rows") == 8L)
+      assert(m0.getAs[Long]("distinct_rows") == 6L)
+      val s0 = sh()
+      assert(s0.getAs[Long]("total_rows") == 4L)
+      assert(s0.getAs[Long]("distinct_rows") == 3L)
+      // compaction folds the replay debt (and the re-plan cannot see a
+      // duplicate-inflated max_bucket any more)
+      Dedup.minhashIndexCompact(spark, mhDir)
+      Dedup.simhashIndexCompact(spark, shDir)
+      val m1 = mh()
+      assert(m1.getAs[Long]("total_rows") == 6L)
+      assert(m1.getAs[Long]("distinct_rows") == 6L)
+      assert(m1.getAs[Long]("max_bucket") == 1L)
+      val s1 = sh()
+      assert(s1.getAs[Long]("total_rows") == 3L)
+      assert(s1.getAs[Long]("distinct_rows") == 3L)
+      // probes still verify the same values after the fold
+      val pairs = Dedup.simhashIndexProbe(spark, shDir,
+        batch, "doc_id", "text", maxHamming = 0)
+        .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((10L, 10L)))
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 }
