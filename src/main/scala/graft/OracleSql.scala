@@ -1307,6 +1307,30 @@ object OracleSql {
         |UNION ALL SELECT 'exact', 'compact', 'executed', 'none'"""
         .stripMargin,
 
+    // q254: the tombstone-DELETE lifecycle's 12 per-(family, phase)
+    // outcomes are structural facts of the constructed states — before
+    // the delete every family reports its planted duplicate/neighbor
+    // (exact sees BOTH probe docs as dups, hence 2), the delete
+    // silences the planted key immediately and books 1 pending
+    // tombstone (planner: compact under tombstoneDebtCeiling=0), the
+    // compaction folds the debt and the verdicts persist
+    "q254_index_delete" ->
+      """SELECT 'exact' AS family, '1_before' AS phase,
+        |  CAST(2 AS BIGINT) AS n_hits,
+        |  CAST(0 AS BIGINT) AS deleted_pending, 'none' AS action
+        |UNION ALL SELECT 'exact', '2_deleted', 1, 1, 'compact'
+        |UNION ALL SELECT 'exact', '3_compacted', 1, 0, 'none'
+        |UNION ALL SELECT 'ivf', '1_before', 1, 0, 'none'
+        |UNION ALL SELECT 'ivf', '2_deleted', 0, 1, 'compact'
+        |UNION ALL SELECT 'ivf', '3_compacted', 0, 0, 'none'
+        |UNION ALL SELECT 'minhash', '1_before', 1, 0, 'none'
+        |UNION ALL SELECT 'minhash', '2_deleted', 0, 1, 'compact'
+        |UNION ALL SELECT 'minhash', '3_compacted', 0, 0, 'none'
+        |UNION ALL SELECT 'simhash', '1_before', 1, 0, 'none'
+        |UNION ALL SELECT 'simhash', '2_deleted', 0, 1, 'compact'
+        |UNION ALL SELECT 'simhash', '3_compacted', 0, 0, 'none'"""
+        .stripMargin,
+
     // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make
     // every 2-dim subvector slice exactly representable, so the base
     // reconstruction is exact and every value is the q244 constant

@@ -3634,6 +3634,106 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  /** DELETE/retraction lifecycle across the persisted-index fleet
+    * ([[operators.Manifest]]'s Tombstones — the erasure verb every
+    * family's build/append/probe/compact loop otherwise lacks): four
+    * families (exact-hash, MinHash, SimHash, IVF) each build on a
+    * planted corpus, probe (the planted duplicate/neighbor reports),
+    * DELETE the planted doc (probes fall silent IMMEDIATELY — the
+    * stored side anti-joins pending tombstones), then compact (the
+    * tombstones fold into the rewrite and `deleted_pending` returns
+    * to 0). One row per (family, phase) pinning the probe hit count
+    * involving the deleted key, the pending-retraction debt, and the
+    * planner verdict under `tombstoneDebtCeiling = 0` (pending debt →
+    * `compact`, folded → `none`). All values structural facts of the
+    * constructed states — the q253 lifecycle-gate shape. */
+  def q254_index_delete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs",
+      2L -> "how vexingly quick daft zebras jump",
+      3L -> "sphinx of black quartz judge my vow")
+    val docs = texts.toDF("id", "text").repartition(1)
+    val doomed = docs.filter(col("id") === 1L)
+    // probe batch: fresh ids carrying the EXACT text of docs 0 and 1 —
+    // both families must report them as duplicates until 1 is erased
+    val probeDocs = Seq(100L -> texts(0)._2, 101L -> texts(1)._2)
+      .toDF("id", "text").repartition(1)
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val corpus = (0 until 4).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    // query sits between axis points 1 and 2: nearest is 2 (cos .8);
+    // after deleting 2 the nearest LIVE point is 1 (cos .6)
+    val qv = { val a = new Array[Float](8); a(1) = 0.6f; a(2) = 0.8f; a }
+    val queries = Seq((0L, qv)).toDF("qid", "qv")
+    val dirs = Seq("q254_ex_", "q254_mh_", "q254_sh_", "q254_ivf_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, shDir, ivfDir) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(docs, exDir, "id", "text")
+      Dedup.minhashIndexBuild(docs, mhDir, "id", "text")
+      Dedup.simhashIndexBuild(docs, shDir, "id", "text")
+      Similarity.ivfBuild(corpus, ivfDir, nList = 4, kmeansMaxIter = 10)
+      def hits(): Map[String, Long] = Map(
+        "exact" -> Dedup.exactIndexProbe(s, exDir, probeDocs, "id",
+          "text").filter(col("is_dup")).count(),
+        "minhash" -> Dedup.minhashIndexProbe(s, mhDir, probeDocs, docs,
+          "id", "text", threshold = 0.5)
+          .filter(col("base_id") === 1L).count(),
+        "simhash" -> Dedup.simhashIndexProbe(s, shDir, probeDocs, "id",
+          "text", maxHamming = 0)
+          .filter(col("base_id") === 1L).count(),
+        "ivf" -> Similarity.ivfQuery(s, ivfDir, queries, k = 1,
+          nProbe = 4).filter(col("id") === 2L).count())
+      def planOf(h: org.apache.spark.sql.DataFrame): String =
+        Similarity.indexMaintenancePlan(h, recallFloor = 0.0,
+          maxFilesPerListCeiling = Long.MaxValue,
+          tombstoneDebtCeiling = 0L)
+          .head().getAs[String]("action")
+      def state(): Map[String, (Long, String)] = Map(
+        "exact" -> {
+          val h = Dedup.exactIndexHealth(s, exDir)
+          (h.head().getAs[Long]("deleted_pending"), planOf(h))
+        },
+        "minhash" -> {
+          val h = Dedup.minhashIndexHealth(s, mhDir)
+          (h.head().getAs[Long]("deleted_pending"), planOf(h))
+        },
+        "simhash" -> {
+          val h = Dedup.simhashIndexHealth(s, shDir)
+          (h.head().getAs[Long]("deleted_pending"), planOf(h))
+        },
+        "ivf" -> {
+          val h = Similarity.ivfIndexHealth(s, ivfDir, queries, k = 1,
+            nProbe = 4)
+          (h.head().getAs[Long]("deleted_pending"), planOf(h))
+        })
+      def phaseRows(phase: String): Seq[(String, String, Long, Long,
+        String)] = {
+        val hh = hits(); val st = state()
+        hh.keys.toSeq.sorted.map(f =>
+          (f, phase, hh(f), st(f)._1, st(f)._2))
+      }
+      val before = phaseRows("1_before")
+      Dedup.exactIndexDelete(s, exDir, doomed, "id", "text")
+      Dedup.minhashIndexDelete(s, mhDir, doomed.select("id"))
+      Dedup.simhashIndexDelete(s, shDir, doomed.select("id"))
+      Similarity.ivfDelete(s, ivfDir,
+        corpus.filter(col("id") === 2L).select("id"))
+      val deleted = phaseRows("2_deleted")
+      Dedup.exactIndexCompact(s, exDir)
+      Dedup.minhashIndexCompact(s, mhDir)
+      Dedup.simhashIndexCompact(s, shDir)
+      Similarity.ivfCompact(s, ivfDir)
+      val compacted = phaseRows("3_compacted")
+      (before ++ deleted ++ compacted)
+        .toDF("family", "phase", "n_hits", "deleted_pending", "action")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -5534,7 +5634,8 @@ object SparkEntry {
     "q250_exact_index" -> (q250_exact_index _),
     "q251_streaming_admission" -> (q251_streaming_admission _),
     "q252_admission_funnel" -> (q252_admission_funnel _),
-    "q253_fleet_apply" -> (q253_fleet_apply _))
+    "q253_fleet_apply" -> (q253_fleet_apply _),
+    "q254_index_delete" -> (q254_index_delete _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

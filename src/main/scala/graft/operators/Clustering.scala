@@ -436,6 +436,21 @@ object Clustering {
     }
   }
 
+  /** Retract documents from the persisted SemDeDup state
+    * ([[Manifest]]'s [[Tombstones]] — the erasure verb): the ids'
+    * label rows stop contributing to incremental probes immediately
+    * (the base side anti-joins pending tombstones) and are physically
+    * dropped by the next [[semDedupStateCompact]]. */
+  def semDedupStateDelete(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, ids: DataFrame,
+                          idCol: String = "id"): Unit = {
+    val snap = Manifest.snapshot(spark, dir)
+    val idType = spark.read.parquet(snap.path("labels"))
+      .schema("id").dataType
+    Tombstones.append(spark, dir,
+      ids.select(col(idCol).cast(idType).as("id")))
+  }
+
   /** Operational health report of a persisted SemDeDup state — the
     * fleet-table row for this family (q220's shape): label-table size
     * and CLUSTER-SKEW readings, because an over-cap cluster is this
@@ -467,7 +482,8 @@ object Clustering {
       max(col("_n")).as("max_cluster"),
       count(when(col("_n") > hotClusterCap, 1)).as("hot_clusters"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"))
+      lit(nFragments).as("n_fragments"),
+      lit(Tombstones.pending(spark, snap)).as("deleted_pending"))
   }
 
   /** Fold the label table's accumulated append fragments into one
@@ -481,11 +497,15 @@ object Clustering {
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.labels"
-      spark.read.parquet(snap.path("labels"))
+      // fold pending Tombstones (retracted ids dropped, tombstone
+      // table emptied in the same flip)
+      Tombstones.live(spark, snap,
+          spark.read.parquet(snap.path("labels")))
         .repartitionByRange(col("cluster"))
         .sortWithinPartitions("cluster")
         .write.mode("overwrite").parquet(tmp)
-      Manifest.publishUnderLock(spark, dir, Seq("labels" -> tmp))
+      Manifest.publishUnderLock(spark, dir, Seq("labels" -> tmp) ++
+        Tombstones.foldedForPublish(spark, dir, snap))
     }
 
   /** The frozen centroids of a persisted state, as one bounded collect
@@ -522,7 +542,8 @@ object Clustering {
     // increment's base-side IO is proportional to touched clusters,
     // not the corpus
     val touched = batchSide.select("cluster").distinct()
-    val baseSide = spark.read.parquet(snap.path("labels"))
+    val baseSide = Tombstones.live(spark, snap,
+        spark.read.parquet(snap.path("labels")))
       .join(broadcast(touched), Seq("cluster"), "left_semi")
       .join(base.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("_v")), Seq("id"))

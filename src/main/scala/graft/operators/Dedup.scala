@@ -86,14 +86,28 @@ object Dedup {
   def exactIndexProbe(spark: org.apache.spark.sql.SparkSession,
                       dir: String, delta: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    val stored = spark.read.parquet(
-      Manifest.snapshot(spark, dir).path("hashes"))
+    val snap = Manifest.snapshot(spark, dir)
+    val stored = Tombstones.live(spark, snap,
+      spark.read.parquet(snap.path("hashes")))
     val hashed = delta.select(col(idCol), md5(col(textCol)).as("h"))
     hashed.join(
         stored.select(col("h")).distinct().withColumn("_hit", lit(true)),
         Seq("h"), "left")
       .select(col(idCol), coalesce(col("_hit"), lit(false)).as("is_dup"))
   }
+
+  /** Retract content from the persisted hash set ([[Tombstones]] — the
+    * erasure verb): the given docs' content hashes are tombstoned, so
+    * probes immediately stop reporting matching text as a duplicate;
+    * the next [[exactIndexCompact]] physically drops the hashes. Note
+    * the key is the CONTENT hash: if another live document shares the
+    * exact text, re-append it after the fold (the key-level-delete
+    * contract). */
+  def exactIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, docs: DataFrame, idCol: String,
+                       textCol: String): Unit =
+    Tombstones.append(spark, dir,
+      docs.select(md5(col(textCol)).as("h")))
 
   /** Deterministic partition count for a flat-table compaction
     * rewrite: live table bytes / `bytesPerPart`, min 1. Pinned
@@ -118,18 +132,22 @@ object Dedup {
 
   /** Fold append fragments into one distinct, range-clustered file set
     * behind a [[Manifest]] flip — the dedupe point for cross-append
-    * duplicate hashes. */
+    * duplicate hashes AND the fold point for pending [[Tombstones]]
+    * (retracted hashes are dropped from the rewrite; the emptied
+    * tombstone table flips in the same publish). */
   def exactIndexCompact(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit =
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.hashes"
-      spark.read.parquet(snap.path("hashes")).distinct()
+      Tombstones.live(spark, snap,
+          spark.read.parquet(snap.path("hashes"))).distinct()
         .repartitionByRange(
           compactPartitions(spark, snap.path("hashes")), col("h"))
         .sortWithinPartitions("h")
         .write.mode("overwrite").parquet(tmp)
-      Manifest.publishUnderLock(spark, dir, Seq("hashes" -> tmp))
+      Manifest.publishUnderLock(spark, dir, Seq("hashes" -> tmp) ++
+        Tombstones.foldedForPublish(spark, dir, snap))
     }
 
   /** Health row of the persisted hash set — fleet-table shape:
@@ -149,7 +167,8 @@ object Dedup {
       count(lit(1)).as("total_rows"),
       count_distinct(col("h")).as("distinct_hashes"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"))
+      lit(nFragments).as("n_fragments"),
+      lit(Tombstones.pending(spark, snap)).as("deleted_pending"))
   }
 
   /** Hot-bucket guard for LSH bucket self-joins: drop buckets with more
@@ -354,6 +373,22 @@ object Dedup {
     }
   }
 
+  /** Retract documents from the persisted MinHash index
+    * ([[Tombstones]] — the erasure verb): the ids' banded rows stop
+    * matching probes immediately (stored-side anti-join) and are
+    * physically dropped by the next [[minhashIndexCompact]]. `ids`
+    * needs one column, cast here to the stored id type so the
+    * anti-join cannot silently type-mismatch. */
+  def minhashIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, ids: DataFrame,
+                         idCol: String = "id"): Unit = {
+    val snap = Manifest.snapshot(spark, dir)
+    val idType = spark.read.parquet(snap.path("bands"))
+      .schema("id").dataType
+    Tombstones.append(spark, dir,
+      ids.select(col(idCol).cast(idType).as("id")))
+  }
+
   /** Compact the banded table's accumulated append fragments into one
     * coherent file set — [[Similarity.ivfCompact]] for the text-dedup
     * index. Read once under the writer lock (held across the whole
@@ -362,7 +397,9 @@ object Dedup {
     * (band, bucket) — the probe's equi-join keys, so row-group min/max
     * pruning works after the rewrite — and swapped in with ONE
     * [[Manifest]] flip: a concurrent probe sees the old file set or
-    * the new one, never a torn mix. */
+    * the new one, never a torn mix. Pending [[Tombstones]] fold into
+    * the rewrite (retracted ids dropped, tombstone table emptied in
+    * the same flip). */
   def minhashIndexCompact(spark: org.apache.spark.sql.SparkSession,
                           dir: String): Unit =
     Manifest.withLock(spark, dir) {
@@ -375,13 +412,15 @@ object Dedup {
       // dedup) but the duplicates inflate total_rows/max_bucket and
       // scan cost forever unless compaction folds them (the
       // exactIndexCompact contract, mirrored here)
-      spark.read.parquet(snap.path("bands")).distinct()
+      Tombstones.live(spark, snap,
+          spark.read.parquet(snap.path("bands"))).distinct()
         .repartitionByRange(
           compactPartitions(spark, snap.path("bands")),
           col("band"), col("bucket"))
         .sortWithinPartitions("band", "bucket")
         .write.mode("overwrite").parquet(tmp)
-      Manifest.publishUnderLock(spark, dir, Seq("bands" -> tmp))
+      Manifest.publishUnderLock(spark, dir, Seq("bands" -> tmp) ++
+        Tombstones.foldedForPublish(spark, dir, snap))
     }
 
   /** Operational health report of a persisted [[minhashIndexBuild]]
@@ -424,7 +463,8 @@ object Dedup {
       max(col("_n")).as("max_bucket"),
       count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"))
+      lit(nFragments).as("n_fragments"),
+      lit(Tombstones.pending(spark, snap)).as("deleted_pending"))
   }
 
   /** Probe a delta batch against the persisted index:
@@ -446,8 +486,10 @@ object Dedup {
                         threshold: Double = 0.5,
                         maxBucketSize: Int = 10000): DataFrame = {
     val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
+    val snap = Manifest.snapshot(spark, dir)
     val idx = dropHotBuckets(
-      spark.read.parquet(Manifest.snapshot(spark, dir).path("bands")),
+      Tombstones.live(spark, snap,
+        spark.read.parquet(snap.path("bands"))),
       Seq("band", "bucket"), maxBucketSize)
     val dP = delta.select(col(idCol).as("id"),
       TF.distinctShingles(col(textCol), shingleN).as("sh"),
@@ -623,13 +665,28 @@ object Dedup {
         .write.mode("append").parquet(snap.path("sigs"))
     }
 
+  /** Retract documents from the persisted SimHash index
+    * ([[Tombstones]]): the ids' signatures stop matching probes
+    * immediately and are physically dropped by the next
+    * [[simhashIndexCompact]]. */
+  def simhashIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, ids: DataFrame,
+                         idCol: String = "id"): Unit = {
+    val snap = Manifest.snapshot(spark, dir)
+    val idType = spark.read.parquet(snap.path("sigs"))
+      .schema("id").dataType
+    Tombstones.append(spark, dir,
+      ids.select(col(idCol).cast(idType).as("id")))
+  }
+
   /** Fold the signature table's append fragments into one coherent
     * file set behind a [[Manifest]] flip. The rewrite range-clusters on
     * `sig`, which sorts band 3 (the top 16 bits) into contiguous row
     * groups — one of the four probe joins gets min/max pruning; the
     * other three are bit-slices no single sort order can serve, and at
     * 16 bytes/row the table is small enough that defragmentation is the
-    * point, not pruning. */
+    * point, not pruning. Pending [[Tombstones]] fold into the rewrite
+    * (retracted ids dropped, tombstone table emptied in the flip). */
   def simhashIndexCompact(spark: org.apache.spark.sql.SparkSession,
                           dir: String): Unit =
     Manifest.withLock(spark, dir) {
@@ -639,12 +696,14 @@ object Dedup {
       // (id, sig) rows from an at-least-once micro-batch retry) — see
       // minhashIndexCompact; partition count pinned by data size so
       // the post-compaction fragment count is AQE-independent
-      spark.read.parquet(snap.path("sigs")).distinct()
+      Tombstones.live(spark, snap,
+          spark.read.parquet(snap.path("sigs"))).distinct()
         .repartitionByRange(
           compactPartitions(spark, snap.path("sigs")), col("sig"))
         .sortWithinPartitions("sig")
         .write.mode("overwrite").parquet(tmp)
-      Manifest.publishUnderLock(spark, dir, Seq("sigs" -> tmp))
+      Manifest.publishUnderLock(spark, dir, Seq("sigs" -> tmp) ++
+        Tombstones.foldedForPublish(spark, dir, snap))
     }
 
   /** (id, band, bucket, sig) rows for a signature table — the banding
@@ -695,7 +754,8 @@ object Dedup {
         col("distinct_rows"), col("n_buckets"), col("max_bucket"),
         col("hot_buckets"),
         lit(dir).as("dir"), lit(snap.version).as("version"),
-        lit(nFragments).as("n_fragments"))
+        lit(nFragments).as("n_fragments"),
+        lit(Tombstones.pending(spark, snap)).as("deleted_pending"))
   }
 
   /** Probe a delta batch against the persisted index: [[simhash]] with
@@ -714,9 +774,10 @@ object Dedup {
                         dir: String, delta: DataFrame, idCol: String,
                         textCol: String, maxHamming: Int = 3,
                         maxBucketSize: Int = 10000): DataFrame = {
+    val snap = Manifest.snapshot(spark, dir)
     val baseBands = dropHotBuckets(
-      simhashBandRows(
-        spark.read.parquet(Manifest.snapshot(spark, dir).path("sigs"))),
+      simhashBandRows(Tombstones.live(spark, snap,
+        spark.read.parquet(snap.path("sigs")))),
       Seq("band", "bucket"), maxBucketSize)
     val dSigs = delta.select(col(idCol).as("id"),
       TF.simhash64(col(textCol)).as("sig"))

@@ -225,7 +225,9 @@ package graft.operators
       * in-place fresh build is documented reader-UNSAFE — overwrite
       * deletes live files; refit a LIVE index with
       * [[Similarity.ivfCompact]]`(rebuild = true)` /
-      * [[Similarity.ivfPqRebuild]] instead, which flip the manifest.) */
+      * [[Similarity.ivfPqRebuild]] instead, which flip the manifest.)
+      * Also clears any tombstone table: a fresh build starts with no
+      * retraction debt. */
     def reset(spark: org.apache.spark.sql.SparkSession,
               dir: String): Unit = {
       val f = fs(spark, dir)
@@ -238,10 +240,97 @@ package graft.operators
           .foreach(f.delete(_, false))
         entries.filter(_.getName.matches(""".+\.parquet\.v\d+"""))
           .foreach(f.delete(_, true))
+        // a rebuilt corpus carries no retraction debt: stale tombstones
+        // from the previous index generation must not keep deleting
+        // freshly-built rows
+        entries.filter(_.getName == "tombstones.parquet")
+          .foreach(f.delete(_, true))
         // a fresh build supersedes any in-flight or crashed publish, so
         // its stale writer lock must not block the index's future
         entries.filter(_.getName == "_writer.lock")
           .foreach(f.delete(_, false))
       }
     }
+  }
+
+  /** Key-level DELETE for every persisted index family — the
+    * retraction verb (GDPR erasure, corpus-refresh takedowns) the
+    * build/append/probe/compact lifecycle otherwise lacks. The design
+    * is the standard log-structured one: a `…IndexDelete` appends the
+    * retracted KEYS (ids, or content hashes for the exact family) to a
+    * small `tombstones` table under the index's manifest — a locked
+    * append, never a rewrite of corpus-sized data — and from that
+    * moment every probe anti-joins the pending tombstones out of its
+    * stored side, so retracted documents stop matching IMMEDIATELY at
+    * the cost of one extra (usually broadcast-class) join per probe.
+    * The next compaction folds the tombstones into its rewrite (the
+    * retracted rows are physically dropped) and publishes an EMPTY
+    * tombstone table in the same manifest flip, so a reader sees
+    * either (old rows + pending tombstones) or (folded rows + no
+    * tombstones), never a half-state. Health rows carry the pending
+    * count as `deleted_pending`; [[Similarity.indexMaintenancePlan]]'s
+    * `tombstoneDebtCeiling` turns unbounded debt into a `compact`
+    * verdict.
+    *
+    * Contract note: a tombstone retracts a KEY, not a point-in-time
+    * row — re-admitting a previously-deleted document requires folding
+    * the tombstones first (compact), exactly as in any log-structured
+    * store whose deletes are key-level. */
+  private[operators] object Tombstones {
+    private def fs(spark: org.apache.spark.sql.SparkSession,
+                   path: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def exists(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean =
+      fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+    /** Locked append of (already key-shaped, distinct-ed) retraction
+      * rows to the index's tombstone table. */
+    def append(spark: org.apache.spark.sql.SparkSession, dir: String,
+               keys: org.apache.spark.sql.DataFrame): Unit =
+      Manifest.withLock(spark, dir) {
+        val snap = Manifest.snapshot(spark, dir)
+        keys.distinct().write.mode("append")
+          .parquet(snap.path("tombstones"))
+      }
+
+    /** The pending tombstone table under one snapshot, if any. */
+    def readIfAny(spark: org.apache.spark.sql.SparkSession,
+                  snap: Manifest.Snapshot)
+      : Option[org.apache.spark.sql.DataFrame] = {
+      val p = snap.path("tombstones")
+      if (exists(spark, p)) Some(spark.read.parquet(p)) else None
+    }
+
+    /** Filter a stored-side frame down to its LIVE rows: anti-join the
+      * pending tombstones on their own (key) columns. No tombstone
+      * table → the frame passes through untouched, zero plan cost. */
+    def live(spark: org.apache.spark.sql.SparkSession,
+             snap: Manifest.Snapshot,
+             df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+      readIfAny(spark, snap) match {
+        case Some(t) => df.join(t, t.columns.toSeq, "left_anti")
+        case None => df
+      }
+
+    /** Distinct pending retraction keys (0 with no tombstone table) —
+      * the health row's `deleted_pending`. */
+    def pending(spark: org.apache.spark.sql.SparkSession,
+                snap: Manifest.Snapshot): Long =
+      readIfAny(spark, snap).map(_.distinct().count()).getOrElse(0L)
+
+    /** A compaction that folded its tombstones publishes an EMPTY
+      * tombstone table in the same flip: returns the publish entry
+      * (written to a tmp dir), or None when nothing was pending. */
+    def foldedForPublish(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, snap: Manifest.Snapshot)
+      : Option[(String, String)] =
+      readIfAny(spark, snap).map { t =>
+        val tmp = s"$dir/_compact.tmp.tombstones"
+        t.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp)
+        "tombstones" -> tmp
+      }
   }

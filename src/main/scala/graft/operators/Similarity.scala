@@ -419,11 +419,38 @@ object Similarity {
     // query batch buys a static PartitionFilter on the postings scan
     val probed = q.select(col("list")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val postings = spark.read.parquet(snap.path("postings"))
-      .where(col("list").isin(probed.map(Int.box): _*))
+    // tombstone filter AFTER the static partition prune: retracted ids
+    // vanish from results immediately, and the anti-join only sees the
+    // probed lists' rows
+    val postings = Tombstones.live(spark, snap,
+      spark.read.parquet(snap.path("postings"))
+        .where(col("list").isin(probed.map(Int.box): _*)))
     topK(postings.join(broadcast(q), Seq("list"))
       .select(col("qid"), col("id"),
         V.cosine(col("qv"), col("v")).as("cosine")), k)
+  }
+
+  /** Retract vectors from a persisted [[ivfBuild]] /  [[ivfPqBuild]]
+    * index ([[Tombstones]] — the erasure verb the
+    * build/append/probe/compact lifecycle otherwise lacks): the ids
+    * stop appearing in [[ivfQuery]]/[[ivfPqQuery]] results immediately
+    * (stored-side anti-join, applied after the partition prune) and
+    * their postings/codes rows are physically dropped by the next
+    * [[ivfCompact]]/[[ivfPqCompact]]/rebuild. Works for both layouts —
+    * the tombstone table is keyed by id alone. */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+                ids: DataFrame, idCol: String = "id"): Unit = {
+    val snap = Manifest.snapshot(spark, dir)
+    val table =
+      if (new org.apache.hadoop.fs.Path(snap.path("codes"))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(snap.path("codes"))))
+        "codes"
+      else "postings"
+    val idType = spark.read.parquet(snap.path(table))
+      .schema("id").dataType
+    Tombstones.append(spark, dir,
+      ids.select(col(idCol).cast(idType).as("id")))
   }
 
   /** Build and PERSIST an IVF-PQ index — [[ivfBuild]]'s layout with the
@@ -565,8 +592,9 @@ object Similarity {
       explode(probeLists(col("qv").cast("array<double>"))).as("list")))
     val probed = q.select(col("list")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val codes = spark.read.parquet(snap.path("codes"))
-      .where(col("list").isin(probed.map(Int.box): _*))
+    val codes = Tombstones.live(spark, snap,
+      spark.read.parquet(snap.path("codes"))
+        .where(col("list").isin(probed.map(Int.box): _*)))
     val approxTop = codes.join(broadcast(q), Seq("list"))
       .select(col("qid"), col("id"),
         adc(col("qd"), col("codes"), col("norm")).as("approx"))
@@ -614,7 +642,11 @@ object Similarity {
   // would be dropped with the superseded directory
   Manifest.withLock(spark, dir) {
     val snap = Manifest.snapshot(spark, dir)
-    val postings = spark.read.parquet(snap.path("postings"))
+    // pending Tombstones fold here, whichever mode: retracted rows are
+    // physically dropped from the rewrite and the emptied tombstone
+    // table flips in the same publish
+    val postings = Tombstones.live(spark, snap,
+      spark.read.parquet(snap.path("postings")))
     if (rebuild) {
       // full refit through the build path itself (one code path =
       // layouts cannot diverge) into a sibling temp index, then ONE
@@ -627,7 +659,8 @@ object Similarity {
         seed, kmeansMaxIter)
       Manifest.publishUnderLock(spark, dir, Seq(
         "centroids" -> s"$tmp/centroids.parquet",
-        "postings" -> s"$tmp/postings.parquet"))
+        "postings" -> s"$tmp/postings.parquet") ++
+        Tombstones.foldedForPublish(spark, dir, snap))
       val tmpP = new org.apache.hadoop.fs.Path(tmp)
       tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(tmpP, true)
@@ -644,7 +677,8 @@ object Similarity {
       (if (maxRecordsPerFile > 0L)
          w.option("maxRecordsPerFile", maxRecordsPerFile)
        else w).parquet(tmp)
-      Manifest.publishUnderLock(spark, dir, Seq("postings" -> tmp))
+      Manifest.publishUnderLock(spark, dir, Seq("postings" -> tmp) ++
+        Tombstones.foldedForPublish(spark, dir, snap))
     }
   }
 
@@ -658,14 +692,16 @@ object Similarity {
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.codes"
-      val src = spark.read.parquet(snap.path("codes"))
+      val src = Tombstones.live(spark, snap,
+        spark.read.parquet(snap.path("codes")))
         .select(col("list"), col("id"), col("codes"), col("norm"))
       val w = saltedByList(src, maxRecordsPerFile)
         .write.mode("overwrite").partitionBy("list")
       (if (maxRecordsPerFile > 0L)
          w.option("maxRecordsPerFile", maxRecordsPerFile)
        else w).parquet(tmp)
-      Manifest.publishUnderLock(spark, dir, Seq("codes" -> tmp))
+      Manifest.publishUnderLock(spark, dir, Seq("codes" -> tmp) ++
+        Tombstones.foldedForPublish(spark, dir, snap))
     }
 
   /** Reader-safe refit of a persisted [[ivfPqBuild]] index from the
@@ -685,12 +721,16 @@ object Similarity {
       val nList = spark.read.parquet(snap.path("centroids")).count().toInt
       val cb = loadCodebooks(spark, snap.path("codebooks"))
       val tmp = s"$dir/_rebuild.tmp"
-      ivfPqBuild(corpus, tmp, nList, cb.length, cb(0).length,
-        trainFraction, seed, kmeansMaxIter)
+      // fold pending Tombstones: the embedding store may still carry
+      // retracted ids — a rebuild that re-encoded them would silently
+      // resurrect deleted vectors
+      ivfPqBuild(Tombstones.live(spark, snap, corpus), tmp, nList,
+        cb.length, cb(0).length, trainFraction, seed, kmeansMaxIter)
       Manifest.publishUnderLock(spark, dir, Seq(
         "centroids" -> s"$tmp/centroids.parquet",
         "codebooks" -> s"$tmp/codebooks.parquet",
-        "codes" -> s"$tmp/codes.parquet"))
+        "codes" -> s"$tmp/codes.parquet") ++
+        Tombstones.foldedForPublish(spark, dir, snap))
       val tmpP = new org.apache.hadoop.fs.Path(tmp)
       tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(tmpP, true)
@@ -731,8 +771,11 @@ object Similarity {
   def ivfRecallProbe(spark: org.apache.spark.sql.SparkSession,
                      dir: String, queries: DataFrame, k: Int,
                      nProbe: Int): Double = {
-    val corpus = spark.read
-      .parquet(Manifest.snapshot(spark, dir).path("postings"))
+    val snap = Manifest.snapshot(spark, dir)
+    // the brute-force side must see the same LIVE rows as the probe —
+    // an un-filtered exact side would count tombstoned ids as misses
+    val corpus = Tombstones.live(spark, snap,
+      spark.read.parquet(snap.path("postings")))
       .select(col("id"), col("v"))
     val exact = bruteForce(queries, corpus, k).select("qid", "id")
     val got = ivfQuery(spark, dir, queries, k, nProbe).select("qid", "id")
@@ -776,17 +819,66 @@ object Similarity {
     *     data. [[indexMaintenancePlan]]'s `driftRatioFloor` turns it
     *     into a `rebuild` verdict.
     *
-    * Cost: one (sampled) postings scan joined to the broadcast-class
-    * centroid table by the STORED list id (no assignment recompute),
-    * plus one batch scan. One output row; rows from many indexes union
-    * into the fleet table. */
+    * Cost: BOUNDED by construction — the base side reads at most
+    * `maxBaseFiles` posting files (a deterministic path-hash subset;
+    * [[sampledTableScan]]), joined to the broadcast-class centroid
+    * table by the STORED list id (no assignment recompute), plus one
+    * batch scan. `baseSampleMod` further thins rows WITHIN the read
+    * files (compute, not IO). The output row carries
+    * `base_files_read`/`base_files_total` so the fleet table shows
+    * the touched fraction. A daily probe of a 100 TB index therefore
+    * costs a few dozen GB, not a full postings pass — the whole point
+    * of a cheap leading indicator. One output row; rows from many
+    * indexes union into the fleet table. */
+  /** Deterministic bounded-IO scan of a stored table: when the table
+    * holds more than `maxFiles` parquet files, read only a
+    * deterministic `maxFiles`-file subset (ranked by a hash of each
+    * file's path — append order and listing order do not matter) with
+    * partition-column discovery preserved via `basePath`. This is what
+    * keeps a "cheap" monitoring probe cheap at corpus scale: a row-mod
+    * sample still READS every file before filtering; a file subset
+    * bounds the IO itself. Returns the frame plus (filesRead,
+    * filesTotal) so callers can report the touched fraction. */
+  private[operators] def sampledTableScan(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFiles: Int): (DataFrame, Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet"))
+        files += s.getPath.toString
+    }
+    if (maxFiles <= 0 || files.length <= maxFiles)
+      (spark.read.parquet(path), files.length.toLong, files.length.toLong)
+    else {
+      // rank by a hash of the path RELATIVE to the table root so the
+      // selection is stable under directory moves and version flips
+      def rank(f: String): (Int, String) = {
+        // listed paths come back fully qualified (file:/..., hdfs://…)
+        // while `path` may be bare — strip up through the root if found
+        val i = f.indexOf(path)
+        val rel = if (i >= 0) f.substring(i + path.length) else f
+        (scala.util.hashing.MurmurHash3.stringHash(rel, 42), rel)
+      }
+      val picked = files.sortBy(rank).take(maxFiles)
+      (spark.read.option("basePath", path).parquet(picked.toSeq: _*),
+        maxFiles.toLong, files.length.toLong)
+    }
+  }
+
   def ivfDriftProbe(spark: org.apache.spark.sql.SparkSession,
                     dir: String, batch: DataFrame,
-                    baseSampleMod: Long = 1L): DataFrame = {
+                    baseSampleMod: Long = 1L,
+                    maxBaseFiles: Int = 256): DataFrame = {
     val snap = Manifest.snapshot(spark, dir)
     val cents = spark.read.parquet(snap.path("centroids"))
       .select(col("list"), col("center"))
-    val base = spark.read.parquet(snap.path("postings"))
+    val (postings, filesRead, filesTotal) =
+      sampledTableScan(spark, snap.path("postings"), maxBaseFiles)
+    val base = postings
       .filter(pmod(xxhash64(col("id")), lit(baseSampleMod)) === 0)
       .join(broadcast(cents), Seq("list"))
       .agg(avg(V.cosine(col("v").cast("array<double>"), col("center")))
@@ -802,7 +894,9 @@ object Similarity {
     base.crossJoin(bat).select(
       lit(dir).as("dir"), lit(snap.version).as("version"),
       col("base_mean_sim"), col("batch_mean_sim"),
-      (col("batch_mean_sim") / col("base_mean_sim")).as("drift_ratio"))
+      (col("batch_mean_sim") / col("base_mean_sim")).as("drift_ratio"),
+      lit(filesRead).as("base_files_read"),
+      lit(filesTotal).as("base_files_total"))
   }
 
   /** [[ivfDriftProbe]] for the compressed [[ivfPqBuild]] layout. The
@@ -815,11 +909,14 @@ object Similarity {
     * — reconstruction error pulls the cosine down even when the coarse
     * assignment is fine). The batch side scores the caller's REAL
     * vectors against their nearest centroid, exactly as [[ivfAppend]]
-    * would assign them. Cost: one (sampled) codes scan with the
-    * broadcast-class codebooks + centroids, one batch scan. */
+    * would assign them. Cost: bounded as for [[ivfDriftProbe]] — at
+    * most `maxBaseFiles` code files read (deterministic path-hash
+    * subset, fraction reported in the output row), decoded against the
+    * broadcast-class codebooks + centroids, plus one batch scan. */
   def ivfPqDriftProbe(spark: org.apache.spark.sql.SparkSession,
                       dir: String, batch: DataFrame,
-                      baseSampleMod: Long = 1L): DataFrame = {
+                      baseSampleMod: Long = 1L,
+                      maxBaseFiles: Int = 256): DataFrame = {
     val snap = Manifest.snapshot(spark, dir)
     val cents = spark.read.parquet(snap.path("centroids"))
       .select(col("list"), col("center"))
@@ -836,7 +933,9 @@ object Similarity {
       }
       out.toSeq
     }
-    val base = spark.read.parquet(snap.path("codes"))
+    val (codes, filesRead, filesTotal) =
+      sampledTableScan(spark, snap.path("codes"), maxBaseFiles)
+    val base = codes
       .filter(pmod(xxhash64(col("id")), lit(baseSampleMod)) === 0)
       .join(broadcast(cents), Seq("list"))
       .agg(avg(V.cosine(recon(col("codes")), col("center")))
@@ -852,7 +951,9 @@ object Similarity {
     base.crossJoin(bat).select(
       lit(dir).as("dir"), lit(snap.version).as("version"),
       col("base_mean_sim"), col("batch_mean_sim"),
-      (col("batch_mean_sim") / col("base_mean_sim")).as("drift_ratio"))
+      (col("batch_mean_sim") / col("base_mean_sim")).as("drift_ratio"),
+      lit(filesRead).as("base_files_read"),
+      lit(filesTotal).as("base_files_total"))
   }
 
   /** Semantic DECONTAMINATION against an evaluation benchmark: annotate
@@ -1041,7 +1142,10 @@ object Similarity {
     *    rewrite);
     *  - `compact` — small-file count (`max_files_per_list` for the
     *    list-partitioned IVF layouts, `n_fragments` for the flat
-    *    MinHash banded table) or row skew over its ceiling;
+    *    MinHash banded table), row skew, or pending-retraction debt
+    *    (`deleted_pending` over `tombstoneDebtCeiling` — every probe
+    *    pays the tombstone anti-join until a compaction folds it)
+    *    over its ceiling;
     *  - `none` otherwise.
     *
     * Pure column logic: runs over a one-row report or a million-index
@@ -1060,6 +1164,8 @@ object Similarity {
                            driftRatioFloor: Double =
                              Double.NegativeInfinity,
                            hotClustersCeiling: Long =
+                             Long.MaxValue,
+                           tombstoneDebtCeiling: Long =
                              Long.MaxValue): DataFrame = {
     val present = health.columns.toSet
     def c(name: String) =
@@ -1079,7 +1185,10 @@ object Similarity {
         .when(c("hot_buckets") > hotBucketsCeiling, lit("dedup_prepass"))
         .when(c("max_files_per_list") > maxFilesPerListCeiling ||
           c("row_skew") > rowSkewCeiling ||
-          c("n_fragments") > maxFragmentsCeiling, lit("compact"))
+          c("n_fragments") > maxFragmentsCeiling ||
+          // retraction debt: every probe pays the tombstone anti-join
+          // until a compaction folds it — past the ceiling, fold now
+          c("deleted_pending") > tombstoneDebtCeiling, lit("compact"))
         .otherwise(lit("none")))
   }
 
@@ -1281,11 +1390,12 @@ object Similarity {
       if (rowsPerList.isEmpty) 0L else rowsPerList.values.max,
       meanRows,
       if (meanRows == 0.0) 0.0 else rowsPerList.values.max / meanRows,
-      recall, k, nProbe, suggested))
+      recall, k, nProbe, suggested,
+      Tombstones.pending(spark, snap)))
       .toDF("dir", "version", "n_lists", "empty_lists", "total_rows",
         "total_files", "max_files_per_list", "max_rows_per_list",
         "mean_rows_per_list", "row_skew", "recall_at_k", "k", "n_probe",
-        "suggested_n_probe")
+        "suggested_n_probe", "deleted_pending")
   }
 
   /** IVF-PQ ANN: IVF coarse pruning + product-quantized candidate

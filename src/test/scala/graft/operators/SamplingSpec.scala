@@ -1083,6 +1083,44 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("drift probes bound their base-side IO: past maxBaseFiles the " +
+    "scan touches a deterministic file subset, never the whole index") {
+    import spark.implicits._
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val corpus = (0 until 4).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("driftio").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 10)
+      // grow the postings to many file fragments via per-row appends
+      (0 until 6).foreach { i =>
+        Similarity.ivfAppend(spark, root,
+          (0 until 4).map(c => (1000L + 4L * i + c, pt(c))).toDF("id", "v"))
+      }
+      val full = Similarity.ivfDriftProbe(spark, root, corpus).head()
+      val total = full.getAs[Long]("base_files_total")
+      assert(total > 4L, s"fixture should be fragmented, got $total files")
+      assert(full.getAs[Long]("base_files_read") == total)
+      // capped probe: reads exactly the cap, reports the fraction, and
+      // the fixture's exact constant survives (every vector is an axis
+      // point at cosine 1 to its centroid, whatever subset is read)
+      val capped = Similarity.ivfDriftProbe(spark, root, corpus,
+        maxBaseFiles = 3).head()
+      assert(capped.getAs[Long]("base_files_read") == 3L)
+      assert(capped.getAs[Long]("base_files_total") == total)
+      assert(math.abs(capped.getAs[Double]("base_mean_sim") - 1.0) < 1e-12)
+      assert(math.abs(capped.getAs[Double]("drift_ratio") - 1.0) < 1e-12)
+      // determinism: the same cap picks the same subset (same values,
+      // same files) across invocations
+      val again = Similarity.ivfDriftProbe(spark, root, corpus,
+        maxBaseFiles = 3).head()
+      assert(again.getAs[Double]("base_mean_sim") ==
+        capped.getAs[Double]("base_mean_sim"))
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("ivfPqDriftProbe scores reconstructions: exact fixture gives " +
     "ratio 1, orthogonal drift gives 0, stale codebooks pull base down") {
     import spark.implicits._
@@ -1788,5 +1826,154 @@ class SamplingSpec extends SparkSpec {
       4097, keepGroupSize = true)
     assert(sized.filter(col("g") === "hot")
       .select("group_size").distinct().as[Long].collect().toSeq == Seq(9000L))
+  }
+
+  test("ivfDelete: retracted ids leave results immediately, recall " +
+    "stays exact-relative-to-live, compaction folds the tombstones " +
+    "physically") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 2)
+      // pin the doomed set by VALUE (a bare limit() could re-resolve to
+      // different rows between the delete and the live-side filter)
+      val doomed = corpus.select("id").orderBy("id").limit(3)
+        .collect().map(_.getLong(0)).toSet
+      import spark.implicits._
+      val doomedIds = doomed.toSeq.sorted.toDF("id")
+      val live = corpus.filter(!col("id").isInCollection(doomed))
+      Similarity.ivfDelete(spark, root, doomedIds)
+      // probe-all equals brute force over the LIVE corpus only
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) ==
+        annPairs(Similarity.bruteForce(queries, live, 3)))
+      // the recall probe's exact side is live-filtered too
+      assert(Similarity.ivfRecallProbe(spark, root, queries, 3, 4) == 1.0)
+      // delete replay is idempotent: pending stays at |doomed|
+      Similarity.ivfDelete(spark, root, doomedIds)
+      def pending() = Similarity.ivfIndexHealth(spark, root, queries,
+        k = 3, nProbe = 4).head().getAs[Long]("deleted_pending")
+      assert(pending() == 3L)
+      // compaction folds: rows physically gone, debt cleared, results
+      // unchanged
+      Similarity.ivfCompact(spark, root)
+      assert(pending() == 0L)
+      val snap = Manifest.snapshot(spark, root)
+      val ids = spark.read.parquet(snap.path("postings"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(ids.intersect(doomed).isEmpty,
+        "folded postings must not carry retracted ids")
+      assert(annPairs(Similarity.ivfQuery(spark, root, queries,
+        k = 3, nProbe = 4)) ==
+        annPairs(Similarity.bruteForce(queries, live, 3)))
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("ivfDelete on the PQ layout: probes silent immediately; a " +
+    "rebuild from the embedding store cannot resurrect deleted ids") {
+    val (queries, corpus) = annFixture()
+    val dir = java.nio.file.Files.createTempDirectory("pqdel").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfPqBuild(corpus, root, nList = 4, m = 4, nCodes = 16,
+        kmeansMaxIter = 2)
+      val doomed = corpus.select("id").orderBy("id").limit(3)
+        .collect().map(_.getLong(0)).toSet
+      import spark.implicits._
+      val doomedIds = doomed.toSeq.sorted.toDF("id")
+      val live = corpus.filter(!col("id").isInCollection(doomed))
+      Similarity.ivfDelete(spark, root, doomedIds)
+      // probe-all + refine-all equals brute force over the LIVE corpus
+      val nCorpus = corpus.count().toInt
+      assert(annPairs(Similarity.ivfPqQuery(spark, root, queries, corpus,
+        k = 3, nProbe = 4, refineK = nCorpus)) ==
+        annPairs(Similarity.bruteForce(queries, live, 3)))
+      // the rebuild is handed the FULL embedding store (still carrying
+      // the deleted ids) — the fold must filter them out
+      Similarity.ivfPqRebuild(spark, root, corpus)
+      val snap = Manifest.snapshot(spark, root)
+      val ids = spark.read.parquet(snap.path("codes"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(ids.intersect(doomed).isEmpty,
+        "rebuild must not re-encode retracted ids")
+      assert(annPairs(Similarity.ivfPqQuery(spark, root, queries, corpus,
+        k = 3, nProbe = 4, refineK = nCorpus)) ==
+        annPairs(Similarity.bruteForce(queries, live, 3)))
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("index deletes respect the writer lock (loser throws before " +
+    "touching state) and a fresh build clears stale tombstones") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "one two three"))
+      .toDF("id", "text").repartition(1)
+    val dir = java.nio.file.Files.createTempDirectory("delock").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Dedup.exactIndexBuild(docs, root, "id", "text")
+      // a held writer lock fails the delete loudly, nothing appended
+      Manifest.withLock(spark, root) {
+        val e = intercept[IllegalStateException] {
+          Dedup.exactIndexDelete(spark, root, docs, "id", "text")
+        }
+        assert(e.getMessage.contains("another writer"))
+      }
+      assert(Dedup.exactIndexHealth(spark, root)
+        .head().getAs[Long]("deleted_pending") == 0L)
+      // delete doc 1, then REBUILD in place: the fresh index must not
+      // inherit the old generation's retraction debt
+      Dedup.exactIndexDelete(spark, root,
+        docs.filter(col("id") === 1L), "id", "text")
+      assert(Dedup.exactIndexHealth(spark, root)
+        .head().getAs[Long]("deleted_pending") == 1L)
+      Dedup.exactIndexBuild(docs, root, "id", "text")
+      assert(Dedup.exactIndexHealth(spark, root)
+        .head().getAs[Long]("deleted_pending") == 0L)
+      val probe = Dedup.exactIndexProbe(spark, root,
+        Seq((10L, "alpha beta gamma")).toDF("id", "text"), "id", "text")
+        .head()
+      assert(probe.getAs[Boolean]("is_dup"),
+        "fresh build must resolve with no stale tombstone filtering")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("semDedupStateDelete: retracted base ids stop pairing in the " +
+    "persisted incremental probe; compaction folds them") {
+    import spark.implicits._
+    def vv(c: Double) = Seq(c, c + 0.001)
+    val base = Seq((0L, vv(1.0)), (1L, vv(1.0)), (2L, vv(-5.0)))
+      .toDF("id", "vec")
+    val batch = Seq((10L, vv(1.0))).toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("semdel").toFile
+    val root = dir.getAbsolutePath
+    try {
+      val (labels, cents) = Clustering.kmeansWithCentroids(base, "id",
+        "vec", k = 2, iterations = 2)
+      Clustering.semDedupStateSave(spark, root, labels, "id", cents)
+      Clustering.releasePairs(labels)
+      def pairs() = {
+        val p = Clustering.semDedupIncrementalPersisted(spark, root,
+          base, batch, "id", "vec", tau = 0.99)
+        val got = p.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Clustering.releasePairs(p)
+        got
+      }
+      assert(pairs() == Set((0L, 10L), (1L, 10L)))
+      Clustering.semDedupStateDelete(spark, root,
+        Seq(1L).toDF("id"))
+      assert(pairs() == Set((0L, 10L)))
+      assert(Clustering.semDedupStateHealth(spark, root)
+        .head().getAs[Long]("deleted_pending") == 1L)
+      Clustering.semDedupStateCompact(spark, root)
+      assert(Clustering.semDedupStateHealth(spark, root)
+        .head().getAs[Long]("deleted_pending") == 0L)
+      val snap = Manifest.snapshot(spark, root)
+      assert(spark.read.parquet(snap.path("labels"))
+        .filter(col("id") === 1L).count() == 0L,
+        "folded labels must not carry the retracted id")
+      assert(pairs() == Set((0L, 10L)))
+    } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 }
