@@ -1331,6 +1331,114 @@ object OracleSql {
         |UNION ALL SELECT 'simhash', '3_compacted', 0, 0, 'none'"""
         .stripMargin,
 
+    // q255: the cross-family admission-crash reconcile — structural
+    // facts of the constructed fleet: after the crash exactly one
+    // (simhash, b2) gap exists and the SimHash probe cannot see the
+    // b2 doc (0 hits); after the repair re-append the fleet is
+    // consistent and the probe reports the previously-invisible
+    // near-dup (1 hit)
+    "q255_ingest_reconcile" ->
+      """SELECT '1_after_crash' AS phase, CAST(1 AS BIGINT) AS n_gaps,
+        |  'simhash:b2' AS gaps,
+        |  CAST(0 AS BIGINT) AS simhash_probe_hits
+        |UNION ALL SELECT '2_after_repair', 0, '', 1""".stripMargin,
+
+    // q256: the funnel ops history + souring detector — structural
+    // facts of the planted three-day fixture: s2's near-dup rate goes
+    // 0 -> 0.5 -> 1.0 (each near-dup text extends the base doc by one
+    // token: J = 4/5), trailing means (window 2) are 0 and 0.25, and
+    // the detector fires on s2's day-2 jump-from-zero and day-3 rise
+    // while s1 never alerts; day-1 rows have no trailing history
+    "q256_funnel_history" ->
+      """SELECT '2024-01-01' AS day, 's1' AS source,
+        |  CAST(2 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_neardup,
+        |  CAST(0.0 AS DOUBLE) AS rate,
+        |  CAST(NULL AS DOUBLE) AS trailing_rate, false AS souring
+        |UNION ALL SELECT '2024-01-01', 's2', 2, 0, CAST(0.0 AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), false
+        |UNION ALL SELECT '2024-01-02', 's1', 2, 0, CAST(0.0 AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE), false
+        |UNION ALL SELECT '2024-01-02', 's2', 2, 1, CAST(0.5 AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE), true
+        |UNION ALL SELECT '2024-01-03', 's1', 2, 0, CAST(0.0 AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE), false
+        |UNION ALL SELECT '2024-01-03', 's2', 2, 2, CAST(1.0 AS DOUBLE),
+        |  CAST(0.25 AS DOUBLE), true""".stripMargin,
+
+    // q257: the closed daily-ingest loop — day-1's admission replays
+    // exactly like q251 (order-independent kernel vs the base state),
+    // its accepted docs EXTEND the hash set (bh2) and the banded index
+    // (the e side of near2 ranges over base sources OR day-1
+    // acceptances), and day-2's verdicts are computed against the
+    // extended state. Day split is doc_id parity over the batch
+    // sources
+    "q257_ingest_append_loop" -> (shinglesCte + """,
+        |sigs AS (SELECT doc_id, source,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 1, 8))), 'zzzzzzzz') AS mh0,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 9, 8))), 'zzzzzzzz') AS mh1,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 17, 8))), 'zzzzzzzz') AS mh2,
+        |  COALESCE(list_min(list_transform(sh3,
+        |    s -> substr(md5(s), 25, 8))), 'zzzzzzzz') AS mh3,
+        |  list_distinct(sh3) AS shd FROM sh),
+        |bnd AS (SELECT doc_id, source,
+        |  md5(mh0 || '|' || mh1) AS b0, md5(mh2 || '|' || mh3) AS b1,
+        |  shd FROM sigs),
+        |bh AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE source IN ('src1','src2','src3','src4')),
+        |bg AS (SELECT DISTINCT unnest(sh3) AS g FROM sh
+        |  WHERE source = 'src0'),
+        |cg AS (SELECT DISTINCT doc_id, unnest(list_distinct(sh3)) AS g
+        |  FROM sh
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |ct AS (SELECT cg.doc_id, COUNT(*) AS n FROM cg
+        |  JOIN bg USING (g) GROUP BY 1),
+        |near1 AS (SELECT DISTINCT dd.doc_id
+        |  FROM bnd dd JOIN bnd e ON (dd.b0 = e.b0 OR dd.b1 = e.b1)
+        |    AND dd.source NOT IN ('src0','src1','src2','src3','src4')
+        |    AND dd.doc_id % 2 = 0
+        |    AND e.source IN ('src1','src2','src3','src4')
+        |  WHERE CAST(len(list_intersect(dd.shd, e.shd)) AS DOUBLE)
+        |    / (len(dd.shd) + len(e.shd)
+        |       - len(list_intersect(dd.shd, e.shd)))
+        |    >= CAST(0.5 AS DOUBLE)),
+        |acc1 AS (SELECT t.doc_id FROM t
+        |  LEFT JOIN near1 ON near1.doc_id = t.doc_id
+        |  LEFT JOIN ct ON ct.doc_id = t.doc_id
+        |  WHERE t.source NOT IN ('src0','src1','src2','src3','src4')
+        |    AND t.doc_id % 2 = 0
+        |    AND len(t.toks) >= 5
+        |    AND md5(t.text) NOT IN (SELECT h FROM bh)
+        |    AND near1.doc_id IS NULL AND COALESCE(ct.n, 0) = 0),
+        |bh2 AS (SELECT h FROM bh
+        |  UNION SELECT DISTINCT md5(text) FROM documents
+        |  JOIN acc1 USING (doc_id)),
+        |near2 AS (SELECT DISTINCT dd.doc_id
+        |  FROM bnd dd JOIN bnd e ON (dd.b0 = e.b0 OR dd.b1 = e.b1)
+        |    AND dd.source NOT IN ('src0','src1','src2','src3','src4')
+        |    AND dd.doc_id % 2 = 1
+        |    AND (e.source IN ('src1','src2','src3','src4')
+        |      OR e.doc_id IN (SELECT doc_id FROM acc1))
+        |  WHERE CAST(len(list_intersect(dd.shd, e.shd)) AS DOUBLE)
+        |    / (len(dd.shd) + len(e.shd)
+        |       - len(list_intersect(dd.shd, e.shd)))
+        |    >= CAST(0.5 AS DOUBLE))
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  (md5(t.text) IN (SELECT h FROM bh2)) AS is_dup_exact,
+        |  (near2.doc_id IS NOT NULL) AS is_neardup,
+        |  COALESCE(ct.n, 0) > 0 AS is_contaminated,
+        |  (len(t.toks) >= 5
+        |    AND md5(t.text) NOT IN (SELECT h FROM bh2)
+        |    AND near2.doc_id IS NULL AND COALESCE(ct.n, 0) = 0)
+        |    AS accepted
+        |FROM t
+        |LEFT JOIN near2 ON near2.doc_id = t.doc_id
+        |LEFT JOIN ct ON ct.doc_id = t.doc_id
+        |WHERE t.source NOT IN ('src0','src1','src2','src3','src4')
+        |  AND t.doc_id % 2 = 1""".stripMargin),
+
     // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make
     // every 2-dim subvector slice exactly representable, so the base
     // reconstruction is exact and every value is the q244 constant

@@ -3734,6 +3734,183 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  /** Cross-family admission ATOMICITY gate
+    * ([[operators.CorpusPipeline.fleetIngestReconcile]] +
+    * the appends' ingest log): a three-family fleet (exact-hash,
+    * MinHash, SimHash) accepts batch b1 everywhere, then CRASHES
+    * mid-admission of b2 — after the exact and MinHash appends, before
+    * the SimHash one. Nothing else in the system can see that
+    * divergence (a b2 doc is exact-indexed, so its exact dup probes
+    * work, but its signature is missing, so SimHash near-dup probes
+    * silently pass forever). The reconcile diffs each family's logged
+    * batch-id set and emits exactly the (b2, simhash) repair row; the
+    * repair re-append converges the fleet and the re-probe finds the
+    * previously-invisible near-dup. Structural facts pinned per phase:
+    * gap count, the gap itself, and the post-repair probe hit. */
+  def q255_ingest_reconcile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Seq(0L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("id", "text").repartition(1)
+    val b1 = Seq(10L -> "pack my box with five dozen liquor jugs")
+      .toDF("id", "text").repartition(1)
+    val b2 = Seq(20L -> "how vexingly quick daft zebras jump")
+      .toDF("id", "text").repartition(1)
+    val dirs = Seq("q255_ex_", "q255_mh_", "q255_sh_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, shDir) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "id", "text")
+      Dedup.simhashIndexBuild(base, shDir, "id", "text")
+      val fams = Map("exact" -> exDir, "minhash" -> mhDir,
+        "simhash" -> shDir)
+      def gapState(): (Long, String) = {
+        val rows = operators.CorpusPipeline
+          .fleetIngestReconcile(s, fams)
+          .select("family", "batch_id").collect()
+          .map(r => s"${r.getString(0)}:${r.getString(1)}").sorted
+        (rows.length.toLong, rows.mkString(","))
+      }
+      def shProbeHits(): Long =
+        Dedup.simhashIndexProbe(s, shDir,
+          Seq(30L -> "how vexingly quick daft zebras jump")
+            .toDF("id", "text"), "id", "text", maxHamming = 0)
+          .filter(col("base_id") === 20L).count()
+      // b1 admits everywhere; b2's admission crashes before SimHash
+      Seq(("b1", b1, true), ("b2", b2, false)).foreach {
+        case (bid, batch, full) =>
+          Dedup.exactIndexAppend(s, exDir, batch, "id", "text",
+            batchId = Some(bid))
+          Dedup.minhashIndexAppend(s, mhDir, batch, "id", "text",
+            batchId = Some(bid))
+          if (full) Dedup.simhashIndexAppend(s, shDir, batch, "id",
+            "text", batchId = Some(bid))
+      }
+      val (nGap1, gap1) = gapState()
+      val hits1 = shProbeHits()
+      // repair: re-append the flagged batch to the flagged family
+      Dedup.simhashIndexAppend(s, shDir, b2, "id", "text",
+        batchId = Some("b2"))
+      val (nGap2, gap2) = gapState()
+      val hits2 = shProbeHits()
+      Seq(("1_after_crash", nGap1, gap1, hits1),
+        ("2_after_repair", nGap2, gap2, hits2))
+        .toDF("phase", "n_gaps", "gaps", "simhash_probe_hits")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
+  /** PERSISTED admission-funnel history + SOURING-SOURCE detector
+    * ([[operators.CorpusPipeline.admissionFunnelAppend]] /
+    * [[operators.CorpusPipeline.souringSources]] — the time axis the
+    * q252 in-memory funnel lacks): three daily batches from two
+    * sources run the persisted-index admission kernel, each day's
+    * per-source funnel appends to the ops history, and the detector
+    * compares every (day, source) near-dup RATE against that source's
+    * trailing mean (window 2, ratio ceiling 2). Source s2 sours on
+    * day 2 (one of two docs near-dups the base corpus) and fully on
+    * day 3 (both docs) while s1 stays clean — the verdicts, rates,
+    * and trailing means are structural facts of the planted fixture
+    * (the near-dup texts extend the base doc by one token: 4 of 5
+    * shingles shared, J = 0.8 ≥ 0.5). */
+  def q256_funnel_history(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text").repartition(1)
+    val bench = Seq((100L,
+      "secret evaluation question regarding ancient sphinxes"))
+      .toDF("id", "text").repartition(1)
+    def nd(t: String) = s"alpha beta gamma delta epsilon zeta $t"
+    val days: Seq[(String, Seq[(Long, String, String)])] = Seq(
+      "2024-01-01" -> Seq(
+        (11L, "s1", "one two three four five six"),
+        (12L, "s1", "seven eight nine ten eleven twelve"),
+        (21L, "s2", "red green blue yellow purple orange"),
+        (22L, "s2", "cat dog bird fish horse goat")),
+      "2024-01-02" -> Seq(
+        (13L, "s1", "north south east west up down"),
+        (14L, "s1", "spring summer autumn winter morning evening"),
+        (23L, "s2", nd("eta")),
+        (24L, "s2", "copper iron silver gold tin lead")),
+      "2024-01-03" -> Seq(
+        (15L, "s1", "river lake ocean pond stream creek"),
+        (16L, "s1", "window door wall floor roof ceiling"),
+        (25L, "s2", nd("theta")),
+        (26L, "s2", nd("iota"))))
+    val dirs = Seq("q256_ex_", "q256_mh_", "q256_dc_", "q256_hist_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, dcDir, histDir) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "id", "text")
+      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      days.foreach { case (day, rows) =>
+        val batch = rows.toDF("id", "source", "text")
+        val verdicts = operators.CorpusPipeline.admitBatch(s, batch,
+          exDir, mhDir, dcDir, base, "id", "text")
+        val funnel = batch.select(col("id"), col("source"))
+          .join(verdicts, Seq("id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("is_neardup"), 1)).as("n_neardup"),
+            count(when(col("accepted"), 1)).as("n_accepted"))
+        operators.CorpusPipeline.admissionFunnelAppend(s, histDir, day,
+          funnel)
+      }
+      operators.CorpusPipeline.souringSources(s, histDir,
+        window = 2, ratioCeiling = 2.0)
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
+  /** The daily-ingest loop CLOSED over persisted state (q249's
+    * hygiene gap: admit but never append): day-1's batch (even
+    * doc_ids of the non-base sources) is admitted through the
+    * order-independent kernel, its ACCEPTED docs are appended back
+    * into the exact-hash and MinHash indexes (one locked append each,
+    * batch-id logged), and day-2's batch (odd doc_ids) is admitted
+    * against the UPDATED indexes — a day-2 doc duplicating a day-1
+    * acceptance is now caught, which is the whole point of appending.
+    * The DuckDB mirror replays day-1's four verdict stages, extends
+    * the hash set and the banded index with the accepted docs, and
+    * re-runs day-2 against the extended state — every day-2 verdict
+    * row is hash-gated. */
+  def q257_ingest_append_loop(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("source") === "src0")
+    val baseSrc = Seq("src1", "src2", "src3", "src4")
+    val base = docs.filter(col("source").isInCollection(baseSrc))
+    val batchAll = docs.filter(
+      !col("source").isInCollection("src0" +: baseSrc))
+    val day1 = batchAll.filter(col("doc_id") % 2 === 0)
+    val day2 = batchAll.filter(col("doc_id") % 2 === 1)
+    val dirs = Seq("q257_ex_", "q257_mh_", "q257_dc_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, dcDir) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "doc_id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
+      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      val v1 = operators.CorpusPipeline.admitBatch(s, day1, exDir,
+        mhDir, dcDir, base, "doc_id", "text")
+      // MATERIALIZE the accepted set before mutating the indexes it
+      // was computed against: a lazy acc1 re-evaluated after the
+      // appends would probe the updated files and flag itself
+      val acc1 = day1.select(col("doc_id"), col("text"))
+        .join(v1.filter(col("accepted")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      Dedup.exactIndexAppend(s, exDir, acc1, "doc_id", "text",
+        batchId = Some("day1"))
+      Dedup.minhashIndexAppend(s, mhDir, acc1, "doc_id", "text",
+        batchId = Some("day1"))
+      operators.CorpusPipeline.admitBatch(s, day2, exDir, mhDir, dcDir,
+        base.select(col("doc_id"), col("text")).unionByName(acc1),
+        "doc_id", "text")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -5635,7 +5812,10 @@ object SparkEntry {
     "q251_streaming_admission" -> (q251_streaming_admission _),
     "q252_admission_funnel" -> (q252_admission_funnel _),
     "q253_fleet_apply" -> (q253_fleet_apply _),
-    "q254_index_delete" -> (q254_index_delete _))
+    "q254_index_delete" -> (q254_index_delete _),
+    "q255_ingest_reconcile" -> (q255_ingest_reconcile _),
+    "q256_funnel_history" -> (q256_funnel_history _),
+    "q257_ingest_append_loop" -> (q257_ingest_append_loop _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -425,7 +425,8 @@ object Clustering {
     * [[semDedupStateSave]] rebuild. */
   def semDedupStateAppend(spark: org.apache.spark.sql.SparkSession,
                           dir: String, batch: DataFrame, idCol: String,
-                          vecCol: String): Unit = {
+                          vecCol: String,
+                          batchId: Option[String] = None): Unit = {
     val assign = assignTo(spark, loadStateCentroids(spark, dir),
       roundTo = 9)
     Manifest.withLock(spark, dir) {
@@ -433,6 +434,7 @@ object Clustering {
       batch.select(col(idCol).as("id"),
         assign(col(vecCol).cast("array<double>")).as("cluster"))
         .write.mode("append").parquet(snap.path("labels"))
+      batchId.foreach(IngestLog.record(spark, snap, _))
     }
   }
 

@@ -79,6 +79,97 @@ object CorpusPipeline {
           !col("is_contaminated")).as("accepted"))
   }
 
+  /** Cross-family INGEST RECONCILIATION — the atomicity answer for
+    * multi-index admission. A daily ingest appends one accepted batch
+    * to several index families, each under its own writer-lock domain;
+    * a crash between appends leaves the families silently divergent (a
+    * doc exact-indexed but not minhash-indexed passes every future
+    * near-dup probe — nothing else detects that). Appends that pass a
+    * `batchId` record it in their index's `ingest_log` (same locked
+    * span as the data files); this diffs those batch-id sets across
+    * the fleet and emits one repair row per (batch, family) gap:
+    * re-append the batch from the verdict sink to that family. The
+    * repair re-append is safe for every family whose compaction
+    * dedupes (exact/minhash/simhash — the data-then-log write order
+    * means a crash can only leave data WITHOUT its log row, so the
+    * worst repair is a duplicate append the next compaction folds).
+    *
+    * `families` maps family name → index dir. Output: (batch_id,
+    * family, dir, action='re_append'), empty when the fleet is
+    * consistent. Cost: one tiny log read per family — the logs carry
+    * one row per accepted batch, broadcast-class for years of daily
+    * ingest. */
+  def fleetIngestReconcile(spark: org.apache.spark.sql.SparkSession,
+                           families: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    require(families.nonEmpty, "fleetIngestReconcile: no families")
+    val present = families.toSeq.map { case (fam, dir) =>
+      IngestLog.read(spark, dir)
+        .select(col("batch_id"), lit(fam).as("family"),
+          lit(dir).as("dir"))
+    }.reduce(_ unionByName _)
+    val batches = present.select("batch_id").distinct()
+    val fams = families.toSeq.toDF("family", "dir")
+    batches.crossJoin(broadcast(fams))
+      .join(present, Seq("batch_id", "family", "dir"), "left_anti")
+      .select(col("batch_id"), col("family"), col("dir"),
+        lit("re_append").as("action"))
+  }
+
+  /** Append one day's ADMISSION FUNNEL rows (the q252 shape — per-
+    * source verdict counts for one batch) to a persisted ops history
+    * keyed by (day, source) — the time axis the in-memory funnel
+    * lacks: "source X started souring on Tuesday" is only askable if
+    * someone kept Tuesday. Same writer contract as every persisted
+    * table in this package ([[Manifest.withLock]], table resolved
+    * through the snapshot inside it). The history is tiny (days ×
+    * sources rows), so append fragments never matter. */
+  def admissionFunnelAppend(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, day: String,
+                            funnel: DataFrame): Unit =
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      funnel.withColumn("day", lit(day))
+        .coalesce(1).write.mode("append").parquet(snap.path("funnel"))
+    }
+
+  /** The persisted funnel history (one row per (day, source)). */
+  def admissionFunnelHistory(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame =
+    spark.read.parquet(
+      Manifest.snapshot(spark, dir).path("funnel"))
+
+  /** SOURING-SOURCE detector over the persisted funnel history: for
+    * every (day, source), the rate of `metricCol` per admitted doc is
+    * compared against that source's TRAILING mean over the prior
+    * `window` days (the q170 seasonal-naive shape — self-relative, so
+    * a source that is always 30% near-dup does not alert, a source
+    * that jumps from 5% to 40% does). `souring` fires when the rate
+    * exceeds `ratioCeiling ×` the trailing mean AND clears `minRate`
+    * (suppressing flags on noise around zero). Day-1 rows (no
+    * trailing history) never fire. One window pass over a tiny
+    * history table — the alert surface an operator actually pages
+    * on. */
+  def souringSources(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, metricCol: String = "n_neardup",
+                     window: Int = 7, ratioCeiling: Double = 2.0,
+                     minRate: Double = 0.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("day")
+      .rowsBetween(-window, -1)
+    admissionFunnelHistory(spark, dir)
+      .withColumn("rate",
+        col(metricCol).cast("double") / col("n_docs"))
+      .withColumn("trailing_rate", avg(col("rate")).over(w))
+      .withColumn("souring",
+        col("trailing_rate").isNotNull &&
+          col("rate") > lit(ratioCeiling) * col("trailing_rate") &&
+          col("rate") >= lit(minRate))
+      .select(col("day"), col("source"), col("n_docs"),
+        col(metricCol), col("rate"), col("trailing_rate"),
+        col("souring"))
+  }
+
   /** CONTINUOUS admission: every micro-batch runs [[admitBatch]]
     * against the persisted indexes and appends its verdict rows to
     * `outDir` — the streaming face of the daily-ingest pipeline, with

@@ -65,14 +65,19 @@ object Dedup {
 
   /** Append an accepted batch's distinct hashes — one batch scan, no
     * stored-set rescan. Lock held for the whole drop, table resolved
-    * through the snapshot inside it. */
+    * through the snapshot inside it. With `batchId` set the batch is
+    * also recorded in the index's [[IngestLog]] (same locked span, data
+    * first) so [[CorpusPipeline.fleetIngestReconcile]] can detect a
+    * multi-family admission that crashed between appends. */
   def exactIndexAppend(spark: org.apache.spark.sql.SparkSession,
                        dir: String, batch: DataFrame, idCol: String,
-                       textCol: String): Unit =
+                       textCol: String,
+                       batchId: Option[String] = None): Unit =
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       batch.select(md5(col(textCol)).as("h")).distinct()
         .write.mode("append").parquet(snap.path("hashes"))
+      batchId.foreach(IngestLog.record(spark, snap, _))
     }
 
   /** Probe a delta batch against the persisted hash set: one content
@@ -364,12 +369,14 @@ object Dedup {
     * fragment set; [[minhashIndexCompact]] folds them back. */
   def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
                          dir: String, batch: DataFrame, idCol: String,
-                         textCol: String): Unit = {
+                         textCol: String,
+                         batchId: Option[String] = None): Unit = {
     val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       bandRows(batch, idCol, textCol, shingleN, sigK, bands)
         .write.mode("append").parquet(snap.path("bands"))
+      batchId.foreach(IngestLog.record(spark, snap, _))
     }
   }
 
@@ -657,12 +664,14 @@ object Dedup {
     * fragment set; [[simhashIndexCompact]] folds them back. */
   def simhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
                          dir: String, batch: DataFrame, idCol: String,
-                         textCol: String): Unit =
+                         textCol: String,
+                         batchId: Option[String] = None): Unit =
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       batch.select(col(idCol).as("id"),
         TF.simhash64(col(textCol)).as("sig"))
         .write.mode("append").parquet(snap.path("sigs"))
+      batchId.foreach(IngestLog.record(spark, snap, _))
     }
 
   /** Retract documents from the persisted SimHash index

@@ -245,6 +245,10 @@ package graft.operators
         // freshly-built rows
         entries.filter(_.getName == "tombstones.parquet")
           .foreach(f.delete(_, true))
+        // ...nor the previous generation's ingest history: the fresh
+        // corpus was built from whole tables, not appended batches
+        entries.filter(_.getName == "ingest_log.parquet")
+          .foreach(f.delete(_, true))
         // a fresh build supersedes any in-flight or crashed publish, so
         // its stale writer lock must not block the index's future
         entries.filter(_.getName == "_writer.lock")
@@ -333,4 +337,42 @@ package graft.operators
         t.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp)
         "tombstones" -> tmp
       }
+  }
+
+  /** Per-index record of which ACCEPTED batches were appended — the
+    * cross-index atomicity story for multi-family admission. A daily
+    * ingest appends one accepted batch to several index families
+    * (exact hashes, MinHash bands, SimHash sigs, SemDeDup labels),
+    * each under its OWN [[Manifest.withLock]] domain; a crash between
+    * two appends leaves the families silently divergent — a doc
+    * exact-indexed but not minhash-indexed passes every future
+    * near-dup probe. Appends that pass a `batchId` therefore record it
+    * in a tiny `ingest_log` table INSIDE the same locked span as the
+    * data files (data first, then the log row: a crash between the two
+    * flags the batch as missing and the repair re-append is folded by
+    * that family's dedupe-at-compaction, whereas the reverse order
+    * would hide real loss). [[CorpusPipeline.fleetIngestReconcile]]
+    * diffs the batch-id sets across families and emits the repair
+    * rows. */
+  private[operators] object IngestLog {
+    /** Record `batchId` under the caller's held lock + snapshot. */
+    def record(spark: org.apache.spark.sql.SparkSession,
+               snap: Manifest.Snapshot, batchId: String): Unit = {
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id")
+        .coalesce(1).write.mode("append").parquet(snap.path("ingest_log"))
+    }
+
+    /** The index's recorded batch ids (distinct; empty frame with the
+      * right schema when no log exists). */
+    def read(spark: org.apache.spark.sql.SparkSession,
+             dir: String): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val p = Manifest.snapshot(spark, dir).path("ingest_log")
+      if (new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(p)))
+        spark.read.parquet(p).select("batch_id").distinct()
+      else Seq.empty[String].toDF("batch_id")
+    }
   }

@@ -360,7 +360,8 @@ object Similarity {
     * gate) is unaffected because every vector lands in exactly one
     * list whatever the assignment. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-                batch: DataFrame): Unit =
+                batch: DataFrame,
+                batchId: Option[String] = None): Unit =
     // writer lock for the WHOLE drop, snapshot taken inside it: an
     // append racing a compaction would otherwise land its files in the
     // superseded physical directory after the compactor's read — rows
@@ -383,6 +384,7 @@ object Similarity {
         .repartition(col("list"))
         .write.mode("append").partitionBy("list")
         .parquet(postingsPath)
+      batchId.foreach(IngestLog.record(spark, snap, _))
     }
 
   /** Probe a persisted [[ivfBuild]] index: centroids load as one
@@ -532,7 +534,8 @@ object Similarity {
     * + refine-all correctness is unaffected (codes only order
     * candidates; the exact rescoring decides). */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  batch: DataFrame): Unit =
+                  batch: DataFrame,
+                  batchId: Option[String] = None): Unit =
     // [[ivfAppend]]'s writer lock, same rationale
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
@@ -558,6 +561,7 @@ object Similarity {
         .repartition(col("list"))
         .write.mode("append").partitionBy("list")
         .parquet(codesPath)
+      batchId.foreach(IngestLog.record(spark, snap, _))
     }
 
   /** Probe a persisted [[ivfPqBuild]] index. Centroids and codebooks

@@ -696,4 +696,88 @@ class CorpusOpsSpec extends SparkSpec {
       assert(pairs == Set((10L, 10L)))
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
+
+  test("fleetIngestReconcile detects a crash between a multi-family " +
+    "admission's appends and the repair re-append converges") {
+    import spark.implicits._
+    val base = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").repartition(1)
+    val b1 = Seq((10L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text").repartition(1)
+    val b2 = Seq((20L, "how vexingly quick daft zebras jump"))
+      .toDF("doc_id", "text").repartition(1)
+    val dirs = Seq("rec_ex_", "rec_mh_")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toFile)
+    try {
+      val Seq(exDir, mhDir) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "doc_id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
+      val fams = Map("exact" -> exDir, "minhash" -> mhDir)
+      def gaps() = CorpusPipeline.fleetIngestReconcile(spark, fams)
+        .select("batch_id", "family", "action")
+        .as[(String, String, String)].collect().toSet
+      // a consistent fleet (no batches yet) reconciles clean
+      assert(gaps().isEmpty)
+      // day-1 lands in both families
+      Dedup.exactIndexAppend(spark, exDir, b1, "doc_id", "text",
+        batchId = Some("b1"))
+      Dedup.minhashIndexAppend(spark, mhDir, b1, "doc_id", "text",
+        batchId = Some("b1"))
+      assert(gaps().isEmpty)
+      // day-2 crashes between the exact append and the minhash append
+      Dedup.exactIndexAppend(spark, exDir, b2, "doc_id", "text",
+        batchId = Some("b2"))
+      assert(gaps() == Set(("b2", "minhash", "re_append")))
+      // repair: re-append the batch to the missing family — converges
+      Dedup.minhashIndexAppend(spark, mhDir, b2, "doc_id", "text",
+        batchId = Some("b2"))
+      assert(gaps().isEmpty)
+      // the repaired index actually carries the batch: day-3 copy of
+      // the b2 doc is reported as a near-dup
+      val probed = Dedup.minhashIndexProbe(spark, mhDir,
+        Seq((30L, "how vexingly quick daft zebras jump"))
+          .toDF("doc_id", "text"),
+        base.unionByName(b1).unionByName(b2), "doc_id", "text",
+        threshold = 0.5)
+        .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+      assert(probed == Set((30L, 20L)))
+      // a legacy append (no batchId) records nothing and cannot be
+      // flagged as divergence
+      Dedup.exactIndexAppend(spark, exDir, b2, "doc_id", "text")
+      assert(gaps().isEmpty)
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
+  test("souringSources: trailing window is bounded and self-relative, " +
+    "minRate suppresses noise flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funhist").toFile
+    val root = dir.getAbsolutePath
+    try {
+      // four days of one source: steady 10% near-dup, then a 40% jump
+      Seq(("d1", 1L), ("d2", 1L), ("d3", 1L), ("d4", 4L)).foreach {
+        case (day, ndup) =>
+          CorpusPipeline.admissionFunnelAppend(spark, root, day,
+            Seq(("x", 10L, ndup)).toDF("source", "n_docs", "n_neardup"))
+      }
+      def flags(window: Int, ceiling: Double, minRate: Double = 0.0) =
+        CorpusPipeline.souringSources(spark, root, window = window,
+          ratioCeiling = ceiling, minRate = minRate)
+          .filter(col("souring")).select("day").as[String]
+          .collect().toSet
+      // 0.4 > 2 x trailing(0.1) -> d4 fires; steady days never do
+      assert(flags(3, 2.0) == Set("d4"))
+      // a window of 1 sees only d3 (rate .1) -> still fires
+      assert(flags(1, 2.0) == Set("d4"))
+      // the jump is self-relative: a ceiling above the 4x ratio is quiet
+      assert(flags(3, 5.0) == Set.empty[String])
+      // minRate above the jump's absolute rate suppresses it
+      assert(flags(3, 2.0, minRate = 0.5) == Set.empty[String])
+      // trailing means come from the PERSISTED history across appends
+      val d4 = CorpusPipeline.souringSources(spark, root, window = 3)
+        .filter(col("day") === "d4").head()
+      assert(math.abs(d4.getAs[Double]("trailing_rate") - 0.1) < 1e-12)
+      assert(math.abs(d4.getAs[Double]("rate") - 0.4) < 1e-12)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
 }
