@@ -47,6 +47,32 @@ object Bench {
         .queryExecution.toRdd.foreach(_ => ())
       (System.nanoTime() - t0) / 1e9
     }.min
+    // CPU-bound calibration twin: the q13 canary is SCHEDULING-bound
+    // (a tiny query's wall time is stage-launch floor, which swung
+    // 0.8→1.3 s across rounds on unchanged code), so shifts in it
+    // cannot be attributed to compute speed vs scheduler noise. This
+    // twin is a fixed single-threaded numeric loop (log1pExp over a
+    // deterministic ramp — the GLM objective's inner kernel shape)
+    // with NO Spark in the path: together the pair separates
+    // "machine got slower" (both move) from "scheduler floor drifted"
+    // (only q13 moves). min of 3, ~1 s nominal.
+    val calibrationCpu = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        var s = 0.0
+        var i = 0
+        while (i < 25000000) {
+          val x = (i % 2001) * 0.001 - 1.0
+          s += (if (x > 0) x + math.log1p(math.exp(-x))
+                else math.log1p(math.exp(x)))
+          i += 1
+        }
+        // the sum feeds a side effect so the loop cannot be DCE'd
+        if (s.isNaN) System.err.println("calibration_cpu NaN")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).map(_ => pass()).min
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // optional comma-separated query filter (scaling runs time a subset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -149,7 +175,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // belt and suspenders: the parseable artifact also lands in a side
     // file, immune to log interleaving and tail truncation
     try java.nio.file.Files.writeString(
@@ -182,7 +208,7 @@ object Bench {
       "\"" + k + "\":\"" + escCap(v, 80) + "\""
     }.mkString("{", ",", "}")
     val sortedQ = results.toSeq.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","queries":{"""
     val tail0 = "}}"
     val sb = new StringBuilder(head)
     var first = true
