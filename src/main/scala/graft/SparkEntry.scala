@@ -3675,41 +3675,49 @@ object SparkEntry {
       Dedup.exactIndexBuild(docs, exDir, "id", "text")
       Dedup.minhashIndexBuild(docs, mhDir, "id", "text")
       Dedup.simhashIndexBuild(docs, shDir, "id", "text")
-      Similarity.ivfBuild(corpus, ivfDir, nList = 4, kmeansMaxIter = 10)
-      def hits(): Map[String, Long] = Map(
-        "exact" -> Dedup.exactIndexProbe(s, exDir, probeDocs, "id",
-          "text").filter(col("is_dup")).count(),
-        "minhash" -> Dedup.minhashIndexProbe(s, mhDir, probeDocs, docs,
-          "id", "text", threshold = 0.5)
-          .filter(col("base_id") === 1L).count(),
-        "simhash" -> Dedup.simhashIndexProbe(s, shDir, probeDocs, "id",
-          "text", maxHamming = 0)
-          .filter(col("base_id") === 1L).count(),
-        "ivf" -> Similarity.ivfQuery(s, ivfDir, queries, k = 1,
-          nProbe = 4).filter(col("id") === 2L).count())
-      def planOf(h: org.apache.spark.sql.DataFrame): String =
-        Similarity.indexMaintenancePlan(h, recallFloor = 0.0,
+      Similarity.ivfBuild(corpus, ivfDir, nList = 4, kmeansMaxIter = 2)
+      // the four probe hit-counts collapse into ONE collect (tagged
+      // one-row aggregates unioned) and the four health rows into ONE
+      // plan collect — this gate runs 3 phases × 4 families, and at
+      // fixture scale the cost is Spark ACTION count, not data
+      def hits(): Map[String, Long] = {
+        def tag(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"))
+            .select(lit(name).as("family"), col("n"))
+        Seq(
+          tag("exact", Dedup.exactIndexProbe(s, exDir, probeDocs, "id",
+            "text").filter(col("is_dup"))),
+          tag("minhash", Dedup.minhashIndexProbe(s, mhDir, probeDocs,
+            docs, "id", "text", threshold = 0.5)
+            .filter(col("base_id") === 1L)),
+          tag("simhash", Dedup.simhashIndexProbe(s, shDir, probeDocs,
+            "id", "text", maxHamming = 0)
+            .filter(col("base_id") === 1L)),
+          tag("ivf", Similarity.ivfQuery(s, ivfDir, queries, k = 1,
+            nProbe = 4).filter(col("id") === 2L)))
+          .reduce(_ unionByName _)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      def state(): Map[String, (Long, String)] = {
+        val health = Dedup.exactIndexHealth(s, exDir)
+          .withColumn("family", lit("exact"))
+          .unionByName(Dedup.minhashIndexHealth(s, mhDir)
+            .withColumn("family", lit("minhash")),
+            allowMissingColumns = true)
+          .unionByName(Dedup.simhashIndexHealth(s, shDir)
+            .withColumn("family", lit("simhash")),
+            allowMissingColumns = true)
+          .unionByName(Similarity.ivfIndexHealth(s, ivfDir, queries,
+            k = 1, nProbe = 4).withColumn("family", lit("ivf")),
+            allowMissingColumns = true)
+        Similarity.indexMaintenancePlan(health, recallFloor = 0.0,
           maxFilesPerListCeiling = Long.MaxValue,
           tombstoneDebtCeiling = 0L)
-          .head().getAs[String]("action")
-      def state(): Map[String, (Long, String)] = Map(
-        "exact" -> {
-          val h = Dedup.exactIndexHealth(s, exDir)
-          (h.head().getAs[Long]("deleted_pending"), planOf(h))
-        },
-        "minhash" -> {
-          val h = Dedup.minhashIndexHealth(s, mhDir)
-          (h.head().getAs[Long]("deleted_pending"), planOf(h))
-        },
-        "simhash" -> {
-          val h = Dedup.simhashIndexHealth(s, shDir)
-          (h.head().getAs[Long]("deleted_pending"), planOf(h))
-        },
-        "ivf" -> {
-          val h = Similarity.ivfIndexHealth(s, ivfDir, queries, k = 1,
-            nProbe = 4)
-          (h.head().getAs[Long]("deleted_pending"), planOf(h))
-        })
+          .select("family", "deleted_pending", "action")
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+          .toMap
+      }
       def phaseRows(phase: String): Seq[(String, String, Long, Long,
         String)] = {
         val hh = hits(); val st = state()
