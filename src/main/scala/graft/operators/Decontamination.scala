@@ -89,7 +89,17 @@ object Decontamination {
 
   /** Build the persisted index: the benchmark's distinct `n`-gram
     * shingles as one parquet table (single file — the set is
-    * broadcast-class) plus the width metadata. */
+    * broadcast-class) plus the width metadata.
+    *
+    * Deliberately NO delete/tombstone verb for this family (every
+    * doc-keyed index has one — [[Dedup.exactIndexDelete]] and
+    * siblings): the stored key is the SHINGLE, not the document, and
+    * a retracted benchmark's shingles can only be removed where no
+    * REMAINING suite shares them — knowledge only the remaining
+    * benchmark corpus has. Since the table is broadcast-class by
+    * contract (see [[decontamIndexHealth]]'s budget column), the
+    * correct retraction is a rebuild from the remaining suites: one
+    * tiny job, no tombstone machinery to get wrong. */
   def decontamIndexBuild(benchmark: DataFrame, dir: String,
                          textCol: String, n: Int = 3): Unit = {
     benchmark

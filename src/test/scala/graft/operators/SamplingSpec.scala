@@ -1938,6 +1938,35 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("tombstones are key-level: a re-appended deleted key stays " +
+    "shadowed until the fold, then re-admits cleanly") {
+    import spark.implicits._
+    val doc = Seq((1L, "alpha beta gamma")).toDF("id", "text")
+    val probeDoc = Seq((9L, "alpha beta gamma")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("readd").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Dedup.exactIndexBuild(doc, root, "id", "text")
+      def isDup() = Dedup.exactIndexProbe(spark, root, probeDoc, "id",
+        "text").head().getAs[Boolean]("is_dup")
+      assert(isDup())
+      Dedup.exactIndexDelete(spark, root, doc, "id", "text")
+      assert(!isDup())
+      // the documented contract: a tombstone retracts the KEY, so a
+      // re-append BEFORE the fold stays shadowed (and health still
+      // shows the pending debt — the planner will schedule the fold)
+      Dedup.exactIndexAppend(spark, root, doc, "id", "text")
+      assert(!isDup())
+      assert(Dedup.exactIndexHealth(spark, root)
+        .head().getAs[Long]("deleted_pending") == 1L)
+      // after the fold the key is clear; re-admission works
+      Dedup.exactIndexCompact(spark, root)
+      assert(!isDup(), "the fold drops the re-appended row too")
+      Dedup.exactIndexAppend(spark, root, doc, "id", "text")
+      assert(isDup())
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("semDedupStateDelete: retracted base ids stop pairing in the " +
     "persisted incremental probe; compaction folds them") {
     import spark.implicits._
