@@ -1439,6 +1439,23 @@ object OracleSql {
         |WHERE t.source NOT IN ('src0','src1','src2','src3','src4')
         |  AND t.doc_id % 2 = 1""".stripMargin),
 
+    // q258: the corpus-refresh retraction composition — structural
+    // facts of the planted fleet: the diff finds exactly 1 removed
+    // doc, every doc-keyed family executes its tombstone delete and
+    // its probe hit (1 before) goes silent (0 after), while the
+    // shingle-keyed decontam family is skipped and its probe still
+    // fires (1 -> 1), pinning that the skip is real
+    "q258_fleet_delete" ->
+      """SELECT 'decontam' AS family, 'skipped' AS status,
+        |  CAST(1 AS BIGINT) AS n_removed,
+        |  CAST(1 AS BIGINT) AS hits_before,
+        |  CAST(1 AS BIGINT) AS hits_after
+        |UNION ALL SELECT 'exact', 'executed', 1, 1, 0
+        |UNION ALL SELECT 'ivf', 'executed', 1, 1, 0
+        |UNION ALL SELECT 'minhash', 'executed', 1, 1, 0
+        |UNION ALL SELECT 'simhash', 'executed', 1, 1, 0"""
+        .stripMargin,
+
     // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make
     // every 2-dim subvector slice exactly representable, so the base
     // reconstruction is exact and every value is the q244 constant

@@ -3919,6 +3919,99 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  /** CORPUS-REFRESH retraction applied fleet-wide
+    * ([[operators.SnapshotDiff.diff]] →
+    * [[operators.Similarity.fleetDelete]] — detection to application
+    * in one composition, the GDPR/takedown path): a refreshed corpus
+    * drops one document; the snapshot diff detects exactly that
+    * `removed` id, fleetDelete dispatches the per-family tombstone
+    * delete across a five-index fleet (exact-hash gets the doc text —
+    * it is content-keyed; the shingle-keyed decontam index reports
+    * `skipped`, its retraction being a rebuild), and every doc-keyed
+    * probe that reported the planted duplicate/neighbor before goes
+    * silent — while the SKIPPED family's probe still fires, pinning
+    * that the skip is real. One row per family: (family, status,
+    * n_removed, hits_before, hits_after), all structural facts. */
+  def q258_fleet_delete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs",
+      2L -> "how vexingly quick daft zebras jump",
+      3L -> "sphinx of black quartz judge my vow")
+    val v1 = texts.toDF("id", "text").repartition(1)
+    // the refresh drops doc 1 (the takedown) and keeps the rest
+    val v2 = v1.filter(col("id") =!= 1L)
+    val probeDocs = Seq(101L -> texts(1)._2).toDF("id", "text")
+      .repartition(1)
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val vecs = (0 until 4).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    // query nearest doc 1's vector; after the erasure the best LIVE
+    // neighbor is doc 2's
+    val qv = { val a = new Array[Float](8); a(1) = 0.8f; a(2) = 0.6f; a }
+    val queries = Seq((0L, qv)).toDF("qid", "qv")
+    val dirs = Seq("q258_ex_", "q258_mh_", "q258_sh_", "q258_ivf_",
+      "q258_dc_").map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, shDir, ivfDir, dcDir) =
+        dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(v1, exDir, "id", "text")
+      Dedup.minhashIndexBuild(v1, mhDir, "id", "text")
+      Dedup.simhashIndexBuild(v1, shDir, "id", "text")
+      Similarity.ivfBuild(vecs, ivfDir, nList = 4, kmeansMaxIter = 2)
+      // the decontam index holds doc 1's shingles too — the family the
+      // fleet delete must SKIP (shingle-keyed)
+      Decontamination.decontamIndexBuild(v1.filter(col("id") === 1L),
+        dcDir, "text", n = 3)
+      def hits(): Map[String, Long] = {
+        def tag(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"))
+            .select(lit(name).as("family"), col("n"))
+        Seq(
+          tag("exact", Dedup.exactIndexProbe(s, exDir, probeDocs, "id",
+            "text").filter(col("is_dup"))),
+          tag("minhash", Dedup.minhashIndexProbe(s, mhDir, probeDocs,
+            v1, "id", "text", threshold = 0.5)
+            .filter(col("base_id") === 1L)),
+          tag("simhash", Dedup.simhashIndexProbe(s, shDir, probeDocs,
+            "id", "text", maxHamming = 0)
+            .filter(col("base_id") === 1L)),
+          tag("ivf", Similarity.ivfQuery(s, ivfDir, queries, k = 1,
+            nProbe = 4).filter(col("id") === 1L)),
+          tag("decontam", Decontamination.decontamIndexReport(s, dcDir,
+            probeDocs, "id", "text").filter(col("is_contaminated"))))
+          .reduce(_ unionByName _)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val before = hits()
+      // detection: the refresh diff — its `removed` rows ARE the
+      // fleet delete's input
+      val removed = operators.SnapshotDiff.diff(v1, v2, "id",
+        Seq("text")).filter(col("status") === "removed")
+        .join(v1, Seq("id"))
+        .select(col("id"), col("text")).localCheckpoint(true)
+      val nRemoved = removed.count()
+      // application: one call erases the doc across the whole fleet
+      val report = Similarity.fleetDelete(s,
+        Seq(exDir, mhDir, shDir, ivfDir, dcDir), removed, "id",
+        textCol = Some("text"))
+        .select("dir", "family", "status").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+        .toMap
+      val after = hits()
+      val fams = Seq(exDir -> "exact", mhDir -> "minhash",
+        shDir -> "simhash", ivfDir -> "ivf", dcDir -> "decontam")
+      fams.map { case (dir, fam) =>
+        (fam, report(dir)._2, nRemoved, before(fam), after(fam))
+      }.sortBy(_._1)
+        .toDF("family", "status", "n_removed", "hits_before",
+          "hits_after")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -5823,7 +5916,8 @@ object SparkEntry {
     "q254_index_delete" -> (q254_index_delete _),
     "q255_ingest_reconcile" -> (q255_ingest_reconcile _),
     "q256_funnel_history" -> (q256_funnel_history _),
-    "q257_ingest_append_loop" -> (q257_ingest_append_loop _))
+    "q257_ingest_append_loop" -> (q257_ingest_append_loop _),
+    "q258_fleet_delete" -> (q258_fleet_delete _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1314,6 +1314,77 @@ object Similarity {
     report.toDF("dir", "family", "action", "status", "detail")
   }
 
+  /** Erase documents across the WHOLE persisted-index fleet in one
+    * call — the compliance verb over the per-family deletes
+    * ([[ivfDelete]], [[Dedup.exactIndexDelete]] and siblings): given
+    * the retracted docs (ids; text too if an exact-hash index is in
+    * the fleet — that family is content-keyed), each index dir's
+    * family is sniffed from its manifest tables and the matching
+    * delete dispatches, with [[fleetMaintenanceApply]]'s per-row
+    * failure isolation (an exact index with no text supplied, or a
+    * shingle-keyed decontam index — whose retraction is a rebuild
+    * from the remaining suites — reports `skipped`, never aborts the
+    * fleet). Pairs with [[SnapshotDiff.diff]]: a corpus refresh's
+    * `removed` rows ARE this function's input (q258). Probes go
+    * silent immediately; each family's next compaction folds the
+    * debt ([[Manifest]] Tombstones contract). Returns one
+    * (dir, family, status, detail) row per index. */
+  def fleetDelete(spark: org.apache.spark.sql.SparkSession,
+                  dirs: Seq[String], docs: DataFrame,
+                  idCol: String = "id",
+                  textCol: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val report = dirs.map { dir =>
+      val snap = Manifest.snapshot(spark, dir)
+      def has(table: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(snap.path(table))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      val family =
+        if (has("codes")) "ivf_pq"
+        else if (has("postings")) "ivf"
+        else if (has("bands")) "minhash"
+        else if (has("sigs")) "simhash"
+        else if (has("labels")) "semdedup"
+        else if (has("shingles")) "decontam"
+        else if (has("hashes")) "exact"
+        else "unknown"
+      def run(f: => Unit): (String, String) =
+        try { f; ("executed", "") }
+        catch { case e: Exception =>
+          ("failed", Option(e.getMessage).getOrElse(e.getClass.getName)
+            .take(200))
+        }
+      val (status, detail) = family match {
+        case "ivf" | "ivf_pq" =>
+          run(ivfDelete(spark, dir, docs.select(col(idCol)), idCol))
+        case "minhash" =>
+          run(Dedup.minhashIndexDelete(spark, dir,
+            docs.select(col(idCol)), idCol))
+        case "simhash" =>
+          run(Dedup.simhashIndexDelete(spark, dir,
+            docs.select(col(idCol)), idCol))
+        case "semdedup" =>
+          run(Clustering.semDedupStateDelete(spark, dir,
+            docs.select(col(idCol)), idCol))
+        case "exact" => textCol match {
+          case Some(t) =>
+            run(Dedup.exactIndexDelete(spark, dir, docs, idCol, t))
+          case None =>
+            ("skipped", "exact-hash index is content-keyed — supply " +
+              "textCol so the retracted hashes can be computed")
+        }
+        case "decontam" =>
+          ("skipped", "decontam index is shingle-keyed — retraction " +
+            "is a rebuild from the remaining benchmark suites")
+        case _ =>
+          ("skipped", "no recognizable index tables at dir")
+      }
+      (dir, family, status, detail)
+    }
+    report.toDF("dir", "family", "status", "detail")
+  }
+
   /** Operational health report of a persisted [[ivfBuild]] index — the
     * dashboard row a daily-append pipeline watches: physical layout
     * (lists, rows, files, skew) plus a sampled recall@k reading of the

@@ -1967,6 +1967,41 @@ class SamplingSpec extends SparkSpec {
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
+  test("fleetDelete dispatches per family with row isolation: exact " +
+    "without text and decontam report skipped, unknown dirs cannot " +
+    "abort the fleet") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma one two"),
+      (2L, "six seven eight nine ten")).toDF("id", "text")
+    val doomed = Seq((1L, "alpha beta gamma one two")).toDF("id", "text")
+    val dirs = Seq("fd_ex", "fd_sh", "fd_dc", "fd_un")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toFile)
+    try {
+      val Seq(exDir, shDir, dcDir, unDir) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(docs, exDir, "id", "text")
+      Dedup.simhashIndexBuild(docs, shDir, "id", "text")
+      Decontamination.decontamIndexBuild(docs, dcDir, "text", n = 3)
+      def statuses(textCol: Option[String]) =
+        Similarity.fleetDelete(spark, Seq(exDir, shDir, dcDir, unDir),
+          doomed, "id", textCol)
+          .select("family", "status").as[(String, String)]
+          .collect().toMap
+      // without text: the content-keyed exact family is skipped, the
+      // id-keyed one executes, decontam/unknown are skipped — and the
+      // one skip does not stop the rest (row isolation)
+      val s1 = statuses(None)
+      assert(s1 == Map("exact" -> "skipped", "simhash" -> "executed",
+        "decontam" -> "skipped", "unknown" -> "skipped"), s1.toString)
+      // with text everything doc-keyed-or-content-keyed executes
+      val s2 = statuses(Some("text"))
+      assert(s2("exact") == "executed" && s2("simhash") == "executed")
+      assert(Dedup.exactIndexProbe(spark, exDir, doomed, "id", "text")
+        .head().getAs[Boolean]("is_dup") == false)
+      assert(Dedup.exactIndexHealth(spark, exDir)
+        .head().getAs[Long]("deleted_pending") == 1L)
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   test("semDedupStateDelete: retracted base ids stop pairing in the " +
     "persisted incremental probe; compaction folds them") {
     import spark.implicits._
