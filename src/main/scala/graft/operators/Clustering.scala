@@ -485,7 +485,8 @@ object Clustering {
       count(when(col("_n") > hotClusterCap, 1)).as("hot_clusters"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
       lit(nFragments).as("n_fragments"),
-      lit(Tombstones.pending(spark, snap)).as("deleted_pending"))
+      lit(Tombstones.pending(spark, snap)).as("deleted_pending"),
+      lit(IngestLog.read(spark, dir).count()).as("ingest_batches"))
   }
 
   /** Fold the label table's accumulated append fragments into one

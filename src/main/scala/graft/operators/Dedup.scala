@@ -173,7 +173,11 @@ object Dedup {
       count_distinct(col("h")).as("distinct_hashes"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
       lit(nFragments).as("n_fragments"),
-      lit(Tombstones.pending(spark, snap)).as("deleted_pending"))
+      lit(Tombstones.pending(spark, snap)).as("deleted_pending"),
+      // logged accepted-batch count: rows from several families union
+      // into the fleet table, where a LOWER count than the siblings'
+      // is the crash-divergence smell fleetIngestReconcile pins down
+      lit(IngestLog.read(spark, dir).count()).as("ingest_batches"))
   }
 
   /** Hot-bucket guard for LSH bucket self-joins: drop buckets with more
@@ -471,7 +475,8 @@ object Dedup {
       count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
       lit(nFragments).as("n_fragments"),
-      lit(Tombstones.pending(spark, snap)).as("deleted_pending"))
+      lit(Tombstones.pending(spark, snap)).as("deleted_pending"),
+      lit(IngestLog.read(spark, dir).count()).as("ingest_batches"))
   }
 
   /** Probe a delta batch against the persisted index:
@@ -764,7 +769,8 @@ object Dedup {
         col("hot_buckets"),
         lit(dir).as("dir"), lit(snap.version).as("version"),
         lit(nFragments).as("n_fragments"),
-        lit(Tombstones.pending(spark, snap)).as("deleted_pending"))
+        lit(Tombstones.pending(spark, snap)).as("deleted_pending"),
+        lit(IngestLog.read(spark, dir).count()).as("ingest_batches"))
   }
 
   /** Probe a delta batch against the persisted index: [[simhash]] with

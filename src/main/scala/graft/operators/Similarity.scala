@@ -1466,11 +1466,12 @@ object Similarity {
       meanRows,
       if (meanRows == 0.0) 0.0 else rowsPerList.values.max / meanRows,
       recall, k, nProbe, suggested,
-      Tombstones.pending(spark, snap)))
+      Tombstones.pending(spark, snap),
+      IngestLog.read(spark, dir).count()))
       .toDF("dir", "version", "n_lists", "empty_lists", "total_rows",
         "total_files", "max_files_per_list", "max_rows_per_list",
         "mean_rows_per_list", "row_skew", "recall_at_k", "k", "n_probe",
-        "suggested_n_probe", "deleted_pending")
+        "suggested_n_probe", "deleted_pending", "ingest_batches")
   }
 
   /** IVF-PQ ANN: IVF coarse pruning + product-quantized candidate

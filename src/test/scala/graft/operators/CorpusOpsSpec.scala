@@ -745,6 +745,64 @@ class CorpusOpsSpec extends SparkSpec {
       // flagged as divergence
       Dedup.exactIndexAppend(spark, exDir, b2, "doc_id", "text")
       assert(gaps().isEmpty)
+      // the fleet table surfaces the logged-batch counts: a family
+      // whose count trails its siblings is the divergence smell the
+      // reconcile pins down
+      assert(Dedup.exactIndexHealth(spark, exDir)
+        .head().getAs[Long]("ingest_batches") == 2L)
+      assert(Dedup.minhashIndexHealth(spark, mhDir)
+        .head().getAs[Long]("ingest_batches") == 2L)
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
+  test("crash between an append's data files and its log row: the " +
+    "batch is flagged missing, the repair re-append double-lands rows " +
+    "and the next compaction folds them") {
+    import spark.implicits._
+    val base = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").repartition(1)
+    val b1 = Seq((10L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text").repartition(1)
+    val dirs = Seq("cw_ex_", "cw_mh_")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toFile)
+    try {
+      val Seq(exDir, mhDir) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "doc_id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
+      // exact lands b1 fully; the minhash append "crashes" AFTER its
+      // data write, BEFORE its log row — simulated by the logless
+      // append (byte-identical post-crash state: data present, no log)
+      Dedup.exactIndexAppend(spark, exDir, b1, "doc_id", "text",
+        batchId = Some("b1"))
+      Dedup.minhashIndexAppend(spark, mhDir, b1, "doc_id", "text")
+      // the write order guarantees this is the ONLY window: the batch
+      // reads as missing (conservative — repair may duplicate work,
+      // never lose it)
+      val fams = Map("exact" -> exDir, "minhash" -> mhDir)
+      def gaps() = CorpusPipeline.fleetIngestReconcile(spark, fams)
+        .select("batch_id", "family").as[(String, String)]
+        .collect().toSet
+      assert(gaps() == Set(("b1", "minhash")))
+      // repair: re-append — rows double-land by design
+      Dedup.minhashIndexAppend(spark, mhDir, b1, "doc_id", "text",
+        batchId = Some("b1"))
+      assert(gaps().isEmpty)
+      val h0 = Dedup.minhashIndexHealth(spark, mhDir).head()
+      assert(h0.getAs[Long]("total_rows") >
+        h0.getAs[Long]("distinct_rows"),
+        "the repair's duplicate rows must be visible as replay debt")
+      // the family's own dedupe point folds the repair's duplicates
+      Dedup.minhashIndexCompact(spark, mhDir)
+      val h1 = Dedup.minhashIndexHealth(spark, mhDir).head()
+      assert(h1.getAs[Long]("total_rows") ==
+        h1.getAs[Long]("distinct_rows"))
+      // and the probe still reports the batch's doc exactly once
+      val probed = Dedup.minhashIndexProbe(spark, mhDir,
+        Seq((30L, "pack my box with five dozen liquor jugs"))
+          .toDF("doc_id", "text"),
+        base.unionByName(b1), "doc_id", "text", threshold = 0.5)
+        .select("delta_id", "base_id").as[(Long, Long)].collect().toSeq
+      assert(probed == Seq((30L, 10L)))
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
