@@ -73,6 +73,16 @@ object Bench {
       }
       (1 to 3).map(_ => pass()).min
     }
+    // third attribution signal: EXTERNAL host load. The r14 runs saw
+    // the multi-core suite inflate ~1.25x while BOTH canaries stayed
+    // flat — competing tenants steal cores from parallel stages but
+    // not from a single-threaded loop or a tiny query. Recording
+    // /proc/loadavg (1-min, at suite start) makes that mode readable
+    // from the artifact instead of a mystery.
+    val loadAvg1m: Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // optional comma-separated query filter (scaling runs time a subset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -175,7 +185,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // belt and suspenders: the parseable artifact also lands in a side
     // file, immune to log interleaving and tail truncation
     try java.nio.file.Files.writeString(
@@ -208,7 +218,7 @@ object Bench {
       "\"" + k + "\":\"" + escCap(v, 80) + "\""
     }.mkString("{", ",", "}")
     val sortedQ = results.toSeq.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","queries":{"""
     val tail0 = "}}"
     val sb = new StringBuilder(head)
     var first = true
