@@ -1456,6 +1456,61 @@ object OracleSql {
         |UNION ALL SELECT 'simhash', 'executed', 1, 1, 0"""
         .stripMargin,
 
+    // q259: the seven-family erase-audit lifecycle — structural facts
+    // of the planted fleet. Before: every family physically carries
+    // the doomed key (1 row; 2 for minhash's bands=2 banding; 6 for
+    // decontam = the doomed doc's distinct 3-gram shingles, unique to
+    // it), nothing pending, nothing complete. After fleetDelete: the
+    // doc-keyed families are tombstoned (disk still carries the rows
+    // — the audit must say INCOMPLETE) while decontam's rebuild
+    // retraction removes its keys IMMEDIATELY (no tombstone debt,
+    // complete at once). After each family's fold: all zeros,
+    // complete everywhere — the evidence row a takedown files
+    "q259_fleet_erase_audit" ->
+      """SELECT 'decontam' AS family, '1_before' AS phase,
+        |  '' AS delete_status, CAST(6 AS BIGINT) AS keys_live,
+        |  CAST(0 AS BIGINT) AS deleted_pending, false AS complete
+        |UNION ALL SELECT 'decontam', '2_deleted', 'executed', 0, 0, true
+        |UNION ALL SELECT 'decontam', '3_folded', 'executed', 0, 0, true
+        |UNION ALL SELECT 'exact', '1_before', '', 1, 0, false
+        |UNION ALL SELECT 'exact', '2_deleted', 'executed', 1, 1, false
+        |UNION ALL SELECT 'exact', '3_folded', 'executed', 0, 0, true
+        |UNION ALL SELECT 'ivf', '1_before', '', 1, 0, false
+        |UNION ALL SELECT 'ivf', '2_deleted', 'executed', 1, 1, false
+        |UNION ALL SELECT 'ivf', '3_folded', 'executed', 0, 0, true
+        |UNION ALL SELECT 'ivf_pq', '1_before', '', 1, 0, false
+        |UNION ALL SELECT 'ivf_pq', '2_deleted', 'executed', 1, 1, false
+        |UNION ALL SELECT 'ivf_pq', '3_folded', 'executed', 0, 0, true
+        |UNION ALL SELECT 'minhash', '1_before', '', 2, 0, false
+        |UNION ALL SELECT 'minhash', '2_deleted', 'executed', 2, 1, false
+        |UNION ALL SELECT 'minhash', '3_folded', 'executed', 0, 0, true
+        |UNION ALL SELECT 'semdedup', '1_before', '', 1, 0, false
+        |UNION ALL SELECT 'semdedup', '2_deleted', 'executed', 1, 1, false
+        |UNION ALL SELECT 'semdedup', '3_folded', 'executed', 0, 0, true
+        |UNION ALL SELECT 'simhash', '1_before', '', 1, 0, false
+        |UNION ALL SELECT 'simhash', '2_deleted', 'executed', 1, 1, false
+        |UNION ALL SELECT 'simhash', '3_folded', 'executed', 0, 0, true"""
+        .stripMargin,
+
+    // q260: the unified seven-family admission — structural facts of
+    // the planted batch, one rejection mode per doc: 11 clean
+    // (accepted), 12 a token-REORDERED copy of an indexed doc (md5
+    // differs, 3-gram Jaccard 0 — only the unigram SimHash catches it
+    // at Hamming 0), 13 an embedding near-dup with unique text
+    // (cosine ≈ 0.994 ≥ 0.95 — only the SemDeDup state catches it),
+    // 14 an exact copy (exact + minhash J=1 + simhash all fire), 15
+    // shares the benchmark suite's 3-grams (decontam only)
+    "q260_fleet_admission" ->
+      """SELECT CAST(11 AS BIGINT) AS id, CAST(7 AS BIGINT) AS n_tokens,
+        |  false AS is_dup_exact, false AS is_neardup,
+        |  false AS is_contaminated, false AS is_neardup_sim,
+        |  false AS is_neardup_sem, true AS accepted
+        |UNION ALL SELECT 12, 8, false, false, false, true, false, false
+        |UNION ALL SELECT 13, 7, false, false, false, false, true, false
+        |UNION ALL SELECT 14, 8, true, true, false, true, false, false
+        |UNION ALL SELECT 15, 9, false, false, true, false, false, false"""
+        .stripMargin,
+
     // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make
     // every 2-dim subvector slice exactly representable, so the base
     // reconstruction is exact and every value is the q244 constant

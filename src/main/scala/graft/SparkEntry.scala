@@ -4012,6 +4012,151 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  /** Fleet-wide ERASURE-COMPLETION lifecycle across ALL SEVEN persisted
+    * families ([[operators.Similarity.fleetDelete]] +
+    * [[operators.Similarity.fleetEraseAudit]] — the GDPR evidence
+    * artifact): exact-hash, MinHash, SimHash, IVF, IVF-PQ, SemDeDup,
+    * and decontam each index a planted corpus; one fleetDelete call
+    * retracts the doomed doc everywhere (the shingle-keyed decontam
+    * family EXECUTES its rebuild retraction from the remaining suites
+    * instead of skipping — its doomed-unique shingles vanish
+    * immediately, no tombstone debt); each doc-keyed family compacts;
+    * and the audit pins, per (family, phase), the doomed keys'
+    * PHYSICAL row count in the live file set, the pending-tombstone
+    * debt, and the one-boolean `complete` verdict a takedown process
+    * files. Doc-keyed families stay incomplete until their fold (the
+    * tombstone hides rows but disk still carries them — exactly what
+    * the audit must not miss); post-fold every family reads
+    * (0, 0, true). All values structural facts of the constructed
+    * states. */
+  def q259_fleet_erase_audit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs",
+      2L -> "how vexingly quick daft zebras jump",
+      3L -> "sphinx of black quartz judge my vow")
+    val docs = texts.toDF("id", "text").repartition(1)
+    val doomed = docs.filter(col("id") === 1L).localCheckpoint(true)
+    val remaining = docs.filter(col("id") =!= 1L)
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](8); a(dim) = 1.0f; a
+    }
+    val vecs = (0 until 4).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    val dvecs = (0 until 4).map(c =>
+      (c.toLong, pt(c).map(_.toDouble).toSeq)).toDF("id", "vec")
+    val dirs = Seq("q259_ex_", "q259_mh_", "q259_sh_", "q259_ivf_",
+      "q259_pq_", "q259_sem_", "q259_dc_").map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, shDir, ivfDir, pqDir, semDir, dcDir) =
+        dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(docs, exDir, "id", "text")
+      Dedup.minhashIndexBuild(docs, mhDir, "id", "text")
+      Dedup.simhashIndexBuild(docs, shDir, "id", "text")
+      Similarity.ivfBuild(vecs, ivfDir, nList = 2, kmeansMaxIter = 2)
+      Similarity.ivfPqBuild(vecs, pqDir, nList = 2, m = 2, nCodes = 2)
+      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
+        dvecs, "id", "vec", k = 2, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, semDir, labels, "id",
+        cents)
+      operators.Clustering.releasePairs(labels)
+      Decontamination.decontamIndexBuild(docs, dcDir, "text", n = 3)
+      val fleet = Seq(exDir, mhDir, shDir, ivfDir, pqDir, semDir, dcDir)
+      def audit(phase: String, status: Map[String, String])
+        : Seq[(String, String, String, Long, Long, Boolean)] =
+        Similarity.fleetEraseAudit(s, fleet, doomed, "id",
+          textCol = Some("text"))
+          .select("family", "keys_live", "deleted_pending", "complete")
+          .collect().map(r => (r.getString(0), phase,
+            status.getOrElse(r.getString(0), ""), r.getLong(1),
+            r.getLong(2), r.getBoolean(3))).toSeq
+      val before = audit("1_before", Map.empty)
+      val statuses = Similarity.fleetDelete(s, fleet, doomed, "id",
+        textCol = Some("text"), decontamRemaining = Some(remaining))
+        .select("family", "status").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val deleted = audit("2_deleted", statuses)
+      Dedup.exactIndexCompact(s, exDir)
+      Dedup.minhashIndexCompact(s, mhDir)
+      Dedup.simhashIndexCompact(s, shDir)
+      Similarity.ivfCompact(s, ivfDir)
+      Similarity.ivfPqCompact(s, pqDir)
+      operators.Clustering.semDedupStateCompact(s, semDir)
+      val folded = audit("3_folded", statuses)
+      (before ++ deleted ++ folded)
+        .toDF("family", "phase", "delete_status", "keys_live",
+          "deleted_pending", "complete")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
+  /** UNIFIED seven-family admission
+    * ([[operators.CorpusPipeline.admitBatch]]'s optional SimHash +
+    * SemDeDup stages — before r15 the admission kernel consulted 3 of
+    * the 7 families the maintenance planner tends): a planted batch
+    * carries one doc per rejection mode, and each is rejected by
+    * EXACTLY its stage — a token-REORDERED copy of a base doc slips
+    * every shingle fingerprint (exact md5 differs, 3-gram Jaccard is
+    * 0) but has an IDENTICAL unigram SimHash (Hamming 0); an
+    * embedding near-dup with unique text (cosine 0.994 against an
+    * indexed vector) is caught only by the SemDeDup state; an exact
+    * copy and a benchmark-contaminated doc light up their classic
+    * stages; a clean doc passes all seven. Verdicts stay per-row
+    * facts of (batch row, index files) — the order-independence
+    * contract extends to both new stages (intra-batch semantic pairs
+    * are excluded by construction). */
+  def q260_fleet_admission(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val base = Seq(
+      1L -> b1,
+      2L -> "one red two green three blue four yellow",
+      3L -> "north wind and bright sun argued loudly today",
+      4L -> "copper iron silver gold tin lead zinc nickel")
+      .toDF("id", "text").repartition(1)
+    val bench = Seq(100L ->
+      "secret evaluation question regarding ancient sphinxes forever")
+      .toDF("id", "text").repartition(1)
+    def axis(dim: Int): Seq[Double] = {
+      val a = new Array[Double](8); a(dim) = 1.0; a.toSeq
+    }
+    val baseVecs = (1 to 4).map(i => (i.toLong, axis(i - 1)))
+      .toDF("id", "vec")
+    val nearVec = { // 0.994 cosine against base id 2's axis-1 vector
+      val a = new Array[Double](8); a(0) = 0.1; a(1) = 0.9; a.toSeq
+    }
+    val batch = Seq(
+      (11L, "my own five clean unique words here", axis(4)),
+      (12L, "theta eta zeta epsilon delta gamma beta alpha", axis(5)),
+      (13L, "completely novel sentence about nothing shared anywhere",
+        nearVec),
+      (14L, b1, axis(6)),
+      (15L, "please answer this secret evaluation question regarding " +
+        "ancient sphinxes", axis(7)))
+      .toDF("id", "text", "vec").repartition(1)
+    val dirs = Seq("q260_ex_", "q260_mh_", "q260_sh_", "q260_sem_",
+      "q260_dc_").map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, shDir, semDir, dcDir) =
+        dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "id", "text")
+      Dedup.simhashIndexBuild(base, shDir, "id", "text")
+      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
+        baseVecs, "id", "vec", k = 2, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, semDir, labels, "id",
+        cents)
+      operators.Clustering.releasePairs(labels)
+      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      operators.CorpusPipeline.admitBatch(s, batch, exDir, mhDir,
+        dcDir, base, "id", "text", minTokens = 5, threshold = 0.5,
+        simhashDir = Some(shDir), maxHamming = 0,
+        semDedupDir = Some(semDir), baseVecs = Some(baseVecs),
+        vecCol = "vec", tau = 0.95)
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -5917,7 +6062,9 @@ object SparkEntry {
     "q255_ingest_reconcile" -> (q255_ingest_reconcile _),
     "q256_funnel_history" -> (q256_funnel_history _),
     "q257_ingest_append_loop" -> (q257_ingest_append_loop _),
-    "q258_fleet_delete" -> (q258_fleet_delete _))
+    "q258_fleet_delete" -> (q258_fleet_delete _),
+    "q259_fleet_erase_audit" -> (q259_fleet_erase_audit _),
+    "q260_fleet_admission" -> (q260_fleet_admission _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

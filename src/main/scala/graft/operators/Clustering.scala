@@ -434,6 +434,9 @@ object Clustering {
       batch.select(col(idCol).as("id"),
         assign(col(vecCol).cast("array<double>")).as("cluster"))
         .write.mode("append").parquet(snap.path("labels"))
+      // append-supersedes-delete (see [[Tombstones.pruneOnAppend]])
+      Tombstones.pruneOnAppend(spark, dir, snap,
+        batch.select(col(idCol).as("id")))
       batchId.foreach(IngestLog.record(spark, snap, _))
     }
   }
@@ -501,9 +504,13 @@ object Clustering {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.labels"
       // fold pending Tombstones (retracted ids dropped, tombstone
-      // table emptied in the same flip)
+      // table emptied in the same flip). dropDuplicates("id"):
+      // replayed/repaired appends land identical (id, cluster) rows
+      // under the frozen centroids — fold them, or duplicate label
+      // rows skew every SemDeDup increment (see [[Similarity.ivfCompact]])
       Tombstones.live(spark, snap,
           spark.read.parquet(snap.path("labels")))
+        .dropDuplicates("id")
         .repartitionByRange(col("cluster"))
         .sortWithinPartitions("cluster")
         .write.mode("overwrite").parquet(tmp)

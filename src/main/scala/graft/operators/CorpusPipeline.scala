@@ -37,8 +37,8 @@ object CorpusPipeline {
   /** Admission verdicts for one batch of documents against PERSISTED
     * curation state — the kernel of [[streamingAdmission]] and the
     * order-independent core of the q249 daily-ingest gate. Four
-    * verdicts per doc, each depending only on the batch row and the
-    * index files (NEVER on other batch rows, so the result is
+    * verdicts per doc always, each depending only on the batch row and
+    * the index files (NEVER on other batch rows, so the result is
     * invariant under any micro-batch slicing):
     *   - `n_tokens` quality floor;
     *   - `is_dup_exact`: content hash in the persisted
@@ -48,7 +48,24 @@ object CorpusPipeline {
     *     text by id, the q236 contract);
     *   - `is_contaminated`: shingle overlap with the persisted
     *     [[Decontamination.decontamIndexBuild]] benchmark set.
-    * Intra-batch (same-day) dedup is deliberately NOT here — it is
+    * Two OPTIONAL stages widen the kernel to the full seven-family
+    * fleet the maintenance planner tends (without them the fleet
+    * admission consults is narrower than the fleet it maintains —
+    * the q260 gap):
+    *   - `simhashDir`: `is_neardup_sim` — Hamming ≤ `maxHamming`
+    *     against the persisted [[Dedup.simhashIndexBuild]] signatures
+    *     (the boilerplate/reorder regime MinHash's shingle-Jaccard
+    *     misses: a token-reordered copy has J ≈ 0 but IDENTICAL
+    *     SimHash);
+    *   - `semDedupDir` (+ `baseVecs`, `vecCol` on the batch):
+    *     `is_neardup_sem` — cosine ≥ `tau` against the persisted
+    *     [[Clustering.semDedupStateSave]] state (the semantic
+    *     paraphrase regime no text fingerprint catches). Only
+    *     batch-vs-INDEXED pairs count: intra-batch pairs are
+    *     order-DEPENDENT and excluded, preserving the
+    *     slicing-invariance contract.
+    * `accepted` folds in exactly the stages that ran. Intra-batch
+    * (same-day) dedup is deliberately NOT here — it is
     * order-DEPENDENT (min-id keeper) and belongs to the daily batch
     * compaction ([[Dedup.incrementalExact]] / q249), the same split
     * production pipelines make. */
@@ -56,7 +73,13 @@ object CorpusPipeline {
                  batch: DataFrame, exactDir: String, mhDir: String,
                  dcDir: String, base: DataFrame, idCol: String,
                  textCol: String, minTokens: Int = 5,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 simhashDir: Option[String] = None,
+                 maxHamming: Int = 3,
+                 semDedupDir: Option[String] = None,
+                 baseVecs: Option[DataFrame] = None,
+                 vecCol: String = "vec",
+                 tau: Double = 0.95): DataFrame = {
     val exactFlag = Dedup.exactIndexProbe(spark, exactDir, batch,
       idCol, textCol)
       .withColumnRenamed("is_dup", "is_dup_exact")
@@ -67,16 +90,56 @@ object CorpusPipeline {
     val contam = Decontamination.decontamIndexReport(spark, dcDir,
       batch, idCol, textCol)
       .select(col(idCol), col("is_contaminated"))
-    batch.select(col(idCol), TF.tokenCount(col(textCol)).as("n_tokens"))
+    val simIds = simhashDir.map { sh =>
+      Dedup.simhashIndexProbe(spark, sh, batch, idCol, textCol,
+        maxHamming)
+        .select(col("delta_id").as(idCol)).distinct()
+        .withColumn("_sim", lit(true))
+    }
+    val semIds = semDedupDir.map { sd =>
+      val bv = baseVecs.getOrElse(throw new IllegalArgumentException(
+        "admitBatch: the SemDeDup stage needs baseVecs (vectors by " +
+          "id for the indexed corpus) — the label state stores no " +
+          "vectors"))
+      val pairs = Clustering.semDedupIncrementalPersisted(spark, sd,
+        bv, batch.select(col(idCol), col(vecCol)), idCol, vecCol, tau)
+      // batch-vs-INDEXED only: a pair whose BOTH ends are batch docs
+      // is intra-batch (order-dependent — excluded by contract), so
+      // flag the end that is a batch doc only when the other end is
+      // not
+      val bids = batch.select(col(idCol).as("_bid")).distinct()
+      pairs
+        .join(bids.select(col("_bid").as("id_a"),
+          lit(true).as("_ba")), Seq("id_a"), "left")
+        .join(bids.select(col("_bid").as("id_b"),
+          lit(true).as("_bb")), Seq("id_b"), "left")
+        .filter(coalesce(col("_ba"), lit(false)) =!=
+          coalesce(col("_bb"), lit(false)))
+        .select(when(coalesce(col("_ba"), lit(false)), col("id_a"))
+          .otherwise(col("id_b")).as(idCol))
+        .distinct()
+        .withColumn("_sem", lit(true))
+    }
+    val joined0 = batch
+      .select(col(idCol), TF.tokenCount(col(textCol)).as("n_tokens"))
       .join(exactFlag, Seq(idCol))
       .join(nearIds, Seq(idCol), "left")
       .join(contam, Seq(idCol))
-      .select(col(idCol), col("n_tokens"), col("is_dup_exact"),
-        coalesce(col("_near"), lit(false)).as("is_neardup"),
-        col("is_contaminated"),
-        (col("n_tokens") >= minTokens && !col("is_dup_exact") &&
-          !coalesce(col("_near"), lit(false)) &&
-          !col("is_contaminated")).as("accepted"))
+    val joined = Seq(simIds, semIds).flatten
+      .foldLeft(joined0)((df, f) => df.join(f, Seq(idCol), "left"))
+    val simFlag = simIds.map(_ => coalesce(col("_sim"), lit(false)))
+    val semFlag = semIds.map(_ => coalesce(col("_sem"), lit(false)))
+    val acceptedCol = (Seq(
+      col("n_tokens") >= minTokens, !col("is_dup_exact"),
+      !coalesce(col("_near"), lit(false)), !col("is_contaminated")) ++
+      simFlag.map(!_) ++ semFlag.map(!_)).reduce(_ && _)
+    joined.select(Seq(col(idCol), col("n_tokens"),
+      col("is_dup_exact"),
+      coalesce(col("_near"), lit(false)).as("is_neardup"),
+      col("is_contaminated")) ++
+      simFlag.map(_.as("is_neardup_sim")) ++
+      semFlag.map(_.as("is_neardup_sem")) :+
+      acceptedCol.as("accepted"): _*)
   }
 
   /** Cross-family INGEST RECONCILIATION — the atomicity answer for
@@ -89,10 +152,13 @@ object CorpusPipeline {
     * span as the data files); this diffs those batch-id sets across
     * the fleet and emits one repair row per (batch, family) gap:
     * re-append the batch from the verdict sink to that family. The
-    * repair re-append is safe for every family whose compaction
-    * dedupes (exact/minhash/simhash — the data-then-log write order
-    * means a crash can only leave data WITHOUT its log row, so the
-    * worst repair is a duplicate append the next compaction folds).
+    * repair re-append is IDEMPOTENT for every family because every
+    * family's compaction folds duplicate rows (exact/minhash/simhash
+    * via distinct(), ivf/ivf_pq/semdedup via dropDuplicates("id") —
+    * replayed appends produce identical rows under frozen
+    * centroids/codebooks); the data-then-log write order means a
+    * crash can only leave data WITHOUT its log row, so the worst
+    * repair is a duplicate append the next compaction folds.
     *
     * `families` maps family name → index dir. Output: (batch_id,
     * family, dir, action='re_append'), empty when the fleet is
@@ -139,6 +205,50 @@ object CorpusPipeline {
     spark.read.parquet(
       Manifest.snapshot(spark, dir).path("funnel"))
 
+  /** Fold the funnel history's one-file-per-day append fragments into
+    * one coherent file set behind a [[Manifest]] flip — the same
+    * fragment ceiling every other persisted table in this package has
+    * ([[Dedup.exactIndexCompact]] and siblings): the table is tiny
+    * (days × sources rows) but a years-long daily append is thousands
+    * of files, and every [[souringSources]] read pays the listing +
+    * open cost. Rewritten range-clustered on (day, source) — the
+    * detector's partition/order keys. Lock held across the whole
+    * read→rewrite→flip span like every compactor here. */
+  def admissionFunnelCompact(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit =
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      val tmp = s"$dir/_compact.tmp.funnel"
+      spark.read.parquet(snap.path("funnel"))
+        .repartitionByRange(1, col("day"), col("source"))
+        .sortWithinPartitions("day", "source")
+        .write.mode("overwrite").parquet(tmp)
+      Manifest.publishUnderLock(spark, dir, Seq("funnel" -> tmp))
+    }
+
+  /** Health row of the persisted funnel history — the fleet-table
+    * surface for this table's fragment debt (every persisted table
+    * has one; this was the gap): `n_fragments` rising at one per
+    * appended day says [[admissionFunnelCompact]] is due. One bounded
+    * aggregate (the table is days × sources rows) plus one FS
+    * listing. */
+  def admissionFunnelHealth(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    val snap = Manifest.snapshot(spark, dir)
+    val funnelPath = snap.path("funnel")
+    val tableP = new org.apache.hadoop.fs.Path(funnelPath)
+    val nFragments = tableP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
+      .toLong
+    spark.read.parquet(funnelPath).agg(
+      count(lit(1)).as("total_rows"),
+      count_distinct(col("day")).as("n_days"),
+      count_distinct(col("source")).as("n_sources"),
+      lit(dir).as("dir"), lit(snap.version).as("version"),
+      lit(nFragments).as("n_fragments"))
+  }
+
   /** SOURING-SOURCE detector over the persisted funnel history: for
     * every (day, source), the rate of `metricCol` per admitted doc is
     * compared against that source's TRAILING mean over the prior
@@ -147,24 +257,43 @@ object CorpusPipeline {
     * that jumps from 5% to 40% does). `souring` fires when the rate
     * exceeds `ratioCeiling ×` the trailing mean AND clears `minRate`
     * (suppressing flags on noise around zero). Day-1 rows (no
-    * trailing history) never fire. One window pass over a tiny
-    * history table — the alert surface an operator actually pages
-    * on. */
+    * trailing history) never fire, and a zero-doc day's rate is NULL
+    * with `souring` pinned false (never null) — an empty batch is
+    * not an alert. The window is CALENDAR-day ranged (`rangeBetween`
+    * over the day ordinal), so "the trailing `window` days" means
+    * exactly that: gap days shrink the evidence rather than
+    * stretching the window back to whatever rows exist, and a
+    * re-appended (day, source) row cannot displace older days out of
+    * it. One window pass over a tiny history table — the alert
+    * surface an operator actually pages on. */
   def souringSources(spark: org.apache.spark.sql.SparkSession,
                      dir: String, metricCol: String = "n_neardup",
                      window: Int = 7, ratioCeiling: Double = 2.0,
                      minRate: Double = 0.0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("day")
-      .rowsBetween(-window, -1)
+      .partitionBy("source").orderBy(col("_day_ord"))
+      .rangeBetween(-window, -1)
     admissionFunnelHistory(spark, dir)
+      // calendar ordinal, not row position: string-ordered rows make
+      // "trailing N days" silently mean "prior N rows" (gap days
+      // stretch the window, duplicate appends shrink it). A day that
+      // does not parse as a date fails LOUDLY — silently-null
+      // ordinals would disable every alert
+      .withColumn("_day_ord", when(to_date(col("day")).isNull,
+          raise_error(concat(lit("souringSources: day is not a " +
+            "parseable date: "), col("day"))).cast("int"))
+        .otherwise(
+          datediff(to_date(col("day")), to_date(lit("1970-01-01")))))
       .withColumn("rate",
-        col(metricCol).cast("double") / col("n_docs"))
+        when(col("n_docs") > 0,
+          col(metricCol).cast("double") / col("n_docs")))
       .withColumn("trailing_rate", avg(col("rate")).over(w))
       .withColumn("souring",
-        col("trailing_rate").isNotNull &&
-          col("rate") > lit(ratioCeiling) * col("trailing_rate") &&
-          col("rate") >= lit(minRate))
+        coalesce(
+          col("trailing_rate").isNotNull &&
+            col("rate") > lit(ratioCeiling) * col("trailing_rate") &&
+            col("rate") >= lit(minRate),
+          lit(false)))
       .select(col("day"), col("source"), col("n_docs"),
         col(metricCol), col("rate"), col("trailing_rate"),
         col("souring"))

@@ -98,8 +98,9 @@ object Decontamination {
     * REMAINING suite shares them — knowledge only the remaining
     * benchmark corpus has. Since the table is broadcast-class by
     * contract (see [[decontamIndexHealth]]'s budget column), the
-    * correct retraction is a rebuild from the remaining suites: one
-    * tiny job, no tombstone machinery to get wrong. */
+    * correct retraction is [[decontamIndexRebuild]] from the
+    * remaining suites: one tiny job, no tombstone machinery to get
+    * wrong. */
   def decontamIndexBuild(benchmark: DataFrame, dir: String,
                          textCol: String, n: Int = 3): Unit = {
     benchmark
@@ -136,6 +137,37 @@ object Decontamination {
         .distinct()
         .join(broadcast(existing), Seq("g"), "left_anti")
         .unionByName(existing)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      Manifest.publishUnderLock(spark, dir, Seq("shingles" -> tmp))
+    }
+  }
+
+  /** RETRACTION for the shingle-keyed family — the mechanical form of
+    * the repair [[decontamIndexBuild]]'s docs prescribe (a benchmark
+    * suite is retired/taken down): re-shingle the REMAINING suites at
+    * the index's pinned width and swap the whole stored set behind one
+    * [[Manifest]] flip. A retracted suite's shingles can only be
+    * removed where no remaining suite shares them — knowledge only the
+    * remaining corpus has, which is why this takes `remainingSuites`
+    * (the benchmark corpus minus the retirees) rather than the retired
+    * docs: shared shingles survive BECAUSE a remaining suite still
+    * claims them, so probes keep flagging overlap with live
+    * benchmarks while the retiree's unique shingles vanish. Same cost
+    * class as [[decontamIndexAppend]] (the set is broadcast-class by
+    * contract); the shingle width is NOT a parameter — it comes from
+    * the index metadata, so a rebuild cannot silently change probe
+    * semantics. [[Similarity.fleetDelete]] dispatches here when the
+    * remaining suites are supplied. */
+  def decontamIndexRebuild(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, remainingSuites: DataFrame,
+                           textCol: String): Unit = {
+    val n = decontamIndexN(spark, dir)
+    Manifest.withLock(spark, dir) {
+      val tmp = s"$dir/_rebuild.tmp.shingles"
+      remainingSuites
+        .select(explode(TF.distinctShingles(col(textCol), n)).as("g"))
+        .distinct()
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("shingles" -> tmp))

@@ -77,6 +77,11 @@ object Dedup {
       val snap = Manifest.snapshot(spark, dir)
       batch.select(md5(col(textCol)).as("h")).distinct()
         .write.mode("append").parquet(snap.path("hashes"))
+      // append-supersedes-delete: a re-admitted text's pending
+      // tombstone is pruned in the same locked span, so the fold
+      // cannot silently drop the row just written
+      Tombstones.pruneOnAppend(spark, dir, snap,
+        batch.select(md5(col(textCol)).as("h")))
       batchId.foreach(IngestLog.record(spark, snap, _))
     }
 
@@ -380,6 +385,9 @@ object Dedup {
       val snap = Manifest.snapshot(spark, dir)
       bandRows(batch, idCol, textCol, shingleN, sigK, bands)
         .write.mode("append").parquet(snap.path("bands"))
+      // append-supersedes-delete (see [[Tombstones.pruneOnAppend]])
+      Tombstones.pruneOnAppend(spark, dir, snap,
+        batch.select(col(idCol).as("id")))
       batchId.foreach(IngestLog.record(spark, snap, _))
     }
   }
@@ -676,6 +684,9 @@ object Dedup {
       batch.select(col(idCol).as("id"),
         TF.simhash64(col(textCol)).as("sig"))
         .write.mode("append").parquet(snap.path("sigs"))
+      // append-supersedes-delete (see [[Tombstones.pruneOnAppend]])
+      Tombstones.pruneOnAppend(spark, dir, snap,
+        batch.select(col(idCol).as("id")))
       batchId.foreach(IngestLog.record(spark, snap, _))
     }
 

@@ -88,6 +88,30 @@ package graft.operators
       }
     }
 
+    /** Pin a SPECIFIC manifest version — the point-in-time read a
+      * long-running probe uses to hold one consistent table mapping
+      * across the grace window while publishes land around it
+      * ([[snapshot]] always resolves the latest). Retention keeps the
+      * pinned version's physical directories alive only until the
+      * SECOND publish after it (the grace contract), so a pin is valid
+      * for one publish, not forever; a version older than that — or
+      * never published — throws with the live range in the message
+      * rather than silently resolving half-GC'd paths. Version 0 is
+      * the pre-manifest state (every table at its unversioned
+      * default), pinnable only while no manifest exists yet. */
+    def snapshotAt(spark: org.apache.spark.sql.SparkSession,
+                   dir: String, version: Int): Snapshot = {
+      val f = fs(spark, dir)
+      val vs = versions(f, dir)
+      if (version == 0 && vs.isEmpty) Snapshot(0, Map.empty, dir)
+      else if (vs.contains(version))
+        Snapshot(version, readMap(f, dir, version), dir)
+      else throw new IllegalStateException(
+        s"manifest version $version of $dir is not live " +
+          s"(live: ${if (vs.isEmpty) "none (version 0)"
+          else vs.mkString(",")}) — the pin outlived the grace window")
+    }
+
     /** Publish freshly-written table directories in ONE manifest flip:
       * rename each tmp dir to `<table>.parquet.v<next>` (fresh names —
       * no live data is deleted), atomically create `_manifest.v<next>`
@@ -290,23 +314,93 @@ package graft.operators
                        path: String): Boolean =
       fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
+    /** A compaction that folded every pending tombstone republishes the
+      * table EMPTY (the manifest mapping only grows, so it cannot be
+      * unmapped without leaving the still-physically-present default
+      * path resolvable), and this marker inside the empty directory is
+      * what keeps that steady state PLAN-FREE: [[readIfAny]] treats a
+      * marked table as absent, so an index that once saw a delete does
+      * not pay a parquet read + anti-join on every probe forever.
+      * [[append]] removes the marker BEFORE writing new keys — the
+      * crash ordering that can only ever cost a wasted join against an
+      * empty table, never hide a real retraction. */
+    private val EmptyMarker = "_empty"
+
+    private def marked(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean =
+      exists(spark, s"$path/$EmptyMarker")
+
+    private[operators] def writeEmptyMarker(
+        spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+      fs(spark, path).create(
+        new org.apache.hadoop.fs.Path(s"$path/$EmptyMarker"), true)
+        .close()
+
     /** Locked append of (already key-shaped, distinct-ed) retraction
       * rows to the index's tombstone table. */
     def append(spark: org.apache.spark.sql.SparkSession, dir: String,
                keys: org.apache.spark.sql.DataFrame): Unit =
       Manifest.withLock(spark, dir) {
         val snap = Manifest.snapshot(spark, dir)
-        keys.distinct().write.mode("append")
-          .parquet(snap.path("tombstones"))
+        val p = snap.path("tombstones")
+        // marker first: keys-then-marker could crash into a state where
+        // live retractions are invisibly masked as "folded"
+        if (marked(spark, p))
+          fs(spark, p).delete(
+            new org.apache.hadoop.fs.Path(s"$p/$EmptyMarker"), false)
+        keys.distinct().write.mode("append").parquet(p)
       }
 
-    /** The pending tombstone table under one snapshot, if any. */
+    /** The pending tombstone table under one snapshot, if any. A table
+      * carrying the folded-[[EmptyMarker]] counts as absent — the
+      * post-fold steady state costs no plan. */
     def readIfAny(spark: org.apache.spark.sql.SparkSession,
                   snap: Manifest.Snapshot)
       : Option[org.apache.spark.sql.DataFrame] = {
       val p = snap.path("tombstones")
-      if (exists(spark, p)) Some(spark.read.parquet(p)) else None
+      if (exists(spark, p) && !marked(spark, p))
+        Some(spark.read.parquet(p))
+      else None
     }
+
+    /** Append-supersedes-delete: an append of keys that currently have
+      * PENDING tombstones prunes those tombstones in the same locked
+      * span (tiny-table rewrite behind a manifest flip), so the
+      * re-added rows survive both probes and the next compaction —
+      * without this, a doc deleted and later re-admitted (the
+      * admission loop re-accepts it because its probes went silent)
+      * would be silently dropped at the fold while the ingest log
+      * still records its batch as ingested. Call AFTER the data-file
+      * drop (a crash between data and prune leaves the batch
+      * unlogged — [[CorpusPipeline.fleetIngestReconcile]] flags it and
+      * the repair re-append closes the loop; the reverse order could
+      * resurrect a GDPR-erased key with its replacement row missing).
+      * Caveat, unchanged from the key-level-delete contract: pruning
+      * also un-hides any not-yet-folded OLD rows of the key — identical
+      * to the new rows by construction in the re-admission flow (same
+      * content ⇒ same derived rows, folded by the family's dedup at
+      * compaction); a content UPDATE under the same key still requires
+      * compact-before-re-add. `keys` must be shaped like the tombstone
+      * table (same columns). */
+    def pruneOnAppend(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, snap: Manifest.Snapshot,
+                      keys: org.apache.spark.sql.DataFrame): Unit =
+      readIfAny(spark, snap).foreach { t =>
+        val cols = t.columns.toSeq
+        // tombstone tables are broadcast-class (distinct retracted
+        // keys), so the hit check is one tiny job on the no-op path
+        if (t.join(keys.selectExpr(cols: _*), cols, "left_semi")
+          .limit(1).count() > 0) {
+          val remaining = t
+            .join(keys.selectExpr(cols: _*), cols, "left_anti")
+            .distinct()
+          val tmp = s"$dir/_prune.tmp.tombstones"
+          remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
+          if (remaining.isEmpty) writeEmptyMarker(spark, tmp)
+          Manifest.publishUnderLock(spark, dir,
+            Seq("tombstones" -> tmp))
+        }
+      }
 
     /** Filter a stored-side frame down to its LIVE rows: anti-join the
       * pending tombstones on their own (key) columns. No tombstone
@@ -328,13 +422,16 @@ package graft.operators
 
     /** A compaction that folded its tombstones publishes an EMPTY
       * tombstone table in the same flip: returns the publish entry
-      * (written to a tmp dir), or None when nothing was pending. */
+      * (written to a tmp dir), or None when nothing was pending. The
+      * empty table carries the [[EmptyMarker]], so the post-fold
+      * steady state is plan-free for every subsequent probe. */
     def foldedForPublish(spark: org.apache.spark.sql.SparkSession,
                          dir: String, snap: Manifest.Snapshot)
       : Option[(String, String)] =
       readIfAny(spark, snap).map { t =>
         val tmp = s"$dir/_compact.tmp.tombstones"
         t.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp)
+        writeEmptyMarker(spark, tmp)
         "tombstones" -> tmp
       }
   }

@@ -384,6 +384,9 @@ object Similarity {
         .repartition(col("list"))
         .write.mode("append").partitionBy("list")
         .parquet(postingsPath)
+      // append-supersedes-delete (see [[Tombstones.pruneOnAppend]])
+      Tombstones.pruneOnAppend(spark, dir, snap,
+        batch.select(col("id").cast(existing("id").dataType).as("id")))
       batchId.foreach(IngestLog.record(spark, snap, _))
     }
 
@@ -561,6 +564,9 @@ object Similarity {
         .repartition(col("list"))
         .write.mode("append").partitionBy("list")
         .parquet(codesPath)
+      // append-supersedes-delete (see [[Tombstones.pruneOnAppend]])
+      Tombstones.pruneOnAppend(spark, dir, snap,
+        batch.select(col("id").cast(existing("id").dataType).as("id")))
       batchId.foreach(IngestLog.record(spark, snap, _))
     }
 
@@ -648,9 +654,17 @@ object Similarity {
     val snap = Manifest.snapshot(spark, dir)
     // pending Tombstones fold here, whichever mode: retracted rows are
     // physically dropped from the rewrite and the emptied tombstone
-    // table flips in the same publish
+    // table flips in the same publish. dropDuplicates("id"): the
+    // dedupe point for replayed/repaired appends (a crashed
+    // multi-family admission's `re_append` repair, or an at-least-once
+    // micro-batch retry, lands the SAME vectors again — identical
+    // (list, id, v) rows under the frozen centroids) — without it a
+    // duplicate id occupies multiple top-k slots forever, which is why
+    // [[CorpusPipeline.fleetIngestReconcile]]'s repair is only safe
+    // because every family's compaction folds duplicates
     val postings = Tombstones.live(spark, snap,
       spark.read.parquet(snap.path("postings")))
+      .dropDuplicates("id")
     if (rebuild) {
       // full refit through the build path itself (one code path =
       // layouts cannot diverge) into a sibling temp index, then ONE
@@ -696,9 +710,12 @@ object Similarity {
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.codes"
+      // dropDuplicates("id"): replayed/repaired appends land identical
+      // (list, id, codes, norm) rows — fold them (see [[ivfCompact]])
       val src = Tombstones.live(spark, snap,
         spark.read.parquet(snap.path("codes")))
         .select(col("list"), col("id"), col("codes"), col("norm"))
+        .dropDuplicates("id")
       val w = saltedByList(src, maxRecordsPerFile)
         .write.mode("overwrite").partitionBy("list")
       (if (maxRecordsPerFile > 0L)
@@ -1307,6 +1324,16 @@ object Similarity {
         case ("semdedup", "rebuild") =>
           ("skipped", "SemDeDup rebuild is a re-cluster with a chosen " +
             "k — run semDedupStateSave")
+        case ("decontam", "rebuild") =>
+          // the retraction repair [[fleetDelete]] documents: corpora
+          // supplies the REMAINING benchmark suites (text column
+          // convention: "text"), the pinned shingle width comes from
+          // the index metadata
+          if (corpus.isEmpty)
+            ("skipped", "decontam rebuild needs the remaining " +
+              "benchmark suites in corpora")
+          else run(Decontamination.decontamIndexRebuild(spark, dir,
+            corpus.get, "text"))
         case (f, a) => ("skipped", s"no $a operator for family $f")
       }
       (dir, family, action, status, detail)
@@ -1321,18 +1348,37 @@ object Similarity {
     * the fleet — that family is content-keyed), each index dir's
     * family is sniffed from its manifest tables and the matching
     * delete dispatches, with [[fleetMaintenanceApply]]'s per-row
-    * failure isolation (an exact index with no text supplied, or a
-    * shingle-keyed decontam index — whose retraction is a rebuild
-    * from the remaining suites — reports `skipped`, never aborts the
-    * fleet). Pairs with [[SnapshotDiff.diff]]: a corpus refresh's
-    * `removed` rows ARE this function's input (q258). Probes go
-    * silent immediately; each family's next compaction folds the
-    * debt ([[Manifest]] Tombstones contract). Returns one
-    * (dir, family, status, detail) row per index. */
+    * failure isolation (a family missing its required side input
+    * reports `skipped`, never aborts the fleet). Pairs with
+    * [[SnapshotDiff.diff]]: a corpus refresh's `removed` rows ARE
+    * this function's input (q258/q259). Probes go silent immediately;
+    * each family's next compaction folds the debt ([[Manifest]]
+    * Tombstones contract). Returns one (dir, family, status, detail)
+    * row per index.
+    *
+    * Two optional side inputs close this verb's documented sharp
+    * edges:
+    *   - `survivors` (the post-refresh corpus, id + `textCol`) makes
+    *     the CONTENT-keyed exact family sharer-safe: a doomed hash
+    *     whose exact text another LIVE doc still carries is NOT
+    *     tombstoned (erasing one copy must not silence duplicate
+    *     detection for the survivors — the hole a takedown would
+    *     otherwise open until a manual re-append). Without it every
+    *     doomed hash is tombstoned (the raw key-level contract).
+    *   - `decontamRemaining` (the benchmark corpus minus the
+    *     retirees) makes the shingle-keyed decontam family
+    *     EXECUTABLE instead of `skipped`:
+    *     [[Decontamination.decontamIndexRebuild]] swaps in the
+    *     remaining suites' shingle set behind one manifest flip.
+    * Audit the result with [[fleetEraseAudit]] after each family's
+    * compaction folds its debt. */
   def fleetDelete(spark: org.apache.spark.sql.SparkSession,
                   dirs: Seq[String], docs: DataFrame,
                   idCol: String = "id",
-                  textCol: Option[String] = None): DataFrame = {
+                  textCol: Option[String] = None,
+                  survivors: Option[DataFrame] = None,
+                  decontamRemaining: Option[DataFrame] = None)
+    : DataFrame = {
     import spark.implicits._
     val report = dirs.map { dir =>
       val snap = Manifest.snapshot(spark, dir)
@@ -1369,20 +1415,129 @@ object Similarity {
             docs.select(col(idCol)), idCol))
         case "exact" => textCol match {
           case Some(t) =>
-            run(Dedup.exactIndexDelete(spark, dir, docs, idCol, t))
+            survivors match {
+              case Some(surv) =>
+                // sharer-safe: only retract docs whose exact text NO
+                // live doc still carries — one broadcast-class
+                // anti-join on the content hash (the doomed side is
+                // the retraction batch, tiny by definition). A doomed
+                // doc sharing its text with a survivor is NOT
+                // tombstoned: the hash must keep flagging duplicates
+                // of the still-live copy.
+                run {
+                  val h = org.apache.spark.sql.functions.md5(col(t))
+                  val unshared = docs.withColumn("_h", h)
+                    .join(surv.select(h.as("_h")).distinct(),
+                      Seq("_h"), "left_anti")
+                    .drop("_h")
+                  // an all-shared batch tombstones nothing — do not
+                  // create an empty tombstone table (probes would pay
+                  // its anti-join for nothing until a compaction)
+                  if (!unshared.isEmpty)
+                    Dedup.exactIndexDelete(spark, dir, unshared,
+                      idCol, t)
+                }
+              case None =>
+                run(Dedup.exactIndexDelete(spark, dir, docs, idCol, t))
+            }
           case None =>
             ("skipped", "exact-hash index is content-keyed — supply " +
               "textCol so the retracted hashes can be computed")
         }
-        case "decontam" =>
-          ("skipped", "decontam index is shingle-keyed — retraction " +
-            "is a rebuild from the remaining benchmark suites")
+        case "decontam" => decontamRemaining match {
+          case Some(remaining) =>
+            run(Decontamination.decontamIndexRebuild(spark, dir,
+              remaining, textCol.getOrElse("text")))
+          case None =>
+            ("skipped", "decontam index is shingle-keyed — supply " +
+              "decontamRemaining (the suites minus the retirees) so " +
+              "the rebuild retraction can run")
+        }
         case _ =>
           ("skipped", "no recognizable index tables at dir")
       }
       (dir, family, status, detail)
     }
     report.toDF("dir", "family", "status", "detail")
+  }
+
+  /** Fleet-wide ERASURE-COMPLETION audit — the evidence artifact a
+    * GDPR/takedown process actually files, composed from pieces that
+    * already exist (manifest snapshots, tombstone pending counts,
+    * per-family key columns): for each index dir, count the retracted
+    * keys' rows PHYSICALLY PRESENT in the live files of the current
+    * manifest snapshot (no tombstone filtering — this reads what is
+    * on disk, which is the question a regulator asks) plus the
+    * pending-tombstone debt, and pin `complete` = zero live key rows
+    * AND zero pending debt. Run it after [[fleetDelete]] + each
+    * family's compaction: a `complete=false` row names exactly which
+    * family still carries the key (delete never ran, compaction
+    * hasn't folded, or — content-keyed exact family — the hash was
+    * sharer-protected and legitimately lives on).
+    *
+    * Key shape per family: content hash for exact (needs `textCol`),
+    * the doc id for minhash/simhash/ivf/ivf_pq/semdedup, the doomed
+    * docs' distinct shingles at the pinned width for decontam — where
+    * a nonzero count can be LEGITIMATE residue (a remaining suite
+    * shares those shingles); the audit reports the physical fact and
+    * the caller judges it against the rebuild input. Cost: one
+    * broadcast-class semi-join count per index (the retraction batch
+    * is tiny by definition); the scan is the audit — reading every
+    * live file is the point. Returns one
+    * (dir, family, table, keys_live, deleted_pending, version,
+    * complete) row per index. */
+  def fleetEraseAudit(spark: org.apache.spark.sql.SparkSession,
+                      dirs: Seq[String], docs: DataFrame,
+                      idCol: String = "id",
+                      textCol: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val report = dirs.map { dir =>
+      val snap = Manifest.snapshot(spark, dir)
+      def has(table: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(snap.path(table))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      val (family, table) =
+        if (has("codes")) ("ivf_pq", "codes")
+        else if (has("postings")) ("ivf", "postings")
+        else if (has("bands")) ("minhash", "bands")
+        else if (has("sigs")) ("simhash", "sigs")
+        else if (has("labels")) ("semdedup", "labels")
+        else if (has("shingles")) ("decontam", "shingles")
+        else if (has("hashes")) ("exact", "hashes")
+        else ("unknown", "")
+      val keysLive: Long = family match {
+        case "unknown" => -1L
+        case "exact" => textCol match {
+          case Some(t) =>
+            spark.read.parquet(snap.path(table))
+              .join(docs.select(md5(col(t)).as("h")).distinct(),
+                Seq("h"), "left_semi").count()
+          case None => -1L // content-keyed: unauditable without text
+        }
+        case "decontam" => textCol match {
+          case Some(t) =>
+            val n = Decontamination.decontamIndexN(spark, dir)
+            spark.read.parquet(snap.path(table))
+              .join(docs.select(explode(graft.functions.TextFunctions
+                .distinctShingles(col(t), n)).as("g")).distinct(),
+                Seq("g"), "left_semi").count()
+          case None => -1L
+        }
+        case _ =>
+          val stored = spark.read.parquet(snap.path(table))
+          stored.join(
+            docs.select(col(idCol)
+              .cast(stored.schema("id").dataType).as("id")).distinct(),
+            Seq("id"), "left_semi").count()
+      }
+      val pending =
+        if (family == "unknown") -1L else Tombstones.pending(spark, snap)
+      (dir, family, table, keysLive, pending, snap.version,
+        keysLive == 0L && pending == 0L)
+    }
+    report.toDF("dir", "family", "table", "keys_live",
+      "deleted_pending", "version", "complete")
   }
 
   /** Operational health report of a persisted [[ivfBuild]] index — the

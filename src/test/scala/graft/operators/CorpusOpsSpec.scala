@@ -813,7 +813,9 @@ class CorpusOpsSpec extends SparkSpec {
     val root = dir.getAbsolutePath
     try {
       // four days of one source: steady 10% near-dup, then a 40% jump
-      Seq(("d1", 1L), ("d2", 1L), ("d3", 1L), ("d4", 4L)).foreach {
+      val d4 = "2024-01-04"
+      Seq(("2024-01-01", 1L), ("2024-01-02", 1L), ("2024-01-03", 1L),
+        (d4, 4L)).foreach {
         case (day, ndup) =>
           CorpusPipeline.admissionFunnelAppend(spark, root, day,
             Seq(("x", 10L, ndup)).toDF("source", "n_docs", "n_neardup"))
@@ -823,19 +825,25 @@ class CorpusOpsSpec extends SparkSpec {
           ratioCeiling = ceiling, minRate = minRate)
           .filter(col("souring")).select("day").as[String]
           .collect().toSet
-      // 0.4 > 2 x trailing(0.1) -> d4 fires; steady days never do
-      assert(flags(3, 2.0) == Set("d4"))
-      // a window of 1 sees only d3 (rate .1) -> still fires
-      assert(flags(1, 2.0) == Set("d4"))
+      // 0.4 > 2 x trailing(0.1) -> day 4 fires; steady days never do
+      assert(flags(3, 2.0) == Set(d4))
+      // a window of 1 calendar day sees only day 3 (rate .1) -> fires
+      assert(flags(1, 2.0) == Set(d4))
       // the jump is self-relative: a ceiling above the 4x ratio is quiet
       assert(flags(3, 5.0) == Set.empty[String])
       // minRate above the jump's absolute rate suppresses it
       assert(flags(3, 2.0, minRate = 0.5) == Set.empty[String])
       // trailing means come from the PERSISTED history across appends
-      val d4 = CorpusPipeline.souringSources(spark, root, window = 3)
-        .filter(col("day") === "d4").head()
-      assert(math.abs(d4.getAs[Double]("trailing_rate") - 0.1) < 1e-12)
-      assert(math.abs(d4.getAs[Double]("rate") - 0.4) < 1e-12)
+      val last = CorpusPipeline.souringSources(spark, root, window = 3)
+        .filter(col("day") === d4).head()
+      assert(math.abs(last.getAs[Double]("trailing_rate") - 0.1) < 1e-12)
+      assert(math.abs(last.getAs[Double]("rate") - 0.4) < 1e-12)
+      // a non-date day label fails loudly, never silently no-alerts
+      CorpusPipeline.admissionFunnelAppend(spark, root, "not-a-day",
+        Seq(("x", 10L, 0L)).toDF("source", "n_docs", "n_neardup"))
+      assertThrows[Exception] {
+        CorpusPipeline.souringSources(spark, root, window = 3).collect()
+      }
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 }

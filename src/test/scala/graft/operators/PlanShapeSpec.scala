@@ -184,16 +184,23 @@ class PlanShapeSpec extends SparkSpec {
       Similarity.ivfDelete(spark, root, Seq(1L).toDF("id"))
       assert(countAntiJoins(
         Similarity.ivfQuery(spark, root, queries, k = 1, nProbe = 4)) == 1)
-      // folding the debt removes the join again (empty table published,
-      // but the plan-level check is the point: post-compact probes are
-      // back to one anti-join over an EMPTY broadcast side, and after
-      // the NEXT fold-free state the table stays empty — the steady
-      // state costs one trivially-empty broadcast)
+      // folding the debt removes the join ENTIRELY: the compaction
+      // publishes the empty tombstone table with the folded marker,
+      // which readIfAny treats as absent — an index that once saw a
+      // delete returns to the zero-plan-cost steady state instead of
+      // paying a parquet read + anti-join on every probe forever
       Similarity.ivfCompact(spark, root)
       val post = Similarity.ivfQuery(spark, root, queries, k = 1,
         nProbe = 4)
+      assert(countAntiJoins(post) == 0,
+        "post-fold probe must be plan-free again (folded marker)")
       assert(post.select("id").as[Long].collect().toSet == Set(2L) ||
         post.count() == 1L)
+      // ...and a NEW delete re-arms the table (the marker is cleared
+      // before the keys land, so a retraction can never be masked)
+      Similarity.ivfDelete(spark, root, Seq(2L).toDF("id"))
+      assert(countAntiJoins(
+        Similarity.ivfQuery(spark, root, queries, k = 1, nProbe = 4)) == 1)
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 }

@@ -1952,18 +1952,18 @@ class SamplingSpec extends SparkSpec {
       assert(isDup())
       Dedup.exactIndexDelete(spark, root, doc, "id", "text")
       assert(!isDup())
-      // the documented contract: a tombstone retracts the KEY, so a
-      // re-append BEFORE the fold stays shadowed (and health still
-      // shows the pending debt — the planner will schedule the fold)
+      // append-supersedes-delete (the log-structured ordering): a
+      // re-append of a pending-deleted key prunes the tombstone in
+      // the same locked span, so the key is visible IMMEDIATELY, no
+      // residual debt remains, and the fold cannot silently drop the
+      // re-added row (the divergence ErasureLifecycleSpec pins end to
+      // end)
       Dedup.exactIndexAppend(spark, root, doc, "id", "text")
-      assert(!isDup())
+      assert(isDup(), "re-append supersedes the pending delete")
       assert(Dedup.exactIndexHealth(spark, root)
-        .head().getAs[Long]("deleted_pending") == 1L)
-      // after the fold the key is clear; re-admission works
+        .head().getAs[Long]("deleted_pending") == 0L)
       Dedup.exactIndexCompact(spark, root)
-      assert(!isDup(), "the fold drops the re-appended row too")
-      Dedup.exactIndexAppend(spark, root, doc, "id", "text")
-      assert(isDup())
+      assert(isDup(), "the fold keeps the re-appended row")
     } finally graft.util.TempDirs.deleteRecursively(dir)
   }
 
