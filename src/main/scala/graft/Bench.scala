@@ -23,6 +23,38 @@ object Bench {
       catch { case _: Throwable => () }
       s
     }
+    // third attribution signal: EXTERNAL host load. The r14 runs saw
+    // the multi-core suite inflate ~1.25x while BOTH canaries stayed
+    // flat — competing tenants steal cores from parallel stages but
+    // not from a single-threaded loop or a tiny query. Recording
+    // /proc/loadavg (1-min, at suite start) makes that mode readable
+    // from the artifact instead of a mystery.
+    def readLoad(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // ...and the r14 lesson applied: recording the load is not enough —
+    // the committed r14 artifact was measured at loadavg 3.89 and its
+    // per-query numbers were near-worthless for cross-round trends. So
+    // the suite WAITS for the host to quiet down (sleep/retry up to a
+    // budget) BEFORE the session even starts — the calibration canaries
+    // are load-sensitive too — and if the ceiling is never met it runs
+    // anyway but stamps load_ceiling_exceeded=true so no one mistakes
+    // the result for a clean trend point.
+    val loadCeiling = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "1.5")
+      .toDouble
+    val loadWaitBudgetSec = sys.env
+      .getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "1200").toInt
+    var loadWaited = 0
+    while (readLoad() > loadCeiling && loadWaited < loadWaitBudgetSec) {
+      System.err.println(
+        s"[bench] loadavg ${readLoad()} > ceiling $loadCeiling — " +
+          s"waiting (${loadWaited}s of ${loadWaitBudgetSec}s budget)")
+      Thread.sleep(60000)
+      loadWaited += 60
+    }
+    val loadAvg1m: Double = readLoad()
+    val loadExceeded = loadAvg1m > loadCeiling
     var spark = newSession()
     // machine-speed calibration canary: a fixed, code-stable workload
     // (the q13 warm-up query, post-warm-up so JIT/listing cost is out),
@@ -73,16 +105,6 @@ object Bench {
       }
       (1 to 3).map(_ => pass()).min
     }
-    // third attribution signal: EXTERNAL host load. The r14 runs saw
-    // the multi-core suite inflate ~1.25x while BOTH canaries stayed
-    // flat — competing tenants steal cores from parallel stages but
-    // not from a single-threaded loop or a tiny query. Recording
-    // /proc/loadavg (1-min, at suite start) makes that mode readable
-    // from the artifact instead of a mystery.
-    val loadAvg1m: Double =
-      try java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // optional comma-separated query filter (scaling runs time a subset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -185,7 +207,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"load_ceiling":${f3(loadCeiling)},"load_wait_sec":$loadWaited,"load_ceiling_exceeded":$loadExceeded,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // belt and suspenders: the parseable artifact also lands in a side
     // file, immune to log interleaving and tail truncation
     try java.nio.file.Files.writeString(
@@ -218,7 +240,7 @@ object Bench {
       "\"" + k + "\":\"" + escCap(v, 80) + "\""
     }.mkString("{", ",", "}")
     val sortedQ = results.toSeq.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"load_ceiling_exceeded":$loadExceeded,"n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","queries":{"""
     val tail0 = "}}"
     val sb = new StringBuilder(head)
     var first = true

@@ -487,9 +487,11 @@ object Clustering {
       max(col("_n")).as("max_cluster"),
       count(when(col("_n") > hotClusterCap, 1)).as("hot_clusters"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"),
-      lit(Tombstones.pending(spark, snap)).as("deleted_pending"),
-      lit(IngestLog.read(spark, dir).count()).as("ingest_batches"))
+      lit(nFragments).as("n_fragments"))
+      // one collected plan, no per-reading driver jobs (see
+      // [[Dedup.exactIndexHealth]])
+      .crossJoin(Tombstones.pendingAgg(spark, snap))
+      .crossJoin(IngestLog.countAgg(spark, dir))
   }
 
   /** Fold the label table's accumulated append fragments into one

@@ -173,16 +173,19 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
       .toLong
+    // pending/ingest ride the SAME collected plan (crossJoin of one-row
+    // aggregates) instead of driver-side count jobs per reading — a
+    // fleet health union over a thousand indexes stays one action
     spark.read.parquet(hashesPath).agg(
       count(lit(1)).as("total_rows"),
       count_distinct(col("h")).as("distinct_hashes"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"),
-      lit(Tombstones.pending(spark, snap)).as("deleted_pending"),
+      lit(nFragments).as("n_fragments"))
+      .crossJoin(Tombstones.pendingAgg(spark, snap))
       // logged accepted-batch count: rows from several families union
       // into the fleet table, where a LOWER count than the siblings'
       // is the crash-divergence smell fleetIngestReconcile pins down
-      lit(IngestLog.read(spark, dir).count()).as("ingest_batches"))
+      .crossJoin(IngestLog.countAgg(spark, dir))
   }
 
   /** Hot-bucket guard for LSH bucket self-joins: drop buckets with more
@@ -482,9 +485,11 @@ object Dedup {
       max(col("_n")).as("max_bucket"),
       count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"),
-      lit(Tombstones.pending(spark, snap)).as("deleted_pending"),
-      lit(IngestLog.read(spark, dir).count()).as("ingest_batches"))
+      lit(nFragments).as("n_fragments"))
+      // one collected plan, no per-reading driver jobs (see
+      // exactIndexHealth)
+      .crossJoin(Tombstones.pendingAgg(spark, snap))
+      .crossJoin(IngestLog.countAgg(spark, dir))
   }
 
   /** Probe a delta batch against the persisted index:
@@ -779,9 +784,11 @@ object Dedup {
         col("distinct_rows"), col("n_buckets"), col("max_bucket"),
         col("hot_buckets"),
         lit(dir).as("dir"), lit(snap.version).as("version"),
-        lit(nFragments).as("n_fragments"),
-        lit(Tombstones.pending(spark, snap)).as("deleted_pending"),
-        lit(IngestLog.read(spark, dir).count()).as("ingest_batches"))
+        lit(nFragments).as("n_fragments"))
+      // one collected plan, no per-reading driver jobs (see
+      // exactIndexHealth)
+      .crossJoin(Tombstones.pendingAgg(spark, snap))
+      .crossJoin(IngestLog.countAgg(spark, dir))
   }
 
   /** Probe a delta batch against the persisted index: [[simhash]] with

@@ -420,6 +420,21 @@ package graft.operators
                 snap: Manifest.Snapshot): Long =
       readIfAny(spark, snap).map(_.distinct().count()).getOrElse(0L)
 
+    /** [[pending]] as a LAZY one-row frame, so a health/audit row can
+      * crossJoin it into one collected plan instead of paying a
+      * driver-side count job per index per reading — a fleet dashboard
+      * over a thousand indexes is one action, not a thousand. Free
+      * (constant plan) when no tombstones are pending. */
+    def pendingAgg(spark: org.apache.spark.sql.SparkSession,
+                   snap: Manifest.Snapshot)
+      : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.{count, lit}
+      readIfAny(spark, snap)
+        .map(_.distinct().agg(count(lit(1)).as("deleted_pending")))
+        .getOrElse(spark.range(1)
+          .select(lit(0L).as("deleted_pending")))
+    }
+
     /** A compaction that folded its tombstones publishes an EMPTY
       * tombstone table in the same flip: returns the publish entry
       * (written to a tmp dir), or None when nothing was pending. The
@@ -471,5 +486,13 @@ package graft.operators
         .exists(new org.apache.hadoop.fs.Path(p)))
         spark.read.parquet(p).select("batch_id").distinct()
       else Seq.empty[String].toDF("batch_id")
+    }
+
+    /** Logged-batch count as a LAZY one-row frame (see
+      * [[Tombstones.pendingAgg]] — same one-action-per-fleet point). */
+    def countAgg(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.{count, lit}
+      read(spark, dir).agg(count(lit(1)).as("ingest_batches"))
     }
   }

@@ -1480,18 +1480,20 @@ object Similarity {
     * docs' distinct shingles at the pinned width for decontam — where
     * a nonzero count can be LEGITIMATE residue (a remaining suite
     * shares those shingles); the audit reports the physical fact and
-    * the caller judges it against the rebuild input. Cost: one
-    * broadcast-class semi-join count per index (the retraction batch
-    * is tiny by definition); the scan is the audit — reading every
-    * live file is the point. Returns one
+    * the caller judges it against the rebuild input. Cost: ONE
+    * collected action for the whole fleet (each index contributes a
+    * lazy broadcast-class semi-join aggregate to one union; the
+    * retraction batch is tiny by definition); the scan is the audit —
+    * reading every live file is the point. Returns one LAZY
     * (dir, family, table, keys_live, deleted_pending, version,
     * complete) row per index. */
   def fleetEraseAudit(spark: org.apache.spark.sql.SparkSession,
                       dirs: Seq[String], docs: DataFrame,
                       idCol: String = "id",
                       textCol: Option[String] = None): DataFrame = {
-    import spark.implicits._
-    val report = dirs.map { dir =>
+    def const(v: Long, name: String): DataFrame =
+      spark.range(1).select(lit(v).as(name))
+    val frames = dirs.map { dir =>
       val snap = Manifest.snapshot(spark, dir)
       def has(table: String): Boolean = {
         val p = new org.apache.hadoop.fs.Path(snap.path(table))
@@ -1506,38 +1508,47 @@ object Similarity {
         else if (has("shingles")) ("decontam", "shingles")
         else if (has("hashes")) ("exact", "hashes")
         else ("unknown", "")
-      val keysLive: Long = family match {
-        case "unknown" => -1L
+      // every per-index reading is a LAZY one-row aggregate; the whole
+      // fleet report unions into ONE collected action — auditing a
+      // thousand indexes must not run a thousand driver-side count
+      // jobs (-1 = unauditable: unrecognized layout, or a content/
+      // shingle-keyed family with no text supplied)
+      def semiCount(keys: DataFrame, on: String): DataFrame =
+        spark.read.parquet(snap.path(table))
+          .join(keys, Seq(on), "left_semi")
+          .agg(count(lit(1)).as("keys_live"))
+      val keysLive: DataFrame = family match {
+        case "unknown" => const(-1L, "keys_live")
         case "exact" => textCol match {
           case Some(t) =>
-            spark.read.parquet(snap.path(table))
-              .join(docs.select(md5(col(t)).as("h")).distinct(),
-                Seq("h"), "left_semi").count()
-          case None => -1L // content-keyed: unauditable without text
+            semiCount(docs.select(md5(col(t)).as("h")).distinct(), "h")
+          case None => const(-1L, "keys_live")
         }
         case "decontam" => textCol match {
           case Some(t) =>
             val n = Decontamination.decontamIndexN(spark, dir)
-            spark.read.parquet(snap.path(table))
-              .join(docs.select(explode(graft.functions.TextFunctions
-                .distinctShingles(col(t), n)).as("g")).distinct(),
-                Seq("g"), "left_semi").count()
-          case None => -1L
+            semiCount(docs.select(
+              explode(graft.functions.TextFunctions
+                .distinctShingles(col(t), n)).as("g")).distinct(), "g")
+          case None => const(-1L, "keys_live")
         }
         case _ =>
-          val stored = spark.read.parquet(snap.path(table))
-          stored.join(
-            docs.select(col(idCol)
-              .cast(stored.schema("id").dataType).as("id")).distinct(),
-            Seq("id"), "left_semi").count()
+          val idType = spark.read.parquet(snap.path(table))
+            .schema("id").dataType
+          semiCount(docs.select(col(idCol).cast(idType).as("id"))
+            .distinct(), "id")
       }
       val pending =
-        if (family == "unknown") -1L else Tombstones.pending(spark, snap)
-      (dir, family, table, keysLive, pending, snap.version,
-        keysLive == 0L && pending == 0L)
+        if (family == "unknown") const(-1L, "deleted_pending")
+        else Tombstones.pendingAgg(spark, snap)
+      keysLive.crossJoin(pending)
+        .select(lit(dir).as("dir"), lit(family).as("family"),
+          lit(table).as("table"), col("keys_live"),
+          col("deleted_pending"), lit(snap.version).as("version"),
+          (col("keys_live") === 0L && col("deleted_pending") === 0L)
+            .as("complete"))
     }
-    report.toDF("dir", "family", "table", "keys_live",
-      "deleted_pending", "version", "complete")
+    frames.reduce(_ unionByName _)
   }
 
   /** Operational health report of a persisted [[ivfBuild]] index — the
@@ -1564,10 +1575,30 @@ object Similarity {
                      nProbe: Int,
                      suggestTargetRecall: Option[Double] = None): DataFrame =
     indexHealth(spark, dir, "postings",
-      Manifest.snapshot(spark, dir), k, nProbe,
-      ivfRecallProbe(spark, dir, queries, k, nProbe),
+      Manifest.snapshot(spark, dir), Some(k), Some(nProbe),
+      Some(ivfRecallProbe(spark, dir, queries, k, nProbe)),
       suggestTargetRecall.map(t =>
         ivfSuggestNProbe(spark, dir, queries, k, t)))
+
+  /** [[ivfIndexHealth]]/[[ivfPqIndexHealth]] WITHOUT the recall probe —
+    * layout, fragment, skew, tombstone-debt, and ingest-log readings
+    * only, with `recall_at_k`/`k`/`n_probe` NULL ("not measured", which
+    * [[indexMaintenancePlan]]'s null-safe recall rule simply skips).
+    * The recall probe costs a brute-force pass over the sampled
+    * queries; a schedule that gates on retraction debt or fragment
+    * count alone (the q254-class tombstone lifecycle, a
+    * compact-or-not cron) should not pay it on every reading. Works
+    * for both layouts (codes table ⇒ IVF-PQ). */
+  def ivfIndexHealthLight(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    val snap = Manifest.snapshot(spark, dir)
+    val codesP = new org.apache.hadoop.fs.Path(snap.path("codes"))
+    val table =
+      if (codesP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(codesP)) "codes"
+      else "postings"
+    indexHealth(spark, dir, table, snap, None, None, None, None)
+  }
 
   /** [[ivfIndexHealth]] for the compressed [[ivfPqBuild]] layout: the
     * layout stats come from the codes table; the recall sample needs the
@@ -1581,8 +1612,9 @@ object Similarity {
                        suggestTargetRecall: Option[Double] = None)
     : DataFrame =
     indexHealth(spark, dir, "codes",
-      Manifest.snapshot(spark, dir), k, nProbe,
-      ivfPqRecallProbe(spark, dir, queries, corpus, k, nProbe, refineK),
+      Manifest.snapshot(spark, dir), Some(k), Some(nProbe),
+      Some(ivfPqRecallProbe(spark, dir, queries, corpus, k, nProbe,
+        refineK)),
       // flatMap: an unreachable target surfaces as NULL (plus the
       // tuner's warning log), never as a budget that misses the target
       suggestTargetRecall.flatMap(t =>
@@ -1590,8 +1622,9 @@ object Similarity {
 
   private def indexHealth(spark: org.apache.spark.sql.SparkSession,
                           dir: String, table: String,
-                          snap: Manifest.Snapshot, k: Int, nProbe: Int,
-                          recall: Double,
+                          snap: Manifest.Snapshot, k: Option[Int],
+                          nProbe: Option[Int],
+                          recall: Option[Double],
                           suggested: Option[Int]): DataFrame = {
     import spark.implicits._
     // lists the INDEX has (from the quantizer, so an empty list still
