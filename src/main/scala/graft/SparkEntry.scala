@@ -41,6 +41,22 @@ object SparkEntry {
     * execution strategy), so the gate's rows stay hash-identical; the
     * production-scale probes keep AQE — this wraps only the gates
     * whose data is constant-size by construction. */
+  /** Run independent per-index actions of a lifecycle gate
+    * CONCURRENTLY (one thread per action, bounded by the caller's
+    * list): each action drives its own index dir under its own writer
+    * lock, so builds/deletes/compacts across families are exactly the
+    * fleet-parallel operations a production maintenance loop runs —
+    * and at fixture scale each action is scheduler-latency-bound, so
+    * overlapping them collapses the gate's wall time without changing
+    * any result. Rethrows the first failure. */
+  private def inParallel(fs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(fs.map(f => Future(f()))), 10.minutes): Unit
+  }
+
   private def fixtureTuned[A](s: SparkSession)(body: => A): A = {
     val aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     val parts = s.conf.get("spark.sql.shuffle.partitions", "200")
@@ -3696,29 +3712,44 @@ object SparkEntry {
       .map(graft.util.TempDirs.fresh)
     try {
       val Seq(exDir, mhDir, shDir, ivfDir) = dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(docs, exDir, "id", "text")
-      Dedup.minhashIndexBuild(docs, mhDir, "id", "text")
-      Dedup.simhashIndexBuild(docs, shDir, "id", "text")
-      Similarity.ivfBuild(corpus, ivfDir, nList = 4, kmeansMaxIter = 2)
+      // the four families are independent writer-lock domains — their
+      // builds (and below, deletes/compactions) run CONCURRENTLY, the
+      // shape a fleet maintenance loop actually has; at fixture scale
+      // each is scheduler-latency-bound so the overlap is ~4x
+      inParallel(
+        () => Dedup.exactIndexBuild(docs, exDir, "id", "text"),
+        () => Dedup.minhashIndexBuild(docs, mhDir, "id", "text"),
+        () => Dedup.simhashIndexBuild(docs, shDir, "id", "text"),
+        () => Similarity.ivfBuild(corpus, ivfDir, nList = 4,
+          kmeansMaxIter = 2))
       // the four probe hit-counts collapse into ONE collect (tagged
       // one-row aggregates unioned) and the four health rows into ONE
       // plan collect — this gate runs 3 phases × 4 families, and at
-      // fixture scale the cost is Spark ACTION count, not data
+      // fixture scale the cost is Spark ACTION count, not data. The
+      // two eagerly-materializing probes (minhash/simhash checkpoint
+      // internally) are constructed concurrently for the same reason.
       def hits(): Map[String, Long] = {
         def tag(name: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(count(lit(1)).as("n"))
             .select(lit(name).as("family"), col("n"))
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val mhF = Future(Dedup.minhashIndexProbe(s, mhDir, probeDocs,
+          docs, "id", "text", threshold = 0.5))
+        val shF = Future(Dedup.simhashIndexProbe(s, shDir, probeDocs,
+          "id", "text", maxHamming = 0))
+        val ivfF = Future(Similarity.ivfQuery(s, ivfDir, queries,
+          k = 1, nProbe = 4))
         Seq(
           tag("exact", Dedup.exactIndexProbe(s, exDir, probeDocs, "id",
             "text").filter(col("is_dup"))),
-          tag("minhash", Dedup.minhashIndexProbe(s, mhDir, probeDocs,
-            docs, "id", "text", threshold = 0.5)
+          tag("minhash", Await.result(mhF, 10.minutes)
             .filter(col("base_id") === 1L)),
-          tag("simhash", Dedup.simhashIndexProbe(s, shDir, probeDocs,
-            "id", "text", maxHamming = 0)
+          tag("simhash", Await.result(shF, 10.minutes)
             .filter(col("base_id") === 1L)),
-          tag("ivf", Similarity.ivfQuery(s, ivfDir, queries, k = 1,
-            nProbe = 4).filter(col("id") === 2L)))
+          tag("ivf", Await.result(ivfF, 10.minutes)
+            .filter(col("id") === 2L)))
           .reduce(_ unionByName _)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
@@ -3749,21 +3780,30 @@ object SparkEntry {
       }
       def phaseRows(phase: String): Seq[(String, String, Long, Long,
         String)] = {
-        val hh = hits(); val st = state()
+        // hits and state are both read-only over the same immutable
+        // manifest snapshots — overlap their collects too
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val hhF = Future(hits()); val stF = Future(state())
+        val hh = Await.result(hhF, 10.minutes)
+        val st = Await.result(stF, 10.minutes)
         hh.keys.toSeq.sorted.map(f =>
           (f, phase, hh(f), st(f)._1, st(f)._2))
       }
       val before = phaseRows("1_before")
-      Dedup.exactIndexDelete(s, exDir, doomed, "id", "text")
-      Dedup.minhashIndexDelete(s, mhDir, doomed.select("id"))
-      Dedup.simhashIndexDelete(s, shDir, doomed.select("id"))
-      Similarity.ivfDelete(s, ivfDir,
-        corpus.filter(col("id") === 2L).select("id"))
+      inParallel(
+        () => Dedup.exactIndexDelete(s, exDir, doomed, "id", "text"),
+        () => Dedup.minhashIndexDelete(s, mhDir, doomed.select("id")),
+        () => Dedup.simhashIndexDelete(s, shDir, doomed.select("id")),
+        () => Similarity.ivfDelete(s, ivfDir,
+          corpus.filter(col("id") === 2L).select("id")))
       val deleted = phaseRows("2_deleted")
-      Dedup.exactIndexCompact(s, exDir)
-      Dedup.minhashIndexCompact(s, mhDir)
-      Dedup.simhashIndexCompact(s, shDir)
-      Similarity.ivfCompact(s, ivfDir)
+      inParallel(
+        () => Dedup.exactIndexCompact(s, exDir),
+        () => Dedup.minhashIndexCompact(s, mhDir),
+        () => Dedup.simhashIndexCompact(s, shDir),
+        () => Similarity.ivfCompact(s, ivfDir))
       val compacted = phaseRows("3_compacted")
       (before ++ deleted ++ compacted)
         .toDF("family", "phase", "n_hits", "deleted_pending", "action")
@@ -4080,17 +4120,26 @@ object SparkEntry {
     try {
       val Seq(exDir, mhDir, shDir, ivfDir, pqDir, semDir, dcDir) =
         dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(docs, exDir, "id", "text")
-      Dedup.minhashIndexBuild(docs, mhDir, "id", "text")
-      Dedup.simhashIndexBuild(docs, shDir, "id", "text")
-      Similarity.ivfBuild(vecs, ivfDir, nList = 2, kmeansMaxIter = 2)
-      Similarity.ivfPqBuild(vecs, pqDir, nList = 2, m = 2, nCodes = 2)
-      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
-        dvecs, "id", "vec", k = 2, iterations = 2)
-      operators.Clustering.semDedupStateSave(s, semDir, labels, "id",
-        cents)
-      operators.Clustering.releasePairs(labels)
-      Decontamination.decontamIndexBuild(docs, dcDir, "text", n = 3)
+      // seven independent writer-lock domains build concurrently (the
+      // fleet-parallel shape; see q254)
+      inParallel(
+        () => Dedup.exactIndexBuild(docs, exDir, "id", "text"),
+        () => Dedup.minhashIndexBuild(docs, mhDir, "id", "text"),
+        () => Dedup.simhashIndexBuild(docs, shDir, "id", "text"),
+        () => Similarity.ivfBuild(vecs, ivfDir, nList = 2,
+          kmeansMaxIter = 2),
+        () => Similarity.ivfPqBuild(vecs, pqDir, nList = 2, m = 2,
+          nCodes = 2),
+        () => {
+          val (labels, cents) = operators.Clustering
+            .kmeansWithCentroids(dvecs, "id", "vec", k = 2,
+              iterations = 2)
+          operators.Clustering.semDedupStateSave(s, semDir, labels,
+            "id", cents)
+          operators.Clustering.releasePairs(labels)
+        },
+        () => Decontamination.decontamIndexBuild(docs, dcDir, "text",
+          n = 3))
       val fleet = Seq(exDir, mhDir, shDir, ivfDir, pqDir, semDir, dcDir)
       def audit(phase: String, status: Map[String, String])
         : Seq[(String, String, String, Long, Long, Boolean)] =
@@ -4106,12 +4155,13 @@ object SparkEntry {
         .select("family", "status").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       val deleted = audit("2_deleted", statuses)
-      Dedup.exactIndexCompact(s, exDir)
-      Dedup.minhashIndexCompact(s, mhDir)
-      Dedup.simhashIndexCompact(s, shDir)
-      Similarity.ivfCompact(s, ivfDir)
-      Similarity.ivfPqCompact(s, pqDir)
-      operators.Clustering.semDedupStateCompact(s, semDir)
+      inParallel(
+        () => Dedup.exactIndexCompact(s, exDir),
+        () => Dedup.minhashIndexCompact(s, mhDir),
+        () => Dedup.simhashIndexCompact(s, shDir),
+        () => Similarity.ivfCompact(s, ivfDir),
+        () => Similarity.ivfPqCompact(s, pqDir),
+        () => operators.Clustering.semDedupStateCompact(s, semDir))
       val folded = audit("3_folded", statuses)
       (before ++ deleted ++ folded)
         .toDF("family", "phase", "delete_status", "keys_live",
