@@ -3022,21 +3022,34 @@ object SparkEntry {
       .map(graft.util.TempDirs.fresh)
     try {
       val Seq(okDir, fragDir, decDir) = dirs.map(_.getAbsolutePath)
-      Similarity.ivfBuild(corpus, okDir, nList = 8, kmeansMaxIter = 2)
-      Similarity.ivfBuild(corpus.filter(col("id") <= mid), fragDir,
-        nList = 8, kmeansMaxIter = 2)
-      Similarity.ivfAppend(s, fragDir, corpus.filter(col("id") > mid))
-      Similarity.ivfBuild(decCorpus, decDir, nList = 4,
-        kmeansMaxIter = 10)
-      val fleet = Similarity
-        .ivfIndexHealth(s, okDir, queries, k = 3, nProbe = 8)
-        .withColumn("idx", lit(1))
-        .unionByName(Similarity
-          .ivfIndexHealth(s, fragDir, queries, k = 3, nProbe = 8)
-          .withColumn("idx", lit(2)))
-        .unionByName(Similarity
-          .ivfIndexHealth(s, decDir, decQueries, k = 3, nProbe = 1)
-          .withColumn("idx", lit(3)))
+      // three independent indexes: build them (and below, run their
+      // eager recall probes) concurrently — the fleet-parallel shape,
+      // identical results (q254's inParallel rationale)
+      inParallel(
+        () => Similarity.ivfBuild(corpus, okDir, nList = 8,
+          kmeansMaxIter = 2),
+        () => {
+          Similarity.ivfBuild(corpus.filter(col("id") <= mid), fragDir,
+            nList = 8, kmeansMaxIter = 2)
+          Similarity.ivfAppend(s, fragDir,
+            corpus.filter(col("id") > mid))
+        },
+        () => Similarity.ivfBuild(decCorpus, decDir, nList = 4,
+          kmeansMaxIter = 10))
+      val healths = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future(Similarity.ivfIndexHealth(s, okDir, queries, k = 3,
+            nProbe = 8).withColumn("idx", lit(1))),
+          Future(Similarity.ivfIndexHealth(s, fragDir, queries, k = 3,
+            nProbe = 8).withColumn("idx", lit(2))),
+          Future(Similarity.ivfIndexHealth(s, decDir, decQueries,
+            k = 3, nProbe = 1).withColumn("idx", lit(3))))),
+          10.minutes)
+      }
+      val fleet = healths.reduce(_ unionByName _)
       val plan = Similarity.indexMaintenancePlan(fleet,
         recallFloor = 0.9, maxFilesPerListCeiling = 1)
         .select(col("idx"), col("action"))
