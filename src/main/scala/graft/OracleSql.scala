@@ -1492,6 +1492,21 @@ object OracleSql {
         |UNION ALL SELECT 'simhash', '3_folded', 'executed', 0, 0, true"""
         .stripMargin,
 
+    // q261: the one-call fleet loop — structural facts of the planted
+    // states: the exact index's pending tombstone and the SimHash/
+    // funnel fragment debts plan `compact` (funnel via its new apply
+    // dispatch), the fresh SemDeDup/decontam states plan `none`,
+    // applying executes exactly the three compactions, and the
+    // re-plan is quiet everywhere
+    "q261_fleet_loop" ->
+      """SELECT 'decontam' AS family, 'none' AS action,
+        |  'skipped' AS status, 'none' AS action_after
+        |UNION ALL SELECT 'exact', 'compact', 'executed', 'none'
+        |UNION ALL SELECT 'funnel', 'compact', 'executed', 'none'
+        |UNION ALL SELECT 'semdedup', 'none', 'skipped', 'none'
+        |UNION ALL SELECT 'simhash', 'compact', 'executed', 'none'"""
+        .stripMargin,
+
     // q260: the unified seven-family admission — structural facts of
     // the planted batch, one rejection mode per doc: 11 clean
     // (accepted), 12 a token-REORDERED copy of an indexed doc (md5

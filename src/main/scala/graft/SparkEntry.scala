@@ -4251,6 +4251,90 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
     }
 
+  /** The ONE-CALL fleet maintenance loop
+    * ([[operators.Similarity.fleetHealth]] →
+    * [[operators.Similarity.indexMaintenancePlan]] →
+    * [[operators.Similarity.fleetMaintenanceApply]] → re-plan) over a
+    * five-family fleet — before r15 the health-union step was
+    * caller-side boilerplate, so "maintain the whole fleet" was three
+    * operators and a hand-written union. Planted states: the
+    * exact-hash index carries one pending tombstone (debt ceiling 0 →
+    * `compact`), the SimHash index three append fragments (ceiling 2
+    * → `compact`), the admission-funnel history three one-file days
+    * (same ceiling → `compact`, via the funnel's NEW
+    * fleetMaintenanceApply dispatch), while the fresh SemDeDup state
+    * and decontam set plan `none`. Applying the plan executes exactly
+    * the three compactions and the re-plan reads `none` everywhere —
+    * each (family, action, status, action_after) row a structural
+    * fact of the constructed states. */
+  def q261_fleet_loop(s: SparkSession, d: String): DataFrame =
+    fixtureTuned(s) {
+    import s.implicits._
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs",
+      2L -> "how vexingly quick daft zebras jump")
+    val docs = texts.toDF("id", "text").repartition(1)
+    val bench = Seq(100L ->
+      "secret evaluation question regarding ancient sphinxes")
+      .toDF("id", "text").repartition(1)
+    def pt(dim: Int): Seq[Double] = {
+      val a = new Array[Double](4); a(dim) = 1.0; a.toSeq
+    }
+    val vecs = (0 until 4).map(c => (c.toLong, pt(c % 2)))
+      .toDF("id", "vec")
+    val dirs = Seq("q261_ex_", "q261_sh_", "q261_sem_", "q261_dc_",
+      "q261_fn_").map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, shDir, semDir, dcDir, fnDir) =
+        dirs.map(_.getAbsolutePath)
+      inParallel(
+        () => Dedup.exactIndexBuild(docs, exDir, "id", "text"),
+        () => {
+          Dedup.simhashIndexBuild(docs.filter(col("id") === 0L),
+            shDir, "id", "text")
+          (1L to 2L).foreach(i => Dedup.simhashIndexAppend(s, shDir,
+            docs.filter(col("id") === i), "id", "text"))
+        },
+        () => {
+          val (labels, cents) = operators.Clustering
+            .kmeansWithCentroids(vecs, "id", "vec", k = 2,
+              iterations = 2)
+          operators.Clustering.semDedupStateSave(s, semDir,
+            labels.coalesce(1), "id", cents)
+          operators.Clustering.releasePairs(labels)
+        },
+        () => Decontamination.decontamIndexBuild(bench, dcDir, "text",
+          n = 3),
+        () => Seq("2024-01-01", "2024-01-02", "2024-01-03")
+          .foreach(day => operators.CorpusPipeline
+            .admissionFunnelAppend(s, fnDir, day,
+              Seq(("s1", 4L, 0L)).toDF("source", "n_docs",
+                "n_neardup"))))
+      Dedup.exactIndexDelete(s, exDir,
+        docs.filter(col("id") === 1L), "id", "text")
+      val fleet = Seq(exDir, shDir, semDir, dcDir, fnDir)
+      def plan() = Similarity.indexMaintenancePlan(
+        Similarity.fleetHealth(s, fleet), recallFloor = 0.0,
+        maxFilesPerListCeiling = Long.MaxValue,
+        maxFragmentsCeiling = 2, tombstoneDebtCeiling = 0L)
+      val p1 = plan().select(col("dir"), col("family"),
+        col("action")).localCheckpoint(true)
+      val report = Similarity.fleetMaintenanceApply(s, p1)
+        .select(col("dir"), col("status")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val after = plan().select(col("dir"),
+        col("action").as("action_after"))
+      p1.join(after, Seq("dir"))
+        .select(col("family"), col("action"), col("dir"),
+          col("action_after"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          report(r.getString(2)), r.getString(3))).toSeq.sortBy(_._1)
+        .toDF("family", "action", "status", "action_after")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+    }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -6158,7 +6242,8 @@ object SparkEntry {
     "q257_ingest_append_loop" -> (q257_ingest_append_loop _),
     "q258_fleet_delete" -> (q258_fleet_delete _),
     "q259_fleet_erase_audit" -> (q259_fleet_erase_audit _),
-    "q260_fleet_admission" -> (q260_fleet_admission _))
+    "q260_fleet_admission" -> (q260_fleet_admission _),
+    "q261_fleet_loop" -> (q261_fleet_loop _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

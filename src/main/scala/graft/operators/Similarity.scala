@@ -1271,6 +1271,71 @@ object Similarity {
     * fleet table is one row per index by construction); each executed
     * action is itself a distributed job under that index's writer
     * lock. */
+  /** Sniff which index family lives at a manifest snapshot from its
+    * on-disk tables — the shared dispatch key of every fleet verb
+    * ([[fleetHealth]], [[fleetMaintenanceApply]], [[fleetDelete]],
+    * [[fleetEraseAudit]]). Returns (family, key table). */
+  private def sniffFamily(spark: org.apache.spark.sql.SparkSession,
+                          snap: Manifest.Snapshot): (String, String) = {
+    def has(table: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(snap.path(table))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (has("codes")) ("ivf_pq", "codes")
+    else if (has("postings")) ("ivf", "postings")
+    else if (has("bands")) ("minhash", "bands")
+    else if (has("sigs")) ("simhash", "sigs")
+    else if (has("labels")) ("semdedup", "labels")
+    else if (has("shingles")) ("decontam", "shingles")
+    else if (has("hashes")) ("exact", "hashes")
+    else if (has("funnel")) ("funnel", "funnel")
+    else ("unknown", "")
+  }
+
+  /** The FLEET-WIDE health sweep — the missing first step of the
+    * health → [[indexMaintenancePlan]] → [[fleetMaintenanceApply]]
+    * loop, which until now every caller assembled by hand (sniff each
+    * family, call its health, union with missing columns): one call
+    * returns one tagged row per index dir, whatever mix of families
+    * the fleet holds. The vector families contribute their
+    * [[ivfIndexHealthLight]] rows (layout/debt/log readings — the
+    * cheap daily sweep; the recall-probing [[ivfIndexHealth]] stays a
+    * per-index opt-in because it costs a brute-force pass), text/label
+    * families their full health rows, the admission-funnel history its
+    * fragment row, and an unrecognized dir an all-NULL row tagged
+    * `unknown` (the planner's null-safe rules yield `none` — a typo'd
+    * dir must not crash the fleet sweep). All flat-family rows are
+    * LAZY one-plan aggregates, so planning a thousand-index fleet is
+    * one collected action plus the vector families' bounded layout
+    * collects. */
+  def fleetHealth(spark: org.apache.spark.sql.SparkSession,
+                  dirs: Seq[String],
+                  hotBucketCap: Int = 10000,
+                  hotClusterCap: Long = 100000L): DataFrame = {
+    val frames = dirs.map { dir =>
+      val snap = Manifest.snapshot(spark, dir)
+      val (family, _) = sniffFamily(spark, snap)
+      val h = family match {
+        case "ivf" | "ivf_pq" => ivfIndexHealthLight(spark, dir)
+        case "minhash" => Dedup.minhashIndexHealth(spark, dir,
+          hotBucketCap)
+        case "simhash" => Dedup.simhashIndexHealth(spark, dir,
+          hotBucketCap)
+        case "semdedup" => Clustering.semDedupStateHealth(spark, dir,
+          hotClusterCap)
+        case "decontam" => Decontamination.decontamIndexHealth(spark,
+          dir)
+        case "exact" => Dedup.exactIndexHealth(spark, dir)
+        case "funnel" => CorpusPipeline.admissionFunnelHealth(spark,
+          dir)
+        case _ => spark.range(1).select(lit(dir).as("dir"),
+          lit(snap.version).as("version"))
+      }
+      h.withColumn("family", lit(family))
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   def fleetMaintenanceApply(spark: org.apache.spark.sql.SparkSession,
                             plan: DataFrame,
                             corpora: Map[String, DataFrame] = Map.empty)
@@ -1281,19 +1346,7 @@ object Similarity {
       .map(r => (r.getString(0), r.getString(1)))
     val report = rows.map { case (dir, action) =>
       val snap = Manifest.snapshot(spark, dir)
-      def has(table: String): Boolean = {
-        val p = new org.apache.hadoop.fs.Path(snap.path(table))
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }
-      val family =
-        if (has("codes")) "ivf_pq"
-        else if (has("postings")) "ivf"
-        else if (has("bands")) "minhash"
-        else if (has("sigs")) "simhash"
-        else if (has("labels")) "semdedup"
-        else if (has("shingles")) "decontam"
-        else if (has("hashes")) "exact"
-        else "unknown"
+      val (family, _) = sniffFamily(spark, snap)
       val corpus = corpora.get(dir)
       def run(f: => Unit): (String, String) =
         try { f; ("executed", "") }
@@ -1334,6 +1387,8 @@ object Similarity {
               "benchmark suites in corpora")
           else run(Decontamination.decontamIndexRebuild(spark, dir,
             corpus.get, "text"))
+        case ("funnel", "compact") =>
+          run(CorpusPipeline.admissionFunnelCompact(spark, dir))
         case (f, a) => ("skipped", s"no $a operator for family $f")
       }
       (dir, family, action, status, detail)
@@ -1382,19 +1437,7 @@ object Similarity {
     import spark.implicits._
     val report = dirs.map { dir =>
       val snap = Manifest.snapshot(spark, dir)
-      def has(table: String): Boolean = {
-        val p = new org.apache.hadoop.fs.Path(snap.path(table))
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }
-      val family =
-        if (has("codes")) "ivf_pq"
-        else if (has("postings")) "ivf"
-        else if (has("bands")) "minhash"
-        else if (has("sigs")) "simhash"
-        else if (has("labels")) "semdedup"
-        else if (has("shingles")) "decontam"
-        else if (has("hashes")) "exact"
-        else "unknown"
+      val (family, _) = sniffFamily(spark, snap)
       def run(f: => Unit): (String, String) =
         try { f; ("executed", "") }
         catch { case e: Exception =>
@@ -1453,6 +1496,9 @@ object Similarity {
               "decontamRemaining (the suites minus the retirees) so " +
               "the rebuild retraction can run")
         }
+        case "funnel" =>
+          ("skipped", "funnel history is per-(day, source) ops " +
+            "metadata, not doc-keyed — nothing to retract")
         case _ =>
           ("skipped", "no recognizable index tables at dir")
       }
@@ -1495,30 +1541,19 @@ object Similarity {
       spark.range(1).select(lit(v).as(name))
     val frames = dirs.map { dir =>
       val snap = Manifest.snapshot(spark, dir)
-      def has(table: String): Boolean = {
-        val p = new org.apache.hadoop.fs.Path(snap.path(table))
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }
-      val (family, table) =
-        if (has("codes")) ("ivf_pq", "codes")
-        else if (has("postings")) ("ivf", "postings")
-        else if (has("bands")) ("minhash", "bands")
-        else if (has("sigs")) ("simhash", "sigs")
-        else if (has("labels")) ("semdedup", "labels")
-        else if (has("shingles")) ("decontam", "shingles")
-        else if (has("hashes")) ("exact", "hashes")
-        else ("unknown", "")
+      val (family, table) = sniffFamily(spark, snap)
       // every per-index reading is a LAZY one-row aggregate; the whole
       // fleet report unions into ONE collected action — auditing a
       // thousand indexes must not run a thousand driver-side count
-      // jobs (-1 = unauditable: unrecognized layout, or a content/
-      // shingle-keyed family with no text supplied)
+      // jobs (-1 = unauditable: unrecognized layout, the doc-keyless
+      // funnel history, or a content/shingle-keyed family with no
+      // text supplied)
       def semiCount(keys: DataFrame, on: String): DataFrame =
         spark.read.parquet(snap.path(table))
           .join(keys, Seq(on), "left_semi")
           .agg(count(lit(1)).as("keys_live"))
       val keysLive: DataFrame = family match {
-        case "unknown" => const(-1L, "keys_live")
+        case "unknown" | "funnel" => const(-1L, "keys_live")
         case "exact" => textCol match {
           case Some(t) =>
             semiCount(docs.select(md5(col(t)).as("h")).distinct(), "h")
@@ -1539,7 +1574,8 @@ object Similarity {
             .distinct(), "id")
       }
       val pending =
-        if (family == "unknown") const(-1L, "deleted_pending")
+        if (family == "unknown" || family == "funnel")
+          const(-1L, "deleted_pending")
         else Tombstones.pendingAgg(spark, snap)
       keysLive.crossJoin(pending)
         .select(lit(dir).as("dir"), lit(family).as("family"),

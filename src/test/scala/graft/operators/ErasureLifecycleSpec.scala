@@ -230,6 +230,37 @@ class ErasureLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("fleetHealth sniffs every family and unions one tagged row per " +
+    "index; an unrecognized dir degrades to an unknown row, not a crash") {
+    val docs = Seq(0L -> "alpha beta gamma delta epsilon")
+      .toDF("id", "text")
+    val exDir = fresh(); val shDir = fresh(); val dcDir = fresh()
+    val fnDir = fresh(); val unDir = fresh()
+    try {
+      val Seq(ex, sh, dc, fn, un) =
+        Seq(exDir, shDir, dcDir, fnDir, unDir).map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(docs, ex, "id", "text")
+      Dedup.simhashIndexBuild(docs, sh, "id", "text")
+      Decontamination.decontamIndexBuild(docs, dc, "text", n = 3)
+      CorpusPipeline.admissionFunnelAppend(spark, fn, "2024-01-01",
+        Seq(("s1", 1L, 0L)).toDF("source", "n_docs", "n_neardup"))
+      val rows = Similarity.fleetHealth(spark, Seq(ex, sh, dc, fn, un))
+        .select("family", "dir").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows == Map("exact" -> ex, "simhash" -> sh,
+        "decontam" -> dc, "funnel" -> fn, "unknown" -> un))
+      // ...and the planner consumes the mixed union as-is (null
+      // columns never trigger): everything fresh plans none
+      val actions = Similarity.indexMaintenancePlan(
+        Similarity.fleetHealth(spark, Seq(ex, sh, dc, fn, un)),
+        recallFloor = 0.0, maxFilesPerListCeiling = Long.MaxValue)
+        .select("family", "action").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(actions.values.forall(_ == "none"), s"$actions")
+    } finally Seq(exDir, shDir, dcDir, fnDir, unDir)
+      .foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   test("snapshotAt pins a point-in-time mapping across one publish " +
     "(the grace window) and throws once the pin outlives it") {
     val doc = Seq(0L -> "aa bb cc").toDF("id", "text")
