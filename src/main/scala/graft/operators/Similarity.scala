@@ -1270,7 +1270,10 @@ object Similarity {
     * `skipped` / `failed`. Driver-side loop over a bounded plan (the
     * fleet table is one row per index by construction); each executed
     * action is itself a distributed job under that index's writer
-    * lock. */
+    * lock — which is why `parallelism > 1` is safe and what a
+    * thousand-index fleet wants: the units touch disjoint lock
+    * domains, so N compactions overlap their scheduling floors
+    * (report order is preserved either way). */
   /** Sniff which index family lives at a manifest snapshot from its
     * on-disk tables — the shared dispatch key of every fleet verb
     * ([[fleetHealth]], [[fleetMaintenanceApply]], [[fleetDelete]],
@@ -1336,15 +1339,37 @@ object Similarity {
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Map a fleet's per-index units onto `parallelism` driver threads,
+    * preserving input order in the output. Each unit drives ONE index
+    * dir under that index's own writer lock, so units never contend on
+    * state — exactly the property that makes fleet maintenance over a
+    * thousand indexes embarrassingly parallel. parallelism = 1 (the
+    * default everywhere) is plain sequential execution. */
+  private def fleetMap[A, B](units: Seq[A], parallelism: Int)
+                            (f: A => B): Seq[B] =
+    if (parallelism <= 1 || units.size <= 1) units.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(parallelism, units.size))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence(units.map(u => Future(f(u)))), 1.hour)
+      finally pool.shutdown()
+    }
+
   def fleetMaintenanceApply(spark: org.apache.spark.sql.SparkSession,
                             plan: DataFrame,
-                            corpora: Map[String, DataFrame] = Map.empty)
+                            corpora: Map[String, DataFrame] = Map.empty,
+                            parallelism: Int = 1)
     : DataFrame = {
     import spark.implicits._
     val rows = plan.select(col("dir").cast("string"),
       col("action").cast("string")).collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val report = rows.map { case (dir, action) =>
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val report = fleetMap(rows, parallelism) { case (dir, action) =>
       val snap = Manifest.snapshot(spark, dir)
       val (family, _) = sniffFamily(spark, snap)
       val corpus = corpora.get(dir)
@@ -1392,7 +1417,7 @@ object Similarity {
         case (f, a) => ("skipped", s"no $a operator for family $f")
       }
       (dir, family, action, status, detail)
-    }.toSeq
+    }
     report.toDF("dir", "family", "action", "status", "detail")
   }
 
@@ -1426,16 +1451,20 @@ object Similarity {
     *     [[Decontamination.decontamIndexRebuild]] swaps in the
     *     remaining suites' shingle set behind one manifest flip.
     * Audit the result with [[fleetEraseAudit]] after each family's
-    * compaction folds its debt. */
+    * compaction folds its debt. `parallelism > 1` runs the per-index
+    * deletes on that many driver threads (disjoint writer-lock
+    * domains — see [[fleetMaintenanceApply]]), report order
+    * preserved. */
   def fleetDelete(spark: org.apache.spark.sql.SparkSession,
                   dirs: Seq[String], docs: DataFrame,
                   idCol: String = "id",
                   textCol: Option[String] = None,
                   survivors: Option[DataFrame] = None,
-                  decontamRemaining: Option[DataFrame] = None)
+                  decontamRemaining: Option[DataFrame] = None,
+                  parallelism: Int = 1)
     : DataFrame = {
     import spark.implicits._
-    val report = dirs.map { dir =>
+    val report = fleetMap(dirs, parallelism) { dir =>
       val snap = Manifest.snapshot(spark, dir)
       val (family, _) = sniffFamily(spark, snap)
       def run(f: => Unit): (String, String) =

@@ -230,6 +230,50 @@ class ErasureLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("fleet verbs at parallelism > 1 produce the sequential report " +
+    "and state: disjoint writer-lock domains never contend") {
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs")
+    val docs = texts.toDF("id", "text")
+    val doomed = docs.filter(col("id") === 1L)
+    def mk(): (Seq[java.io.File], Seq[String]) = {
+      val fs = Seq(fresh(), fresh(), fresh())
+      val Seq(ex, mh, sh) = fs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(docs, ex, "id", "text")
+      Dedup.minhashIndexBuild(docs, mh, "id", "text")
+      Dedup.simhashIndexBuild(docs, sh, "id", "text")
+      (fs, Seq(ex, mh, sh))
+    }
+    val (fSeq, seqDirs) = mk(); val (fPar, parDirs) = mk()
+    try {
+      def rep(dirs: Seq[String], par: Int) =
+        Similarity.fleetDelete(spark, dirs, doomed, "id",
+          textCol = Some("text"), parallelism = par)
+          .select("family", "status").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rep(seqDirs, 1) == rep(parDirs, 4),
+        "parallel fleetDelete must produce the sequential report")
+      def pending(dirs: Seq[String]) =
+        Similarity.fleetEraseAudit(spark, dirs, doomed, "id",
+          Some("text")).select("family", "deleted_pending").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(pending(seqDirs) == pending(parDirs), "same state too")
+      // ...and the apply half, over a compact-everything plan
+      import spark.implicits._
+      def applyRep(dirs: Seq[String], par: Int) =
+        Similarity.fleetMaintenanceApply(spark,
+          dirs.map(d => (d, "compact")).toDF("dir", "action"),
+          parallelism = par)
+          .select("family", "action", "status").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .toSeq
+      assert(applyRep(seqDirs, 1) == applyRep(parDirs, 4))
+      assert(pending(seqDirs).values.forall(_ == 0L))
+    } finally (fSeq ++ fPar)
+      .foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   test("fleetHealth sniffs every family and unions one tagged row per " +
     "index; an unrecognized dir degrades to an unknown row, not a crash") {
     val docs = Seq(0L -> "alpha beta gamma delta epsilon")
