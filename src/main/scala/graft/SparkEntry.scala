@@ -3878,9 +3878,14 @@ object SparkEntry {
       }
       val (nGap1, gap1) = gapState()
       val hits1 = shProbeHits()
-      // repair: re-append the flagged batch to the flagged family
-      Dedup.simhashIndexAppend(s, shDir, b2, "id", "text",
-        batchId = Some("b2"))
+      // repair: MECHANICAL since r15 — fleetIngestRepair executes the
+      // reconcile's (b2, simhash, re_append) row from the supplied
+      // batch, logging the batch id in the same locked span
+      val repaired = operators.CorpusPipeline.fleetIngestRepair(s,
+        operators.CorpusPipeline.fleetIngestReconcile(s, fams),
+        Map("b2" -> b2), "id", "text")
+      require(repaired.filter(col("status") === "executed")
+        .count() == 1L, "the one flagged gap must repair")
       val (nGap2, gap2) = gapState()
       val hits2 = shProbeHits()
       Seq(("1_after_crash", nGap1, gap1, hits1),

@@ -182,6 +182,73 @@ object CorpusPipeline {
         lit("re_append").as("action"))
   }
 
+  /** EXECUTE the repairs [[fleetIngestReconcile]] emits — the apply
+    * half of the crash-recovery loop (detection emitted (batch,
+    * family, dir, re_append) rows; until r15 the re-append itself was
+    * an operator's manual step, the same gap the decontam rebuild
+    * closed for [[Similarity.fleetDelete]]). `batches` supplies each
+    * flagged batch's ORIGINAL accepted rows by batch id (the verdict
+    * sink a daily ingest already keeps); each gap row dispatches the
+    * family's append WITH the batch id, so the repaired family logs
+    * the batch in the same locked span and the next reconcile reads
+    * clean. Safe to re-run: every family's compaction folds duplicate
+    * rows, so a repair that itself crashes mid-way just leaves fewer
+    * gaps for the next pass (at-least-once, convergent). Per-row
+    * failure isolation as every fleet verb: a gap whose batch is
+    * missing from `batches`, or whose family needs a column the batch
+    * lacks, reports `skipped`/`failed` without aborting the fleet.
+    * Returns one (batch_id, family, dir, status, detail) row per gap.
+    * Column conventions: text families read (`idCol`, `textCol`),
+    * vector families (`idCol`, `vecCol` — cast to the index's stored
+    * schema by the append itself). */
+  def fleetIngestRepair(spark: org.apache.spark.sql.SparkSession,
+                        gaps: DataFrame,
+                        batches: Map[String, DataFrame],
+                        idCol: String = "id", textCol: String = "text",
+                        vecCol: String = "v"): DataFrame = {
+    import spark.implicits._
+    val rows = gaps.select(col("batch_id").cast("string"),
+      col("family").cast("string"), col("dir").cast("string"),
+      col("action").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    val report = rows.map { case (bid, family, dir, action) =>
+      def run(f: => Unit): (String, String) =
+        try { f; ("executed", "") }
+        catch { case e: Exception =>
+          ("failed", Option(e.getMessage).getOrElse(e.getClass.getName)
+            .take(200))
+        }
+      val (status, detail) =
+        if (action != "re_append")
+          ("skipped", s"unknown action '$action'")
+        else batches.get(bid) match {
+          case None =>
+            ("skipped", s"batch '$bid' not supplied — fetch it from " +
+              "the verdict sink and re-run")
+          case Some(batch) => family match {
+            case "exact" => run(Dedup.exactIndexAppend(spark, dir,
+              batch, idCol, textCol, batchId = Some(bid)))
+            case "minhash" => run(Dedup.minhashIndexAppend(spark, dir,
+              batch, idCol, textCol, batchId = Some(bid)))
+            case "simhash" => run(Dedup.simhashIndexAppend(spark, dir,
+              batch, idCol, textCol, batchId = Some(bid)))
+            case "ivf" => run(Similarity.ivfAppend(spark, dir,
+              batch.select(col(idCol).as("id"), col(vecCol).as("v")),
+              batchId = Some(bid)))
+            case "ivf_pq" => run(Similarity.ivfPqAppend(spark, dir,
+              batch.select(col(idCol).as("id"), col(vecCol).as("v")),
+              batchId = Some(bid)))
+            case "semdedup" => run(Clustering.semDedupStateAppend(
+              spark, dir, batch, idCol, vecCol, batchId = Some(bid)))
+            case f => ("skipped", s"no re_append operator for '$f'")
+          }
+        }
+      (bid, family, dir, status, detail)
+    }
+    report.toDF("batch_id", "family", "dir", "status", "detail")
+  }
+
   /** Append one day's ADMISSION FUNNEL rows (the q252 shape — per-
     * source verdict counts for one batch) to a persisted ops history
     * keyed by (day, source) — the time axis the in-memory funnel

@@ -728,10 +728,27 @@ class CorpusOpsSpec extends SparkSpec {
       Dedup.exactIndexAppend(spark, exDir, b2, "doc_id", "text",
         batchId = Some("b2"))
       assert(gaps() == Set(("b2", "minhash", "re_append")))
-      // repair: re-append the batch to the missing family — converges
-      Dedup.minhashIndexAppend(spark, mhDir, b2, "doc_id", "text",
-        batchId = Some("b2"))
+      // an unsupplied batch is reported, never thrown — and repairs
+      // nothing
+      val skipped = CorpusPipeline.fleetIngestRepair(spark,
+        CorpusPipeline.fleetIngestReconcile(spark, fams),
+        Map.empty, "doc_id", "text")
+        .select("status").as[String].collect().toSeq
+      assert(skipped == Seq("skipped"))
+      assert(gaps() == Set(("b2", "minhash", "re_append")))
+      // repair: the MECHANICAL apply half executes the reconcile's
+      // rows from the supplied batch — converges
+      val rep = CorpusPipeline.fleetIngestRepair(spark,
+        CorpusPipeline.fleetIngestReconcile(spark, fams),
+        Map("b2" -> b2), "doc_id", "text")
+        .select("batch_id", "family", "status")
+        .as[(String, String, String)].collect().toSet
+      assert(rep == Set(("b2", "minhash", "executed")))
       assert(gaps().isEmpty)
+      // idempotent: a clean fleet yields an empty repair report
+      assert(CorpusPipeline.fleetIngestRepair(spark,
+        CorpusPipeline.fleetIngestReconcile(spark, fams),
+        Map("b2" -> b2), "doc_id", "text").count() == 0L)
       // the repaired index actually carries the batch: day-3 copy of
       // the b2 doc is reported as a near-dup
       val probed = Dedup.minhashIndexProbe(spark, mhDir,
