@@ -506,19 +506,78 @@ object Clustering {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.labels"
       // fold pending Tombstones (retracted ids dropped, tombstone
-      // table emptied in the same flip). dropDuplicates("id"):
-      // replayed/repaired appends land identical (id, cluster) rows
-      // under the frozen centroids — fold them, or duplicate label
-      // rows skew every SemDeDup increment (see [[Similarity.ivfCompact]])
-      Tombstones.live(spark, snap,
+      // table emptied in the same flip). Replayed/repaired appends
+      // land identical (id, cluster) rows under the frozen centroids —
+      // fold them by FULL-ROW distinct gated on replay evidence, or
+      // duplicate label rows skew every SemDeDup increment (see
+      // [[Similarity.ivfCompact]]: divergent same-id rows survive
+      // loudly; the no-replay path is a straight rewrite)
+      val raw = Tombstones.live(spark, snap,
           spark.read.parquet(snap.path("labels")))
-        .dropDuplicates("id")
+      (if (IngestLog.hasReplayEvidence(spark, snap)) raw.distinct()
+       else raw)
         .repartitionByRange(col("cluster"))
         .sortWithinPartitions("cluster")
         .write.mode("overwrite").parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("labels" -> tmp) ++
-        Tombstones.foldedForPublish(spark, dir, snap))
+        Tombstones.foldedForPublish(spark, dir, snap),
+        drops = Tombstones.dropIfFolded(spark, snap))
     }
+
+  /** Reader-safe REBUILD of a persisted SemDeDup state from the
+    * embedding store — [[Similarity.ivfCompact]]`(rebuild = true)` for
+    * this family: re-cluster the live vectors at a NEW k (the remedy
+    * for a `hot_clusters` verdict — the frozen quantizer's k fell
+    * behind the corpus) and flip labels + centroids in ONE manifest
+    * publish, so a concurrent reader never pairs new labels with old
+    * centroids. Unlike [[semDedupStateSave]] (a fresh in-place build,
+    * documented reader-unsafe), this refits a LIVE state: pending
+    * tombstones fold (retracted ids are dropped from the refit input
+    * and the emptied table flips in the same publish). The
+    * [[Similarity.fleetMaintenanceApply]] dispatch runs this from the
+    * [[FleetRunbook]]'s side input with k = ⌈n / target⌉ — the
+    * previously-`skipped` row of the unattended fleet loop. */
+  def semDedupStateRebuild(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, vecs: DataFrame,
+                           idCol: String = "id", vecCol: String = "vec",
+                           k: Int, iterations: Int = 10): Unit =
+    Manifest.withLock(spark, dir) {
+      val snap = Manifest.snapshot(spark, dir)
+      // the embedding store may still carry retracted ids — a rebuild
+      // that re-labeled them would silently resurrect deleted rows
+      val live = Tombstones.live(spark, snap,
+        vecs.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      val (labels, cents) = kmeansWithCentroids(live, "id", "vec", k,
+        iterations)
+      import spark.implicits._
+      val tmpL = s"$dir/_rebuild.tmp.labels"
+      val tmpC = s"$dir/_rebuild.tmp.centroids"
+      labels.select(col("id"), col("cluster"))
+        .repartitionByRange(col("cluster"))
+        .sortWithinPartitions("cluster")
+        .write.mode("overwrite").parquet(tmpL)
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "center")
+        .coalesce(1).write.mode("overwrite").parquet(tmpC)
+      releasePairs(labels)
+      Manifest.publishUnderLock(spark, dir,
+        Seq("labels" -> tmpL, "centroids" -> tmpC) ++
+          Tombstones.foldedForPublish(spark, dir, snap),
+        drops = Tombstones.dropIfFolded(spark, snap))
+    }
+
+  /** The LIVE ids of a persisted SemDeDup label state (pending
+    * tombstones excluded) — the "already indexed" membership the
+    * unified admission's semantic stage classifies pair ends with
+    * ([[CorpusPipeline.admitBatch]]): a batch re-admitting an indexed
+    * id must not have real batch-vs-indexed pairs against that id
+    * silently excluded as intra-batch. */
+  def semDedupStateLiveIds(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    val snap = Manifest.snapshot(spark, dir)
+    Tombstones.live(spark, snap,
+      spark.read.parquet(snap.path("labels"))).select("id")
+  }
 
   /** The frozen centroids of a persisted state, as one bounded collect
     * (k·d doubles — broadcast-class by construction). */

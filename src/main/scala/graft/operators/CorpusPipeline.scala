@@ -103,20 +103,25 @@ object CorpusPipeline {
           "vectors"))
       val pairs = Clustering.semDedupIncrementalPersisted(spark, sd,
         bv, batch.select(col(idCol), col(vecCol)), idCol, vecCol, tau)
-      // batch-vs-INDEXED only: a pair whose BOTH ends are batch docs
-      // is intra-batch (order-dependent — excluded by contract), so
-      // flag the end that is a batch doc only when the other end is
-      // not
-      val bids = batch.select(col(idCol).as("_bid")).distinct()
-      pairs
-        .join(bids.select(col("_bid").as("id_a"),
-          lit(true).as("_ba")), Seq("id_a"), "left")
-        .join(bids.select(col("_bid").as("id_b"),
-          lit(true).as("_bb")), Seq("id_b"), "left")
-        .filter(coalesce(col("_ba"), lit(false)) =!=
-          coalesce(col("_bb"), lit(false)))
-        .select(when(coalesce(col("_ba"), lit(false)), col("id_a"))
-          .otherwise(col("id_b")).as(idCol))
+      // batch-vs-INDEXED only: a batch doc is flagged iff some pair
+      // partner is PRESENT IN THE LABEL STATE — membership, not batch
+      // id, classifies the ends, so a batch that re-admits an already-
+      // indexed id (the tombstone-prune re-admission flow) still flags
+      // real near-dups against that id instead of silently excluding
+      // them as intra-batch. Pairs between two unindexed batch docs
+      // are order-DEPENDENT and stay excluded (neither end is
+      // indexed), preserving the slicing-invariance contract — a
+      // doc's verdict is identical whether its indexed partner sits
+      // in the same micro-batch or arrived yesterday.
+      val indexed = Clustering.semDedupStateLiveIds(spark, sd)
+      val bids = batch.select(col(idCol)).distinct()
+      pairs.join(indexed.select(col("id").as("id_b")), Seq("id_b"),
+          "left_semi")
+        .select(col("id_a").as(idCol))
+        .union(pairs.join(indexed.select(col("id").as("id_a")),
+          Seq("id_a"), "left_semi")
+          .select(col("id_b").as(idCol)))
+        .join(bids, Seq(idCol), "left_semi")
         .distinct()
         .withColumn("_sem", lit(true))
     }
@@ -213,8 +218,14 @@ object CorpusPipeline {
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3))).toSeq
     val report = rows.map { case (bid, family, dir, action) =>
+      // a successful re-append leaves REPLAY EVIDENCE: an extra log
+      // row for the batch id, so the raw log carries it twice and the
+      // family's next compaction runs the duplicate-row fold the
+      // repair's idempotence depends on ([[IngestLog
+      // .hasReplayEvidence]] — the crash being repaired left data
+      // WITHOUT a log row, so the re-append alone logs it only once)
       def run(f: => Unit): (String, String) =
-        try { f; ("executed", "") }
+        try { f; IngestLog.recordReplay(spark, dir, bid); ("executed", "") }
         catch { case e: Exception =>
           ("failed", Option(e.getMessage).getOrElse(e.getClass.getName)
             .take(200))
@@ -373,24 +384,40 @@ object CorpusPipeline {
     * every [[admitBatch]] verdict is independent of micro-batch
     * slicing, the accumulated output CONVERGES to the one-shot batch
     * result whatever the trigger cadence (the spec/gate contract).
-    * Delivery is foreachBatch's at-least-once: a replayed batch
-    * appends duplicate verdict ROWS (identical values — dedupe by id
-    * downstream if exact-once is needed). The indexes are only READ
-    * here; accepted-batch appends (exact/minhash) stay explicit daily
-    * operations so admission never races its own writers. */
+    * The optional SimHash and SemDeDup stages pass straight through to
+    * the kernel, so a streaming pipeline consults the SAME seven
+    * families batch admission does (q260/q262) — both stages keep the
+    * slicing-invariance contract (SimHash probes index files only;
+    * the semantic stage classifies pair ends by label-state
+    * MEMBERSHIP, so a doc's verdict is identical whether its indexed
+    * partner sits in the same micro-batch or arrived earlier —
+    * intra-batch pairs between unindexed docs are excluded in both
+    * the one-shot and every slicing). Delivery is foreachBatch's
+    * at-least-once: a replayed batch appends duplicate verdict ROWS
+    * (identical values — dedupe by id downstream if exact-once is
+    * needed). The indexes are only READ here; accepted-batch appends
+    * (exact/minhash) stay explicit daily operations so admission
+    * never races its own writers. */
   def streamingAdmission(stream: DataFrame, exactDir: String,
                          mhDir: String, dcDir: String, base: DataFrame,
                          outDir: String, checkpoint: String,
                          idCol: String = "doc_id",
                          textCol: String = "text", minTokens: Int = 5,
-                         threshold: Double = 0.5)
+                         threshold: Double = 0.5,
+                         simhashDir: Option[String] = None,
+                         maxHamming: Int = 3,
+                         semDedupDir: Option[String] = None,
+                         baseVecs: Option[DataFrame] = None,
+                         vecCol: String = "vec",
+                         tau: Double = 0.95)
     : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           admitBatch(batch.sparkSession, batch, exactDir, mhDir, dcDir,
-            base, idCol, textCol, minTokens, threshold)
+            base, idCol, textCol, minTokens, threshold,
+            simhashDir, maxHamming, semDedupDir, baseVecs, vecCol, tau)
             .write.mode("append").parquet(outDir)
       }
       .start()

@@ -157,7 +157,8 @@ object Dedup {
         .sortWithinPartitions("h")
         .write.mode("overwrite").parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("hashes" -> tmp) ++
-        Tombstones.foldedForPublish(spark, dir, snap))
+        Tombstones.foldedForPublish(spark, dir, snap),
+        drops = Tombstones.dropIfFolded(spark, snap))
     }
 
   /** Health row of the persisted hash set — fleet-table shape:
@@ -442,7 +443,8 @@ object Dedup {
         .sortWithinPartitions("band", "bucket")
         .write.mode("overwrite").parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("bands" -> tmp) ++
-        Tombstones.foldedForPublish(spark, dir, snap))
+        Tombstones.foldedForPublish(spark, dir, snap),
+        drops = Tombstones.dropIfFolded(spark, snap))
     }
 
   /** Operational health report of a persisted [[minhashIndexBuild]]
@@ -733,7 +735,8 @@ object Dedup {
         .sortWithinPartitions("sig")
         .write.mode("overwrite").parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("sigs" -> tmp) ++
-        Tombstones.foldedForPublish(spark, dir, snap))
+        Tombstones.foldedForPublish(spark, dir, snap),
+        drops = Tombstones.dropIfFolded(spark, snap))
     }
 
   /** (id, band, bucket, sig) rows for a signature table — the banding

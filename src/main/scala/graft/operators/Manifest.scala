@@ -118,11 +118,16 @@ package graft.operators
       * carrying the FULL updated mapping, then garbage-collect physical
       * directories referenced only by manifests older than the previous
       * one. Multi-table updates (a rebuild's centroids + postings) become
-      * visible together, never interleaved. */
+      * visible together, never interleaved. `drops` removes tables from
+      * the mapping entirely (a folded-empty tombstone table leaving the
+      * snapshot): the dropped table's current physical directory gets
+      * the standard one-publish grace before GC, and readers fall back
+      * to the (nonexistent) unversioned default — plan-free. */
     def publish(spark: org.apache.spark.sql.SparkSession, dir: String,
-                updates: Seq[(String, String)]): Unit =
+                updates: Seq[(String, String)],
+                drops: Seq[String] = Nil): Unit =
       withLock(spark, dir) {
-        publishLocked(fs(spark, dir), dir, updates)
+        publishLocked(fs(spark, dir), dir, updates, drops)
       }
 
     /** [[publish]] for callers ALREADY inside [[withLock]] (a
@@ -130,8 +135,9 @@ package graft.operators
       * re-acquiring here would deadlock-by-throw on its own lock). */
     private[operators] def publishUnderLock(
         spark: org.apache.spark.sql.SparkSession, dir: String,
-        updates: Seq[(String, String)]): Unit =
-      publishLocked(fs(spark, dir), dir, updates)
+        updates: Seq[(String, String)],
+        drops: Seq[String] = Nil): Unit =
+      publishLocked(fs(spark, dir), dir, updates, drops)
 
     /** Run `f` holding the index's exclusive `_writer.lock` — the
       * enforcement point of the single-writer contract, shared by every
@@ -182,7 +188,8 @@ package graft.operators
 
     private def publishLocked(f: org.apache.hadoop.fs.FileSystem,
                               dir: String,
-                              updates: Seq[(String, String)]): Unit = {
+                              updates: Seq[(String, String)],
+                              drops: Seq[String] = Nil): Unit = {
       val cur = versions(f, dir).lastOption match {
         case Some(v) => Snapshot(v, readMap(f, dir, v), dir)
         case None => Snapshot(0, Map.empty, dir)
@@ -200,7 +207,22 @@ package graft.operators
           s"publish rename $tmp -> $dir/$phys failed")
         table -> phys
       }
-      val newMap = cur.map ++ renamed
+      val newMap = (cur.map ++ renamed) -- drops
+      // a DROPPED table's mapping disappears, so readers fall back to
+      // the bare `<table>.parquet` default — which may still exist ON
+      // DISK from the table's pre-manifest life (the first versioned
+      // flip keeps it one publish for version-0 pins) and would
+      // resurrect STALE rows. The mapping existed in `cur` (drop
+      // precondition), so nothing references the default: delete it
+      // BEFORE the flip — a crash in between leaves the old mapping
+      // live and the garbage default gone, never a stale fallback.
+      drops.foreach { table =>
+        if (cur.map.contains(table)) {
+          val dflt = new org.apache.hadoop.fs.Path(
+            s"$dir/$table.parquet")
+          if (f.exists(dflt)) f.delete(dflt, true)
+        }
+      }
       // atomic flip: write to a tmp name, rename to the (new,
       // nonexistent) manifest name — readers never see a partial file.
       // overwrite=true: a stale .inprogress from a crash between a prior
@@ -221,7 +243,12 @@ package graft.operators
       val live: Set[String] = newMap.values.toSet ++
         updates.map { case (table, _) =>
           cur.map.getOrElse(table, s"$table.parquet")
-        }
+        } ++
+        // a DROPPED table's pre-drop physical directory gets the same
+        // one-publish grace as a superseded one: the previous manifest
+        // (retained) still references it, so a reader pinned there must
+        // keep resolving; the publish after this one GCs it
+        drops.flatMap(cur.map.get)
       versions(f, dir).filter(_ < cur.version).foreach { w =>
         val old = readMap(f, dir, w)
         old.values.filterNot(live).foreach { phys =>
@@ -449,6 +476,25 @@ package graft.operators
         writeEmptyMarker(spark, tmp)
         "tombstones" -> tmp
       }
+
+    /** The publish `drops` entry that lets a FOLDED-EMPTY tombstone
+      * table finally LEAVE the manifest: [[foldedForPublish]] keeps the
+      * mapping (pointing at a marked-empty directory) because a publish
+      * historically only grew the map — this returns `Seq("tombstones")`
+      * when the mapping exists and the table carries the folded marker,
+      * so the SECOND fold (the next compaction with nothing pending)
+      * shrinks the snapshot instead of republishing emptiness forever.
+      * Probes stay plan-free afterwards (the unversioned default path
+      * does not exist) and a later delete simply recreates the table at
+      * the default path. Mutually exclusive with [[foldedForPublish]]
+      * by construction: pending keys ⇒ no marker. */
+    def dropIfFolded(spark: org.apache.spark.sql.SparkSession,
+                     snap: Manifest.Snapshot): Seq[String] = {
+      val p = snap.path("tombstones")
+      if (snap.map.contains("tombstones") && exists(spark, p) &&
+        marked(spark, p)) Seq("tombstones")
+      else Nil
+    }
   }
 
   /** Per-index record of which ACCEPTED batches were appended — the
@@ -495,4 +541,38 @@ package graft.operators
       import org.apache.spark.sql.functions.{count, lit}
       read(spark, dir).agg(count(lit(1)).as("ingest_batches"))
     }
+
+    /** TRUE when the RAW log physically carries a repeated batch id —
+      * the replay evidence compactions gate their duplicate-row fold
+      * on: a fully-retried append logs its id again, and
+      * [[graft.operators.CorpusPipeline.fleetIngestRepair]] records an
+      * extra row after each executed re-append (the crash it repairs
+      * left data WITHOUT a log row, so the repair itself must leave
+      * the evidence — without it the next compaction would skip the
+      * fold the repair's idempotence depends on). One tiny read (one
+      * row per accepted batch), so the common no-replay path stays a
+      * straight rewrite. Appends that never passed a `batchId` leave
+      * no evidence: an untracked pipeline that replays appends keeps
+      * its duplicates until a tracked compaction — the documented
+      * trade for not paying a corpus-wide dedup on every fold. */
+    def hasReplayEvidence(spark: org.apache.spark.sql.SparkSession,
+                          snap: Manifest.Snapshot): Boolean = {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val p = snap.path("ingest_log")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(hp) &&
+        spark.read.parquet(p).groupBy("batch_id")
+          .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+          .limit(1).count() > 0
+    }
+
+    /** The extra log row [[hasReplayEvidence]] reads: recorded by a
+      * repair AFTER its re-append succeeds (its own locked span —
+      * the append already released the index lock). */
+    def recordReplay(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, batchId: String): Unit =
+      Manifest.withLock(spark, dir) {
+        record(spark, Manifest.snapshot(spark, dir), batchId)
+      }
   }

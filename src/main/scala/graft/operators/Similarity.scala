@@ -654,17 +654,25 @@ object Similarity {
     val snap = Manifest.snapshot(spark, dir)
     // pending Tombstones fold here, whichever mode: retracted rows are
     // physically dropped from the rewrite and the emptied tombstone
-    // table flips in the same publish. dropDuplicates("id"): the
+    // table flips in the same publish. The FULL-ROW distinct is the
     // dedupe point for replayed/repaired appends (a crashed
     // multi-family admission's `re_append` repair, or an at-least-once
     // micro-batch retry, lands the SAME vectors again — identical
     // (list, id, v) rows under the frozen centroids) — without it a
     // duplicate id occupies multiple top-k slots forever, which is why
     // [[CorpusPipeline.fleetIngestReconcile]]'s repair is only safe
-    // because every family's compaction folds duplicates
-    val postings = Tombstones.live(spark, snap,
+    // because every family's compaction folds duplicates. Full-row,
+    // not by-id: replayed rows are identical by construction, so they
+    // still fold, while two rows sharing an id but carrying DIFFERENT
+    // vectors (an upstream id collision) both survive LOUDLY instead
+    // of one being dropped nondeterministically. Gated on the ingest
+    // log's replay evidence ([[IngestLog.hasReplayEvidence]]): the
+    // common no-replay compaction stays a straight rewrite
+    val raw = Tombstones.live(spark, snap,
       spark.read.parquet(snap.path("postings")))
-      .dropDuplicates("id")
+    val postings =
+      if (IngestLog.hasReplayEvidence(spark, snap)) raw.distinct()
+      else raw
     if (rebuild) {
       // full refit through the build path itself (one code path =
       // layouts cannot diverge) into a sibling temp index, then ONE
@@ -678,7 +686,8 @@ object Similarity {
       Manifest.publishUnderLock(spark, dir, Seq(
         "centroids" -> s"$tmp/centroids.parquet",
         "postings" -> s"$tmp/postings.parquet") ++
-        Tombstones.foldedForPublish(spark, dir, snap))
+        Tombstones.foldedForPublish(spark, dir, snap),
+        drops = Tombstones.dropIfFolded(spark, snap))
       val tmpP = new org.apache.hadoop.fs.Path(tmp)
       tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(tmpP, true)
@@ -696,7 +705,8 @@ object Similarity {
          w.option("maxRecordsPerFile", maxRecordsPerFile)
        else w).parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("postings" -> tmp) ++
-        Tombstones.foldedForPublish(spark, dir, snap))
+        Tombstones.foldedForPublish(spark, dir, snap),
+        drops = Tombstones.dropIfFolded(spark, snap))
     }
   }
 
@@ -710,19 +720,24 @@ object Similarity {
     Manifest.withLock(spark, dir) {
       val snap = Manifest.snapshot(spark, dir)
       val tmp = s"$dir/_compact.tmp.codes"
-      // dropDuplicates("id"): replayed/repaired appends land identical
-      // (list, id, codes, norm) rows — fold them (see [[ivfCompact]])
-      val src = Tombstones.live(spark, snap,
+      // replayed/repaired appends land identical (list, id, codes,
+      // norm) rows — fold them by FULL-ROW distinct, gated on replay
+      // evidence (see [[ivfCompact]]: divergent same-id rows survive
+      // loudly; the no-replay path is a straight rewrite)
+      val raw = Tombstones.live(spark, snap,
         spark.read.parquet(snap.path("codes")))
         .select(col("list"), col("id"), col("codes"), col("norm"))
-        .dropDuplicates("id")
+      val src =
+        if (IngestLog.hasReplayEvidence(spark, snap)) raw.distinct()
+        else raw
       val w = saltedByList(src, maxRecordsPerFile)
         .write.mode("overwrite").partitionBy("list")
       (if (maxRecordsPerFile > 0L)
          w.option("maxRecordsPerFile", maxRecordsPerFile)
        else w).parquet(tmp)
       Manifest.publishUnderLock(spark, dir, Seq("codes" -> tmp) ++
-        Tombstones.foldedForPublish(spark, dir, snap))
+        Tombstones.foldedForPublish(spark, dir, snap),
+        drops = Tombstones.dropIfFolded(spark, snap))
     }
 
   /** Reader-safe refit of a persisted [[ivfPqBuild]] index from the
@@ -751,7 +766,8 @@ object Similarity {
         "centroids" -> s"$tmp/centroids.parquet",
         "codebooks" -> s"$tmp/codebooks.parquet",
         "codes" -> s"$tmp/codes.parquet") ++
-        Tombstones.foldedForPublish(spark, dir, snap))
+        Tombstones.foldedForPublish(spark, dir, snap),
+        drops = Tombstones.dropIfFolded(spark, snap))
       val tmpP = new org.apache.hadoop.fs.Path(tmp)
       tmpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(tmpP, true)
@@ -1314,11 +1330,58 @@ object Similarity {
   def fleetHealth(spark: org.apache.spark.sql.SparkSession,
                   dirs: Seq[String],
                   hotBucketCap: Int = 10000,
-                  hotClusterCap: Long = 100000L): DataFrame = {
+                  hotClusterCap: Long = 100000L,
+                  deepProbes: Int = 0,
+                  probeQueries: Map[String, DataFrame] = Map.empty,
+                  probeCorpora: Map[String, DataFrame] = Map.empty,
+                  probeK: Int = 10, probeNProbe: Int = 1,
+                  probeRefineK: Int = 50,
+                  probeLogDir: Option[String] = None): DataFrame = {
+    require(dirs.nonEmpty,
+      "fleetHealth: dirs is empty — a health sweep needs at least one " +
+        "index dir")
+    // BUDGETED deep recall sweeps: `fleetHealth` always takes the
+    // recall-free light reading for the vector families (the probe
+    // costs a brute-force pass), which means the one-call loop can
+    // never detect recall decay on its own. `deepProbes = n` spends n
+    // full [[ivfIndexHealth]]/[[ivfPqIndexHealth]] readings per sweep,
+    // ROUND-ROBIN BY STALENESS over the vector dirs that have probe
+    // inputs (queries; plus the embedding store for PQ — its exact
+    // side cannot come from codes): the persisted probe log at
+    // `probeLogDir` records which sweep last deep-probed each dir, so
+    // every index is eventually probed without paying brute force on
+    // the whole fleet daily. Without a log dir the budget still
+    // spends, deterministically by dir order — fine for a one-shot
+    // sweep, but a schedule wants the log.
+    val candidates = dirs.filter { dir =>
+      val (family, _) = sniffFamily(spark, Manifest.snapshot(spark, dir))
+      family match {
+        case "ivf" => probeQueries.contains(dir)
+        case "ivf_pq" =>
+          probeQueries.contains(dir) && probeCorpora.contains(dir)
+        case _ => false
+      }
+    }
+    val lastProbed: Map[String, Long] = probeLogDir match {
+      case Some(ld) => ProbeLog.lastSweep(spark, ld)
+      case None => Map.empty
+    }
+    val pos = candidates.zipWithIndex.toMap
+    val chosen: Set[String] =
+      if (deepProbes <= 0) Set.empty
+      else candidates
+        .sortBy(d => (lastProbed.getOrElse(d, -1L), pos(d)))
+        .take(deepProbes).toSet
     val frames = dirs.map { dir =>
       val snap = Manifest.snapshot(spark, dir)
       val (family, _) = sniffFamily(spark, snap)
       val h = family match {
+        case "ivf" if chosen(dir) =>
+          ivfIndexHealth(spark, dir, probeQueries(dir), probeK,
+            probeNProbe)
+        case "ivf_pq" if chosen(dir) =>
+          ivfPqIndexHealth(spark, dir, probeQueries(dir),
+            probeCorpora(dir), probeK, probeNProbe, probeRefineK)
         case "ivf" | "ivf_pq" => ivfIndexHealthLight(spark, dir)
         case "minhash" => Dedup.minhashIndexHealth(spark, dir,
           hotBucketCap)
@@ -1336,7 +1399,38 @@ object Similarity {
       }
       h.withColumn("family", lit(family))
     }
+    if (chosen.nonEmpty) probeLogDir.foreach(ld =>
+      ProbeLog.record(spark, ld, chosen.toSeq.sorted,
+        lastProbed.values.foldLeft(0L)(math.max) + 1))
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Persisted record of which sweep last DEEP-probed each vector
+    * index — [[fleetHealth]]'s staleness cursor: (dir, sweep) rows
+    * under their own [[Manifest]] dir (fleet-ops metadata like the
+    * [[FleetRunbook]] — one append per sweep, broadcast-class
+    * forever). */
+  private[operators] object ProbeLog {
+    def lastSweep(spark: org.apache.spark.sql.SparkSession,
+                  logDir: String): Map[String, Long] = {
+      val p = Manifest.snapshot(spark, logDir).path("probe_log")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(hp))
+        spark.read.parquet(p).groupBy("dir")
+          .agg(max(col("sweep")).as("sweep"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+    }
+
+    def record(spark: org.apache.spark.sql.SparkSession, logDir: String,
+               probed: Seq[String], sweep: Long): Unit =
+      Manifest.withLock(spark, logDir) {
+        import spark.implicits._
+        val snap = Manifest.snapshot(spark, logDir)
+        probed.map(d => (d, sweep)).toDF("dir", "sweep")
+          .coalesce(1).write.mode("append").parquet(snap.path("probe_log"))
+      }
   }
 
   /** Map a fleet's per-index units onto `parallelism` driver threads,
@@ -1344,35 +1438,69 @@ object Similarity {
     * dir under that index's own writer lock, so units never contend on
     * state — exactly the property that makes fleet maintenance over a
     * thousand indexes embarrassingly parallel. parallelism = 1 (the
-    * default everywhere) is plain sequential execution. */
-  private def fleetMap[A, B](units: Seq[A], parallelism: Int)
-                            (f: A => B): Seq[B] =
+    * default everywhere) is plain sequential execution (no timeout —
+    * every unit runs to completion on the caller's thread).
+    *
+    * `timeout` bounds the PARALLEL wait without discarding per-row
+    * isolation: units still unfinished when it expires are reported
+    * through `onTimeout` (the caller turns them into `failed` rows)
+    * while every completed unit keeps its real result — a fleet whose
+    * one legitimately-long compaction overruns no longer throws away
+    * the whole report. A timed-out unit's thread keeps running in the
+    * background until it finishes (pool.shutdown() does not interrupt
+    * it); its index stays writer-locked until then, which the report
+    * row says. Default Duration.Inf: an unattended fleet loop waits. */
+  private def fleetMap[A, B](units: Seq[A], parallelism: Int,
+                             timeout: scala.concurrent.duration.Duration =
+                               scala.concurrent.duration.Duration.Inf)
+                            (f: A => B)(onTimeout: A => B): Seq[B] =
     if (parallelism <= 1 || units.size <= 1) units.map(f)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration._
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.min(parallelism, units.size))
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
-      try Await.result(
-        Future.sequence(units.map(u => Future(f(u)))), 1.hour)
-      finally pool.shutdown()
+      val futs = units.map(u => Future(f(u)))
+      try {
+        try Await.ready(Future.sequence(futs), timeout)
+        catch { case _: java.util.concurrent.TimeoutException => () }
+        units.zip(futs).map { case (u, fu) =>
+          fu.value match {
+            case Some(scala.util.Success(b)) => b
+            case Some(scala.util.Failure(e)) => throw e
+            case None => onTimeout(u)
+          }
+        }
+      } finally pool.shutdown()
     }
 
   def fleetMaintenanceApply(spark: org.apache.spark.sql.SparkSession,
                             plan: DataFrame,
                             corpora: Map[String, DataFrame] = Map.empty,
-                            parallelism: Int = 1)
+                            parallelism: Int = 1,
+                            runbookDir: Option[String] = None,
+                            timeout: scala.concurrent.duration.Duration =
+                              scala.concurrent.duration.Duration.Inf)
     : DataFrame = {
     import spark.implicits._
     val rows = plan.select(col("dir").cast("string"),
       col("action").cast("string")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    val report = fleetMap(rows, parallelism) { case (dir, action) =>
+    // side-input resolution order: the caller's corpora map wins, the
+    // persisted runbook answers for every dir it omits — ONE bounded
+    // collect for the whole fleet, so the unattended loop needs no
+    // hand-held inputs at all
+    val runbook: Map[String, FleetRunbook.Entry] =
+      runbookDir.map(FleetRunbook.entries(spark, _)).getOrElse(Map.empty)
+    def sideInput(dir: String, idName: String,
+                  payloadName: String): Option[DataFrame] =
+      corpora.get(dir).orElse(runbook.get(dir).map(e =>
+        FleetRunbook.loadSideInput(spark, e, idName, payloadName)))
+    def applyOne(dir: String, action: String)
+      : (String, String, String, String, String) = {
       val snap = Manifest.snapshot(spark, dir)
       val (family, _) = sniffFamily(spark, snap)
-      val corpus = corpora.get(dir)
       def run(f: => Unit): (String, String) =
         try { f; ("executed", "") }
         catch { case e: Exception =>
@@ -1384,41 +1512,86 @@ object Similarity {
         case ("unknown", _) =>
           ("skipped", "no recognizable index tables at dir")
         case ("ivf" | "ivf_pq", a) =>
+          val corpus = sideInput(dir, "id", "v")
           if (family == "ivf_pq" && a == "rebuild" && corpus.isEmpty)
-            ("skipped", "PQ rebuild needs the embedding store in corpora")
+            ("skipped", "PQ rebuild needs the embedding store in " +
+              "corpora or the runbook")
           else run(indexMaintenanceApply(spark, dir, a, corpus))
         case ("minhash", a) =>
+          val corpus = sideInput(dir, "id", "text")
           if (a == "dedup_prepass" && corpus.isEmpty)
-            ("skipped", "dedup_prepass needs the corpus text in corpora")
+            ("skipped", "dedup_prepass needs the corpus text in " +
+              "corpora or the runbook")
           else run(Dedup.minhashMaintenanceApply(spark, dir, a, corpus))
         case ("simhash", a) =>
+          val corpus = sideInput(dir, "id", "text")
           if (a == "dedup_prepass" && corpus.isEmpty)
-            ("skipped", "dedup_prepass needs the corpus text in corpora")
+            ("skipped", "dedup_prepass needs the corpus text in " +
+              "corpora or the runbook")
           else run(Dedup.simhashMaintenanceApply(spark, dir, a, corpus))
         case ("semdedup", "compact") =>
           run(Clustering.semDedupStateCompact(spark, dir))
         case ("exact", "compact") =>
           run(Dedup.exactIndexCompact(spark, dir))
         case ("semdedup", "rebuild") =>
-          ("skipped", "SemDeDup rebuild is a re-cluster with a chosen " +
-            "k — run semDedupStateSave")
+          // a re-cluster needs vectors AND a k — the runbook supplies
+          // both (side input + target_cluster_size → k = ⌈n/target⌉);
+          // without a runbook row the modeling decision stays with the
+          // operator, exactly as before
+          runbook.get(dir).flatMap(e =>
+            e.targetClusterSize.map(t => (e, t))) match {
+            case Some((e, target)) => run {
+              val vecs = FleetRunbook.loadSideInput(spark, e, "id", "vec")
+              val n = vecs.count()
+              val k = math.max(1L, (n + target - 1) / target).toInt
+              Clustering.semDedupStateRebuild(spark, dir, vecs,
+                "id", "vec", k)
+            }
+            case None =>
+              ("skipped", "SemDeDup rebuild is a re-cluster with a " +
+                "chosen k — run semDedupStateSave, or give the runbook " +
+                "a side input + target_cluster_size")
+          }
         case ("decontam", "rebuild") =>
-          // the retraction repair [[fleetDelete]] documents: corpora
-          // supplies the REMAINING benchmark suites (text column
+          // the retraction repair [[fleetDelete]] documents: the side
+          // input supplies the REMAINING benchmark suites (text column
           // convention: "text"), the pinned shingle width comes from
           // the index metadata
-          if (corpus.isEmpty)
-            ("skipped", "decontam rebuild needs the remaining " +
-              "benchmark suites in corpora")
-          else run(Decontamination.decontamIndexRebuild(spark, dir,
-            corpus.get, "text"))
+          sideInput(dir, "id", "text") match {
+            case Some(remaining) =>
+              run(Decontamination.decontamIndexRebuild(spark, dir,
+                remaining, "text"))
+            case None =>
+              ("skipped", "decontam rebuild needs the remaining " +
+                "benchmark suites in corpora or the runbook")
+          }
         case ("funnel", "compact") =>
           run(CorpusPipeline.admissionFunnelCompact(spark, dir))
         case (f, a) => ("skipped", s"no $a operator for family $f")
       }
       (dir, family, action, status, detail)
     }
-    report.toDF("dir", "family", "action", "status", "detail")
+    // group SAME-dir plan rows into one sequential unit: two actions
+    // for one index must never race that index's exclusive writer lock
+    // across threads (parallelism would turn the loser into a spurious
+    // `failed` where sequential execution succeeds). Units stay
+    // disjoint lock domains; report order is restored by index.
+    val indexed = rows.zipWithIndex
+    val dirOrder = rows.map(_._1).distinct
+    val byDir = indexed.groupBy(_._1._1)
+    val units = dirOrder.map(byDir)
+    val report = fleetMap(units, parallelism, timeout) { unit =>
+      unit.map { case ((dir, action), i) => (i, applyOne(dir, action)) }
+    } { unit =>
+      unit.map { case ((dir, action), i) =>
+        (i, (dir, "unknown", action, "failed",
+          s"timed out after $timeout — the unit may still be running " +
+            "in the background; its index stays writer-locked until " +
+            "it finishes"))
+      }
+    }
+    report.flatten.sortBy(_._1).map(_._2)
+      .toDF("dir", "family", "action", "status", "detail")
   }
 
   /** Erase documents across the WHOLE persisted-index fleet in one
@@ -1461,10 +1634,18 @@ object Similarity {
                   textCol: Option[String] = None,
                   survivors: Option[DataFrame] = None,
                   decontamRemaining: Option[DataFrame] = None,
-                  parallelism: Int = 1)
+                  parallelism: Int = 1,
+                  runbookDir: Option[String] = None,
+                  timeout: scala.concurrent.duration.Duration =
+                    scala.concurrent.duration.Duration.Inf)
     : DataFrame = {
     import spark.implicits._
-    val report = fleetMap(dirs, parallelism) { dir =>
+    // the runbook answers for the decontam family's remaining-suites
+    // side input when the caller omits `decontamRemaining` — the same
+    // resolution order as [[fleetMaintenanceApply]]
+    val runbook: Map[String, FleetRunbook.Entry] =
+      runbookDir.map(FleetRunbook.entries(spark, _)).getOrElse(Map.empty)
+    def deleteOne(dir: String): (String, String, String, String) = {
       val snap = Manifest.snapshot(spark, dir)
       val (family, _) = sniffFamily(spark, snap)
       def run(f: => Unit): (String, String) =
@@ -1516,14 +1697,17 @@ object Similarity {
             ("skipped", "exact-hash index is content-keyed — supply " +
               "textCol so the retracted hashes can be computed")
         }
-        case "decontam" => decontamRemaining match {
+        case "decontam" => decontamRemaining.orElse(
+          runbook.get(dir).map(e =>
+            FleetRunbook.loadSideInput(spark, e, "id", "text"))) match {
           case Some(remaining) =>
             run(Decontamination.decontamIndexRebuild(spark, dir,
-              remaining, textCol.getOrElse("text")))
+              remaining, if (decontamRemaining.isDefined)
+                textCol.getOrElse("text") else "text"))
           case None =>
             ("skipped", "decontam index is shingle-keyed — supply " +
-              "decontamRemaining (the suites minus the retirees) so " +
-              "the rebuild retraction can run")
+              "decontamRemaining (the suites minus the retirees) or a " +
+              "runbook row so the rebuild retraction can run")
         }
         case "funnel" =>
           ("skipped", "funnel history is per-(day, source) ops " +
@@ -1533,7 +1717,25 @@ object Similarity {
       }
       (dir, family, status, detail)
     }
-    report.toDF("dir", "family", "status", "detail")
+    // same-dir entries execute sequentially within one unit (duplicate
+    // dirs must not race one writer lock across threads); report order
+    // restored by input index
+    val indexed = dirs.zipWithIndex
+    val dirOrder = dirs.distinct
+    val byDir = indexed.groupBy(_._1)
+    val units = dirOrder.map(byDir)
+    val report = fleetMap(units, parallelism, timeout) { unit =>
+      unit.map { case (dir, i) => (i, deleteOne(dir)) }
+    } { unit =>
+      unit.map { case (dir, i) =>
+        (i, (dir, "unknown", "failed",
+          s"timed out after $timeout — the unit may still be running " +
+            "in the background; its index stays writer-locked until " +
+            "it finishes"))
+      }
+    }
+    report.flatten.sortBy(_._1).map(_._2)
+      .toDF("dir", "family", "status", "detail")
   }
 
   /** Fleet-wide ERASURE-COMPLETION audit — the evidence artifact a
@@ -1554,18 +1756,30 @@ object Similarity {
     * the doc id for minhash/simhash/ivf/ivf_pq/semdedup, the doomed
     * docs' distinct shingles at the pinned width for decontam — where
     * a nonzero count can be LEGITIMATE residue (a remaining suite
-    * shares those shingles); the audit reports the physical fact and
-    * the caller judges it against the rebuild input. Cost: ONE
+    * shares those shingles). With `decontamRemaining` (the same
+    * remaining-suites input the rebuild retraction takes) the audit
+    * COMPUTES that residue — `expected_residue` = |doomed shingles ∩
+    * remaining-suite shingles| — and pins the decontam `complete` to
+    * `keys_live == expected_residue && deleted_pending == 0`, making
+    * the verdict decidable for all eight families instead of punting
+    * the judgment to the caller; without it the decontam row keeps
+    * the raw zero-residue rule. Every other family's
+    * `expected_residue` is 0 (-1 where unauditable). Cost: ONE
     * collected action for the whole fleet (each index contributes a
     * lazy broadcast-class semi-join aggregate to one union; the
     * retraction batch is tiny by definition); the scan is the audit —
     * reading every live file is the point. Returns one LAZY
-    * (dir, family, table, keys_live, deleted_pending, version,
-    * complete) row per index. */
+    * (dir, family, table, keys_live, expected_residue,
+    * deleted_pending, version, complete) row per index. */
   def fleetEraseAudit(spark: org.apache.spark.sql.SparkSession,
                       dirs: Seq[String], docs: DataFrame,
                       idCol: String = "id",
-                      textCol: Option[String] = None): DataFrame = {
+                      textCol: Option[String] = None,
+                      decontamRemaining: Option[DataFrame] = None)
+    : DataFrame = {
+    require(dirs.nonEmpty,
+      "fleetEraseAudit: dirs is empty — an erasure audit needs at " +
+        "least one index dir")
     def const(v: Long, name: String): DataFrame =
       spark.range(1).select(lit(v).as(name))
     val frames = dirs.map { dir =>
@@ -1602,15 +1816,36 @@ object Similarity {
           semiCount(docs.select(col(idCol).cast(idType).as("id"))
             .distinct(), "id")
       }
+      val expected: DataFrame = family match {
+        case "unknown" | "funnel" => const(-1L, "expected_residue")
+        case "decontam" => (textCol, decontamRemaining) match {
+          case (Some(t), Some(remaining)) =>
+            // the legitimate residue: doomed shingles a REMAINING
+            // suite also carries survive the rebuild BY DESIGN —
+            // a lazy intersection count of two tiny shingle sets
+            val n = Decontamination.decontamIndexN(spark, dir)
+            def shingles(df: DataFrame): DataFrame = df.select(
+              explode(graft.functions.TextFunctions
+                .distinctShingles(col(t), n)).as("g")).distinct()
+            shingles(docs)
+              .join(shingles(remaining), Seq("g"), "left_semi")
+              .agg(count(lit(1)).as("expected_residue"))
+          case (None, _) => const(-1L, "expected_residue")
+          case _ => const(0L, "expected_residue")
+        }
+        case _ => const(0L, "expected_residue")
+      }
       val pending =
         if (family == "unknown" || family == "funnel")
           const(-1L, "deleted_pending")
         else Tombstones.pendingAgg(spark, snap)
-      keysLive.crossJoin(pending)
+      keysLive.crossJoin(expected).crossJoin(pending)
         .select(lit(dir).as("dir"), lit(family).as("family"),
           lit(table).as("table"), col("keys_live"),
-          col("deleted_pending"), lit(snap.version).as("version"),
-          (col("keys_live") === 0L && col("deleted_pending") === 0L)
+          col("expected_residue"), col("deleted_pending"),
+          lit(snap.version).as("version"),
+          (col("keys_live") === greatest(col("expected_residue"),
+            lit(0L)) && col("deleted_pending") === 0L)
             .as("complete"))
     }
     frames.reduce(_ unionByName _)

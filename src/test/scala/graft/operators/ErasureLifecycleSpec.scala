@@ -112,8 +112,13 @@ class ErasureLifecycleSpec extends SparkSpec {
       Clustering.releasePairs(labels)
       val semBatch = Seq((9L, pt(0).map(_.toDouble).toSeq))
         .toDF("id", "vec")
-      Clustering.semDedupStateAppend(spark, sem, semBatch, "id", "vec")
-      Clustering.semDedupStateAppend(spark, sem, semBatch, "id", "vec")
+      // the repair/replay flow always carries a batchId — the repeated
+      // id in the raw ingest log IS the evidence the compaction's
+      // duplicate-row fold is gated on (IngestLog.hasReplayEvidence)
+      Clustering.semDedupStateAppend(spark, sem, semBatch, "id", "vec",
+        batchId = Some("b1"))
+      Clustering.semDedupStateAppend(spark, sem, semBatch, "id", "vec",
+        batchId = Some("b1"))
       Clustering.semDedupStateCompact(spark, sem)
       assert(spark.read.parquet(
         Manifest.snapshot(spark, sem).path("labels"))
@@ -372,5 +377,162 @@ class ErasureLifecycleSpec extends SparkSpec {
         "gap days must not stretch the trailing window")
       assert(!gapped.getBoolean(gapped.fieldIndex("souring")))
     } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("compaction dedup is GATED on replay evidence and FULL-ROW: " +
+    "no repeated batch id → straight rewrite (divergent same-id rows " +
+    "untouched); replayed batch → identical rows fold while divergent " +
+    "same-id rows still survive loudly") {
+    def pt(dim: Int): Array[Float] = {
+      val a = new Array[Float](4); a(dim) = 1.0f; a
+    }
+    val corpus = (0 until 3).map(c => (c.toLong, pt(c))).toDF("id", "v")
+    val vA = Seq((5L, pt(3))).toDF("id", "v")
+    val vB = Seq((5L, pt(0))).toDF("id", "v") // same id, DIFFERENT vector
+    val dir = fresh()
+    try {
+      val root = dir.getAbsolutePath
+      Similarity.ivfBuild(corpus, root, nList = 2, kmeansMaxIter = 2)
+      Similarity.ivfAppend(spark, root, vA, batchId = Some("bA"))
+      Similarity.ivfAppend(spark, root, vB, batchId = Some("bB"))
+      def id5Rows(): Long = spark.read.parquet(
+        Manifest.snapshot(spark, root).path("postings"))
+        .filter(col("id") === 5L).count()
+      assert(id5Rows() == 2L)
+      // distinct batch ids = no replay evidence → the compaction is a
+      // straight rewrite: BOTH divergent same-id rows survive (a by-id
+      // dedup would drop one nondeterministically — silent data loss)
+      Similarity.ivfCompact(spark, root)
+      assert(id5Rows() == 2L,
+        "no-evidence compaction must not fold divergent same-id rows")
+      // a replayed batch (same id logged again — the repair/retry
+      // shape) flips the evidence: identical rows fold, the divergent
+      // pair STILL survives (full-row distinct, not by-id)
+      Similarity.ivfAppend(spark, root, vA, batchId = Some("bA"))
+      assert(id5Rows() == 3L)
+      Similarity.ivfCompact(spark, root)
+      assert(id5Rows() == 2L,
+        "evidence-gated fold: identical replays fold, divergent rows " +
+          "both survive")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("a folded-empty tombstone table leaves the manifest on the " +
+    "SECOND fold: the snapshot shrinks and probes stay plan-free") {
+    val docs = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs").toDF("id", "text")
+    val dir = fresh()
+    try {
+      val root = dir.getAbsolutePath
+      Dedup.exactIndexBuild(docs, root, "id", "text")
+      Dedup.exactIndexDelete(spark, root,
+        docs.filter(col("id") === 1L), "id", "text")
+      // fold 1: the pending key folds, the table republishes EMPTY
+      // with the marker — mapping still present
+      Dedup.exactIndexCompact(spark, root)
+      assert(Manifest.snapshot(spark, root).map.contains("tombstones"))
+      assert(Dedup.exactIndexHealth(spark, root)
+        .select("deleted_pending").head().getLong(0) == 0L)
+      // fold 2: nothing pending, marker present → the mapping is
+      // DROPPED from the published snapshot
+      Dedup.exactIndexCompact(spark, root)
+      val snap = Manifest.snapshot(spark, root)
+      assert(!snap.map.contains("tombstones"),
+        "second fold must drop the folded-empty tombstone mapping")
+      // probes stay plan-free AND correct: the surviving row still
+      // probes as a duplicate, the folded one stays gone
+      def isDup(text: String): Boolean =
+        Dedup.exactIndexProbe(spark, root,
+          Seq(9L -> text).toDF("id", "text"), "id", "text")
+          .select("is_dup").head().getBoolean(0)
+      assert(isDup("the quick brown fox jumps over the lazy dog"))
+      assert(!isDup("pack my box with five dozen liquor jugs"))
+      // and a LATER delete simply recreates the table at the default
+      // path — the lifecycle keeps working after the drop
+      Dedup.exactIndexDelete(spark, root,
+        docs.filter(col("id") === 0L), "id", "text")
+      assert(!isDup("the quick brown fox jumps over the lazy dog"))
+      assert(Dedup.exactIndexHealth(spark, root)
+        .select("deleted_pending").head().getLong(0) == 1L)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("fleet verbs: empty dirs fail fast with a clear message; " +
+    "duplicate dirs in a parallel apply run sequentially in one unit " +
+    "instead of racing the writer lock") {
+    val docs = Seq(0L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("id", "text")
+    assertThrows[IllegalArgumentException] {
+      Similarity.fleetHealth(spark, Seq.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.fleetEraseAudit(spark, Seq.empty, docs, "id")
+    }
+    val dir = fresh()
+    try {
+      val root = dir.getAbsolutePath
+      Dedup.exactIndexBuild(docs, root, "id", "text")
+      import spark.implicits._
+      // two actions for ONE dir at parallelism 4: grouped into one
+      // sequential unit, both succeed (ungrouped, the loser would
+      // report 'another writer holds ...' nondeterministically)
+      val rep = Similarity.fleetMaintenanceApply(spark,
+        Seq((root, "compact"), (root, "compact")).toDF("dir", "action"),
+        parallelism = 4)
+        .select("status").collect().map(_.getString(0)).toSeq
+      assert(rep == Seq("executed", "executed"), s"$rep")
+      // same for fleetDelete with a duplicated dir
+      val dRep = Similarity.fleetDelete(spark, Seq(root, root), docs,
+        "id", textCol = Some("text"), parallelism = 4)
+        .select("status").collect().map(_.getString(0)).toSeq
+      assert(dRep == Seq("executed", "executed"), s"$dRep")
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
+  test("fleetMap timeout: an overrunning unit reports failed while " +
+    "completed units keep their results (per-row isolation survives " +
+    "the deadline)") {
+    import scala.concurrent.duration._
+    val docs = Seq(0L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("id", "text")
+    val fast = fresh(); val slow = fresh()
+    try {
+      val f = fast.getAbsolutePath; val s = slow.getAbsolutePath
+      Dedup.exactIndexBuild(docs, f, "id", "text")
+      // the slow dir holds a foreign writer lock: its delete will
+      // block... no — lock contention throws immediately. Instead make
+      // the slow unit slow by pointing at a dir whose sniff succeeds
+      // but whose delete sleeps: simplest deterministic overrun is a
+      // zero timeout with parallelism > 1 — every unit that has not
+      // completed INSTANTLY reports the timeout row, and re-running
+      // with Duration.Inf completes normally (state undamaged).
+      Dedup.exactIndexBuild(docs, s, "id", "text")
+      val rep = Similarity.fleetDelete(spark, Seq(f, s), docs, "id",
+        textCol = Some("text"), parallelism = 2,
+        timeout = Duration.Zero)
+        .select("status", "detail").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rep.size == 2)
+      assert(rep.forall { case (st, dt) =>
+        st == "executed" || (st == "failed" && dt.contains("timed out"))
+      }, s"$rep")
+      // the timed-out units' background threads finish eventually;
+      // wait for the locks to clear, then a full-deadline re-run
+      // executes everywhere — the fleet was never corrupted
+      def retryRun(): Seq[String] =
+        Similarity.fleetDelete(spark, Seq(f, s), docs, "id",
+          textCol = Some("text"), parallelism = 2)
+          .select("status").collect().map(_.getString(0)).toSeq
+      var rep2 = retryRun()
+      var waited = 0
+      while (rep2 != Seq("executed", "executed") && waited < 60000) {
+        Thread.sleep(500); waited += 500; rep2 = retryRun()
+      }
+      assert(rep2 == Seq("executed", "executed"), s"$rep2")
+    } finally {
+      graft.util.TempDirs.deleteRecursively(fast)
+      graft.util.TempDirs.deleteRecursively(slow)
+    }
   }
 }
