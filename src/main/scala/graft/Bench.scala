@@ -11,6 +11,15 @@ object Bench {
     // warm each fresh session (codegen compiler, parquet reader, shuffle
     // paths) on a small query first so one-time JIT / listing cost isn't
     // attributed to whichever query happens to run first (~5s of noise)
+    // per-query SCHEDULER JOB COUNT (r15 verdict item: a 2.6x wall-time
+    // swing on an unchanged plan — q121 7.4s vs 19.2s, both clean-load —
+    // was unattributable because the artifact carried only seconds).
+    // Job count is a plan-shape invariant: if it HOLDS across rounds
+    // while wall time swings, the swing is scheduler/host noise, not a
+    // plan regression; if it MOVES, the plan changed. Counted at job
+    // START on the listener bus — actions are synchronous, so by the
+    // time a query's action returns, its starts are long posted.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
     def newSession(): SparkSession = {
       val s = graft.util.SessionTuning(SparkSession.builder())
         .master(s"local[$cpus]")
@@ -18,6 +27,12 @@ object Bench {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobCounter.incrementAndGet()
+        })
       try SparkEntry.queries("q13_region_revenue")(s, sfDir)
         .queryExecution.toRdd.foreach(_ => ())
       catch { case _: Throwable => () }
@@ -152,14 +167,19 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // PASS 1: suite order, single timing each.
+    // PASS 1: suite order, single timing each; job counts recorded
+    // here (pass 2 re-times, but the job count is plan-derived and
+    // pass-invariant — one reading is the honest one).
     val t1map = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val jobsMap = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     selected.zipWithIndex.foreach { case ((name, fn), i) =>
       if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
         spark.stop()
         spark = newSession()
       }
+      val j0 = jobCounter.get()
       t1map(name) = timeQuery(name, fn)
+      jobsMap(name) = jobCounter.get() - j0
     }
     // PASS 2: re-time above-threshold queries in a DIFFERENT order and a
     // fresh session, report per-query min across passes. Back-to-back
@@ -202,12 +222,15 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val jobsJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + jobsMap.getOrElse(k, -1L)
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + jsonEscape(v) + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"load_ceiling":${f3(loadCeiling)},"load_wait_sec":$loadWaited,"load_ceiling_exceeded":$loadExceeded,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"load_ceiling":${f3(loadCeiling)},"load_wait_sec":$loadWaited,"load_ceiling_exceeded":$loadExceeded,"queries":$qs,"jobs":$jobsJson,"errors":$errJson,"sf":"$sfDir"}"""
     // belt and suspenders: the parseable artifact also lands in a side
     // file, immune to log interleaving and tail truncation
     try java.nio.file.Files.writeString(

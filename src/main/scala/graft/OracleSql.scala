@@ -1459,37 +1459,42 @@ object OracleSql {
     // q259: the seven-family erase-audit lifecycle — structural facts
     // of the planted fleet. Before: every family physically carries
     // the doomed key (1 row; 2 for minhash's bands=2 banding; 6 for
-    // decontam = the doomed doc's distinct 3-gram shingles, unique to
-    // it), nothing pending, nothing complete. After fleetDelete: the
-    // doc-keyed families are tombstoned (disk still carries the rows
-    // — the audit must say INCOMPLETE) while decontam's rebuild
-    // retraction removes its keys IMMEDIATELY (no tombstone debt,
-    // complete at once). After each family's fold: all zeros,
-    // complete everywhere — the evidence row a takedown files
+    // decontam = the doomed doc's distinct 3-gram shingles), nothing
+    // pending, nothing complete. After fleetDelete: the doc-keyed
+    // families are tombstoned (disk still carries the rows — the
+    // audit must say INCOMPLETE) while decontam's rebuild retraction
+    // removes its retiree-unique keys IMMEDIATELY; ONE doomed shingle
+    // ("with five dozen") is shared with remaining doc 3, so it stays
+    // physically live — and the audit, given the remaining suites,
+    // computes expected_residue = 1 and reports complete=true WITH
+    // the residue explained (the decidability the r15 audit punted).
+    // After each family's fold: doc-keyed families read (0, 0, 0,
+    // true); decontam keeps its explained residue row
     "q259_fleet_erase_audit" ->
       """SELECT 'decontam' AS family, '1_before' AS phase,
         |  '' AS delete_status, CAST(6 AS BIGINT) AS keys_live,
+        |  CAST(1 AS BIGINT) AS expected_residue,
         |  CAST(0 AS BIGINT) AS deleted_pending, false AS complete
-        |UNION ALL SELECT 'decontam', '2_deleted', 'executed', 0, 0, true
-        |UNION ALL SELECT 'decontam', '3_folded', 'executed', 0, 0, true
-        |UNION ALL SELECT 'exact', '1_before', '', 1, 0, false
-        |UNION ALL SELECT 'exact', '2_deleted', 'executed', 1, 1, false
-        |UNION ALL SELECT 'exact', '3_folded', 'executed', 0, 0, true
-        |UNION ALL SELECT 'ivf', '1_before', '', 1, 0, false
-        |UNION ALL SELECT 'ivf', '2_deleted', 'executed', 1, 1, false
-        |UNION ALL SELECT 'ivf', '3_folded', 'executed', 0, 0, true
-        |UNION ALL SELECT 'ivf_pq', '1_before', '', 1, 0, false
-        |UNION ALL SELECT 'ivf_pq', '2_deleted', 'executed', 1, 1, false
-        |UNION ALL SELECT 'ivf_pq', '3_folded', 'executed', 0, 0, true
-        |UNION ALL SELECT 'minhash', '1_before', '', 2, 0, false
-        |UNION ALL SELECT 'minhash', '2_deleted', 'executed', 2, 1, false
-        |UNION ALL SELECT 'minhash', '3_folded', 'executed', 0, 0, true
-        |UNION ALL SELECT 'semdedup', '1_before', '', 1, 0, false
-        |UNION ALL SELECT 'semdedup', '2_deleted', 'executed', 1, 1, false
-        |UNION ALL SELECT 'semdedup', '3_folded', 'executed', 0, 0, true
-        |UNION ALL SELECT 'simhash', '1_before', '', 1, 0, false
-        |UNION ALL SELECT 'simhash', '2_deleted', 'executed', 1, 1, false
-        |UNION ALL SELECT 'simhash', '3_folded', 'executed', 0, 0, true"""
+        |UNION ALL SELECT 'decontam', '2_deleted', 'executed', 1, 1, 0, true
+        |UNION ALL SELECT 'decontam', '3_folded', 'executed', 1, 1, 0, true
+        |UNION ALL SELECT 'exact', '1_before', '', 1, 0, 0, false
+        |UNION ALL SELECT 'exact', '2_deleted', 'executed', 1, 0, 1, false
+        |UNION ALL SELECT 'exact', '3_folded', 'executed', 0, 0, 0, true
+        |UNION ALL SELECT 'ivf', '1_before', '', 1, 0, 0, false
+        |UNION ALL SELECT 'ivf', '2_deleted', 'executed', 1, 0, 1, false
+        |UNION ALL SELECT 'ivf', '3_folded', 'executed', 0, 0, 0, true
+        |UNION ALL SELECT 'ivf_pq', '1_before', '', 1, 0, 0, false
+        |UNION ALL SELECT 'ivf_pq', '2_deleted', 'executed', 1, 0, 1, false
+        |UNION ALL SELECT 'ivf_pq', '3_folded', 'executed', 0, 0, 0, true
+        |UNION ALL SELECT 'minhash', '1_before', '', 2, 0, 0, false
+        |UNION ALL SELECT 'minhash', '2_deleted', 'executed', 2, 0, 1, false
+        |UNION ALL SELECT 'minhash', '3_folded', 'executed', 0, 0, 0, true
+        |UNION ALL SELECT 'semdedup', '1_before', '', 1, 0, 0, false
+        |UNION ALL SELECT 'semdedup', '2_deleted', 'executed', 1, 0, 1, false
+        |UNION ALL SELECT 'semdedup', '3_folded', 'executed', 0, 0, 0, true
+        |UNION ALL SELECT 'simhash', '1_before', '', 1, 0, 0, false
+        |UNION ALL SELECT 'simhash', '2_deleted', 'executed', 1, 0, 1, false
+        |UNION ALL SELECT 'simhash', '3_folded', 'executed', 0, 0, 0, true"""
         .stripMargin,
 
     // q261: the one-call fleet loop — structural facts of the planted
@@ -1524,6 +1529,62 @@ object OracleSql {
         |UNION ALL SELECT 13, 7, false, false, false, false, true, false
         |UNION ALL SELECT 14, 8, true, true, false, true, false, false
         |UNION ALL SELECT 15, 9, false, false, true, false, false, false"""
+        .stripMargin,
+
+    // q262: the streaming unified admission — q260's one-shot verdict
+    // constants, replayed under two trigger cadences (1 file and 3
+    // files per micro-batch): every verdict depends only on its own
+    // row and the index FILES, so the accumulated sink is identical
+    // under both slicings
+    "q262_streaming_unified_admission" -> {
+      val oneShot =
+        """SELECT CAST(11 AS BIGINT) AS id, CAST(7 AS BIGINT) AS n_tokens,
+          |  false AS is_dup_exact, false AS is_neardup,
+          |  false AS is_contaminated, false AS is_neardup_sim,
+          |  false AS is_neardup_sem, true AS accepted,
+          |  CAST(%d AS BIGINT) AS cadence
+          |UNION ALL SELECT 12, 8, false, false, false, true, false,
+          |  false, %d
+          |UNION ALL SELECT 13, 7, false, false, false, false, true,
+          |  false, %d
+          |UNION ALL SELECT 14, 8, true, true, false, true, false,
+          |  false, %d
+          |UNION ALL SELECT 15, 9, false, false, true, false, false,
+          |  false, %d""".stripMargin
+      def at(c: Int) = oneShot.replace("%d", c.toString)
+      at(1) + "\nUNION ALL\n" + at(3)
+    },
+
+    // q263: the runbook lifecycle — structural facts of the planted
+    // states: the k=1 SemDeDup state's one hot cluster plans rebuild,
+    // the fragmented PQ index's compact is escalated to rebuild, BOTH
+    // execute from the persisted runbook alone (corpora empty), and
+    // the re-plan is quiet (three balanced clusters of two; one fresh
+    // file per list)
+    "q263_fleet_runbook" ->
+      """SELECT 'ivf_pq' AS family, 'rebuild' AS action,
+        |  'executed' AS status, 'none' AS action_after
+        |UNION ALL SELECT 'semdedup', 'rebuild', 'executed', 'none'"""
+        .stripMargin,
+
+    // q264: the budgeted deep-probe loop — structural facts of the
+    // constructed geometry: sweep 1 spends its one probe on the
+    // decayed index A (recall 8/12 < 0.8 → rebuild; healthy B reads
+    // light → none), the apply executes the refit, sweep 2 rotates to
+    // B (recall 1 → none), sweep 3 rotates back to A and measures the
+    // recovery (recall 1 → none). The probe log pins the budget: A
+    // probed twice, B once
+    "q264_fleet_deep_probe" ->
+      """SELECT '1_sweep' AS step, 'A' AS tag, true AS deep_probed,
+        |  'rebuild' AS outcome
+        |UNION ALL SELECT '1_sweep', 'B', false, 'none'
+        |UNION ALL SELECT '2_apply', 'A', false, 'executed'
+        |UNION ALL SELECT '3_sweep', 'A', false, 'none'
+        |UNION ALL SELECT '3_sweep', 'B', true, 'none'
+        |UNION ALL SELECT '4_sweep', 'A', true, 'none'
+        |UNION ALL SELECT '4_sweep', 'B', false, 'none'
+        |UNION ALL SELECT '5_probelog', 'A', false, '2'
+        |UNION ALL SELECT '5_probelog', 'B', false, '1'"""
         .stripMargin,
 
     // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make

@@ -4106,24 +4106,35 @@ object SparkEntry {
     * and decontam each index a planted corpus; one fleetDelete call
     * retracts the doomed doc everywhere (the shingle-keyed decontam
     * family EXECUTES its rebuild retraction from the remaining suites
-    * instead of skipping — its doomed-unique shingles vanish
+    * instead of skipping — its retiree-unique shingles vanish
     * immediately, no tombstone debt); each doc-keyed family compacts;
     * and the audit pins, per (family, phase), the doomed keys'
-    * PHYSICAL row count in the live file set, the pending-tombstone
-    * debt, and the one-boolean `complete` verdict a takedown process
-    * files. Doc-keyed families stay incomplete until their fold (the
-    * tombstone hides rows but disk still carries them — exactly what
-    * the audit must not miss); post-fold every family reads
-    * (0, 0, true). All values structural facts of the constructed
-    * states. */
+    * PHYSICAL row count in the live file set, the EXPECTED residue
+    * (doomed shingles a remaining suite also claims — here exactly
+    * one, "with five dozen", shared with remaining doc 3), the
+    * pending-tombstone debt, and the one-boolean `complete` verdict a
+    * takedown process files — decidable for every family now that the
+    * audit computes the legitimate residue itself instead of punting
+    * it to the caller. Doc-keyed families stay incomplete until their
+    * fold (the tombstone hides rows but disk still carries them —
+    * exactly what the audit must not miss); post-fold every doc-keyed
+    * family reads (0, 0, 0, true) and decontam keeps its explained
+    * residue row (1, 1, 0, true). All values structural facts of the
+    * constructed states. */
   def q259_fleet_erase_audit(s: SparkSession, d: String): DataFrame =
     fixtureTuned(s) {
     import s.implicits._
+    // doc 3 SHARES one 3-gram ("with five dozen") with the doomed doc
+    // 1: the decontam rebuild keeps that shingle BY DESIGN (a remaining
+    // suite claims it), and the audit — given the same remaining-suites
+    // input the rebuild took — COMPUTES that expected residue and
+    // reports complete=true with the residue explained, instead of
+    // punting the judgment to the caller (the r15 undecidability gap)
     val texts = Seq(
       0L -> "the quick brown fox jumps over the lazy dog",
       1L -> "pack my box with five dozen liquor jugs",
       2L -> "how vexingly quick daft zebras jump",
-      3L -> "sphinx of black quartz judge my vow")
+      3L -> "sphinx of black quartz with five dozen arrows")
     val docs = texts.toDF("id", "text").repartition(1)
     val doomed = docs.filter(col("id") === 1L).localCheckpoint(true)
     val remaining = docs.filter(col("id") =!= 1L)
@@ -4160,13 +4171,15 @@ object SparkEntry {
           n = 3))
       val fleet = Seq(exDir, mhDir, shDir, ivfDir, pqDir, semDir, dcDir)
       def audit(phase: String, status: Map[String, String])
-        : Seq[(String, String, String, Long, Long, Boolean)] =
+        : Seq[(String, String, String, Long, Long, Long, Boolean)] =
         Similarity.fleetEraseAudit(s, fleet, doomed, "id",
-          textCol = Some("text"))
-          .select("family", "keys_live", "deleted_pending", "complete")
+          textCol = Some("text"),
+          decontamRemaining = Some(remaining))
+          .select("family", "keys_live", "expected_residue",
+            "deleted_pending", "complete")
           .collect().map(r => (r.getString(0), phase,
             status.getOrElse(r.getString(0), ""), r.getLong(1),
-            r.getLong(2), r.getBoolean(3))).toSeq
+            r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
       val before = audit("1_before", Map.empty)
       val statuses = Similarity.fleetDelete(s, fleet, doomed, "id",
         textCol = Some("text"), decontamRemaining = Some(remaining))
@@ -4183,7 +4196,7 @@ object SparkEntry {
       val folded = audit("3_folded", statuses)
       (before ++ deleted ++ folded)
         .toDF("family", "phase", "delete_status", "keys_live",
-          "deleted_pending", "complete")
+          "expected_residue", "deleted_pending", "complete")
         .localCheckpoint()
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
     }
@@ -4336,6 +4349,257 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1),
           report(r.getString(2)), r.getString(3))).toSeq.sortBy(_._1)
         .toDF("family", "action", "status", "action_after")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+    }
+
+  /** STREAMING unified seven-family admission
+    * ([[operators.CorpusPipeline.streamingAdmission]] with the SimHash
+    * + SemDeDup stage pass-throughs — r15's batch kernel got the full
+    * fleet (q260) but the streaming wrapper still wired only 3 of 7
+    * families, so a continuous pipeline could not run the admission
+    * it maintains indexes for): q260's planted batch (one doc per
+    * rejection mode — token-reorder SimHash catch, semantic-paraphrase
+    * SemDeDup catch, exact copy, benchmark contamination, one clean)
+    * is staged as multi-file parquet and replayed through `readStream`
+    * under TWO trigger cadences (1 file and 3 files per micro-batch).
+    * Because every verdict — including both new stages — depends only
+    * on its own row and the index FILES (the semantic stage classifies
+    * pair ends by label-state membership, never by batch id), the
+    * accumulated sink under EITHER cadence equals the one-shot q260
+    * verdicts exactly; the mirror is those constants × both
+    * cadences. */
+  def q262_streaming_unified_admission(s: SparkSession, d: String)
+    : DataFrame = fixtureTuned(s) {
+    import s.implicits._
+    val b1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val base = Seq(
+      1L -> b1,
+      2L -> "one red two green three blue four yellow",
+      3L -> "north wind and bright sun argued loudly today",
+      4L -> "copper iron silver gold tin lead zinc nickel")
+      .toDF("id", "text").repartition(1)
+    val bench = Seq(100L ->
+      "secret evaluation question regarding ancient sphinxes forever")
+      .toDF("id", "text").repartition(1)
+    def axis(dim: Int): Seq[Double] = {
+      val a = new Array[Double](8); a(dim) = 1.0; a.toSeq
+    }
+    val baseVecs = (1 to 4).map(i => (i.toLong, axis(i - 1)))
+      .toDF("id", "vec")
+    val nearVec = {
+      val a = new Array[Double](8); a(0) = 0.1; a(1) = 0.9; a.toSeq
+    }
+    val batch = Seq(
+      (11L, "my own five clean unique words here", axis(4)),
+      (12L, "theta eta zeta epsilon delta gamma beta alpha", axis(5)),
+      (13L, "completely novel sentence about nothing shared anywhere",
+        nearVec),
+      (14L, b1, axis(6)),
+      (15L, "please answer this secret evaluation question regarding " +
+        "ancient sphinxes", axis(7)))
+      .toDF("id", "text", "vec").repartition(1)
+    val dirs = Seq("q262_ex_", "q262_mh_", "q262_sh_", "q262_sem_",
+      "q262_dc_", "q262_stage_", "q262_out1_", "q262_ck1_",
+      "q262_out2_", "q262_ck2_").map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(exDir, mhDir, shDir, semDir, dcDir, stageDir, out1, ck1,
+        out2, ck2) = dirs.map(_.getAbsolutePath)
+      Dedup.exactIndexBuild(base, exDir, "id", "text")
+      Dedup.minhashIndexBuild(base, mhDir, "id", "text")
+      Dedup.simhashIndexBuild(base, shDir, "id", "text")
+      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
+        baseVecs, "id", "vec", k = 2, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, semDir, labels, "id",
+        cents)
+      operators.Clustering.releasePairs(labels)
+      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      // q209/q251's file-source convention: the day's batch staged as
+      // multi-file parquet by a distributed write, never the driver
+      batch.repartition(3).write.parquet(stageDir)
+      def run(filesPerTrigger: Int, outDir: String,
+              ckptDir: String): Unit = {
+        val stream = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(
+            batch.schema.fields))
+          .option("maxFilesPerTrigger", filesPerTrigger.toString)
+          .parquet(stageDir)
+        val q = operators.CorpusPipeline.streamingAdmission(stream,
+          exDir, mhDir, dcDir, base, outDir, ckptDir,
+          idCol = "id", textCol = "text", minTokens = 5,
+          threshold = 0.5, simhashDir = Some(shDir), maxHamming = 0,
+          semDedupDir = Some(semDir), baseVecs = Some(baseVecs),
+          vecCol = "vec", tau = 0.95)
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      run(1, out1, ck1)
+      run(3, out2, ck2)
+      s.read.parquet(out1).withColumn("cadence", lit(1L))
+        .unionByName(
+          s.read.parquet(out2).withColumn("cadence", lit(3L)))
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+    }
+
+  /** Fleet RUNBOOK lifecycle ([[operators.FleetRunbook]] +
+    * [[operators.Similarity.fleetMaintenanceApply]]`(runbookDir)` —
+    * the side-input table that lets plan→apply go fully QUIET: until
+    * r15 a SemDeDup `rebuild` was permanently `skipped` (re-clustering
+    * needs a chosen k) and a PQ `rebuild` without an embedding store
+    * in `corpora` likewise, so every scheduled caller had to rebuild
+    * the corpora map by hand). Planted states: a SemDeDup state
+    * frozen at k=1 over six vectors in three separated groups (one
+    * hot cluster → the planner demands `rebuild`), and an IVF-PQ
+    * index with two append fragments (planned `compact`, escalated to
+    * `rebuild` — the operator's recall-decay call, cf. q264 where the
+    * deep probe makes that call itself). The runbook maps both dirs
+    * to one persisted embedding store (foreign column names, proving
+    * the rename path) with `target_cluster_size = 2` for the SemDeDup
+    * row (k = ⌈6/2⌉ = 3). Applying with ONLY the runbook — corpora
+    * empty — EXECUTES both rebuilds (the label family through the new
+    * reader-safe [[operators.Clustering.semDedupStateRebuild]]), and
+    * the re-plan reads `none` everywhere: three balanced clusters of
+    * two, one fresh file per list. All structural facts of the
+    * constructed states. */
+  def q263_fleet_runbook(s: SparkSession, d: String): DataFrame =
+    fixtureTuned(s) {
+    import s.implicits._
+    val pts: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.9, 0.1, 0.0, 0.0),
+      Seq(0.1, 0.9, 0.0, 0.0), Seq(0.0, 0.1, 0.9, 0.0))
+    val dvecs = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("vid", "embedding")
+    val fvecs = pts.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p.map(_.toFloat).toArray) }.toDF("id", "v")
+    val dirs = Seq("q263_sem_", "q263_pq_", "q263_store_", "q263_rb_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(semDir, pqDir, storeDir, rbDir) =
+        dirs.map(_.getAbsolutePath)
+      // SemDeDup state frozen at k=1: every vector in one cluster —
+      // the quantizer has "fallen behind" by construction
+      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
+        dvecs, "vid", "embedding", k = 1, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, semDir, labels, "vid",
+        cents)
+      operators.Clustering.releasePairs(labels)
+      // IVF-PQ with two append fragments on top of the fresh build
+      Similarity.ivfPqBuild(fvecs.filter(col("id") < 4), pqDir,
+        nList = 2, m = 2, nCodes = 2)
+      (4L to 5L).foreach(i => Similarity.ivfPqAppend(s, pqDir,
+        fvecs.filter(col("id") === i)))
+      // ONE persisted embedding store serves both rows; foreign
+      // column names exercise the runbook's rename path
+      dvecs.repartition(1).write.parquet(storeDir)
+      operators.FleetRunbook.save(s, rbDir, Seq(
+        (semDir, storeDir, "vid", "embedding", Some(2L)),
+        (pqDir, storeDir, "vid", "embedding",
+          Option.empty[Long]))
+        .toDF("dir", "side_input_path", "id_col", "payload_col",
+          "target_cluster_size"))
+      val fleet = Seq(semDir, pqDir)
+      def plan() = Similarity.indexMaintenancePlan(
+        Similarity.fleetHealth(s, fleet, hotClusterCap = 2),
+        recallFloor = 0.0, maxFilesPerListCeiling = 1,
+        hotClustersCeiling = 0)
+      // the operator escalates the fragment-debt compact to the refit
+      // the decayed codebooks actually need (q264 automates this call
+      // through the deep recall probe)
+      val p1 = plan().select(col("dir"), col("family"),
+        when(col("family") === "ivf_pq" && col("action") === "compact",
+          lit("rebuild")).otherwise(col("action")).as("action"))
+        .localCheckpoint(true)
+      val report = Similarity.fleetMaintenanceApply(s, p1,
+        runbookDir = Some(rbDir))
+        .select(col("dir"), col("status")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val after = plan().select(col("dir"),
+        col("action").as("action_after"))
+      p1.join(after, Seq("dir"))
+        .select(col("family"), col("action"), col("dir"),
+          col("action_after"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          report(r.getString(2)), r.getString(3))).toSeq.sortBy(_._1)
+        .toDF("family", "action", "status", "action_after")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+    }
+
+  /** BUDGETED deep recall sweeps in the fleet loop
+    * ([[operators.Similarity.fleetHealth]]`(deepProbes = 1)` — the
+    * one-call loop always took the recall-FREE light reading for
+    * vector families, so recall decay was undetectable without a
+    * hand-run probe): a decayed IVF index (built on two angular base
+    * clusters, then appended 12 boundary vectors that straddle the
+    * frozen centroids 8/4 — a 1-list probe at the boundary query
+    * finds 8 of the true top-12, recall 0.667) and a healthy one-list
+    * index share a fleet with a deep-probe budget of ONE per sweep,
+    * round-robin by staleness through the persisted probe log. Sweep
+    * 1 spends its probe on the decayed index → `rebuild` (the healthy
+    * one reads light → `none`); the apply EXECUTES the refit (the
+    * k-means re-fit pulls the straddler mass into one list); sweep 2
+    * probes the other index (staleness rotation — the fixed budget
+    * covers the fleet across sweeps); sweep 3 rotates back and
+    * measures the decayed index RECOVERED (recall 1 → `none`). The
+    * probe log pins the budget: exactly 2 deep probes of the decayed
+    * index, 1 of the healthy one, never more than one per sweep. All
+    * structural facts of the constructed geometry (distinct cosines —
+    * no tie-dependent top-k). */
+  def q264_fleet_deep_probe(s: SparkSession, d: String): DataFrame =
+    fixtureTuned(s) {
+    import s.implicits._
+    def ang(deg: Double): Array[Float] = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val bases = Seq((0L, ang(0.0)), (1L, ang(90.0))).toDF("id", "v")
+    val straddlers = ((0 until 8).map(i =>
+      (10L + i, ang(44.1 + 0.1 * i))) ++
+      (0 until 4).map(i => (20L + i, ang(45.2 + 0.1 * i))))
+      .toDF("id", "v")
+    // healthy by construction at the SHARED probe budget (k=12,
+    // nProbe=1): its true top-12 is the one tight 12-point cluster,
+    // which one probed list fully contains
+    val healthy = ((0 until 12).map(i =>
+      (i.toLong, ang(10.0 + 0.2 * i))) ++
+      Seq((20L, ang(80.0)), (21L, ang(81.0))))
+      .toDF("id", "v")
+    val queries = Seq((0L, ang(44.9))).toDF("qid", "qv")
+    val hQueries = Seq((0L, ang(11.0))).toDF("qid", "qv")
+    val dirs = Seq("q264_a_", "q264_b_", "q264_log_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(aDir, bDir, logDir) = dirs.map(_.getAbsolutePath)
+      Similarity.ivfBuild(bases, aDir, nList = 2, kmeansMaxIter = 2)
+      Similarity.ivfAppend(s, aDir, straddlers)
+      Similarity.ivfBuild(healthy, bDir, nList = 2, kmeansMaxIter = 2)
+      val fleet = Seq(aDir, bDir)
+      val tag = Map(aDir -> "A", bDir -> "B")
+      def sweep(): Seq[(String, String, Boolean, String)] = {
+        val h = Similarity.fleetHealth(s, fleet, deepProbes = 1,
+          probeQueries = Map(aDir -> queries, bDir -> hQueries),
+          probeK = 12, probeNProbe = 1, probeLogDir = Some(logDir))
+        Similarity.indexMaintenancePlan(h, recallFloor = 0.8,
+          maxFilesPerListCeiling = Long.MaxValue)
+          .select(col("dir"), col("recall_at_k"), col("action"))
+          .collect().map(r => (tag(r.getString(0)),
+            !r.isNullAt(1), r.getString(2))).toSeq
+          .sortBy(_._1).map { case (t, deep, act) => ("", t, deep, act) }
+      }
+      val s1 = sweep().map { case (_, t, dp, a) => ("1_sweep", t, dp, a) }
+      val rep = Similarity.fleetMaintenanceApply(s,
+        Seq((aDir, s1.find(_._2 == "A").get._4)).toDF("dir", "action"))
+        .select("status").head().getString(0)
+      val applyRow = Seq(("2_apply", "A", false, rep))
+      val s2 = sweep().map { case (_, t, dp, a) => ("3_sweep", t, dp, a) }
+      val s3 = sweep().map { case (_, t, dp, a) => ("4_sweep", t, dp, a) }
+      val probeCounts = Similarity.probeLogHistory(s, logDir)
+        .groupBy("dir").count().collect()
+        .map(r => (tag(r.getString(0)), r.getLong(1))).toSeq.sortBy(_._1)
+        .map { case (t, n) => ("5_probelog", t, false, n.toString) }
+      (s1 ++ applyRow ++ s2 ++ s3 ++ probeCounts)
+        .toDF("step", "tag", "deep_probed", "outcome")
         .localCheckpoint()
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
     }
@@ -6248,7 +6512,11 @@ object SparkEntry {
     "q258_fleet_delete" -> (q258_fleet_delete _),
     "q259_fleet_erase_audit" -> (q259_fleet_erase_audit _),
     "q260_fleet_admission" -> (q260_fleet_admission _),
-    "q261_fleet_loop" -> (q261_fleet_loop _))
+    "q261_fleet_loop" -> (q261_fleet_loop _),
+    "q262_streaming_unified_admission" ->
+      (q262_streaming_unified_admission _),
+    "q263_fleet_runbook" -> (q263_fleet_runbook _),
+    "q264_fleet_deep_probe" -> (q264_fleet_deep_probe _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

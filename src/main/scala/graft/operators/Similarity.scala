@@ -1277,19 +1277,27 @@ object Similarity {
     * `dedup_prepass`, the embedding store (`id`/`v`) for a PQ rebuild.
     *
     * Per-row failure isolation: a row whose action cannot run unattended
-    * (a PQ rebuild with no embedding store in `corpora`, a SemDeDup
-    * `rebuild` — re-clustering is a modeling decision with a chosen k,
-    * [[Clustering.semDedupStateSave]]) is REPORTED, not thrown: fleet
-    * maintenance over a thousand indexes must not abort on the one row
-    * that needs an operator. Returns the report: one row per plan row,
+    * (a PQ rebuild with no embedding store, a SemDeDup `rebuild` with
+    * no k policy, a text-family `dedup_prepass` with no corpus) is
+    * REPORTED, not thrown: fleet maintenance over a thousand indexes
+    * must not abort on the one row that needs an operator. With
+    * `runbookDir`, the persisted [[FleetRunbook]] answers for every
+    * dir `corpora` omits — vectors/text from its side-input path, a
+    * SemDeDup k from its `target_cluster_size` policy — so the
+    * unattended loop executes those rows instead of skipping them
+    * (q263). Returns the report: one row per plan row,
     * (dir, family, action, status, detail) with status `executed` /
     * `skipped` / `failed`. Driver-side loop over a bounded plan (the
     * fleet table is one row per index by construction); each executed
     * action is itself a distributed job under that index's writer
     * lock — which is why `parallelism > 1` is safe and what a
     * thousand-index fleet wants: the units touch disjoint lock
-    * domains, so N compactions overlap their scheduling floors
-    * (report order is preserved either way). */
+    * domains, so N compactions overlap their scheduling floors. Rows
+    * naming the SAME dir run sequentially inside one unit (they share
+    * a lock domain — racing them would fabricate `failed` rows), and
+    * report order is preserved either way; `timeout` bounds the
+    * parallel wait per [[fleetMap]] (overruns report `failed`, never
+    * discard the fleet's report). */
   /** Sniff which index family lives at a manifest snapshot from its
     * on-disk tables — the shared dispatch key of every fleet verb
     * ([[fleetHealth]], [[fleetMaintenanceApply]], [[fleetDelete]],
@@ -1431,6 +1439,20 @@ object Similarity {
         probed.map(d => (d, sweep)).toDF("dir", "sweep")
           .coalesce(1).write.mode("append").parquet(snap.path("probe_log"))
       }
+  }
+
+  /** The persisted deep-probe history ([[fleetHealth]]'s staleness
+    * cursor) as (dir, sweep) rows — the ops surface for "when was
+    * this index last recall-probed" (empty frame when no sweep has
+    * spent a probe yet). */
+  def probeLogHistory(spark: org.apache.spark.sql.SparkSession,
+                      logDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Manifest.snapshot(spark, logDir).path("probe_log")
+    val hp = new org.apache.hadoop.fs.Path(p)
+    if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(hp)) spark.read.parquet(p)
+    else Seq.empty[(String, Long)].toDF("dir", "sweep")
   }
 
   /** Map a fleet's per-index units onto `parallelism` driver threads,
