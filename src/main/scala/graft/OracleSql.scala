@@ -1587,6 +1587,28 @@ object OracleSql {
         |UNION ALL SELECT '5_probelog', 'B', false, '1'"""
         .stripMargin,
 
+    // q265: the unattended fleet ops loop — structural facts of the
+    // constructed fleet: sweep 1's single runbook-sampled deep probe
+    // reads the decayed IVF member A at recall 94/168 < 0.8 → rebuild,
+    // the frozen-at-k=1 SemDeDup member B trips the hot-cluster rule →
+    // rebuild, the six-fragment exact member C trips the fragment
+    // ceiling → compact; the apply executes all three from the runbook
+    // alone; sweep 2 reads none everywhere and the probe log carries
+    // exactly one probe per sweep, both on A (the only vector member)
+    "q265_fleet_ops_loop" ->
+      """SELECT '1_plan' AS step, 'A' AS tag, true AS deep_probed,
+        |  'rebuild' AS outcome
+        |UNION ALL SELECT '1_plan', 'B', false, 'rebuild'
+        |UNION ALL SELECT '1_plan', 'C', false, 'compact'
+        |UNION ALL SELECT '2_apply', 'A', false, 'executed'
+        |UNION ALL SELECT '2_apply', 'B', false, 'executed'
+        |UNION ALL SELECT '2_apply', 'C', false, 'executed'
+        |UNION ALL SELECT '3_plan', 'A', true, 'none'
+        |UNION ALL SELECT '3_plan', 'B', false, 'none'
+        |UNION ALL SELECT '3_plan', 'C', false, 'none'
+        |UNION ALL SELECT '4_probelog', 'A', false, '2'"""
+        .stripMargin,
+
     // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make
     // every 2-dim subvector slice exactly representable, so the base
     // reconstruction is exact and every value is the q244 constant

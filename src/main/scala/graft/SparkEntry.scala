@@ -4604,6 +4604,116 @@ object SparkEntry {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
     }
 
+  /** The fully UNATTENDED fleet ops loop — the round's capstone
+    * composition: `fleetHealth(runbookDir, probeLogDir, deepProbes)` →
+    * [[operators.Similarity.indexMaintenancePlan]] →
+    * `fleetMaintenanceApply(runbookDir)` with ZERO per-dir maps at
+    * sweep time (q263 proved the runbook resolves APPLY side inputs,
+    * q264 proved the budgeted probe rotation — this gate proves the
+    * runbook now also answers for the deep probe's own inputs: the
+    * query sample is the first `probeSampleN` side-input rows by id,
+    * self-probing with corpus vectors). Planted fleet: a decayed IVF
+    * index (q264's geometry — two single-point base lists, then 12
+    * boundary straddlers appended 8/4 across the frozen centroids:
+    * the 14-query self-probe at k=12/nProbe=1 reads recall 94/168 ≈
+    * 0.56, under the 0.8 floor), a SemDeDup state frozen at k=1 over
+    * six vectors in three separated groups (one hot cluster), and an
+    * exact-hash index at six fragments (ceiling four — wide enough
+    * that the SemDeDup rebuild's range-partitioned label write stays
+    * under it). Sweep 1 plans
+    * rebuild/rebuild/compact and the apply EXECUTES all three from
+    * the runbook alone (the SemDeDup k = ⌈6/2⌉ = 3 from its
+    * `target_cluster_size` policy); sweep 2 reads `none` everywhere —
+    * the loop went quiet — and the probe log pins exactly one deep
+    * probe per sweep, both spent on the only vector member. All
+    * structural facts of the constructed states (the post-refit
+    * self-probe recall clears the floor because the refit pulls the
+    * straddler mass into one list; intra-straddler cosine ties never
+    * cross the top-12 boundary — the excluded tail is always the
+    * unique farthest base/straddler). */
+  def q265_fleet_ops_loop(s: SparkSession, d: String): DataFrame =
+    fixtureTuned(s) {
+    import s.implicits._
+    def ang(deg: Double): Array[Float] = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val bases = Seq((0L, ang(0.0)), (1L, ang(90.0)))
+    val straddlers = (0 until 8).map(i =>
+      (10L + i, ang(44.1 + 0.1 * i))) ++
+      (0 until 4).map(i => (20L + i, ang(45.2 + 0.1 * i)))
+    val semPts: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.9, 0.1, 0.0, 0.0),
+      Seq(0.1, 0.9, 0.0, 0.0), Seq(0.0, 0.1, 0.9, 0.0))
+    // six single-doc drops → six hash fragments: over the fleet's
+    // ceiling of four, which a SemDeDup rebuild's range-partitioned
+    // label write (≤ 4 files at the fixture's partitioning) stays under
+    val texts = Seq(0L -> "alpha beta", 1L -> "gamma delta",
+      2L -> "epsilon zeta", 3L -> "eta theta", 4L -> "iota kappa",
+      5L -> "lambda mu")
+    val dirs = Seq("q265_ivf_", "q265_sem_", "q265_ex_", "q265_sa_",
+      "q265_sb_", "q265_rb_", "q265_log_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(ivfDir, semDir, exDir, storeA, storeB, rbDir, logDir) =
+        dirs.map(_.getAbsolutePath)
+      Similarity.ivfBuild(bases.toDF("id", "v"), ivfDir, nList = 2,
+        kmeansMaxIter = 2)
+      Similarity.ivfAppend(s, ivfDir, straddlers.toDF("id", "v"))
+      val dvecs = semPts.zipWithIndex.map { case (p, i) =>
+        (i.toLong, p) }.toDF("vid", "embedding")
+      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
+        dvecs, "vid", "embedding", k = 1, iterations = 2)
+      operators.Clustering.semDedupStateSave(s, semDir, labels, "vid",
+        cents)
+      operators.Clustering.releasePairs(labels)
+      Dedup.exactIndexBuild(texts.take(1).toDF("id", "text"), exDir,
+        "id", "text")
+      texts.drop(1).foreach(t => Dedup.exactIndexAppend(s, exDir,
+        Seq(t).toDF("id", "text"), "id", "text"))
+      // the runbook holds BOTH stores under foreign column names —
+      // the loop's only configuration, written once
+      (bases ++ straddlers).map { case (i, v) => (i, v.toSeq) }
+        .toDF("vid", "emb").repartition(1).write.parquet(storeA)
+      dvecs.repartition(1).write.parquet(storeB)
+      operators.FleetRunbook.save(s, rbDir, Seq(
+        (ivfDir, storeA, "vid", "emb", Option.empty[Long]),
+        (semDir, storeB, "vid", "embedding", Some(2L)))
+        .toDF("dir", "side_input_path", "id_col", "payload_col",
+          "target_cluster_size"))
+      val fleet = Seq(ivfDir, semDir, exDir)
+      val tag = Map(ivfDir -> "A", semDir -> "B", exDir -> "C")
+      def sweep(step: String): (DataFrame,
+        Seq[(String, String, Boolean, String)]) = {
+        val p = Similarity.indexMaintenancePlan(
+          Similarity.fleetHealth(s, fleet, hotClusterCap = 2,
+            deepProbes = 1, probeK = 12, probeNProbe = 1,
+            probeLogDir = Some(logDir), runbookDir = Some(rbDir),
+            probeSampleN = 14),
+          recallFloor = 0.8, maxFilesPerListCeiling = Long.MaxValue,
+          maxFragmentsCeiling = 4, hotClustersCeiling = 0)
+          .localCheckpoint(true)
+        (p, p.select(col("dir"), col("recall_at_k"), col("action"))
+          .collect().map(r => (step, tag(r.getString(0)),
+            !r.isNullAt(1), r.getString(2))).toSeq.sortBy(_._2))
+      }
+      val (p1, s1) = sweep("1_plan")
+      val applied = Similarity.fleetMaintenanceApply(s,
+        p1.select("dir", "action"), runbookDir = Some(rbDir))
+        .select("dir", "status").collect()
+        .map(r => ("2_apply", tag(r.getString(0)), false,
+          r.getString(1))).toSeq.sortBy(_._2)
+      val (_, s2) = sweep("3_plan")
+      val probeCounts = Similarity.probeLogHistory(s, logDir)
+        .groupBy("dir").count().collect()
+        .map(r => ("4_probelog", tag(r.getString(0)), false,
+          r.getLong(1).toString)).toSeq.sortBy(_._2)
+      (s1 ++ applied ++ s2 ++ probeCounts)
+        .toDF("step", "tag", "deep_probed", "outcome")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+    }
+
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
     * the fifth index family): label-table size and cluster skew,
@@ -6516,7 +6626,8 @@ object SparkEntry {
     "q262_streaming_unified_admission" ->
       (q262_streaming_unified_admission _),
     "q263_fleet_runbook" -> (q263_fleet_runbook _),
-    "q264_fleet_deep_probe" -> (q264_fleet_deep_probe _))
+    "q264_fleet_deep_probe" -> (q264_fleet_deep_probe _),
+    "q265_fleet_ops_loop" -> (q265_fleet_ops_loop _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

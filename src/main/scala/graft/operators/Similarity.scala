@@ -1334,7 +1334,11 @@ object Similarity {
     * dir must not crash the fleet sweep). All flat-family rows are
     * LAZY one-plan aggregates, so planning a thousand-index fleet is
     * one collected action plus the vector families' bounded layout
-    * collects. */
+    * collects. With `runbookDir` the persisted [[FleetRunbook]]
+    * answers for deep-probe inputs the caller's maps omit (query
+    * sample = first `probeSampleN` store rows by id; PQ exact side =
+    * the store), so the scheduled sweep needs zero per-dir maps
+    * (q265). */
   def fleetHealth(spark: org.apache.spark.sql.SparkSession,
                   dirs: Seq[String],
                   hotBucketCap: Int = 10000,
@@ -1344,7 +1348,9 @@ object Similarity {
                   probeCorpora: Map[String, DataFrame] = Map.empty,
                   probeK: Int = 10, probeNProbe: Int = 1,
                   probeRefineK: Int = 50,
-                  probeLogDir: Option[String] = None): DataFrame = {
+                  probeLogDir: Option[String] = None,
+                  runbookDir: Option[String] = None,
+                  probeSampleN: Int = 16): DataFrame = {
     require(dirs.nonEmpty,
       "fleetHealth: dirs is empty — a health sweep needs at least one " +
         "index dir")
@@ -1361,12 +1367,34 @@ object Similarity {
     // the whole fleet daily. Without a log dir the budget still
     // spends, deterministically by dir order — fine for a one-shot
     // sweep, but a schedule wants the log.
+    //
+    // Side-input resolution mirrors [[fleetMaintenanceApply]]: the
+    // caller's probeQueries/probeCorpora maps win, and the persisted
+    // [[FleetRunbook]] answers for every vector dir they omit — the
+    // probe SAMPLE is the first `probeSampleN` rows of the dir's
+    // side-input store by id (deterministic, and self-probing with
+    // corpus vectors is exactly what a recall reading wants), the PQ
+    // exact side is the store itself. With both the runbook and the
+    // probe log supplied, the scheduled sweep needs ZERO per-dir maps.
+    val runbook: Map[String, FleetRunbook.Entry] =
+      runbookDir.map(FleetRunbook.entries(spark, _)).getOrElse(Map.empty)
+    def sampledQueries(dir: String): Option[DataFrame] =
+      probeQueries.get(dir).orElse(runbook.get(dir).map { e =>
+        spark.read.parquet(e.path).orderBy(col(e.idCol))
+          .limit(probeSampleN)
+          .select(col(e.idCol).as("qid"),
+            col(e.payloadCol).cast("array<float>").as("qv"))
+      })
+    def probeCorpus(dir: String): Option[DataFrame] =
+      probeCorpora.get(dir).orElse(runbook.get(dir).map(e =>
+        FleetRunbook.loadSideInput(spark, e, "id", "v")
+          .withColumn("v", col("v").cast("array<float>"))))
     val candidates = dirs.filter { dir =>
       val (family, _) = sniffFamily(spark, Manifest.snapshot(spark, dir))
       family match {
-        case "ivf" => probeQueries.contains(dir)
+        case "ivf" => sampledQueries(dir).isDefined
         case "ivf_pq" =>
-          probeQueries.contains(dir) && probeCorpora.contains(dir)
+          sampledQueries(dir).isDefined && probeCorpus(dir).isDefined
         case _ => false
       }
     }
@@ -1385,11 +1413,11 @@ object Similarity {
       val (family, _) = sniffFamily(spark, snap)
       val h = family match {
         case "ivf" if chosen(dir) =>
-          ivfIndexHealth(spark, dir, probeQueries(dir), probeK,
+          ivfIndexHealth(spark, dir, sampledQueries(dir).get, probeK,
             probeNProbe)
         case "ivf_pq" if chosen(dir) =>
-          ivfPqIndexHealth(spark, dir, probeQueries(dir),
-            probeCorpora(dir), probeK, probeNProbe, probeRefineK)
+          ivfPqIndexHealth(spark, dir, sampledQueries(dir).get,
+            probeCorpus(dir).get, probeK, probeNProbe, probeRefineK)
         case "ivf" | "ivf_pq" => ivfIndexHealthLight(spark, dir)
         case "minhash" => Dedup.minhashIndexHealth(spark, dir,
           hotBucketCap)

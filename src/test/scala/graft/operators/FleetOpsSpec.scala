@@ -135,6 +135,49 @@ class FleetOpsSpec extends SparkSpec {
       .foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  test("fleetHealth runbook-resolved deep probes: with no per-dir " +
+    "maps at all, the runbook's side-input store supplies the query " +
+    "sample (and the PQ exact side), probeSampleN bounds it, and a " +
+    "dir in neither map nor runbook stays light") {
+    def ang(deg: Double): Array[Float] = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val c1 = (0 until 6).map(i => (i.toLong, ang(10.0 + i)))
+    val c2 = (0 until 6).map(i => (10L + i, ang(80.0 + i)))
+    val corpus = (c1 ++ c2).toDF("id", "v")
+    val aDir = fresh(); val pqDir = fresh(); val cDir = fresh()
+    val storeDir = fresh(); val rbDir = fresh()
+    try {
+      val Seq(a, pq, c, store, rb) =
+        Seq(aDir, pqDir, cDir, storeDir, rbDir).map(_.getAbsolutePath)
+      Similarity.ivfBuild(corpus, a, nList = 2, kmeansMaxIter = 2)
+      Similarity.ivfPqBuild(corpus, pq, nList = 2, m = 2, nCodes = 2)
+      Similarity.ivfBuild(corpus, c, nList = 2, kmeansMaxIter = 2)
+      // foreign column names + double vectors: the sample path casts
+      (c1 ++ c2).map { case (i, v) => (i, v.map(_.toDouble).toSeq) }
+        .toDF("vid", "emb").repartition(1).write.parquet(store)
+      FleetRunbook.save(spark, rb, Seq(
+        (a, store, "vid", "emb", Option.empty[Long]),
+        (pq, store, "vid", "emb", Option.empty[Long]))
+        .toDF("dir", "side_input_path", "id_col", "payload_col",
+          "target_cluster_size"))
+      // both runbook'd dirs probe (budget 2), the unbooked one cannot
+      // even be a candidate — it stays light
+      val h = Similarity.fleetHealth(spark, Seq(a, pq, c),
+        deepProbes = 2, probeK = 6, probeNProbe = 1,
+        runbookDir = Some(rb))
+        .select("dir", "recall_at_k").collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      // two clean well-separated clusters, self-probe queries from the
+      // store: every probed list contains its query's true top-6
+      assert(h(a).contains(1.0), s"ivf deep probe from the runbook: $h")
+      assert(h(pq).contains(1.0), s"pq deep probe from the runbook: $h")
+      assert(h(c).isEmpty, s"no runbook row, no queries → light: $h")
+    } finally Seq(aDir, pqDir, cDir, storeDir, rbDir)
+      .foreach(graft.util.TempDirs.deleteRecursively)
+  }
+
   test("fleetEraseAudit expected_residue: shared shingles are " +
     "explained residue (complete=true), unshared doom stays complete " +
     "at zero, and omitting the remaining suites keeps the raw rule") {
