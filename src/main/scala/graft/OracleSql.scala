@@ -1609,6 +1609,23 @@ object OracleSql {
         |UNION ALL SELECT '4_probelog', 'A', false, '2'"""
         .stripMargin,
 
+    // q266: the fleet backup/restore lifecycle — structural facts: all
+    // three families back up (executed), each backup answers like its
+    // source (true), a post-backup source append is visible at the
+    // source but not at the backup (true/false — the snapshot proof),
+    // and a restore of the backup answers like the original (true)
+    "q266_fleet_backup_restore" ->
+      """SELECT '1_backup' AS step, 'exact' AS family,
+        |  'executed' AS outcome
+        |UNION ALL SELECT '1_backup', 'ivf', 'executed'
+        |UNION ALL SELECT '1_backup', 'minhash', 'executed'
+        |UNION ALL SELECT '2_verify', 'exact', 'true'
+        |UNION ALL SELECT '2_verify', 'ivf', 'true'
+        |UNION ALL SELECT '3_drift', 'src', 'true'
+        |UNION ALL SELECT '3_drift', 'backup', 'false'
+        |UNION ALL SELECT '4_restore', 'exact', 'true'"""
+        .stripMargin,
+
     // q248: the PQ drift probe's controlled fixture — m=4/nCodes=4 make
     // every 2-dim subvector slice exactly representable, so the base
     // reconstruction is exact and every value is the q244 constant

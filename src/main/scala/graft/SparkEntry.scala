@@ -4417,24 +4417,28 @@ object SparkEntry {
       // q209/q251's file-source convention: the day's batch staged as
       // multi-file parquet by a distributed write, never the driver
       batch.repartition(3).write.parquet(stageDir)
-      def run(filesPerTrigger: Int, outDir: String,
-              ckptDir: String): Unit = {
+      def start(filesPerTrigger: Int, outDir: String, ckptDir: String)
+        : org.apache.spark.sql.streaming.StreamingQuery = {
         val stream = s.readStream
           .schema(org.apache.spark.sql.types.StructType(
             batch.schema.fields))
           .option("maxFilesPerTrigger", filesPerTrigger.toString)
           .parquet(stageDir)
-        val q = operators.CorpusPipeline.streamingAdmission(stream,
+        operators.CorpusPipeline.streamingAdmission(stream,
           exDir, mhDir, dcDir, base, outDir, ckptDir,
           idCol = "id", textCol = "text", minTokens = 5,
           threshold = 0.5, simhashDir = Some(shDir), maxHamming = 0,
           semDedupDir = Some(semDir), baseVecs = Some(baseVecs),
           vecCol = "vec", tau = 0.95)
-        try q.processAllAvailable()
-        finally q.stop()
       }
-      run(1, out1, ck1)
-      run(3, out2, ck2)
+      // both cadences run CONCURRENTLY: admission only READS the
+      // index files (verdicts land in per-query sinks/checkpoints), so
+      // the two streams are independent — and their micro-batch
+      // scheduling floors overlap instead of adding up
+      val q1 = start(1, out1, ck1)
+      val q2 = start(3, out2, ck2)
+      try { q1.processAllAvailable(); q2.processAllAvailable() }
+      finally { q1.stop(); q2.stop() }
       s.read.parquet(out1).withColumn("cadence", lit(1L))
         .unionByName(
           s.read.parquet(out2).withColumn("cadence", lit(3L)))
@@ -4512,7 +4516,7 @@ object SparkEntry {
           lit("rebuild")).otherwise(col("action")).as("action"))
         .localCheckpoint(true)
       val report = Similarity.fleetMaintenanceApply(s, p1,
-        runbookDir = Some(rbDir))
+        runbookDir = Some(rbDir), parallelism = 2)
         .select(col("dir"), col("status")).collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       val after = plan().select(col("dir"),
@@ -4699,7 +4703,8 @@ object SparkEntry {
       }
       val (p1, s1) = sweep("1_plan")
       val applied = Similarity.fleetMaintenanceApply(s,
-        p1.select("dir", "action"), runbookDir = Some(rbDir))
+        p1.select("dir", "action"), runbookDir = Some(rbDir),
+        parallelism = 3)
         .select("dir", "status").collect()
         .map(r => ("2_apply", tag(r.getString(0)), false,
           r.getString(1))).toSeq.sortBy(_._2)
@@ -4713,6 +4718,84 @@ object SparkEntry {
         .localCheckpoint()
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
     }
+
+  /** Fleet BACKUP/RESTORE lifecycle ([[operators.Similarity.fleetClone]]
+    * / [[operators.IndexClone.cloneIndex]] — the ops verb every other
+    * lifecycle assumed existed: a consistent point-in-time copy of a
+    * whole mixed-family fleet, taken while writers keep writing,
+    * restorable and independently maintainable). A three-family fleet
+    * (exact-hash, MinHash, IVF) backs up in ONE `fleetClone` call
+    * (per-row isolation, distributed byte-level copy, one manifest
+    * flip per clone target); each backup answers probes exactly like
+    * its source; a post-backup append to a SOURCE is invisible to its
+    * backup (point-in-time semantics — the drift row is the proof the
+    * backup is a snapshot, not a symlink); and restoring = cloning the
+    * backup, which answers like the original. All structural facts of
+    * the constructed states. */
+  def q266_fleet_backup_restore(s: SparkSession, d: String): DataFrame =
+    fixtureTuned(s) {
+    import s.implicits._
+    def ang(deg: Double): Array[Float] = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val texts = Seq(0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs")
+      .toDF("id", "text").repartition(1)
+    val vecs = ((0 until 6).map(i => (i.toLong, ang(10.0 + i))) ++
+      (0 until 6).map(i => (10L + i, ang(80.0 + i)))).toDF("id", "v")
+    val dirs = Seq("q266_src_", "q266_bak_", "q266_res_")
+      .map(graft.util.TempDirs.fresh)
+    try {
+      val Seq(srcRoot, bakRoot, resRoot) = dirs.map(_.getAbsolutePath)
+      val exDir = s"$srcRoot/ex"; val mhDir = s"$srcRoot/mh"
+      val ivfDir = s"$srcRoot/ivf"
+      Dedup.exactIndexBuild(texts, exDir, "id", "text")
+      Dedup.minhashIndexBuild(texts, mhDir, "id", "text")
+      Similarity.ivfBuild(vecs, ivfDir, nList = 2, kmeansMaxIter = 2)
+      val backup = Similarity.fleetClone(s, Seq(exDir, mhDir, ivfDir),
+        bakRoot, parallelism = 3)
+        .select("family", "status").collect()
+        .map(r => ("1_backup", r.getString(0), r.getString(1)))
+        .toSeq.sortBy(_._2)
+      val probeText = Seq(9L ->
+        "the quick brown fox jumps over the lazy dog").toDF("id", "text")
+      def exDup(dir: String): Boolean = exDup2(s, dir, probeText)
+      val q = Seq((0L, ang(11.0))).toDF("qid", "qv")
+      def top(dir: String): Set[Long] =
+        Similarity.ivfQuery(s, dir, q, k = 6, nProbe = 1)
+          .select("id").as[Long].collect().toSet
+      val verify = Seq(
+        ("2_verify", "exact",
+          (exDup(s"$bakRoot/ex") == exDup(exDir)).toString),
+        ("2_verify", "ivf",
+          (top(s"$bakRoot/ivf") == top(ivfDir)).toString))
+      // the backup is a SNAPSHOT: a post-backup source append never
+      // reaches it
+      val newDoc = Seq(7L -> "sphinx of black quartz judge my vow")
+        .toDF("id", "text")
+      Dedup.exactIndexAppend(s, exDir, newDoc, "id", "text")
+      val probeNew = newDoc.select(col("id") + 100, col("text"))
+        .toDF("id", "text")
+      val drift = Seq(
+        ("3_drift", "src", exDup2(s, exDir, probeNew).toString),
+        ("3_drift", "backup",
+          exDup2(s, s"$bakRoot/ex", probeNew).toString))
+      // restore = clone the backup; it answers like the original
+      operators.IndexClone.cloneIndex(s, s"$bakRoot/ex", s"$resRoot/ex")
+      val restore = Seq(
+        ("4_restore", "exact", exDup2(s, s"$resRoot/ex", probeText)
+          .toString))
+      (backup ++ verify ++ drift ++ restore)
+        .toDF("step", "family", "outcome")
+        .localCheckpoint()
+    } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+    }
+
+  private def exDup2(s: SparkSession,
+                     dir: String,
+                     probe: DataFrame): Boolean =
+    Dedup.exactIndexProbe(s, dir, probe, "id", "text")
+      .select("is_dup").head().getBoolean(0)
 
   /** Health report of a persisted SemDeDup state
     * ([[operators.Clustering.semDedupStateHealth]] — the fleet row for
@@ -6627,7 +6710,8 @@ object SparkEntry {
       (q262_streaming_unified_admission _),
     "q263_fleet_runbook" -> (q263_fleet_runbook _),
     "q264_fleet_deep_probe" -> (q264_fleet_deep_probe _),
-    "q265_fleet_ops_loop" -> (q265_fleet_ops_loop _))
+    "q265_fleet_ops_loop" -> (q265_fleet_ops_loop _),
+    "q266_fleet_backup_restore" -> (q266_fleet_backup_restore _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1788,6 +1788,58 @@ object Similarity {
       .toDF("dir", "family", "status", "detail")
   }
 
+  /** Fleet-wide point-in-time CLONE — [[IndexClone.cloneIndex]] over a
+    * whole mixed-family fleet in one call: each dir clones at its own
+    * consistent latest snapshot into `dstRoot/<basename>`, with the
+    * same per-row failure isolation as every fleet verb (one index
+    * whose copy fails — say its pin outlived the source's grace window
+    * under a racing double-publish — reports `failed` and never aborts
+    * the sweep). The backup/restore and blue-green verb: point probes
+    * at the clone root, rebuild or experiment there, flip back — the
+    * source's writer locks are never taken (clones are readers), the
+    * clones' own locks make the copies embarrassingly parallel.
+    * Returns (src, dst, family, status, detail, tables, files, bytes,
+    * src_version) — the dated evidence row a backup schedule files. */
+  def fleetClone(spark: org.apache.spark.sql.SparkSession,
+                 dirs: Seq[String], dstRoot: String,
+                 parallelism: Int = 1,
+                 copyParallelism: Int = 64,
+                 timeout: scala.concurrent.duration.Duration =
+                   scala.concurrent.duration.Duration.Inf): DataFrame = {
+    import spark.implicits._
+    require(dirs.nonEmpty,
+      "fleetClone: dirs is empty — a backup sweep needs at least one " +
+        "index dir")
+    def base(d: String) = new org.apache.hadoop.fs.Path(d).getName
+    require(dirs.map(base).distinct.size == dirs.distinct.size,
+      s"fleetClone: duplicate index basenames would collide under " +
+        s"$dstRoot — pass distinct-named dirs")
+    def cloneOne(dir: String)
+      : (String, String, String, String, String, Long, Long, Long, Long) = {
+      val dst = s"$dstRoot/${base(dir)}"
+      val (family, _) = sniffFamily(spark, Manifest.snapshot(spark, dir))
+      try {
+        val rows = IndexClone.cloneIndex(spark, dir, dst,
+          parallelism = copyParallelism)
+          .select("files", "bytes", "src_version").collect()
+        (dir, dst, family, "executed", "", rows.length.toLong,
+          rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum,
+          rows.headOption.map(_.getLong(2)).getOrElse(-1L))
+      } catch { case e: Exception =>
+        (dir, dst, family, "failed",
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200),
+          0L, 0L, 0L, -1L)
+      }
+    }
+    fleetMap(dirs.distinct, parallelism, timeout)(cloneOne) { dir =>
+      (dir, s"$dstRoot/${base(dir)}", "unknown", "failed",
+        s"timed out after $timeout — the copy may still be running in " +
+          "the background; its clone target stays writer-locked until " +
+          "it finishes", 0L, 0L, 0L, -1L)
+    }.toDF("src", "dst", "family", "status", "detail", "tables",
+      "files", "bytes", "src_version")
+  }
+
   /** Fleet-wide ERASURE-COMPLETION audit — the evidence artifact a
     * GDPR/takedown process actually files, composed from pieces that
     * already exist (manifest snapshots, tombstone pending counts,
