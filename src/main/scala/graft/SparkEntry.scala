@@ -60,12 +60,25 @@ object SparkEntry {
   private def fixtureTuned[A](s: SparkSession)(body: => A): A = {
     val aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     val parts = s.conf.get("spark.sql.shuffle.partitions", "200")
+    val wsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
+    val cgf = s.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // constructed-fixture gates run dozens of DISTINCT lifecycle plans
+    // over ≤ ~20-row planted states: janino-compiling kilobytes of
+    // whole-stage Java per plan costs far more than interpreting the
+    // handful of rows ever saves (q258 warm job-time sum 9-14 s with
+    // codegen vs 5.2 s interpreted). Scale-honest because these gates'
+    // inputs are constant-size BY CONSTRUCTION (decades flat) — the
+    // data-bearing queries keep codegen on.
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try body
     finally {
       s.conf.set("spark.sql.adaptive.enabled", aqe)
       s.conf.set("spark.sql.shuffle.partitions", parts)
+      s.conf.set("spark.sql.codegen.wholeStage", wsc)
+      s.conf.set("spark.sql.codegen.factoryMode", cgf)
     }
   }
 
@@ -3168,7 +3181,7 @@ object SparkEntry {
     * NULL and NULL never triggers an action, so each family only trips
     * its own rules. All three verdicts are structural facts of the
     * constructed states (q234's oracle shape), pinned by the oracle. */
-  def q239_fleet_text_plan(s: SparkSession, d: String): DataFrame = {
+  def q239_fleet_text_plan(s: SparkSession, d: String): DataFrame = fixtureTuned(s) {
     import s.implicits._
     // healthy IVF fixture: 8 distinct axis-ish vectors, queried by
     // themselves at probe-all — recall exactly 1.0
@@ -3633,7 +3646,7 @@ object SparkEntry {
     * every executed family goes quiet (`none`), the skipped one still
     * demands its rebuild. All structural facts of the constructed
     * states. */
-  def q253_fleet_apply(s: SparkSession, d: String): DataFrame = {
+  def q253_fleet_apply(s: SparkSession, d: String): DataFrame = fixtureTuned(s) {
     import s.implicits._
     val boiler = "all work and no play makes jack a dull boy"
     val hotDocs = (0L until 8L).map(i => (i, boiler)).toDF("id", "text")
@@ -3837,7 +3850,7 @@ object SparkEntry {
     * repair re-append converges the fleet and the re-probe finds the
     * previously-invisible near-dup. Structural facts pinned per phase:
     * gap count, the gap itself, and the post-repair probe hit. */
-  def q255_ingest_reconcile(s: SparkSession, d: String): DataFrame = {
+  def q255_ingest_reconcile(s: SparkSession, d: String): DataFrame = fixtureTuned(s) {
     import s.implicits._
     val base = Seq(0L -> "the quick brown fox jumps over the lazy dog")
       .toDF("id", "text").repartition(1)
@@ -3908,7 +3921,7 @@ object SparkEntry {
     * and trailing means are structural facts of the planted fixture
     * (the near-dup texts extend the base doc by one token: 4 of 5
     * shingles shared, J = 0.8 ≥ 0.5). */
-  def q256_funnel_history(s: SparkSession, d: String): DataFrame = {
+  def q256_funnel_history(s: SparkSession, d: String): DataFrame = fixtureTuned(s) {
     import s.implicits._
     val base = Seq((0L, "alpha beta gamma delta epsilon zeta"))
       .toDF("id", "text").repartition(1)
@@ -4019,7 +4032,7 @@ object SparkEntry {
     * silent — while the SKIPPED family's probe still fires, pinning
     * that the skip is real. One row per family: (family, status,
     * n_removed, hits_before, hits_after), all structural facts. */
-  def q258_fleet_delete(s: SparkSession, d: String): DataFrame = {
+  def q258_fleet_delete(s: SparkSession, d: String): DataFrame = fixtureTuned(s) {
     import s.implicits._
     val texts = Seq(
       0L -> "the quick brown fox jumps over the lazy dog",
@@ -4868,7 +4881,7 @@ object SparkEntry {
     * family's rule — the q234/q239 pattern completed across all SEVEN
     * persisted families. All verdicts are structural facts of the
     * constructed states. */
-  def q247_fleet_all_families(s: SparkSession, d: String): DataFrame = {
+  def q247_fleet_all_families(s: SparkSession, d: String): DataFrame = fixtureTuned(s) {
     import s.implicits._
     def v8(dim: Int): Array[Float] = {
       val a = new Array[Float](8); a(dim) = 1.0f; a

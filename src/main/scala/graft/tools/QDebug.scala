@@ -14,17 +14,40 @@ object QDebug {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
 
-    @volatile var jobs = List.empty[(Int, Long)]
+    @volatile var jobs = List.empty[(Int, Long, String)]
+    val execSites =
+      new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       private val starts =
-        new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            val graftLine = e.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("QDebug"))
+              .getOrElse("").trim.take(110)
+            execSites.put(e.executionId,
+              e.description.take(60) + " | " + graftLine)
+          case _ => ()
+        }
       override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        starts.put(js.jobId, js.time)
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val execId = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+        val stage = js.stageInfos.lastOption.map(_.name.take(45))
+          .getOrElse("?")
+        val site = execId.flatMap(id =>
+          Option(execSites.get(id.toLong))).getOrElse("?") +
+          " ## " + stage
+        starts.put(js.jobId, (js.time, site))
+      }
       override def onJobEnd(
           je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val t0 = Option(starts.get(je.jobId)).getOrElse(je.time)
-        jobs = (je.jobId, je.time - t0) :: jobs
+        val (t0, site) = Option(starts.get(je.jobId))
+          .getOrElse((je.time, "?"))
+        jobs = (je.jobId, je.time - t0, site) :: jobs
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -38,9 +61,12 @@ object QDebug {
       val js = jobs.sortBy(_._1)
       println(f"$name: $wall%.1fs ($n rows), ${js.size} jobs, " +
         f"job-time sum ${js.map(_._2).sum / 1e3}%.1fs")
-      js.foreach { case (id, ms) =>
-        if (ms > 300) println(f"  job $id: ${ms / 1e3}%.1fs")
-      }
+      js.groupBy(_._3).toSeq
+        .map { case (site, g) => (site, g.size, g.map(_._2).sum) }
+        .sortBy(-_._3)
+        .foreach { case (site, n, ms) =>
+          println(f"  ${ms / 1e3}%7.2fs  n=$n%-4d $site")
+        }
     }
 
     sys.env.get("QDEBUG_CONF").foreach { kvs =>
