@@ -3498,8 +3498,12 @@ object SparkEntry {
     val dirs = Seq("q249_mh_", "q249_dc_").map(graft.util.TempDirs.fresh)
     try {
       val Seq(mhDir, dcDir) = dirs.map(_.getAbsolutePath)
-      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
-      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      // two independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale)
+      inParallel(
+        () => Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text"),
+        () => Decontamination.decontamIndexBuild(bench, dcDir, "text",
+          n = 3))
       val exactFlag = Dedup.incrementalExact(batch, base, "doc_id",
         "text")
       val nearIds = Dedup.minhashIndexProbe(s, mhDir, batch, base,
@@ -3577,11 +3581,15 @@ object SparkEntry {
     try {
       val Seq(exDir, mhDir, dcDir, stageDir, outDir, ckptDir) =
         dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(base, exDir, "doc_id", "text")
-      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
-      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
-      batch.select(col("doc_id"), col("text")).repartition(6)
-        .write.parquet(stageDir)
+      // four independent destinations — build concurrently (q254's
+      // inParallel rationale)
+      inParallel(
+        () => Dedup.exactIndexBuild(base, exDir, "doc_id", "text"),
+        () => Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text"),
+        () => Decontamination.decontamIndexBuild(bench, dcDir, "text",
+          n = 3),
+        () => batch.select(col("doc_id"), col("text")).repartition(6)
+          .write.parquet(stageDir))
       val stream = s.readStream
         .schema(org.apache.spark.sql.types.StructType(
           batch.select(col("doc_id"), col("text")).schema.fields))
@@ -3616,9 +3624,13 @@ object SparkEntry {
       .map(graft.util.TempDirs.fresh)
     try {
       val Seq(exDir, mhDir, dcDir) = dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(base, exDir, "doc_id", "text")
-      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
-      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      // three independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale)
+      inParallel(
+        () => Dedup.exactIndexBuild(base, exDir, "doc_id", "text"),
+        () => Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text"),
+        () => Decontamination.decontamIndexBuild(bench, dcDir, "text",
+          n = 3))
       val verdicts = operators.CorpusPipeline.admitBatch(s, batch,
         exDir, mhDir, dcDir, base, "doc_id", "text")
       batch.select(col("doc_id"), col("source"))
@@ -3664,20 +3676,30 @@ object SparkEntry {
       .map(graft.util.TempDirs.fresh)
     try {
       val Seq(mhDir, shDir, semDir, exDir) = dirs.map(_.getAbsolutePath)
-      Dedup.minhashIndexBuild(hotDocs, mhDir, "id", "text")
-      Dedup.simhashIndexBuild(fragDocs.filter(col("id") < 2), shDir,
-        "id", "text")
-      (2L until 4L).foreach(i => Dedup.simhashIndexAppend(s, shDir,
-        fragDocs.filter(col("id") === i), "id", "text"))
-      val (labels, centroids) = operators.Clustering.kmeansWithCentroids(
-        semVecs, "id", "vec", k = 2, iterations = 2)
-      operators.Clustering.semDedupStateSave(s, semDir, labels, "id",
-        centroids)
-      operators.Clustering.releasePairs(labels)
-      Dedup.exactIndexBuild(fragDocs.filter(col("id") === 0L), exDir,
-        "id", "text")
-      (1L until 4L).foreach(i => Dedup.exactIndexAppend(s, exDir,
-        fragDocs.filter(col("id") === i), "id", "text"))
+      // four independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale; intra-family append order kept)
+      inParallel(
+        () => Dedup.minhashIndexBuild(hotDocs, mhDir, "id", "text"),
+        () => {
+          Dedup.simhashIndexBuild(fragDocs.filter(col("id") < 2), shDir,
+            "id", "text")
+          (2L until 4L).foreach(i => Dedup.simhashIndexAppend(s, shDir,
+            fragDocs.filter(col("id") === i), "id", "text"))
+        },
+        () => {
+          val (labels, centroids) = operators.Clustering
+            .kmeansWithCentroids(semVecs, "id", "vec", k = 2,
+              iterations = 2)
+          operators.Clustering.semDedupStateSave(s, semDir, labels,
+            "id", centroids)
+          operators.Clustering.releasePairs(labels)
+        },
+        () => {
+          Dedup.exactIndexBuild(fragDocs.filter(col("id") === 0L),
+            exDir, "id", "text")
+          (1L until 4L).foreach(i => Dedup.exactIndexAppend(s, exDir,
+            fragDocs.filter(col("id") === i), "id", "text"))
+        })
       def plan() = Similarity.indexMaintenancePlan(
         Dedup.minhashIndexHealth(s, mhDir, hotBucketCap = 5)
           .unionByName(Dedup.simhashIndexHealth(s, shDir),
@@ -3689,7 +3711,7 @@ object SparkEntry {
         recallFloor = 0.9, maxFilesPerListCeiling = 10,
         maxFragmentsCeiling = 2, hotClustersCeiling = 0L)
       val report = Similarity.fleetMaintenanceApply(s, plan(),
-        corpora = Map(mhDir -> hotDocs))
+        corpora = Map(mhDir -> hotDocs), parallelism = 4)
       val after = plan().select(col("dir"),
         col("action").as("action_after"))
       report.join(after, Seq("dir"))
@@ -3862,9 +3884,12 @@ object SparkEntry {
       .map(graft.util.TempDirs.fresh)
     try {
       val Seq(exDir, mhDir, shDir) = dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(base, exDir, "id", "text")
-      Dedup.minhashIndexBuild(base, mhDir, "id", "text")
-      Dedup.simhashIndexBuild(base, shDir, "id", "text")
+      // three independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale)
+      inParallel(
+        () => Dedup.exactIndexBuild(base, exDir, "id", "text"),
+        () => Dedup.minhashIndexBuild(base, mhDir, "id", "text"),
+        () => Dedup.simhashIndexBuild(base, shDir, "id", "text"))
       val fams = Map("exact" -> exDir, "minhash" -> mhDir,
         "simhash" -> shDir)
       def gapState(): (Long, String) = {
@@ -3949,9 +3974,13 @@ object SparkEntry {
       .map(graft.util.TempDirs.fresh)
     try {
       val Seq(exDir, mhDir, dcDir, histDir) = dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(base, exDir, "id", "text")
-      Dedup.minhashIndexBuild(base, mhDir, "id", "text")
-      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      // three independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale)
+      inParallel(
+        () => Dedup.exactIndexBuild(base, exDir, "id", "text"),
+        () => Dedup.minhashIndexBuild(base, mhDir, "id", "text"),
+        () => Decontamination.decontamIndexBuild(bench, dcDir, "text",
+          n = 3))
       days.foreach { case (day, rows) =>
         val batch = rows.toDF("id", "source", "text")
         val verdicts = operators.CorpusPipeline.admitBatch(s, batch,
@@ -3996,9 +4025,13 @@ object SparkEntry {
       .map(graft.util.TempDirs.fresh)
     try {
       val Seq(exDir, mhDir, dcDir) = dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(base, exDir, "doc_id", "text")
-      Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text")
-      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      // three independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale)
+      inParallel(
+        () => Dedup.exactIndexBuild(base, exDir, "doc_id", "text"),
+        () => Dedup.minhashIndexBuild(base, mhDir, "doc_id", "text"),
+        () => Decontamination.decontamIndexBuild(bench, dcDir, "text",
+          n = 3))
       val v1 = operators.CorpusPipeline.admitBatch(s, day1, exDir,
         mhDir, dcDir, base, "doc_id", "text")
       // MATERIALIZE the accepted set before mutating the indexes it
@@ -4008,10 +4041,11 @@ object SparkEntry {
         .join(v1.filter(col("accepted")).select("doc_id"),
           Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
-      Dedup.exactIndexAppend(s, exDir, acc1, "doc_id", "text",
-        batchId = Some("day1"))
-      Dedup.minhashIndexAppend(s, mhDir, acc1, "doc_id", "text",
-        batchId = Some("day1"))
+      inParallel(
+        () => Dedup.exactIndexAppend(s, exDir, acc1, "doc_id", "text",
+          batchId = Some("day1")),
+        () => Dedup.minhashIndexAppend(s, mhDir, acc1, "doc_id", "text",
+          batchId = Some("day1")))
       operators.CorpusPipeline.admitBatch(s, day2, exDir, mhDir, dcDir,
         base.select(col("doc_id"), col("text")).unionByName(acc1),
         "doc_id", "text")
@@ -4057,14 +4091,18 @@ object SparkEntry {
     try {
       val Seq(exDir, mhDir, shDir, ivfDir, dcDir) =
         dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(v1, exDir, "id", "text")
-      Dedup.minhashIndexBuild(v1, mhDir, "id", "text")
-      Dedup.simhashIndexBuild(v1, shDir, "id", "text")
-      Similarity.ivfBuild(vecs, ivfDir, nList = 4, kmeansMaxIter = 2)
-      // the decontam index holds doc 1's shingles too — the family the
-      // fleet delete must SKIP (shingle-keyed)
-      Decontamination.decontamIndexBuild(v1.filter(col("id") === 1L),
-        dcDir, "text", n = 3)
+      // five independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale; the decontam index holds doc 1's
+      // shingles too: the family the fleet delete must SKIP
+      // (shingle-keyed))
+      inParallel(
+        () => Dedup.exactIndexBuild(v1, exDir, "id", "text"),
+        () => Dedup.minhashIndexBuild(v1, mhDir, "id", "text"),
+        () => Dedup.simhashIndexBuild(v1, shDir, "id", "text"),
+        () => Similarity.ivfBuild(vecs, ivfDir, nList = 4,
+          kmeansMaxIter = 2),
+        () => Decontamination.decontamIndexBuild(
+          v1.filter(col("id") === 1L), dcDir, "text", n = 3))
       def hits(): Map[String, Long] = {
         def tag(name: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(count(lit(1)).as("n"))
@@ -4096,7 +4134,7 @@ object SparkEntry {
       // application: one call erases the doc across the whole fleet
       val report = Similarity.fleetDelete(s,
         Seq(exDir, mhDir, shDir, ivfDir, dcDir), removed, "id",
-        textCol = Some("text"))
+        textCol = Some("text"), parallelism = 5)
         .select("dir", "family", "status").collect()
         .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
         .toMap
@@ -4195,7 +4233,8 @@ object SparkEntry {
             r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
       val before = audit("1_before", Map.empty)
       val statuses = Similarity.fleetDelete(s, fleet, doomed, "id",
-        textCol = Some("text"), decontamRemaining = Some(remaining))
+        textCol = Some("text"), decontamRemaining = Some(remaining),
+        parallelism = 7)
         .select("family", "status").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       val deleted = audit("2_deleted", statuses)
@@ -4264,15 +4303,22 @@ object SparkEntry {
     try {
       val Seq(exDir, mhDir, shDir, semDir, dcDir) =
         dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(base, exDir, "id", "text")
-      Dedup.minhashIndexBuild(base, mhDir, "id", "text")
-      Dedup.simhashIndexBuild(base, shDir, "id", "text")
-      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
-        baseVecs, "id", "vec", k = 2, iterations = 2)
-      operators.Clustering.semDedupStateSave(s, semDir, labels, "id",
-        cents)
-      operators.Clustering.releasePairs(labels)
-      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
+      // five independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale)
+      inParallel(
+        () => Dedup.exactIndexBuild(base, exDir, "id", "text"),
+        () => Dedup.minhashIndexBuild(base, mhDir, "id", "text"),
+        () => Dedup.simhashIndexBuild(base, shDir, "id", "text"),
+        () => {
+          val (labels, cents) = operators.Clustering
+            .kmeansWithCentroids(baseVecs, "id", "vec", k = 2,
+              iterations = 2)
+          operators.Clustering.semDedupStateSave(s, semDir, labels,
+            "id", cents)
+          operators.Clustering.releasePairs(labels)
+        },
+        () => Decontamination.decontamIndexBuild(bench, dcDir, "text",
+          n = 3))
       operators.CorpusPipeline.admitBatch(s, batch, exDir, mhDir,
         dcDir, base, "id", "text", minTokens = 5, threshold = 0.5,
         simhashDir = Some(shDir), maxHamming = 0,
@@ -4418,18 +4464,25 @@ object SparkEntry {
     try {
       val Seq(exDir, mhDir, shDir, semDir, dcDir, stageDir, out1, ck1,
         out2, ck2) = dirs.map(_.getAbsolutePath)
-      Dedup.exactIndexBuild(base, exDir, "id", "text")
-      Dedup.minhashIndexBuild(base, mhDir, "id", "text")
-      Dedup.simhashIndexBuild(base, shDir, "id", "text")
-      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
-        baseVecs, "id", "vec", k = 2, iterations = 2)
-      operators.Clustering.semDedupStateSave(s, semDir, labels, "id",
-        cents)
-      operators.Clustering.releasePairs(labels)
-      Decontamination.decontamIndexBuild(bench, dcDir, "text", n = 3)
-      // q209/q251's file-source convention: the day's batch staged as
-      // multi-file parquet by a distributed write, never the driver
-      batch.repartition(3).write.parquet(stageDir)
+      // six independent destinations (five writer-lock domains + the
+      // staging dir) — build concurrently (q254's inParallel rationale;
+      // q209/q251's file-source convention for the staged batch: a
+      // distributed multi-file parquet write, never the driver)
+      inParallel(
+        () => Dedup.exactIndexBuild(base, exDir, "id", "text"),
+        () => Dedup.minhashIndexBuild(base, mhDir, "id", "text"),
+        () => Dedup.simhashIndexBuild(base, shDir, "id", "text"),
+        () => {
+          val (labels, cents) = operators.Clustering
+            .kmeansWithCentroids(baseVecs, "id", "vec", k = 2,
+              iterations = 2)
+          operators.Clustering.semDedupStateSave(s, semDir, labels,
+            "id", cents)
+          operators.Clustering.releasePairs(labels)
+        },
+        () => Decontamination.decontamIndexBuild(bench, dcDir, "text",
+          n = 3),
+        () => batch.repartition(3).write.parquet(stageDir))
       def start(filesPerTrigger: Int, outDir: String, ckptDir: String)
         : org.apache.spark.sql.streaming.StreamingQuery = {
         val stream = s.readStream
@@ -4495,27 +4548,34 @@ object SparkEntry {
     try {
       val Seq(semDir, pqDir, storeDir, rbDir) =
         dirs.map(_.getAbsolutePath)
-      // SemDeDup state frozen at k=1: every vector in one cluster —
-      // the quantizer has "fallen behind" by construction
-      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
-        dvecs, "vid", "embedding", k = 1, iterations = 2)
-      operators.Clustering.semDedupStateSave(s, semDir, labels, "vid",
-        cents)
-      operators.Clustering.releasePairs(labels)
-      // IVF-PQ with two append fragments on top of the fresh build
-      Similarity.ivfPqBuild(fvecs.filter(col("id") < 4), pqDir,
-        nList = 2, m = 2, nCodes = 2)
-      (4L to 5L).foreach(i => Similarity.ivfPqAppend(s, pqDir,
-        fvecs.filter(col("id") === i)))
-      // ONE persisted embedding store serves both rows; foreign
-      // column names exercise the runbook's rename path
-      dvecs.repartition(1).write.parquet(storeDir)
-      operators.FleetRunbook.save(s, rbDir, Seq(
-        (semDir, storeDir, "vid", "embedding", Some(2L)),
-        (pqDir, storeDir, "vid", "embedding",
-          Option.empty[Long]))
-        .toDF("dir", "side_input_path", "id_col", "payload_col",
-          "target_cluster_size"))
+      // four independent destinations — build concurrently (q254's
+      // inParallel rationale). SemDeDup state frozen at k=1: every
+      // vector in one cluster — the quantizer has "fallen behind" by
+      // construction; the IVF-PQ gets two append fragments on top of
+      // the fresh build; ONE persisted embedding store serves both
+      // runbook rows (foreign column names exercise the rename path)
+      inParallel(
+        () => {
+          val (labels, cents) = operators.Clustering
+            .kmeansWithCentroids(dvecs, "vid", "embedding", k = 1,
+              iterations = 2)
+          operators.Clustering.semDedupStateSave(s, semDir, labels,
+            "vid", cents)
+          operators.Clustering.releasePairs(labels)
+        },
+        () => {
+          Similarity.ivfPqBuild(fvecs.filter(col("id") < 4), pqDir,
+            nList = 2, m = 2, nCodes = 2)
+          (4L to 5L).foreach(i => Similarity.ivfPqAppend(s, pqDir,
+            fvecs.filter(col("id") === i)))
+        },
+        () => dvecs.repartition(1).write.parquet(storeDir),
+        () => operators.FleetRunbook.save(s, rbDir, Seq(
+          (semDir, storeDir, "vid", "embedding", Some(2L)),
+          (pqDir, storeDir, "vid", "embedding",
+            Option.empty[Long]))
+          .toDF("dir", "side_input_path", "id_col", "payload_col",
+            "target_cluster_size")))
       val fleet = Seq(semDir, pqDir)
       def plan() = Similarity.indexMaintenancePlan(
         Similarity.fleetHealth(s, fleet, hotClusterCap = 2),
@@ -4588,9 +4648,16 @@ object SparkEntry {
       .map(graft.util.TempDirs.fresh)
     try {
       val Seq(aDir, bDir, logDir) = dirs.map(_.getAbsolutePath)
-      Similarity.ivfBuild(bases, aDir, nList = 2, kmeansMaxIter = 2)
-      Similarity.ivfAppend(s, aDir, straddlers)
-      Similarity.ivfBuild(healthy, bDir, nList = 2, kmeansMaxIter = 2)
+      // two independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale; A's append stays ordered after
+      // its build inside the closure)
+      inParallel(
+        () => {
+          Similarity.ivfBuild(bases, aDir, nList = 2, kmeansMaxIter = 2)
+          Similarity.ivfAppend(s, aDir, straddlers)
+        },
+        () => Similarity.ivfBuild(healthy, bDir, nList = 2,
+          kmeansMaxIter = 2))
       val fleet = Seq(aDir, bDir)
       val tag = Map(aDir -> "A", bDir -> "B")
       def sweep(): Seq[(String, String, Boolean, String)] = {
@@ -4674,30 +4741,40 @@ object SparkEntry {
     try {
       val Seq(ivfDir, semDir, exDir, storeA, storeB, rbDir, logDir) =
         dirs.map(_.getAbsolutePath)
-      Similarity.ivfBuild(bases.toDF("id", "v"), ivfDir, nList = 2,
-        kmeansMaxIter = 2)
-      Similarity.ivfAppend(s, ivfDir, straddlers.toDF("id", "v"))
       val dvecs = semPts.zipWithIndex.map { case (p, i) =>
         (i.toLong, p) }.toDF("vid", "embedding")
-      val (labels, cents) = operators.Clustering.kmeansWithCentroids(
-        dvecs, "vid", "embedding", k = 1, iterations = 2)
-      operators.Clustering.semDedupStateSave(s, semDir, labels, "vid",
-        cents)
-      operators.Clustering.releasePairs(labels)
-      Dedup.exactIndexBuild(texts.take(1).toDF("id", "text"), exDir,
-        "id", "text")
-      texts.drop(1).foreach(t => Dedup.exactIndexAppend(s, exDir,
-        Seq(t).toDF("id", "text"), "id", "text"))
-      // the runbook holds BOTH stores under foreign column names —
-      // the loop's only configuration, written once
-      (bases ++ straddlers).map { case (i, v) => (i, v.toSeq) }
-        .toDF("vid", "emb").repartition(1).write.parquet(storeA)
-      dvecs.repartition(1).write.parquet(storeB)
-      operators.FleetRunbook.save(s, rbDir, Seq(
-        (ivfDir, storeA, "vid", "emb", Option.empty[Long]),
-        (semDir, storeB, "vid", "embedding", Some(2L)))
-        .toDF("dir", "side_input_path", "id_col", "payload_col",
-          "target_cluster_size"))
+      // six independent destinations — build concurrently (q254's
+      // inParallel rationale; the runbook holds BOTH stores under
+      // foreign column names: the loop's only configuration, written
+      // once)
+      inParallel(
+        () => {
+          Similarity.ivfBuild(bases.toDF("id", "v"), ivfDir, nList = 2,
+            kmeansMaxIter = 2)
+          Similarity.ivfAppend(s, ivfDir, straddlers.toDF("id", "v"))
+        },
+        () => {
+          val (labels, cents) = operators.Clustering
+            .kmeansWithCentroids(dvecs, "vid", "embedding", k = 1,
+              iterations = 2)
+          operators.Clustering.semDedupStateSave(s, semDir, labels,
+            "vid", cents)
+          operators.Clustering.releasePairs(labels)
+        },
+        () => {
+          Dedup.exactIndexBuild(texts.take(1).toDF("id", "text"), exDir,
+            "id", "text")
+          texts.drop(1).foreach(t => Dedup.exactIndexAppend(s, exDir,
+            Seq(t).toDF("id", "text"), "id", "text"))
+        },
+        () => (bases ++ straddlers).map { case (i, v) => (i, v.toSeq) }
+          .toDF("vid", "emb").repartition(1).write.parquet(storeA),
+        () => dvecs.repartition(1).write.parquet(storeB),
+        () => operators.FleetRunbook.save(s, rbDir, Seq(
+          (ivfDir, storeA, "vid", "emb", Option.empty[Long]),
+          (semDir, storeB, "vid", "embedding", Some(2L)))
+          .toDF("dir", "side_input_path", "id_col", "payload_col",
+            "target_cluster_size")))
       val fleet = Seq(ivfDir, semDir, exDir)
       val tag = Map(ivfDir -> "A", semDir -> "B", exDir -> "C")
       def sweep(step: String): (DataFrame,
@@ -4762,9 +4839,13 @@ object SparkEntry {
       val Seq(srcRoot, bakRoot, resRoot) = dirs.map(_.getAbsolutePath)
       val exDir = s"$srcRoot/ex"; val mhDir = s"$srcRoot/mh"
       val ivfDir = s"$srcRoot/ivf"
-      Dedup.exactIndexBuild(texts, exDir, "id", "text")
-      Dedup.minhashIndexBuild(texts, mhDir, "id", "text")
-      Similarity.ivfBuild(vecs, ivfDir, nList = 2, kmeansMaxIter = 2)
+      // three independent writer-lock domains — build concurrently
+      // (q254's inParallel rationale)
+      inParallel(
+        () => Dedup.exactIndexBuild(texts, exDir, "id", "text"),
+        () => Dedup.minhashIndexBuild(texts, mhDir, "id", "text"),
+        () => Similarity.ivfBuild(vecs, ivfDir, nList = 2,
+          kmeansMaxIter = 2))
       val backup = Similarity.fleetClone(s, Seq(exDir, mhDir, ivfDir),
         bakRoot, parallelism = 3)
         .select("family", "status").collect()
@@ -4909,25 +4990,36 @@ object SparkEntry {
     try {
       val Seq(ivfDir, mhDir, shDir, semDir, dcDir, exDir) =
         dirs.map(_.getAbsolutePath)
-      Similarity.ivfBuild(ivfCorpus, ivfDir, nList = 4,
-        kmeansMaxIter = 10)
-      Dedup.minhashIndexBuild(hotDocs, mhDir, "id", "text")
-      Dedup.simhashIndexBuild(fragDocs.filter(col("id") < 2), shDir,
-        "id", "text")
-      (2L until 4L).foreach(i => Dedup.simhashIndexAppend(s, shDir,
-        fragDocs.filter(col("id") === i), "id", "text"))
-      val (labels, centroids) = operators.Clustering.kmeansWithCentroids(
-        semVecs, "vec_id", "embedding", k = 2, iterations = 2)
-      operators.Clustering.semDedupStateSave(s, semDir, labels,
-        "vec_id", centroids)
-      operators.Clustering.releasePairs(labels)
-      Decontamination.decontamIndexBuild(
-        fragDocs.select(col("id").as("doc_id"), col("text")), dcDir,
-        "text", n = 3)
-      Dedup.exactIndexBuild(fragDocs.filter(col("id") === 0L), exDir,
-        "id", "text")
-      (1L until 4L).foreach(i => Dedup.exactIndexAppend(s, exDir,
-        fragDocs.filter(col("id") === i), "id", "text"))
+      // seven independent writer-lock domains: build each family's
+      // planted state concurrently (intra-family append order kept
+      // inside its closure) — q254's inParallel rationale
+      inParallel(
+        () => Similarity.ivfBuild(ivfCorpus, ivfDir, nList = 4,
+          kmeansMaxIter = 10),
+        () => Dedup.minhashIndexBuild(hotDocs, mhDir, "id", "text"),
+        () => {
+          Dedup.simhashIndexBuild(fragDocs.filter(col("id") < 2), shDir,
+            "id", "text")
+          (2L until 4L).foreach(i => Dedup.simhashIndexAppend(s, shDir,
+            fragDocs.filter(col("id") === i), "id", "text"))
+        },
+        () => {
+          val (labels, centroids) = operators.Clustering
+            .kmeansWithCentroids(semVecs, "vec_id", "embedding", k = 2,
+              iterations = 2)
+          operators.Clustering.semDedupStateSave(s, semDir, labels,
+            "vec_id", centroids)
+          operators.Clustering.releasePairs(labels)
+        },
+        () => Decontamination.decontamIndexBuild(
+          fragDocs.select(col("id").as("doc_id"), col("text")), dcDir,
+          "text", n = 3),
+        () => {
+          Dedup.exactIndexBuild(fragDocs.filter(col("id") === 0L), exDir,
+            "id", "text")
+          (1L until 4L).foreach(i => Dedup.exactIndexAppend(s, exDir,
+            fragDocs.filter(col("id") === i), "id", "text"))
+        })
       val fleet = Similarity
         .ivfIndexHealth(s, ivfDir,
           ivfCorpus.select(col("id").as("qid"), col("v").as("qv")),

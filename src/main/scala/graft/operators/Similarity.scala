@@ -113,6 +113,39 @@ object Similarity {
     df.coalesce(target)
   }
 
+  /** Coarse k-means fit through MLlib's RDD API directly. Numerically
+    * IDENTICAL to `ml.clustering.KMeans.fit` — the ml wrapper delegates
+    * to exactly this implementation with the same defaults (k-means||
+    * init, 2 init steps, epsilon 1e-4, euclidean distance) — but
+    * WITHOUT the wrapper's training-summary instrumentation, which
+    * re-transforms the whole fit input and collects per-cluster sizes
+    * just to log them: one full extra pass over the corpus per build,
+    * at any scale, computing something nothing reads (guide §1.2). */
+  private def coarseKMeansFit(fit: DataFrame, k: Int, seed: Long,
+                              maxIter: Int)
+  : org.apache.spark.mllib.clustering.KMeansModel = {
+    val rdd = fit.select(col("fv")).rdd.map(r =>
+      org.apache.spark.mllib.linalg.Vectors.fromML(
+        r.getAs[org.apache.spark.ml.linalg.Vector](0)))
+    // the ml wrapper persists its instances RDD across the fit's
+    // iterations when the input is uncached (handlePersistence) — the
+    // direct path keeps that behavior
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try new org.apache.spark.mllib.clustering.KMeans().setK(k)
+      .setSeed(seed).setMaxIterations(maxIter).run(rdd)
+    finally rdd.unpersist(false)
+  }
+
+  /** List assignment against a [[coarseKMeansFit]] model — the same
+    * `predict` kernel `ml.KMeansModel.transform`'s prediction UDF
+    * applies, so assignments are bit-identical to the wrapper's. */
+  private def assignList(
+      model: org.apache.spark.mllib.clustering.KMeansModel)
+  : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: org.apache.spark.ml.linalg.Vector) =>
+      model.predict(org.apache.spark.mllib.linalg.Vectors.fromML(v))
+    }
+
   /** Exact top-k cosine neighbors of each query vector.
     * queries: (qid, qv), corpus: (id, v). Queries must be broadcastable. */
   def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
@@ -149,16 +182,12 @@ object Similarity {
   def ivf(queries: DataFrame, corpus: DataFrame, k: Int,
           nList: Int = 16, nProbe: Int = 2, seed: Long = 7L,
           kmeansMaxIter: Int = 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.{Vector => MlVector}
     val av = corpus.select(col("id"), col("v"),
       array_to_vector(col("v").cast("array<double>")).as("fv"))
-    val model = new KMeans().setK(nList).setSeed(seed)
-      .setMaxIter(kmeansMaxIter)
-      .setFeaturesCol("fv").setPredictionCol("list").fit(fitView(av))
-    val bucketed = model.transform(av).select(col("id"), col("v"),
-      col("list"))
+    val model = coarseKMeansFit(fitView(av), nList, seed, kmeansMaxIter)
+    val bucketed = av.select(col("id"), col("v"),
+      assignList(model)(col("fv")).as("list"))
     val centers = corpus.sparkSession.sparkContext
       .broadcast(model.clusterCenters.map(_.toArray))
     val probeLists = udf { (qv: Seq[Double]) =>
@@ -325,21 +354,19 @@ object Similarity {
 
   def ivfBuild(corpus: DataFrame, dir: String, nList: Int = 16,
                seed: Long = 7L, kmeansMaxIter: Int = 20): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val av = corpus.select(col("id"), col("v"),
       array_to_vector(col("v").cast("array<double>")).as("fv"))
-    val model = new KMeans().setK(nList).setSeed(seed)
-      .setMaxIter(kmeansMaxIter)
-      .setFeaturesCol("fv").setPredictionCol("list").fit(fitView(av))
+    val model = coarseKMeansFit(fitView(av), nList, seed, kmeansMaxIter)
     import spark.implicits._
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("list", "center")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/centroids.parquet")
-    model.transform(av).select(col("list"), col("id"), col("v"))
+    av.select(assignList(model)(col("fv")).as("list"), col("id"),
+        col("v"))
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list")
       .parquet(s"$dir/postings.parquet")
@@ -476,15 +503,12 @@ object Similarity {
   def ivfPqBuild(corpus: DataFrame, dir: String, nList: Int = 16,
                  m: Int = 4, nCodes: Int = 16, trainFraction: Double = 1.0,
                  seed: Long = 7L, kmeansMaxIter: Int = 20): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     val av = corpus.select(col("id"), col("v"),
       array_to_vector(col("v").cast("array<double>")).as("fv"))
-    val coarse = new KMeans().setK(nList).setSeed(seed)
-      .setMaxIter(kmeansMaxIter)
-      .setFeaturesCol("fv").setPredictionCol("list").fit(fitView(av))
+    val coarse = coarseKMeansFit(fitView(av), nList, seed, kmeansMaxIter)
     val dim = corpus.select(size(col("v")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subLen = dim / m
@@ -515,8 +539,7 @@ object Similarity {
     val encode = udf { (v: Seq[Double]) =>
       pqEncode(bcCb.value, subLen, v)
     }
-    coarse.transform(av)
-      .select(col("list"), col("id"),
+    av.select(assignList(coarse)(col("fv")).as("list"), col("id"),
         encode(col("v").cast("array<double>")).as("e"))
       .select(col("list"), col("id"), col("e._1").as("codes"),
         col("e._2").as("norm"))
@@ -2085,15 +2108,12 @@ object Similarity {
             nList: Int = 16, nProbe: Int = 2, m: Int = 4, nCodes: Int = 16,
             refineK: Int = 50, trainFraction: Double = 1.0,
             seed: Long = 7L, kmeansMaxIter: Int = 20): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val av = corpus.select(col("id"), col("v"),
       array_to_vector(col("v").cast("array<double>")).as("fv"))
     // coarse quantizer: assigns every corpus vector to an inverted list
-    val coarse = new KMeans().setK(nList).setSeed(seed)
-      .setMaxIter(kmeansMaxIter)
-      .setFeaturesCol("fv").setPredictionCol("list").fit(fitView(av))
+    val coarse = coarseKMeansFit(fitView(av), nList, seed, kmeansMaxIter)
     val dim = corpus.select(size(col("v")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subLen = dim / m
@@ -2120,8 +2140,8 @@ object Similarity {
       pqEncode(bcCb.value, subLen, v)
     }
     // the compressed corpus: list id + codes + norm, no vectors
-    val encoded = coarse.transform(av)
-      .select(col("id"), col("list"),
+    val encoded = av
+      .select(col("id"), assignList(coarse)(col("fv")).as("list"),
         encode(col("v").cast("array<double>")).as("e"))
       .select(col("id"), col("list"), col("e._1").as("codes"),
         col("e._2").as("norm"))
