@@ -110,6 +110,37 @@ object CoordinateDescent {
       "locked coordinates must exist in the initial model")
     val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Row-count-keyed execution profile for the descent loop — the same
+    // scale adaptation DistributedGlmObjective applies to its iteration
+    // view (≥25k rows per shuffle partition), lifted to the loop's score
+    // algebra: every round materializes 2-4 uid-keyed join plans
+    // (localCheckpoint), and at the session's full shuffle-partition
+    // count each of those pays AQE stage-materialization jobs plus
+    // near-empty task launches that dwarf the data work when the
+    // training input is small relative to the configured parallelism.
+    // The count() materializes the persist — a pass the first scoring
+    // job would pay anyway. At production row counts (n ≥ 25k × the
+    // session's shuffle partitions) `derived == sessionParts` and
+    // NOTHING changes: AQE stays on, partitions stay the cluster's —
+    // this is input-size-derived partitioning, not a local[32] tune.
+    // uid is unique per score row, so the joins cannot skew; the
+    // per-entity solves stay partition-count-independent (boundedSample
+    // keys its reservoir on content hashes, closed-form/mapGroups
+    // solves are per-group arithmetic).
+    val nRows = cached.count()
+    val spConfKey = "spark.sql.shuffle.partitions"
+    val aqeConfKey = "spark.sql.adaptive.enabled"
+    val sessionParts = spark.conf.get(spConfKey, "200").toInt
+    val derivedParts =
+      math.min(sessionParts.toLong, nRows / 25000L + 1L).toInt
+    val smallInput = derivedParts < sessionParts
+    val savedAqe = spark.conf.get(aqeConfKey, "true")
+    if (smallInput) {
+      spark.conf.set(spConfKey, derivedParts.toString)
+      spark.conf.set(aqeConfKey, "false")
+    }
+    try {
+
     // Score frames are tracked as Option[DataFrame] with None = all-zero.
     // The first pass over each coordinate then skips the residual
     // subtract / offset-attach / score-add joins entirely (they would be
@@ -277,5 +308,9 @@ object CoordinateDescent {
     summed.foreach(s => release(s, keep: _*))
     scores.values.flatten.foreach(o => release(o, keep: _*))
     GameModel(trained)
+    } finally if (smallInput) {
+      spark.conf.set(spConfKey, sessionParts.toString)
+      spark.conf.set(aqeConfKey, savedAqe)
+    }
   }
 }
