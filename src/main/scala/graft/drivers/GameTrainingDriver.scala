@@ -59,6 +59,14 @@ object GameTrainingDriver {
       .map(d => ModelIO.loadGame(spark, d))
     val validationDf = a.opt("validation-dir")
       .map(d => prepare(spark.read.parquet(d), a))
+    // counted once: keys every evaluation's derived-width scope — the
+    // scored 4-coordinate join chain plus the curve-metric RDD passes
+    // otherwise pay session-width shuffles and AQE stage jobs per
+    // evaluation (a tuning search evaluates per candidate), which
+    // dwarf the metric arithmetic on a small validation set. At
+    // production validation sizes the scope is a no-op
+    // ([[graft.util.ExecProfile.withDerivedShuffle]]).
+    val validationRows = validationDf.map(_.count())
     val metricName = a.str("evaluator", "rmse")
 
     def cfgFor(lambda: Double): GlmConfig = {
@@ -109,11 +117,15 @@ object GameTrainingDriver {
     def evaluate(model: GameModel): Double = validationDf match {
       case None => Double.NaN
       case Some(v) =>
-        val scored = v.select(col("uid"), col("label"))
-          .join(model.score(v), "uid")
-        metricName match {
-          case "auc" => Evaluators.auc(scored, "score", "label")
-          case _ => Evaluators.rmse(scored, "score", "label")
+        graft.util.ExecProfile.withDerivedShuffle(spark,
+          validationRows.getOrElse(Long.MaxValue), 25000L,
+          codegenOff = true) {
+          val scored = v.select(col("uid"), col("label"))
+            .join(model.score(v), "uid")
+          metricName match {
+            case "auc" => Evaluators.auc(scored, "score", "label")
+            case _ => Evaluators.rmse(scored, "score", "label")
+          }
         }
     }
 

@@ -110,9 +110,10 @@ object CoordinateDescent {
       "locked coordinates must exist in the initial model")
     val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Row-count-keyed execution profile for the descent loop — the same
-    // scale adaptation DistributedGlmObjective applies to its iteration
-    // view (≥25k rows per shuffle partition), lifted to the loop's score
+    // Row-count-keyed execution profile for the descent loop
+    // ([[graft.util.ExecProfile.withDerivedShuffle]]) — the same scale
+    // adaptation DistributedGlmObjective applies to its iteration view
+    // (≥25k rows per shuffle partition), lifted to the loop's score
     // algebra: every round materializes 2-4 uid-keyed join plans
     // (localCheckpoint), and at the session's full shuffle-partition
     // count each of those pays AQE stage-materialization jobs plus
@@ -120,26 +121,24 @@ object CoordinateDescent {
     // training input is small relative to the configured parallelism.
     // The count() materializes the persist — a pass the first scoring
     // job would pay anyway. At production row counts (n ≥ 25k × the
-    // session's shuffle partitions) `derived == sessionParts` and
-    // NOTHING changes: AQE stays on, partitions stay the cluster's —
-    // this is input-size-derived partitioning, not a local[32] tune.
-    // uid is unique per score row, so the joins cannot skew; the
-    // per-entity solves stay partition-count-independent (boundedSample
-    // keys its reservoir on content hashes, closed-form/mapGroups
-    // solves are per-group arithmetic).
+    // session's shuffle partitions) the scope is a no-op: AQE stays
+    // on, partitions stay the cluster's — this is input-size-derived
+    // partitioning, not a local[32] tune. uid is unique per score row,
+    // so the joins cannot skew; the per-entity solves stay
+    // partition-count-independent (boundedSample keys its reservoir on
+    // content hashes, closed-form/mapGroups solves are per-group
+    // arithmetic). codegenOff: the loop materializes ~3 DISTINCT
+    // one-shot join plans per coordinate pass — compiling each beats
+    // interpreting the rows only above the same 25k-rows/partition
+    // line, so the flag rides the scope (measured: 25 materializations
+    // 9.3 s compiled vs 4.0 s interpreted at sf0.1; production inputs
+    // never activate the scope and keep codegen). The scope mutates
+    // session confs (restored on exit), so train() must not run
+    // concurrently with other queries on the same session — see
+    // ExecProfile's contract.
     val nRows = cached.count()
-    val spConfKey = "spark.sql.shuffle.partitions"
-    val aqeConfKey = "spark.sql.adaptive.enabled"
-    val sessionParts = spark.conf.get(spConfKey, "200").toInt
-    val derivedParts =
-      math.min(sessionParts.toLong, nRows / 25000L + 1L).toInt
-    val smallInput = derivedParts < sessionParts
-    val savedAqe = spark.conf.get(aqeConfKey, "true")
-    if (smallInput) {
-      spark.conf.set(spConfKey, derivedParts.toString)
-      spark.conf.set(aqeConfKey, "false")
-    }
-    try {
+    graft.util.ExecProfile.withDerivedShuffle(spark, nRows, 25000L,
+      codegenOff = true) {
 
     // Score frames are tracked as Option[DataFrame] with None = all-zero.
     // The first pass over each coordinate then skips the residual
@@ -149,6 +148,16 @@ object CoordinateDescent {
     var scores: Map[String, Option[DataFrame]] =
       coords.map(c => c.id -> (None: Option[DataFrame])).toMap
     var summed: Option[DataFrame] = None
+    // `summed` is kept LAZY when it is a fresh `residual + newScore`
+    // add: its ONLY per-round consumer is the next pass's residual
+    // subtract, which materializes anyway — materializing the add too
+    // was one extra localCheckpoint (a distinct one-shot plan compile +
+    // job) per coordinate pass that bought nothing. When summed is
+    // lazy, these are the checkpointed frames its plan reads (released
+    // checkpoints cannot recompute, so they stay live until the lazy
+    // summed has been consumed); empty when summed is materialized or
+    // an alias.
+    var summedDeps: Seq[DataFrame] = Nil
     var trained: Map[String, TrainedCoordinate] =
       initial.map(_.coordinates).getOrElse(Map.empty)
     // frames owned by the CALLER (released data would be unrecoverable —
@@ -197,10 +206,16 @@ object CoordinateDescent {
       // residual scores of all OTHER coordinates (X15: subtract own)
       val residual: Option[DataFrame] = (summed, scores(spec.id)) match {
         case (None, _) => None // nothing scored yet
-        case (Some(s), None) => Some(s) // own score still zero
+        case (Some(s), None) =>
+          // own score still zero: the residual IS the summed frame —
+          // but it feeds BOTH the training input and the next summed,
+          // so a lazy add materializes here (one job, two joins)
+          Some(if (summedDeps.isEmpty) s else materialize(s))
         case (Some(s), Some(own)) if s eq own =>
           None // single-coordinate case: summed IS the own score
         case (Some(s), Some(own)) =>
+          // a lazy summed collapses into this subtract: one
+          // materialization executes add + subtract together
           Some(materialize(ScoreAlgebra.subtract(s, own, "uid")))
       }
       val withResidual = residual match {
@@ -278,23 +293,32 @@ object CoordinateDescent {
       trained += spec.id -> coordinate
 
       val newScore = materialize(coordinate.score(cached))
+      // newSummed stays LAZY over its two checkpointed inputs (see
+      // summedDeps above) — the next pass's residual materializes it
       val newSummed = residual match {
         case None => newScore
-        case Some(r) => materialize(ScoreAlgebra.add(r, newScore, "uid"))
+        case Some(r) => ScoreAlgebra.add(r, newScore, "uid")
       }
       val oldSummed = summed
+      val oldDeps = summedDeps
       val oldOwn = scores(spec.id)
       summed = Some(newSummed)
+      summedDeps = residual match {
+        case None => Nil // summed IS the materialized newScore
+        case Some(r) => Seq(r, newScore)
+      }
       scores += spec.id -> Some(newScore)
       // a released checkpoint is gone for good (no lineage to recompute
       // from), so free a frame only when nothing live still reads it —
       // aliases abound: the first round's summed IS that coordinate's
       // score, a fresh residual IS the old summed when the own score was
-      // zero, the replaced models may belong to the caller's `initial`
-      val live = summed.toSeq ++ scores.values.flatten ++ callerFrames ++
+      // zero, the replaced models may belong to the caller's `initial`,
+      // and the lazy summed's inputs live through summedDeps
+      val live = summedDeps ++ scores.values.flatten ++ callerFrames ++
         trained.values.collect { case TrainedRandom(_, m) => m }
       residual.foreach(r => release(r, live: _*))
       oldSummed.foreach(s => release(s, live: _*))
+      oldDeps.foreach(d => release(d, live: _*))
       oldOwn.foreach(o => release(o, live: _*))
       replaced.collect { case TrainedRandom(_, old) =>
         release(old, live: _*) }
@@ -306,11 +330,9 @@ object CoordinateDescent {
     val keep = callerFrames ++
       trained.values.collect { case TrainedRandom(_, m) => m }
     summed.foreach(s => release(s, keep: _*))
+    summedDeps.foreach(d => release(d, keep: _*))
     scores.values.flatten.foreach(o => release(o, keep: _*))
     GameModel(trained)
-    } finally if (smallInput) {
-      spark.conf.set(spConfKey, sessionParts.toString)
-      spark.conf.set(aqeConfKey, savedAqe)
     }
   }
 }

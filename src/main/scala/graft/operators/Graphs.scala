@@ -38,11 +38,27 @@ object Graphs {
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
                roundTo: Int = 12,
-               broadcastNodeLimit: Long = 10000000L): DataFrame = {
+               broadcastNodeLimit: Long = 10000000L,
+               edgesPerPartition: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && roundTo >= 1 && roundTo <= 15 &&
       damping > 0 && damping < 1)
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Edge count keys every round's shuffle width
+    // ([[graft.util.ExecProfile.withDerivedShuffle]]): a fixed
+    // session-width iteration over a small graph is task-launch-bound —
+    // each round pays AQE stage-materialization jobs plus near-empty
+    // task launches that dwarf the rank arithmetic. 1M edges (~16 MB of
+    // (src,dst) longs) per partition is still conservative against the
+    // guide's 100 MB-1 GB advisory, and at any scale where width
+    // matters (edges ≥ 1M × the session's partitions) the derived
+    // count clamps at the session's and NOTHING changes — AQE stays
+    // on, width stays the cluster's. The count also materializes the
+    // persist, a pass the degree fold below would pay anyway.
+    val m = e.count()
+    graft.util.ExecProfile.withDerivedShuffle(spark, m,
+      edgesPerPartition) {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -84,10 +100,15 @@ object Graphs {
       // truncate lineage every round (the Dedup.resolveClusters lesson):
       // without this, round i's plan nests rounds 1..i-1, so the final
       // action re-executes every earlier round once per reference —
-      // quadratic recompute that swamps the actual per-round work
-      if (i < iterations) rank = rank.localCheckpoint(true)
+      // quadratic recompute that swamps the actual per-round work.
+      // The FINAL round is checkpointed too so its aggregate runs
+      // inside the derived-width scope (the caller's action would
+      // otherwise execute it at the session's width after the scope
+      // restored it); the caller sees the same rows either way.
+      rank = rank.localCheckpoint(true)
     }
     rank
+    }
   }
 
   /** Synchronous label propagation with a FIXED iteration count:
@@ -115,10 +136,18 @@ object Graphs {
     * accordingly. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int,
-                       broadcastNodeLimit: Long = 10000000L): DataFrame = {
+                       broadcastNodeLimit: Long = 10000000L,
+                       edgesPerPartition: Long = 1000000L): DataFrame = {
     require(iterations >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // edge count keys every round's shuffle width — the [[pagerank]]
+    // rationale verbatim (clamps at the session width past 1M edges ×
+    // partitions, so production plans are untouched); the count also
+    // materializes the persist, which round 1 would otherwise pay
+    val m = e.count()
+    graft.util.ExecProfile.withDerivedShuffle(edges.sparkSession, m,
+      edgesPerPartition) {
     // the node table and its count are only needed to decide broadcast;
     // with the limit at 0 (pure AQE planning) neither job runs. For
     // symmetrized edges every node occurs as a src.
@@ -146,9 +175,12 @@ object Graphs {
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("m"))
         .select(col("id"), col("m.lbl").as("lbl"))
       // same lineage truncation as [[pagerank]]: each synchronous round
-      // must run exactly once, not once per downstream reference
-      if (i < iterations) labels = labels.localCheckpoint(true)
+      // must run exactly once, not once per downstream reference — and
+      // the final round checkpoints too, so its aggregates execute
+      // inside the derived-width scope (values unchanged)
+      labels = labels.localCheckpoint(true)
     }
     labels
+    }
   }
 }
