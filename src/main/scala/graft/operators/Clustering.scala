@@ -480,18 +480,17 @@ object Clustering {
     val k = spark.read.parquet(snap.path("centroids")).count()
     val sizes = spark.read.parquet(labelsPath).groupBy("cluster")
       .agg(count(lit(1)).as("_n"))
-    sizes.agg(
+    // one collected plan, no per-reading driver jobs, pending/ingest
+    // fused into a single aggregate side (see
+    // [[Dedup.exactIndexHealth]])
+    OpsStats.attach(spark, snap)(sizes.agg(
       lit(k).as("n_clusters"),
       sum(col("_n")).as("total_rows"),
       count(lit(1)).as("occupied_clusters"),
       max(col("_n")).as("max_cluster"),
       count(when(col("_n") > hotClusterCap, 1)).as("hot_clusters"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"))
-      // one collected plan, no per-reading driver jobs (see
-      // [[Dedup.exactIndexHealth]])
-      .crossJoin(Tombstones.pendingAgg(spark, snap))
-      .crossJoin(IngestLog.countAgg(spark, dir))
+      lit(nFragments).as("n_fragments")))
   }
 
   /** Fold the label table's accumulated append fragments into one

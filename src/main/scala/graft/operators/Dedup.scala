@@ -174,19 +174,19 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listStatus(tableP).count(_.getPath.getName.endsWith(".parquet"))
       .toLong
-    // pending/ingest ride the SAME collected plan (crossJoin of one-row
-    // aggregates) instead of driver-side count jobs per reading — a
-    // fleet health union over a thousand indexes stays one action
-    spark.read.parquet(hashesPath).agg(
-      count(lit(1)).as("total_rows"),
-      count_distinct(col("h")).as("distinct_hashes"),
-      lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"))
-      .crossJoin(Tombstones.pendingAgg(spark, snap))
-      // logged accepted-batch count: rows from several families union
-      // into the fleet table, where a LOWER count than the siblings'
-      // is the crash-divergence smell fleetIngestReconcile pins down
-      .crossJoin(IngestLog.countAgg(spark, dir))
+    // pending/ingest ride the SAME collected plan — one fused aggregate
+    // ([[OpsStats.attach]]) instead of driver-side count jobs (or two
+    // separate crossJoin sides) per reading: a fleet health union over
+    // a thousand indexes stays one action. The logged accepted-batch
+    // count matters because rows from several families union into the
+    // fleet table, where a LOWER count than the siblings' is the
+    // crash-divergence smell fleetIngestReconcile pins down.
+    OpsStats.attach(spark, snap)(
+      spark.read.parquet(hashesPath).agg(
+        count(lit(1)).as("total_rows"),
+        count_distinct(col("h")).as("distinct_hashes"),
+        lit(dir).as("dir"), lit(snap.version).as("version"),
+        lit(nFragments).as("n_fragments")))
   }
 
   /** Hot-bucket guard for LSH bucket self-joins: drop buckets with more
@@ -204,6 +204,26 @@ object Dedup {
       banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bn"))
         .filter(col("_bn") > cap).select(keys.map(col): _*),
       keys, "left_anti")
+
+  /** The [[dropHotBuckets]] guard for a PROBE's bucket equi-join,
+    * fused: candidate pairs only come from buckets present on BOTH
+    * sides, so dropping a bucket from either side removes all of its
+    * pairs — anti-joining the delta side alone against the union of
+    * both sides' over-cap bucket keys is pair-for-pair equivalent to
+    * guarding each side separately, for ONE aggregate + ONE anti-join
+    * instead of two of each (the serialized per-probe broadcast-job
+    * chain every admission probe pays per reading). Per-side counts
+    * stay separate (grouped on keys + side tag), so the cap semantics
+    * are unchanged. */
+  private def probeHotBucketKeys(base: DataFrame, delta: DataFrame,
+                                 keys: Seq[String], cap: Int): DataFrame =
+    base.select(keys.map(col): _*).withColumn("_s", lit(1))
+      .unionByName(
+        delta.select(keys.map(col): _*).withColumn("_s", lit(2)))
+      .groupBy((keys :+ "_s").map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > cap)
+      .select(keys.map(col): _*)
 
   /** MinHash-LSH near-dup candidate pairs: signature → bands → equi-join
     * within band buckets → verify with true shingle Jaccard. Only pairs
@@ -478,7 +498,9 @@ object Dedup {
     // exactIndexHealth total-vs-distinct reading for this family)
     val sizes = spark.read.parquet(bandsPath).groupBy("band", "bucket")
       .agg(count(lit(1)).as("_n"), count_distinct(col("id")).as("_nd"))
-    sizes.agg(
+    // one collected plan, no per-reading driver jobs, pending/ingest
+    // fused into a single aggregate side (see exactIndexHealth)
+    OpsStats.attach(spark, snap)(sizes.agg(
       lit(shingleN).as("shingle_n"), lit(sigK).as("sig_k"),
       lit(bands).as("n_bands"),
       sum(col("_n")).as("total_rows"),
@@ -487,11 +509,7 @@ object Dedup {
       max(col("_n")).as("max_bucket"),
       count(when(col("_n") > hotBucketCap, 1)).as("hot_buckets"),
       lit(dir).as("dir"), lit(snap.version).as("version"),
-      lit(nFragments).as("n_fragments"))
-      // one collected plan, no per-reading driver jobs (see
-      // exactIndexHealth)
-      .crossJoin(Tombstones.pendingAgg(spark, snap))
-      .crossJoin(IngestLog.countAgg(spark, dir))
+      lit(nFragments).as("n_fragments")))
   }
 
   /** Probe a delta batch against the persisted index:
@@ -514,22 +532,25 @@ object Dedup {
                         maxBucketSize: Int = 10000): DataFrame = {
     val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
     val snap = Manifest.snapshot(spark, dir)
-    val idx = dropHotBuckets(
-      Tombstones.live(spark, snap,
-        spark.read.parquet(snap.path("bands"))),
-      Seq("band", "bucket"), maxBucketSize)
+    val idx = Tombstones.live(spark, snap,
+      spark.read.parquet(snap.path("bands")))
     val dP = delta.select(col(idCol).as("id"),
       TF.distinctShingles(col(textCol), shingleN).as("sh"),
       TF.minhashSignature(col(textCol), shingleN, sigK).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandSize = sigK / bands
-    val dBands = dropHotBuckets(
-      dP.select(col("id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          TF.lshBand(col("sig"), b * bandSize, bandSize).as("bucket"))
+    val dBands0 = dP.select(col("id"), explode(array((0 until bands)
+      .map(b => struct(lit(b).as("band"),
+        TF.lshBand(col("sig"), b * bandSize, bandSize).as("bucket"))
       ): _*)).as("lb"))
-        .select(col("id"), col("lb.band"), col("lb.bucket")),
-      Seq("band", "bucket"), maxBucketSize)
+      .select(col("id"), col("lb.band"), col("lb.bucket"))
+    // both sides' hot-bucket guards from one aggregate, applied to the
+    // delta side alone — equivalent for the equi-join's output
+    // ([[probeHotBucketKeys]])
+    val dBands = dBands0.join(
+      probeHotBucketKeys(idx, dBands0, Seq("band", "bucket"),
+        maxBucketSize),
+      Seq("band", "bucket"), "left_anti")
     val cands = dBands
       .select(col("band"), col("bucket"), col("id").as("delta_id"))
       .join(idx.select(col("band"), col("bucket"),
@@ -777,7 +798,9 @@ object Dedup {
       count_distinct(col("id"), col("sig")).as("distinct_rows"))
     val sizes = simhashBandRows(sigs)
       .groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
-    sizes.agg(
+    // one collected plan, no per-reading driver jobs, pending/ingest
+    // fused into a single aggregate side (see exactIndexHealth)
+    OpsStats.attach(spark, snap)(sizes.agg(
       sum(col("_n")).as("total_band_rows"),
       count(lit(1)).as("n_buckets"),
       max(col("_n")).as("max_bucket"),
@@ -787,11 +810,7 @@ object Dedup {
         col("distinct_rows"), col("n_buckets"), col("max_bucket"),
         col("hot_buckets"),
         lit(dir).as("dir"), lit(snap.version).as("version"),
-        lit(nFragments).as("n_fragments"))
-      // one collected plan, no per-reading driver jobs (see
-      // exactIndexHealth)
-      .crossJoin(Tombstones.pendingAgg(spark, snap))
-      .crossJoin(IngestLog.countAgg(spark, dir))
+        lit(nFragments).as("n_fragments")))
   }
 
   /** Probe a delta batch against the persisted index: [[simhash]] with
@@ -811,15 +830,19 @@ object Dedup {
                         textCol: String, maxHamming: Int = 3,
                         maxBucketSize: Int = 10000): DataFrame = {
     val snap = Manifest.snapshot(spark, dir)
-    val baseBands = dropHotBuckets(
-      simhashBandRows(Tombstones.live(spark, snap,
-        spark.read.parquet(snap.path("sigs")))),
-      Seq("band", "bucket"), maxBucketSize)
+    val baseBands = simhashBandRows(Tombstones.live(spark, snap,
+      spark.read.parquet(snap.path("sigs"))))
     val dSigs = delta.select(col(idCol).as("id"),
       TF.simhash64(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dBands = dropHotBuckets(simhashBandRows(dSigs),
-      Seq("band", "bucket"), maxBucketSize)
+    val dBands0 = simhashBandRows(dSigs)
+    // both sides' hot-bucket guards from one aggregate, applied to the
+    // delta side alone — equivalent for the equi-join's output
+    // ([[probeHotBucketKeys]])
+    val dBands = dBands0.join(
+      probeHotBucketKeys(baseBands, dBands0, Seq("band", "bucket"),
+        maxBucketSize),
+      Seq("band", "bucket"), "left_anti")
     val out = dBands
       .select(col("band"), col("bucket"), col("id").as("delta_id"),
         col("sig").as("sig_d"))

@@ -576,3 +576,78 @@ package graft.operators
         record(spark, Manifest.snapshot(spark, dir), batchId)
       }
   }
+
+  /** Fused `(deleted_pending, ingest_batches)` reading — the pair every
+    * health row used to attach as SEPARATE
+    * `crossJoin(Tombstones.pendingAgg).crossJoin(IngestLog.countAgg)`
+    * sides, each a one-row aggregate over its own table and each
+    * costing a broadcast-exchange job per reading. One tagged union
+    * over the tombstone table and the raw ingest log computes both
+    * counts in a single aggregate subtree (one crossJoin instead of
+    * two), and the common steady state — neither table exists —
+    * attaches plan-free literal columns.
+    *
+    * Values are identical to the separate aggregates by construction:
+    * `deleted_pending` counts DISTINCT tombstone rows, serialized with
+    * `to_json` over the fixed key schema (injective for a fixed field
+    * order, and never null, so even an all-null key row still counts —
+    * exactly `distinct().count()`); `ingest_batches` counts distinct
+    * batch ids ([[IngestLog.read]]'s `distinct()` + count; ids are
+    * non-null by the `record` contract). */
+  private[operators] object OpsStats {
+    import org.apache.spark.sql.functions._
+
+    /** The fused one-row aggregate, or None when neither source table
+      * exists (the plan-free steady state). */
+    def agg(spark: org.apache.spark.sql.SparkSession,
+            snap: Manifest.Snapshot)
+      : Option[org.apache.spark.sql.DataFrame] = {
+      val tomb = Tombstones.readIfAny(spark, snap).map { t =>
+        t.select(lit(1).as("_t"),
+          to_json(struct(t.columns.map(col): _*)).as("_v"))
+      }
+      val logPath = snap.path("ingest_log")
+      val logP = new org.apache.hadoop.fs.Path(logPath)
+      val log =
+        if (logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(logP))
+          Some(spark.read.parquet(logPath)
+            .select(lit(2).as("_t"),
+              col("batch_id").cast("string").as("_v")))
+        else None
+      val parts = tomb.toSeq ++ log.toSeq
+      if (parts.isEmpty) None
+      else Some(parts.reduce(_ unionByName _).agg(
+        count_distinct(when(col("_t") === 1, col("_v")))
+          .as("deleted_pending"),
+        count_distinct(when(col("_t") === 2, col("_v")))
+          .as("ingest_batches")))
+    }
+
+    /** Attach the pair to a health row's collected plan: one crossJoin
+      * (or two literal columns when neither table exists). Column order
+      * matches the replaced `crossJoin(pendingAgg).crossJoin(countAgg)`
+      * chain exactly. */
+    def attach(spark: org.apache.spark.sql.SparkSession,
+               snap: Manifest.Snapshot)
+              (main: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+      agg(spark, snap) match {
+        case None => main.withColumn("deleted_pending", lit(0L))
+          .withColumn("ingest_batches", lit(0L))
+        case Some(a) => main.crossJoin(a)
+      }
+
+    /** The pair as driver values in ONE job (or none at all) — for the
+      * health rows that build their output row driver-side and used to
+      * pay a count job per reading ([[Tombstones.pending]] +
+      * `IngestLog.read(...).count()`). */
+    def counts(spark: org.apache.spark.sql.SparkSession,
+               snap: Manifest.Snapshot): (Long, Long) =
+      agg(spark, snap) match {
+        case None => (0L, 0L)
+        case Some(a) =>
+          val r = a.head()
+          (r.getLong(0), r.getLong(1))
+      }
+  }

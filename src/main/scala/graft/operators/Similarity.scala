@@ -1905,44 +1905,50 @@ object Similarity {
     require(dirs.nonEmpty,
       "fleetEraseAudit: dirs is empty — an erasure audit needs at " +
         "least one index dir")
-    def const(v: Long, name: String): DataFrame =
-      spark.range(1).select(lit(v).as(name))
     val frames = dirs.map { dir =>
       val snap = Manifest.snapshot(spark, dir)
       val (family, table) = sniffFamily(spark, snap)
-      // every per-index reading is a LAZY one-row aggregate; the whole
-      // fleet report unions into ONE collected action — auditing a
-      // thousand indexes must not run a thousand driver-side count
-      // jobs (-1 = unauditable: unrecognized layout, the doc-keyless
-      // funnel history, or a content/shingle-keyed family with no
-      // text supplied)
-      def semiCount(keys: DataFrame, on: String): DataFrame =
-        spark.read.parquet(snap.path(table))
-          .join(keys, Seq(on), "left_semi")
-          .agg(count(lit(1)).as("keys_live"))
-      val keysLive: DataFrame = family match {
-        case "unknown" | "funnel" => const(-1L, "keys_live")
+      // every per-index reading rides ONE aggregate over a tagged
+      // union of its (up to three) source tables; the whole fleet
+      // report unions into ONE collected action — auditing a thousand
+      // indexes must not run a thousand driver-side count jobs, and an
+      // index must not pay the former keysLive × expected × pending
+      // crossJoin chain's two broadcast-exchange jobs per reading
+      // either (-1 = unauditable: unrecognized layout, the doc-keyless
+      // funnel history, or a content/shingle-keyed family with no text
+      // supplied). Tags: 1 = live key rows, 2 = expected residue,
+      // 3 = pending tombstone rows (distinct via the [[OpsStats]]
+      // to_json serialization).
+      def tag(df: DataFrame, t: Int): DataFrame =
+        df.select(lit(t).as("_t"), lit(null).cast("string").as("_v"))
+      def semiRows(keys: DataFrame, on: String): DataFrame =
+        tag(spark.read.parquet(snap.path(table))
+          .join(keys, Seq(on), "left_semi"), 1)
+      // Left(literal) or Right(tagged rows to count)
+      val keysLive: Either[Long, DataFrame] = family match {
+        case "unknown" | "funnel" => Left(-1L)
         case "exact" => textCol match {
           case Some(t) =>
-            semiCount(docs.select(md5(col(t)).as("h")).distinct(), "h")
-          case None => const(-1L, "keys_live")
+            Right(semiRows(docs.select(md5(col(t)).as("h")).distinct(),
+              "h"))
+          case None => Left(-1L)
         }
         case "decontam" => textCol match {
           case Some(t) =>
             val n = Decontamination.decontamIndexN(spark, dir)
-            semiCount(docs.select(
+            Right(semiRows(docs.select(
               explode(graft.functions.TextFunctions
-                .distinctShingles(col(t), n)).as("g")).distinct(), "g")
-          case None => const(-1L, "keys_live")
+                .distinctShingles(col(t), n)).as("g")).distinct(), "g"))
+          case None => Left(-1L)
         }
         case _ =>
           val idType = spark.read.parquet(snap.path(table))
             .schema("id").dataType
-          semiCount(docs.select(col(idCol).cast(idType).as("id"))
-            .distinct(), "id")
+          Right(semiRows(docs.select(col(idCol).cast(idType).as("id"))
+            .distinct(), "id"))
       }
-      val expected: DataFrame = family match {
-        case "unknown" | "funnel" => const(-1L, "expected_residue")
+      val expected: Either[Long, DataFrame] = family match {
+        case "unknown" | "funnel" => Left(-1L)
         case "decontam" => (textCol, decontamRemaining) match {
           case (Some(t), Some(remaining)) =>
             // the legitimate residue: doomed shingles a REMAINING
@@ -1952,26 +1958,40 @@ object Similarity {
             def shingles(df: DataFrame): DataFrame = df.select(
               explode(graft.functions.TextFunctions
                 .distinctShingles(col(t), n)).as("g")).distinct()
-            shingles(docs)
-              .join(shingles(remaining), Seq("g"), "left_semi")
-              .agg(count(lit(1)).as("expected_residue"))
-          case (None, _) => const(-1L, "expected_residue")
-          case _ => const(0L, "expected_residue")
+            Right(tag(shingles(docs)
+              .join(shingles(remaining), Seq("g"), "left_semi"), 2))
+          case (None, _) => Left(-1L)
+          case _ => Left(0L)
         }
-        case _ => const(0L, "expected_residue")
+        case _ => Left(0L)
       }
-      val pending =
-        if (family == "unknown" || family == "funnel")
-          const(-1L, "deleted_pending")
-        else Tombstones.pendingAgg(spark, snap)
-      keysLive.crossJoin(expected).crossJoin(pending)
-        .select(lit(dir).as("dir"), lit(family).as("family"),
-          lit(table).as("table"), col("keys_live"),
-          col("expected_residue"), col("deleted_pending"),
-          lit(snap.version).as("version"),
-          (col("keys_live") === greatest(col("expected_residue"),
-            lit(0L)) && col("deleted_pending") === 0L)
-            .as("complete"))
+      val pending: Either[Long, DataFrame] =
+        if (family == "unknown" || family == "funnel") Left(-1L)
+        else Tombstones.readIfAny(spark, snap) match {
+          case Some(tdf) => Right(tdf.select(lit(3).as("_t"),
+            to_json(struct(tdf.columns.map(col): _*)).as("_v")))
+          case None => Left(0L)
+        }
+      val parts = Seq(keysLive, expected, pending)
+        .collect { case Right(df) => df }
+      val agged: DataFrame =
+        if (parts.isEmpty) spark.range(1).toDF("_one")
+        else parts.reduce(_ unionByName _).agg(
+          count(when(col("_t") === 1, 1)).as("_c1"),
+          count(when(col("_t") === 2, 1)).as("_c2"),
+          count_distinct(when(col("_t") === 3, col("_v"))).as("_c3"))
+      def reading(e: Either[Long, DataFrame],
+                  c: String): org.apache.spark.sql.Column =
+        e.fold(lit(_), _ => col(c))
+      val keysCol = reading(keysLive, "_c1")
+      val expCol = reading(expected, "_c2")
+      val pendCol = reading(pending, "_c3")
+      agged.select(lit(dir).as("dir"), lit(family).as("family"),
+        lit(table).as("table"), keysCol.as("keys_live"),
+        expCol.as("expected_residue"), pendCol.as("deleted_pending"),
+        lit(snap.version).as("version"),
+        (keysCol === greatest(expCol, lit(0L)) && pendCol === 0L)
+          .as("complete"))
     }
     frames.reduce(_ unionByName _)
   }
@@ -2072,6 +2092,10 @@ object Similarity {
       }.toMap
     val totalRows = rowsPerList.values.sum
     val meanRows = if (nLists == 0) 0.0 else totalRows.toDouble / nLists
+    // pending-tombstone and ingest-batch counts in ONE job (zero when
+    // neither table exists) instead of two driver count jobs per
+    // reading ([[OpsStats]])
+    val (pendingN, ingestN) = OpsStats.counts(spark, snap)
     Seq((dir, snap.version, nLists, nLists - rowsPerList.size, totalRows,
       filesPerList.values.sum.toLong,
       if (filesPerList.isEmpty) 0 else filesPerList.values.max,
@@ -2079,8 +2103,7 @@ object Similarity {
       meanRows,
       if (meanRows == 0.0) 0.0 else rowsPerList.values.max / meanRows,
       recall, k, nProbe, suggested,
-      Tombstones.pending(spark, snap),
-      IngestLog.read(spark, dir).count()))
+      pendingN, ingestN))
       .toDF("dir", "version", "n_lists", "empty_lists", "total_rows",
         "total_files", "max_files_per_list", "max_rows_per_list",
         "mean_rows_per_list", "row_skew", "recall_at_k", "k", "n_probe",
