@@ -263,18 +263,33 @@ object Bench {
       "\"" + k + "\":\"" + escCap(v, 80) + "\""
     }.mkString("{", ",", "}")
     val sortedQ = results.toSeq.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"load_ceiling_exceeded":$loadExceeded,"n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","queries":{"""
+    // the compact line's char budget cuts the per-query map at a time
+    // FLOOR (~the slowest ~50 queries fit) — queries that got FASTER
+    // than the floor simply stop appearing, which a cross-round
+    // comparator reading only this line can mistake for "dropped".
+    // Emit the floor explicitly so "fell below the reporting window"
+    // is distinguishable from "vanished" (additions-only; the full map
+    // is always in BENCH_SUMMARY.json).
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calibration_sec":${f3(calibration)},"calibration_cpu_sec":${f3(calibrationCpu)},"loadavg_1m":${f3(loadAvg1m)},"load_ceiling_exceeded":$loadExceeded,"n_queries":${results.size},"full":"BENCH_SUMMARY.json","errors":$errCompact,"sf":"$sfDir","""
     val tail0 = "}}"
-    val sb = new StringBuilder(head)
-    var first = true
+    // reserve space for the floor field (key + up to ~12 digit chars)
+    val floorReserve = "\"reported_floor_sec\":,".length + 12
+    val entriesSb = new StringBuilder()
+    var included = 0
+    var floorSec = 0.0
     sortedQ.foreach { case (k, v) =>
-      val entry = (if (first) "" else ",") + "\"" + k + "\":" + f3(v)
-      if (sb.length + entry.length + tail0.length <= budgetChars) {
-        sb.append(entry); first = false
+      val entry = (if (included == 0) "" else ",") + "\"" + k + "\":" +
+        f3(v)
+      if (head.length + floorReserve + "\"queries\":{".length +
+        entriesSb.length + entry.length + tail0.length <= budgetChars) {
+        entriesSb.append(entry); included += 1; floorSec = v
       }
     }
-    sb.append(tail0)
-    println(sb.toString)
+    val floorField =
+      if (included < results.size) s""""reported_floor_sec":${f3(floorSec)},"""
+      else """"reported_floor_sec":0.000,"""
+    println(head + floorField + "\"queries\":{" + entriesSb.toString +
+      tail0)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
