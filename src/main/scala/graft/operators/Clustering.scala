@@ -597,12 +597,43 @@ object Clustering {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       base: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
       tau: Double, maxCluster: Long = 100000L): DataFrame = {
+    val (pairs, handles) = semDedupIncrementalPersistedLazy(spark, dir,
+      base, batch, idCol, vecCol, tau, maxCluster, preloaded = None)
+    val out = pairs.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    out
+  }
+
+  /** The (snapshot, frozen centroids) pair
+    * [[semDedupIncrementalPersistedLazy]] resolves per probe — load it
+    * ONCE per streaming query (one bounded collect) when the state is
+    * read-only for the stream's lifetime, instead of one collect job
+    * per micro-batch. */
+  private[operators] def semDedupProbeState(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+    : (Manifest.Snapshot, Array[Array[Double]]) = {
     // one snapshot resolves BOTH tables: a state append flipping
     // mid-probe cannot pair new labels with other-version centroids
     val snap = Manifest.snapshot(spark, dir)
     val centroids = spark.read.parquet(snap.path("centroids"))
       .orderBy("cluster").collect()
       .map(_.getAs[Seq[Double]]("center").toArray)
+    (snap, centroids)
+  }
+
+  /** [[semDedupIncrementalPersisted]]'s LAZY core (the
+    * [[Dedup.minhashProbeLazy]] contract: lazy pair frame + persisted
+    * handles to release after the plan is consumed). `preloaded`
+    * supplies a [[semDedupProbeState]] resolved once for a read-only
+    * scope (the streaming admission loop); None resolves fresh. */
+  private[operators] def semDedupIncrementalPersistedLazy(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      base: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      tau: Double, maxCluster: Long,
+      preloaded: Option[(Manifest.Snapshot, Array[Array[Double]])])
+    : (DataFrame, Seq[DataFrame]) = {
+    val (snap, centroids) =
+      preloaded.getOrElse(semDedupProbeState(spark, dir))
     val assign = assignTo(spark, centroids, roundTo = 9)
     val batchSide = batch.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
@@ -619,11 +650,22 @@ object Clustering {
         col(vecCol).cast("array<double>").as("_v")), Seq("id"))
       .select(col("id").as("_id"), col("_v"), lit(false).as("_new"),
         col("cluster"))
-    incrementalPairs(baseSide, batchSide, tau, maxCluster)
+    incrementalPairsLazy(baseSide, batchSide, tau, maxCluster)
   }
 
   private def incrementalPairs(baseSide: DataFrame, batchSide: DataFrame,
                                tau: Double, maxCluster: Long): DataFrame = {
+    val (pairs, handles) =
+      incrementalPairsLazy(baseSide, batchSide, tau, maxCluster)
+    val out = pairs.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    out
+  }
+
+  private def incrementalPairsLazy(baseSide: DataFrame,
+                                   batchSide: DataFrame, tau: Double,
+                                   maxCluster: Long)
+    : (DataFrame, Seq[DataFrame]) = {
     val all = baseSide.select("cluster", "_id", "_v", "_new")
       .unionByName(batchSide.select("cluster", "_id", "_v", "_new"))
     // only clusters the batch actually hit can produce new pairs —
@@ -645,9 +687,7 @@ object Clustering {
         graft.functions.VectorOps.cosine(col("_va"), col("_vb"))
           .as("cosine"))
       .filter(col("cosine") >= tau)
-      .localCheckpoint(true)
-    guarded.unpersist(false)
-    out
+    (out, Seq(guarded))
   }
 
   /** Release the one block-manager RDD a [[semDedup]]/[[semDedupAuto]]

@@ -530,6 +530,27 @@ object Dedup {
                         idCol: String, textCol: String,
                         threshold: Double = 0.5,
                         maxBucketSize: Int = 10000): DataFrame = {
+    val (pairs, handles) = minhashProbeLazy(spark, dir, delta, base,
+      idCol, textCol, threshold, maxBucketSize)
+    val out = pairs.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    out
+  }
+
+  /** [[minhashIndexProbe]]'s LAZY core: the verified-pair frame
+    * WITHOUT the final eager checkpoint, plus the persisted handles
+    * its plan still reads (unpersist them only AFTER the plan has been
+    * consumed — the signature cache is multi-consumer inside the
+    * plan). For compositions that fold the pairs into exactly one
+    * downstream action (the admission kernel's verdict write), the
+    * checkpoint bought nothing: skipping it lets the whole verdict
+    * batch execute as ONE job instead of one eager job per probe
+    * family per micro-batch. */
+  private[operators] def minhashProbeLazy(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, delta: DataFrame, base: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
     val (shingleN, sigK, bands) = minhashIndexParams(spark, dir)
     val snap = Manifest.snapshot(spark, dir)
     val idx = Tombstones.live(spark, snap,
@@ -579,9 +600,7 @@ object Dedup {
       .select(col("delta_id"), col("base_id"),
         TF.jaccard(col("sh_d"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true)
-    dP.unpersist(false)
-    out
+    (out, Seq(dP))
   }
 
   /** Execute an [[Similarity.indexMaintenancePlan]] action on a
@@ -829,6 +848,20 @@ object Dedup {
                         dir: String, delta: DataFrame, idCol: String,
                         textCol: String, maxHamming: Int = 3,
                         maxBucketSize: Int = 10000): DataFrame = {
+    val (pairs, handles) = simhashProbeLazy(spark, dir, delta, idCol,
+      textCol, maxHamming, maxBucketSize)
+    val out = pairs.localCheckpoint(true)
+    handles.foreach(_.unpersist(false))
+    out
+  }
+
+  /** [[simhashIndexProbe]]'s LAZY core — the [[minhashProbeLazy]]
+    * contract: (lazy pair frame, persisted handles to release after
+    * the plan is consumed). */
+  private[operators] def simhashProbeLazy(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, delta: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
     val snap = Manifest.snapshot(spark, dir)
     val baseBands = simhashBandRows(Tombstones.live(spark, snap,
       spark.read.parquet(snap.path("sigs"))))
@@ -854,9 +887,7 @@ object Dedup {
       .select(col("delta_id"), col("base_id"),
         TF.hamming64(col("sig_d"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .localCheckpoint(true)
-    dSigs.unpersist(false)
-    out
+    (out, Seq(dSigs))
   }
 
   /** [[minhashMaintenanceApply]] for the SimHash family — the apply

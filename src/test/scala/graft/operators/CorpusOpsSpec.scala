@@ -508,6 +508,30 @@ class CorpusOpsSpec extends SparkSpec {
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
   }
 
+  test("probe hot-bucket guard caps the DELTA side too (fused " +
+    "two-side guard): a delta whose own bucket breaches the cap " +
+    "yields no pairs, while a clean delta doc still matches") {
+    import spark.implicits._
+    val boiler = "all work and no play makes jack a dull boy"
+    val clean = "pack my box with five dozen liquor jugs"
+    val base = Seq((1L, boiler), (2L, clean)).toDF("doc_id", "text")
+    // six identical delta copies of the boilerplate: the DELTA side's
+    // bucket breaches cap=4 (the index side holds only one copy, so an
+    // index-side-only guard would keep the pairs); doc 200 is a clean
+    // exact copy in an un-hot bucket and must still match
+    val delta = ((100L to 105L).map(i => (i, boiler)) :+ (200L, clean))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhdhot").toFile
+    val root = dir.getAbsolutePath
+    try {
+      Dedup.minhashIndexBuild(base, root, "doc_id", "text")
+      val mh = Dedup.minhashIndexProbe(spark, root, delta, base,
+        "doc_id", "text", threshold = 0.5, maxBucketSize = 4)
+        .select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+      assert(mh == Set((200L, 2L)), mh.toString)
+    } finally graft.util.TempDirs.deleteRecursively(dir)
+  }
+
   test("persisted simhash index: probe equals the direct run with no " +
     "base text table, append holds the writer lock, compact folds " +
     "fragments behind a manifest flip") {
