@@ -62,6 +62,7 @@ object SparkEntry {
     val parts = s.conf.get("spark.sql.shuffle.partitions", "200")
     val wsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
     val cgf = s.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val abt = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     // constructed-fixture gates run dozens of DISTINCT lifecycle plans
@@ -73,12 +74,21 @@ object SparkEntry {
     // data-bearing queries keep codegen on.
     s.conf.set("spark.sql.codegen.wholeStage", "false")
     s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    // every BroadcastExchange materializes through its OWN job — at
+    // fixture scale a single lifecycle action's plan carries dozens of
+    // auto-broadcast tiny sides, so the gate's cost is ~one scheduler
+    // round-trip per broadcast (q262: ~28 jobs per 5-doc admission
+    // batch). 4-partition shuffle joins fold the same tiny joins into
+    // the action's one job. Explicit broadcast() hints (load-bearing
+    // at scale) are unaffected; join STRATEGY never changes rows.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try body
     finally {
       s.conf.set("spark.sql.adaptive.enabled", aqe)
       s.conf.set("spark.sql.shuffle.partitions", parts)
       s.conf.set("spark.sql.codegen.wholeStage", wsc)
       s.conf.set("spark.sql.codegen.factoryMode", cgf)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
     }
   }
 

@@ -38,9 +38,12 @@ object QDebug {
           .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
         val stage = js.stageInfos.lastOption.map(_.name.take(45))
           .getOrElse("?")
+        val call = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("")
         val site = execId.flatMap(id =>
           Option(execSites.get(id.toLong))).getOrElse("?") +
-          " ## " + stage
+          " ## " + stage + " @@ " + call
         starts.put(js.jobId, (js.time, site))
       }
       override def onJobEnd(
