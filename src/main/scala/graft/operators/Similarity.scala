@@ -839,9 +839,27 @@ object Similarity {
       .select(col("id"), col("v"))
     val exact = bruteForce(queries, corpus, k).select("qid", "id")
     val got = ivfQuery(spark, dir, queries, k, nProbe).select("qid", "id")
-    val denom = exact.count()
-    if (denom == 0) 1.0
-    else got.intersect(exact).count().toDouble / denom
+    recallOf(exact, got)
+  }
+
+  /** recall = |got ∩ exact| / |exact| in ONE action: the two counts
+    * used to be separate `exact.count()` + `intersect().count()` jobs,
+    * re-executing the brute-force subtree twice per probe. Both sides
+    * are unique on (qid, id) — bounded top-k with deterministic
+    * ties — so the group count equals the row count and the grouped
+    * presence-product equals `intersect().count()` exactly. */
+  private def recallOf(exact: DataFrame, got: DataFrame): Double = {
+    val r = exact.select(col("qid"), col("id"), lit(1).as("_t"))
+      .unionByName(got.select(col("qid"), col("id"), lit(2).as("_t")))
+      .groupBy("qid", "id")
+      .agg(max(when(col("_t") === 1, 1).otherwise(0)).as("_e"),
+        max(when(col("_t") === 2, 1).otherwise(0)).as("_g"))
+      .agg(sum(col("_e")).as("_denom"),
+        sum(col("_e") * col("_g")).as("_hits"))
+      .head()
+    val denom = if (r.isNullAt(0)) 0L else r.getLong(0)
+    if (denom == 0L) 1.0
+    else (if (r.isNullAt(1)) 0L else r.getLong(1)).toDouble / denom
   }
 
   /** [[ivfRecallProbe]] for a persisted [[ivfPqBuild]] index: the
@@ -854,9 +872,7 @@ object Similarity {
     val exact = bruteForce(queries, corpus, k).select("qid", "id")
     val got = ivfPqQuery(spark, dir, queries, corpus, k, nProbe, refineK)
       .select("qid", "id")
-    val denom = exact.count()
-    if (denom == 0) 1.0
-    else got.intersect(exact).count().toDouble / denom
+    recallOf(exact, got)
   }
 
   /** Centroid-DRIFT probe of a persisted [[ivfBuild]] index: the early-
