@@ -1,6 +1,5 @@
 package graft.ml
 
-import graft.operators.ScoreAlgebra
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
@@ -11,13 +10,15 @@ import org.apache.spark.storage.StorageLevel
   * (photon-lib/.../algorithm/CoordinateDescent.scala:132-166,373-472).
   *
   * Dataflow per coordinate pass:
-  *   residual_c = summedScores − score_c        (incremental, X15)
-  *   retrain coordinate c on (label, features_c, offset + residual_c)
-  *   rescore c; summedScores = residual_c + newScore_c
-  * All score algebra is uid-keyed outer joins with missing→0
-  * ([[graft.operators.ScoreAlgebra]]), each eagerly checkpointed and
-  * released per round (X13) so neither the cached data NOR the logical
-  * plan grows across iterations.
+  *   residual offset_c = offset + Σ_{c'≠c} score_c'   (X15)
+  *   retrain coordinate c on (label, features_c, residual offset_c)
+  *   rescore c into its score column
+  * Scores are COLUMNS of one uid-aligned frame (every coordinate scores
+  * every row, uid unique, missing entities as 0 — the semantics of the
+  * reference's uid-keyed outer-join score algebra, which this fuses
+  * into column arithmetic: no per-pass shuffle joins). The frame is
+  * eagerly checkpointed and its predecessor released each pass (X13) so
+  * neither the cached data NOR the logical plan grows across iterations.
   */
 object CoordinateDescent {
 
@@ -85,10 +86,36 @@ object CoordinateDescent {
   }
 
   case class GameModel(coordinates: Map[String, TrainedCoordinate]) {
-    /** Total score = Σ coordinate scores (full-outer, missing=0). */
-    def score(data: DataFrame): DataFrame =
-      coordinates.values.map(_.score(data))
-        .reduce(ScoreAlgebra.add(_, _, "uid"))
+    /** Total score = Σ coordinate scores. Every coordinate scores the
+      * SAME rows (uid is unique and each kernel scores every input row,
+      * missing entities as 0), so the reference's pairwise full-outer
+      * add chain (`CoordinateDataScores.+`) degenerates to scoring in
+      * place and summing columns — zero uid-keyed shuffle joins instead
+      * of N−1, and the sum is the same left-associated order over the
+      * same values the old chain produced, so scores are bit-identical. */
+    def score(data: DataFrame): DataFrame = {
+      val parts = coordinates.values.toSeq.zipWithIndex
+        .map { case (c, i) => (c, s"_gms_$i") }
+      val scored = parts.foldLeft(data) { case (df, (c, out)) =>
+        scoreInPlace(c, df, out) }
+      scored.select(col("uid"),
+        parts.map(p => col(p._2)).reduce(_ + _).as("score"))
+    }
+  }
+
+  /** Score one trained coordinate INTO a column of `df` (all other
+    * columns preserved): the fixed kernel is a broadcast-model
+    * projection, the random kernel the reId-keyed model attach — the
+    * only join score computation fundamentally needs. */
+  private[ml] def scoreInPlace(c: TrainedCoordinate, df: DataFrame,
+                               outCol: String): DataFrame = c match {
+    case TrainedFixed(spec, model) =>
+      Glm.score(df, model, spec.featuresCol, outCol)
+    case TrainedRandom(spec, models) =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      RandomEffect.score(df, models.as[RandomEffect.ReModel],
+        spec.reIdCol, spec.featuresCol, outCol)
   }
 
   /** `data` columns: uid (long), label, weight, offset, one VectorUDT
@@ -113,51 +140,50 @@ object CoordinateDescent {
     // Row-count-keyed execution profile for the descent loop
     // ([[graft.util.ExecProfile.withDerivedShuffle]]) — the same scale
     // adaptation DistributedGlmObjective applies to its iteration view
-    // (≥25k rows per shuffle partition), lifted to the loop's score
-    // algebra: every round materializes 2-4 uid-keyed join plans
-    // (localCheckpoint), and at the session's full shuffle-partition
-    // count each of those pays AQE stage-materialization jobs plus
-    // near-empty task launches that dwarf the data work when the
-    // training input is small relative to the configured parallelism.
-    // The count() materializes the persist — a pass the first scoring
-    // job would pay anyway. At production row counts (n ≥ 25k × the
-    // session's shuffle partitions) the scope is a no-op: AQE stays
-    // on, partitions stay the cluster's — this is input-size-derived
-    // partitioning, not a local[32] tune. uid is unique per score row,
-    // so the joins cannot skew; the per-entity solves stay
-    // partition-count-independent (boundedSample keys its reservoir on
-    // content hashes, closed-form/mapGroups solves are per-group
-    // arithmetic). codegenOff: the loop materializes ~3 DISTINCT
-    // one-shot join plans per coordinate pass — compiling each beats
-    // interpreting the rows only above the same 25k-rows/partition
-    // line, so the flag rides the scope (measured: 25 materializations
-    // 9.3 s compiled vs 4.0 s interpreted at sf0.1; production inputs
-    // never activate the scope and keep codegen). The scope mutates
-    // session confs (restored on exit), so train() must not run
-    // concurrently with other queries on the same session — see
-    // ExecProfile's contract.
+    // (≥25k rows per shuffle partition), lifted to the loop's remaining
+    // shuffles (each random pass's reId solve + model attach): at the
+    // session's full shuffle-partition count those pay AQE
+    // stage-materialization jobs plus near-empty task launches that
+    // dwarf the data work when the training input is small relative to
+    // the configured parallelism. The count() materializes the persist —
+    // a pass the first scoring job would pay anyway. At production row
+    // counts (n ≥ 25k × the session's shuffle partitions) the scope is
+    // a no-op: AQE stays on, partitions stay the cluster's — this is
+    // input-size-derived partitioning, not a local[32] tune. The
+    // per-entity solves stay partition-count-independent (boundedSample
+    // keys its reservoir on content hashes, closed-form/mapGroups
+    // solves are per-group arithmetic). codegenOff: the loop
+    // materializes 1-2 DISTINCT one-shot plans per coordinate pass —
+    // compiling each beats interpreting the rows only above the same
+    // 25k-rows/partition line, so the flag rides the scope (measured:
+    // 25 materializations 9.3 s compiled vs 4.0 s interpreted at
+    // sf0.1; production inputs never activate the scope and keep
+    // codegen). The scope mutates session confs (restored on exit), so
+    // train() must not run concurrently with other queries on the same
+    // session — see ExecProfile's contract.
     val nRows = cached.count()
     graft.util.ExecProfile.withDerivedShuffle(spark, nRows, 25000L,
       codegenOff = true) {
 
-    // Score frames are tracked as Option[DataFrame] with None = all-zero.
-    // The first pass over each coordinate then skips the residual
-    // subtract / offset-attach / score-add joins entirely (they would be
-    // joins against a literal-zero column) — on a 2-coordinate GAME run
-    // this removes three full-data shuffles from the first iteration.
-    var scores: Map[String, Option[DataFrame]] =
-      coords.map(c => c.id -> (None: Option[DataFrame])).toMap
-    var summed: Option[DataFrame] = None
-    // `summed` is kept LAZY when it is a fresh `residual + newScore`
-    // add: its ONLY per-round consumer is the next pass's residual
-    // subtract, which materializes anyway — materializing the add too
-    // was one extra localCheckpoint (a distinct one-shot plan compile +
-    // job) per coordinate pass that bought nothing. When summed is
-    // lazy, these are the checkpointed frames its plan reads (released
-    // checkpoints cannot recompute, so they stay live until the lazy
-    // summed has been consumed); empty when summed is materialized or
-    // an alias.
-    var summedDeps: Seq[DataFrame] = Nil
+    // Scores live as COLUMNS of one uid-aligned frame (VERDICT r16 item
+    // 1b, the full fusion): every coordinate's score covers EXACTLY the
+    // training rows (uid unique, each kernel scores every row, missing
+    // entities as 0), so the reference's (uid, score)-frame algebra —
+    // full-outer subtract for the residual, left-outer offset attach,
+    // full-outer add for the new sum — degenerates to column arithmetic
+    // on that single frame: residual offset = offset + Σ_{c≠i} score_c
+    // is a PROJECTION, not three joins. The old shape shuffled the full
+    // feature frame once per pass (the offset attach) plus two narrow
+    // uid score frames (subtract + add); this shape shuffles nothing
+    // the algorithm doesn't require — the only joins left are each
+    // random coordinate's reId-keyed model attach. Floating-point sums
+    // now associate in first-scored column order instead of the old
+    // incremental add/subtract chain; both are deterministic, and every
+    // consumer gate rounds far above the ulp-level difference.
+    val scoreColOf: Map[String, String] =
+      coords.map(c => c.id -> s"_score_${c.id}").toMap
+    var frame: DataFrame = cached
+    var scoredIds: Seq[String] = Seq.empty
     var trained: Map[String, TrainedCoordinate] =
       initial.map(_.coordinates).getOrElse(Map.empty)
     // frames owned by the CALLER (released data would be unrecoverable —
@@ -183,50 +209,39 @@ object CoordinateDescent {
         case _ => df.unpersist(false)
       }
 
+    // Advance the frame: score `c` into its column, checkpoint (one
+    // job per pass — the lineage truncation materialize() exists for),
+    // release the superseded frame. After the first checkpoint the
+    // frame carries every column `cached` had, so the initial cache can
+    // be dropped immediately instead of living through the whole loop.
+    def rescore(id: String, c: TrainedCoordinate): Unit = {
+      val prev = frame
+      frame = materialize(scoreInPlace(c, frame, scoreColOf(id)))
+      if (!scoredIds.contains(id)) scoredIds :+= id
+      if (prev ne cached) release(prev) else cached.unpersist(false)
+    }
+
     // L16 partial retrain (reference CoordinateDescent.scala:280-300):
     // locked coordinates keep their initial model; their scores are fixed
     // residual contributions computed once, never re-trained.
-    lockedCoordinates.foreach { id =>
-      val lockedScore = materialize(trained(id).score(cached))
-      val newSummed = summed match {
-        case None => lockedScore
-        case Some(s) => materialize(ScoreAlgebra.add(s, lockedScore, "uid"))
-      }
-      val oldSummed = summed
-      summed = Some(newSummed)
-      scores += id -> Some(lockedScore)
-      // a released checkpoint is gone for good — free only what no live
-      // reference (current summed, any coordinate's score) still reads
-      val live = summed.toSeq ++ scores.values.flatten ++ callerFrames
-      oldSummed.foreach(s => release(s, live: _*))
-    }
+    lockedCoordinates.foreach { id => rescore(id, trained(id)) }
     val retrained = coords.filterNot(c => lockedCoordinates.contains(c.id))
 
     for (iter <- 0 until nIterations; spec <- retrained) {
-      // residual scores of all OTHER coordinates (X15: subtract own)
-      val residual: Option[DataFrame] = (summed, scores(spec.id)) match {
-        case (None, _) => None // nothing scored yet
-        case (Some(s), None) =>
-          // own score still zero: the residual IS the summed frame —
-          // but it feeds BOTH the training input and the next summed,
-          // so a lazy add materializes here (one job, two joins)
-          Some(if (summedDeps.isEmpty) s else materialize(s))
-        case (Some(s), Some(own)) if s eq own =>
-          None // single-coordinate case: summed IS the own score
-        case (Some(s), Some(own)) =>
-          // a lazy summed collapses into this subtract: one
-          // materialization executes add + subtract together
-          Some(materialize(ScoreAlgebra.subtract(s, own, "uid")))
-      }
-      val withResidual = residual match {
-        case None => cached
-        case Some(r) => ScoreAlgebra.addToOffsets(cached, r, "uid")
+      // residual offset = base offset + scores of all OTHER coordinates
+      // (X15: subtract own — here simply "don't add own"): a projection
+      // over the frame, summed in first-scored column order
+      val others = scoredIds.filterNot(_ == spec.id)
+        .map(id => col(scoreColOf(id)))
+      val withResidual = others.reduceOption(_ + _) match {
+        case None => frame
+        case Some(r) => frame.withColumn("offset", col("offset") + r)
       }
 
       val coordinate: TrainedCoordinate = spec match {
         case f: FixedSpec =>
           // L8 runWithSampling: down-sample the fit's rows only — the
-          // rescore below still runs over the full `cached` data
+          // rescore below still runs over the full frame
           val trainRows =
             if (f.downSamplingRate > 0 && f.downSamplingRate < 1)
               f.cfg.loss match {
@@ -248,7 +263,7 @@ object CoordinateDescent {
           // active/passive split: cap per-entity training rows (weight-
           // rescaled reservoir) and drop under-populated entities. Rows
           // excluded here are "passive": they are still scored below —
-          // coordinate.score runs over the full `cached` data.
+          // the rescore runs over the full frame.
           val capped =
             if (r.activeCap > 0)
               graft.operators.GroupedSampling
@@ -292,46 +307,20 @@ object CoordinateDescent {
       val replaced = trained.get(spec.id)
       trained += spec.id -> coordinate
 
-      val newScore = materialize(coordinate.score(cached))
-      // newSummed stays LAZY over its two checkpointed inputs (see
-      // summedDeps above) — the next pass's residual materializes it
-      val newSummed = residual match {
-        case None => newScore
-        case Some(r) => ScoreAlgebra.add(r, newScore, "uid")
-      }
-      val oldSummed = summed
-      val oldDeps = summedDeps
-      val oldOwn = scores(spec.id)
-      summed = Some(newSummed)
-      summedDeps = residual match {
-        case None => Nil // summed IS the materialized newScore
-        case Some(r) => Seq(r, newScore)
-      }
-      scores += spec.id -> Some(newScore)
-      // a released checkpoint is gone for good (no lineage to recompute
-      // from), so free a frame only when nothing live still reads it —
-      // aliases abound: the first round's summed IS that coordinate's
-      // score, a fresh residual IS the old summed when the own score was
-      // zero, the replaced models may belong to the caller's `initial`,
-      // and the lazy summed's inputs live through summedDeps
-      val live = summedDeps ++ scores.values.flatten ++ callerFrames ++
+      // rescore own column over the BASE frame (base offset untouched —
+      // each pass's residual is recomputed fresh from it) and checkpoint
+      rescore(spec.id, coordinate)
+      // the replaced models may belong to the caller's `initial` or
+      // still back a live coordinate — release only what nothing reads
+      val live = callerFrames ++
         trained.values.collect { case TrainedRandom(_, m) => m }
-      residual.foreach(r => release(r, live: _*))
-      oldSummed.foreach(s => release(s, live: _*))
-      oldDeps.foreach(d => release(d, live: _*))
-      oldOwn.foreach(o => release(o, live: _*))
       replaced.collect { case TrainedRandom(_, old) =>
         release(old, live: _*) }
     }
-    cached.unpersist(false)
-    // score frames are training intermediates — data-sized, so drop them
+    // the frame is a training intermediate — data-sized, so drop it
     // before returning (scoring a GameModel recomputes from the
     // model-sized coordinate frames, which stay live)
-    val keep = callerFrames ++
-      trained.values.collect { case TrainedRandom(_, m) => m }
-    summed.foreach(s => release(s, keep: _*))
-    summedDeps.foreach(d => release(d, keep: _*))
-    scores.values.flatten.foreach(o => release(o, keep: _*))
+    if (frame ne cached) release(frame) else cached.unpersist(false)
     GameModel(trained)
     }
   }

@@ -60,6 +60,46 @@ object OpPlanDump {
       dump("op_fleet_erase_audit", Similarity.fleetEraseAudit(spark,
         Seq(exDir, mhDir, shDir), delta, "id", textCol = Some("text")))
     } finally dirs.foreach(graft.util.TempDirs.deleteRecursively)
+
+    // GAME descent-pass residual shape (r17: scores-as-columns fusion).
+    // The "before" shape is the old loop's exact composition, still
+    // constructible from the unchanged public ScoreAlgebra API: residual
+    // = full-outer subtract of two (uid, score) frames, then the
+    // left-outer offset attach onto the full training frame — three
+    // joins per pass, the widest of which carries the feature vectors.
+    // The "after" shape is what CoordinateDescent.train now plans per
+    // pass: residual offset as a projection over the score columns of
+    // the single uid-aligned frame (zero joins).
+    import org.apache.spark.sql.functions._
+    val training = Seq(
+      (1L, 1.0, 1.0, 0.0, Array(0.1, 0.2), "u1"),
+      (2L, 0.0, 1.0, 0.0, Array(0.3, 0.4), "u2"),
+      (3L, 1.0, 1.0, 0.0, Array(0.5, 0.6), "u1"))
+      .toDF("uid", "label", "weight", "offset", "features", "userId")
+    // both shapes dump in ONE run (the before shape survives in the
+    // public ScoreAlgebra API), so they get their fixed names directly
+    def dumpAs(file: String, df: => DataFrame): Unit =
+      try {
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/$file.txt"), plan)
+        println(s"[opplandump] wrote $outDir/$file.txt")
+      } catch {
+        case e: Throwable =>
+          println(s"[opplandump] $file FAILED: ${e.getMessage}")
+      }
+    val sA = training.select($"uid", ($"label" * 0.5).as("score"))
+    val sB = training.select($"uid", ($"label" * 0.25).as("score"))
+    dumpAs("op_game_residual_before",
+      ScoreAlgebra.addToOffsets(training,
+        ScoreAlgebra.subtract(ScoreAlgebra.add(sA, sB, "uid"), sB, "uid"),
+        "uid"))
+    val frame = training
+      .withColumn("_score_global", $"label" * 0.5)
+      .withColumn("_score_perUser", $"label" * 0.25)
+    dumpAs("op_game_residual_after",
+      frame.withColumn("offset", $"offset" + $"_score_global"))
     spark.stop()
   }
 }
